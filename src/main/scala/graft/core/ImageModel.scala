@@ -1,0 +1,254 @@
+package graft.core
+
+/** Image data model — the Spark-native re-expression of the reference's
+  * `PortableImagePlus` (reference: PortableImagePlus.scala:24-26).
+  *
+  * Unlike the reference's lazy `Either[ImagePlus, (meta, array)]` dual
+  * representation (PortableImagePlus.scala:88-90) there is no "live"
+  * object form: images live in Tungsten rows as plain struct columns
+  * (`Dataset[SparkImage]` via product encoders), so serialization is
+  * free and every kernel is a pure function of the struct fields.
+  */
+
+/** Calibration + acquisition metadata; field layout follows the
+  * reference's serializable calibration clone (IJCalibration.java:26-88)
+  * and `IJMetaData` (PortableImagePlus.scala:306-346). */
+case class ImageMeta(
+    pixelWidth: Double = 1.0,
+    pixelHeight: Double = 1.0,
+    pixelDepth: Double = 1.0,
+    frameInterval: Double = 0.0,
+    fps: Double = 0.0,
+    xOrigin: Double = 0.0,
+    yOrigin: Double = 0.0,
+    zOrigin: Double = 0.0,
+    unit: String = "pixel",
+    valueUnit: String = "gray",
+    timeUnit: String = "sec",
+    info: String = "")
+
+/** The image cell value. `data` is the pixel payload, big-endian,
+  * row-major within a slice, slice-major across slices (matching the
+  * reference's `[h][w][slices]` marshalling, Spiji.java:801-921);
+  * `pixelType` names the reference's type lattice (TImgTools.java:24-43).
+  * `log` is the JSON provenance log (the reference's own UDT stores the
+  * log as JSON text too — PipUDT.scala:31). */
+case class SparkImage(
+    meta: ImageMeta,
+    log: String,
+    width: Int,
+    height: Int,
+    slices: Int,
+    pixelType: String,
+    data: Array[Byte]) {
+
+  def pixelCount: Int = width * height * slices
+
+  /** Decode to doubles (RGB via the default MEAN strategy,
+    * TImgTools.java:311-366). */
+  def toDoubles: Array[Double] = PixelCodec.decode(data, pixelType, pixelCount)
+
+  def withPixels(px: Array[Double], newType: String = pixelType, entry: Option[LogEntry] = None): SparkImage = {
+    val lg = entry.fold(log)(e => ImageLog.append(log, e))
+    copy(data = PixelCodec.encode(px, newType), pixelType = newType, log = lg)
+  }
+}
+
+/** Pixel type lattice (reference TImgTools.java:24-43, byte sizes
+  * 891-912). All codecs are big-endian and exact round-trips within
+  * each type's range; doubles are the interchange representation
+  * (the reference's "toarray" escape hatch, SQLFunctions.scala:176-184).
+  */
+object PixelCodec {
+  val Bool = "1bit"
+  val Byte8 = "8bit"
+  val Short16 = "16bit"
+  val Int32 = "32bit-integer"
+  val Long64 = "64bit-long"
+  val Float32 = "32bit-float"
+  val Double64 = "64bit-double"
+  val Rgb = "24bit-rgb"
+
+  val all: Seq[String] = Seq(Bool, Byte8, Short16, Int32, Long64, Float32, Double64, Rgb)
+
+  def bytesPerPixel(pixelType: String): Int = pixelType match {
+    case Bool | Byte8 => 1
+    case Short16      => 2
+    case Int32 | Float32 => 4
+    case Long64 | Double64 => 8
+    case Rgb          => 3
+    case other        => throw new IllegalArgumentException(s"unknown pixelType: $other")
+  }
+
+  /** Clamp + truncate a double into the type's storage range
+    * (value ranges: TImgTools.java:805-826). */
+  def clamp(v: Double, pixelType: String): Double = pixelType match {
+    case Bool    => if (v > 0) 1.0 else 0.0
+    case Byte8   => math.min(255.0, math.max(0.0, math.rint(v)))
+    case Short16 => math.min(65535.0, math.max(0.0, math.rint(v)))
+    case Int32   => math.rint(math.min(Int.MaxValue.toDouble, math.max(Int.MinValue.toDouble, v)))
+    case Long64  => math.rint(v)
+    case _       => v
+  }
+
+  def encode(px: Array[Double], pixelType: String): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(px.length * bytesPerPixel(pixelType))
+    pixelType match {
+      case Bool | Byte8 => px.foreach(v => bb.put(clamp(v, pixelType).toByte))
+      case Short16 => px.foreach(v => bb.putShort(clamp(v, pixelType).toInt.toShort))
+      case Int32 => px.foreach(v => bb.putInt(clamp(v, pixelType).toInt))
+      case Long64 => px.foreach(v => bb.putLong(clamp(v, pixelType).toLong))
+      case Float32 => px.foreach(v => bb.putFloat(v.toFloat))
+      case Double64 => px.foreach(bb.putDouble)
+      case Rgb => px.foreach { v => // gray replicated to r=g=b on encode
+        val b = clamp(v, Byte8).toByte; bb.put(b); bb.put(b); bb.put(b)
+      }
+    }
+    bb.array()
+  }
+
+  def decode(data: Array[Byte], pixelType: String, n: Int): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(data)
+    val out = new Array[Double](n)
+    var i = 0
+    pixelType match {
+      case Bool | Byte8 => while (i < n) { out(i) = bb.get() & 0xff; i += 1 }
+      case Short16 => while (i < n) { out(i) = bb.getShort() & 0xffff; i += 1 }
+      case Int32 => while (i < n) { out(i) = bb.getInt(); i += 1 }
+      case Long64 => while (i < n) { out(i) = bb.getLong().toDouble; i += 1 }
+      case Float32 => while (i < n) { out(i) = bb.getFloat(); i += 1 }
+      case Double64 => while (i < n) { out(i) = bb.getDouble(); i += 1 }
+      case Rgb => while (i < n) { // MEAN strategy (TImgTools.java:315)
+        val r = bb.get() & 0xff; val g = bb.get() & 0xff; val b = bb.get() & 0xff
+        out(i) = (r + g + b) / 3.0; i += 1
+      }
+    }
+    out
+  }
+}
+
+/** One provenance entry (reference `LogEntry`, ImagePlusIO.scala:16-39).
+  * `children` holds merged sub-logs for binary ops (merge semantics:
+  * ImagePlusIO.scala:175-183) — the recursion is why the log is a JSON
+  * string column, as in the reference's own UDT (PipUDT.scala:31). */
+case class LogEntry(
+    optype: String, // LOAD SAVE CREATE RUN MACRO THRESHOLD COMMENT OTHER MERGE MERGE_STORE ADD (Spiji.java:230-236)
+    optool: String, // IMAGEJ SIL SPARK OTHER
+    opval: String,
+    opargs: String,
+    children: Seq[String] = Nil) // pre-rendered child JSON logs
+
+object ImageLog {
+  val empty = "[]"
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def render(e: LogEntry): String = {
+    val kids = e.children.mkString("[", ",", "]")
+    s"""{"optype":"${esc(e.optype)}","optool":"${esc(e.optool)}","opval":"${esc(e.opval)}","opargs":"${esc(e.opargs)}","children":$kids}"""
+  }
+
+  /** Append an entry to a JSON-array log string (no parse round-trip). */
+  def append(log: String, e: LogEntry): String = {
+    val base = if (log == null || log.isEmpty || log == "[]") "" else log.stripSuffix("]").stripPrefix("[") + ","
+    "[" + base + render(e) + "]"
+  }
+
+  /** Merge two logs for a binary op (MERGE with MERGE_STORE children —
+    * ImagePlusIO.scala:175-183). */
+  def merge(op: String, logA: String, logB: String): String = {
+    val store = (l: String) => render(LogEntry("MERGE_STORE", "SPARK", "", "", Seq(l)))
+    "[" + render(LogEntry("MERGE", "SPARK", op, "", Seq(store(logA), store(logB)))) + "]"
+  }
+
+  def create(opval: String, opargs: String): String =
+    append(empty, LogEntry("CREATE", "SPARK", opval, opargs))
+}
+
+/** Per-image statistics record (reference ImageStatistics.scala:8-28). */
+case class ImageStats(min: Double, mean: Double, stdDev: Double, max: Double, pts: Long) {
+  def toMap: Map[String, Double] =
+    Map("min" -> min, "mean" -> mean, "stdDev" -> stdDev, "max" -> max, "pts" -> pts.toDouble)
+}
+
+/** Histogram (reference IJHistogram.scala:10-42). */
+case class ImageHistogram(bin_centers: Array[Double], counts: Array[Long]) {
+  def normalizedCounts: Array[Double] = {
+    val total = counts.sum.toDouble
+    if (total == 0) counts.map(_ => 0.0) else counts.map(_ / total)
+  }
+
+  /** Re-bin to new centers by nearest-center assignment
+    * (reference `interp`, IJHistogram.scala:17-26). */
+  def interp(newCenters: Array[Double]): ImageHistogram = {
+    val out = new Array[Long](newCenters.length)
+    var i = 0
+    while (i < bin_centers.length) {
+      if (counts(i) != 0) {
+        val c = bin_centers(i)
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < newCenters.length) {
+          val d = math.abs(newCenters(j) - c)
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        out(best) += counts(i)
+      }
+      i += 1
+    }
+    ImageHistogram(newCenters, out)
+  }
+
+  /** L1 distance of normalized histograms over shared re-binned centers,
+    * halved into [0,1] (reference IJHistogram.scala:34-41, 56-66). */
+  def distance(other: ImageHistogram, bins: Int = 1000): Double = {
+    val lo = math.min(bin_centers.headOption.getOrElse(0.0), other.bin_centers.headOption.getOrElse(0.0))
+    val hi = math.max(bin_centers.lastOption.getOrElse(0.0), other.bin_centers.lastOption.getOrElse(0.0))
+    val centers = ImageHistogram.centers(lo, hi, bins)
+    val a = interp(centers).normalizedCounts
+    val b = other.interp(centers).normalizedCounts
+    a.zip(b).map { case (x, y) => math.abs(x - y) }.sum / 2.0
+  }
+}
+
+object ImageHistogram {
+  def centers(min: Double, max: Double, bins: Int): Array[Double] = {
+    val w = (max - min) / bins
+    Array.tabulate(bins)(i => min + w * (i + 0.5))
+  }
+}
+
+/** Per-image results table (reference IJResultsTable.scala:15-92):
+  * row-major rows + header, stored column-major as map<string,
+  * array<double>> exactly like its UDT (IJResultsTableUDT.scala:32-38).
+  * Missing cells read as 0 (IJResultsTable.scala:31). */
+case class ResultsTable(header: Array[String], rows: IndexedSeq[Array[Double]]) {
+  def toMap: Map[String, Array[Double]] =
+    header.zipWithIndex.map { case (h, i) =>
+      h -> rows.map(r => if (i < r.length) r(i) else 0.0).toArray
+    }.toMap
+
+  def firstRow: Map[String, Double] =
+    if (rows.isEmpty) Map.empty
+    else header.zipWithIndex.map { case (h, i) =>
+      h -> (if (i < rows.head.length) rows.head(i) else 0.0)
+    }.toMap
+
+  def column(name: String): Option[Array[Double]] = toMap.get(name)
+  def mean(c: String): Option[Double] = column(c).filter(_.nonEmpty).map(a => a.sum / a.length)
+  def sum(c: String): Option[Double] = column(c).map(_.sum)
+  def min(c: String): Option[Double] = column(c).filter(_.nonEmpty).map(_.min)
+  def max(c: String): Option[Double] = column(c).filter(_.nonEmpty).map(_.max)
+}

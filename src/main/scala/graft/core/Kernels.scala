@@ -1,0 +1,486 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Pure, deterministic image kernels, string-dispatched to keep the
+  * reference's `run(image, 'Median...', 'radius=3')` API shape
+  * (SQLFunctions.scala:41, PortableImagePlus.scala:352-388).
+  *
+  * Every kernel is a pure function `(SparkImage, args) => SparkImage` —
+  * no executor-global mutable state (the reference's single biggest
+  * scalability hazard: one shared ImageJ "current image" per JVM,
+  * Spiji.java:464-466 — eliminated per SURVEY §2.12). Randomized ops
+  * (noise) are seeded from image content + args, so results are
+  * hash-exact regardless of partitioning, task retries, or cluster
+  * size.
+  */
+object Kernels {
+
+  type Kernel = (SparkImage, Map[String, String]) => SparkImage
+
+  /** `k1=v1 k2=v2` argument parsing (reference ParameterSweep.scala:86-92). */
+  def parseArgs(args: String): Map[String, String] =
+    if (args == null || args.trim.isEmpty) Map.empty
+    else args.trim.split("\\s+").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case Array(k)    => Some(k -> "")
+        case _           => None
+      }
+    }.toMap
+
+  // ---- registry ------------------------------------------------------
+
+  private val registry: Map[String, Kernel] = Map(
+    "Add Noise" -> addNoise(25.0),
+    "Add Specified Noise..." -> ((img, a) => addNoise(a.getOrElse("standard", "25").toDouble)(img, a)),
+    "Median..." -> median _,
+    "Mean..." -> meanFilter _,
+    "Gaussian Blur..." -> gaussianBlur _,
+    "Invert" -> invert _,
+    "Multiply..." -> ((img, a) => mapPixels(img, "Multiply...", a, v => v * a.getOrElse("value", "1").toDouble)),
+    "Add..." -> ((img, a) => mapPixels(img, "Add...", a, v => v + a.getOrElse("value", "0").toDouble)),
+    "Subtract..." -> ((img, a) => mapPixels(img, "Subtract...", a, v => v - a.getOrElse("value", "0").toDouble)),
+    "Divide..." -> ((img, a) => mapPixels(img, "Divide...", a, v => v / a.getOrElse("value", "1").toDouble)),
+    "Convert to Mask" -> convertToMask _,
+    "8-bit" -> convertType(PixelCodec.Byte8),
+    "16-bit" -> convertType(PixelCodec.Short16),
+    "32-bit" -> convertType(PixelCodec.Float32),
+    "RGB Color" -> convertType(PixelCodec.Rgb))
+
+  /** Names for `listcommands` (reference SQLFunctions.scala:267-268). */
+  def listCommands: Seq[String] =
+    (registry.keys.toSeq ++ Seq("setThreshold", "applyThreshold")).sorted
+
+  /** Names for `listplugins` ("cmd => impl", SQLFunctions.scala:264-265). */
+  def listPlugins: Seq[String] = listCommands.map(c => s"$c => graft.core.Kernels")
+
+  // ---- dispatch ------------------------------------------------------
+
+  /** The `run`/`run2` entry point. Threshold commands are special-cased
+    * exactly like the reference (PortableImagePlus.scala:366-377). */
+  def run(img: SparkImage, cmd: String, args: String = ""): SparkImage = {
+    val a = parseArgs(args)
+    val out = cmd match {
+      case "setThreshold" | "applyThreshold" => applyThreshold(img, a)
+      case c => registry.get(c) match {
+        case Some(k) => k(img, a)
+        case None => throw new IllegalArgumentException(
+          s"unknown command: $c (known: ${listCommands.mkString(", ")})")
+      }
+    }
+    out.copy(log = ImageLog.append(img.log,
+      LogEntry(if (cmd.contains("Threshold")) "THRESHOLD" else "RUN", "SPARK", cmd, args)))
+  }
+
+  // ---- element-wise --------------------------------------------------
+
+  private def mapPixels(img: SparkImage, cmd: String, a: Map[String, String],
+                        f: Double => Double): SparkImage =
+    img.withPixels(img.toDoubles.map(f))
+
+  /** Seeded gaussian noise, σ=`standard`. Seed = content hash so the
+    * result is deterministic (the reference used ImageJ's unseeded
+    * `Add Noise` and could only assert statistics — SURVEY §5). */
+  private def addNoise(defaultSigma: Double): Kernel = (img, a) => {
+    val sigma = a.get("standard").map(_.toDouble).getOrElse(defaultSigma)
+    val px = img.toDoubles
+    val rng = new java.util.Random(contentSeed(img))
+    img.withPixels(px.map(v => PixelCodec.clamp(v + rng.nextGaussian() * sigma, img.pixelType)))
+  }
+
+  private[core] def contentSeed(img: SparkImage): Long = {
+    var h = 0xcbf29ce484222325L
+    val d = img.data
+    var i = 0
+    while (i < d.length) { h ^= d(i); h *= 0x100000001b3L; i += 1 }
+    h ^ img.width.toLong << 32 ^ img.height
+  }
+
+  private def invert(img: SparkImage, a: Map[String, String]): SparkImage = {
+    val maxV = img.pixelType match {
+      case PixelCodec.Byte8 | PixelCodec.Rgb => 255.0
+      case PixelCodec.Short16 => 65535.0
+      case _ => img.toDoubles.max
+    }
+    img.withPixels(img.toDoubles.map(maxV - _))
+  }
+
+  // ---- neighborhood filters (per-slice 2-D, clamped edges) -----------
+
+  private def perSlice(img: SparkImage)(f: (Array[Double], Int, Int) => Array[Double]): Array[Double] = {
+    val px = img.toDoubles
+    val (w, h) = (img.width, img.height)
+    val out = new Array[Double](px.length)
+    var s = 0
+    while (s < img.slices) {
+      val slice = java.util.Arrays.copyOfRange(px, s * w * h, (s + 1) * w * h)
+      System.arraycopy(f(slice, w, h), 0, out, s * w * h, w * h)
+      s += 1
+    }
+    out
+  }
+
+  /** Square-window median, radius r, edges clamped. Deterministic and
+    * precisely specified (SURVEY §7 "hard parts": define `Median...`
+    * edge handling exactly). */
+  private def median(img: SparkImage, a: Map[String, String]): SparkImage = {
+    val r = a.getOrElse("radius", "1").toDouble.toInt
+    img.withPixels(perSlice(img) { (sl, w, h) =>
+      val out = new Array[Double](w * h)
+      val buf = new Array[Double]((2 * r + 1) * (2 * r + 1))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var n = 0
+          var dy = -r
+          while (dy <= r) {
+            val yy = math.min(h - 1, math.max(0, y + dy))
+            var dx = -r
+            while (dx <= r) {
+              val xx = math.min(w - 1, math.max(0, x + dx))
+              buf(n) = sl(yy * w + xx); n += 1
+              dx += 1
+            }
+            dy += 1
+          }
+          val win = java.util.Arrays.copyOf(buf, n)
+          java.util.Arrays.sort(win)
+          out(y * w + x) = if (n % 2 == 1) win(n / 2) else (win(n / 2 - 1) + win(n / 2)) / 2.0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    })
+  }
+
+  private def meanFilter(img: SparkImage, a: Map[String, String]): SparkImage = {
+    val r = a.getOrElse("radius", "1").toDouble.toInt
+    img.withPixels(perSlice(img) { (sl, w, h) =>
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var sum = 0.0; var n = 0
+          var dy = -r
+          while (dy <= r) {
+            val yy = math.min(h - 1, math.max(0, y + dy))
+            var dx = -r
+            while (dx <= r) {
+              sum += sl(yy * w + math.min(w - 1, math.max(0, x + dx))); n += 1
+              dx += 1
+            }
+            dy += 1
+          }
+          out(y * w + x) = sum / n
+          x += 1
+        }
+        y += 1
+      }
+      out
+    })
+  }
+
+  /** Separable gaussian blur, sigma=`sigma`, kernel truncated at 3σ,
+    * renormalized, clamped edges. */
+  private def gaussianBlur(img: SparkImage, a: Map[String, String]): SparkImage = {
+    val sigma = a.getOrElse("sigma", "2").toDouble
+    val r = math.max(1, math.ceil(3 * sigma).toInt)
+    val k = Array.tabulate(2 * r + 1)(i => math.exp(-0.5 * math.pow((i - r) / sigma, 2)))
+    val ksum = k.sum
+    var i = 0
+    while (i < k.length) { k(i) /= ksum; i += 1 }
+    img.withPixels(perSlice(img) { (sl, w, h) =>
+      val tmp = new Array[Double](w * h)
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) { // horizontal pass
+        var x = 0
+        while (x < w) {
+          var s = 0.0; var j = -r
+          while (j <= r) { s += sl(y * w + math.min(w - 1, math.max(0, x + j))) * k(j + r); j += 1 }
+          tmp(y * w + x) = s
+          x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < h) { // vertical pass
+        var x = 0
+        while (x < w) {
+          var s = 0.0; var j = -r
+          while (j <= r) { s += tmp(math.min(h - 1, math.max(0, y + j)) * w + x) * k(j + r); j += 1 }
+          out(y * w + x) = s
+          x += 1
+        }
+        y += 1
+      }
+      out
+    })
+  }
+
+  // ---- threshold / mask / type conversion ----------------------------
+
+  /** `lower=`/`upper=` threshold → 0/255 mask, matching the reference's
+    * special-cased setThreshold+`Convert to Mask`
+    * (PortableImagePlus.scala:366-377; Spiji.java:1449-1451). */
+  private def applyThreshold(img: SparkImage, a: Map[String, String]): SparkImage = {
+    val lower = a.get("lower").map(_.toDouble).getOrElse(Double.NegativeInfinity)
+    val upper = a.get("upper").map(_.toDouble).getOrElse(Double.PositiveInfinity)
+    val px = img.toDoubles.map(v => if (v >= lower && v <= upper) 255.0 else 0.0)
+    img.withPixels(px, PixelCodec.Byte8)
+  }
+
+  private def convertToMask(img: SparkImage, a: Map[String, String]): SparkImage =
+    img.withPixels(img.toDoubles.map(v => if (v > 0) 255.0 else 0.0), PixelCodec.Byte8)
+
+  /** Bit-depth conversion with the reference's silent precision rules
+    * (int→short, double→float on creation — Spiji.java:994-1012). */
+  private def convertType(target: String): Kernel = (img, _) =>
+    img.withPixels(img.toDoubles, target)
+
+  // ---- binary image ops (SURVEY §2.4 J1-J3) --------------------------
+
+  /** Pixel-wise subtraction, MERGE provenance
+    * (PortableImagePlus.scala:244-258). */
+  def subtract(a: SparkImage, b: SparkImage): SparkImage = {
+    require(a.pixelCount == b.pixelCount, s"shape mismatch: ${a.pixelCount} vs ${b.pixelCount}")
+    val pa = a.toDoubles; val pb = b.toDoubles
+    val out = new Array[Double](pa.length)
+    var i = 0
+    while (i < pa.length) { out(i) = pa(i) - pb(i); i += 1 }
+    a.copy(data = PixelCodec.encode(out, PixelCodec.Float32),
+      pixelType = PixelCodec.Float32, log = ImageLog.merge("subtract", a.log, b.log))
+  }
+
+  /** Pixel-wise (a+b)/rescale (PortableImagePlus.scala:217-232). */
+  def average(a: SparkImage, b: SparkImage, rescale: Double = 2.0): SparkImage = {
+    require(a.pixelCount == b.pixelCount)
+    val pa = a.toDoubles; val pb = b.toDoubles
+    val out = new Array[Double](pa.length)
+    var i = 0
+    while (i < pa.length) { out(i) = (pa(i) + pb(i)) / rescale; i += 1 }
+    a.copy(data = PixelCodec.encode(out, PixelCodec.Float32),
+      pixelType = PixelCodec.Float32, log = ImageLog.merge("average", a.log, b.log))
+  }
+
+  /** Stack append `++` (PortableImagePlus.scala:260-270). */
+  def appendStack(a: SparkImage, b: SparkImage): SparkImage = {
+    require(a.width == b.width && a.height == b.height && a.pixelType == b.pixelType,
+      "stack append requires matching dims and pixelType")
+    a.copy(data = a.data ++ b.data, slices = a.slices + b.slices,
+      log = ImageLog.merge("appendStack", a.log, b.log))
+  }
+
+  /** Pixel multiply (reference `scale` UDF / multiply,
+    * PortableImagePlus.scala:235-241). */
+  def scale(img: SparkImage, factor: Double): SparkImage =
+    img.withPixels(img.toDoubles.map(_ * factor),
+      entry = Some(LogEntry("RUN", "SPARK", "scale", s"factor=$factor")))
+
+  /** CT-style value offset (applyOffset, PortableImagePlus.scala:190-195). */
+  def applyOffset(img: SparkImage, offset: Double = -1024.0): SparkImage =
+    img.withPixels(img.toDoubles.map(_ + offset),
+      entry = Some(LogEntry("RUN", "SPARK", "applyOffset", s"offset=$offset")))
+
+  // ---- statistics / histogram ----------------------------------------
+
+  /** min/mean/stdDev/max/pts (reference getImageStatistics,
+    * PortableImagePlus.scala:411-414). Population stdDev, like ImageJ. */
+  def stats(img: SparkImage): ImageStats = {
+    val px = img.toDoubles
+    if (px.isEmpty) return ImageStats(0, 0, 0, 0, 0)
+    var mn = Double.MaxValue; var mx = Double.MinValue; var sum = 0.0
+    var i = 0
+    while (i < px.length) {
+      val v = px(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v; i += 1
+    }
+    val mean = sum / px.length
+    var ss = 0.0
+    i = 0
+    while (i < px.length) { val d = px(i) - mean; ss += d * d; i += 1 }
+    ImageStats(mn, mean, math.sqrt(ss / px.length), mx, px.length.toLong)
+  }
+
+  /** Fixed-range histogram: `bins` equal buckets on [min,max); values
+    * outside clamp to edge buckets (reference hist3,
+    * SQLFunctions.scala:152-157; IJHistogram.scala:95-141). */
+  def histogram(img: SparkImage, min: Double, max: Double, bins: Int): ImageHistogram = {
+    val counts = new Array[Long](bins)
+    val w = (max - min) / bins
+    val px = img.toDoubles
+    var i = 0
+    while (i < px.length) {
+      val b0 = math.floor((px(i) - min) / w).toInt
+      counts(math.min(bins - 1, math.max(0, b0))) += 1
+      i += 1
+    }
+    ImageHistogram(ImageHistogram.centers(min, max, bins), counts)
+  }
+
+  /** Auto-range histogram, 256 bins over the observed [min,max]
+    * (the reference's `hist` defaults to the image range). */
+  def histogramAuto(img: SparkImage, bins: Int = 256): ImageHistogram = {
+    val st = stats(img)
+    val hi = if (st.max > st.min) st.max else st.min + 1.0
+    histogram(img, st.min, math.nextUp(hi), bins)
+  }
+
+  // ---- connected components / particle analysis (SURVEY A4) ----------
+
+  /** Connected-component labeling (8-connectivity, two-pass union-find)
+    * of nonzero pixels on slice 0, plus per-component measurements —
+    * the rebuild of ImageJ `Analyze Particles`
+    * (PortableImagePlus.scala:153-155; measurement set: subset of
+    * IJResultsTable.scala:95-97 per FIXTURES.md §4).
+    * Components are numbered in raster order of their first pixel, so
+    * labels are deterministic. */
+  def analyzeParticles(img: SparkImage): ResultsTable = {
+    val w = img.width; val h = img.height
+    val px = img.toDoubles // slice 0 only, like ImageJ's per-slice analysis
+    val labels = new Array[Int](w * h)
+    val parent = mutable.ArrayBuffer[Int](0)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    var next = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (px(y * w + x) != 0.0) {
+          var lbl = 0
+          // scan the 4 already-visited 8-neighbors
+          var di = 0
+          val nbs = Array((x - 1, y), (x - 1, y - 1), (x, y - 1), (x + 1, y - 1))
+          while (di < 4) {
+            val (nx, ny) = nbs(di)
+            if (nx >= 0 && nx < w && ny >= 0) {
+              val nl = labels(ny * w + nx)
+              if (nl != 0) { if (lbl == 0) lbl = nl else union(lbl, nl) }
+            }
+            di += 1
+          }
+          if (lbl == 0) { next += 1; parent += next; lbl = next }
+          labels(y * w + x) = lbl
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // resolve + renumber in raster order of first appearance
+    val renum = mutable.LinkedHashMap[Int, Int]()
+    y = 0
+    var idx = 0
+    while (idx < w * h) {
+      if (labels(idx) != 0) {
+        val root = find(labels(idx))
+        labels(idx) = renum.getOrElseUpdate(root, renum.size + 1)
+      }
+      idx += 1
+    }
+    val n = renum.size
+    val area = new Array[Double](n); val sum = new Array[Double](n)
+    val minV = Array.fill(n)(Double.MaxValue); val maxV = Array.fill(n)(Double.MinValue)
+    val sx = new Array[Double](n); val sy = new Array[Double](n)
+    val bx0 = Array.fill(n)(Int.MaxValue); val by0 = Array.fill(n)(Int.MaxValue)
+    val bx1 = Array.fill(n)(-1); val by1 = Array.fill(n)(-1)
+    val perim = new Array[Double](n)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = labels(y * w + x)
+        if (l != 0) {
+          val i = l - 1; val v = px(y * w + x)
+          area(i) += 1; sum(i) += v
+          if (v < minV(i)) minV(i) = v
+          if (v > maxV(i)) maxV(i) = v
+          sx(i) += x + 0.5; sy(i) += y + 0.5
+          if (x < bx0(i)) bx0(i) = x
+          if (y < by0(i)) by0(i) = y
+          if (x > bx1(i)) bx1(i) = x
+          if (y > by1(i)) by1(i) = y
+          // edge-count perimeter: each exposed 4-neighbor side counts 1
+          if (x == 0 || px(y * w + x - 1) == 0.0) perim(i) += 1
+          if (x == w - 1 || px(y * w + x + 1) == 0.0) perim(i) += 1
+          if (y == 0 || px((y - 1) * w + x) == 0.0) perim(i) += 1
+          if (y == h - 1 || px((y + 1) * w + x) == 0.0) perim(i) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val header = Array("Area", "Mean", "Min", "Max", "X", "Y", "Perim.", "BX", "BY", "Width", "Height")
+    val rows = (0 until n).map { i =>
+      Array(area(i), sum(i) / area(i), minV(i), maxV(i),
+        sx(i) / area(i), sy(i) / area(i), perim(i),
+        bx0(i).toDouble, by0(i).toDouble,
+        (bx1(i) - bx0(i) + 1).toDouble, (by1(i) - by0(i) + 1).toDouble)
+    }
+    ResultsTable(header, rows)
+  }
+
+  /** `runtable` dispatch: command → results table
+    * (reference runWithTable, PortableImagePlus.scala:130-136). */
+  def runTable(img: SparkImage, cmd: String, args: String): ResultsTable = cmd match {
+    case "Analyze Particles..." | "Analyze Particles" => analyzeParticles(img)
+    case "Measure" | "Measure..." =>
+      val st = stats(img)
+      ResultsTable(Array("Area", "Mean", "Min", "Max", "StdDev"),
+        IndexedSeq(Array(st.pts.toDouble, st.mean, st.min, st.max, st.stdDev)))
+    case other => throw new IllegalArgumentException(s"unknown table command: $other")
+  }
+
+  /** toarray escape hatch: `[h][w][slices]` doubles
+    * (SQLFunctions.scala:176-184; layout Spiji.java:801-921). */
+  def toArray3D(img: SparkImage): Array[Array[Array[Double]]] = {
+    val px = img.toDoubles
+    val (w, h, s) = (img.width, img.height, img.slices)
+    Array.tabulate(h, w, s)((y, x, z) => px(z * w * h + y * w + x))
+  }
+
+  // ---- synthetic source (reference createEmptyImages, scOps.scala:63-73)
+
+  /** Constant-fill synthetic image (the debug source's engine). */
+  def constantImage(width: Int, height: Int, slices: Int, value: Double,
+                    pixelType: String = PixelCodec.Float32): SparkImage =
+    SparkImage(ImageMeta(), ImageLog.create("constantImage", s"value=$value"),
+      width, height, slices, pixelType,
+      PixelCodec.encode(Array.fill(width * height * slices)(value), pixelType))
+
+  /** Deterministic synthetic image with gaussian blobs — gives particle
+    * analysis something non-trivial, still hash-exact. */
+  def blobImage(width: Int, height: Int, nBlobs: Int, seed: Long): SparkImage = {
+    val rng = new java.util.Random(seed)
+    val px = new Array[Double](width * height)
+    (0 until nBlobs).foreach { _ =>
+      val cx = rng.nextInt(width); val cy = rng.nextInt(height)
+      val r = 2 + rng.nextInt(6); val amp = 100 + rng.nextInt(155)
+      var y = math.max(0, cy - 3 * r)
+      while (y < math.min(height, cy + 3 * r)) {
+        var x = math.max(0, cx - 3 * r)
+        while (x < math.min(width, cx + 3 * r)) {
+          val d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+          px(y * width + x) += amp * math.exp(-d2.toDouble / (2.0 * r * r))
+          x += 1
+        }
+        y += 1
+      }
+    }
+    SparkImage(ImageMeta(), ImageLog.create("blobImage", s"nBlobs=$nBlobs seed=$seed"),
+      width, height, 1, PixelCodec.Float32, PixelCodec.encode(px, PixelCodec.Float32))
+  }
+}

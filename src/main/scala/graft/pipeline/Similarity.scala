@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * All math runs through codegen'd higher-order functions
+  * (`transform`/`aggregate`/`zip_with`) on `array<double>` — no Scala
+  * UDF in the hot path, so whole-stage codegen spans the score
+  * computation. Accumulation is a sequential left fold, matching a
+  * straightforward loop (and DuckDB's list functions) bit-for-bit.
+  */
+object Similarity {
+
+  /** Cast an embedding column to array<double> for stable math. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold sum of an array<double> column. */
+  def arraySum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm: sqrt(sum(x^2)) — sqrt is IEEE-exact. */
+  def l2Norm(v: Column): Column =
+    sqrt(arraySum(transform(asDouble(v), x => x * x)))
+
+  /** Dot product of two array<double> columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    arraySum(zip_with(a, b, (x, y) => x * y))
+
+  /** Cosine similarity = dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+  }
+
+  /** Brute-force exact cosine top-k: every query row (matching
+    * `queryFilter`) against the whole corpus.
+    *
+    * Scale shape: the filtered query side is broadcast, so the corpus —
+    * the 100 TB side — is scanned exactly once with no shuffle of the
+    * raw vectors; only (qid, nid, sim) tuples (|Q|·N rows, but only
+    * 3 narrow columns) reach the top-k window. Norms are precomputed
+    * per side so each pair costs one zip_with fold, not three.
+    * Output is (qid, rank, nid) — ranks, not raw floats, so the result
+    * is robust to last-ulp accumulation differences across engines.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .withColumn("nnorm", l2Norm(col("nv")))
+    val queries = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", l2Norm(col("qv")))
+    val sims = corpus.join(broadcast(queries), col("nid") =!= col("qid"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+      .select(col("qid"), col("nid"), col("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate NN: random-hyperplane signatures restrict
+    * candidate pairs to equal buckets. The hyperplanes are seeded and
+    * generated deterministically, so results are reproducible.
+    *
+    * Scale shape: bucketing replaces the |Q|·N cross product with a
+    * per-bucket join; `numPlanes` tunes bucket count (2^numPlanes) vs
+    * recall. This is the 100 TB path; `bruteForceTopK` is the oracle.
+    */
+  def lshTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+              numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = deterministicPlanes(numPlanes, dim, seed)
+    def bucketOf(v: Column): Column = {
+      // sign bit per hyperplane, packed into an int
+      planes.zipWithIndex.map { case (p, i) =>
+        val proj = aggregate(zip_with(v, typedLit(p), (x, w) => x * w), lit(0.0), (a, x) => a + x)
+        when(proj >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("norm", l2Norm(col("v")))
+    val queries = emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("bucket").as("qbucket"), col("norm").as("qnorm"))
+    val sims = emb.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
+  private[pipeline] def deterministicPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(n)(Array.fill(dim)(next().toDouble / Long.MaxValue))
+  }
+}

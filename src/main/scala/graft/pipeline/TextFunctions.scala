@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure,
+  * deterministic column expressions / UDFs — no external models.
+  */
+object TextFunctions {
+
+  /** Tiny per-language stopword profiles (n-gram heuristic stand-in).
+    * Public-knowledge common-word lists. */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht"),
+    "fr" -> Set("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Set("的", "是", "在", "了", "有", "和", "人", "这", "中", "大"))
+
+  /** Heuristic language ID: argmax of stopword-hit ratio per profile;
+    * ties and zero hits fall back to "und" (undetermined). */
+  private[pipeline] def detectLang(toks: Seq[String]): String = {
+    if (toks == null || toks.isEmpty) return "und"
+    val lower = toks.map(_.toLowerCase)
+    val scored = profiles.toSeq
+      .map { case (lang, words) => (lang, lower.count(words.contains)) }
+      .sortBy { case (lang, hits) => (-hits, lang) }
+    if (scored.head._2 == 0) "und" else scored.head._1
+  }
+
+  val langIdUdf = udf { toks: Seq[String] => detectLang(toks) }
+
+  /** Confusion matrix of heuristic prediction vs the labeled lang. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), langIdUdf(Dedup.tokens(col("text"))).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** Quality-score expression bundle: length, token stats, punctuation
+    * and stopword ratios — each a codegen'd column expression. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("double")
+    val enStop = typedLit(profiles("en").toSeq.sorted)
+    Seq(
+      "n_chars_q" -> length(text).cast("long"),
+      "n_tokens_q" -> size(toks).cast("long"),
+      "punct_ratio" -> (length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0))),
+      "stopword_ratio" -> (size(filter(toks, t => array_contains(enStop, lower(t)))).cast("double") /
+        greatest(nTok, lit(1.0))),
+      "mean_token_len" -> (length(regexp_replace(text, " ", "")).cast("double") /
+        greatest(nTok, lit(1.0))))
+  }
+
+  /** BPE-ish subword count: word-boundary regex split into alpha runs,
+    * digit runs and single punctuation — a public-tokenizer-shaped
+    * approximation with no model file. */
+  val bpeishCountUdf = udf { text: String =>
+    if (text == null) 0L
+    else "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]".r.findAllIn(text).foldLeft(0L) {
+      (n, tok) => n + (if (tok.length <= 4) 1L else ((tok.length + 3) / 4).toLong)
+    }
+  }
+
+  /** Winnowing fingerprints: rolling Karp-Rabin hash over token k-grams,
+    * min-in-window selection (Schleimer et al., SIGMOD'03 — public
+    * algorithm). Returns the distinct selected hashes. */
+  private[pipeline] def winnow(toks: Seq[String], k: Int = 4, window: Int = 4): Seq[Long] = {
+    if (toks == null || toks.length < k) return Seq.empty
+    val grams = toks.sliding(k).map(g => Dedup.mix64(g.mkString(" ").hashCode.toLong)).toArray
+    if (grams.length <= window) Seq(grams.min)
+    else grams.sliding(window).map(_.min).toSeq.distinct
+  }
+
+  val winnowUdf = udf { toks: Seq[String] => winnow(toks) }
+
+  /** Per-document fingerprint summary: count + min/max fingerprint.
+    * Deterministic, ordered. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), winnowUdf(Dedup.tokens(col("text"))).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+}

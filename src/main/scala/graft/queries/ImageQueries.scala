@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryDsl._
+import graft.core.{Kernels, PixelCodec, SparkImage}
+import graft.functions.ImageFunctions
+
+/** Image-engine queries (the reference's actual domain). No DuckDB
+  * oracle exists for image kernels, so these are rows-only checked by
+  * the driver; exact-value assertions live in the ScalaTest suite
+  * (kernels are seeded/deterministic, so unlike the reference we can
+  * hash-assert, not just statistics-assert — SURVEY §5).
+  *
+  * All are built on the synthetic constant-fill corpus the reference
+  * tests use (5 images, 100×50, fill = fact·(i−1)·1000 + 1000 —
+  * SpijiTests.scala:14-16) scaled up so the work is measurable.
+  */
+object ImageQueries {
+
+  /** The reference's workhorse fixture as a DataFrame
+    * (createEmptyImages, scOps.scala:63-73). */
+  def debugImages(s: SparkSession, count: Int = 20, width: Int = 128,
+                  height: Int = 64): DataFrame = {
+    import s.implicits._
+    s.range(count.toLong)
+      .map { i => (s"/imgs/$i", Kernels.constantImage(width, height, 1, (i % 5) * 1000.0 + 1000.0)) }
+      .toDF("sample", "image")
+  }
+
+  def blobImages(s: SparkSession, count: Int = 20): DataFrame = {
+    import s.implicits._
+    s.range(count.toLong)
+      .map { i => (s"/imgs/$i", Kernels.blobImage(128, 128, nBlobs = 8, seed = 42L + i)) }
+      .toDF("sample", "image")
+  }
+
+  val entries: List[(String, Q, Option[String])] = List(
+
+    // SELECT sample, stats(image) FROM Images (IJSqlTest.scala:89)
+    ("img01_stats",
+      (s, _) => {
+        val st = ImageFunctions.statsUdf(col("image"))
+        debugImages(s)
+          .select(col("sample"), st.getField("min").as("min"), st.getField("mean").as("mean"),
+            st.getField("stdDev").as("stdDev"), st.getField("max").as("max"),
+            st.getField("pts").as("pts"))
+          .orderBy(col("sample"))
+      }, None),
+
+    // the 3-stage SQL pipeline (IJSqlTest.scala:150-170): noise → median → stats
+    ("img02_pipeline",
+      (s, _) => {
+        ImageFunctions.registerAll(s)
+        debugImages(s).createOrReplaceTempView("Images")
+        s.sql("""SELECT sample, run(image, 'Add Noise') AS nsImg FROM Images""")
+          .createOrReplaceTempView("NoisyImages")
+        s.sql("""SELECT sample, run2(nsImg, 'Median...', 'radius=2') AS fImg FROM NoisyImages""")
+          .createOrReplaceTempView("FilteredImages")
+        s.sql("""SELECT sample, stats(fImg)['mean'] AS mean, stats(fImg)['stdDev'] AS stdDev
+                 FROM FilteredImages ORDER BY sample""")
+      }, None),
+
+    // threshold + mask (PortableImagePlus.scala:366-377 semantics)
+    ("img03_threshold",
+      (s, _) => {
+        val masked = ImageFunctions.run2Udf(col("image"), lit("setThreshold"), lit("lower=1500 upper=99999"))
+        debugImages(s)
+          .select(col("sample"), ImageFunctions.statsUdf(masked).getField("mean").as("mask_mean"))
+          .orderBy(col("sample"))
+      }, None),
+
+    // fixed-range histogram, exploded to (sample, bin, count) rows
+    ("img04_histogram",
+      (s, _) => {
+        val h = ImageFunctions.hist3Udf(col("image"), lit(0.0), lit(6000.0), lit(12))
+        debugImages(s)
+          .select(col("sample"), posexplode(h.getField("counts")))
+          .toDF("sample", "bin", "count")
+          .filter(col("count") > 0)
+          .orderBy(col("sample"), col("bin"))
+      }, None),
+
+    // particle analysis: per-component measurements as rows (SURVEY A4)
+    ("img05_particles",
+      (s, _) => {
+        ImageFunctions.registerAll(s)
+        val masked = ImageFunctions.run2Udf(col("image"), lit("setThreshold"), lit("lower=50 upper=99999"))
+        val table = ImageFunctions.runtableUdf(masked, lit("Analyze Particles..."), lit(""))
+        blobImages(s)
+          .select(col("sample"), posexplode(element_at(table, "Area")))
+          .toDF("sample", "particle", "area")
+          .orderBy(col("sample"), col("particle"))
+      }, None),
+
+    // image subtraction post-join (SURVEY J1: the reference's only
+    // "join" shape, rebuilt as a real equi-join + 2-arg UDF)
+    ("img06_subtract_join",
+      (s, _) => {
+        val a = debugImages(s).withColumnRenamed("image", "img_a")
+        val b = debugImages(s)
+          .select(col("sample"), ImageFunctions.run2Udf(col("image"), lit("Add..."), lit("value=100")).as("img_b"))
+        val diff = ImageFunctions.subtractUdf(col("img_a"), col("img_b"))
+        a.join(b, "sample")
+          .select(col("sample"), ImageFunctions.statsUdf(diff).getField("mean").as("diff_mean"))
+          .orderBy(col("sample"))
+      }, None),
+
+    // histogram distance matrix (SURVEY J4: all-pairs crossJoin)
+    ("img07_hist_compare",
+      (s, _) => {
+        val small = debugImages(s, count = 8)
+        val a = small.select(col("sample").as("sa"), col("image").as("ia"))
+        val b = small.select(col("sample").as("sb"), col("image").as("ib"))
+        a.crossJoin(b).filter(col("sa") < col("sb"))
+          .select(col("sa"), col("sb"),
+            ImageFunctions.histCompareUdf(col("ia"), col("ib")).as("dist"))
+          .orderBy(col("sa"), col("sb"))
+      }, None),
+
+    // parameter sweep (runRange, scOps.scala:207-224): explode a param
+    // grid, run the kernel per (image, param)
+    ("img08_param_sweep",
+      (s, _) => {
+        val params = (1 to 3).map(r => s"radius=$r")
+        val swept = debugImages(s, count = 6)
+          .withColumn("args", explode(typedLit(params)))
+        val noisy = ImageFunctions.runUdf(col("image"), lit("Add Noise"))
+        val filtered = ImageFunctions.run2Udf(noisy, lit("Median..."), col("args"))
+        swept.select(col("sample"), col("args"),
+            ImageFunctions.statsUdf(filtered).getField("stdDev").as("stdDev"))
+          .orderBy(col("sample"), col("args"))
+      }, None),
+
+    // provenance log round-trip: every op appended, json-parseable
+    ("img09_provenance",
+      (s, _) => {
+        val processed = ImageFunctions.run2Udf(
+          ImageFunctions.runUdf(col("image"), lit("Invert")), lit("Multiply..."), lit("value=2"))
+        debugImages(s, count = 5)
+          .select(col("sample"),
+            from_json(processed.getField("log"),
+              org.apache.spark.sql.types.DataType.fromDDL(
+                "array<struct<optype:string,optool:string,opval:string,opargs:string>>"))
+              .as("log"))
+          .select(col("sample"), explode(col("log")).as("entry"))
+          .select(col("sample"), col("entry.optype"), col("entry.opval"))
+          .orderBy(col("sample"), col("opval"))
+      }, None),
+
+    // stack append via sort + aggregation (SURVEY §2.6's only ordering
+    // contract: slices must assemble in key order, Spiji.java:765-792)
+    ("img10_stack_build",
+      (s, _) => {
+        import s.implicits._
+        val slices = s.range(11L)
+          .map(i => ("stack", i, Kernels.constantImage(64, 32, 1, i.toDouble)))
+          .toDF("sample", "idx", "image")
+        val assembled = slices.orderBy(col("idx"))
+          .groupBy(col("sample"))
+          .agg(collect_list(col("image")).as("imgs"))
+          .as[(String, Seq[SparkImage])]
+          .map { case (k, imgs) => (k, imgs.reduce(Kernels.appendStack)) }
+          .toDF("sample", "image")
+        assembled.select(col("sample"),
+          ImageFunctions.nslicesUdf(col("image")).as("nslices"),
+          ImageFunctions.statsUdf(col("image")).getField("mean").as("mean"))
+      }, None)
+  )
+}

@@ -1,0 +1,450 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import QueryDsl._
+
+/** The relational operator inventory (SURVEY.md §2.3–2.8), each entry
+  * paired with an ANSI-SQL oracle the driver runs in DuckDB.
+  *
+  * The reference delegates all relational work to Catalyst
+  * (SURVEY §2.4/§4.1: it implements no join, no optimizer rule); this
+  * inventory declares + oracle-tests the surface a user of the rebuilt
+  * engine gets: scan/filter/project, all join types, aggregation
+  * (plain/distinct/cube/rollup/grouping sets), windows, sorts/limits,
+  * set ops, scalar function families, explode, subqueries.
+  */
+object Relational {
+
+  /** (name, query, oracle SQL — None means rows-only check) */
+  val entries: List[(String, Q, Option[String])] = List(
+
+    // ---- scan + agg: TPC-H Q1 pricing summary --------------------------
+    ("q01_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${sqlDavg("l_quantity")} AS avg_qty,
+        ${sqlDavg("l_extendedprice")} AS avg_price,
+        ${sqlDavg("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- filter + projection (predicate/column pushdown to parquet) ----
+    ("q02_filter_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- 3-way join + agg + top-k: TPC-H Q3 shipping priority ----------
+    ("q03_top_orders",
+      (s, dir) => {
+        val cutoff = lit("1997-01-01").cast("timestamp")
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("orderdate_ts"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_ts,
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---- semi join (EXISTS): TPC-H Q4 order priority -------------------
+    ("q04_order_priority",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").filter(col("l_quantity") > 40)
+        ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 40)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- 6-way star join (broadcast dims): TPC-H Q5 flavor -------------
+    ("q05_region_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""SELECT n_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- single-scan filtered global agg: TPC-H Q6 ---------------------
+    ("q06_revenue_delta",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+             count(lit(1)).as("n")),
+      Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ---- left outer join preserving empty orders -----------------------
+    ("q07_join_left",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_lines"),
+             dsum(coalesce(col("l_quantity"), lit(0.0))).as("total_qty"))
+        .orderBy(col("o_orderkey")),
+      Some(s"""SELECT o_orderkey, COUNT(l_orderkey) AS n_lines,
+        ${sqlDsum("COALESCE(l_quantity, 0.0)")} AS total_qty
+        FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // ---- full outer join of two pre-aggregates -------------------------
+    ("q08_join_full",
+      (s, dir) => {
+        val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("ck") === col("sk"), "full_outer")
+          .select(coalesce(col("ck"), col("sk")).cast("long").as("nationkey"),
+                  coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+                  coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT CAST(COALESCE(c.k, s.k) AS BIGINT) AS nationkey,
+        COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        ON c.k = s.k ORDER BY nationkey""")),
+
+    // ---- anti join (NOT EXISTS): customers with no 1995 order ----------
+    ("q09_join_anti",
+      (s, dir) => {
+        val o95 = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+        t(s, dir, "customer")
+          .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND EXTRACT(year FROM o_orderdate) = 1995)
+        ORDER BY c_custkey""")),
+
+    // ---- cross join ----------------------------------------------------
+    ("q10_join_cross",
+      (s, dir) => t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name""")),
+
+    // ---- window: row_number top-k per group ----------------------------
+    ("q11_window_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---- window: running sum (exact decimal frame agg) -----------------
+    ("q12_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem")
+          .withColumn("running_rev",
+            sum(col("l_extendedprice").cast(DecimalType(28, 4))).over(w).cast("double"))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_rev"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+        FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ---- window: lag / lead --------------------------------------------
+    ("q13_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("prev_price", coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)))
+          .withColumn("next_price", coalesce(lead(col("o_totalprice"), 1).over(w), lit(0.0)))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                  col("prev_price"), col("next_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        COALESCE(LAG(o_totalprice) OVER w, 0.0) AS prev_price,
+        COALESCE(LEAD(o_totalprice) OVER w, 0.0) AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- cube ----------------------------------------------------------
+    ("q14_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        COALESCE(l_linestatus, 'ALL') AS ls,
+        COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // ---- rollup over date hierarchy ------------------------------------
+    ("q15_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+                month(col("o_orderdate")).cast("long").as("m"),
+                col("o_totalprice"))
+        .rollup(col("y"), col("m"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("y"), lit(-1L)).as("y"),
+                coalesce(col("m"), lit(-1L)).as("m"),
+                col("n"), col("sum_price"))
+        .orderBy(col("y"), col("m")),
+      Some(s"""SELECT COALESCE(y, -1) AS y, COALESCE(m, -1) AS m,
+        COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+        FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+                     CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+                     o_totalprice FROM orders)
+        GROUP BY ROLLUP(y, m) ORDER BY y, m""")),
+
+    // ---- grouping sets (via SQL surface) -------------------------------
+    ("q16_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+          COALESCE(o_orderpriority, 'ALL') AS pri,
+          COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY st, pri""")
+      },
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        COALESCE(o_orderpriority, 'ALL') AS pri,
+        COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY st, pri""")),
+
+    // ---- set ops: union / intersect / except ---------------------------
+    ("q17_set_ops",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("k"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("k"))
+        val u = c.union(sup).distinct().withColumn("op", lit("union"))
+        val i = c.intersect(sup).withColumn("op", lit("intersect"))
+        val e = c.distinct().except(sup).withColumn("op", lit("except"))
+        u.union(i).union(e).select(col("op"), col("k")).orderBy(col("op"), col("k"))
+      },
+      Some("""WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer),
+        s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k FROM supplier)
+        SELECT op, k FROM (
+          SELECT 'union' AS op, k FROM (SELECT k FROM c UNION SELECT k FROM s)
+          UNION ALL SELECT 'intersect', k FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+          UNION ALL SELECT 'except', k FROM (SELECT k FROM c EXCEPT SELECT k FROM s))
+        ORDER BY op, k""")),
+
+    // ---- distinct aggregation ------------------------------------------
+    ("q18_distinct_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- having + uncorrelated scalar subquery (scale-free threshold:
+    // parts 30% busier than the average part) --------------------------
+    ("q19_having_subquery",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val thr = li.agg((count(lit(1)) * 1.3 / countDistinct(col("l_partkey"))).as("thr"))
+        li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(thr))
+          .filter(col("n") > col("thr"))
+          .select(col("l_partkey"), col("n"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+        HAVING COUNT(*) > (SELECT COUNT(*) * 1.3 / COUNT(DISTINCT l_partkey) FROM lineitem)
+        ORDER BY l_partkey""")),
+
+    // ---- IN subquery ---------------------------------------------------
+    ("q20_in_subquery",
+      (s, dir) => {
+        val bld = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        t(s, dir, "orders")
+          .join(broadcast(bld), col("o_custkey") === col("c_custkey"), "left_semi")
+          .filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 400000.0
+        ORDER BY o_orderkey""")),
+
+    // ---- scalar string functions ---------------------------------------
+    ("q21_scalar_string",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+                upper(col("p_name")).as("uname"),
+                lower(col("p_brand")).as("lbrand"),
+                substring(col("p_type"), 1, 5).as("t5"),
+                length(col("p_name")).cast("long").as("name_len"),
+                concat(col("p_brand"), lit(":"), col("p_type")).as("bt"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+        SUBSTRING(p_type, 1, 5) AS t5, CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        CONCAT(p_brand, ':', p_type) AS bt
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- scalar math/date functions + CASE WHEN ------------------------
+    ("q22_scalar_mathdate",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                year(col("l_shipdate")).cast("long").as("y"),
+                month(col("l_shipdate")).cast("long").as("m"),
+                dayofmonth(col("l_shipdate")).cast("long").as("d"),
+                abs(col("l_discount") - 0.05).as("ad"),
+                floor(col("l_extendedprice")).cast("double").as("fe"),
+                ceil(col("l_quantity")).cast("double").as("cq"),
+                sqrt(col("l_quantity")).as("sq"),
+                when(col("l_quantity") < 10, "low")
+                  .when(col("l_quantity") < 40, "mid")
+                  .otherwise("high").as("band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
+        CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS m,
+        CAST(EXTRACT(day FROM l_shipdate) AS BIGINT) AS d,
+        ABS(l_discount - 0.05) AS ad,
+        CAST(FLOOR(l_extendedprice) AS DOUBLE) AS fe,
+        CAST(CEIL(l_quantity) AS DOUBLE) AS cq,
+        SQRT(l_quantity) AS sq,
+        CASE WHEN l_quantity < 10 THEN 'low'
+             WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS band
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- explode / unnest (generator) ----------------------------------
+    ("q23_explode_tokens",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+      Some("""SELECT token, COUNT(*) AS n FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
+    // ---- time-bucketed event aggregation (streaming-shaped, batch) -----
+    ("q24_events_hourly",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .orderBy(col("hour_ts"), col("event_type")),
+      Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        event_type, COUNT(*) AS n, ${sqlDavg("value")} AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""")),
+
+    // ---- dedup by key (deterministic representative) -------------------
+    ("q25_events_dedup",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""))
+  )
+}

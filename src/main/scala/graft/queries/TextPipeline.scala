@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import QueryDsl._
+import graft.pipeline.{Dedup, Similarity, TextFunctions}
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: exact + near dedup, similarity search, text quality metrics.
+  * SQL-expressible entries carry a DuckDB oracle; hash-based ops
+  * (MinHash/SimHash — our hash functions are not reproducible in DuckDB
+  * SQL) are rows-only checked here and unit-tested in ScalaTest.
+  */
+object TextPipeline {
+
+  val entries: List[(String, Q, Option[String])] = List(
+
+    // ---- exact dedup: content-hash groups ------------------------------
+    ("q26_dedup_exact",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("h")),
+      Some("""SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 ORDER BY h""")),
+
+    // ---- text quality metrics ------------------------------------------
+    ("q27_text_quality",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+                length(col("text")).cast("long").as("len_chars"),
+                size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"),
+                size(array_distinct(filter(split(col("text"), " "), x => x =!= ""))).cast("long").as("n_distinct"))
+        .withColumn("uniq_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_chars,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_distinct,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+          / len(list_filter(string_split(text, ' '), x -> x <> '')) AS uniq_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- corpus stats per language/source ------------------------------
+    ("q28_corpus_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             davg(col("n_chars").cast("double")).as("avg_chars"))
+        .withColumn("total_chars", col("total_chars").cast("long"))
+        .orderBy(col("lang"), col("source")),
+      Some(s"""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        ${sqlDavg("CAST(n_chars AS DOUBLE)")} AS avg_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---- brute-force cosine top-k ANN (rank output — see Similarity) ---
+    ("q29_ann_topk",
+      (s, dir) => Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 list_cosine_similarity(a.v, b.v) AS sim
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 20)
+        SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          FROM sims)
+        WHERE rnk <= 5 ORDER BY qid, rank""")),
+
+    // ---- embedding norm + label centroid distance (SQL-expressible) ----
+    ("q30_embedding_stats",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+                Similarity.l2Norm(col("embedding")).as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), davg(col("norm")).as("avg_norm"))
+        .orderBy(col("label")),
+      Some(s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+        ${sqlDavg("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))")} AS avg_norm
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ---- n-gram Jaccard near-dup pairs (shingle overlap, exact set math)
+    ("q31_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), n = 3, threshold = 0.8),
+      None),
+
+    // ---- MinHash-LSH near-dup candidate pairs --------------------------
+    ("q32_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(
+        t(s, dir, "documents"), shingleN = 3, numHashes = 64, bands = 16),
+      None),
+
+    // ---- SimHash near-dup buckets --------------------------------------
+    ("q33_simhash",
+      (s, dir) => Dedup.simhashBuckets(t(s, dir, "documents")),
+      None),
+
+    // ---- language-ID heuristic vs labeled lang -------------------------
+    ("q34_lang_id",
+      (s, dir) => TextFunctions.langIdConfusion(t(s, dir, "documents")),
+      None),
+
+    // ---- document fingerprint (rolling hash) ---------------------------
+    ("q35_fingerprint",
+      (s, dir) => TextFunctions.fingerprints(t(s, dir, "documents")),
+      None),
+
+    // ---- embedding-cosine near-dup pairs (above threshold) -------------
+    ("q36_embedding_neardup",
+      (s, dir) => Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), threshold = 0.25),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) > 0.25
+        ORDER BY id_a, id_b"""))
+  )
+}
