@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Kernels, SparkImage}
+import graft.functions.ImageFunctions
+import graft.sources.ImageCodecIO
+
+/** DataFrame-level batch operators mirroring the reference's RDD layer
+  * (scOps.scala:184-301), re-expressed as single-plan Catalyst
+  * transformations: no eager driver round-trips (the reference's
+  * `loadImages` collects all names eagerly, scOps.scala:78), no
+  * per-partition env init (kernels are pure), no temp files.
+  */
+object ImageOps {
+
+  /** Distributed image load: binaryFile source + in-task decode
+    * (rebuild of `loadImages`/`ijFile`, scOps.scala:75-97, 309-316).
+    * The decode UDF runs inside the scan projection, so metadata-only
+    * queries on the result still read the files — use `imagedebug` or
+    * parquet catalogs when pixels aren't needed. */
+  def loadImages(spark: SparkSession, pathGlob: String): DataFrame = {
+    val decode = udf((path: String, content: Array[Byte]) => ImageCodecIO.decode(path, content))
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path").as("sample"),
+              decode(col("path"), col("content")).as("image"))
+  }
+
+  /** Driver-side load (rebuild of `loadImagesDriver`, scOps.scala:134-151)
+    * — only for small path lists. */
+  def loadImagesDriver(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    paths.map { p =>
+      (p, ImageCodecIO.decode(p, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    }.toDF("sample", "image")
+  }
+
+  /** Distributed save: one file per row under `dir`
+    * (rebuild of saveImagesLocal, scOps.scala:262-271; shared-FS
+    * semantics — on a cluster `dir` must be a shared mount, the same
+    * contract the reference had). */
+  def saveImages(df: DataFrame, dir: String, format: String = "png"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("sample"), col("image"))
+      .as[(String, SparkImage)]
+      .foreachPartition { it: Iterator[(String, SparkImage)] =>
+        it.foreach { case (sample, img) =>
+          // never emit a leading "_" or "." — Spark's file index treats
+          // those as hidden/metadata files and silently skips them
+          val safe = sample.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^[_.]+", "") match {
+            case "" => "img"
+            case s => s
+          }
+          val out = java.nio.file.Paths.get(dir, s"$safe.$format")
+          java.nio.file.Files.createDirectories(out.getParent)
+          java.nio.file.Files.write(out, ImageCodecIO.encode(img, format))
+        }
+      }
+  }
+
+  /** `k=v` args string for a parameter sweep step (the reference's
+    * ParameterSweep.linearRange + parseArgsWithDelim,
+    * ParameterSweep.scala:22-37, 86-92). */
+  def linearRange(name: String, lo: Double, hi: Double, steps: Int): Seq[String] = {
+    require(steps > 1, "steps must be > 1")
+    (0 until steps).map(i => s"$name=${lo + (hi - lo) * i / (steps - 1)}")
+  }
+
+  implicit class GraftImageOps(df: DataFrame) {
+
+    /** Run a kernel over every image (rebuild of runAll,
+      * scOps.scala:192-198): one `withColumn`, stays in a single
+      * codegen stage — no mapPartitions, no per-partition init. */
+    def runAll(cmd: String, args: String = "", imageCol: String = "image"): DataFrame =
+      df.withColumn(imageCol,
+        ImageFunctions.run2Udf(col(imageCol), lit(cmd), lit(args)))
+
+    /** Parameter sweep (rebuild of runRange, scOps.scala:207-224):
+      * explode the args grid — each image row fans out to one row per
+      * parameter value, tagged with a path suffix like the reference's
+      * SweepToPath (ParameterSweep.scala:137-176). */
+    def runRange(cmd: String, argsList: Seq[String],
+                 sampleCol: String = "sample", imageCol: String = "image"): DataFrame =
+      df.withColumn("sweep_args", explode(typedLit(argsList)))
+        .withColumn(sampleCol,
+          concat(col(sampleCol), lit("/"), regexp_replace(col("sweep_args"), "[^A-Za-z0-9=.]", "_")))
+        .withColumn(imageCol,
+          ImageFunctions.run2Udf(col(imageCol), lit(cmd), col("sweep_args")))
+        .drop("sweep_args")
+
+    /** Per-image statistics (rebuild of getStatistics, scOps.scala:227-229). */
+    def getStatistics(imageCol: String = "image"): DataFrame =
+      df.withColumn("stats", ImageFunctions.statsUdf(col(imageCol)))
+  }
+}

@@ -72,7 +72,7 @@ object Dedup {
   // ---- MinHash + LSH -------------------------------------------------
 
   /** splitmix64 finalizer — the per-shingle base hash. */
-  private[pipeline] def mix64(x0: Long): Long = {
+  private[graft] def mix64(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -88,7 +88,7 @@ object Dedup {
 
   /** MinHash signature of a shingle set: numHashes independent
     * permutations approximated by mix64(shingleHash + i * GOLDEN). */
-  private[pipeline] def minhashSignature(sh: Seq[String], numHashes: Int): Array[Long] = {
+  private[graft] def minhashSignature(sh: Seq[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     sh.foreach { s =>
       val base = fnv64(s)
@@ -138,7 +138,7 @@ object Dedup {
 
   /** 64-bit SimHash over token features (token hash weighted +1/-1 per
     * bit, sign-summed). Near-dups differ in few bits. */
-  private[pipeline] def simhash64(toks: Seq[String]): Long = {
+  private[graft] def simhash64(toks: Seq[String]): Long = {
     val acc = new Array[Int](64)
     toks.foreach { t =>
       val h = mix64(fnv64(t))

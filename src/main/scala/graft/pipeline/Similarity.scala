@@ -99,7 +99,7 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
-  private[pipeline] def deterministicPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def deterministicPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     var state = seed
     def next(): Long = {
       state += 0x9e3779b97f4a7c15L

@@ -20,7 +20,7 @@ object TextFunctions {
 
   /** Heuristic language ID: argmax of stopword-hit ratio per profile;
     * ties and zero hits fall back to "und" (undetermined). */
-  private[pipeline] def detectLang(toks: Seq[String]): String = {
+  private[graft] def detectLang(toks: Seq[String]): String = {
     if (toks == null || toks.isEmpty) return "und"
     val lower = toks.map(_.toLowerCase)
     val scored = profiles.toSeq
@@ -68,7 +68,7 @@ object TextFunctions {
   /** Winnowing fingerprints: rolling Karp-Rabin hash over token k-grams,
     * min-in-window selection (Schleimer et al., SIGMOD'03 — public
     * algorithm). Returns the distinct selected hashes. */
-  private[pipeline] def winnow(toks: Seq[String], k: Int = 4, window: Int = 4): Seq[Long] = {
+  private[graft] def winnow(toks: Seq[String], k: Int = 4, window: Int = 4): Seq[Long] = {
     if (toks == null || toks.length < k) return Seq.empty
     val grams = toks.sliding(k).map(g => Dedup.mix64(g.mkString(" ").hashCode.toLong)).toArray
     if (grams.length <= window) Seq(grams.min)

@@ -149,6 +149,30 @@ object ImageQueries {
           .orderBy(col("sample"), col("opval"))
       }, None),
 
+    // DSv2 catalog source through pure SQL DDL (SURVEY §3.3 / S8-S10):
+    // CREATE ... USING imagedebug, metadata pruned unless pixels asked
+    ("img11_ddl_source",
+      (s, _) => {
+        ImageFunctions.registerAll(s)
+        s.sql("DROP VIEW IF EXISTS GraftDebugImages")
+        s.sql("""CREATE TEMPORARY VIEW GraftDebugImages
+          USING imagedebug OPTIONS (path "/imgs", count "12", width "64", height "32")""")
+        s.sql("""SELECT name, width, height, slices,
+                 stats(image)['mean'] AS mean
+                 FROM GraftDebugImages ORDER BY name""")
+      }, None),
+
+    // runRange sweep through the ops layer (scOps.scala:207-224)
+    ("img12_ops_runrange",
+      (s, _) => {
+        import graft.ops.ImageOps, graft.ops.ImageOps.GraftImageOps
+        debugImages(s, count = 4)
+          .runRange("Mean...", ImageOps.linearRange("radius", 1, 2, 2))
+          .getStatistics()
+          .select(col("sample"), col("stats.mean").as("mean"))
+          .orderBy(col("sample"))
+      }, None),
+
     // stack append via sort + aggregation (SURVEY §2.6's only ordering
     // contract: slices must assemble in key order, Spiji.java:765-792)
     ("img10_stack_build",

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming at all (SURVEY §2.11), so built-in
+  * Spark semantics are definitional: watermarks bound state, windowed
+  * aggregation is the hourly-rollup of the batch q24, and
+  * sessionization uses flatMapGroupsWithState with an explicit gap
+  * timeout. Every transform here takes any DataFrame with the events
+  * schema — batch or streaming — so the batch oracle can validate the
+  * streaming logic (run the same function over a MemoryStream and a
+  * static frame; results must match).
+  */
+object EventStreams {
+
+  /** Tumbling-window count+avg per event type, 10-minute watermark.
+    * Streaming shape of q24_events_hourly. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+              col("n"), col("total_value"))
+
+  /** Sliding-window event rate (1h window, 15m slide). */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("slide_start"), col("n"))
+
+  /** Built-in session windows keyed by user, 30-minute gap. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+              col("n_events"), col("session_value"))
+
+  /** Streaming dedup on (user_id, event_type) within the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,
+                        last_seen_ms: Long)
+  case class ClosedSession(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Pure per-group state fold — the unit-testable core of
+    * [[statefulSessions]]. */
+  private[graft] def foldEvents(prev: Option[SessionAgg], userId: Long,
+                                rows: Iterator[Event]): SessionAgg = {
+    val p = prev.getOrElse(SessionAgg(userId, 0L, 0.0, 0L))
+    var n = p.n_events; var total = p.total_value; var last = p.last_seen_ms
+    rows.foreach { e =>
+      n += 1; total += e.value; last = math.max(last, e.ts.getTime)
+    }
+    SessionAgg(userId, n, total, last)
+  }
+
+  /** Custom stateful sessionization via flatMapGroupsWithState:
+    * accumulates per-user counters, emits the session when the
+    * processing-time gap expires. The custom-state path the built-in
+    * session_window can't express (e.g. value-dependent close rules).
+    *
+    * NOTE: this Spark 4.1.2 build has a planner defect for streaming
+    * FlatMapGroupsWithStateExec (NPE in PythonSQLMetrics init on the
+    * micro-batch thread), so the streaming drive of this one operator
+    * can't run here; [[foldEvents]] carries the logic and is tested
+    * directly, and the built-in [[sessionWindows]] covers the
+    * sessionization capability end-to-end. */
+  def statefulSessions(events: Dataset[Event],
+                       gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(s.user_id, s.n_events, s.total_value))
+          } else {
+            state.update(foldEvents(state.getOption, userId, rows))
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core._
+
+/** Kernel unit tests — the reference's statistical-property assertions
+  * (SpijiTests.scala:60-107, 176-231, 297-310) plus the hash-exact
+  * determinism the reference couldn't have (seeded kernels). */
+class KernelSpec extends AnyFunSuite with Matchers {
+
+  private def const(v: Double, w: Int = 100, h: Int = 50) =
+    Kernels.constantImage(w, h, 1, v)
+
+  test("pixel codec round-trips every integer type exactly") {
+    val values = Array(0.0, 1.0, 127.0, 255.0)
+    for (t <- Seq(PixelCodec.Byte8, PixelCodec.Short16, PixelCodec.Int32,
+                  PixelCodec.Long64, PixelCodec.Float32, PixelCodec.Double64)) {
+      PixelCodec.decode(PixelCodec.encode(values, t), t, values.length) shouldBe values
+    }
+  }
+
+  test("codec clamps out-of-range for narrow types") {
+    PixelCodec.decode(PixelCodec.encode(Array(300.0, -5.0), PixelCodec.Byte8),
+      PixelCodec.Byte8, 2) shouldBe Array(255.0, 0.0)
+  }
+
+  test("rgb decode uses MEAN strategy") {
+    val img = SparkImage(ImageMeta(), "[]", 1, 1, 1, PixelCodec.Rgb,
+      Array(30.toByte, 60.toByte, 90.toByte))
+    img.toDoubles shouldBe Array(60.0)
+  }
+
+  test("constant image stats: mean=fill, stdDev=0 (SpijiTests.scala:297-310)") {
+    val st = Kernels.stats(const(1000.0))
+    st.mean shouldBe 1000.0
+    st.stdDev should be < 1e-3
+    st.pts shouldBe 5000L
+  }
+
+  test("noise raises stdDev; more noise raises it more; seeded = deterministic") {
+    val img = const(1000.0)
+    val n1 = Kernels.run(img, "Add Noise")
+    val n2 = Kernels.run(img, "Add Specified Noise...", "standard=100")
+    Kernels.stats(n1).stdDev should be > 1.0
+    Kernels.stats(n2).stdDev should be > Kernels.stats(n1).stdDev
+    // hash-exact repeatability
+    Kernels.run(img, "Add Noise").data shouldBe n1.data
+  }
+
+  test("threshold+mask: loose threshold gives mean 255 (SpijiTests.scala:345-371)") {
+    val masked = Kernels.run(const(1000.0), "setThreshold", "lower=500 upper=99999")
+    Kernels.stats(masked).mean shouldBe 255.0
+    masked.pixelType shouldBe PixelCodec.Byte8
+    val empty = Kernels.run(const(1000.0), "setThreshold", "lower=5000 upper=99999")
+    Kernels.stats(empty).mean shouldBe 0.0
+  }
+
+  test("median filter removes impulse noise") {
+    val img = const(100.0, 21, 21)
+    val px = img.toDoubles
+    px(10 * 21 + 10) = 10000.0 // single hot pixel
+    val noisy = img.withPixels(px)
+    val filtered = Kernels.run(noisy, "Median...", "radius=1")
+    Kernels.stats(filtered).max shouldBe 100.0
+  }
+
+  test("gaussian blur preserves the mean of a constant image") {
+    val g = Kernels.run(const(50.0), "Gaussian Blur...", "sigma=2")
+    Kernels.stats(g).mean shouldBe 50.0 +- 1e-9
+  }
+
+  test("invert is an involution on 8-bit") {
+    val img = Kernels.run(const(100.0), "8-bit")
+    val twice = Kernels.run(Kernels.run(img, "Invert"), "Invert")
+    twice.toDoubles shouldBe img.toDoubles
+  }
+
+  test("subtract/average/scale arithmetic") {
+    val a = const(300.0); val b = const(100.0)
+    Kernels.stats(Kernels.subtract(a, b)).mean shouldBe 200.0
+    Kernels.stats(Kernels.average(a, b)).mean shouldBe 200.0
+    Kernels.stats(Kernels.scale(a, 0.5)).mean shouldBe 150.0
+    Kernels.stats(Kernels.applyOffset(a, -1024)).mean shouldBe -724.0
+  }
+
+  test("stack append keeps slice order and shape (SpijiTests.scala:232-264)") {
+    val slices = (0 until 11).map(i => Kernels.constantImage(10, 8, 1, i.toDouble))
+    val stack = slices.reduce(Kernels.appendStack)
+    stack.slices shouldBe 11
+    val arr = Kernels.toArray3D(stack) // [h][w][slices]
+    arr.length shouldBe 8
+    arr(0).length shouldBe 10
+    arr(0)(0).length shouldBe 11
+    (0 until 11).foreach(k => arr(3)(5)(k) shouldBe k.toDouble)
+  }
+
+  test("fixed-range histogram puts constant fill in the right bin (SpijiTests.scala:176-186)") {
+    val h = Kernels.histogram(const(5.0), 0.0, 10.0, 3)
+    h.counts shouldBe Array(0L, 5000L, 0L)
+    h.bin_centers(1) shouldBe 5.0 +- 1e-9
+  }
+
+  test("histogram distance: d(x,x)=0, 0<d(noisy,x)<1, d(far,x)≈1 (SpijiTests.scala:209-231)") {
+    val clean = const(5.0)
+    val noisy = Kernels.run(clean, "Add Specified Noise...", "standard=1")
+    val far = const(50.0)
+    def hist(i: SparkImage) = Kernels.histogram(i, 0.0, 60.0, 600)
+    hist(clean).distance(hist(clean)) shouldBe 0.0 +- 1e-12
+    val dNoisy = hist(clean).distance(hist(noisy))
+    dNoisy should (be > 0.0 and be < 1.0)
+    hist(clean).distance(hist(far)) shouldBe 1.0 +- 1e-9
+  }
+
+  test("histogram interp re-bins all mass") {
+    val h = Kernels.histogram(const(5.0), 0.0, 10.0, 100)
+    val re = h.interp(ImageHistogram.centers(0.0, 10.0, 5))
+    re.counts.sum shouldBe 5000L
+    re.normalizedCounts.sum shouldBe 1.0 +- 1e-9
+  }
+
+  test("particle analysis finds separated blobs with sane measurements (SpijiTests.scala:101-107)") {
+    // two 3x3 squares far apart on a 20x20 field
+    val px = new Array[Double](400)
+    for (y <- 2 to 4; x <- 2 to 4) px(y * 20 + x) = 9.0
+    for (y <- 12 to 14; x <- 12 to 14) px(y * 20 + x) = 5.0
+    val img = SparkImage(ImageMeta(), "[]", 20, 20, 1, PixelCodec.Float32,
+      PixelCodec.encode(px, PixelCodec.Float32))
+    val t = Kernels.analyzeParticles(img)
+    t.rows.length shouldBe 2
+    t.column("Area").get shouldBe Array(9.0, 9.0)
+    t.column("Mean").get shouldBe Array(9.0, 5.0)
+    t.column("X").get shouldBe Array(3.5, 13.5) // centroid of 2..4 = 3.5 (+0.5 px convention)
+    t.column("Perim.").get shouldBe Array(12.0, 12.0)
+    t.column("Width").get shouldBe Array(3.0, 3.0)
+    t.sum("Area").get should be < 400.0
+    t.mean("Missing") shouldBe None
+  }
+
+  test("8-connectivity merges diagonal pixels into one component") {
+    val px = new Array[Double](25)
+    px(0) = 1.0; px(6) = 1.0; px(12) = 1.0 // diagonal line in 5x5
+    val img = SparkImage(ImageMeta(), "[]", 5, 5, 1, PixelCodec.Float32,
+      PixelCodec.encode(px, PixelCodec.Float32))
+    Kernels.analyzeParticles(img).rows.length shouldBe 1
+  }
+
+  test("provenance log appends and merges like the reference (ImagePlusIOTests.scala:30-76)") {
+    val img = const(10.0)
+    val run1 = Kernels.run(img, "Invert")
+    run1.log should include (""""optype":"RUN"""")
+    run1.log should include (""""opval":"Invert"""")
+    val merged = Kernels.subtract(run1, img)
+    merged.log should include (""""optype":"MERGE"""")
+    merged.log should include ("MERGE_STORE")
+    // escaping holds for hostile args
+    val weird = Kernels.run(img, "Add...", "value=3")
+      .copy(log = ImageLog.append("[]", LogEntry("COMMENT", "SPARK", "a\"b\\c\nd", "")))
+    weird.log should include ("""a\"b\\c\nd""")
+  }
+
+  test("runTable Measure returns stats row; unknown command throws") {
+    val t = Kernels.runTable(const(7.0), "Measure", "")
+    t.firstRow("Mean") shouldBe 7.0
+    an[IllegalArgumentException] should be thrownBy Kernels.runTable(const(1.0), "nope", "")
+  }
+
+  test("listcommands covers the registered surface") {
+    Kernels.listCommands should contain allOf ("Add Noise", "Median...", "Convert to Mask",
+      "8-bit", "setThreshold")
+    Kernels.listPlugins.head should include ("=>")
+  }
+}

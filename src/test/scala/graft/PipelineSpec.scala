@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.pipeline._
+
+/** Training-pipeline operator tests: dedup, similarity, text analysis,
+  * multimodal. The invariant under test everywhere: results are
+  * identical regardless of partitioning (the 100 TB correctness
+  * property — no task-order or partition-count dependence). */
+class PipelineSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (4L, "completely different text with no overlap at all"),
+      (5L, "el rapido zorro marron salta sobre el perro de la ciudad")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    import spark.implicits._
+    val d = Dedup.exact(docs).select($"keep_id", $"n").as[(Long, Long)].collect().toSet
+    d should contain ((1L, 2L)) // docs 1 and 3
+    d.size shouldBe 4
+  }
+
+  test("ngram jaccard finds near-dup pair, is partition-invariant") {
+    import spark.implicits._
+    def run(parts: Int) =
+      Dedup.ngramJaccardPairs(docs.repartition(parts), n = 3, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toList
+    val r1 = run(1)
+    r1.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (1L, 3L))
+    r1.find(p => p._1 == 1L && p._2 == 3L).get._3 shouldBe 1.0 // exact dup
+    run(7) shouldBe r1
+  }
+
+  test("minhash: identical docs collide on all bands; signature deterministic") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLshPairs(docs, shingleN = 3, numHashes = 64, bands = 16)
+      .as[(Long, Long, Long)].collect().toList
+    pairs.find(p => p._1 == 1L && p._2 == 3L).get._3 shouldBe 16L // all bands
+    // near-dup should collide on at least one band
+    pairs.map(p => (p._1, p._2)) should contain ((1L, 2L))
+    // partition invariance
+    Dedup.minhashLshPairs(docs.repartition(5), 3, 64, 16)
+      .as[(Long, Long, Long)].collect().toList shouldBe pairs
+    // pure-function signature sanity
+    val sig = Dedup.minhashSignature(Seq("a b c", "b c d"), 8)
+    sig.length shouldBe 8
+    Dedup.minhashSignature(Seq("a b c", "b c d"), 8) shouldBe sig
+  }
+
+  test("simhash: identical texts share hash; hamming distance small for near-dups") {
+    import spark.implicits._
+    val m = Dedup.simhashBuckets(docs).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    m(1L) shouldBe m(3L)
+    java.lang.Long.bitCount(m(1L) ^ m(2L)) should be < 12
+    java.lang.Long.bitCount(m(1L) ^ m(4L)) should be > 12
+  }
+
+  test("brute-force ANN matches a naive local computation") {
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, col("vec_id") < 3, k = 4)
+      .as[(Long, Long, Long)].collect().toList
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    for (q <- 0 until 3) {
+      val expected = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1)
+      got.filter(_._1 == q).sortBy(_._2).map(_._3) shouldBe expected
+    }
+  }
+
+  test("LSH ANN returns plausible neighbors (bucketed subset of brute force)") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 0.3 + d * 1.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(df, col("vec_id") < 5, k = 3, numPlanes = 4, dim = 8)
+      .as[(Long, Long, Long)].collect()
+    lsh.foreach { case (q, _, n) => n should not be q }
+    // deterministic
+    Similarity.lshTopK(df.repartition(3), col("vec_id") < 5, k = 3, numPlanes = 4, dim = 8)
+      .as[(Long, Long, Long)].collect() shouldBe lsh
+  }
+
+  test("language ID picks the stopword-matching profile") {
+    TextFunctions.detectLang("the quick fox and the dog".split(" ")) shouldBe "en"
+    TextFunctions.detectLang("el zorro y el perro de la casa".split(" ")) shouldBe "es"
+    TextFunctions.detectLang("xyzzy plugh".split(" ")) shouldBe "und"
+    TextFunctions.detectLang(Seq.empty) shouldBe "und"
+  }
+
+  test("winnowing fingerprints: identical docs identical, shifted docs overlap") {
+    val a = "one two three four five six seven eight nine ten".split(" ").toSeq
+    val b = ("zero " + a.mkString(" ")).split(" ").toSeq
+    val fa = TextFunctions.winnow(a)
+    fa shouldBe TextFunctions.winnow(a)
+    TextFunctions.winnow(b).toSet.intersect(fa.toSet) should not be empty
+    TextFunctions.winnow(Seq("a")) shouldBe empty
+  }
+
+  test("bpe-ish token count: longer words cost more tokens") {
+    TextFunctions.bpeishCountUdf // force init
+    val f = (s: String) => "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]".r.findAllIn(s).toList
+    f("hello, world 42") shouldBe List("hello", ",", "world", "4", "2")
+  }
+
+  test("multimodal: features + frame sampling over binary payloads, partition-invariant") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 9))).toDF("id", "payload"),
+      "id", "payload", mediaType = "video", format = "fake")
+    media.schema.fieldNames.toSeq shouldBe Seq("media_id", "meta", "payload")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    feats.map(_.media_id).toSeq shouldBe Seq(1L, 2L)
+    feats.foreach { f => f.width shouldBe 16; f.n_bytes should be > 0L }
+    Multimodal.extractFeatures(media.repartition(4)).collect().sortBy(_.media_id)
+      .toSeq shouldBe feats.toSeq
+    val frames = Multimodal.sampleFrames(media, nFrames = 3)
+    frames.count() shouldBe 6
+    // real image payload goes through the JDK codec
+    val png = graft.sources.ImageCodecIO.encode(graft.core.Kernels.constantImage(4, 4, 1, 128.0), "png")
+    val imgMedia = Multimodal.asMediaTable(Seq((7L, png)).toDF("id", "payload"),
+      "id", "payload", "image", "png")
+    val imgFeat = Multimodal.extractFeatures(imgMedia).collect().head
+    imgFeat.width shouldBe 4
+    imgFeat.mean_intensity shouldBe 128.0
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.core.Kernels
+import graft.functions.ImageFunctions
+import graft.ops.ImageOps
+import graft.ops.ImageOps.GraftImageOps
+import graft.queries.ImageQueries
+
+/** SQL end-to-end tests: the reference's IJSqlTest + DDLTests shapes. */
+class SqlSurfaceSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+
+  test("3-stage SQL pipeline: noise → median → stats (IJSqlTest.scala:150-170)") {
+    ImageFunctions.registerAll(spark)
+    ImageQueries.debugImages(spark, count = 5).createOrReplaceTempView("Images")
+    spark.sql("SELECT sample, run(image, 'Add Noise') AS nsImg FROM Images")
+      .createOrReplaceTempView("NoisyImages")
+    spark.sql("SELECT sample, run2(nsImg, 'Median...', 'radius=2') AS fImg FROM NoisyImages")
+      .createOrReplaceTempView("FilteredImages")
+    val rows = spark.sql("SELECT sample, stats(fImg) AS st FROM FilteredImages").collect()
+    rows.length shouldBe 5
+    // distinct sample count like IJSqlTest.scala:52-56
+    spark.table("Images").select(col("sample")).distinct.count() shouldBe 5
+  }
+
+  test("distributed-vs-local oracle: runAll stats equal local kernel stats (SpijiTests.scala:312-343)") {
+    import spark.implicits._
+    val df = ImageQueries.debugImages(spark, count = 8).repartition(3)
+    val distributed = df.runAll("Add Specified Noise...", "standard=10")
+      .getStatistics()
+      .select(col("sample"), col("stats.mean"), col("stats.stdDev"))
+      .as[(String, Double, Double)].collect()
+      .map { case (s, m, sd) => s -> (m, sd) }.toMap
+    val local = ImageQueries.debugImages(spark, count = 8)
+      .as[(String, graft.core.SparkImage)].collect()
+      .map { case (s, img) =>
+        val st = Kernels.stats(Kernels.run(img, "Add Specified Noise...", "standard=10"))
+        s -> (st.mean, st.stdDev)
+      }.toMap
+    distributed shouldBe local // hash-exact, not tolerance: kernels are seeded
+  }
+
+  test("explode over int arrays: 66 rows, 11 samples (IJSqlTest.scala:40-74)") {
+    import spark.implicits._
+    val df = (0 to 10).map(i => (s"SQ:$i", (0 to i).toArray)).toDF("sample", "intArray")
+    df.createOrReplaceTempView("test_table")
+    val exploded = spark.sql("SELECT sample, explode(intArray) AS nums FROM test_table")
+    exploded.count() shouldBe 66
+    exploded.select("sample").distinct.count() shouldBe 11
+    // HiveQL LATERAL VIEW form (IJSqlTest.scala:65-69)
+    spark.sql("SELECT sample, nums FROM test_table LATERAL VIEW explode(intArray) splod AS nums")
+      .count() shouldBe 66
+  }
+
+  test("DDL: CREATE TEMPORARY VIEW USING imagedebug (DDLTests.scala:38-63)") {
+    spark.sql("DROP VIEW IF EXISTS DebugImages")
+    spark.sql("""CREATE TEMPORARY VIEW DebugImages
+      USING imagedebug OPTIONS (path "/debug/imgs", count "7", width "100", height "50")""")
+    val df = spark.table("DebugImages")
+    df.schema.fieldNames.toSeq shouldBe Seq("path", "name", "parent", "fullpath",
+      "width", "height", "slices", "image")
+    df.count() shouldBe 7
+    // metadata-only projection must not fail and must prune (schema check)
+    val meta = df.select("name", "width", "height", "slices")
+    meta.count() shouldBe 7
+    meta.queryExecution.executedPlan.toString should not include "image#"
+    // pixel read through SQL
+    val means = spark.sql("SELECT stats(image)['mean'] AS m FROM DebugImages ORDER BY path")
+      .collect().map(_.getDouble(0))
+    means should contain (1000.0)
+  }
+
+  test("runRange parameter sweep fans out rows (scOps.scala:207-224)") {
+    val swept = ImageQueries.debugImages(spark, count = 3)
+      .runRange("Median...", ImageOps.linearRange("radius", 1, 3, 3))
+    swept.count() shouldBe 9
+    swept.select("sample").distinct.count() shouldBe 9
+  }
+
+  test("save + load round trip via PNG (scOps.scala:262-271)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgs").toString
+    val df = ImageQueries.debugImages(spark, count = 3)
+      .withColumn("image", ImageFunctions.run2Udf(col("image"), lit("8-bit"), lit("")))
+    ImageOps.saveImages(df, dir)
+    val loaded = ImageOps.loadImages(spark, s"$dir/*.png")
+    loaded.count() shouldBe 3
+    // 8-bit clamps the 1000/2000/3000 fills to 255 — loaded stats confirm decode
+    val sts = loaded.getStatistics().select($"stats.mean").as[Double].collect()
+    sts.foreach(_ shouldBe 255.0)
+  }
+
+  test("registered scalar surface answers (SQLFunctions.scala:196-223)") {
+    ImageFunctions.registerAll(spark)
+    ImageQueries.debugImages(spark, count = 2).createOrReplaceTempView("ImgsFn")
+    spark.sql("SELECT nslices(image) FROM ImgsFn").collect().map(_.getInt(0)) shouldBe Array(1, 1)
+    spark.sql("SELECT mean(image) FROM ImgsFn ORDER BY sample").collect()
+      .map(_.getDouble(0)) shouldBe Array(1000.0, 2000.0)
+    spark.sql("SELECT size(listcommands())").collect().head.getInt(0) should be > 5
+    val arr = spark.sql("SELECT toarray(image) FROM ImgsFn").collect()
+    arr.length shouldBe 2
+    val hist = spark.sql("SELECT hist3(image, 0, 6000, 6) AS h FROM ImgsFn ORDER BY sample")
+      .selectExpr("h.counts[1]").collect().head.getLong(0)
+    hist shouldBe 128L * 64L // fill 1000 lands in bin 1 of [0,6000)/6; 128x64 image
+    spark.sql("SELECT hist_compare(image, image) FROM ImgsFn").collect()
+      .head.getDouble(0) shouldBe 0.0 +- 1e-12
+  }
+}
