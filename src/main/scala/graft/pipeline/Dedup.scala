@@ -47,9 +47,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDocFreq: Option[Long] = None): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val sh = PartitionUtil.spread(docs)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
-    val posting0 = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+    // shuffle 8-byte shingle hashes, not strings (xxhash64 is codegen'd;
+    // a 64-bit collision across a corpus vocabulary is negligible and
+    // could only create one extra candidate pair, filtered by jaccard)
+    val posting0 = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle_str"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("shingle_str")).as("shingle"))
     val posting = maxShingleDocFreq match {
       case Some(cap) =>
         val freq = posting0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -121,7 +126,7 @@ object Dedup {
         (i, slice.foldLeft(0xcbf29ce484222325L)((h, v) => mix64(h ^ v)))
       }.toSeq
     }
-    val banded = docs
+    val banded = PartitionUtil.spread(docs)
       .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
       .withColumn("sig", sigUdf(col("sh")))
       .select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
@@ -170,13 +175,12 @@ object Dedup {
     * [[Similarity.lshTopK]]'s hyperplane bucketing with the same
     * scoring expressions. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-      .withColumn("norm", Similarity.l2Norm(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    val e = PartitionUtil.spread(embeddings).select(col("vec_id"),
+      Similarity.normalizeUdf(Similarity.asDouble(col("embedding"))).as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") > threshold)
+      .filter(Similarity.dotUdf(col("va"), col("vb")) > threshold)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }

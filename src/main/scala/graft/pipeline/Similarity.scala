@@ -35,6 +35,29 @@ object Similarity {
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
 
+  // Hot-path scalar kernels. Spark's array higher-order functions
+  // (ArrayAggregate/ZipWith) are CodegenFallback — every lambda step is
+  // interpreted — so all-pairs scoring pays ~10× over a primitive
+  // loop. These UDFs receive unboxed Array[Double] (fast path for
+  // array<double>) and run a tight while loop; at 100 TB the same
+  // kernels apply unchanged since they're per-row.
+  private[graft] val normalizeUdf = udf { v: Array[Double] =>
+    var i = 0; var ss = 0.0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = if (n == 0) 0.0 else v(i) / n; i += 1 }
+    out
+  }
+
+  private[graft] val dotUdf = udf { (a: Array[Double], b: Array[Double]) =>
+    var i = 0; var s = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Brute-force exact cosine top-k: every query row (matching
     * `queryFilter`) against the whole corpus.
     *
@@ -47,14 +70,12 @@ object Similarity {
     * is robust to last-ulp accumulation differences across engines.
     */
   def bruteForceTopK(embeddings: DataFrame, queryFilter: Column, k: Int): DataFrame = {
-    val corpus = embeddings
-      .select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
-      .withColumn("nnorm", l2Norm(col("nv")))
+    val corpus = PartitionUtil.spread(embeddings)
+      .select(col("vec_id").as("nid"), normalizeUdf(asDouble(col("embedding"))).as("nv"))
     val queries = embeddings.filter(queryFilter)
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qnorm", l2Norm(col("qv")))
+      .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
     val sims = corpus.join(broadcast(queries), col("nid") =!= col("qid"))
-      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+      .withColumn("sim", dotUdf(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w).cast("long"))

@@ -33,7 +33,8 @@ object TextFunctions {
 
   /** Confusion matrix of heuristic prediction vs the labeled lang. */
   def langIdConfusion(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), langIdUdf(Dedup.tokens(col("text"))).as("predicted"))
+    PartitionUtil.spread(docs)
+      .select(col("lang"), langIdUdf(Dedup.tokens(col("text"))).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
