@@ -149,6 +149,28 @@ object ImageQueries {
           .orderBy(col("sample"), col("opval"))
       }, None),
 
+    // cross-image histogram via a typed Aggregator (SURVEY A6 corpus
+    // path): partial count-array buffers merge map-side, pixels never
+    // shuffle
+    ("img13_hist_aggregate",
+      (s, _) => {
+        import org.apache.spark.sql.Encoders
+        val histUdaf = udaf(new graft.functions.HistogramAggregator(0.0, 6000.0, 12),
+          Encoders.product[graft.core.SparkImage])
+        debugImages(s, count = 20)
+          .withColumn("grp", regexp_extract(col("sample"), "(\\d+)$", 1).cast("int") % 2)
+          .groupBy(col("grp"))
+          // a udaf over a product encoder takes the case-class fields as
+          // separate inputs, so the struct column is expanded
+          .agg(histUdaf(col("image.meta"), col("image.log"), col("image.width"),
+            col("image.height"), col("image.slices"), col("image.pixelType"),
+            col("image.data")).as("h"))
+          .select(col("grp"), posexplode(col("h.counts")))
+          .toDF("grp", "bin", "count")
+          .filter(col("count") > 0)
+          .orderBy(col("grp"), col("bin"))
+      }, None),
+
     // DSv2 catalog source through pure SQL DDL (SURVEY §3.3 / S8-S10):
     // CREATE ... USING imagedebug, metadata pruned unless pixels asked
     ("img11_ddl_source",

@@ -445,6 +445,86 @@ object Relational {
         .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n"))
         .orderBy(col("user_id"), col("event_type")),
       Some("""SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n
-        FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""))
+        FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""")),
+
+    // ---- json-ish regexp extraction over the props column --------------
+    ("q37_props_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- date arithmetic: ship delay in days ---------------------------
+    ("q38_date_arith",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay_days"))
+        .groupBy(col("delay_days"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("delay_days")),
+      Some("""SELECT CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay_days,
+        COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY delay_days""")),
+
+    // ---- null handling: coalesce / nullif over outer-join nulls --------
+    ("q39_null_handling",
+      (s, dir) => {
+        val li95 = t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")) === 1995)
+          .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("n_lines"))
+        t(s, dir, "orders")
+          .join(li95, col("o_orderkey") === col("k"), "left")
+          .select(
+            coalesce(col("n_lines"), lit(0L)).as("lines_95"),
+            when(col("n_lines").isNull, "none").otherwise("some").as("bucket"),
+            nullif(col("o_orderstatus"), lit("O")).as("status_or_null"))
+          .groupBy(col("bucket"), col("status_or_null"))
+          .agg(count(lit(1)).as("n"), sum(col("lines_95")).as("total_lines"))
+          .select(col("bucket"), coalesce(col("status_or_null"), lit("-")).as("status"),
+                  col("n"), col("total_lines"))
+          .orderBy(col("bucket"), col("status"))
+      },
+      Some("""SELECT bucket, COALESCE(status_or_null, '-') AS status,
+        COUNT(*) AS n, CAST(SUM(lines_95) AS BIGINT) AS total_lines FROM (
+          SELECT COALESCE(n_lines, 0) AS lines_95,
+                 CASE WHEN n_lines IS NULL THEN 'none' ELSE 'some' END AS bucket,
+                 NULLIF(o_orderstatus, 'O') AS status_or_null
+          FROM orders LEFT JOIN (
+            SELECT l_orderkey AS k, COUNT(*) AS n_lines FROM lineitem
+            WHERE EXTRACT(year FROM l_shipdate) = 1995 GROUP BY 1) li
+          ON o_orderkey = k)
+        GROUP BY bucket, status_or_null ORDER BY bucket, status""")),
+
+    // ---- approximate distinct (HLL sketches differ across engines:
+    // rows-only check; exactness asserted relative to countDistinct) ----
+    ("q40_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
+    // ---- exact percentiles (integer-valued input → interpolation exact)
+    ("q41_percentile",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_pct")
+        s.sql("""SELECT l_returnflag,
+          CAST(percentile(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+          CAST(percentile(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+          FROM li_pct GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+        CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+        CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

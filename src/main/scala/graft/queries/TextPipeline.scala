@@ -111,6 +111,23 @@ object TextPipeline {
       (s, dir) => TextFunctions.fingerprints(t(s, dir, "documents")),
       None),
 
+    // ---- native codegen'd vector expressions (VectorNorm/VectorDot):
+    // same semantics as q30 but through a Catalyst Expression inside
+    // whole-stage codegen instead of a UDF ------------------------------
+    ("q42_vec_expr",
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        t(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            graft.functions.VectorExpressions.vecNorm(col("embedding").cast("array<double>")).as("norm"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), davg(col("norm")).as("avg_norm"))
+          .orderBy(col("label"))
+      },
+      Some(s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+        ${sqlDavg("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))")} AS avg_norm
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
     // ---- embedding-cosine near-dup pairs (above threshold) -------------
     ("q36_embedding_neardup",
       (s, dir) => Dedup.embeddingNearDupPairs(
