@@ -60,13 +60,35 @@ object ImageOps {
       }
   }
 
-  /** `k=v` args string for a parameter sweep step (the reference's
-    * ParameterSweep.linearRange + parseArgsWithDelim,
-    * ParameterSweep.scala:22-37, 86-92). */
+  /** `k=v` args strings for parameter sweeps (the reference's
+    * ParameterSweep generators, ParameterSweep.scala:22-37; arg format
+    * parseArgsWithDelim, 86-92). */
   def linearRange(name: String, lo: Double, hi: Double, steps: Int): Seq[String] = {
     require(steps > 1, "steps must be > 1")
     (0 until steps).map(i => s"$name=${lo + (hi - lo) * i / (steps - 1)}")
   }
+
+  /** Logarithmically spaced sweep (the reference declares Log as a
+    * StepType but never implements it, ParameterSweep.scala:41-71). */
+  def logRange(name: String, lo: Double, hi: Double, steps: Int): Seq[String] = {
+    require(steps > 1 && lo > 0 && hi > 0, "steps > 1 and positive bounds")
+    (0 until steps).map { i =>
+      s"$name=${math.exp(math.log(lo) + (math.log(hi) - math.log(lo)) * i / (steps - 1))}"
+    }
+  }
+
+  /** Fixed value list (ParameterSweep.fixedRange, ParameterSweep.scala:35-37). */
+  def fixedRange(name: String, values: Seq[Double]): Seq[String] =
+    values.map(v => s"$name=$v")
+
+  /** Cartesian combination of two sweeps into combined arg strings
+    * (ImageJMacroStepsToSweep cartesian mode, ParameterSweep.scala:126-135). */
+  def cartesian(a: Seq[String], b: Seq[String]): Seq[String] =
+    for (x <- a; y <- b) yield s"$x $y"
+
+  /** Positional zip of two sweeps (zipped mode, ParameterSweep.scala:228-317). */
+  def zipped(a: Seq[String], b: Seq[String]): Seq[String] =
+    a.zip(b).map { case (x, y) => s"$x $y" }
 
   implicit class GraftImageOps(df: DataFrame) {
 

@@ -94,6 +94,43 @@ class SqlSurfaceSpec extends AnyFunSuite with Matchers {
     sts.foreach(_ shouldBe 255.0)
   }
 
+  test("CTAS materializes a derived image table; INSERT INTO appends (IJSqlTest.scala:187-242)") {
+    ImageFunctions.registerAll(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    ImageQueries.debugImages(spark, count = 4).createOrReplaceTempView("CtasSrc")
+    spark.sql("DROP TABLE IF EXISTS MaskedImages")
+    spark.sql(s"""CREATE TABLE MaskedImages USING parquet LOCATION '$wh/masked'
+      AS SELECT sample, run2(image, 'setThreshold', 'lower=1500 upper=99999') AS image
+      FROM CtasSrc""")
+    spark.table("MaskedImages").count() shouldBe 4
+    spark.sql("""INSERT INTO MaskedImages
+      SELECT concat(sample, '_b') AS sample,
+             run2(image, 'setThreshold', 'lower=2500 upper=99999') AS image
+      FROM CtasSrc""")
+    spark.table("MaskedImages").count() shouldBe 8
+    // the materialized structs stay runnable: stats over re-read images
+    val means = spark.sql("SELECT stats(image)['mean'] AS m FROM MaskedImages")
+      .collect().map(_.getDouble(0))
+    means.foreach(m => (m == 0.0 || m == 255.0) shouldBe true)
+    spark.sql("DROP TABLE MaskedImages")
+  }
+
+  test("average and runrow surface (PortableImagePlus.scala:217-232; SQLFunctions.scala:75-77)") {
+    import spark.implicits._
+    val a = graft.core.Kernels.constantImage(10, 10, 1, 300.0)
+    val b = graft.core.Kernels.constantImage(10, 10, 1, 100.0)
+    val df = Seq(("s1", a, b)).toDF("sample", "img_a", "img_b")
+    val avg = df.select(ImageFunctions.averageUdf(col("img_a"), col("img_b"), lit(2.0)).as("img"))
+      .select(ImageFunctions.statsUdf(col("img")).getField("mean")).as[Double].collect()
+    avg.head shouldBe 200.0
+    // runrow: first particle row as map<string,double>
+    val blob = graft.core.Kernels.blobImage(64, 64, nBlobs = 3, seed = 7L)
+    val row = graft.core.Kernels.runTable(
+      graft.core.Kernels.run(blob, "setThreshold", "lower=50 upper=99999"),
+      "Analyze Particles...", "").firstRow
+    row("Area") should be > 0.0
+  }
+
   test("registered scalar surface answers (SQLFunctions.scala:196-223)") {
     ImageFunctions.registerAll(spark)
     ImageQueries.debugImages(spark, count = 2).createOrReplaceTempView("ImgsFn")
