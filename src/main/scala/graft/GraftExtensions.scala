@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{VectorDot, VectorNorm}
+
+/** Session-extension entry point:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * injects the native vector expressions into every session's function
+  * registry at build time — no per-session `register` call needed, and
+  * the functions resolve in pure-SQL deployments (thriftserver, SQL
+  * files) where no driver code runs. The UDF surface
+  * ([[graft.functions.ImageFunctions.registerAll]]) stays per-session
+  * because Scala-closure UDFs can't be injected as builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorNorm(exprs.head)))
+  }
+}

@@ -77,11 +77,23 @@ object Similarity {
     val sims = corpus.join(broadcast(queries), col("nid") =!= col("qid"))
       .withColumn("sim", dotUdf(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"))
-      .orderBy(col("qid"), col("rank"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** Rank the top k (sim, nid) per key via [[graft.functions.TopKAggregator]]
+    * — partial top-k buffers combine map-side, so the shuffle carries at
+    * most k rows per group per partition instead of every candidate
+    * (the window-function formulation sorts the full candidate set). */
+  def topKPerKey(sims: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    sims.groupBy(col(keyCol))
+      .agg(topk(col("sim"), col("nid")).as("top"))
+      .select(col(keyCol), posexplode(col("top")))
+      .select(col(keyCol), (col("pos") + 1).cast("long").as("rank"),
+              col("col._2").as("nid"))
+      .orderBy(col(keyCol), col("rank"))
   }
 
   /** LSH-bucketed approximate NN: random-hyperplane signatures restrict
@@ -112,11 +124,7 @@ object Similarity {
         col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
       .select(col("qid"), col("vec_id").as("nid"), col("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"))
-      .orderBy(col("qid"), col("rank"))
+    topKPerKey(sims, "qid", k)
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */

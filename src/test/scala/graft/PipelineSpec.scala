@@ -88,6 +88,29 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("vector expressions: extension wiring + eval + SQL registration") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // extension wiring applies without error (a fresh session can't be
+    // built inside the shared-context test JVM — getOrCreate would
+    // return the existing session and skip extensions)
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // interpreted eval path
+    val a = Literal.create(Array(1.0, 2.0), ArrayType(DoubleType))
+    val b = Literal.create(Array(3.0, 4.0), ArrayType(DoubleType))
+    graft.functions.VectorDot(a, b).eval(null) shouldBe 11.0
+    graft.functions.VectorNorm(b).eval(null) shouldBe 5.0
+    // codegen path through SQL on the shared session
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |               CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d,
+        |       vec_norm(CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS n
+        |""".stripMargin).collect().head
+    r.getDouble(0) shouldBe 11.0
+    r.getDouble(1) shouldBe 5.0
+  }
+
   test("LSH ANN returns plausible neighbors (bucketed subset of brute force)") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
