@@ -46,7 +46,13 @@ object Kernels {
     "8-bit" -> convertType(PixelCodec.Byte8),
     "16-bit" -> convertType(PixelCodec.Short16),
     "32-bit" -> convertType(PixelCodec.Float32),
-    "RGB Color" -> convertType(PixelCodec.Rgb))
+    "RGB Color" -> convertType(PixelCodec.Rgb),
+    // ImageJ Process-menu staples (public command set): fixed 3x3
+    // convolutions and the median alias
+    "Despeckle" -> ((img, a) => median(img, Map("radius" -> "1"))),
+    "Smooth" -> convolve3x3(Array(1, 1, 1, 1, 1, 1, 1, 1, 1), 9.0),
+    "Sharpen" -> convolve3x3(Array(-1, -1, -1, -1, 12, -1, -1, -1, -1), 4.0),
+    "Find Edges" -> sobel _)
 
   /** Names for `listcommands` (reference SQLFunctions.scala:267-268). */
   def listCommands: Seq[String] =
@@ -221,6 +227,53 @@ object Kernels {
       out
     })
   }
+
+  /** Fixed 3x3 integer-kernel convolution with clamped edges and a
+    * normalization divisor (ImageJ's Smooth/Sharpen shapes). */
+  private def convolve3x3(k: Array[Int], divisor: Double): Kernel = (img, _) =>
+    img.withPixels(perSlice(img) { (sl, w, h) =>
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0.0
+          var j = 0
+          while (j < 9) {
+            val yy = math.min(h - 1, math.max(0, y + j / 3 - 1))
+            val xx = math.min(w - 1, math.max(0, x + j % 3 - 1))
+            s += sl(yy * w + xx) * k(j)
+            j += 1
+          }
+          out(y * w + x) = PixelCodec.clamp(s / divisor, img.pixelType)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    })
+
+  /** Sobel gradient magnitude (ImageJ "Find Edges"). */
+  private def sobel(img: SparkImage, a: Map[String, String]): SparkImage =
+    img.withPixels(perSlice(img) { (sl, w, h) =>
+      val out = new Array[Double](w * h)
+      def px(x: Int, y: Int): Double =
+        sl(math.min(h - 1, math.max(0, y)) * w + math.min(w - 1, math.max(0, x)))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val gx = (px(x - 1, y - 1) + 2 * px(x - 1, y) + px(x - 1, y + 1)) -
+            (px(x + 1, y - 1) + 2 * px(x + 1, y) + px(x + 1, y + 1))
+          val gy = (px(x - 1, y - 1) + 2 * px(x, y - 1) + px(x + 1, y - 1)) -
+            (px(x - 1, y + 1) + 2 * px(x, y + 1) + px(x + 1, y + 1))
+          out(y * w + x) = PixelCodec.clamp(math.sqrt(gx * gx + gy * gy), img.pixelType)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    })
 
   // ---- threshold / mask / type conversion ----------------------------
 

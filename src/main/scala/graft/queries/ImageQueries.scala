@@ -58,8 +58,10 @@ object ImageQueries {
           .createOrReplaceTempView("NoisyImages")
         s.sql("""SELECT sample, run2(nsImg, 'Median...', 'radius=2') AS fImg FROM NoisyImages""")
           .createOrReplaceTempView("FilteredImages")
-        s.sql("""SELECT sample, stats(fImg)['mean'] AS mean, stats(fImg)['stdDev'] AS stdDev
-                 FROM FilteredImages ORDER BY sample""")
+        s.sql("""SELECT sample, run(fImg, 'Smooth') AS sImg FROM FilteredImages""")
+          .createOrReplaceTempView("SmoothImages")
+        s.sql("""SELECT sample, stats(sImg)['mean'] AS mean, stats(sImg)['stdDev'] AS stdDev
+                 FROM SmoothImages ORDER BY sample""")
       }, None),
 
     // threshold + mask (PortableImagePlus.scala:366-377 semantics)

@@ -166,6 +166,31 @@ class KernelSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Kernels.runTable(const(1.0), "nope", "")
   }
 
+  test("convolution commands: smooth preserves mean, sharpen is identity on constants, edges vanish on constants") {
+    val img = const(80.0, 30, 30)
+    Kernels.stats(Kernels.run(img, "Smooth")).mean shouldBe 80.0 +- 1e-9
+    Kernels.stats(Kernels.run(img, "Sharpen")).mean shouldBe 80.0 +- 1e-9
+    Kernels.stats(Kernels.run(img, "Find Edges")).max shouldBe 0.0
+    // a step edge produces a strong response along the boundary
+    val px = Array.tabulate(30 * 30)(i => if (i % 30 < 15) 0.0 else 100.0)
+    val step = img.withPixels(px)
+    Kernels.stats(Kernels.run(step, "Find Edges")).max should be > 300.0
+    // Despeckle == Median radius 1
+    val noisy = Kernels.run(img, "Add Noise")
+    Kernels.run(noisy, "Despeckle").data shouldBe
+      Kernels.run(noisy, "Median...", "radius=1").data
+  }
+
+  test("calibration metadata survives every kernel (SpijiTests.scala:109-140)") {
+    val meta = ImageMeta(pixelWidth = 0.5, pixelHeight = 0.5, pixelDepth = 2.0,
+      unit = "mm", info = "ct-scan")
+    val img = const(100.0).copy(meta = meta)
+    val processed = Kernels.run(
+      Kernels.run(Kernels.run(img, "Add Noise"), "Median...", "radius=1"), "8-bit")
+    processed.meta shouldBe meta
+    Kernels.subtract(processed, processed).meta shouldBe meta
+  }
+
   test("listcommands covers the registered surface") {
     Kernels.listCommands should contain allOf ("Add Noise", "Median...", "Convert to Mask",
       "8-bit", "setThreshold")
