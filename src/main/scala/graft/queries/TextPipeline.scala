@@ -111,6 +111,50 @@ object TextPipeline {
       (s, dir) => TextFunctions.fingerprints(t(s, dir, "documents")),
       None),
 
+    // ---- quality-score columns (TextFunctions.qualityColumns) ----------
+    ("q43_quality_scores",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cols = TextFunctions.qualityColumns(col("text"))
+        cols.foldLeft(docs.select(col("doc_id"), col("text"))) {
+          case (df, (name, c)) => df.withColumn(name, c)
+        }.drop("text").orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars_q,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens_q,
+        CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+          / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS punct_ratio,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '' AND
+          list_contains(['a','and','for','in','is','it','of','that','the','to'], lower(x)))) AS DOUBLE)
+          / GREATEST(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE), 1.0) AS stopword_ratio,
+        CAST(LENGTH(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+          / GREATEST(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE), 1.0) AS mean_token_len
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- BPE-ish token cost (custom subword UDF — rows-only) -----------
+    ("q44_token_costs",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.bpeishCountUdf(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // ---- composed cleaning pipeline: quality filter → exact dedup ------
+    ("q45_corpus_clean",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(size(filter(split(col("text"), " "), x => x =!= "")) >= 30 &&
+                  col("lang") === "en")
+        docs.groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+          .orderBy(col("h"))
+      },
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 30
+          AND lang = 'en'
+        GROUP BY 1 ORDER BY h""")),
+
     // ---- native codegen'd vector expressions (VectorNorm/VectorDot):
     // same semantics as q30 but through a Catalyst Expression inside
     // whole-stage codegen instead of a UDF ------------------------------
