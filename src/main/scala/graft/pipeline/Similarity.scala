@@ -127,6 +127,60 @@ object Similarity {
     topKPerKey(sims, "qid", k)
   }
 
+  /** IVF-style approximate NN: a k-means coarse quantizer (MLlib,
+    * seeded) partitions the corpus into `nClusters` inverted lists;
+    * each query probes its `nProbe` nearest centroids and scores only
+    * those lists.
+    *
+    * Scale shape: the quantizer fits on a sample-sized problem
+    * (centroids ≪ corpus); corpus assignment is one scan; the search
+    * join is an equi-join on cluster id, so per-query work drops from
+    * N to ~N·nProbe/nClusters. Centroids are driver-side (nClusters·dim
+    * doubles) and broadcast with the probe table. Compared to
+    * [[lshTopK]], IVF adapts buckets to the data distribution at the
+    * cost of the clustering pass.
+    */
+  def ivfTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+              nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val base = PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nv", normalizeUdf(col("v")))
+      .cache()
+    val fe = base.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(fe)
+    val centers = model.clusterCenters.map(_.toArray)
+
+    val assigned = model.transform(fe).select(col("vec_id"), col("prediction").as("cluster"))
+      .join(base, "vec_id")
+      .select(col("vec_id").as("nid"), col("cluster"), col("nv"))
+
+    def nearestClusters(v: Array[Double]): Seq[Int] =
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2).toSeq
+
+    val probes = base.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("v"), col("nv").as("qv"))
+      .as[(Long, Array[Double], Array[Double])]
+      .flatMap { case (qid, v, qv) => nearestClusters(v).map(c => (qid, c, qv)) }
+      .toDF("qid", "cluster", "qv")
+
+    val sims = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", dotUdf(col("qv"), col("nv")))
+      .select(col("qid"), col("nid"), col("sim"))
+    val out = topKPerKey(sims, "qid", k)
+    out
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
   private[graft] def deterministicPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     var state = seed

@@ -72,6 +72,12 @@ object TextPipeline {
           FROM sims)
         WHERE rnk <= 5 ORDER BY qid, rank""")),
 
+    // ---- IVF ANN (k-means inverted lists; approximate → rows-only) -----
+    ("q46_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      None),
+
     // ---- embedding norm + label centroid distance (SQL-expressible) ----
     ("q30_embedding_stats",
       (s, dir) => t(s, dir, "embeddings")

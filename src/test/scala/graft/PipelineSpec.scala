@@ -125,6 +125,24 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long)].collect() shouldBe lsh
   }
 
+  test("IVF ANN recalls most brute-force neighbors") {
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d * 0.9).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, col("vec_id") < 10, k = 5)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    val ivf = Similarity.ivfTopK(df, col("vec_id") < 10, k = 5, nClusters = 8, nProbe = 3)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    ivf.keySet shouldBe exact.keySet
+    // probing 3 of 8 data-adapted clusters should recover most true neighbors
+    val recall = exact.map { case (q, t) => ivf(q).intersect(t).size.toDouble / t.size }
+    (recall.sum / recall.size) should be > 0.6
+  }
+
   test("language ID picks the stopword-matching profile") {
     TextFunctions.detectLang("the quick fox and the dog".split(" ")) shouldBe "en"
     TextFunctions.detectLang("el zorro y el perro de la casa".split(" ")) shouldBe "es"
