@@ -74,6 +74,27 @@ class SqlSurfaceSpec extends AnyFunSuite with Matchers {
     means should contain (1000.0)
   }
 
+  test("DDL: imagedir reads a directory of files, prunes decode for metadata") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirsrc").toString
+    val df = ImageQueries.debugImages(spark, count = 5)
+      .withColumn("image", ImageFunctions.run2Udf(col("image"), lit("8-bit"), lit("")))
+    graft.ops.ImageOps.saveImages(df, dir)
+    spark.sql("DROP VIEW IF EXISTS DirImages")
+    spark.sql(s"""CREATE TEMPORARY VIEW DirImages
+      USING imagedir OPTIONS (path "$dir")""")
+    spark.table("DirImages").count() shouldBe 5
+    // metadata-only: plan prunes the image column (no decode)
+    val meta = spark.table("DirImages").select("name", "size")
+    meta.queryExecution.executedPlan.toString should not include "image#"
+    meta.collect().foreach(_.getLong(1) should be > 0L)
+    // pixel read through the source
+    ImageFunctions.registerAll(spark)
+    val means = spark.sql("SELECT stats(image)['mean'] AS m FROM DirImages")
+      .collect().map(_.getDouble(0))
+    means.foreach(_ shouldBe 255.0) // 8-bit clamps the kilofills to 255
+  }
+
   test("runRange parameter sweep fans out rows (scOps.scala:207-224)") {
     val swept = ImageQueries.debugImages(spark, count = 3)
       .runRange("Median...", ImageOps.linearRange("radius", 1, 3, 3))
