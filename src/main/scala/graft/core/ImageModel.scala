@@ -175,6 +175,21 @@ object ImageLog {
 
   def create(opval: String, opargs: String): String =
     append(empty, LogEntry("CREATE", "SPARK", opval, opargs))
+
+  /** Parse the (optype, opval, opargs) sequence back out of a JSON log
+    * — the half of the round-trip the reference used for macro replay
+    * (ImagePlusIO.scala:91-108; recorder→sweep scOps.scala:157-175). */
+  def parseOps(log: String): Seq[(String, String, String)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parseOpt(log).toSeq.flatMap {
+      case JArray(items) => items.map { j =>
+        def str(f: String) = (j \ f) match { case JString(v) => v; case _ => "" }
+        (str("optype"), str("opval"), str("opargs"))
+      }
+      case _ => Seq.empty
+    }
+  }
 }
 
 /** Per-image statistics record (reference ImageStatistics.scala:8-28). */

@@ -52,7 +52,13 @@ object Kernels {
     "Despeckle" -> ((img, a) => median(img, Map("radius" -> "1"))),
     "Smooth" -> convolve3x3(Array(1, 1, 1, 1, 1, 1, 1, 1, 1), 9.0),
     "Sharpen" -> convolve3x3(Array(-1, -1, -1, -1, 12, -1, -1, -1, -1), 4.0),
-    "Find Edges" -> sobel _)
+    "Find Edges" -> sobel _,
+    // geometry (ImageJ Image-menu staples); Crop takes x/y/width/height args
+    "Crop" -> crop _,
+    "Rotate 90 Degrees Right" -> rotate(clockwise = true),
+    "Rotate 90 Degrees Left" -> rotate(clockwise = false),
+    "Flip Horizontally" -> flip(horizontal = true),
+    "Flip Vertically" -> flip(horizontal = false))
 
   /** Names for `listcommands` (reference SQLFunctions.scala:267-268). */
   def listCommands: Seq[String] =
@@ -274,6 +280,76 @@ object Kernels {
       }
       out
     })
+
+  // ---- geometry ------------------------------------------------------
+
+  /** Rectangular crop (`x= y= width= height=` args, clamped to bounds) —
+    * the ROI-driven crop of the reference's ROI surface
+    * (Spiji.java:515-613). */
+  private def crop(img: SparkImage, a: Map[String, String]): SparkImage = {
+    val x0 = math.max(0, a.getOrElse("x", "0").toDouble.toInt)
+    val y0 = math.max(0, a.getOrElse("y", "0").toDouble.toInt)
+    val cw = math.min(img.width - x0, a.getOrElse("width", img.width.toString).toDouble.toInt)
+    val ch = math.min(img.height - y0, a.getOrElse("height", img.height.toString).toDouble.toInt)
+    require(cw > 0 && ch > 0, s"empty crop: x=$x0 y=$y0 w=$cw h=$ch")
+    val px = img.toDoubles
+    val out = new Array[Double](cw * ch * img.slices)
+    var s = 0
+    while (s < img.slices) {
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) {
+          out(s * cw * ch + y * cw + x) =
+            px(s * img.width * img.height + (y0 + y) * img.width + (x0 + x))
+          x += 1
+        }
+        y += 1
+      }
+      s += 1
+    }
+    img.copy(width = cw, height = ch,
+      data = PixelCodec.encode(out, img.pixelType))
+  }
+
+  private def rotate(clockwise: Boolean): Kernel = (img, _) => {
+    val (w, h) = (img.width, img.height)
+    val px = img.toDoubles
+    val out = new Array[Double](px.length)
+    var s = 0
+    while (s < img.slices) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { // rotated image is h wide, w tall
+          val (nx, ny) = if (clockwise) (h - 1 - y, x) else (y, w - 1 - x)
+          out(s * w * h + ny * h + nx) = px(s * w * h + y * w + x)
+          x += 1
+        }
+        y += 1
+      }
+      s += 1
+    }
+    img.copy(width = h, height = w, data = PixelCodec.encode(out, img.pixelType))
+  }
+
+  private def flip(horizontal: Boolean): Kernel = (img, _) => {
+    val (w, h) = (img.width, img.height)
+    img.withPixels(perSlice(img) { (sl, _, _) =>
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = if (horizontal) sl(y * w + (w - 1 - x)) else sl((h - 1 - y) * w + x)
+          out(y * w + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      out
+    })
+  }
 
   // ---- threshold / mask / type conversion ----------------------------
 
@@ -504,6 +580,19 @@ object Kernels {
     val (w, h, s) = (img.width, img.height, img.slices)
     Array.tabulate(h, w, s)((y, x, z) => px(z * w * h + y * w + x))
   }
+
+  /** Replay a provenance log on another image: every RUN/THRESHOLD
+    * entry re-executes in order. Because kernels are pure and noise is
+    * content-seeded, replaying a pipeline's log on image B equals
+    * applying the pipeline to B directly — provenance doubles as an
+    * executable macro (the reference needed a separate ImageJ macro
+    * recorder for this, Spiji.java:1520-1564). */
+  def replayLog(img: SparkImage, logJson: String): SparkImage =
+    ImageLog.parseOps(logJson).foldLeft(img) {
+      case (im, (optype, opval, opargs)) if optype == "RUN" || optype == "THRESHOLD" =>
+        run(im, opval, opargs)
+      case (im, _) => im
+    }
 
   // ---- synthetic source (reference createEmptyImages, scOps.scala:63-73)
 

@@ -39,6 +39,7 @@ object ImageFunctions {
     Kernels.runTable(img, cmd, args).toMap)
   val runrowUdf = udf((img: SparkImage, cmd: String, args: String) =>
     Kernels.runTable(img, cmd, args).firstRow)
+  val replayUdf = udf((img: SparkImage, log: String) => Kernels.replayLog(img, log))
   val shapeUdf = udf((img: SparkImage) => {
     val t = Kernels.analyzeParticles(img)
     t.header.mkString("\t") + "\n" +
@@ -77,5 +78,7 @@ object ImageFunctions {
     r.register("listcommands", udf(() => Kernels.listCommands))
     r.register("showcalibration", udf((img: SparkImage) => img.meta.toString))
     r.register("showmetadata", udf((img: SparkImage) => img.meta.info))
+    // provenance replay (macro record/replay analogue, Spiji.java:1520-1564)
+    r.register("replaylog", replayUdf)
   }
 }

@@ -151,6 +151,20 @@ object ImageQueries {
           .orderBy(col("sample"), col("opval"))
       }, None),
 
+    // provenance-as-macro: replaying a processed image's log on the
+    // original reproduces it exactly (macro record/replay analogue)
+    ("img14_log_replay",
+      (s, _) => {
+        val processed = ImageFunctions.run2Udf(
+          ImageFunctions.runUdf(col("image"), lit("Add Noise")),
+          lit("Median..."), lit("radius=2"))
+        debugImages(s, count = 6)
+          .withColumn("p", processed)
+          .withColumn("r", ImageFunctions.replayUdf(col("image"), col("p.log")))
+          .select(col("sample"), (col("p.data") === col("r.data")).as("replay_match"))
+          .orderBy(col("sample"))
+      }, None),
+
     // cross-image histogram via a typed Aggregator (SURVEY A6 corpus
     // path): partial count-array buffers merge map-side, pixels never
     // shuffle

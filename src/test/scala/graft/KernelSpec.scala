@@ -191,6 +191,38 @@ class KernelSpec extends AnyFunSuite with Matchers {
     Kernels.subtract(processed, processed).meta shouldBe meta
   }
 
+  test("geometry: crop/rotate/flip shapes and values") {
+    val px = Array.tabulate(6 * 4)(_.toDouble) // 6 wide, 4 tall, values 0..23
+    val img = SparkImage(ImageMeta(), "[]", 6, 4, 1, PixelCodec.Float32,
+      PixelCodec.encode(px, PixelCodec.Float32))
+    val cropped = Kernels.run(img, "Crop", "x=1 y=1 width=3 height=2")
+    cropped.width shouldBe 3
+    cropped.height shouldBe 2
+    cropped.toDoubles shouldBe Array(7.0, 8.0, 9.0, 13.0, 14.0, 15.0)
+    val right = Kernels.run(img, "Rotate 90 Degrees Right")
+    right.width shouldBe 4
+    right.height shouldBe 6
+    right.toDoubles(0 * 4 + 3) shouldBe 0.0 // top-left goes to top-right
+    Kernels.run(Kernels.run(img, "Flip Horizontally"), "Flip Horizontally")
+      .toDoubles shouldBe px
+    Kernels.run(Kernels.run(img, "Rotate 90 Degrees Right"), "Rotate 90 Degrees Left")
+      .toDoubles shouldBe px
+  }
+
+  test("provenance log replays as an executable macro") {
+    val a = const(1000.0)
+    val b = const(2000.0)
+    val processed = Kernels.run(
+      Kernels.run(a, "Add Noise"), "Median...", "radius=2")
+    val replayed = Kernels.replayLog(b, processed.log)
+    val direct = Kernels.run(
+      Kernels.run(b, "Add Noise"), "Median...", "radius=2")
+    replayed.data shouldBe direct.data
+    // non-op entries (CREATE/COMMENT) are skipped, malformed logs are no-ops
+    Kernels.replayLog(b, "[]").data shouldBe b.data
+    Kernels.replayLog(b, "not json").data shouldBe b.data
+  }
+
   test("listcommands covers the registered surface") {
     Kernels.listCommands should contain allOf ("Add Noise", "Median...", "Convert to Mask",
       "8-bit", "setThreshold")
