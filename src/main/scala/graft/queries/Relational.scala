@@ -513,6 +513,34 @@ object Relational {
         .orderBy(col("l_returnflag")),
       None),
 
+    // ---- ordered string aggregation ------------------------------------
+    ("q47_string_agg",
+      (s, dir) => t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+             count(lit(1)).as("n"))
+        .orderBy(col("r_name")),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- conditional / filtered aggregation ----------------------------
+    ("q48_conditional_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_totalprice") > 250000.0, 1)).as("n_big"),
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)).as("finished_value"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        COUNT(*) FILTER (WHERE o_totalprice > 250000.0) AS n_big,
+        ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS finished_value
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- exact percentiles (integer-valued input → interpolation exact)
     ("q41_percentile",
       (s, dir) => {
