@@ -53,6 +53,37 @@ object Kernels {
     "Smooth" -> convolve3x3(Array(1, 1, 1, 1, 1, 1, 1, 1, 1), 9.0),
     "Sharpen" -> convolve3x3(Array(-1, -1, -1, -1, 12, -1, -1, -1, -1), 4.0),
     "Find Edges" -> sobel _,
+    // Math-menu point operations (clamped to the pixel type's range)
+    "Log" -> ((img, a) => mapPixels(img, "Log", a,
+      v => PixelCodec.clamp(if (v > 0) math.log(v) else 0.0, img.pixelType))),
+    "Exp" -> ((img, a) => mapPixels(img, "Exp", a,
+      v => PixelCodec.clamp(math.exp(v), img.pixelType))),
+    "Square" -> ((img, a) => mapPixels(img, "Square", a,
+      v => PixelCodec.clamp(v * v, img.pixelType))),
+    "Square Root" -> ((img, a) => mapPixels(img, "Square Root", a,
+      v => PixelCodec.clamp(if (v > 0) math.sqrt(v) else 0.0, img.pixelType))),
+    "Abs" -> ((img, a) => mapPixels(img, "Abs", a, math.abs)),
+    "Gamma..." -> ((img, a) => {
+      val g = a.getOrElse("value", "1").toDouble
+      val range = img.pixelType match {
+        case PixelCodec.Byte8 | PixelCodec.Rgb => 255.0
+        case PixelCodec.Short16 => 65535.0
+        case _ => 1.0 // float types: gamma on normalized [0,1] identity range
+      }
+      mapPixels(img, "Gamma...", a,
+        v => PixelCodec.clamp(math.pow(math.max(0.0, v) / range, g) * range, img.pixelType))
+    }),
+    "Min..." -> ((img, a) => {
+      val m = a.getOrElse("value", "0").toDouble
+      mapPixels(img, "Min...", a, v => math.max(v, m))
+    }),
+    "Max..." -> ((img, a) => {
+      val m = a.getOrElse("value", "0").toDouble
+      mapPixels(img, "Max...", a, v => math.min(v, m))
+    }),
+    // rank filters: min (erode-ish) and max (dilate-ish) over the window
+    "Minimum..." -> rankFilter(_.min),
+    "Maximum..." -> rankFilter(_.max),
     // geometry (ImageJ Image-menu staples); Crop takes x/y/width/height args
     "Crop" -> crop _,
     "Rotate 90 Degrees Right" -> rotate(clockwise = true),
@@ -226,6 +257,37 @@ object Kernels {
           var s = 0.0; var j = -r
           while (j <= r) { s += tmp(math.min(h - 1, math.max(0, y + j)) * w + x) * k(j + r); j += 1 }
           out(y * w + x) = s
+          x += 1
+        }
+        y += 1
+      }
+      out
+    })
+  }
+
+  /** Square-window rank filter (radius=`radius`, clamped edges) —
+    * Minimum/Maximum erosion/dilation shapes. */
+  private def rankFilter(pick: Array[Double] => Double): Kernel = (img, a) => {
+    val r = a.getOrElse("radius", "1").toDouble.toInt
+    img.withPixels(perSlice(img) { (sl, w, h) =>
+      val out = new Array[Double](w * h)
+      val buf = new Array[Double]((2 * r + 1) * (2 * r + 1))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var n = 0
+          var dy = -r
+          while (dy <= r) {
+            val yy = math.min(h - 1, math.max(0, y + dy))
+            var dx = -r
+            while (dx <= r) {
+              buf(n) = sl(yy * w + math.min(w - 1, math.max(0, x + dx))); n += 1
+              dx += 1
+            }
+            dy += 1
+          }
+          out(y * w + x) = pick(java.util.Arrays.copyOf(buf, n))
           x += 1
         }
         y += 1

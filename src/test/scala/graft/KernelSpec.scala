@@ -191,6 +191,26 @@ class KernelSpec extends AnyFunSuite with Matchers {
     Kernels.subtract(processed, processed).meta shouldBe meta
   }
 
+  test("math-menu point ops and rank filters") {
+    val img = const(16.0, 10, 10) // float32: math ops unclamped
+    Kernels.stats(Kernels.run(img, "Square")).mean shouldBe 256.0
+    Kernels.stats(Kernels.run(img, "Square Root")).mean shouldBe 4.0
+    Kernels.stats(Kernels.run(img, "Log")).mean shouldBe math.log(16.0) +- 1e-6 // float32 storage
+    Kernels.stats(Kernels.run(const(-3.0, 4, 4), "Abs")).mean shouldBe 3.0
+    Kernels.stats(Kernels.run(img, "Min...", "value=20")).mean shouldBe 20.0
+    Kernels.stats(Kernels.run(img, "Max...", "value=10")).mean shouldBe 10.0
+    // gamma on 8-bit: value 64 at gamma 2 -> (64/255)^2*255 = 16.06 -> 16
+    val g = Kernels.run(Kernels.run(const(64.0), "8-bit"), "Gamma...", "value=2")
+    Kernels.stats(g).mean shouldBe 16.0
+    // rank filters: a hot pixel dilates under Maximum and erodes under Minimum
+    val px = new Array[Double](49); px(24) = 9.0
+    val spot = SparkImage(ImageMeta(), "[]", 7, 7, 1, PixelCodec.Float32,
+      PixelCodec.encode(px, PixelCodec.Float32))
+    Kernels.stats(Kernels.run(spot, "Maximum...", "radius=1")).pts shouldBe 49L
+    Kernels.run(spot, "Maximum...", "radius=1").toDoubles.count(_ == 9.0) shouldBe 9
+    Kernels.stats(Kernels.run(spot, "Minimum...", "radius=1")).max shouldBe 0.0
+  }
+
   test("geometry: crop/rotate/flip shapes and values") {
     val px = Array.tabulate(6 * 4)(_.toDouble) // 6 wide, 4 tall, values 0..23
     val img = SparkImage(ImageMeta(), "[]", 6, 4, 1, PixelCodec.Float32,
