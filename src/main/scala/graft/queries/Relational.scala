@@ -541,6 +541,42 @@ object Relational {
         ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS finished_value
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- correlated aggregate subquery (TPC-H Q17 shape) ---------------
+    ("q49_small_quantity",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val perPart = li.groupBy(col("l_partkey").as("pk"))
+          .agg((davg(col("l_quantity")) * 0.2).as("threshold"))
+        li.join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#1")),
+            col("l_partkey") === col("p_partkey"))
+          .join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("threshold"))
+          .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT ${sqlDsum("l_extendedprice")} AS total_price, COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * (${sqlDavg("l2.l_quantity")})
+            FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""")),
+
+    // ---- distribution of counts (TPC-H Q13 shape: agg of an agg) -------
+    ("q50_order_distribution",
+      (s, dir) => {
+        val perCust = t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
     // ---- exact percentiles (integer-valued input → interpolation exact)
     ("q41_percentile",
       (s, dir) => {
