@@ -86,6 +86,14 @@ object Kernels {
     "Maximum..." -> rankFilter(_.max),
     // geometry (ImageJ Image-menu staples); Crop takes x/y/width/height args
     "Crop" -> crop _,
+    "Size..." -> ((img, a) => resize(img,
+      a.getOrElse("width", img.width.toString).toDouble.toInt,
+      a.getOrElse("height", img.height.toString).toDouble.toInt)),
+    "Scale..." -> ((img, a) => {
+      val f = a.getOrElse("x", "1.0").toDouble
+      resize(img, math.max(1, math.round(img.width * f).toInt),
+        math.max(1, math.round(img.height * a.getOrElse("y", f.toString).toDouble).toInt))
+    }),
     "Rotate 90 Degrees Right" -> rotate(clockwise = true),
     "Rotate 90 Degrees Left" -> rotate(clockwise = false),
     "Flip Horizontally" -> flip(horizontal = true),
@@ -372,6 +380,45 @@ object Kernels {
     }
     img.copy(width = cw, height = ch,
       data = PixelCodec.encode(out, img.pixelType))
+  }
+
+  /** Bilinear resize (align-corners-false convention: sample at pixel
+    * centers, clamped). The multimodal pipeline's resize stage. */
+  def resize(img: SparkImage, nw: Int, nh: Int): SparkImage = {
+    require(nw > 0 && nh > 0)
+    val (w, h) = (img.width, img.height)
+    val px = img.toDoubles
+    val out = new Array[Double](nw * nh * img.slices)
+    val sx = w.toDouble / nw
+    val sy = h.toDouble / nh
+    var s = 0
+    while (s < img.slices) {
+      val base = s * w * h
+      var y = 0
+      while (y < nh) {
+        val fy = math.min(h - 1.0, math.max(0.0, (y + 0.5) * sy - 0.5))
+        val y0 = fy.toInt
+        val y1 = math.min(h - 1, y0 + 1)
+        val wy = fy - y0
+        var x = 0
+        while (x < nw) {
+          val fx = math.min(w - 1.0, math.max(0.0, (x + 0.5) * sx - 0.5))
+          val x0 = fx.toInt
+          val x1 = math.min(w - 1, x0 + 1)
+          val wx = fx - x0
+          val top = px(base + y0 * w + x0) * (1 - wx) + px(base + y0 * w + x1) * wx
+          val bot = px(base + y1 * w + x0) * (1 - wx) + px(base + y1 * w + x1) * wx
+          out(s * nw * nh + y * nw + x) =
+            PixelCodec.clamp(top * (1 - wy) + bot * wy, img.pixelType)
+          x += 1
+        }
+        y += 1
+      }
+      s += 1
+    }
+    img.copy(width = nw, height = nh,
+      data = PixelCodec.encode(out, img.pixelType),
+      log = ImageLog.append(img.log, LogEntry("RUN", "SPARK", "Size...", s"width=$nw height=$nh")))
   }
 
   private def rotate(clockwise: Boolean): Kernel = (img, _) => {

@@ -69,6 +69,28 @@ object Multimodal {
     }
   }
 
+  /** Partition-mapped resize stage: decode → bilinear resize to a fixed
+    * target → re-encoded payload beside updated metadata. The batched
+    * per-partition loop shape of a training-data image-normalization
+    * stage. */
+  def resizeStage(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          if (r.meta.media_type == "image")
+            scala.util.Try(ImageCodecIO.decode(r.media_id.toString, r.payload))
+              .getOrElse(decodeStub(r.payload))
+          else decodeStub(r.payload)
+        val resized = graft.core.Kernels.resize(img, targetW, targetH)
+        val out = ImageCodecIO.encode(resized, "png")
+        MediaRow(r.media_id,
+          MediaMeta(r.meta.media_type, "png", out.length.toLong), out)
+      }
+    }.toDF()
+  }
+
   /** Deterministic frame sampling for (stub-decoded) video payloads:
     * every keyframe-ish offset yields one frame row. Plan shape:
     * explode, not collect. */

@@ -165,6 +165,38 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     f("hello, world 42") shouldBe List("hello", ",", "world", "4", "2")
   }
 
+  test("bilinear resize: constants exact, dims correct, downscale averages") {
+    import graft.core.Kernels
+    val img = Kernels.constantImage(64, 32, 1, 77.0)
+    val small = Kernels.resize(img, 16, 8)
+    small.width shouldBe 16
+    small.height shouldBe 8
+    Kernels.stats(small).mean shouldBe 77.0
+    // 2x2 checkerboard downscaled to 1x1 averages the quadrant centers
+    val px = Array(0.0, 100.0, 100.0, 0.0)
+    val board = graft.core.SparkImage(graft.core.ImageMeta(), "[]", 2, 2, 1,
+      graft.core.PixelCodec.Double64,
+      graft.core.PixelCodec.encode(px, graft.core.PixelCodec.Double64))
+    Kernels.resize(board, 1, 1).toDoubles.head shouldBe 50.0
+    // command-registry form
+    val viaCmd = Kernels.run(img, "Scale...", "x=0.25")
+    viaCmd.width shouldBe 16
+    viaCmd.height shouldBe 8
+  }
+
+  test("multimodal resize stage normalizes payloads to the target shape") {
+    import spark.implicits._
+    val png = graft.sources.ImageCodecIO.encode(
+      graft.core.Kernels.constantImage(32, 32, 1, 200.0), "png")
+    val media = Multimodal.asMediaTable(Seq((1L, png)).toDF("id", "payload"),
+      "id", "payload", "image", "png")
+    val resized = Multimodal.resizeStage(media, 8, 8)
+    val feats = Multimodal.extractFeatures(resized).collect().head
+    feats.width shouldBe 8
+    feats.height shouldBe 8
+    feats.mean_intensity shouldBe 200.0
+  }
+
   test("multimodal: features + frame sampling over binary payloads, partition-invariant") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(
