@@ -577,6 +577,32 @@ object Relational {
           GROUP BY c_custkey)
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // ---- sessionization: session_window vs gaps-and-islands oracle -----
+    // (the batch face of EventStreams.sessionWindows; 30-minute gap)
+    ("q51_sessionization",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked)
+        SELECT user_id,
+          CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS session_start,
+          COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_start""")),
+
     // ---- exact percentiles (integer-valued input → interpolation exact)
     ("q41_percentile",
       (s, dir) => {
