@@ -180,7 +180,7 @@ object Dedup {
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .filter(Similarity.dotUdf(col("va"), col("vb")) > threshold)
+      .filter(Similarity.nativeDot(embeddings.sparkSession)(col("va"), col("vb")) > threshold)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }

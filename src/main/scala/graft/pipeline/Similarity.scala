@@ -58,6 +58,15 @@ object Similarity {
     s
   }
 
+  /** Native-expression dot product: same sequential loop as [[dotUdf]]
+    * (bit-identical results) but reads ArrayData in place inside
+    * whole-stage codegen — no per-pair Array copies, which dominate the
+    * all-pairs joins' allocation churn. */
+  private[graft] def nativeDot(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column = {
+    graft.functions.VectorExpressions.register(spark)
+    call_function("vec_dot", a, b)
+  }
+
   /** Brute-force exact cosine top-k: every query row (matching
     * `queryFilter`) against the whole corpus.
     *
@@ -75,7 +84,7 @@ object Similarity {
     val queries = embeddings.filter(queryFilter)
       .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
     val sims = corpus.join(broadcast(queries), col("nid") =!= col("qid"))
-      .withColumn("sim", dotUdf(col("qv"), col("nv")))
+      .withColumn("sim", nativeDot(embeddings.sparkSession)(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
     topKPerKey(sims, "qid", k)
   }
@@ -175,7 +184,7 @@ object Similarity {
 
     val sims = assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("sim", dotUdf(col("qv"), col("nv")))
+      .withColumn("sim", nativeDot(spark)(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
     val out = topKPerKey(sims, "qid", k)
     out
