@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -68,6 +68,52 @@ object EventStreams {
       n += 1; total += e.value; last = math.max(last, e.ts.getTime)
     }
     SessionAgg(userId, n, total, last)
+  }
+
+  /** Spark-4-native stateful sessionization via `transformWithState`
+    * (the modern arbitrary-state API; requires the RocksDB state store
+    * provider): per-user counters in a ValueState, a processing-time
+    * timer per batch, sessions emitted when the gap timer expires.
+    *
+    * NOTE: this build's streaming planner fails at physical-plan
+    * construction for BOTH arbitrary-state exec nodes
+    * (FlatMapGroupsWithStateExec and TransformWithStateExec hit the
+    * same internal error on the micro-batch thread), so neither can be
+    * driven here; the state logic ([[foldEvents]], [[SessionProcessor]])
+    * is tested directly and the built-in [[sessionWindows]] covers
+    * sessionization end-to-end (batch face oracle-checked as q51). */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var state: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionAgg]("session",
+        Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      state.update(foldEvents(Option(state.get()), key, rows))
+      getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val s = Option(state.get())
+      state.clear()
+      s.map(x => ClosedSession(x.user_id, x.n_events, x.total_value)).iterator
+    }
+  }
+
+  /** Sessionization through [[SessionProcessor]]. The session must run
+    * with `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`. */
+  def twsSessions(events: Dataset[Event],
+                  gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Custom stateful sessionization via flatMapGroupsWithState:

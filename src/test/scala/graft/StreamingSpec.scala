@@ -86,7 +86,10 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     second.n_events shouldBe 5L
     second.total_value shouldBe 10.0
     second.last_seen_ms shouldBe 1700000004000L
-    // the streaming Dataset still constructs (API surface intact)
+    // both stateful-API Datasets still construct (API surface intact;
+    // this build's streaming planner can't execute either exec node —
+    // see EventStreams.twsSessions scaladoc)
     EventStreams.statefulSessions(sampleEvents.as[EventStreams.Event], gapMs = 100)
+    EventStreams.twsSessions(sampleEvents.as[EventStreams.Event], gapMs = 100)
   }
 }
