@@ -577,6 +577,52 @@ object Relational {
           GROUP BY c_custkey)
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // ---- returned-item revenue per customer, top-20 (TPC-H Q10 shape) --
+    ("q52_returned_items",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name,
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- promo revenue share (TPC-H Q14 shape: ratio of CASE-sums) -----
+    ("q53_promo_share",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            dsum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)).as("promo_rev"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_rev"))
+          .withColumn("promo_share", col("promo_rev") / col("total_rev"))
+      },
+      Some(s"""SELECT
+        ${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_rev,
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_rev,
+        (${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")})
+          / (${sqlDsum("l_extendedprice * (1.0 - l_discount)")}) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'""")),
+
     // ---- sessionization: session_window vs gaps-and-islands oracle -----
     // (the batch face of EventStreams.sessionWindows; 30-minute gap)
     ("q51_sessionization",
