@@ -39,39 +39,82 @@ object Dedup {
 
   /** Near-dup pairs with n-gram Jaccard similarity ≥ threshold.
     *
-    * Inverted-index plan: explode shingles, self-join on shingle
-    * (only pairs sharing ≥1 shingle are ever materialized), count
-    * shared shingles per pair, then Jaccard = |∩| / (|A|+|B|-|∩|).
-    * `maxShingleDocFreq` optionally drops ubiquitous shingles (stop
-    * shingles explode quadratically at corpus scale); None = exact.
+    * Two phases, both O(features):
+    *  1. Candidate generation — inverted index: explode shingles,
+    *     self-join on the 8-byte `xxhash64` of the shingle (codegen'd;
+    *     a 64-bit collision across a corpus vocabulary is negligible
+    *     and only adds a candidate, which re-scoring rejects). A
+    *     doc-frequency cap drops ubiquitous "stop shingles" BEFORE the
+    *     join: a shingle appearing in f documents yields f² join rows,
+    *     a quadratic hot-key blowup at corpus scale, so the cap is the
+    *     default, not an option.
+    *  2. Exact re-score — survivors join back to the full shingle sets
+    *     and Jaccard = |∩| / (|A|+|B|-|∩|) is computed on the complete
+    *     sets, so the cap affects only which pairs are *considered*,
+    *     never a reported similarity. (A pair sharing nothing but
+    *     capped stop-shingles has Jaccard ≪ any useful threshold.)
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxShingleDocFreq: Option[Long] = None): DataFrame = {
+                        maxShingleDocFreq: Long = 256L): DataFrame = {
     val sh = PartitionUtil.spread(docs)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
-    // shuffle 8-byte shingle hashes, not strings (xxhash64 is codegen'd;
-    // a 64-bit collision across a corpus vocabulary is negligible and
-    // could only create one extra candidate pair, filtered by jaccard)
-    val posting0 = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle_str"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("shingle_str")).as("shingle"))
-    val posting = maxShingleDocFreq match {
-      case Some(cap) =>
-        val freq = posting0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("shingle"))
-        posting0.join(freq, "shingle")
-      case None => posting0
-    }
-    val a = posting.select(col("shingle"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
-    val b = posting.select(col("shingle"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+    val posting0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle_str"))
+      .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
+    val rare = posting0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDocFreq).select(col("shingle"))
+    val posting = posting0.join(rare, "shingle")
+    val a = posting.select(col("shingle"), col("doc_id").as("id_a"))
+    val b = posting.select(col("shingle"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val fullA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val fullB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+    cand.join(fullA, Seq("id_a")).join(fullB, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB oracle for [[ngramJaccardPairs]]: same algorithm on string
+    * shingles (candidates from a capped inverted index, exact list-math
+    * re-score). Doc frequencies are counted on strings rather than
+    * hashes, which agrees with the Spark side absent a 64-bit collision
+    * inside one shingle vocabulary. */
+  private[graft] def ngramJaccardOracleSql(n: Int, threshold: Double,
+                                           maxShingleDocFreq: Long): String = {
+    require(n >= 2)
+    s"""WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, len(t) - ${n - 2}),
+          i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS sh
+      FROM toks),
+    sz AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz FROM sh),
+    posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM posting GROUP BY shingle
+             HAVING COUNT(*) <= $maxShingleDocFreq),
+    p AS (SELECT posting.doc_id, posting.shingle
+          FROM posting JOIN rare USING (shingle)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT id_a, id_b,
+        CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
+        sa.sz AS sz_a, sb.sz AS sz_b
+      FROM cand
+      JOIN sz sa ON sa.doc_id = cand.id_a
+      JOIN sz sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b,
+      CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+    FROM scored
+    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $threshold
+    ORDER BY id_a, id_b"""
   }
 
   // ---- MinHash + LSH -------------------------------------------------
@@ -170,10 +213,100 @@ object Dedup {
 
   // ---- embedding cosine ----------------------------------------------
 
+  /** Seeded ±1 (Rademacher) hyperplanes: plane j's component k is bit
+    * (k mod 64) of mix64 words derived from (seed, j, k/64). Random
+    * sign projections are the classic random-hyperplane LSH family
+    * (Charikar, STOC'02); ±1 weights make the projection a pure
+    * sign-flipped sequential sum, reproducible bit-for-bit in any
+    * engine that folds left-to-right. */
+  private[graft] def rademacherPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] =
+    (0 until n).map { j =>
+      Array.tabulate(dim) { k =>
+        val word = mix64(seed + j * 0x100000001b3L + (k >> 6))
+        if (((word >>> (k & 63)) & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+  /** Approximate embedding near-dup pairs, scale-safe: a banded
+    * random-hyperplane bucket prefilter generates candidates, then the
+    * EXACT cosine is computed for each candidate and thresholded.
+    *
+    * Plan shape: each vector computes `bands` band hashes
+    * (`rowsPerBand` sign bits each) and explodes to (band_idx,
+    * band_hash) keys; candidates come from an equi-join on those keys
+    * — per-bucket work, no cross join, no broadcast of the corpus. The
+    * re-score joins candidates back to the vectors by id (shuffle
+    * hash/sort-merge on ids). Shuffle volume is O(N·bands) narrow rows
+    * plus the candidate set — the same inverted-index shape as
+    * [[minhashLshPairs]]. Recall is tunable via bands×rowsPerBand
+    * (OR-of-ANDs); the planes are seeded, so results are deterministic
+    * and reproducible across engines.
+    */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double,
+                          bands: Int = 8, rowsPerBand: Int = 4,
+                          dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    def dot(a: Column, b: Column): Column = Similarity.nativeDot(spark)(a, b)
+    val planes = rademacherPlanes(bands * rowsPerBand, dim, seed)
+    val e = PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val bandStructs = (0 until bands).map { j =>
+      val bandHash = (0 until rowsPerBand).map { i =>
+        val proj = dot(col("v"), typedLit(planes(j * rowsPerBand + i).toSeq))
+        when(proj >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(j).as("band_idx"), bandHash.as("band_hash"))
+    }
+    val banded = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx").as("band_idx"),
+              col("band.band_hash").as("band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val nv = e.select(col("vec_id"), Similarity.normalizeUdf(col("v")).as("nv"))
+    cand
+      .join(nv.select(col("vec_id").as("id_a"), col("nv").as("va")), Seq("id_a"))
+      .join(nv.select(col("vec_id").as("id_b"), col("nv").as("vb")), Seq("id_b"))
+      .filter(dot(col("va"), col("vb")) > threshold)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB oracle for [[embeddingNearDupLsh]]: the identical seeded
+    * planes are inlined as ±1 literals, band hashes are recomputed with
+    * a left-fold projection (same order as the codegen'd vec_dot loop),
+    * candidates are pairs agreeing on any band, and the final filter is
+    * the same exact-cosine threshold. */
+  private[graft] def embeddingLshOracleSql(threshold: Double, bands: Int,
+                                           rowsPerBand: Int, dim: Int,
+                                           seed: Long): String = {
+    val planes = rademacherPlanes(bands * rowsPerBand, dim, seed)
+    val bandExprs = (0 until bands).map { j =>
+      (0 until rowsPerBand).map { i =>
+        val w = planes(j * rowsPerBand + i)
+          .map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+        val proj = s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+          s"k -> v[k] * ($w)[k]), (x, y) -> x + y)"
+        s"(CASE WHEN $proj >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ") + s" AS b$j"
+    }.mkString(",\n      ")
+    val orCond = (0 until bands).map(j => s"a.b$j = c.b$j").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+      $bandExprs
+      FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($orCond)
+    WHERE list_cosine_similarity(a.v, c.v) > $threshold
+    ORDER BY id_a, id_b"""
+  }
+
   /** Exact all-pairs embedding near-dups above a cosine threshold.
-    * Brute force (oracle-checkable); the approximate 100 TB path is
-    * [[Similarity.lshTopK]]'s hyperplane bucketing with the same
-    * scoring expressions. */
+    * Brute force — O(N²) pairs, for small corpora and as the recall
+    * oracle for [[embeddingNearDupLsh]]; the corpus-scale path is the
+    * bucketed prefilter above. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = PartitionUtil.spread(embeddings).select(col("vec_id"),
       Similarity.normalizeUdf(Similarity.asDouble(col("embedding"))).as("v"))

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
 
 object PartitionUtil {
@@ -11,37 +12,65 @@ object PartitionUtil {
     * no-op (no shuffle inserted); the repartition only fires for inputs
     * small enough to land in fewer splits than there are cores — the
     * case where an all-pairs join would otherwise run on 2 of 32
-    * threads. */
+    * threads. The decision reads the optimizer's size estimate (file
+    * sizes for a parquet scan) instead of materializing an RDD just to
+    * count partitions: anything under ~4 MB/core would land in fewer
+    * splits than cores. */
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val sizeEstimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeEstimate < BigInt(par.toLong * 4L * 1024 * 1024)) df.repartition(par)
+    else df
+  }
+
+  /** One aggregate of a [[saltedAggregate]]: `partials` run per
+    * (key, salt); `merged` recombines the partial columns into the
+    * final value (aliased to the aggregate's output name). Constructors
+    * below cover the re-aggregatable aggregates; anything else must be
+    * expressed via [[SaltedAgg.of]] with an explicit merge — there is
+    * deliberately no inference from the Column (toString-matching
+    * silently mis-reaggregated e.g. countDistinct and avg). */
+  final case class SaltedAgg(name: String, partials: Seq[Column], merged: Column)
+
+  object SaltedAgg {
+    def count(name: String): SaltedAgg =
+      of(name, Seq(F.count(lit(1))), ps => F.sum(ps.head))
+    def sum(name: String, c: Column): SaltedAgg =
+      of(name, Seq(F.sum(c)), ps => F.sum(ps.head))
+    def min(name: String, c: Column): SaltedAgg =
+      of(name, Seq(F.min(c)), ps => F.min(ps.head))
+    def max(name: String, c: Column): SaltedAgg =
+      of(name, Seq(F.max(c)), ps => F.max(ps.head))
+    /** avg = sum of partial sums / sum of partial counts. */
+    def avg(name: String, c: Column): SaltedAgg =
+      of(name, Seq(F.sum(c), F.count(c)),
+        ps => F.sum(ps.head) / F.sum(ps(1)))
+
+    /** Explicit partial/merge pair: `partials` are the map-side
+      * aggregates; `merge` sees one column reference per partial, in
+      * order, and must return the combining aggregate. */
+    def of(name: String, partials: Seq[Column], merge: Seq[Column] => Column): SaltedAgg = {
+      val aliased = partials.zipWithIndex.map { case (p, i) => p.as(s"${name}_p$i") }
+      val refs = partials.indices.map(i => col(s"${name}_p$i"))
+      SaltedAgg(name, aliased, merge(refs).as(name))
+    }
   }
 
   /** Skew-resistant aggregation: pre-aggregate on (key, salt) so one
-    * hot key spreads over `buckets` reducers, then combine. The salt
-    * never affects the result — partials re-aggregate — so any cheap
-    * per-row value works. `aggs` must be re-aggregatable (sum/count/
-    * min/max); this is the manual form of what AQE's skew handling
-    * can't do for aggregations. */
+    * hot key spreads over `buckets` reducers, then combine the
+    * partials. The salt never affects the result — each [[SaltedAgg]]
+    * carries its own exact re-aggregation — so any cheap per-row value
+    * works as salt. This is the manual form of what AQE's skew
+    * handling can't do for aggregations. */
   def saltedAggregate(df: DataFrame, key: String, buckets: Int,
-                      aggs: (String, Column)*): DataFrame = {
+                      aggs: SaltedAgg*): DataFrame = {
     require(aggs.nonEmpty)
     val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val partialCols = aggs.flatMap(_.partials)
     val partials = salted.groupBy(col(key), col("_salt"))
-      .agg(aggs.head._2.as(aggs.head._1 + "_p"),
-        aggs.tail.map { case (n, c) => c.as(n + "_p") }: _*)
-    partials.groupBy(col(key))
-      .agg(reagg(aggs.head._1, aggs.head._2), aggs.tail.map { case (n, c) => reagg(n, c) }: _*)
-  }
-
-  /** Choose the re-aggregation of a partial: counts re-sum, everything
-    * else reapplies (sum/min/max are associative). */
-  private def reagg(name: String, original: Column): Column = {
-    val expr = original.toString.toLowerCase
-    if (expr.startsWith("count")) sum(col(name + "_p")).as(name)
-    else if (expr.startsWith("min")) min(col(name + "_p")).as(name)
-    else if (expr.startsWith("max")) max(col(name + "_p")).as(name)
-    else sum(col(name + "_p")).as(name)
+      .agg(partialCols.head, partialCols.tail: _*)
+    val finalCols = aggs.map(_.merged)
+    partials.groupBy(col(key)).agg(finalCols.head, finalCols.tail: _*)
   }
 
   /** Skew-resistant equi-join: the big (possibly skewed) side gets a

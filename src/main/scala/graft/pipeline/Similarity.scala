@@ -150,7 +150,8 @@ object Similarity {
     * cost of the clustering pass.
     */
   def ivfTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
-              nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+              nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              sampleFraction: Double = 0.25): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
@@ -161,8 +162,17 @@ object Similarity {
       .withColumn("nv", normalizeUdf(col("v")))
       .cache()
     val fe = base.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    // Fit the coarse quantizer on a seeded, cached SAMPLE (standard IVF
+    // practice): k-means iterations then touch only |corpus|·fraction
+    // rows instead of re-scanning the full corpus maxIter times; the
+    // full corpus is scanned exactly once, for assignment. Falls back
+    // to the full set only when the sample is too small to support
+    // nClusters centroids (tiny test inputs).
+    val fitSample = fe.sample(withReplacement = false, fraction = sampleFraction, seed = seed).cache()
+    val fitSet = if (fitSample.count() >= 4L * nClusters) fitSample else fe
     val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(fe)
+      .setFeaturesCol("features").fit(fitSet)
+    fitSample.unpersist()
     val centers = model.clusterCenters.map(_.toArray)
 
     val assigned = model.transform(fe).select(col("vec_id"), col("prediction").as("cluster"))

