@@ -12,7 +12,14 @@ package graft.core
 
 /** Calibration + acquisition metadata; field layout follows the
   * reference's serializable calibration clone (IJCalibration.java:26-88)
-  * and `IJMetaData` (PortableImagePlus.scala:306-346). */
+  * and `IJMetaData` (PortableImagePlus.scala:306-346).
+  *
+  * `roi` is the active rectangular region of interest, "x,y,w,h" in
+  * pixel coords or "" for the whole image (the reference's ROI get/set
+  * surface, Spiji.java:515-613); stats/histogram/particle analysis and
+  * thresholding respect it. `calFunction`+`calCoeffs` are the value
+  * calibration function (IJCalibration.java:98-121 `setFunction`) —
+  * see [[Calibration]] for the supported function forms. */
 case class ImageMeta(
     pixelWidth: Double = 1.0,
     pixelHeight: Double = 1.0,
@@ -25,7 +32,36 @@ case class ImageMeta(
     unit: String = "pixel",
     valueUnit: String = "gray",
     timeUnit: String = "sec",
-    info: String = "")
+    info: String = "",
+    roi: String = "",
+    calFunction: String = "",
+    calCoeffs: Seq[Double] = Nil)
+
+/** Value-calibration function forms (the public ImageJ `Calibration`
+  * function set the reference round-trips via IJCalibration.java:
+  * 98-121): raw pixel value → calibrated value. The CT use-case:
+  * `line` with coeffs (-1024, 1) maps unsigned stored values to
+  * Hounsfield units — the general form of `applyOffset`. */
+object Calibration {
+  def apply(function: String, coeffs: Seq[Double], v: Double): Double = {
+    val c = coeffs.toIndexedSeq
+    def co(i: Int): Double = if (i < c.length) c(i) else 0.0
+    function match {
+      case "" | "none"  => v
+      case "line"       => co(0) + co(1) * v
+      case "poly2"      => co(0) + co(1) * v + co(2) * v * v
+      case "poly3"      => co(0) + co(1) * v + co(2) * v * v + co(3) * v * v * v
+      case "poly4"      => co(0) + co(1) * v + co(2) * v * v + co(3) * v * v * v + co(4) * v * v * v * v
+      case "power"      => co(0) * math.pow(v, co(1))
+      case "exp"        => co(0) * math.exp(co(1) * v)
+      case "log"        => if (v > 0) co(0) * math.log(co(1) * v) else 0.0
+      case other => throw new IllegalArgumentException(s"unknown calibration function: $other")
+    }
+  }
+
+  def isCalibrated(meta: ImageMeta): Boolean =
+    meta.calFunction.nonEmpty && meta.calFunction != "none"
+}
 
 /** The image cell value. `data` is the pixel payload, big-endian,
   * row-major within a slice, slice-major across slices (matching the
@@ -47,6 +83,12 @@ case class SparkImage(
   /** Decode to doubles (RGB via the default MEAN strategy,
     * TImgTools.java:311-366). */
   def toDoubles: Array[Double] = PixelCodec.decode(data, pixelType, pixelCount)
+
+  /** Decode with an explicit RGB→scalar strategy (MEAN/SUM/MIN/MAX/
+    * INT/RED/GREEN/BLUE — the reference's RGBConversion enum,
+    * TImgTools.java:311-324). No-op distinction for non-RGB types. */
+  def toDoubles(rgbStrategy: String): Array[Double] =
+    PixelCodec.decode(data, pixelType, pixelCount, rgbStrategy)
 
   def withPixels(px: Array[Double], newType: String = pixelType, entry: Option[LogEntry] = None): SparkImage = {
     val lg = entry.fold(log)(e => ImageLog.append(log, e))
@@ -107,7 +149,18 @@ object PixelCodec {
     bb.array()
   }
 
-  def decode(data: Array[Byte], pixelType: String, n: Int): Array[Double] = {
+  def decode(data: Array[Byte], pixelType: String, n: Int): Array[Double] =
+    decode(data, pixelType, n, "MEAN")
+
+  /** Decode with an RGB→scalar conversion strategy (the reference's
+    * `RGBConversion` enum MEAN/SUM/MIN/MAX/INT/RED/GREEN/BLUE,
+    * TImgTools.java:311-366). Channels are read as UNSIGNED bytes and
+    * INT packs the standard (r<<16)|(g<<8)|b — the reference's
+    * convertRGBArray reads signed bytes "+127" and shifts red by 24,
+    * which mangles any channel value ≥ 128; that's a defect, not a
+    * contract, so the sane unsigned forms are implemented here.
+    * The strategy is ignored for non-RGB pixel types. */
+  def decode(data: Array[Byte], pixelType: String, n: Int, rgbStrategy: String): Array[Double] = {
     val bb = java.nio.ByteBuffer.wrap(data)
     val out = new Array[Double](n)
     var i = 0
@@ -118,10 +171,23 @@ object PixelCodec {
       case Long64 => while (i < n) { out(i) = bb.getLong().toDouble; i += 1 }
       case Float32 => while (i < n) { out(i) = bb.getFloat(); i += 1 }
       case Double64 => while (i < n) { out(i) = bb.getDouble(); i += 1 }
-      case Rgb => while (i < n) { // MEAN strategy (TImgTools.java:315)
-        val r = bb.get() & 0xff; val g = bb.get() & 0xff; val b = bb.get() & 0xff
-        out(i) = (r + g + b) / 3.0; i += 1
-      }
+      case Rgb =>
+        val f: (Int, Int, Int) => Double = rgbStrategy.toUpperCase match {
+          case "MEAN"  => (r, g, b) => (r + g + b) / 3.0
+          case "SUM"   => (r, g, b) => (r + g + b).toDouble
+          case "MIN"   => (r, g, b) => math.min(math.min(r, g), b).toDouble
+          case "MAX"   => (r, g, b) => math.max(math.max(r, g), b).toDouble
+          case "INT"   => (r, g, b) => ((r << 16) | (g << 8) | b).toDouble
+          case "RED"   => (r, _, _) => r.toDouble
+          case "GREEN" => (_, g, _) => g.toDouble
+          case "BLUE"  => (_, _, b) => b.toDouble
+          case other => throw new IllegalArgumentException(
+            s"unknown RGB strategy: $other (MEAN/SUM/MIN/MAX/INT/RED/GREEN/BLUE)")
+        }
+        while (i < n) {
+          val r = bb.get() & 0xff; val g = bb.get() & 0xff; val b = bb.get() & 0xff
+          out(i) = f(r, g, b); i += 1
+        }
     }
     out
   }
@@ -206,19 +272,38 @@ case class ImageHistogram(bin_centers: Array[Double], counts: Array[Long]) {
   }
 
   /** Re-bin to new centers by nearest-center assignment
-    * (reference `interp`, IJHistogram.scala:17-26). */
+    * (reference `interp`, IJHistogram.scala:17-26). Uniform target
+    * grids (the common case — [[ImageHistogram.centers]] output) are
+    * assigned arithmetically in O(bins); arbitrary grids fall back to
+    * the nearest-center scan. */
   def interp(newCenters: Array[Double]): ImageHistogram = {
     val out = new Array[Long](newCenters.length)
+    val m = newCenters.length
+    val uniformW =
+      if (m >= 2) {
+        val w0 = (newCenters(m - 1) - newCenters(0)) / (m - 1)
+        val ok = w0 > 0 && newCenters.indices.forall { j =>
+          math.abs(newCenters(j) - (newCenters(0) + j * w0)) <=
+            1e-9 * math.max(1.0, math.abs(newCenters(j)))
+        }
+        if (ok) w0 else 0.0
+      } else 0.0
     var i = 0
     while (i < bin_centers.length) {
       if (counts(i) != 0) {
         val c = bin_centers(i)
-        var best = 0; var bestD = Double.MaxValue; var j = 0
-        while (j < newCenters.length) {
-          val d = math.abs(newCenters(j) - c)
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
+        val best =
+          if (uniformW > 0)
+            math.min(m - 1, math.max(0, math.round((c - newCenters(0)) / uniformW).toInt))
+          else {
+            var b = 0; var bestD = Double.MaxValue; var j = 0
+            while (j < m) {
+              val d = math.abs(newCenters(j) - c)
+              if (d < bestD) { bestD = d; b = j }
+              j += 1
+            }
+            b
+          }
         out(best) += counts(i)
       }
       i += 1
@@ -227,8 +312,10 @@ case class ImageHistogram(bin_centers: Array[Double], counts: Array[Long]) {
   }
 
   /** L1 distance of normalized histograms over shared re-binned centers,
-    * halved into [0,1] (reference IJHistogram.scala:34-41, 56-66). */
-  def distance(other: ImageHistogram, bins: Int = 1000): Double = {
+    * halved into [0,1] (reference IJHistogram.scala:34-41, 56-66;
+    * default bin count matches its `histInterpCount` = 10000,
+    * IJHistogram.scala:126). */
+  def distance(other: ImageHistogram, bins: Int = 10000): Double = {
     val lo = math.min(bin_centers.headOption.getOrElse(0.0), other.bin_centers.headOption.getOrElse(0.0))
     val hi = math.max(bin_centers.lastOption.getOrElse(0.0), other.bin_centers.lastOption.getOrElse(0.0))
     val centers = ImageHistogram.centers(lo, hi, bins)

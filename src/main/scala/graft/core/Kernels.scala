@@ -47,6 +47,12 @@ object Kernels {
     "16-bit" -> convertType(PixelCodec.Short16),
     "32-bit" -> convertType(PixelCodec.Float32),
     "RGB Color" -> convertType(PixelCodec.Rgb),
+    // ROI surface (reference Spiji.java:515-613): a rectangular ROI on
+    // the image restricts stats/histogram/particles/threshold
+    "setRoi" -> setRoi _,
+    "resetRoi" -> ((img, _) => img.copy(meta = img.meta.copy(roi = ""))),
+    // value calibration (IJCalibration.java:98-121 setFunction)
+    "setCalibration" -> setCalibration _,
     // ImageJ Process-menu staples (public command set): fixed 3x3
     // convolutions and the median alias
     "Despeckle" -> ((img, a) => median(img, Map("radius" -> "1"))),
@@ -361,6 +367,12 @@ object Kernels {
     val y0 = math.max(0, a.getOrElse("y", "0").toDouble.toInt)
     val cw = math.min(img.width - x0, a.getOrElse("width", img.width.toString).toDouble.toInt)
     val ch = math.min(img.height - y0, a.getOrElse("height", img.height.toString).toDouble.toInt)
+    cropRect(img, x0, y0, cw, ch)
+  }
+
+  /** Rect extraction shared by the Crop command and the ROI view; the
+    * result carries no ROI (it IS the region). */
+  private def cropRect(img: SparkImage, x0: Int, y0: Int, cw: Int, ch: Int): SparkImage = {
     require(cw > 0 && ch > 0, s"empty crop: x=$x0 y=$y0 w=$cw h=$ch")
     val px = img.toDoubles
     val out = new Array[Double](cw * ch * img.slices)
@@ -379,6 +391,7 @@ object Kernels {
       s += 1
     }
     img.copy(width = cw, height = ch,
+      meta = img.meta.copy(roi = ""),
       data = PixelCodec.encode(out, img.pixelType))
   }
 
@@ -416,9 +429,12 @@ object Kernels {
       }
       s += 1
     }
+    // no log append here: the `run` dispatcher logs the geometry
+    // command itself. (Both appending made a replayed log re-run the
+    // resize twice.) Direct callers wanting provenance go through
+    // `run(img, "Size...", ...)`.
     img.copy(width = nw, height = nh,
-      data = PixelCodec.encode(out, img.pixelType),
-      log = ImageLog.append(img.log, LogEntry("RUN", "SPARK", "Size...", s"width=$nw height=$nh")))
+      data = PixelCodec.encode(out, img.pixelType))
   }
 
   private def rotate(clockwise: Boolean): Kernel = (img, _) => {
@@ -468,17 +484,88 @@ object Kernels {
   private def applyThreshold(img: SparkImage, a: Map[String, String]): SparkImage = {
     val lower = a.get("lower").map(_.toDouble).getOrElse(Double.NegativeInfinity)
     val upper = a.get("upper").map(_.toDouble).getOrElse(Double.PositiveInfinity)
-    val px = img.toDoubles.map(v => if (v >= lower && v <= upper) 255.0 else 0.0)
-    img.withPixels(px, PixelCodec.Byte8)
+    val px = img.toDoubles
+    val out = roiRect(img) match {
+      case None => px.map(v => if (v >= lower && v <= upper) 255.0 else 0.0)
+      case Some((rx, ry, rw, rh)) =>
+        // ROI-restricted threshold: mask only inside the ROI, outside
+        // is background (ImageJ's threshold-within-selection shape)
+        val res = new Array[Double](px.length)
+        var s = 0
+        while (s < img.slices) {
+          val base = s * img.width * img.height
+          var y = ry
+          while (y < ry + rh) {
+            var x = rx
+            while (x < rx + rw) {
+              val v = px(base + y * img.width + x)
+              res(base + y * img.width + x) = if (v >= lower && v <= upper) 255.0 else 0.0
+              x += 1
+            }
+            y += 1
+          }
+          s += 1
+        }
+        res
+    }
+    img.withPixels(out, PixelCodec.Byte8)
   }
 
   private def convertToMask(img: SparkImage, a: Map[String, String]): SparkImage =
     img.withPixels(img.toDoubles.map(v => if (v > 0) 255.0 else 0.0), PixelCodec.Byte8)
 
   /** Bit-depth conversion with the reference's silent precision rules
-    * (int→short, double→float on creation — Spiji.java:994-1012). */
-  private def convertType(target: String): Kernel = (img, _) =>
-    img.withPixels(img.toDoubles, target)
+    * (int→short, double→float on creation — Spiji.java:994-1012).
+    * For RGB inputs the `rgb=` arg picks the RGB→scalar strategy
+    * (MEAN/SUM/MIN/MAX/INT/RED/GREEN/BLUE — TImgTools.java:311-324),
+    * e.g. `run2(img, '32-bit', 'rgb=red')` extracts the red channel. */
+  private def convertType(target: String): Kernel = (img, a) =>
+    img.withPixels(img.toDoubles(a.getOrElse("rgb", "MEAN")), target)
+
+  // ---- ROI / calibration ---------------------------------------------
+
+  /** `setRoi` command: `x= y= width= height=` (w=/h= accepted) pixel
+    * rect, clamped nowhere — out-of-bounds is an error, like ImageJ's
+    * setRoi on an invalid rect. */
+  private def setRoi(img: SparkImage, a: Map[String, String]): SparkImage = {
+    val x = a.getOrElse("x", "0").toDouble.toInt
+    val y = a.getOrElse("y", "0").toDouble.toInt
+    val w = a.get("width").orElse(a.get("w")).map(_.toDouble.toInt).getOrElse(img.width - x)
+    val h = a.get("height").orElse(a.get("h")).map(_.toDouble.toInt).getOrElse(img.height - y)
+    require(x >= 0 && y >= 0 && w > 0 && h > 0 && x + w <= img.width && y + h <= img.height,
+      s"ROI out of bounds: x=$x y=$y w=$w h=$h on ${img.width}x${img.height}")
+    img.copy(meta = img.meta.copy(roi = s"$x,$y,$w,$h"))
+  }
+
+  /** `setCalibration` command: `function=line coeffs=-1024,1 unit=HU`.
+    * Function forms: [[Calibration]]. */
+  private def setCalibration(img: SparkImage, a: Map[String, String]): SparkImage = {
+    val fn = a.getOrElse("function", "line")
+    val coeffs = a.getOrElse("coeffs", "").split(",").filter(_.nonEmpty).map(_.toDouble).toSeq
+    Calibration(fn, coeffs, 0.0) // validate the function name eagerly
+    img.copy(meta = img.meta.copy(calFunction = fn, calCoeffs = coeffs,
+      valueUnit = a.getOrElse("unit", img.meta.valueUnit)))
+  }
+
+  private[graft] def roiRect(img: SparkImage): Option[(Int, Int, Int, Int)] =
+    if (img.meta.roi.isEmpty) None
+    else img.meta.roi.split(",") match {
+      case Array(x, y, w, h) => Some((x.trim.toInt, y.trim.toInt, w.trim.toInt, h.trim.toInt))
+      case _ => None
+    }
+
+  /** The ROI sub-image (all slices), or the image itself without ROI.
+    * Measurement ops go through this view. */
+  private[graft] def roiView(img: SparkImage): SparkImage =
+    roiRect(img).map { case (x, y, w, h) => cropRect(img, x, y, w, h) }.getOrElse(img)
+
+  /** Calibrated pixel values: raw decode → calibration function
+    * (identity when no function is set). */
+  def calibratedValues(img: SparkImage): Array[Double] = {
+    val px = img.toDoubles
+    if (!Calibration.isCalibrated(img.meta)) px
+    else px.map(v => Calibration(img.meta.calFunction, img.meta.calCoeffs, v))
+  }
 
   // ---- binary image ops (SURVEY §2.4 J1-J3) --------------------------
 
@@ -527,9 +614,13 @@ object Kernels {
   // ---- statistics / histogram ----------------------------------------
 
   /** min/mean/stdDev/max/pts (reference getImageStatistics,
-    * PortableImagePlus.scala:411-414). Population stdDev, like ImageJ. */
+    * PortableImagePlus.scala:411-414). Population stdDev, like ImageJ.
+    * Respects the active ROI (stats of the selection only) and the
+    * value-calibration function (stats in calibrated units — the CT
+    * Hounsfield use-case), both like ImageJ's getStatistics. */
   def stats(img: SparkImage): ImageStats = {
-    val px = img.toDoubles
+    val view = roiView(img)
+    val px = calibratedValues(view)
     if (px.isEmpty) return ImageStats(0, 0, 0, 0, 0)
     var mn = Double.MaxValue; var mx = Double.MinValue; var sum = 0.0
     var i = 0
@@ -552,7 +643,7 @@ object Kernels {
   def histogram(img: SparkImage, min: Double, max: Double, bins: Int): ImageHistogram = {
     val counts = new Array[Long](bins)
     val w = (max - min) / bins
-    val px = img.toDoubles
+    val px = roiView(img).toDoubles
     var i = 0
     while (i < px.length) {
       val b0 = math.floor((px(i) - min) / w).toInt
@@ -562,9 +653,11 @@ object Kernels {
     ImageHistogram(ImageHistogram.centers(min, max, bins), counts)
   }
 
-  /** Auto-range histogram, 256 bins over the observed [min,max]
-    * (the reference's `hist` defaults to the image range). */
-  def histogramAuto(img: SparkImage, bins: Int = 256): ImageHistogram = {
+  /** Auto-range histogram over the observed [min,max]. The default bin
+    * count matches the reference's from-IJ histogram (60000 bins,
+    * IJHistogram.scala:125) so `hist`/`hist_compare` carry the same
+    * value resolution; pass `bins` explicitly for coarser summaries. */
+  def histogramAuto(img: SparkImage, bins: Int = 60000): ImageHistogram = {
     val st = stats(img)
     val hi = if (st.max > st.min) st.max else st.min + 1.0
     histogram(img, st.min, math.nextUp(hi), bins)
@@ -573,15 +666,51 @@ object Kernels {
   // ---- connected components / particle analysis (SURVEY A4) ----------
 
   /** Connected-component labeling (8-connectivity, two-pass union-find)
-    * of nonzero pixels on slice 0, plus per-component measurements —
-    * the rebuild of ImageJ `Analyze Particles`
-    * (PortableImagePlus.scala:153-155; measurement set: subset of
-    * IJResultsTable.scala:95-97 per FIXTURES.md §4).
-    * Components are numbered in raster order of their first pixel, so
-    * labels are deterministic. */
+    * of nonzero pixels, plus per-component measurements — the rebuild
+    * of ImageJ `Analyze Particles` (PortableImagePlus.scala:153-155;
+    * measurement set: subset of IJResultsTable.scala:95-97 per
+    * FIXTURES.md §4).
+    *
+    * STACK-AWARE like ImageJ's multi-slice analysis (the reference's
+    * DICOM tests analyze 68-slice stacks, IjRDDTests.scala:30-99):
+    * each slice is labeled independently and rows carry a 1-based
+    * `Slice` column; an active ROI restricts analysis to the region,
+    * with X/Y/BX/BY reported in absolute image coordinates.
+    * Components are numbered in (slice, raster) order of their first
+    * pixel, so labels are deterministic. */
   def analyzeParticles(img: SparkImage): ResultsTable = {
-    val w = img.width; val h = img.height
-    val px = img.toDoubles // slice 0 only, like ImageJ's per-slice analysis
+    val view = roiView(img)
+    val (offX, offY) = roiRect(img).map(r => (r._1, r._2)).getOrElse((0, 0))
+    val w = view.width; val h = view.height
+    val all = view.toDoubles
+    val header = Array("Slice", "Area", "Mean", "Min", "Max", "X", "Y",
+      "Perim.", "BX", "BY", "Width", "Height")
+    val rows = IndexedSeq.newBuilder[Array[Double]]
+    var slice = 0
+    while (slice < view.slices) {
+      val px = java.util.Arrays.copyOfRange(all, slice * w * h, (slice + 1) * w * h)
+      analyzeSlice(px, w, h).foreach { r =>
+        rows += (Array((slice + 1).toDouble) ++ offsetRow(r, offX, offY))
+      }
+      slice += 1
+    }
+    ResultsTable(header, rows.result())
+  }
+
+  /** Shift the centroid/bounding-box columns of one slice-local
+    * measurement row into absolute image coordinates. */
+  private def offsetRow(r: Array[Double], offX: Int, offY: Int): Array[Double] = {
+    val out = r.clone()
+    out(4) += offX // X
+    out(5) += offY // Y
+    out(7) += offX // BX
+    out(8) += offY // BY
+    out
+  }
+
+  /** One slice's labeling + measurements (columns: Area, Mean, Min,
+    * Max, X, Y, Perim., BX, BY, Width, Height — slice-local coords). */
+  private def analyzeSlice(px: Array[Double], w: Int, h: Int): IndexedSeq[Array[Double]] = {
     val labels = new Array[Int](w * h)
     val parent = mutable.ArrayBuffer[Int](0)
     def find(x0: Int): Int = {
@@ -661,14 +790,12 @@ object Kernels {
       }
       y += 1
     }
-    val header = Array("Area", "Mean", "Min", "Max", "X", "Y", "Perim.", "BX", "BY", "Width", "Height")
-    val rows = (0 until n).map { i =>
+    (0 until n).map { i =>
       Array(area(i), sum(i) / area(i), minV(i), maxV(i),
         sx(i) / area(i), sy(i) / area(i), perim(i),
         bx0(i).toDouble, by0(i).toDouble,
         (bx1(i) - bx0(i) + 1).toDouble, (by1(i) - by0(i) + 1).toDouble)
     }
-    ResultsTable(header, rows)
   }
 
   /** `runtable` dispatch: command → results table

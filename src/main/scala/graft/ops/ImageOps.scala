@@ -90,6 +90,52 @@ object ImageOps {
   def zipped(a: Seq[String], b: Seq[String]): Seq[String] =
     a.zip(b).map { case (x, y) => s"$x $y" }
 
+  /** Interpolate between full macro arg-strings, integer-aware — the
+    * reference's `ImageJMacroStepsToSweep` (ParameterSweep.scala:
+    * 126-135, sweepArgs 228-317): each key seen across the endpoint
+    * strings becomes a range; a key whose two endpoint values are both
+    * numeric interpolates over `steps` (integral endpoints produce
+    * distinct ints, floats produce floats); non-numeric or constant
+    * keys stay fixed. `cartesian=true` crosses the per-key ranges,
+    * otherwise ranges zip positionally (constant keys riding along).
+    */
+  def macroStepsToSweep(endpoints: Seq[String], steps: Int = 5,
+                        cartesian: Boolean = true): Seq[String] = {
+    require(steps > 1, "steps must be > 1")
+    require(endpoints.nonEmpty, "need at least one endpoint arg-string")
+    val parsed = endpoints.map(Kernels.parseArgs)
+    val keys = parsed.flatMap(_.keys).distinct // stable first-seen order
+    def isLongNum(s: String) = s.nonEmpty && s.matches("-?\\d+")
+    def isNum(s: String) = scala.util.Try(s.toDouble).isSuccess
+    val grid = (0 until steps).map(_ / (steps - 1.0))
+    val ranges: Seq[(String, Seq[String])] = keys.map { k =>
+      val vals = parsed.flatMap(_.get(k)).distinct
+      val range = vals match {
+        case Seq(single) => Seq(single)
+        case Seq(lo, hi) if isLongNum(lo) && isLongNum(hi) =>
+          grid.map(t => (lo.toDouble + t * (hi.toDouble - lo.toDouble)).toInt)
+            .distinct.map(_.toString)
+        case Seq(lo, hi) if isNum(lo) && isNum(hi) =>
+          grid.map(t => (lo.toDouble + t * (hi.toDouble - lo.toDouble)).toString)
+        case other => other // non-numeric / 3+ endpoints: enumerate as-is
+      }
+      k -> range
+    }
+    if (cartesian)
+      ranges.foldLeft(Seq("")) { case (acc, (k, range)) =>
+        for (prefix <- acc; v <- range)
+          yield if (prefix.isEmpty) s"$k=$v" else s"$prefix $k=$v"
+      }
+    else {
+      val n = ranges.map(_._2.length).max
+      (0 until n).map { i =>
+        ranges.map { case (k, range) =>
+          s"$k=${range(math.min(i, range.length - 1))}"
+        }.mkString(" ")
+      }
+    }
+  }
+
   implicit class GraftImageOps(df: DataFrame) {
 
     /** Run a kernel over every image (rebuild of runAll,

@@ -233,6 +233,37 @@ object ImageQueries {
         assembled.select(col("sample"),
           ImageFunctions.nslicesUdf(col("image")).as("nslices"),
           ImageFunctions.statsUdf(col("image")).getField("mean").as("mean"))
+      }, None),
+
+    // ROI + value calibration: stats of a selection in calibrated units
+    // (ROI surface Spiji.java:515-613; calibration IJCalibration.java:
+    // 98-121 — the CT Hounsfield use-case)
+    ("img15_roi_calibrated",
+      (s, _) => {
+        val roid = ImageFunctions.run2Udf(
+          ImageFunctions.run2Udf(col("image"), lit("setRoi"), lit("x=16 y=8 width=64 height=48")),
+          lit("setCalibration"), lit("function=line coeffs=-1024,1 unit=HU"))
+        val st = ImageFunctions.statsUdf(roid)
+        debugImages(s)
+          .select(col("sample"), st.getField("mean").as("hu_mean"),
+            st.getField("pts").as("roi_pts"))
+          .orderBy(col("sample"))
+      }, None),
+
+    // RGB→scalar conversion strategies (TImgTools.java:311-366): gray →
+    // RGB, then per-strategy channel extraction via the run2 rgb= arg
+    ("img16_rgb_channels",
+      (s, _) => {
+        val rgb = ImageFunctions.run2Udf(
+          ImageFunctions.run2Udf(col("image"), lit("8-bit"), lit("")),
+          lit("RGB Color"), lit(""))
+        def chan(strategy: String) = ImageFunctions.statsUdf(
+          ImageFunctions.run2Udf(rgb, lit("32-bit"), lit(s"rgb=$strategy")))
+          .getField("mean")
+        blobImages(s, count = 8)
+          .select(col("sample"), chan("mean").as("m_mean"), chan("sum").as("m_sum"),
+            chan("max").as("m_max"), chan("int").as("m_int"), chan("red").as("m_red"))
+          .orderBy(col("sample"))
       }, None)
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import QueryDsl._
-import graft.pipeline.{Dedup, Similarity, TextFunctions}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: exact + near dedup, similarity search, text quality metrics.
@@ -78,6 +78,35 @@ object TextPipeline {
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
       None),
 
+    // ---- LSH-bucketed ANN (hyperplane signatures; approximate) ---------
+    ("q54_ann_lsh",
+      (s, dir) => Similarity.lshTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      None),
+
+    // ---- multimodal columns: binary payload + typed meta through the
+    // partition-mapped resize + feature-extract stages (codec boundary
+    // stubbed deterministically for non-image bytes — Multimodal) ------
+    ("q55_multimodal_features",
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(
+          t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload", "image", "raw")
+        Multimodal.extractFeatures(Multimodal.resizeStage(media, 24, 24))
+          .toDF().orderBy(col("media_id"))
+      }, None),
+
+    // ---- multimodal frame sampling: explode per-payload frames ---------
+    ("q56_multimodal_frames",
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(
+          t(s, dir, "documents").filter(col("doc_id") < 100)
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload", "video", "raw")
+        Multimodal.sampleFrames(media, nFrames = 4)
+          .orderBy(col("media_id"), col("frame_idx"))
+      }, None),
+
     // ---- embedding norm + label centroid distance (SQL-expressible) ----
     ("q30_embedding_stats",
       (s, dir) => t(s, dir, "embeddings")
@@ -140,12 +169,17 @@ object TextPipeline {
           / GREATEST(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE), 1.0) AS mean_token_len
         FROM documents ORDER BY doc_id""")),
 
-    // ---- BPE-ish token cost (custom subword UDF — rows-only) -----------
+    // ---- BPE-ish token cost: subword regex + length-cost, mirrored in
+    // DuckDB regexp_extract_all (alternatives are disjoint char
+    // classes, so Java/RE2 matching agrees) ------------------------------
     ("q44_token_costs",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.bpeishCountUdf(col("text")).as("bpeish_tokens"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+        regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+        t -> CASE WHEN length(t) <= 4 THEN 1 ELSE (length(t)+3)//4 END)), 0) AS BIGINT) AS bpeish_tokens
+        FROM documents ORDER BY doc_id""")),
 
     // ---- composed cleaning pipeline: quality filter → exact dedup ------
     ("q45_corpus_clean",

@@ -49,7 +49,11 @@ object ImageCodecIO {
     }
   }
 
-  /** Encode slice 0 to PNG bytes (format: "png" | "bmp" | "gif"). */
+  /** Encode slice 0 to PNG bytes (format: "png" | "bmp" | "gif").
+    * Short16 writes 16-bit gray (PNG supports it), so
+    * decode(encode(img)) round-trips the full 16-bit range; float
+    * types clamp to 8-bit gray — a documented lossy save, since the
+    * interchange file formats here have no float sample type. */
   def encode(img: SparkImage, format: String = "png"): Array[Byte] = {
     val w = img.width; val h = img.height
     val px = img.toDoubles
@@ -61,6 +65,15 @@ object ImageCodecIO {
         while (i < w * h) {
           val r = d(i * 3) & 0xff; val g = d(i * 3 + 1) & 0xff; val b = d(i * 3 + 2) & 0xff
           out.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+          i += 1
+        }
+        out
+      case PixelCodec.Short16 =>
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+        val raster = out.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0, PixelCodec.clamp(px(i), PixelCodec.Short16).toInt)
           i += 1
         }
         out

@@ -32,6 +32,123 @@ class KernelSpec extends AnyFunSuite with Matchers {
     img.toDoubles shouldBe Array(60.0)
   }
 
+  test("rgb conversion strategies match the reference formula set (TImgTools.java:311-366)") {
+    // channel values past 127 exercise the unsigned read (the
+    // reference's signed-byte "+127" handling is a documented defect)
+    val img = SparkImage(ImageMeta(), "[]", 1, 1, 1, PixelCodec.Rgb,
+      Array(200.toByte, 60.toByte, 90.toByte))
+    img.toDoubles("MEAN") shouldBe Array((200.0 + 60.0 + 90.0) / 3)
+    img.toDoubles("SUM") shouldBe Array(350.0)
+    img.toDoubles("MIN") shouldBe Array(60.0)
+    img.toDoubles("MAX") shouldBe Array(200.0)
+    img.toDoubles("INT") shouldBe Array(((200 << 16) | (60 << 8) | 90).toDouble)
+    img.toDoubles("RED") shouldBe Array(200.0)
+    img.toDoubles("GREEN") shouldBe Array(60.0)
+    img.toDoubles("BLUE") shouldBe Array(90.0)
+    an[IllegalArgumentException] should be thrownBy img.toDoubles("LUMA")
+    // run2 surface: channel extraction via the conversion commands
+    Kernels.run(img, "32-bit", "rgb=red").toDoubles shouldBe Array(200.0)
+    Kernels.run(img, "8-bit", "rgb=blue").toDoubles shouldBe Array(90.0)
+  }
+
+  test("ROI restricts stats, histogram and threshold to the selection (Spiji.java:515-613)") {
+    // 10x10 image: left half 10.0, right half 90.0
+    val px = Array.tabulate(100)(i => if (i % 10 < 5) 10.0 else 90.0)
+    val img = SparkImage(ImageMeta(), "[]", 10, 10, 1, PixelCodec.Float32,
+      PixelCodec.encode(px, PixelCodec.Float32))
+    Kernels.stats(img).mean shouldBe 50.0
+    val leftRoi = Kernels.run(img, "setRoi", "x=0 y=0 width=5 height=10")
+    Kernels.stats(leftRoi).mean shouldBe 10.0
+    Kernels.stats(leftRoi).pts shouldBe 50L
+    // w=/h= arg aliases + reset
+    val rightRoi = Kernels.run(img, "setRoi", "x=5 y=0 w=5 h=10")
+    Kernels.stats(rightRoi).mean shouldBe 90.0
+    Kernels.stats(Kernels.run(rightRoi, "resetRoi")).mean shouldBe 50.0
+    // out-of-bounds ROI is an error
+    an[IllegalArgumentException] should be thrownBy
+      Kernels.run(img, "setRoi", "x=8 y=0 width=5 height=5")
+    // histogram respects the ROI
+    Kernels.histogram(leftRoi, 0.0, 100.0, 2).counts shouldBe Array(50L, 0L)
+    // threshold masks inside the ROI only; outside is background
+    val masked = Kernels.run(rightRoi, "setThreshold", "lower=50 upper=100")
+    val mpx = masked.toDoubles
+    mpx.count(_ == 255.0) shouldBe 50
+    (0 until 100).filter(i => i % 10 < 5).map(mpx) shouldBe Seq.fill(50)(0.0)
+  }
+
+  test("ROI'd particle analysis reports absolute coordinates") {
+    val px = new Array[Double](400)
+    for (y <- 2 to 4; x <- 2 to 4) px(y * 20 + x) = 9.0
+    for (y <- 12 to 14; x <- 12 to 14) px(y * 20 + x) = 5.0
+    val img = SparkImage(ImageMeta(), "[]", 20, 20, 1, PixelCodec.Float32,
+      PixelCodec.encode(px, PixelCodec.Float32))
+    val roi = Kernels.run(img, "setRoi", "x=0 y=0 width=10 height=10")
+    val t = Kernels.analyzeParticles(roi)
+    t.rows.length shouldBe 1 // only the first blob is inside the ROI
+    t.firstRow("X") shouldBe 3.5 // absolute coords, not ROI-local
+    t.firstRow("BX") shouldBe 2.0
+    val shifted = Kernels.analyzeParticles(Kernels.run(img, "setRoi", "x=10 y=10 w=10 h=10"))
+    shifted.firstRow("X") shouldBe 13.5
+    shifted.firstRow("BY") shouldBe 12.0
+  }
+
+  test("particle analysis is stack-aware with a per-slice Slice column (IjRDDTests.scala:30-99)") {
+    // 3-slice stack: 1 blob on slice 1, 2 blobs on slice 2, empty slice 3
+    def sliceWith(blobs: Seq[(Int, Int)]): Array[Double] = {
+      val px = new Array[Double](100)
+      blobs.foreach { case (cx, cy) =>
+        for (y <- cy to cy + 1; x <- cx to cx + 1) px(y * 10 + x) = 7.0
+      }
+      px
+    }
+    val data = sliceWith(Seq((1, 1))) ++ sliceWith(Seq((1, 1), (6, 6))) ++ sliceWith(Nil)
+    val stack = SparkImage(ImageMeta(), "[]", 10, 10, 3, PixelCodec.Float32,
+      PixelCodec.encode(data, PixelCodec.Float32))
+    val t = Kernels.analyzeParticles(stack)
+    t.rows.length shouldBe 3
+    t.column("Slice").get shouldBe Array(1.0, 2.0, 2.0)
+    t.column("Area").get shouldBe Array(4.0, 4.0, 4.0)
+    t.column("X").get shouldBe Array(2.0, 2.0, 7.0)
+  }
+
+  test("value calibration: stats in calibrated units (IJCalibration.java:98-121)") {
+    val raw = const(1000.0)
+    // CT: HU = -1024 + 1*raw (the applyOffset use-case as a function)
+    val ct = Kernels.run(raw, "setCalibration", "function=line coeffs=-1024,1 unit=HU")
+    Kernels.stats(ct).mean shouldBe -24.0
+    Kernels.stats(ct).min shouldBe -24.0
+    ct.meta.valueUnit shouldBe "HU"
+    // poly2 and power forms
+    val p2 = Kernels.run(const(10.0), "setCalibration", "function=poly2 coeffs=1,2,3")
+    Kernels.stats(p2).mean shouldBe (1.0 + 2.0 * 10 + 3.0 * 100)
+    val pw = Kernels.run(const(9.0), "setCalibration", "function=power coeffs=2,0.5")
+    Kernels.stats(pw).mean shouldBe 6.0
+    an[IllegalArgumentException] should be thrownBy
+      Kernels.run(raw, "setCalibration", "function=sigmoid coeffs=1")
+    // raw pixel data untouched: decode still returns stored values
+    ct.toDoubles.head shouldBe 1000.0
+  }
+
+  test("16-bit images survive an encode/decode round-trip (PNG USHORT_GRAY)") {
+    val vals = Array(0.0, 255.0, 256.0, 4095.0, 65535.0, 40000.0)
+    val img = SparkImage(ImageMeta(), "[]", 3, 2, 1, PixelCodec.Short16,
+      PixelCodec.encode(vals, PixelCodec.Short16))
+    val back = graft.sources.ImageCodecIO.decode("t.png",
+      graft.sources.ImageCodecIO.encode(img, "png"))
+    back.pixelType shouldBe PixelCodec.Short16
+    back.toDoubles shouldBe vals
+  }
+
+  test("geometry commands log exactly one provenance entry (replay applies once)") {
+    val img = const(5.0, 8, 8)
+    val resized = Kernels.run(img, "Size...", "width=4 height=4")
+    ImageLog.parseOps(resized.log).count(_._2 == "Size...") shouldBe 1
+    // replaying the log on a fresh image applies the resize once
+    val replayed = Kernels.replayLog(const(5.0, 8, 8), resized.log)
+    replayed.width shouldBe 4
+    replayed.height shouldBe 4
+  }
+
   test("constant image stats: mean=fill, stdDev=0 (SpijiTests.scala:297-310)") {
     val st = Kernels.stats(const(1000.0))
     st.mean shouldBe 1000.0

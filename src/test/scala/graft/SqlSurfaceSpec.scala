@@ -102,6 +102,48 @@ class SqlSurfaceSpec extends AnyFunSuite with Matchers {
     swept.select("sample").distinct.count() shouldBe 9
   }
 
+  test("imagedir DSv2 write path: df.write round-trips through the directory source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirwrite").toString
+    val df = ImageQueries.debugImages(spark, count = 4)
+      .withColumn("image", ImageFunctions.run2Udf(col("image"), lit("8-bit"), lit("")))
+      .select(lit("").as("path"), concat(col("sample"), lit(".png")).as("name"),
+              lit(0L).as("size"), col("image"))
+    df.write.format("imagedir").option("path", dir).mode("append").save()
+    val back = spark.read.format("imagedir").option("path", dir).load()
+    back.count() shouldBe 4
+    ImageFunctions.registerAll(spark)
+    back.createOrReplaceTempView("DirWritten")
+    spark.sql("SELECT stats(image)['mean'] AS m FROM DirWritten")
+      .as[Double].collect().foreach(_ shouldBe 255.0)
+    // overwrite mode (TRUNCATE capability) replaces files name-by-name
+    df.write.format("imagedir").option("path", dir).mode("overwrite").save()
+    spark.read.format("imagedir").option("path", dir).load().count() shouldBe 4
+  }
+
+  test("macro-string sweep interpolation is integer-aware (ParameterSweep.scala:228-317)") {
+    // integral endpoints interpolate as distinct ints; float endpoints
+    // as floats; constant keys ride along; cartesian crosses keys
+    ImageOps.macroStepsToSweep(Seq("radius=1 pad=7", "radius=5 pad=7"), steps = 5) shouldBe
+      Seq("radius=1 pad=7", "radius=2 pad=7", "radius=3 pad=7", "radius=4 pad=7", "radius=5 pad=7")
+    ImageOps.macroStepsToSweep(Seq("sigma=1.0", "sigma=2.0"), steps = 3) shouldBe
+      Seq("sigma=1.0", "sigma=1.5", "sigma=2.0")
+    // integer rounding collapses duplicate steps (reference .distinct)
+    ImageOps.macroStepsToSweep(Seq("radius=1", "radius=2"), steps = 5) shouldBe
+      Seq("radius=1", "radius=2")
+    // cartesian across two varying keys: 3 x 3 combinations
+    ImageOps.macroStepsToSweep(
+      Seq("radius=1 sigma=0.0", "radius=3 sigma=1.0"), steps = 3).length shouldBe 9
+    // zipped mode pairs ranges positionally
+    ImageOps.macroStepsToSweep(
+      Seq("radius=1 sigma=0.0", "radius=3 sigma=1.0"), steps = 3, cartesian = false) shouldBe
+      Seq("radius=1 sigma=0.0", "radius=2 sigma=0.5", "radius=3 sigma=1.0")
+    // a swept run fans out rows like runRange
+    val swept = ImageQueries.debugImages(spark, count = 2)
+      .runRange("Mean...", ImageOps.macroStepsToSweep(Seq("radius=1", "radius=3"), steps = 3))
+    swept.count() shouldBe 6
+  }
+
   test("save + load round trip via PNG (scOps.scala:262-271)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_imgs").toString
