@@ -36,16 +36,23 @@ object ImageOps {
     }.toDF("sample", "image")
   }
 
-  /** Distributed save: one file per row under `dir`
-    * (rebuild of saveImagesLocal, scOps.scala:262-271; shared-FS
-    * semantics — on a cluster `dir` must be a shared mount, the same
-    * contract the reference had). */
+  /** Distributed save: one file per row under `dir` through the
+    * Hadoop FileSystem API (rebuild of saveImagesLocal,
+    * scOps.scala:262-271, plus the reference's Hadoop byte-save,
+    * SQLFunctions.scala/scOps saveAsBinaryFile path): `dir` may be any
+    * registered scheme — local path, `hdfs://`, `s3a://` — and the
+    * session's Hadoop configuration (credentials, endpoints) is
+    * shipped to the tasks. */
   def saveImages(df: DataFrame, dir: String, format: String = "png"): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     df.select(col("sample"), col("image"))
       .as[(String, SparkImage)]
       .foreachPartition { it: Iterator[(String, SparkImage)] =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(serConf.value)
         it.foreach { case (sample, img) =>
           // never emit a leading "_" or "." — Spark's file index treats
           // those as hidden/metadata files and silently skips them
@@ -53,9 +60,9 @@ object ImageOps {
             case "" => "img"
             case s => s
           }
-          val out = java.nio.file.Paths.get(dir, s"$safe.$format")
-          java.nio.file.Files.createDirectories(out.getParent)
-          java.nio.file.Files.write(out, ImageCodecIO.encode(img, format))
+          val out = new org.apache.hadoop.fs.Path(base, s"$safe.$format")
+          val os = fs.create(out, true)
+          try os.write(ImageCodecIO.encode(img, format)) finally os.close()
         }
       }
   }

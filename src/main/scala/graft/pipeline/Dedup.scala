@@ -56,21 +56,54 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDocFreq: Long = 256L): DataFrame = {
+    // The shingle table feeds several plan branches; without
+    // persistence the tokenize+shingle UDF re-executes once per
+    // branch. At corpus scale materializing the shingle table is the
+    // standard move — MEMORY_AND_DISK spills instead of recomputing.
     val sh = PartitionUtil.spread(docs)
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle_str"))
       .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
-    val rare = posting0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDocFreq).select(col("shingle"))
-    val posting = posting0.join(rare, "shingle")
-    val a = posting.select(col("shingle"), col("doc_id").as("id_a"))
-    val b = posting.select(col("shingle"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val fullA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
-    val fullB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
-    cand.join(fullA, Seq("id_a")).join(fullB, Seq("id_b"))
+    val dfreq = posting0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val posting = posting0.join(
+      dfreq.filter(col("df") <= maxShingleDocFreq).select(col("shingle")), "shingle")
+    // candidate pruning is COUNTING, not set math: the equi-join on
+    // capped shingle hashes feeds a map-side-combining aggregation that
+    // yields each pair's shared-RARE-shingle count directly — no
+    // per-pair array materialization for the millions of weak pairs
+    val pairInter = posting.select(col("shingle"), col("doc_id").as("id_a"))
+      .join(posting.select(col("shingle"), col("doc_id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // per-doc count of capped-out (stop) shingles bounds what the rare
+    // count can miss: true_inter <= inter_rare + least(capped_a, capped_b)
+    val capped = posting0.join(
+        dfreq.filter(col("df") > maxShingleDocFreq).select(col("shingle")), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_capped"))
+    val narrow = sh.select(col("doc_id"), col("sz"))
+      .join(capped, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_capped"))
+    // J = i/(A+B-i) is increasing in i, so the upper bound on inter
+    // gives an upper bound on Jaccard: pairs failing it are provably
+    // below threshold and never touch the shingle arrays. The bound
+    // joins only NARROW per-doc columns (sz, n_capped); the full
+    // arrays join in for the tiny surviving set, which then re-scores
+    // EXACTLY — the cap never changes a reported similarity.
+    val survivors = pairInter
+      .join(narrow.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
+        col("n_capped").as("cap_a")), Seq("id_a"))
+      .join(narrow.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("n_capped").as("cap_b")), Seq("id_b"))
+      .withColumn("upper", col("inter_rare") + least(col("cap_a"), col("cap_b")))
+      .filter(col("upper").cast("double") /
+        (col("sz_a") + col("sz_b") - col("upper")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+    survivors
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))

@@ -54,7 +54,9 @@ object Multimodal {
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    // codec work is CPU-bound per row: make sure a small file count
+    // doesn't pin the whole stage to 1-2 input splits
+    PartitionUtil.spread(media).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val img =
           if (r.meta.media_type == "image")
@@ -76,7 +78,7 @@ object Multimodal {
   def resizeStage(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    PartitionUtil.spread(media).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val img =
           if (r.meta.media_type == "image")

@@ -13,6 +13,11 @@ import graft.core.{ImageLog, ImageMeta, LogEntry, PixelCodec, SparkImage}
   * any task thread. */
 object ImageCodecIO {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates (and synchronizes on) a temp file, which serializes all
+  // codec work across task threads. In-memory streams only.
+  ImageIO.setUseCache(false)
+
   /** Decode encoded file bytes into a SparkImage. Color inputs become
     * 24bit-rgb, grayscale becomes 8bit/16bit by sample depth. */
   def decode(path: String, bytes: Array[Byte]): SparkImage = {
