@@ -178,6 +178,16 @@ object Kernels {
     out
   }
 
+  /** Apply a custom per-slice processor `(slicePixels, w, h) => newPixels`
+    * to every slice — the public face of the reference's
+    * `processorForEach` (PortableImagePlus.scala:171-183), for slice
+    * transforms that aren't registered commands. The kernel must stay
+    * pure (no captured mutable state) to keep results partition- and
+    * retry-invariant. */
+  def processSlices(img: SparkImage)(f: (Array[Double], Int, Int) => Array[Double]): SparkImage =
+    img.withPixels(perSlice(img)(f),
+      entry = Some(LogEntry("RUN", "SPARK", "processSlices", "")))
+
   /** Square-window median, radius r, edges clamped. Deterministic and
     * precisely specified (SURVEY §7 "hard parts": define `Median...`
     * edge handling exactly). */

@@ -96,6 +96,51 @@ object TextPipeline {
           .toDF().orderBy(col("media_id"))
       }, None),
 
+    // ---- deterministic train/val/test split: content-hash bucketing
+    // (the standard reproducible split for training corpora — no RNG,
+    // stable under re-partitioning, re-runs and engine changes) --------
+    ("q57_train_split",
+      (s, dir) => {
+        val bucket = pmod(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(100L))
+        t(s, dir, "documents")
+          .select(col("doc_id"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+               max(col("doc_id")).as("max_id"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+          CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS bucket
+        FROM documents)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM b GROUP BY 1 ORDER BY split""")),
+
+    // ---- corpus document-frequency top terms (the DF half of TF-IDF;
+    // integer outputs so the oracle is bit-exact) ----------------------
+    ("q58_doc_freq",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("doc_id"),
+          explode(array_distinct(Dedup.tokens(col("text")))).as("token"))
+        val top = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("token")).limit(50)
+        top.withColumn("rank",
+            row_number().over(Window.orderBy(col("df").desc, col("token"))).cast("long"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+        FROM documents),
+        dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY token),
+        top AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 50)
+        SELECT token, df,
+               CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token) AS BIGINT) AS rank
+        FROM top ORDER BY rank""")),
+
     // ---- multimodal frame sampling: explode per-payload frames ---------
     ("q56_multimodal_frames",
       (s, dir) => {

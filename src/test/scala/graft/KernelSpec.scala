@@ -139,6 +139,14 @@ class KernelSpec extends AnyFunSuite with Matchers {
     back.toDoubles shouldBe vals
   }
 
+  test("processSlices applies a custom per-slice kernel (PortableImagePlus.scala:171-183)") {
+    val base = Kernels.constantImage(4, 3, 2, 10.0)
+    val doubled = Kernels.processSlices(base)((sl, _, _) => sl.map(_ * 2))
+    Kernels.stats(doubled).mean shouldBe 20.0
+    doubled.slices shouldBe 2
+    doubled.log should include ("processSlices")
+  }
+
   test("geometry commands log exactly one provenance entry (replay applies once)") {
     val img = const(5.0, 8, 8)
     val resized = Kernels.run(img, "Size...", "width=4 height=4")
