@@ -151,9 +151,7 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
               nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              sampleFraction: Double = 0.25): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              sampleFraction: Double = 0.25, maxFitSample: Int = 65536): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
@@ -161,30 +159,27 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", normalizeUdf(col("v")))
       .cache()
-    val fe = base.select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    // Fit the coarse quantizer on a seeded, cached SAMPLE (standard IVF
-    // practice): k-means iterations then touch only |corpus|·fraction
-    // rows instead of re-scanning the full corpus maxIter times; the
-    // full corpus is scanned exactly once, for assignment. Falls back
-    // to the full set only when the sample is too small to support
-    // nClusters centroids (tiny test inputs).
-    val fitSample = fe.sample(withReplacement = false, fraction = sampleFraction, seed = seed).cache()
-    val fitSet = if (fitSample.count() >= 4L * nClusters) fitSample else fe
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(fitSet)
-    fitSample.unpersist()
-    val centers = model.clusterCenters.map(_.toArray)
+    // Fit the coarse quantizer on a seeded SAMPLE collected to the
+    // driver (standard IVF practice — the quantizer problem is tiny:
+    // ≤ maxFitSample vectors, nClusters·dim centroid doubles), so
+    // k-means iterations cost zero cluster scans and the full corpus
+    // is scanned exactly once, for assignment. Falls back to the full
+    // set only when the sample can't support nClusters centroids.
+    val sampled = base.select(col("v")).sample(withReplacement = false, sampleFraction, seed)
+      .as[Array[Double]].take(maxFitSample)
+    val fitData =
+      if (sampled.length >= 4 * nClusters) sampled
+      else base.select(col("v")).as[Array[Double]].take(maxFitSample)
+    val centers = lloydKMeans(fitData, nClusters, iters = 10, seed = seed)
+    val bcCenters = spark.sparkContext.broadcast(centers)
 
-    val assigned = model.transform(fe).select(col("vec_id"), col("prediction").as("cluster"))
-      .join(base, "vec_id")
-      .select(col("vec_id").as("nid"), col("cluster"), col("nv"))
+    val assignUdf = udf { v: Array[Double] => Similarity.nearestCenter(bcCenters.value, v) }
+    val assigned = base.select(col("vec_id").as("nid"),
+      assignUdf(col("v")).as("cluster"), col("nv"))
 
     def nearestClusters(v: Array[Double]): Seq[Int] =
-      centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2).toSeq
+      centers.zipWithIndex.map { case (c, i) => (sqDist(c, v), i) }
+        .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2).toSeq
 
     val probes = base.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("v"), col("nv").as("qv"))
@@ -198,6 +193,60 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"))
     val out = topKPerKey(sims, "qid", k)
     out
+  }
+
+  private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    val n = math.min(a.length, b.length)
+    while (j < n) { val t = a(j) - b(j); d += t * t; j += 1 }
+    d
+  }
+
+  private[graft] def nearestCenter(centers: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var i = 0
+    while (i < centers.length) {
+      val d = sqDist(centers(i), v)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Plain seeded Lloyd's k-means on a driver-side sample — all the
+    * IVF coarse quantizer needs (deterministic: splitmix64 picks the
+    * initial centers, ties break by index). Returns ≤ k centroids. */
+  private[graft] def lloydKMeans(points: Array[Array[Double]], k: Int,
+                                 iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs at least one point")
+    val dim = points.head.length
+    var state = seed
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val init = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val target = math.min(k, points.length)
+    while (init.size < target) init += ((next() >>> 1) % points.length).toInt
+    var centers = init.toArray.map(points(_).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      points.foreach { p =>
+        val c = nearestCenter(centers, p)
+        var j = 0
+        while (j < dim) { sums(c)(j) += p(j); j += 1 }
+        counts(c) += 1
+      }
+      centers = Array.tabulate(centers.length) { i =>
+        if (counts(i) > 0) sums(i).map(_ / counts(i)) else centers(i)
+      }
+      it += 1
+    }
+    centers
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
