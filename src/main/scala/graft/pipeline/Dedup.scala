@@ -160,7 +160,7 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  private def fnv64(s: String): Long = {
+  private[graft] def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }

@@ -71,7 +71,10 @@ object TextFunctions {
     * algorithm). Returns the distinct selected hashes. */
   private[graft] def winnow(toks: Seq[String], k: Int = 4, window: Int = 4): Seq[Long] = {
     if (toks == null || toks.length < k) return Seq.empty
-    val grams = toks.sliding(k).map(g => Dedup.mix64(g.mkString(" ").hashCode.toLong)).toArray
+    // gram base hash = fnv64 + mix64, the same deterministic 64-bit
+    // family as every other hash path here (String.hashCode is only
+    // 32 bits — needless collision mass at corpus scale)
+    val grams = toks.sliding(k).map(g => Dedup.mix64(Dedup.fnv64(g.mkString(" ")))).toArray
     if (grams.length <= window) Seq(grams.min)
     else grams.sliding(window).map(_.min).toSeq.distinct
   }
