@@ -86,7 +86,25 @@ object PlanAudit {
         "DSv2 image catalog: pixel generation happens in the scan only " +
           "because stats(image) needs it — see next audit for pruning",
         Seq("BatchScan imagedebug"),
-        Seq.empty))
+        Seq.empty),
+      ("q58_doc_freq",
+        "global top-k terms compiles to TakeOrderedAndProject — partial " +
+          "top-50 per partition rides the shuffle, never a full sort of " +
+          "the vocabulary; the rank window then runs on 50 rows only",
+        Seq("TakeOrderedAndProject"),
+        Seq.empty),
+      ("q57_train_split",
+        "content-hash split: one hash-aggregate pipeline (partial + " +
+          "final) over a single corpus scan — no joins, no window",
+        Seq("HashAggregate"),
+        Seq("Join")),
+      ("q46_ann_ivf",
+        "IVF search: the quantizer fits driver-side on a sample, the " +
+          "corpus is assigned in one scan via a broadcast-centroid " +
+          "projection, and probing is an equi-join on cluster id with " +
+          "the probe table broadcast — no corpus cross join",
+        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.PlanAudit)\n\n")

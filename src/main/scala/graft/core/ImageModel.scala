@@ -35,7 +35,8 @@ case class ImageMeta(
     info: String = "",
     roi: String = "",
     calFunction: String = "",
-    calCoeffs: Seq[Double] = Nil)
+    calCoeffs: Seq[Double] = Nil,
+    calTable: Seq[Double] = Nil)
 
 /** Value-calibration function forms (the public ImageJ `Calibration`
   * function set the reference round-trips via IJCalibration.java:
@@ -60,7 +61,18 @@ object Calibration {
   }
 
   def isCalibrated(meta: ImageMeta): Boolean =
-    meta.calFunction.nonEmpty && meta.calFunction != "none"
+    (meta.calFunction.nonEmpty && meta.calFunction != "none") || meta.calTable.nonEmpty
+
+  /** Calibrate one raw value: an explicit lookup table (the reference's
+    * `setCTable`, IJCalibration.java:116 — indexed by the integer raw
+    * value, out-of-range values clamp to the table edges) wins over the
+    * function form. */
+  def value(meta: ImageMeta, v: Double): Double =
+    if (meta.calTable.nonEmpty) {
+      val t = meta.calTable
+      val i = math.min(t.length - 1, math.max(0, math.rint(v).toInt))
+      t(i)
+    } else apply(meta.calFunction, meta.calCoeffs, v)
 }
 
 /** The image cell value. `data` is the pixel payload, big-endian,

@@ -569,13 +569,21 @@ object Kernels {
   private[graft] def roiView(img: SparkImage): SparkImage =
     roiRect(img).map { case (x, y, w, h) => cropRect(img, x, y, w, h) }.getOrElse(img)
 
-  /** Calibrated pixel values: raw decode → calibration function
-    * (identity when no function is set). */
+  /** Calibrated pixel values: raw decode → calibration (lookup table
+    * if set, else function form; identity when neither is set). */
   def calibratedValues(img: SparkImage): Array[Double] = {
     val px = img.toDoubles
     if (!Calibration.isCalibrated(img.meta)) px
-    else px.map(v => Calibration(img.meta.calFunction, img.meta.calCoeffs, v))
+    else px.map(v => Calibration.value(img.meta, v))
   }
+
+  /** Attach an explicit calibration lookup table (the reference's
+    * `setCTable` surface, IJCalibration.java:116) — too large for a
+    * `k=v` command arg string, so this is API-only. */
+  def withCalibrationTable(img: SparkImage, table: Seq[Double],
+                           valueUnit: String = ""): SparkImage =
+    img.copy(meta = img.meta.copy(calTable = table,
+      valueUnit = if (valueUnit.nonEmpty) valueUnit else img.meta.valueUnit))
 
   // ---- binary image ops (SURVEY §2.4 J1-J3) --------------------------
 

@@ -116,7 +116,7 @@ case class ImageDirWriterFactory(dir: String, format: Option[String],
             meta.getDouble(3), meta.getDouble(4), meta.getDouble(5), meta.getDouble(6),
             meta.getDouble(7), meta.getString(8), meta.getString(9), meta.getString(10),
             meta.getString(11), meta.getString(12), meta.getString(13),
-            meta.getSeq[Double](14)),
+            meta.getSeq[Double](14), meta.getSeq[Double](15)),
           r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5),
           r.getAs[Array[Byte]](6))
         val fmt = format.getOrElse {

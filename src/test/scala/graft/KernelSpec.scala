@@ -127,6 +127,13 @@ class KernelSpec extends AnyFunSuite with Matchers {
       Kernels.run(raw, "setCalibration", "function=sigmoid coeffs=1")
     // raw pixel data untouched: decode still returns stored values
     ct.toDoubles.head shouldBe 1000.0
+    // explicit cTable wins over the function form and clamps at edges
+    val small = Kernels.constantImage(2, 2, 1, 3.0, PixelCodec.Byte8)
+    val tabled = Kernels.withCalibrationTable(small, Seq(0.0, 10.0, 20.0, 30.0), "HU")
+    Kernels.stats(tabled).mean shouldBe 30.0
+    val clamped = Kernels.withCalibrationTable(
+      Kernels.constantImage(2, 2, 1, 9.0, PixelCodec.Byte8), Seq(0.0, 10.0))
+    Kernels.stats(clamped).mean shouldBe 10.0
   }
 
   test("16-bit images survive an encode/decode round-trip (PNG USHORT_GRAY)") {
