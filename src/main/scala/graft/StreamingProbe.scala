@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStreams
+
+/** Diagnostic probe for the two arbitrary-state streaming exec nodes
+  * this build's planner has failed on (see EventStreams scaladoc).
+  * Watchdog-guarded: a hung micro-batch is force-stopped, so the probe
+  * always terminates with a printed verdict per operator. */
+object StreamingProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def events(n: Int) = (0 until n).map { i =>
+      EventStreams.Event(i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        (i % 3).toLong, "t", 1.0)
+    }
+
+    def probe(name: String)(start: MemoryStream[EventStreams.Event] =>
+        org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      try {
+        val mem = MemoryStream[EventStreams.Event]
+        val q = start(mem)
+        val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val watchdog = new Thread(() => {
+          Thread.sleep(45000)
+          if (!stopped.get()) { println(s"$name: WATCHDOG STOP (hang)"); q.stop() }
+        })
+        watchdog.setDaemon(true)
+        watchdog.start()
+        mem.addData(events(30))
+        q.processAllAvailable()
+        Thread.sleep(4000) // let the 2s processing-time gap expire
+        mem.addData(events(3)) // trigger another batch so timers fire
+        q.processAllAvailable()
+        Thread.sleep(1000)
+        q.processAllAvailable()
+        stopped.set(true)
+        val rows = spark.table(name).count()
+        q.stop()
+        println(s"$name: OK, emitted $rows closed sessions")
+      } catch {
+        case e: Throwable =>
+          println(s"$name: FAILED ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+          var c = e.getCause
+          while (c != null) { println(s"  cause: ${c.getClass.getName}: ${String.valueOf(c.getMessage).take(300)}"); c = c.getCause }
+      }
+    }
+
+    probe("fmgws_probe") { mem =>
+      EventStreams.statefulSessions(mem.toDS(), gapMs = 2000)
+        .writeStream.format("memory").queryName("fmgws_probe")
+        .outputMode("append").start()
+    }
+    probe("tws_probe") { mem =>
+      EventStreams.twsSessions(mem.toDS(), gapMs = 2000)
+        .writeStream.format("memory").queryName("tws_probe")
+        .outputMode("append").start()
+    }
+    spark.stop()
+  }
+}

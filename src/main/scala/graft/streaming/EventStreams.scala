@@ -81,13 +81,13 @@ object EventStreams {
     * provider): per-user counters in a ValueState, a processing-time
     * timer per batch, sessions emitted when the gap timer expires.
     *
-    * NOTE: this build's streaming planner fails at physical-plan
-    * construction for BOTH arbitrary-state exec nodes
-    * (FlatMapGroupsWithStateExec and TransformWithStateExec hit the
-    * same internal error on the micro-batch thread), so neither can be
-    * driven here; the state logic ([[foldEvents]], [[SessionProcessor]])
-    * is tested directly and the built-in [[sessionWindows]] covers
-    * sessionization end-to-end (batch face oracle-checked as q51). */
+    * NOTE on this build: the exec node runs and emits correct
+    * sessions, but `processAllAvailable` never returns while
+    * processing-time timers are registered (the engine keeps
+    * scheduling timer batches), so callers must await results by
+    * polling the sink with a deadline instead of blocking —
+    * StreamingSpec's guarded drives and `graft.StreamingProbe` show
+    * the pattern. */
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, ClosedSession] {
     @transient private var state: ValueState[SessionAgg] = _
@@ -140,12 +140,10 @@ object EventStreams {
     * processing-time gap expires. The custom-state path the built-in
     * session_window can't express (e.g. value-dependent close rules).
     *
-    * NOTE: this Spark 4.1.2 build has a planner defect for streaming
-    * FlatMapGroupsWithStateExec (NPE in PythonSQLMetrics init on the
-    * micro-batch thread), so the streaming drive of this one operator
-    * can't run here; [[foldEvents]] carries the logic and is tested
-    * directly, and the built-in [[sessionWindows]] covers the
-    * sessionization capability end-to-end. */
+    * NOTE on this build: runs and emits correctly, but like
+    * [[twsSessions]] the blocking `processAllAvailable` hangs while
+    * processing-time timeouts are pending — await by polling the sink
+    * with a deadline (see StreamingSpec's guarded drives). */
   def statefulSessions(events: Dataset[Event],
                        gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

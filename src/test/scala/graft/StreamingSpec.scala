@@ -72,11 +72,6 @@ class StreamingSpec extends AnyFunSuite with Matchers {
 
   test("stateful sessionization fold accumulates per-user state") {
     import spark.implicits._
-    // the streaming drive of FlatMapGroupsWithStateExec NPEs in this
-    // Spark 4.1.2 build (PythonSQLMetrics init on the micro-batch
-    // thread) — see EventStreams.statefulSessions scaladoc. The state
-    // fold is exercised directly; sessionWindows covers the streaming
-    // sessionization capability above.
     val evs = (0 until 5).map(i =>
       EventStreams.Event(i.toLong, new Timestamp(1700000000000L + i * 1000L), 1L, "t", 2.0))
     val first = EventStreams.foldEvents(None, 1L, evs.take(3).iterator)
@@ -86,10 +81,57 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     second.n_events shouldBe 5L
     second.total_value shouldBe 10.0
     second.last_seen_ms shouldBe 1700000004000L
-    // both stateful-API Datasets still construct (API surface intact;
-    // this build's streaming planner can't execute either exec node —
-    // see EventStreams.twsSessions scaladoc)
-    EventStreams.statefulSessions(sampleEvents.as[EventStreams.Event], gapMs = 100)
-    EventStreams.twsSessions(sampleEvents.as[EventStreams.Event], gapMs = 100)
+  }
+
+  // This build's micro-batch engine never satisfies processAllAvailable
+  // while processing-time timers are registered (see EventStreams
+  // scaladoc + graft.StreamingProbe), so the arbitrary-state drives
+  // below poll the sink with a deadline instead of awaiting — the exec
+  // nodes themselves run fine and emit correct sessions.
+  private def driveSessions(name: String,
+      start: MemoryStream[EventStreams.Event] => org.apache.spark.sql.DataFrame): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = start(mem).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // users 1 and 2: 3 and 2 events, then silence -> both close
+      val burst = Seq(
+        EventStreams.Event(0L, new Timestamp(1700000000000L), 1L, "t", 2.0),
+        EventStreams.Event(1L, new Timestamp(1700000001000L), 1L, "t", 2.0),
+        EventStreams.Event(2L, new Timestamp(1700000002000L), 1L, "t", 2.0),
+        EventStreams.Event(3L, new Timestamp(1700000003000L), 2L, "t", 5.0),
+        EventStreams.Event(4L, new Timestamp(1700000004000L), 2L, "t", 5.0))
+      mem.addData(burst)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var tick = 100L
+      def closed() = spark.table(name).filter(col("user_id").isin(1L, 2L)).count()
+      while (closed() < 2 && System.nanoTime() < deadline) {
+        // keep batches flowing so expired timers are processed, using a
+        // bystander user whose own session never closes within the test
+        mem.addData(Seq(EventStreams.Event(1000L + tick,
+          new Timestamp(1700000100000L + tick * 1000L), 99L, "tick", 0.0)))
+        tick += 1
+        Thread.sleep(250)
+      }
+      val rows = spark.table(name).filter(col("user_id").isin(1L, 2L))
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      rows shouldBe Array((1L, 3L, 6.0), (2L, 2L, 10.0))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions end-to-end (guarded drive)") {
+    val mille = 500L
+    driveSessions("fmgws_sessions",
+      mem => EventStreams.statefulSessions(mem.toDS(), gapMs = mille).toDF())
+  }
+
+  test("transformWithState sessionization closes sessions end-to-end (guarded drive)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try driveSessions("tws_sessions",
+      mem => EventStreams.twsSessions(mem.toDS(), gapMs = 500L).toDF())
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
