@@ -33,6 +33,10 @@ object DebugTiming {
       "doc_id", "payload", "image", "raw")
     time("q55-resize+features")(Multimodal.extractFeatures(
       Multimodal.resizeStage(media, 24, 24)).toDF().count())
+    val emb = graft.queries.QueryDsl.t(spark, dir, "embeddings")
+    time("q59-dedup-groups")(Dedup.dedupGroups(
+      Dedup.embeddingNearDupLsh(emb, 0.25, 8, 4, 64, 42L))
+      .groupBy(col("rep")).agg(count(lit(1)).as("n")).count())
     spark.stop()
   }
 }

@@ -312,9 +312,9 @@ object Dedup {
     * a left-fold projection (same order as the codegen'd vec_dot loop),
     * candidates are pairs agreeing on any band, and the final filter is
     * the same exact-cosine threshold. */
-  private[graft] def embeddingLshOracleSql(threshold: Double, bands: Int,
-                                           rowsPerBand: Int, dim: Int,
-                                           seed: Long): String = {
+  private[graft] def embeddingLshOracleSqlBody(threshold: Double, bands: Int,
+                                               rowsPerBand: Int, dim: Int,
+                                               seed: Long): String = {
     val planes = rademacherPlanes(bands * rowsPerBand, dim, seed)
     val bandExprs = (0 until bands).map { j =>
       (0 until rowsPerBand).map { i =>
@@ -332,8 +332,85 @@ object Dedup {
       FROM e)
     SELECT a.vec_id AS id_a, c.vec_id AS id_b
     FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($orCond)
-    WHERE list_cosine_similarity(a.v, c.v) > $threshold
-    ORDER BY id_a, id_b"""
+    WHERE list_cosine_similarity(a.v, c.v) > $threshold"""
+  }
+
+  private[graft] def embeddingLshOracleSql(threshold: Double, bands: Int,
+                                           rowsPerBand: Int, dim: Int,
+                                           seed: Long): String =
+    embeddingLshOracleSqlBody(threshold, bands, rowsPerBand, dim, seed) +
+      "\n    ORDER BY id_a, id_b"
+
+  /** DuckDB oracle for [[dedupGroups]] over [[embeddingNearDupLsh]]
+    * pairs: a recursive CTE computes each node's min reachable id —
+    * the same fixpoint the iterative min-label propagation converges
+    * to — then groups into (rep, n_docs). */
+  private[graft] def dedupGroupsOracleSql(threshold: Double, bands: Int,
+                                          rowsPerBand: Int, dim: Int,
+                                          seed: Long): String = {
+    val pairsBody = embeddingLshOracleSqlBody(threshold, bands, rowsPerBand, dim, seed)
+    s"""WITH RECURSIVE
+    pairs AS ($pairsBody),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+    reps AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+    SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM reps GROUP BY rep ORDER BY rep"""
+  }
+
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise matches into DEDUP GROUPS (keep one canonical document
+    * per cluster). Every node gets the smallest doc id reachable
+    * through the pair graph as its representative, via iterative
+    * min-label propagation to fixpoint.
+    *
+    * Scale notes: each iteration is one equi-join + min-aggregation
+    * (all shuffles on ids); iterations needed = graph diameter, and
+    * near-dup components are shallow (dup clusters, not social
+    * graphs). For adversarially long chains the classic
+    * large-star/small-star refinement halves diameter per round — the
+    * per-iteration plan here is the same building block. Input pairs
+    * must satisfy id_a < id_b; output is (id, rep).
+    */
+  def dedupGroups(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Iterative algorithms MUST truncate lineage every round: each round
+    // references the previous labels three times, so without
+    // checkpointing the logical plan grows 3^rounds. localCheckpoint
+    // materializes the round's result and replaces its plan with the
+    // stored partitions (at production scale prefer reliable
+    // checkpoint(dir) for executor-loss tolerance).
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // one propagation step: rep := min(rep, min of neighbors' reps)
+      val nbrMin = sym.join(labels.select(col("id").as("dst"), col("rep").as("nbr_rep")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr_rep")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left")
+        .select(col("id"), col("rep").as("old_rep"),
+          least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("mid"))
+      // pointer jumping: rep := min(rep, rep(rep)) — labels double-hop
+      // per round, so rounds grow as log(diameter), not diameter
+      val jumped = stepped
+        .join(labels.select(col("id").as("mid"), col("rep").as("jump")), Seq("mid"), "left")
+        .select(col("id"), col("old_rep"),
+          least(col("mid"), coalesce(col("jump"), col("mid"))).as("rep"))
+        .localCheckpoint() // eager: materializes this round, flat plan
+      changed = jumped.filter(col("rep") =!= col("old_rep")).count()
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("id"), col("rep"))
   }
 
   /** Exact all-pairs embedding near-dups above a cosine threshold.

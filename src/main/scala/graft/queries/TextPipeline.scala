@@ -96,6 +96,21 @@ object TextPipeline {
           .toDF().orderBy(col("media_id"))
       }, None),
 
+    // ---- near-dup pairs → dedup GROUPS: connected components by
+    // min-label propagation; the oracle recomputes the same fixpoint
+    // with a recursive CTE over the identical pair set -----------------
+    ("q59_dedup_groups",
+      (s, dir) => {
+        val pairs = Dedup.embeddingNearDupLsh(
+          t(s, dir, "embeddings"), threshold = 0.25,
+          bands = 8, rowsPerBand = 4, dim = 64, seed = 42L)
+        Dedup.dedupGroups(pairs)
+          .groupBy(col("rep")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("rep"))
+      },
+      Some(Dedup.dedupGroupsOracleSql(threshold = 0.25,
+        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L))),
+
     // ---- deterministic train/val/test split: content-hash bucketing
     // (the standard reproducible split for training corpora — no RNG,
     // stable under re-partitioning, re-runs and engine changes) --------

@@ -42,6 +42,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     run(7) shouldBe r1
   }
 
+  test("dedupGroups: min-label propagation finds connected components") {
+    import spark.implicits._
+    // components: {1,2,5} via chain, {7,9}, {10,11,12,13} via chain of 3
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("id_a", "id_b")
+    val groups = Dedup.dedupGroups(pairs.repartition(5))
+      .as[(Long, Long)].collect().toMap
+    groups shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
+  }
+
   test("minhash: identical docs collide on all bands; signature deterministic") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(docs, shingleN = 3, numHashes = 64, bands = 16)
