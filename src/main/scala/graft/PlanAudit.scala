@@ -98,6 +98,35 @@ object PlanAudit {
           "final) over a single corpus scan — no joins, no window",
         Seq("HashAggregate"),
         Seq("Join")),
+      ("q60_asof_join",
+        "as-of join compiles to union + ONE hash-partition exchange on " +
+          "the key + a running-window last(): there is NO join node of " +
+          "any kind in the plan — the inequality-join formulation " +
+          "Catalyst would pick for the same semantics is a per-key " +
+          "cartesian",
+        Seq("Window"),
+        Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q61_window_join",
+        "time-window join: the user_id equi-key carries the shuffle; the " +
+          "30-minute range predicate filters inside key groups — never a " +
+          "nested-loop over unrelated users",
+        Seq.empty,
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q62_range_join",
+        "pure range join (no equi-key) runs as the bucketized EQUI-join: " +
+          "intervals explode (Generate) to covered 10-min buckets, points " +
+          "compute one bucket, candidates equi-join on it and the exact " +
+          "range predicate filters — Catalyst's native plan for the raw " +
+          "inequality is a BroadcastNestedLoopJoin, quadratic at scale",
+        Seq("Generate"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q68_skew_join",
+        "salted skew join: both sides join on (user_id, _salt) so a hot " +
+          "user spreads over 8 tasks; the salt never reaches the output " +
+          "(proved by the plain-join oracle)",
+        Seq("_salt"),
+        Seq.empty),
       ("q46_ann_ivf",
         "IVF search: the quantizer fits driver-side on a sample, the " +
           "corpus is assigned in one scan via a broadcast-centroid " +

@@ -39,6 +39,36 @@ object TextFunctions {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
 
+  /** DuckDB oracle for [[langIdConfusion]], generated from the SAME
+    * `profiles` map so the two sides cannot drift: per-profile
+    * stopword-hit counts, argmax via a CASE checking languages in
+    * ascending name order (= [[detectLang]]'s `(-hits, lang)` sort),
+    * zero hits → 'und'. */
+  private[graft] def langIdOracleSql: String = {
+    val langs = profiles.keys.toSeq.sorted
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val scores = langs.map { l =>
+      val words = profiles(l).toSeq.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(t, x -> list_contains($words, x))) AS s_$l"
+    }.mkString(",\n        ")
+    val cases = langs.init.map(l => s"WHEN s_$l = $best THEN '$l'")
+      .mkString("\n             ")
+    s"""WITH toks AS (SELECT lang,
+        list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                       x -> lower(x)) AS t
+        FROM documents),
+      s AS (SELECT lang,
+        $scores
+        FROM toks),
+      pred AS (SELECT lang,
+        CASE WHEN $best = 0 THEN 'und'
+             $cases
+             ELSE '${langs.last}' END AS predicted
+        FROM s)
+      SELECT lang, predicted, COUNT(*) AS n
+      FROM pred GROUP BY lang, predicted ORDER BY lang, predicted"""
+  }
+
   /** Quality-score expression bundle: length, token stats, punctuation
     * and stopword ratios — each a codegen'd column expression. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
@@ -65,6 +95,17 @@ object TextFunctions {
       (n, tok) => n + (if (tok.length <= 4) 1L else ((tok.length + 3) / 4).toLong)
     }
   }
+
+  /** Ordered regex redaction — the PII-scrub shape of a corpus
+    * cleaning pipeline (digit runs → `<NUM>`, emails → `<EMAIL>`,
+    * entity terms → `<ENT>`, …). Rules apply left to right, each a
+    * codegen'd `regexp_replace`; keep patterns in the RE2-compatible
+    * subset (character classes, alternation, `\b`) so the same rules
+    * run identically on Java regex and RE2-family engines. */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pattern, replacement)) =>
+      regexp_replace(c, pattern, replacement)
+    }
 
   /** Winnowing fingerprints: rolling Karp-Rabin hash over token k-grams,
     * min-in-window selection (Schleimer et al., SIGMOD'03 — public

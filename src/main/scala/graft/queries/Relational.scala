@@ -649,6 +649,50 @@ object Relational {
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_start""")),
 
+    // ---- unpivot/melt: wide metric columns → long (metric, value)
+    // rows via Dataset.unpivot (compiles to Expand — each input row
+    // emits one row per metric in-place, no shuffle before the agg) ----
+    ("q64_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_discount"), col("l_extendedprice"), col("l_quantity"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+          min(col("value")).cast("double").as("min_value"),
+          max(col("value")).cast("double").as("max_value"))
+        .orderBy(col("metric")),
+      Some(s"""WITH m AS (
+          SELECT 'l_discount' AS metric, l_discount AS value FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+          UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        SELECT metric, COUNT(*) AS n, ${sqlDsum("value")} AS total,
+          CAST(MIN(value) AS DOUBLE) AS min_value,
+          CAST(MAX(value) AS DOUBLE) AS max_value
+        FROM m GROUP BY metric ORDER BY metric""")),
+
+    // ---- skew-resistant equi-join through PartitionUtil.saltedJoin:
+    // events (hot user_ids melt a single sort-merge task at scale) join
+    // the customer dim on a salted key — the salt spreads each hot key
+    // over 8 tasks and never changes the result, which is what the
+    // plain-join oracle proves --------------------------------------
+    ("q68_skew_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.pipeline.PartitionUtil.saltedJoin(ev, dim, "user_id", buckets = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+        ${sqlDsum("e.value")} AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ---- exact percentiles (integer-valued input → interpolation exact)
     ("q41_percentile",
       (s, dir) => {

@@ -198,10 +198,11 @@ object TextPipeline {
       (s, dir) => Dedup.simhashBuckets(t(s, dir, "documents")),
       None),
 
-    // ---- language-ID heuristic vs labeled lang -------------------------
+    // ---- language-ID heuristic vs labeled lang; the oracle recomputes
+    // the stopword-profile argmax from the same profiles map ------------
     ("q34_lang_id",
       (s, dir) => TextFunctions.langIdConfusion(t(s, dir, "documents")),
-      None),
+      Some(TextFunctions.langIdOracleSql)),
 
     // ---- document fingerprint (rolling hash) ---------------------------
     ("q35_fingerprint",
@@ -273,6 +274,80 @@ object TextPipeline {
       Some(s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
         ${sqlDavg("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))")} AS avg_norm
         FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ---- stratified deterministic sample: content-hash bucketing per
+    // stratum (en down-weighted to 10%, other langs 50%) — a pure
+    // pushdown-friendly filter, no RNG, reproducible on any engine ------
+    ("q65_stratified_sample",
+      (s, dir) => graft.pipeline.Sampling.stratifiedHashSample(
+          t(s, dir, "documents"), col("lang"), col("text"),
+          rates = Map("en" -> 10), defaultRate = 50)
+        .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (SELECT doc_id, lang,
+          CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS bucket
+        FROM documents)
+        SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM b
+        WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+        ORDER BY doc_id""")),
+
+    // ---- PII-style redaction: ordered regex scrub over the events
+    // props payload (digit runs → <NUM>, key names masked). Patterns
+    // stay in the RE2-compatible subset so Java regex and DuckDB's RE2
+    // agree character-for-character -------------------------------------
+    ("q66_redaction",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          TextFunctions.redact(col("props"), Seq(
+            "[0-9]+" -> "<NUM>",
+            "\"k\"" -> "\"<KEY>\"")).as("redacted"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type,
+        regexp_replace(regexp_replace(props, '[0-9]+', '<NUM>', 'g'),
+                       '"k"', '"<KEY>"', 'g') AS redacted
+        FROM events ORDER BY event_id""")),
+
+    // ---- TF-IDF top terms per document: tf and df from two hash
+    // aggregations over one tokenized scan, joined on token; the corpus
+    // size rides in as a broadcast single-row cross join (NO driver-side
+    // count action). Integer tf/df are emitted; the double score only
+    // ranks (same IEEE division/multiply both engines) ------------------
+    ("q67_tfidf",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+        val tf = toks.filter(col("doc_id") < 50)
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("token"))
+          .agg(count_distinct(col("doc_id")).as("df"))
+        val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(dfreq, Seq("token"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("token"))).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+            CAST(tf.tf AS DOUBLE) * (CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) AS score
+          FROM tf JOIN df USING (token) WHERE tf.doc_id < 50)
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rank, token, tf, df FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+          FROM scored)
+        WHERE rnk <= 3 ORDER BY doc_id, rank""")),
 
     // ---- embedding-cosine near-dup pairs: banded hyperplane-bucket
     // prefilter (equi-join on band hashes — no cross join) + exact

@@ -58,6 +58,28 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: purchases within `gap` after a click
+    * by the same user (the attribution/funnel join; batch face is
+    * q61_window_join). Watermarks on BOTH sides plus the two-sided
+    * time-range condition are what let the engine bound join state:
+    * each side's buffered rows expire once the other side's watermark
+    * passes the range. Works identically on batch frames (watermarks
+    * are a no-op there), which is how StreamingSpec oracles it. */
+  def clickPurchaseJoin(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $gap"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,

@@ -70,6 +70,35 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join on the same rows") {
+    import spark.implicits._
+    // clicks at t+0m per user; purchases at +10m (user 1, inside the
+    // 30m window), +45m (user 2, outside), and user 3 with no click
+    val base = 1700000000000L
+    def ev(id: Long, user: Long, tpe: String, offsetMin: Long) =
+      EventStreams.Event(id, new Timestamp(base + offsetMin * 60000L), user, tpe, 1.0)
+    val rows = Seq(
+      ev(1, 1, "click", 0), ev(2, 1, "purchase", 10),
+      ev(3, 2, "click", 0), ev(4, 2, "purchase", 45),
+      ev(5, 3, "purchase", 5),
+      // advance the watermark far past every window
+      ev(6, 9, "click", 600))
+    val batch = EventStreams.clickPurchaseJoin(rows.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    batch shouldBe Set((1L, 1L, 2L)) // only user 1 converts in-window
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.clickPurchaseJoin(mem.toDF())
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      spark.table("ssjoin_test").as[(Long, Long, Long)].collect().toSet shouldBe batch
+    } finally q.stop()
+  }
+
   test("stateful sessionization fold accumulates per-user state") {
     import spark.implicits._
     val evs = (0 until 5).map(i =>
