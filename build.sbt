@@ -15,6 +15,7 @@ run / fork := true
 // as the bench JSON; sbt's "[success] Total time ..." epilogue landed
 // after it (BENCH_r01/r02 both record parsed:null). Suppress it.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

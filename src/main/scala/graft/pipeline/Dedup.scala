@@ -383,8 +383,12 @@ object Dedup {
     // materializes the round's result and replaces its plan with the
     // stored partitions (at production scale prefer reliable
     // checkpoint(dir) for executor-loss tolerance).
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair plan BEFORE symmetrizing: the union's two
+    // branches otherwise each re-execute the (possibly expensive)
+    // upstream near-dup computation
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val sym = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
