@@ -693,6 +693,71 @@ object Relational {
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- ranking window family: ntile / percent_rank / cume_dist /
+    // first_value share one window spec → ONE shuffle+sort serves all
+    // four (the ratios are exact integer divisions, bit-equal in both
+    // engines) ---------------------------------------------------------
+    ("q69_window_funcs",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first(col("c_custkey")).over(w).cast("long").as("richest"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume,
+        CAST(first_value(c_custkey) OVER w AS BIGINT) AS richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- time-RANGE rolling window: trailing-7-day revenue. The frame
+    // sums 1e-4-grid BIGINTs, so the running total is exact regardless
+    // of the engines' frame-evaluation order (a double window-sum would
+    // be order-sensitive); the single global window runs on the tiny
+    // daily aggregate, not the fact table -------------------------------
+    ("q70_rolling_window",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy((unix_timestamp(date_trunc("day", col("o_orderdate"))) / 86400)
+            .cast("long").as("day_idx"))
+          .agg(sum(floor(col("o_totalprice") * 10000.0).cast("long")).as("rev_grid"))
+        val w = Window.orderBy(col("day_idx")).rangeBetween(-6, Window.currentRow)
+        daily.select(col("day_idx"),
+            (sum(col("rev_grid")).over(w).cast("double") / 10000.0).as("rev_7d"))
+          .orderBy(col("day_idx"))
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400 AS day_idx,
+            SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS rev_grid
+          FROM orders GROUP BY 1)
+        SELECT day_idx,
+          CAST(SUM(rev_grid) OVER (ORDER BY day_idx
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0 AS rev_7d
+        FROM daily ORDER BY day_idx""")),
+
+    // ---- JSON path extraction over the props column (the parsed
+    // counterpart of q37's regexp extraction) ---------------------------
+    ("q71_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          count_distinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- exact percentiles (integer-valued input → interpolation exact)
     ("q41_percentile",
       (s, dir) => {

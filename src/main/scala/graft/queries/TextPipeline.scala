@@ -349,6 +349,26 @@ object TextPipeline {
           FROM scored)
         WHERE rnk <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- higher-order functions over the embedding array: transform/
+    // aggregate/filter stay inside codegen (no UDF serialization). Both
+    // engines fold the per-row L1 sum left-to-right, and cross-row
+    // totals go through the dsum grid, so the result is bit-exact ------
+    ("q72_hof_vector",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("l1", expr(
+          "aggregate(transform(v, x -> abs(x)), cast(0.0 as double), (acc, x) -> acc + x)"))
+        .withColumn("npos", size(filter(col("v"), x => x > 0)).cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dsum(col("l1")).as("total_l1"),
+          sum(col("npos")).as("n_pos"))
+        .orderBy(col("label")),
+      Some(s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+        ${sqlDsum("list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))")} AS total_l1,
+        CAST(SUM(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))) AS BIGINT) AS n_pos
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
     // ---- embedding-cosine near-dup pairs: banded hyperplane-bucket
     // prefilter (equi-join on band hashes — no cross join) + exact
     // cosine re-score; the oracle recomputes the identical seeded

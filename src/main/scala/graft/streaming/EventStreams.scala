@@ -65,7 +65,8 @@ object EventStreams {
     * each side's buffered rows expire once the other side's watermark
     * passes the range. Works identically on batch frames (watermarks
     * are a no-op there), which is how StreamingSpec oracles it. */
-  def clickPurchaseJoin(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+  def clickPurchaseJoin(events: DataFrame, gap: String = "30 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
@@ -76,7 +77,8 @@ object EventStreams {
     clicks.join(purchases,
         col("user_id") === col("p_user_id") &&
         col("p_ts") > col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $gap"))
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $gap"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 

@@ -99,6 +99,40 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched clicks after the watermark") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ev(id: Long, user: Long, tpe: String, offsetMin: Long) =
+      EventStreams.Event(id, new Timestamp(base + offsetMin * 60000L), user, tpe, 1.0)
+    val rows = Seq(
+      ev(1, 1, "click", 0), ev(2, 1, "purchase", 10), // matched
+      ev(3, 2, "click", 0))                           // never converts
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.clickPurchaseJoin(mem.toDF(), joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ssjoin_outer_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      // the null-extended row for user 2 can only be emitted once the
+      // watermark passes its join window — and the query watermark is
+      // the MIN over both sides' watermark operators, so the far-future
+      // ticks must flow through BOTH branches (a click alone leaves the
+      // purchase side's watermark at the epoch and blocks the emission).
+      // Two tick batches: the watermark computed from batch N's data
+      // takes effect in batch N+1
+      mem.addData(Seq(ev(99, 9, "click", 600), ev(100, 9, "purchase", 650)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(101, 8, "click", 700), ev(102, 8, "purchase", 750)))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_outer_test")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      got should contain((1L, 1L, Some(2L)))
+      got should contain((2L, 3L, None))
+    } finally q.stop()
+  }
+
   test("stateful sessionization fold accumulates per-user state") {
     import spark.implicits._
     val evs = (0 until 5).map(i =>
