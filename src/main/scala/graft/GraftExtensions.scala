@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorNorm(exprs.head)))
+    // band-join rewrite (opt-in via spark.graft.rangeJoin.bucketWidth):
+    // turns inequality-only joins into bucketized equi-joins instead of
+    // Catalyst's BroadcastNestedLoopJoin fallback
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -121,6 +121,14 @@ object PlanAudit {
           "inequality is a BroadcastNestedLoopJoin, quadratic at scale",
         Seq("Generate"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q73_range_join_auto",
+        "the RAW inequality-join formulation of q62, rewritten by the " +
+          "RangeJoinRewrite optimizer rule (extraOptimizations / " +
+          "GraftExtensions) into the bucketized equi-join: Generate " +
+          "explodes intervals to covered buckets and the nested-loop " +
+          "fallback Catalyst would otherwise emit never appears",
+        Seq("Generate"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("q68_skew_join",
         "salted skew join: both sides join on (user_id, _salt) so a hot " +
           "user spreads over 8 tasks; the salt never reaches the output " +

@@ -76,6 +76,57 @@ class TemporalSpec extends AnyFunSuite with Matchers {
     got.length shouldBe (0L until 1200L by 3L).count(t => t >= 10L && t < 1000L)
   }
 
+  test("RangeJoinRewrite: inequality join becomes a bucketed equi-join, bit-identical results") {
+    import spark.implicits._
+    import graft.plans.RangeJoinRewrite
+    val intervals = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 90L, 300L), (4L, 390L, 391L))
+      .toDF("iv_id", "s", "e")
+    val points = (0L until 400L by 7L).map(t => (t, t)).toDF("pt_id", "pt")
+    def query() = intervals
+      .join(points, col("pt") >= col("s") && col("pt") < col("e"))
+      .select("iv_id", "pt_id")
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    spark.conf.set(RangeJoinRewrite.WidthKey, "0")
+    val baselinePlan = query().queryExecution.executedPlan.toString
+    baselinePlan should include("BroadcastNestedLoopJoin") // what Catalyst does unaided
+    val expected = results(query())
+
+    if (!spark.experimental.extraOptimizations.exists(_ eq RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    spark.conf.set(RangeJoinRewrite.WidthKey, "64")
+    try {
+      val rewritten = query()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should include("Generate")
+      results(rewritten) shouldBe expected
+    } finally spark.conf.set(RangeJoinRewrite.WidthKey, "0")
+  }
+
+  test("RangeJoinRewrite leaves equi-keyed and one-sided-inequality joins alone") {
+    import spark.implicits._
+    import graft.plans.RangeJoinRewrite
+    if (!spark.experimental.extraOptimizations.exists(_ eq RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    spark.conf.set(RangeJoinRewrite.WidthKey, "64")
+    try {
+      val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "va")
+      val b = Seq((1L, 5L), (2L, 25L)).toDF("k2", "vb")
+      // equi conjunct present -> hash join, no Generate
+      val equi = a.join(b, col("k") === col("k2") && col("va") >= col("vb"))
+      equi.queryExecution.executedPlan.toString should not include "Generate"
+      equi.collect().map(_.getLong(0)).toSeq shouldBe Seq(1L) // (1,10)>= (1,5)
+      // one-sided inequality: not a band, untouched
+      val oneSided = a.join(b, col("va") < col("vb"))
+      oneSided.queryExecution.executedPlan.toString should not include "Generate"
+      oneSided.count() shouldBe 2L // (10,25),(20,25)
+    } finally spark.conf.set(RangeJoinRewrite.WidthKey, "0")
+  }
+
   test("stratifiedHashSample: deterministic, monotone in rate, respects strata") {
     import spark.implicits._
     val docs = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", s"text body $i"))
