@@ -349,6 +349,88 @@ object TextPipeline {
           FROM scored)
         WHERE rnk <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- SUB-document dedup: 20-token non-overlapping chunks hashed
+    // and grouped — catches boilerplate repeated across documents that
+    // whole-document hashing misses (same md5-group plan shape as q26,
+    // after a chunk explode) --------------------------------------------
+    ("q74_chunk_dedup",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+        val chunks = toks.select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast(ceil(size(t)/20.0) as int) - 1), " +
+              "i -> concat_ws(' ', slice(t, i*20+1, 20)))")).as("chunk"))
+          .filter(col("chunk") =!= "")
+        chunks.select(col("doc_id"), md5(col("chunk").cast("binary")).as("ch"))
+          .groupBy(col("ch"))
+          .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("keep_id"))
+          .filter(col("n") > 1)
+          .orderBy(col("ch"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        tn AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        chunks AS (
+          SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/20.0) AS BIGINT)),
+            i -> array_to_string(list_slice(t, i*20+1, i*20+20), ' '))) AS chunk
+          FROM tn),
+        h AS (SELECT doc_id, md5(chunk) AS ch FROM chunks WHERE chunk <> '')
+        SELECT ch, COUNT(*) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS keep_id
+        FROM h GROUP BY ch HAVING COUNT(*) > 1 ORDER BY ch""")),
+
+    // ---- benchmark decontamination: 5-gram overlap of each training
+    // doc against the benchmark set (here: doc_id < 10). Inverted-index
+    // equi-join on the shingle; the benchmark side is tiny and
+    // broadcasts — the standard eval-leak check before training --------
+    ("q75_decontam",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("shingle"))
+        val bench = sh.filter(col("doc_id") < 10).select(col("shingle")).distinct()
+        sh.filter(col("doc_id") >= 10)
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+            i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS shingle FROM toks),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+        train AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 10)
+        SELECT train.doc_id, COUNT(*) AS n_shared
+        FROM train JOIN bench USING (shingle)
+        GROUP BY train.doc_id ORDER BY train.doc_id""")),
+
+    // ---- repetition detection: total vs distinct 3-grams per doc (the
+    // repeated-n-gram quality signal); grams via sequence/slice HOFs —
+    // codegen'd, no UDF --------------------------------------------------
+    ("q76_repetition",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .withColumn("grams", expr(
+          "transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        g AS (SELECT doc_id,
+          list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS grams
+          FROM toks WHERE len(t) >= 3)
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+          CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+          1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
+        FROM g ORDER BY doc_id""")),
+
     // ---- higher-order functions over the embedding array: transform/
     // aggregate/filter stay inside codegen (no UDF serialization). Both
     // engines fold the per-row L1 sum left-to-right, and cross-row
