@@ -279,6 +279,26 @@ object Dedup {
                           bands: Int = 8, rowsPerBand: Int = 4,
                           dim: Int = 64, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
+    val (banded, nv) = bandedSignatures(embeddings, bands, rowsPerBand, dim, seed)
+    val a = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(nv.select(col("vec_id").as("id_a"), col("nv").as("va")), Seq("id_a"))
+      .join(nv.select(col("vec_id").as("id_b"), col("nv").as("vb")), Seq("id_b"))
+      .filter(Similarity.nativeDot(spark)(col("va"), col("vb")) > threshold)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Shared banding stage: per vector, `bands` (band_idx, band_hash)
+    * keys from seeded ±1 hyperplane sign bits, plus the normalized
+    * vector table for exact re-scoring. */
+  private def bandedSignatures(embeddings: DataFrame, bands: Int, rowsPerBand: Int,
+                               dim: Int, seed: Long): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
     def dot(a: Column, b: Column): Column = Similarity.nativeDot(spark)(a, b)
     val planes = rademacherPlanes(bands * rowsPerBand, dim, seed)
     val e = PartitionUtil.spread(embeddings)
@@ -293,18 +313,41 @@ object Dedup {
     val banded = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx").as("band_idx"),
               col("band.band_hash").as("band_hash"))
-    val a = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_b"))
-    val cand = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
     val nv = e.select(col("vec_id"), Similarity.normalizeUdf(col("v")).as("nv"))
+    (banded, nv)
+  }
+
+  /** Incremental (new-vs-historical) near-dup check — the shape a
+    * continuously ingesting corpus needs: does each NEW document
+    * near-duplicate anything already accepted? Vectors with
+    * `vec_id < splitId` are the historical corpus, the rest are the
+    * new batch.
+    *
+    * Scale shape: signatures are computed in one scan over both sides;
+    * the candidate join pairs OLD buckets with NEW buckets only — the
+    * (huge) old×old quadrant never forms, and at production scale the
+    * historical side's signatures are precomputed once and reused per
+    * batch, so each increment costs O(batch + collisions), not
+    * O(corpus). Output per contaminated new doc: the number of
+    * historical near-dups and the earliest matching id. */
+  def incrementalNearDups(embeddings: DataFrame, splitId: Long, threshold: Double,
+                          bands: Int = 8, rowsPerBand: Int = 4,
+                          dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (banded, nv) = bandedSignatures(embeddings, bands, rowsPerBand, dim, seed)
+    val old = banded.filter(col("vec_id") < splitId)
+      .select(col("band_idx"), col("band_hash"), col("vec_id").as("id_old"))
+    val fresh = banded.filter(col("vec_id") >= splitId)
+      .select(col("band_idx"), col("band_hash"), col("vec_id").as("id_new"))
+    val cand = old.join(fresh, Seq("band_idx", "band_hash"))
+      .select(col("id_old"), col("id_new")).distinct()
     cand
-      .join(nv.select(col("vec_id").as("id_a"), col("nv").as("va")), Seq("id_a"))
-      .join(nv.select(col("vec_id").as("id_b"), col("nv").as("vb")), Seq("id_b"))
-      .filter(dot(col("va"), col("vb")) > threshold)
-      .select(col("id_a"), col("id_b"))
-      .orderBy(col("id_a"), col("id_b"))
+      .join(nv.select(col("vec_id").as("id_old"), col("nv").as("vo")), Seq("id_old"))
+      .join(nv.select(col("vec_id").as("id_new"), col("nv").as("vn")), Seq("id_new"))
+      .filter(Similarity.nativeDot(spark)(col("vo"), col("vn")) > threshold)
+      .groupBy(col("id_new"))
+      .agg(count(lit(1)).as("n_dups"), min(col("id_old")).as("first_dup"))
+      .orderBy(col("id_new"))
   }
 
   /** DuckDB oracle for [[embeddingNearDupLsh]]: the identical seeded
@@ -314,7 +357,8 @@ object Dedup {
     * the same exact-cosine threshold. */
   private[graft] def embeddingLshOracleSqlBody(threshold: Double, bands: Int,
                                                rowsPerBand: Int, dim: Int,
-                                               seed: Long): String = {
+                                               seed: Long,
+                                               pairCond: String = "a.vec_id < c.vec_id"): String = {
     val planes = rademacherPlanes(bands * rowsPerBand, dim, seed)
     val bandExprs = (0 until bands).map { j =>
       (0 until rowsPerBand).map { i =>
@@ -331,8 +375,20 @@ object Dedup {
       $bandExprs
       FROM e)
     SELECT a.vec_id AS id_a, c.vec_id AS id_b
-    FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($orCond)
+    FROM b a JOIN b c ON ($pairCond) AND ($orCond)
     WHERE list_cosine_similarity(a.v, c.v) > $threshold"""
+  }
+
+  /** DuckDB oracle for [[incrementalNearDups]]: the same seeded-plane
+    * pair SQL restricted to old×new pairs, grouped per new id. */
+  private[graft] def incrementalNearDupOracleSql(splitId: Long, threshold: Double,
+                                                 bands: Int, rowsPerBand: Int,
+                                                 dim: Int, seed: Long): String = {
+    val body = embeddingLshOracleSqlBody(threshold, bands, rowsPerBand, dim, seed,
+      pairCond = s"a.vec_id < $splitId AND c.vec_id >= $splitId")
+    s"""WITH pairs AS ($body)
+    SELECT id_b AS id_new, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(id_a) AS first_dup
+    FROM pairs GROUP BY 1 ORDER BY id_new"""
   }
 
   private[graft] def embeddingLshOracleSql(threshold: Double, bands: Int,

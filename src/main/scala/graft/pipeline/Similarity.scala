@@ -136,6 +136,104 @@ object Similarity {
     topKPerKey(sims, "qid", k)
   }
 
+  /** DuckDB oracle for [[lshTopK]]: the seeded hyperplanes are inlined
+    * as full-precision double literals (shortest-repr strings
+    * round-trip to the identical binary doubles in both engines), and
+    * the bucket / projection / norm math mirrors the Spark-side
+    * left-to-right folds, so the candidate sets and rankings agree
+    * bit-for-bit. Output is ranks, never raw scores. */
+  private[graft] def lshTopKOracleSql(queryCond: String, k: Int,
+                                      numPlanes: Int = 8, dim: Int = 64,
+                                      seed: Long = 42L): String = {
+    val planes = deterministicPlanes(numPlanes, dim, seed)
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val w = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN ${fold(s"v[k] * ($w)[k]")} >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+      $bucketExpr AS bucket,
+      sqrt(${fold("v[k] * v[k]")}) AS norm
+      FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket, norm AS qnorm
+      FROM b WHERE $queryCond),
+    sims AS (SELECT q.qid, b.vec_id AS nid,
+      ${fold("q.qv[k] * b.v[k]")} / (q.qnorm * b.norm) AS sim
+      FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid)
+    SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+      SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM sims)
+    WHERE rnk <= $k ORDER BY qid, rank"""
+  }
+
+  /** Nearest-centroid label assignment — the mislabel-detection /
+    * label-quality pass over an embedding table: per-label mean
+    * centroids, then each vector takes the label of its nearest
+    * centroid (squared L2 via the ‖v‖²+‖c‖²−2v·c identity). Distances
+    * land on the 1e-4 grid before the argmin so the ranking — and
+    * therefore the output — is engine-exact; ties break on label.
+    *
+    * Scale shape: centroids come from one posexplode + hash
+    * aggregation (map-side combining into |labels|·dim cells,
+    * independent of corpus size); assignment is a broadcast cross join
+    * against the |labels| centroid rows scored by the codegen'd
+    * vec_dot kernel, then a hash-aggregated struct-min argmin — one
+    * corpus scan, no vector shuffle, no sort. */
+  def nearestCentroidAssign(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    def ndot(a: Column, b: Column): Column = nativeDot(spark)(a, b)
+    val e = PartitionUtil.spread(embeddings).select(col("vec_id"),
+      col("label").cast("long").as("label"), asDouble(col("embedding")).as("v"))
+    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("k", "x")))
+    // per-(label, dim) mean on the deterministic 1e-4 grid: exact
+    // integer sum, then identical double divisions in both engines
+    val cent = dims.groupBy(col("label"), col("k"))
+      .agg((sum(floor(col("x") * lit(10000.0)).cast("long")).cast("double")
+        / lit(10000.0) / count(col("x"))).as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("k"), col("c")))).as("kc"))
+      .select(col("label").as("clabel"), expr("transform(kc, p -> p.c)").as("cv"))
+    val cself = carr.withColumn("cc", ndot(col("cv"), col("cv")))
+    val vself = e.withColumn("vv", ndot(col("v"), col("v")))
+    val scored = vself.crossJoin(broadcast(cself))
+      .withColumn("dg", floor((col("vv") + col("cc")
+        - lit(2.0) * ndot(col("v"), col("cv"))) * lit(10000.0)).cast("long"))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dg"), col("clabel"))).as("best"))
+      .select(col("vec_id"), col("label"), col("best.clabel").as("assigned"),
+        (col("label") === col("best.clabel")).cast("long").as("is_match"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[nearestCentroidAssign]]: identical grid math
+    * with list folds; the argmin is a ROW_NUMBER over (dg, clabel),
+    * the same total order as the Spark-side struct-min. */
+  private[graft] def centroidAssignOracleSql(dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ks AS (SELECT unnest(range(0, $dim)) AS k),
+      dims AS (SELECT label, k, v[k + 1] AS x FROM e CROSS JOIN ks),
+      cent AS (SELECT label, k,
+          (CAST(SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(x) AS c
+        FROM dims GROUP BY label, k),
+      carr AS (SELECT label AS clabel, list(c ORDER BY k) AS cv FROM cent GROUP BY label),
+      cself AS (SELECT clabel, cv,
+          list_reduce(list_transform(range(1, ${dim + 1}), k -> cv[k] * cv[k]), (x, y) -> x + y) AS cc
+        FROM carr),
+      vself AS (SELECT vec_id, label, v,
+          list_reduce(list_transform(range(1, ${dim + 1}), k -> v[k] * v[k]), (x, y) -> x + y) AS vv
+        FROM e),
+      scored AS (SELECT vec_id, label, clabel,
+          CAST(FLOOR((vv + cc - 2.0 * list_reduce(list_transform(range(1, ${dim + 1}),
+            k -> v[k] * cv[k]), (x, y) -> x + y)) * 10000.0) AS BIGINT) AS dg
+        FROM vself CROSS JOIN cself),
+      r AS (SELECT vec_id, label, clabel,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dg, clabel) AS rn FROM scored)
+      SELECT vec_id, label, clabel AS assigned, CAST(label = clabel AS BIGINT) AS is_match
+      FROM r WHERE rn = 1 ORDER BY vec_id"""
+
   /** IVF-style approximate NN: a k-means coarse quantizer (MLlib,
     * seeded) partitions the corpus into `nClusters` inverted lists;
     * each query probes its `nProbe` nearest centroids and scores only

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text analysis for training-data pipelines: language ID, quality
   * scoring, token counting, document fingerprinting. All pure,
@@ -121,6 +122,43 @@ object TextFunctions {
   }
 
   val winnowUdf = udf { toks: Seq[String] => winnow(toks) }
+
+  /** Concat-then-chunk sequence packing — the layout step that turns a
+    * document corpus into fixed-length training sequences: documents
+    * are laid back-to-back per language in doc_id order and cut every
+    * `seqLen` tokens (documents may span a cut — standard GPT-style
+    * packing, zero padding waste). Emits each document's starting bin
+    * and in-bin offset.
+    *
+    * Scale shape: one window cumsum per partition key — a single
+    * shuffle of narrow (id, lang, count) rows. At corpus scale the
+    * partition key gains a shard component ((lang, shard) with
+    * per-shard packing) so no single language serializes through one
+    * task; the math is unchanged. */
+  def sequencePacking(docs: DataFrame, seqLen: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before DIV $seqLen").as("bin"),
+        (col("cum_before") % seqLen).as("offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[sequencePacking]] — all-integer window math. */
+  private[graft] def sequencePackingOracleSql(seqLen: Int): String =
+    s"""WITH tk AS (SELECT doc_id, lang,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+      w AS (SELECT doc_id, lang, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM tk)
+      SELECT doc_id, lang, n_tokens, cum_before // $seqLen AS bin,
+             cum_before % $seqLen AS offset
+      FROM w ORDER BY doc_id"""
 
   /** Per-document fingerprint summary: count + min/max fingerprint.
     * Deterministic, ordered. */

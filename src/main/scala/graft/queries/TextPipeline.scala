@@ -78,11 +78,14 @@ object TextPipeline {
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
       None),
 
-    // ---- LSH-bucketed ANN (hyperplane signatures; approximate) ---------
+    // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
+    // recall but DETERMINISTIC given the seed, so the oracle recomputes
+    // the identical buckets from the same inlined plane literals and
+    // the ranking matches bit-for-bit --------------------------------
     ("q54_ann_lsh",
       (s, dir) => Similarity.lshTopK(
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
-      None),
+      Some(Similarity.lshTopKOracleSql(queryCond = "vec_id < 20", k = 5))),
 
     // ---- multimodal columns: binary payload + typed meta through the
     // partition-mapped resize + feature-extract stages (codec boundary
@@ -460,6 +463,37 @@ object TextPipeline {
         t(s, dir, "embeddings"), threshold = 0.25,
         bands = 8, rowsPerBand = 4, dim = 64, seed = 42L),
       Some(Dedup.embeddingLshOracleSql(threshold = 0.25,
-        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L)))
+        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L))),
+
+    // ---- Bloom-prefiltered benchmark decontamination: benchmark
+    // shingles fold into a broadcast Bloom bit array that drops ~all
+    // clean train shingles AT THE SCAN; survivors re-verify exactly, so
+    // the answer equals the plain join's (which is the oracle) --------
+    ("q77_decontam_bloom",
+      (s, dir) => graft.pipeline.Decontam.bloomDecontam(
+        t(s, dir, "documents"), isBench = col("doc_id") < 20, n = 4, fpp = 0.01),
+      Some(graft.pipeline.Decontam.oracleSql(benchMaxDocId = 20, n = 4))),
+
+    // ---- incremental (new-vs-historical) near-dup check: old buckets
+    // join new buckets only — the old×old quadrant never forms; the
+    // oracle restricts the same seeded-plane pair SQL to old×new ------
+    ("q78_incremental_neardup",
+      (s, dir) => Dedup.incrementalNearDups(
+        t(s, dir, "embeddings"), splitId = 100L, threshold = 0.25,
+        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L),
+      Some(Dedup.incrementalNearDupOracleSql(splitId = 100L, threshold = 0.25,
+        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L))),
+
+    // ---- nearest-centroid label assignment (mislabel detection):
+    // per-label grid-mean centroids + broadcast argmin assignment ----
+    ("q79_centroid_assign",
+      (s, dir) => Similarity.nearestCentroidAssign(t(s, dir, "embeddings")),
+      Some(Similarity.centroidAssignOracleSql(dim = 64))),
+
+    // ---- concat-then-chunk sequence packing into 2048-token bins ----
+    ("q80_seq_packing",
+      (s, dir) => graft.pipeline.TextFunctions.sequencePacking(
+        t(s, dir, "documents"), seqLen = 2048),
+      Some(graft.pipeline.TextFunctions.sequencePackingOracleSql(seqLen = 2048)))
   )
 }

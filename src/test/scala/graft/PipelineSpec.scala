@@ -229,4 +229,93 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     imgFeat.width shouldBe 4
     imgFeat.mean_intensity shouldBe 128.0
   }
+
+  test("bloom decontamination equals the plain-join answer and is partition-invariant") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // benchmark
+      (2L, "eta theta iota kappa lambda mu"), // benchmark
+      (10L, "alpha beta gamma delta epsilon other words here"), // shares 4-grams with 1
+      (11L, "eta theta iota kappa something else entirely now"), // shares one 4-gram with 2
+      (12L, "totally clean document with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    def plain(n: Int) = { // the unfiltered reference join
+      val sh = corpus.select($"doc_id", explode(Dedup.shingles($"text", n)).as("s"))
+      val bench = sh.filter($"doc_id" < 10).select($"s").distinct()
+      sh.filter($"doc_id" >= 10).join(bench, Seq("s"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val got = Decontam.bloomDecontam(corpus, isBench = $"doc_id" < 10, n = 4)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe plain(4)
+    got(10L) shouldBe 2L // two distinct 4-grams inside "alpha..epsilon"
+    got(11L) shouldBe 1L
+    got.contains(12L) shouldBe false
+    Decontam.bloomDecontam(corpus.repartition(7), isBench = $"doc_id" < 10, n = 4)
+      .as[(Long, Long)].collect().toMap shouldBe got
+  }
+
+  test("incremental near-dup restricts the pair set to old x new") {
+    import spark.implicits._
+    val vecs = (0 until 60).map { i =>
+      // 0 and 40 near-identical, 1 and 41 near-identical; others spread
+      val base = if (i >= 40 && i < 42) (i - 40) else i
+      (i.toLong, Array.tabulate(8)(d => math.sin(base * 0.7 + d).toFloat
+        + (if (i >= 40 && i < 42) 1e-4f else 0f)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val inc = Dedup.incrementalNearDups(df, splitId = 40L, threshold = 0.99,
+      bands = 4, rowsPerBand = 4, dim = 8, seed = 7L)
+      .as[(Long, Long, Long)].collect().toList
+    // every reported new id is >= split and its first_dup < split
+    inc.foreach { case (idNew, _, firstDup) =>
+      idNew should be >= 40L
+      firstDup should be < 40L
+    }
+    inc.map(_._1) should contain allOf (40L, 41L)
+    inc.find(_._1 == 40L).get._3 shouldBe 0L
+    inc.find(_._1 == 41L).get._3 shouldBe 1L
+    // partition-invariant
+    Dedup.incrementalNearDups(df.repartition(5), splitId = 40L, threshold = 0.99,
+      bands = 4, rowsPerBand = 4, dim = 8, seed = 7L)
+      .as[(Long, Long, Long)].collect().toList shouldBe inc
+  }
+
+  test("nearest-centroid assignment recovers well-separated cluster labels") {
+    import spark.implicits._
+    // two tight clusters far apart; labels match the cluster => all
+    // assignments must agree with the labels, except a deliberate
+    // mislabeled point which must be flagged (is_match = 0)
+    val rows = (0 until 20).map { i =>
+      val cluster = i % 2
+      val label = if (i == 6) 1L - (i % 2) else (i % 2).toLong // 6 mislabeled
+      val v = Array.tabulate(4)(d =>
+        (cluster * 10.0 + d + 0.01 * i).toFloat)
+      (i.toLong, label, v)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.nearestCentroidAssign(df)
+      .as[(Long, Long, Long, Long)].collect().toList
+    got.size shouldBe 20
+    got.foreach { case (id, label, assigned, isMatch) =>
+      assigned shouldBe (id % 2) // geometry wins
+      isMatch shouldBe (if (id == 6L) 0L else 1L)
+    }
+    Similarity.nearestCentroidAssign(df.repartition(6))
+      .as[(Long, Long, Long, Long)].collect().toList shouldBe got
+  }
+
+  test("sequence packing: bins and offsets follow the per-lang running total") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c"), // 3 tokens -> bin 0 offset 0
+      (2L, "en", "d e f g"), // cum 3 -> bin 0 offset 3
+      (3L, "en", "h i"), // cum 7 -> bin 1 offset 2  (seqLen = 5)
+      (4L, "fr", "x y z w") // separate lang stream: bin 0 offset 0
+    ).toDF("doc_id", "lang", "text")
+    val got = TextFunctions.sequencePacking(docs, seqLen = 5)
+      .select($"doc_id", $"bin", $"offset").as[(Long, Long, Long)].collect().toList
+    got shouldBe List((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 0L, 0L))
+  }
 }
