@@ -141,7 +141,38 @@ object PlanAudit {
           "projection, and probing is an equi-join on cluster id with " +
           "the probe table broadcast — no corpus cross join",
         Seq("BroadcastHashJoin", "TopKAggregator"),
-        Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q77_decontam_bloom",
+        "Bloom decontamination: the benchmark shingle set becomes a " +
+          "broadcast Bloom bit array filtering the train shingle stream " +
+          "AT THE SCAN (the UDF predicate sits in the scan-side Filter, " +
+          "before any exchange); survivors verify through a broadcast " +
+          "LEFT-SEMI join against the true set — the corpus never " +
+          "shuffles its clean shingles anywhere",
+        Seq("LeftSemi"),
+        Seq("CartesianProduct")),
+      ("q78_incremental_neardup",
+        "incremental near-dup: candidates come from an EQUI-join of OLD " +
+          "band buckets against NEW band buckets (vec_id-split filters " +
+          "on each side of the join) — the old×old quadrant never " +
+          "forms and no nested loop appears",
+        Seq.empty,
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q79_centroid_assign",
+        "nearest-centroid assignment: centroids reduce through a " +
+          "map-side-combining hash aggregation into |labels|·dim cells; " +
+          "assignment is a broadcast nested loop against the |labels| " +
+          "centroid ROWS (a constant-size build side — this is the one " +
+          "place BNLJ is the right plan) and the argmin is a hash " +
+          "aggregate struct-min, not a sort or window",
+        Seq("HashAggregate", "vec_dot"),
+        Seq("Window", "CartesianProduct")),
+      ("q80_seq_packing",
+        "sequence packing: one window cumsum partitioned by lang — a " +
+          "single hash-partition exchange of narrow (id, lang, count) " +
+          "rows; no join",
+        Seq("Window"),
+        Seq("Join", "CartesianProduct")))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.PlanAudit)\n\n")
