@@ -215,6 +215,60 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DuckDB oracle for [[minhashLshPairs]]: the full MinHash+banding
+    * pipeline recomputed in SQL via [[HashSql]]'s wraparound emulation.
+    * Per (shingle, slot) rows explode and the mix stages run as
+    * successive columns; slot mins use SIGNED Long order; empty
+    * shingle sets keep the Long.MaxValue signature (they band-collide
+    * with each other, exactly like the Scala side); the band fold
+    * `h = mix64(h ^ v)` unrolls `r` steps × 4 stages as chained CTEs. */
+  private[graft] def minhashLshOracleSql(shingleN: Int, numHashes: Int, bands: Int): String = {
+    import HashSql._
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val golden = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val n = shingleN
+    // band fold: r steps of h = mix64(h ^ bits(vs[step])), staged
+    val foldCtes = (1 to r).flatMap { step =>
+      val in = if (step == 1) "f0" else s"s${step - 1}d"
+      Seq(
+        s"s${step}a AS (SELECT doc_id, j, vs, ${mixStage1(s"xor(h, ${fromSigned(s"vs[$step]")})")} AS h FROM $in)",
+        s"s${step}b AS (SELECT doc_id, j, vs, ${mixStage2("h")} AS h FROM s${step}a)",
+        s"s${step}c AS (SELECT doc_id, j, vs, ${mixStage3("h")} AS h FROM s${step}b)",
+        s"s${step}d AS (SELECT doc_id, j, vs, ${mixStage4("h")} AS h FROM s${step}c)")
+    }.mkString(",\n      ")
+    s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= $n
+          THEN list_distinct(list_transform(range(1, len(t) - ${n - 2}),
+            i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' ')))
+          ELSE CAST([] AS VARCHAR[]) END AS sh FROM toks),
+      bse AS (SELECT doc_id, list_transform(sh, s -> ${HashSql.fnv64("s")}) AS b FROM sh),
+      rows0 AS (SELECT doc_id, i,
+          CAST((CAST(x AS HUGEINT) + (CAST(i + 1 AS HUGEINT) * $golden) % 18446744073709551616)
+            % 18446744073709551616 AS UBIGINT) AS h
+        FROM (SELECT doc_id, unnest(b) AS x FROM bse)
+        CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS i) ii),
+      r2 AS (SELECT doc_id, i, ${mixStage2("h")} AS h FROM rows0),
+      r3 AS (SELECT doc_id, i, ${mixStage3("h")} AS h FROM r2),
+      r4 AS (SELECT doc_id, i, ${toSigned(mixStage4("h"))} AS h FROM r3),
+      slots0 AS (SELECT doc_id, i, MIN(h) AS slot FROM r4 GROUP BY doc_id, i),
+      grid AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents)
+        CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS i) ii),
+      slots AS (SELECT grid.doc_id, grid.i, COALESCE(slot, 9223372036854775807) AS slot
+        FROM grid LEFT JOIN slots0 ON grid.doc_id = slots0.doc_id AND grid.i = slots0.i),
+      bnd AS (SELECT doc_id, i // $r AS j, list(slot ORDER BY i) AS vs
+        FROM slots GROUP BY 1, 2),
+      f0 AS (SELECT doc_id, j, vs,
+        CAST(${java.lang.Long.toUnsignedString(0xcbf29ce484222325L)} AS UBIGINT) AS h FROM bnd),
+      $foldCtes,
+      bandtbl AS (SELECT doc_id, j, h FROM s${r}d)
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+      FROM bandtbl a JOIN bandtbl c
+        ON a.j = c.j AND a.h = c.h AND a.doc_id < c.doc_id
+      GROUP BY 1, 2 ORDER BY id_a, id_b"""
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over token features (token hash weighted +1/-1 per
@@ -242,6 +296,36 @@ object Dedup {
     docs.select(col("doc_id"), shUdf(tokens(col("text"))).as("simhash"))
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[simhashBuckets]]: per-(token, bit) sign votes
+    * recomputed with the [[HashSql]] mix pipeline; the 64 majority
+    * bits reassemble via `1::UBIGINT << i` into the same signed word
+    * and 16-bit prefix bucket. */
+  private[graft] def simhashOracleSql: String = {
+    import HashSql._
+    s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      tok AS (SELECT doc_id, unnest(t) AS s FROM toks),
+      f AS (SELECT doc_id, ${HashSql.fnv64("s")} AS h FROM tok),
+      m1 AS (SELECT doc_id, ${mixStage1("h")} AS h FROM f),
+      m2 AS (SELECT doc_id, ${mixStage2("h")} AS h FROM m1),
+      m3 AS (SELECT doc_id, ${mixStage3("h")} AS h FROM m2),
+      m4 AS (SELECT doc_id, ${mixStage4("h")} AS h FROM m3),
+      bits AS (SELECT doc_id, i,
+          CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END AS d
+        FROM m4 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii),
+      acc AS (SELECT doc_id, i, SUM(d) AS a FROM bits GROUP BY doc_id, i),
+      grid AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM documents)
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii),
+      accf AS (SELECT grid.doc_id, grid.i, COALESCE(a, 0) AS a
+        FROM grid LEFT JOIN acc ON grid.doc_id = acc.doc_id AND grid.i = acc.i),
+      w AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN a > 0 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT)
+                        ELSE 0 END) AS UBIGINT) AS u
+        FROM accf GROUP BY doc_id)
+      SELECT doc_id, ${toSigned("u")} AS simhash, CAST(u >> 48 AS BIGINT) AS bucket
+      FROM w ORDER BY doc_id"""
   }
 
   // ---- embedding cosine ----------------------------------------------

@@ -169,4 +169,34 @@ object TextFunctions {
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB oracle for [[fingerprints]]: the rolling-hash winnowing
+    * recomputed exactly in SQL — [[HashSql]] emulates the fnv64/mix64
+    * wraparound arithmetic in HUGEINT, the mix stages run as successive
+    * list_transform columns, hashes convert to SIGNED BIGINT before the
+    * window mins (Scala Long ordering), and the summary aggregates are
+    * order-independent, so the result is bit-exact. */
+  private[graft] def fingerprintOracleSql(k: Int = 4, window: Int = 4): String = {
+    import HashSql._
+    s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(t) >= $k
+          THEN list_transform(range(1, len(t) - ${k - 2}),
+            i -> array_to_string(list_slice(t, i, i + ${k - 1}), ' '))
+          ELSE CAST([] AS VARCHAR[]) END AS grams FROM toks),
+      f AS (SELECT doc_id, list_transform(grams, s -> ${fnv64("s")}) AS h FROM g),
+      m1 AS (SELECT doc_id, list_transform(h, x -> ${mixStage1("x")}) AS h FROM f),
+      m2 AS (SELECT doc_id, list_transform(h, x -> ${mixStage2("x")}) AS h FROM m1),
+      m3 AS (SELECT doc_id, list_transform(h, x -> ${mixStage3("x")}) AS h FROM m2),
+      m4 AS (SELECT doc_id, list_transform(h, x -> ${toSigned(mixStage4("x"))}) AS h FROM m3),
+      mins AS (SELECT doc_id, CASE
+          WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+          WHEN len(h) <= $window THEN [list_min(h)]
+          ELSE list_transform(range(1, len(h) - ${window - 2}),
+            i -> list_min(list_slice(h, i, i + ${window - 1})))
+          END AS fps FROM m4)
+      SELECT doc_id, CAST(len(list_distinct(fps)) AS BIGINT) AS n_fp,
+             list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      FROM mins ORDER BY doc_id"""
+  }
 }

@@ -190,16 +190,18 @@ object TextPipeline {
         t(s, dir, "documents"), n = 3, threshold = 0.8, maxShingleDocFreq = 256L),
       Some(Dedup.ngramJaccardOracleSql(n = 3, threshold = 0.8, maxShingleDocFreq = 256L))),
 
-    // ---- MinHash-LSH near-dup candidate pairs --------------------------
+    // ---- MinHash-LSH near-dup candidate pairs. The fnv64/mix64
+    // signature + band pipeline is mirrored in DuckDB (HashSql
+    // HUGEINT wraparound emulation) → hash-checked ----------------------
     ("q32_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(
         t(s, dir, "documents"), shingleN = 3, numHashes = 64, bands = 16),
-      None),
+      Some(Dedup.minhashLshOracleSql(shingleN = 3, numHashes = 64, bands = 16))),
 
-    // ---- SimHash near-dup buckets --------------------------------------
+    // ---- SimHash near-dup buckets — also hash-checked via HashSql ------
     ("q33_simhash",
       (s, dir) => Dedup.simhashBuckets(t(s, dir, "documents")),
-      None),
+      Some(Dedup.simhashOracleSql)),
 
     // ---- language-ID heuristic vs labeled lang; the oracle recomputes
     // the stopword-profile argmax from the same profiles map ------------
@@ -207,10 +209,12 @@ object TextPipeline {
       (s, dir) => TextFunctions.langIdConfusion(t(s, dir, "documents")),
       Some(TextFunctions.langIdOracleSql)),
 
-    // ---- document fingerprint (rolling hash) ---------------------------
+    // ---- document fingerprint (rolling hash). The fnv64/mix64 family
+    // is mirrored in DuckDB via HUGEINT wraparound emulation (HashSql),
+    // so even this custom-hash op is hash-checked ------------------------
     ("q35_fingerprint",
       (s, dir) => TextFunctions.fingerprints(t(s, dir, "documents")),
-      None),
+      Some(TextFunctions.fingerprintOracleSql(k = 4, window = 4))),
 
     // ---- quality-score columns (TextFunctions.qualityColumns) ----------
     ("q43_quality_scores",
