@@ -7,17 +7,31 @@ import QueryDsl._
 import graft.core.{Kernels, PixelCodec, SparkImage}
 import graft.functions.ImageFunctions
 
-/** Image-engine queries (the reference's actual domain). No DuckDB
-  * oracle exists for image kernels, so these are rows-only checked by
-  * the driver; exact-value assertions live in the ScalaTest suite
-  * (kernels are seeded/deterministic, so unlike the reference we can
-  * hash-assert, not just statistics-assert — SURVEY §5).
+/** Image-engine queries (the reference's actual domain).
   *
   * All are built on the synthetic constant-fill corpus the reference
   * tests use (5 images, 100×50, fill = fact·(i−1)·1000 + 1000 —
   * SpijiTests.scala:14-16) scaled up so the work is measurable.
+  *
+  * Because the corpus is constant-fill and every kernel is
+  * deterministic, most results are CLOSED-FORM: stats of a constant
+  * image are (f, f, 0, f, w·h) exactly (IEEE: sum = f·n and f·n/n = f
+  * for these magnitudes), a fixed-range histogram is a single spike in
+  * bin ⌊f/binw⌋, a thresholded mask is all-255 or all-0, the
+  * histogram distance of two spikes is exactly 0 or 1. Those queries
+  * carry a DuckDB oracle that recomputes the closed form from
+  * `range()` — an independent re-derivation of what the kernel path
+  * (decode → ROI/calibration view → kernel → stats) must produce.
+  * Only the genuinely non-SQL-expressible ones (seeded gaussian noise,
+  * blob fixtures + connected components) stay rows-only checked, with
+  * exact-value assertions in ScalaTest (kernels are seeded, so unlike
+  * the reference we hash-assert, not statistics-assert — SURVEY §5).
   */
 object ImageQueries {
+
+  /** DuckDB fragment for the debug corpus: (i, fill) pairs. */
+  private def imSql(count: Int): String =
+    s"(SELECT i, CAST((i % 5) * 1000 + 1000 AS DOUBLE) AS f FROM range($count) t(i))"
 
   /** The reference's workhorse fixture as a DataFrame
     * (createEmptyImages, scOps.scala:63-73). */
@@ -47,7 +61,14 @@ object ImageQueries {
             st.getField("stdDev").as("stdDev"), st.getField("max").as("max"),
             st.getField("pts").as("pts"))
           .orderBy(col("sample"))
-      }, None),
+      },
+      // stats of a constant-fill image are closed-form: all pixels = f,
+      // so min=mean=max=f exactly and stdDev=0 (every deviation term is
+      // literally 0.0); pts = 128·64
+      Some(s"""SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample,
+        f AS "min", f AS mean, 0.0 AS "stdDev", f AS "max",
+        CAST(8192 AS BIGINT) AS pts
+        FROM ${imSql(20)} ORDER BY sample""")),
 
     // the 3-stage SQL pipeline (IJSqlTest.scala:150-170): noise → median → stats
     ("img02_pipeline",
@@ -71,7 +92,12 @@ object ImageQueries {
         debugImages(s)
           .select(col("sample"), ImageFunctions.statsUdf(masked).getField("mean").as("mask_mean"))
           .orderBy(col("sample"))
-      }, None),
+      },
+      // threshold of a constant image: every pixel passes (mask all 255)
+      // or none does (all 0) — mask mean is exactly 255.0 or 0.0
+      Some(s"""SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample,
+        CASE WHEN f >= 1500 THEN 255.0 ELSE 0.0 END AS mask_mean
+        FROM ${imSql(20)} ORDER BY sample""")),
 
     // fixed-range histogram, exploded to (sample, bin, count) rows
     ("img04_histogram",
@@ -82,7 +108,12 @@ object ImageQueries {
           .toDF("sample", "bin", "count")
           .filter(col("count") > 0)
           .orderBy(col("sample"), col("bin"))
-      }, None),
+      },
+      // hist3(0, 6000, 12) of a constant image is a single spike of all
+      // 8192 pixels in bin ⌊f/500⌋ = (i%5)·2 + 2
+      Some(s"""SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample,
+        CAST((i % 5) * 2 + 2 AS INTEGER) AS bin, CAST(8192 AS BIGINT) AS "count"
+        FROM ${imSql(20)} ORDER BY sample, bin""")),
 
     // particle analysis: per-component measurements as rows (SURVEY A4)
     ("img05_particles",
@@ -107,7 +138,11 @@ object ImageQueries {
         a.join(b, "sample")
           .select(col("sample"), ImageFunctions.statsUdf(diff).getField("mean").as("diff_mean"))
           .orderBy(col("sample"))
-      }, None),
+      },
+      // a − (a + 100) = −100 at every pixel, exactly (f ≤ 5000 and
+      // f+100 are exactly representable in Float32)
+      Some(s"""SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample, -100.0 AS diff_mean
+        FROM ${imSql(20)} ORDER BY sample""")),
 
     // histogram distance matrix (SURVEY J4: all-pairs crossJoin)
     ("img07_hist_compare",
@@ -119,7 +154,16 @@ object ImageQueries {
           .select(col("sa"), col("sb"),
             ImageFunctions.histCompareUdf(col("ia"), col("ib")).as("dist"))
           .orderBy(col("sa"), col("sb"))
-      }, None),
+      },
+      // two constant images histogram as single spikes; re-binned to a
+      // common 10000-bin axis the spikes either coincide (same fill →
+      // L1/2 = 0) or land ≥1000 apart with bin width ≤ 0.4 (disjoint →
+      // L1/2 = (1+1)/2 = 1) — exactly 0.0 or 1.0
+      Some(s"""WITH im AS ${imSql(8)}
+        SELECT '/imgs/' || CAST(a.i AS VARCHAR) AS sa,
+               '/imgs/' || CAST(b.i AS VARCHAR) AS sb,
+               CASE WHEN a.f = b.f THEN 0.0 ELSE 1.0 END AS dist
+        FROM im a JOIN im b ON a.i < b.i ORDER BY sa, sb""")),
 
     // parameter sweep (runRange, scOps.scala:207-224): explode a param
     // grid, run the kernel per (image, param)
@@ -149,7 +193,13 @@ object ImageQueries {
           .select(col("sample"), explode(col("log")).as("entry"))
           .select(col("sample"), col("entry.optype"), col("entry.opval"))
           .orderBy(col("sample"), col("opval"))
-      }, None),
+      },
+      // the provenance log is fully determined: CREATE(constantImage)
+      // from the fixture, then one RUN entry per applied op
+      Some("""WITH e(optype, opval) AS (VALUES
+          ('CREATE', 'constantImage'), ('RUN', 'Invert'), ('RUN', 'Multiply...'))
+        SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample, optype, opval
+        FROM range(5) t(i) CROSS JOIN e ORDER BY sample, opval""")),
 
     // provenance-as-macro: replaying a processed image's log on the
     // original reproduces it exactly (macro record/replay analogue)
@@ -163,7 +213,11 @@ object ImageQueries {
           .withColumn("r", ImageFunctions.replayUdf(col("image"), col("p.log")))
           .select(col("sample"), (col("p.data") === col("r.data")).as("replay_match"))
           .orderBy(col("sample"))
-      }, None),
+      },
+      // replay re-runs the RUN entries on the original; the noise seed
+      // is a content hash, so the replayed pipeline is bit-identical
+      Some("""SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample, TRUE AS replay_match
+        FROM range(6) t(i) ORDER BY sample""")),
 
     // cross-image histogram via a typed Aggregator (SURVEY A6 corpus
     // path): partial count-array buffers merge map-side, pixels never
@@ -185,7 +239,13 @@ object ImageQueries {
           .toDF("grp", "bin", "count")
           .filter(col("count") > 0)
           .orderBy(col("grp"), col("bin"))
-      }, None),
+      },
+      // each image spikes 8192 pixels into bin (i%5)·2+2 (as img04);
+      // grouped by i%2, each (grp, bin) cell collects exactly 2 images
+      Some("""SELECT CAST(i % 2 AS INTEGER) AS grp,
+          CAST((i % 5) * 2 + 2 AS INTEGER) AS bin,
+          CAST(SUM(8192) AS BIGINT) AS "count"
+        FROM range(20) t(i) GROUP BY 1, 2 ORDER BY grp, bin""")),
 
     // DSv2 catalog source through pure SQL DDL (SURVEY §3.3 / S8-S10):
     // CREATE ... USING imagedebug, metadata pruned unless pixels asked
@@ -198,7 +258,12 @@ object ImageQueries {
         s.sql("""SELECT name, width, height, slices,
                  stats(image)['mean'] AS mean
                  FROM GraftDebugImages ORDER BY name""")
-      }, None),
+      },
+      // the imagedebug catalog generates name=i, fixed dims, and the
+      // same constant fill family; mean of a constant image = f
+      Some(s"""SELECT CAST(i AS VARCHAR) AS name, CAST(64 AS INTEGER) AS width,
+        CAST(32 AS INTEGER) AS height, CAST(1 AS INTEGER) AS slices, f AS mean
+        FROM ${imSql(12)} ORDER BY name""")),
 
     // runRange sweep through the ops layer (scOps.scala:207-224)
     ("img12_ops_runrange",
@@ -209,7 +274,13 @@ object ImageQueries {
           .getStatistics()
           .select(col("sample"), col("stats.mean").as("mean"))
           .orderBy(col("sample"))
-      }, None),
+      },
+      // a mean filter (edge-clamped) leaves a constant image exactly
+      // constant for any radius; the sweep fans each image out to the
+      // two SweepToPath-suffixed samples
+      Some(s"""WITH r(arg) AS (VALUES ('radius=1.0'), ('radius=2.0'))
+        SELECT '/imgs/' || CAST(i AS VARCHAR) || '/' || arg AS sample, f AS mean
+        FROM ${imSql(4)} CROSS JOIN r ORDER BY sample""")),
 
     // stack append via sort + aggregation (SURVEY §2.6's only ordering
     // contract: slices must assemble in key order, Spiji.java:765-792)
@@ -233,7 +304,9 @@ object ImageQueries {
         assembled.select(col("sample"),
           ImageFunctions.nslicesUdf(col("image")).as("nslices"),
           ImageFunctions.statsUdf(col("image")).getField("mean").as("mean"))
-      }, None),
+      },
+      // 11 appended constant slices 0..10 → mean = Σi/11 = 5 exactly
+      Some("""SELECT 'stack' AS sample, CAST(11 AS INTEGER) AS nslices, 5.0 AS mean""")),
 
     // ROI + value calibration: stats of a selection in calibrated units
     // (ROI surface Spiji.java:515-613; calibration IJCalibration.java:
@@ -248,7 +321,12 @@ object ImageQueries {
           .select(col("sample"), st.getField("mean").as("hu_mean"),
             st.getField("pts").as("roi_pts"))
           .orderBy(col("sample"))
-      }, None),
+      },
+      // the linear calibration maps the constant fill to f−1024 at
+      // every ROI pixel; the 64×48 ROI restricts pts to 3072
+      Some(s"""SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample,
+        f - 1024.0 AS hu_mean, CAST(3072 AS BIGINT) AS roi_pts
+        FROM ${imSql(20)} ORDER BY sample""")),
 
     // RGB→scalar conversion strategies (TImgTools.java:311-366): gray →
     // RGB, then per-strategy channel extraction via the run2 rgb= arg
