@@ -234,6 +234,48 @@ object Similarity {
       SELECT vec_id, label, clabel AS assigned, CAST(label = clabel AS BIGINT) AS is_match
       FROM r WHERE rn = 1 ORDER BY vec_id"""
 
+  /** Per-vector int8 scalar quantization — the storage-compression
+    * pass an embedding corpus runs before ANN serving (4× smaller than
+    * float32): symmetric max-abs scaling, code_k = ⌊v_k·127/maxabs⌋,
+    * plus the reconstruction error ‖v − deq(code)‖² that quantifies
+    * the quality loss. `floor` (not round-half-*) and sequential
+    * left-fold sums keep every value bit-reproducible across engines.
+    * Output per vector: maxabs, an order-weighted BIGINT checksum of
+    * the code vector, and the reconstruction error.
+    *
+    * Scale shape: purely per-row map work inside one projection — no
+    * shuffle, no join; at 100 TB this pipelines with the scan. */
+  def int8Quantize(embeddings: DataFrame): DataFrame =
+    PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("sc", when(col("maxabs") > 0, col("maxabs")).otherwise(lit(1.0)))
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x * 127.0 / sc) AS BIGINT))"))
+      .withColumn("code_sum", expr(
+        "aggregate(zip_with(q, sequence(1L, CAST(size(q) AS BIGINT)), (qq, k) -> qq * k), 0L, (acc, x) -> acc + x)"))
+      .withColumn("recon_err", expr(
+        "aggregate(zip_with(v, q, (x, qq) -> (x - qq * sc / 127.0) * (x - qq * sc / 127.0)), " +
+          "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"))
+      .select(col("vec_id"), col("maxabs"), col("code_sum"), col("recon_err"))
+      .orderBy(col("vec_id"))
+
+  /** DuckDB oracle for [[int8Quantize]] — identical IEEE ops in
+    * identical order (list_reduce is a left fold, like `aggregate`). */
+  private[graft] def int8QuantizeOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      s AS (SELECT vec_id, v, maxabs,
+          CASE WHEN maxabs > 0 THEN maxabs ELSE 1.0 END AS sc FROM m),
+      q AS (SELECT vec_id, v, maxabs, sc,
+          list_transform(v, x -> CAST(floor(x * 127.0 / sc) AS BIGINT)) AS q FROM s)
+      SELECT vec_id, maxabs,
+        list_reduce(list_transform(range(1, len(q) + 1), k -> q[k] * k),
+          (acc, x) -> acc + x) AS code_sum,
+        list_reduce(list_transform(range(1, len(v) + 1),
+            k -> (v[k] - q[k] * sc / 127.0) * (v[k] - q[k] * sc / 127.0)),
+          (acc, t) -> acc + t) AS recon_err
+      FROM q ORDER BY vec_id"""
+
   /** IVF-style approximate NN: a k-means coarse quantizer (MLlib,
     * seeded) partitions the corpus into `nClusters` inverted lists;
     * each query probes its `nProbe` nearest centroids and scores only

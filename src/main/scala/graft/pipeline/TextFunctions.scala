@@ -160,6 +160,109 @@ object TextFunctions {
              cum_before % $seqLen AS offset
       FROM w ORDER BY doc_id"""
 
+  /** Mean corpus token frequency per document — a model-free rarity /
+    * quality signal (boilerplate-heavy docs score high, rare-token docs
+    * low; the integer-ratio cousin of a unigram-LM logprob, chosen over
+    * log-probabilities because `ln` is not guaranteed bit-identical
+    * across engines while a single BIGINT/BIGINT division is).
+    *
+    * Scale shape: one explode + two hash aggregations + one equi-join
+    * on token. The frequency side is vocabulary-sized (≪ corpus —
+    * heavy-tailed), so AQE broadcasts it in practice; per-doc
+    * re-aggregation is map-side combinable. No O(N²) anywhere.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val tok = PartitionUtil.spread(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    tok.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_freq"))
+      .withColumn("mean_tok_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[tokenRarity]] — exact integer counts, one
+    * final division (deterministic: both inputs are exact BIGINTs). */
+  private[graft] def tokenRarityOracleSql: String =
+    """WITH tok AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+      freq AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf) AS BIGINT) AS sum_freq,
+             CAST(SUM(tf) AS DOUBLE) / COUNT(*) AS mean_tok_freq
+      FROM tok JOIN freq USING (tok)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Content-defined chunking (CDC): a token ends a chunk when its
+    * mix64(fnv64(token)) has `maskBits` low zero bits — the
+    * rsync/LBFS-style gear rule, giving ~2^maskBits-token chunks whose
+    * boundaries are CONTENT positions, so an insertion near the start
+    * of a document shifts no downstream chunk (fixed windows, q74,
+    * re-chunk everything after the edit). Returns each duplicated
+    * chunk group across the corpus: (chunk fnv64, occurrences,
+    * distinct docs, lowest doc). */
+  private[graft] def cdcChunkHashes(toks: Seq[String], maskBits: Int): Seq[Long] = {
+    if (toks == null || toks.isEmpty) return Seq.empty
+    val mask = (1L << maskBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cur = new StringBuilder
+    toks.foreach { t =>
+      if (cur.nonEmpty) cur.append(' ')
+      cur.append(t)
+      if ((Dedup.mix64(Dedup.fnv64(t)) & mask) == 0L) {
+        out += Dedup.fnv64(cur.toString); cur.clear()
+      }
+    }
+    if (cur.nonEmpty) out += Dedup.fnv64(cur.toString)
+    out.toSeq
+  }
+
+  /** Duplicated CDC chunks corpus-wide (see [[cdcChunkHashes]]). */
+  def cdcChunkDedup(docs: DataFrame, maskBits: Int = 4): DataFrame = {
+    val chunksUdf = udf { toks: Seq[String] => cdcChunkHashes(toks, maskBits) }
+    PartitionUtil.spread(docs)
+      .select(col("doc_id"), explode(chunksUdf(Dedup.tokens(col("text")))).as("chash"))
+      .groupBy(col("chash"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n") > 1)
+      .orderBy(col("chash"))
+  }
+
+  /** DuckDB oracle for [[cdcChunkDedup]]: per-token boundary flags from
+    * the staged [[HashSql]] mix pipeline, chunk ids via a window cumsum
+    * of PRECEDING boundaries, chunk text via ordered string_agg, chunk
+    * hash via the same fnv64 — bit-exact against the Scala fold. */
+  private[graft] def cdcChunkDedupOracleSql(maskBits: Int = 4): String = {
+    import HashSql._
+    val mask = (1L << maskBits) - 1
+    s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      tokr AS (SELECT doc_id, unnest(t) AS tok,
+        unnest(range(1, len(t) + 1)) AS i FROM toks WHERE len(t) > 0),
+      f AS (SELECT doc_id, i, tok, ${fnv64("tok")} AS h FROM tokr),
+      m1 AS (SELECT doc_id, i, tok, ${mixStage1("h")} AS h FROM f),
+      m2 AS (SELECT doc_id, i, tok, ${mixStage2("h")} AS h FROM m1),
+      m3 AS (SELECT doc_id, i, tok, ${mixStage3("h")} AS h FROM m2),
+      m4 AS (SELECT doc_id, i, tok, ${mixStage4("h")} AS h FROM m3),
+      b AS (SELECT doc_id, i, tok,
+        CASE WHEN (h & $mask) = 0 THEN 1 ELSE 0 END AS bnd FROM m4),
+      cid AS (SELECT doc_id, i, tok, COALESCE(SUM(bnd) OVER (
+          PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        FROM b),
+      chunks AS (SELECT doc_id, chunk_id,
+          string_agg(tok, ' ' ORDER BY i) AS ctext
+        FROM cid GROUP BY doc_id, chunk_id),
+      ch AS (SELECT doc_id, ${toSigned(fnv64("ctext"))} AS chash FROM chunks)
+      SELECT chash, COUNT(*) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS keep_id
+      FROM ch GROUP BY chash HAVING COUNT(*) > 1 ORDER BY chash"""
+  }
+
   /** Per-document fingerprint summary: count + min/max fingerprint.
     * Deterministic, ordered. */
   def fingerprints(docs: DataFrame): DataFrame =

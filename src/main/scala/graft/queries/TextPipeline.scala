@@ -498,6 +498,23 @@ object TextPipeline {
     ("q80_seq_packing",
       (s, dir) => graft.pipeline.TextFunctions.sequencePacking(
         t(s, dir, "documents"), seqLen = 2048),
-      Some(graft.pipeline.TextFunctions.sequencePackingOracleSql(seqLen = 2048)))
+      Some(graft.pipeline.TextFunctions.sequencePackingOracleSql(seqLen = 2048))),
+
+    // ---- mean corpus token frequency: model-free rarity/quality
+    // signal (integer-exact unigram-LM cousin) -----------------------
+    ("q81_token_rarity",
+      (s, dir) => TextFunctions.tokenRarity(t(s, dir, "documents")),
+      Some(TextFunctions.tokenRarityOracleSql)),
+
+    // ---- int8 embedding quantization + reconstruction error --------
+    ("q82_int8_quant",
+      (s, dir) => Similarity.int8Quantize(t(s, dir, "embeddings")),
+      Some(Similarity.int8QuantizeOracleSql)),
+
+    // ---- content-defined chunk dedup: gear-rule boundaries, so an
+    // insertion shifts no downstream chunk (vs q74's fixed windows) --
+    ("q83_cdc_chunks",
+      (s, dir) => TextFunctions.cdcChunkDedup(t(s, dir, "documents"), maskBits = 4),
+      Some(TextFunctions.cdcChunkDedupOracleSql(maskBits = 4)))
   )
 }

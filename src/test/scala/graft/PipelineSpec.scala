@@ -318,4 +318,76 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .select($"doc_id", $"bin", $"offset").as[(Long, Long, Long)].collect().toList
     got shouldBe List((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 0L, 0L))
   }
+
+  test("token rarity: common-token docs score higher; partition-invariant") {
+    import spark.implicits._
+    val r = TextFunctions.tokenRarity(docs)
+      .select($"doc_id", $"mean_tok_freq").as[(Long, Double)].collect().toMap
+    // docs 1 and 3 are identical and share every token with doc 2's prefix;
+    // doc 4 is all-rare (each token appears once except none shared)
+    r(1L) shouldBe r(3L)
+    r(1L) should be > r(4L)
+    // exact value for doc 4: every token unique to it → mean freq 1.0
+    r(4L) shouldBe 1.0
+    val rep = TextFunctions.tokenRarity(docs.repartition(7))
+      .select($"doc_id", $"mean_tok_freq").as[(Long, Double)].collect().toMap
+    rep shouldBe r
+  }
+
+  test("cdc chunking: boundaries are content positions — insertion shifts no downstream chunk") {
+    val base = (1 to 200).map(i => s"tok$i")
+    val baseChunks = TextFunctions.cdcChunkHashes(base, maskBits = 4)
+    // prepending tokens re-chunks only the prefix up to the first
+    // boundary; every chunk after it is unchanged (the CDC property
+    // that fixed windows lack)
+    val shifted = TextFunctions.cdcChunkHashes(Seq("inserted", "tokens") ++ base, maskBits = 4)
+    baseChunks.size should be > 4
+    // every chunk after the first base boundary is byte-identical:
+    // boundary status is per-token content, so the insertion only
+    // reshapes the head chunk
+    shifted.takeRight(baseChunks.size - 1) shouldBe baseChunks.takeRight(baseChunks.size - 1)
+    // determinism + coverage: chunks reassemble the original token stream
+    val mask = (1L << 4) - 1
+    val nBoundaries = base.count(t => (Dedup.mix64(Dedup.fnv64(t)) & mask) == 0L)
+    baseChunks.size shouldBe (nBoundaries + (if ((Dedup.mix64(Dedup.fnv64(base.last)) & mask) == 0L) 0 else 1))
+  }
+
+  test("cdc chunk dedup finds repeated chunks across docs, partition-invariant") {
+    import spark.implicits._
+    val two = Seq(
+      (1L, (1 to 120).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 120).map(i => s"w$i").mkString(" ")), // exact dup → every chunk duplicated
+      (3L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.cdcChunkDedup(two)
+      .select($"chash", $"n", $"n_docs", $"keep_id").as[(Long, Long, Long, Long)].collect().toList
+    got.nonEmpty shouldBe true
+    all(got.map(_._2)) shouldBe 2L   // each duplicated chunk appears twice
+    all(got.map(_._4)) shouldBe 1L   // kept doc is the lower id
+    val rep = TextFunctions.cdcChunkDedup(two.repartition(5))
+      .select($"chash", $"n", $"n_docs", $"keep_id").as[(Long, Long, Long, Long)].collect().toList
+    rep shouldBe got
+  }
+
+  test("int8 quantization: constant vectors quantize exactly; error bounded by step size") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(8)(0.5f), 0),
+      (2L, Array.tabulate(8)(i => (i - 4).toFloat / 8f), 1),
+      (3L, Array.fill(8)(0f), 2) // all-zero: guarded scale, zero error
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.int8Quantize(vecs)
+      .select($"vec_id", $"maxabs", $"code_sum", $"recon_err")
+      .as[(Long, Double, Long, Double)].collect().sortBy(_._1)
+    // constant 0.5 vector: code_k = floor(0.5*127/0.5) = 127 each;
+    // dequantized exactly 0.5 → zero reconstruction error
+    got(0)._2 shouldBe 0.5
+    got(0)._3 shouldBe (1 to 8).map(_ * 127L).sum
+    got(0)._4 shouldBe 0.0
+    // error bound: per-dim |v - deq| < maxabs/127 → err < dim*(maxabs/127)^2
+    val step = got(1)._2 / 127.0
+    got(1)._4 should be < 8.0 * step * step
+    got(2)._3 shouldBe 0L
+    got(2)._4 shouldBe 0.0
+  }
 }
