@@ -67,11 +67,12 @@ object PlanAudit {
         Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
         Seq.empty),
       ("q31_ngram_jaccard",
-        "near-dup candidates come from an inverted index on 8-byte " +
-          "xxhash64 shingle keys with a doc-frequency cap (no uncapped " +
-          "posting list can go quadratic on a hot shingle); survivors " +
-          "re-score exactly on the full shingle sets — no cross join " +
-          "anywhere in the plan",
+        "EXACT prefix-filtered similarity join: only each doc's " +
+          "sz−⌈t·sz⌉+1 rarest shingles are indexed (no false negatives " +
+          "by the AllPairs prefix theorem), so hot stop-shingles never " +
+          "enter the inverted index; candidates equi-join on 8-byte " +
+          "xxhash64 prefix keys and re-score exactly on the full " +
+          "shingle sets — no cross join anywhere in the plan",
         Seq("xxhash64"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("q36_embedding_neardup",

@@ -37,25 +37,32 @@ object Dedup {
 
   // ---- n-gram Jaccard ------------------------------------------------
 
-  /** Near-dup pairs with n-gram Jaccard similarity ≥ threshold.
+  /** EXACT near-dup pairs with n-gram Jaccard similarity ≥ threshold,
+    * via prefix filtering (AllPairs / PPJoin family — Bayardo et al.
+    * WWW'07, Xiao et al. WWW'08; public algorithms).
     *
-    * Two phases, both O(features):
-    *  1. Candidate generation — inverted index: explode shingles,
-    *     self-join on the 8-byte `xxhash64` of the shingle (codegen'd;
-    *     a 64-bit collision across a corpus vocabulary is negligible
-    *     and only adds a candidate, which re-scoring rejects). A
-    *     doc-frequency cap drops ubiquitous "stop shingles" BEFORE the
-    *     join: a shingle appearing in f documents yields f² join rows,
-    *     a quadratic hot-key blowup at corpus scale, so the cap is the
-    *     default, not an option.
-    *  2. Exact re-score — survivors join back to the full shingle sets
-    *     and Jaccard = |∩| / (|A|+|B|-|∩|) is computed on the complete
-    *     sets, so the cap affects only which pairs are *considered*,
-    *     never a reported similarity. (A pair sharing nothing but
-    *     capped stop-shingles has Jaccard ≪ any useful threshold.)
+    * Candidate generation indexes only each document's PREFIX: its
+    * p = sz − ⌈t·sz⌉ + 1 globally-rarest shingles (global order =
+    * ascending doc-frequency, ties on the shingle string). If
+    * J(A,B) ≥ t then |A∩B| ≥ t·|A|, so A's non-prefix suffix
+    * (⌈t·|A|⌉ − 1 shingles) cannot contain all of A∩B — the smallest
+    * shared shingle in the global order sits in BOTH prefixes, and the
+    * equi-join on prefix shingles finds the pair. No false negatives;
+    * false positives are removed by the exact re-score. ⌈t·sz⌉ uses
+    * integer arithmetic (t as a rational num/10000) — a float ceil
+    * could round the prefix one short and silently break exactness.
+    *
+    * Scale shape: the inverted index holds only prefixes — the ~20%
+    * RAREST shingles per doc at t=0.8 — so posting lists are short by
+    * construction (a shingle common enough to blow up f² is almost
+    * never in a prefix; when it is, the pairs it generates are
+    * near-certain true dups, so the output itself is that large). A
+    * size filter (min/max ≥ t) prunes candidates before the distinct;
+    * the re-score joins full shingle arrays only for surviving pairs.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxShingleDocFreq: Long = 256L): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val den = 10000L
+    val num = math.round(threshold * den)
     // The shingle table feeds several plan branches; without
     // persistence the tokenize+shingle UDF re-executes once per
     // branch. At corpus scale materializing the shingle table is the
@@ -64,44 +71,23 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle_str"))
-      .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
-    val dfreq = posting0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val posting = posting0.join(
-      dfreq.filter(col("df") <= maxShingleDocFreq).select(col("shingle")), "shingle")
-    // candidate pruning is COUNTING, not set math: the equi-join on
-    // capped shingle hashes feeds a map-side-combining aggregation that
-    // yields each pair's shared-RARE-shingle count directly — no
-    // per-pair array materialization for the millions of weak pairs
-    val pairInter = posting.select(col("shingle"), col("doc_id").as("id_a"))
-      .join(posting.select(col("shingle"), col("doc_id").as("id_b")), Seq("shingle"))
+    val posting = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rank each doc's shingles rarest-first; keep the safe prefix
+    val prefix = posting.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= expr(s"sz - (sz * $num + ${den - 1}) DIV $den + 1"))
+      .select(xxhash64(col("s")).as("h"), col("doc_id"), col("sz"))
+    val cand = prefix.select(col("h"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("h"), col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter_rare"))
-    // per-doc count of capped-out (stop) shingles bounds what the rare
-    // count can miss: true_inter <= inter_rare + least(capped_a, capped_b)
-    val capped = posting0.join(
-        dfreq.filter(col("df") > maxShingleDocFreq).select(col("shingle")), "shingle")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_capped"))
-    val narrow = sh.select(col("doc_id"), col("sz"))
-      .join(capped, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_capped"))
-    // J = i/(A+B-i) is increasing in i, so the upper bound on inter
-    // gives an upper bound on Jaccard: pairs failing it are provably
-    // below threshold and never touch the shingle arrays. The bound
-    // joins only NARROW per-doc columns (sz, n_capped); the full
-    // arrays join in for the tiny surviving set, which then re-scores
-    // EXACTLY — the cap never changes a reported similarity.
-    val survivors = pairInter
-      .join(narrow.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
-        col("n_capped").as("cap_a")), Seq("id_a"))
-      .join(narrow.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
-        col("n_capped").as("cap_b")), Seq("id_b"))
-      .withColumn("upper", col("inter_rare") + least(col("cap_a"), col("cap_b")))
-      .filter(col("upper").cast("double") /
-        (col("sz_a") + col("sz_b") - col("upper")) >= threshold)
-      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-    survivors
+      // size filter: J ≥ t ⟹ min(szA,szB)/max(szA,szB) ≥ t
+      .filter(least(col("sz_a"), col("sz_b")) * den >=
+        greatest(col("sz_a"), col("sz_b")) * num)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b")).distinct()
+    cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -112,13 +98,13 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** DuckDB oracle for [[ngramJaccardPairs]]: same algorithm on string
-    * shingles (candidates from a capped inverted index, exact list-math
-    * re-score). Doc frequencies are counted on strings rather than
-    * hashes, which agrees with the Spark side absent a 64-bit collision
-    * inside one shingle vocabulary. */
-  private[graft] def ngramJaccardOracleSql(n: Int, threshold: Double,
-                                           maxShingleDocFreq: Long): String = {
+  /** DuckDB oracle for [[ngramJaccardPairs]] — an INDEPENDENT exact
+    * formulation: the FULL (unprefixed) inverted index counts every
+    * pair's true intersection directly, then thresholds. Because the
+    * Spark side generates candidates from prefixes only, agreement
+    * here also verifies the prefix filter's no-false-negative claim on
+    * real data. */
+  private[graft] def ngramJaccardOracleSql(n: Int, threshold: Double): String = {
     require(n >= 2)
     s"""WITH toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -128,25 +114,19 @@ object Dedup {
         list_distinct(list_transform(range(1, len(t) - ${n - 2}),
           i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS sh
       FROM toks),
-    sz AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz FROM sh),
+    sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM sh),
     posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-    rare AS (SELECT shingle FROM posting GROUP BY shingle
-             HAVING COUNT(*) <= $maxShingleDocFreq),
-    p AS (SELECT posting.doc_id, posting.shingle
-          FROM posting JOIN rare USING (shingle)),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-    scored AS (
-      SELECT id_a, id_b,
-        CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
-        sa.sz AS sz_a, sb.sz AS sz_b
-      FROM cand
-      JOIN sz sa ON sa.doc_id = cand.id_a
-      JOIN sz sb ON sb.doc_id = cand.id_b)
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
     SELECT id_a, id_b,
-      CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
-    FROM scored
-    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $threshold
+      CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = pairs.id_a
+    JOIN sz sb ON sb.doc_id = pairs.id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold
     ORDER BY id_a, id_b"""
   }
 
@@ -527,12 +507,17 @@ object Dedup {
     // branches otherwise each re-execute the (possibly expensive)
     // upstream near-dup computation
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // lazy checkpoint: materialized by the first round's convergence
+    // count — p0 above is eager so the union's two branches read the
+    // stored pair partitions instead of re-running the upstream plan
     val sym = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // fused round 0: from identity labels, one propagation step is just
+    // rep = min(id, min neighbor id) — no distinct, no join
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("rep"))
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -549,7 +534,7 @@ object Dedup {
         .join(labels.select(col("id").as("mid"), col("rep").as("jump")), Seq("mid"), "left")
         .select(col("id"), col("old_rep"),
           least(col("mid"), coalesce(col("jump"), col("mid"))).as("rep"))
-        .localCheckpoint() // eager: materializes this round, flat plan
+        .localCheckpoint(false) // the convergence count materializes it
       changed = jumped.filter(col("rep") =!= col("old_rep")).count()
       labels = jumped
       iter += 1

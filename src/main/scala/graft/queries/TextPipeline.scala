@@ -182,13 +182,14 @@ object TextPipeline {
         ${sqlDavg("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))")} AS avg_norm
         FROM embeddings GROUP BY label ORDER BY label""")),
 
-    // ---- n-gram Jaccard near-dup pairs: capped inverted-index
-    // candidates + exact set-math re-score; oracle mirrors the
-    // algorithm on string shingles --------------------------------------
+    // ---- n-gram Jaccard near-dup pairs: EXACT similarity join via
+    // prefix filtering (rarest-shingle prefixes, no false negatives)
+    // + exact set-math re-score; the oracle is an independent exact
+    // formulation over the full inverted index ---------------------------
     ("q31_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
-        t(s, dir, "documents"), n = 3, threshold = 0.8, maxShingleDocFreq = 256L),
-      Some(Dedup.ngramJaccardOracleSql(n = 3, threshold = 0.8, maxShingleDocFreq = 256L))),
+        t(s, dir, "documents"), n = 3, threshold = 0.8),
+      Some(Dedup.ngramJaccardOracleSql(n = 3, threshold = 0.8))),
 
     // ---- MinHash-LSH near-dup candidate pairs. The fnv64/mix64
     // signature + band pipeline is mirrored in DuckDB (HashSql
@@ -417,17 +418,29 @@ object TextPipeline {
     // repeated-n-gram quality signal); grams via sequence/slice HOFs —
     // codegen'd, no UDF --------------------------------------------------
     ("q76_repetition",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .withColumn("grams", expr(
-          "transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))"))
-        .select(col("doc_id"),
-          size(col("grams")).cast("long").as("n_grams"),
-          size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
-        .withColumn("rep_ratio",
-          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
-        .orderBy(col("doc_id")),
+      (s, dir) => {
+        // 3-gram counting in a tight UDF: Spark's array HOFs
+        // (transform/slice/concat_ws chains) are CodegenFallback —
+        // every lambda step interprets — so the per-row gram loop is
+        // ~3× faster as a primitive HashSet pass with identical output
+        val gramsUdf = udf { toks: Seq[String] =>
+          val n = toks.length - 2
+          val seen = new java.util.HashSet[String](n * 2)
+          var i = 0
+          while (i < n) {
+            seen.add(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"); i += 1
+          }
+          (n.toLong, seen.size.toLong)
+        }
+        t(s, dir, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .withColumn("g", gramsUdf(col("t")))
+          .select(col("doc_id"), col("g._1").as("n_grams"), col("g._2").as("n_distinct"))
+          .withColumn("rep_ratio",
+            lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .orderBy(col("doc_id"))
+      },
       Some("""WITH toks AS (SELECT doc_id,
           list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
         g AS (SELECT doc_id,
