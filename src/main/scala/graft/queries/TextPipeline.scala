@@ -96,8 +96,15 @@ object TextPipeline {
           t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
           "doc_id", "payload", "image", "raw")
         Multimodal.extractFeatures(Multimodal.resizeStage(media, 24, 24))
-          .toDF().orderBy(col("media_id"))
-      }, None),
+          .toDF()
+          // n_bytes is the deflate-compressed PNG length — real, but
+          // not SQL-derivable; the hash-checked surface is the decode →
+          // resize → quantize → decode → feature path
+          .select(col("media_id"), col("media_type"), col("width"),
+            col("height"), col("mean_intensity"))
+          .orderBy(col("media_id"))
+      },
+      Some(Multimodal.featureOracleSql(w = 16, h = 16, tw = 24, th = 24))),
 
     // ---- near-dup pairs → dedup GROUPS: connected components by
     // min-label propagation; the oracle recomputes the same fixpoint
@@ -168,7 +175,8 @@ object TextPipeline {
           "doc_id", "payload", "video", "raw")
         Multimodal.sampleFrames(media, nFrames = 4)
           .orderBy(col("media_id"), col("frame_idx"))
-      }, None),
+      },
+      Some(Multimodal.framesOracleSql(docFilter = "doc_id < 100", nFrames = 4))),
 
     // ---- embedding norm + label centroid distance (SQL-expressible) ----
     ("q30_embedding_stats",

@@ -159,6 +159,47 @@ object EventStreams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  case class IngestDoc(doc_id: Long, content_hash: Long)
+
+  /** Streaming ingestion dedup — the streaming face of exact dedup
+    * (q26): the FIRST document per content hash passes, every later
+    * duplicate is dropped, across batches. State is one long per
+    * distinct hash; a TTL (processing-time) bounds it for unbounded
+    * ingestion — after `ttl` without re-confirmation the hash is
+    * forgotten and a re-arrival passes again (the standard windowed
+    * dedup contract for continuous pipelines; pass null for exact
+    * unbounded dedup). Within a batch the smallest doc_id wins, so
+    * output is deterministic under task reordering. */
+  class FirstSeenProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, IngestDoc, IngestDoc] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[IngestDoc],
+                                 tv: TimerValues): Iterator[IngestDoc] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        var best: IngestDoc = null
+        rows.foreach { d => if (best == null || d.doc_id < best.doc_id) best = d }
+        if (best == null) Iterator.empty
+        else { seen.update(best.doc_id); Iterator.single(best) }
+      }
+    }
+  }
+
+  /** First-seen filter through [[FirstSeenProcessor]] (requires the
+    * RocksDB state store provider, like all transformWithState). */
+  def streamingFirstSeen(docs: Dataset[IngestDoc],
+                         ttl: java.time.Duration = null): Dataset[IngestDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_hash)
+      .transformWithState(new FirstSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState:
     * accumulates per-user counters, emits the session when the
     * processing-time gap expires. The custom-state path the built-in

@@ -197,4 +197,37 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       mem => EventStreams.twsSessions(mem.toDS(), gapMs = 500L).toDF())
     finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming first-seen dedup: first doc per hash passes, cross-batch dups drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.IngestDoc]
+    val q = EventStreams.streamingFirstSeen(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    try {
+      // processAllAvailable never returns for transformWithState on
+      // this build (see driveSessions note) — poll the sink instead
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("first_seen").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+      }
+      // batch 1: hash 100 arrives twice (ids 5 and 3) + hash 200 once
+      mem.addData(EventStreams.IngestDoc(5L, 100L),
+        EventStreams.IngestDoc(3L, 100L), EventStreams.IngestDoc(7L, 200L))
+      awaitCount(2)
+      // batch 2: hash 100 again (dup, dropped) + new hash 300
+      mem.addData(EventStreams.IngestDoc(9L, 100L), EventStreams.IngestDoc(11L, 300L))
+      awaitCount(3)
+      val got = spark.table("first_seen").as[EventStreams.IngestDoc]
+        .collect().map(d => d.content_hash -> d.doc_id).toMap
+      got shouldBe Map(100L -> 3L, 200L -> 7L, 300L -> 11L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
