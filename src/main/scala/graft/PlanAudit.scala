@@ -173,7 +173,34 @@ object PlanAudit {
           "single hash-partition exchange of narrow (id, lang, count) " +
           "rows; no join",
         Seq("Window"),
-        Seq("Join", "CartesianProduct")))
+        Seq("Join", "CartesianProduct")),
+      ("q81_token_rarity",
+        "token rarity: explode → vocabulary-sized frequency aggregate → " +
+          "equi-join back on token → per-doc re-aggregation; both " +
+          "aggregations are partial+final HashAggregates (map-side " +
+          "combine bounds both shuffles); no cross join",
+        Seq("HashAggregate"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q82_int8_quant",
+        "int8 quantization: pure per-row projection work — the plan is " +
+          "scan → project → sort for the output order, with NO join and " +
+          "NO aggregation exchange; at 100 TB this pipelines with the scan",
+        Seq.empty,
+        Seq("Join", "HashAggregate")),
+      ("q83_cdc_chunks",
+        "CDC chunk dedup: chunk hashes explode from a per-row UDF and " +
+          "reduce through one partial+final hash aggregation on the " +
+          "8-byte chunk hash; no join",
+        Seq("HashAggregate", "Generate"),
+        Seq("Join", "CartesianProduct")),
+      ("q55_multimodal_features",
+        "multimodal features: two partition-mapped stages " +
+          "(decode+resize, decode+feature) compose as back-to-back " +
+          "per-row map work — DeserializeToObject/MapPartitions/" +
+          "SerializeFromObject with NO exchange between the stages; " +
+          "only the output sort shuffles",
+        Seq("MapPartitions"),
+        Seq("Join", "HashAggregate")))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.PlanAudit)\n\n")

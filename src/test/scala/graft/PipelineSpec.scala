@@ -319,6 +319,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     got shouldBe List((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 0L, 0L))
   }
 
+  test("prefix-filtered jaccard: exact in the hot-stop-shingle regime") {
+    import spark.implicits._
+    // every doc shares an 8-token boilerplate tail (hot shingles with
+    // doc-frequency = N — the f² regime); bodies are unique except one
+    // planted near-dup pair. The prefix filter must (a) still find the
+    // planted pair (no false negative) and (b) report only pairs whose
+    // TRUE Jaccard clears the threshold — boilerplate-only overlap
+    // never qualifies.
+    val boiler = "this document is provided as is without any warranty"
+    val corpus = (0 until 60).map { i =>
+      val body = (0 until 30).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, s"$body $boiler")
+    } :+ (100L, (0 until 30).map(j => s"u7_$j").mkString(" ") + " " + boiler + " extra")
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    got shouldBe Set((7L, 100L)) // the planted pair, nothing boilerplate-only
+    val rep = Dedup.ngramJaccardPairs(docs.repartition(9), n = 3, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    rep shouldBe got
+  }
+
   test("token rarity: common-token docs score higher; partition-invariant") {
     import spark.implicits._
     val r = TextFunctions.tokenRarity(docs)

@@ -80,4 +80,57 @@ class PropertySpec extends AnyFunSuite with Matchers {
         Kernels.histogram(img, -10.0, 10.0, bins).counts.sum shouldBe 100L
     }
   }
+
+  test("cdc chunks: every chunk list reassembles the token stream; insertion keeps the tail") {
+    import graft.pipeline.TextFunctions
+    val tokGen = Gen.listOfN(40, Gen.oneOf((1 to 25).map(i => s"w$i")))
+    check(tokGen) { toks =>
+      // the chunking is a PARTITION: joining chunks back with spaces
+      // (chunks are themselves space-joined) reproduces the stream's
+      // join — verified via hashes of a reference re-partition
+      val mask = 15L
+      val boundaries = toks.map(t => (Dedup.mix64(Dedup.fnv64(t)) & mask) == 0L)
+      val ref = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      toks.zip(boundaries).foreach { case (t, b) =>
+        cur = cur :+ t
+        if (b) { ref += cur; cur = Nil }
+      }
+      if (cur.nonEmpty) ref += cur
+      val expected = ref.map(c => Dedup.fnv64(c.mkString(" "))).toSeq
+      TextFunctions.cdcChunkHashes(toks, maskBits = 4) shouldBe expected
+      // prefix insertion never changes chunks after the first boundary
+      val shifted = TextFunctions.cdcChunkHashes("inserted" +: toks, maskBits = 4)
+      if (expected.size > 1)
+        shifted.takeRight(expected.size - 1) shouldBe expected.takeRight(expected.size - 1)
+    }
+  }
+
+  test("jaccard prefix length is always a safe prefix (integer ceil never under-allocates)") {
+    // p = sz − ceil(t·sz) + 1 must satisfy: suffix size (sz − p) < t·sz
+    // exactly — i.e. any |A∩B| ≥ t·|A| intersects the prefix
+    check(Gen.zip(Gen.chooseNum(1, 5000), Gen.chooseNum(1, 9999))) { case (sz, num) =>
+      val den = 10000L
+      val p = sz - (sz * num + (den - 1)) / den + 1
+      val suffix = sz - p
+      // suffix < t·sz  ⟺  suffix·den < sz·num
+      (suffix * den) should be < (sz.toLong * num)
+      p should be >= 1L
+      p.toInt should be <= sz
+    }
+  }
+
+  test("int8 quantization: codes within [-127, 127], dequantized error below one step") {
+    check(Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0).suchThat(v => !v.isNaN))) { vsList =>
+      val vs = vsList.toArray
+      val maxabs = vs.map(math.abs).max
+      val sc = if (maxabs > 0) maxabs else 1.0
+      vs.foreach { v =>
+        val q = math.floor(v * 127.0 / sc).toLong
+        q should be >= -128L
+        q should be <= 127L
+        math.abs(v - q * sc / 127.0) should be <= (sc / 127.0) + 1e-12
+      }
+    }
+  }
 }
