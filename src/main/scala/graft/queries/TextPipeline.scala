@@ -536,6 +536,64 @@ object TextPipeline {
     // insertion shifts no downstream chunk (vs q74's fixed windows) --
     ("q83_cdc_chunks",
       (s, dir) => TextFunctions.cdcChunkDedup(t(s, dir, "documents"), maskBits = 4),
-      Some(TextFunctions.cdcChunkDedupOracleSql(maskBits = 4)))
+      Some(TextFunctions.cdcChunkDedupOracleSql(maskBits = 4))),
+
+    // ---- interchange sinks/sources: write the corpus to CSV / JSONL,
+    // read it back through Spark, and aggregate a fidelity digest (per-
+    // lang counts + recomputed lengths + min/max md5 of the texts). The
+    // oracle re-parses the SAME files with DuckDB's INDEPENDENT
+    // CSV/JSON readers — a cross-engine proof that the written bytes
+    // are standard (RFC-4180 quote doubling, newline-delimited JSON),
+    // not just Spark-readable -------------------------------------------
+    ("q84_csv_roundtrip",
+      (s, dir) => {
+        val out = interchangeDir("csv")
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .coalesce(8).write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(out)
+        fidelityDigest(s.read
+          .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING")
+          .option("header", "true").option("escape", "\"").option("multiLine", "true")
+          .csv(out))
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(LENGTH(text)) AS BIGINT) AS recomputed_chars,
+        MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        FROM read_csv('${interchangeDir("csv")}/*.csv', header=true)
+        GROUP BY lang ORDER BY lang""")),
+
+    ("q85_jsonl_roundtrip",
+      (s, dir) => {
+        val out = interchangeDir("jsonl")
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .coalesce(8).write.mode("overwrite").json(out)
+        fidelityDigest(s.read
+          .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING")
+          .json(out))
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(LENGTH(text)) AS BIGINT) AS recomputed_chars,
+        MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        FROM read_json_auto('${interchangeDir("jsonl")}/*.json', format='newline_delimited')
+        GROUP BY lang ORDER BY lang"""))
   )
+
+  /** Shared scratch dir for the interchange round-trips — a FIXED path
+    * because the oracle SQL (running later, in DuckDB) must find the
+    * same files the query wrote. */
+  private def interchangeDir(fmt: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_interchange_$fmt"
+
+  /** Per-lang fidelity digest over a re-read corpus: row counts, the
+    * carried n_chars sum, lengths recomputed FROM the round-tripped
+    * text, and min/max md5 — any byte-level corruption flips a digest. */
+  private def fidelityDigest(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(length(col("text"))).cast("long").as("recomputed_chars"),
+        min(md5(col("text").cast("binary"))).as("min_md5"),
+        max(md5(col("text").cast("binary"))).as("max_md5"))
+      .orderBy(col("lang"))
 }
