@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling evidence: run the heavy pipeline operators on the
+  * sf corpus and on an in-memory 10× copy-salted replica, and report
+  * the time ratio. Copy-salting (every token prefixed with its copy
+  * id) keeps the replicas mutually dissimilar, so near-dup outputs
+  * grow ~linearly with copies instead of quadratically and the ratio
+  * measures the OPERATOR's scaling, not output growth.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir]"`. Results land in
+  * docs/SCALE.md's measured table (updated by hand from the output).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val copies = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.{Dedup, Similarity, TextFunctions}
+
+    val docs = graft.queries.QueryDsl.t(spark, dir, "documents")
+    val emb = graft.queries.QueryDsl.t(spark, dir, "embeddings")
+
+    // 10× replicas: doc ids offset per copy; tokens prefixed "cK_" so
+    // no shingle is shared across copies; embeddings perturbed per
+    // copy in one deterministic dimension so no cross-copy near-dups
+    val saltTok = udf { (text: String, c: Int) =>
+      if (text == null) "" else text.split(" ").filter(_.nonEmpty).map(t => s"c${c}_$t").mkString(" ")
+    }
+    val docsN = (0 until copies).map { c =>
+      docs.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+        saltTok(col("text"), lit(c)).as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _).cache()
+    // per-copy Rademacher SIGN FLIPS: within-copy cosines are exactly
+    // the base corpus's (s[k]^2 = 1 cancels in every within-copy dot
+    // product), so near-dup output grows ~linearly with copies, while
+    // cross-copy pairs lose the corpus's positive-component bias and
+    // decorrelate
+    val perturb = udf { (v: Seq[Float], c: Int) =>
+      v.zipWithIndex.map { case (x, k) =>
+        if (((graft.pipeline.Dedup.mix64(c * 1299709L + k) >>> 13) & 1L) == 1L) -x else x
+      }
+    }
+    val embN = (0 until copies).map { c =>
+      emb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        perturb(col("embedding"), lit(c)).as("embedding"), col("label"))
+    }.reduce(_ union _).cache()
+    docsN.count(); embN.count() // materialize the caches outside timing
+
+    def time(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $label: $sec%.2f s ($n rows)")
+      sec
+    }
+
+    def probe(name: String, base: => Long, big: => Long): Unit = {
+      val t1 = time(s"$name@1x")(base)
+      val tN = time(s"$name@${copies}x")(big)
+      println(f"SCALE $name ratio: ${tN / t1}%.1f x for ${copies}x data")
+    }
+
+    probe("exact_dedup",
+      Dedup.exact(docs).count(),
+      Dedup.exact(docsN).count())
+    probe("jaccard_prefix",
+      Dedup.ngramJaccardPairs(docs, 3, 0.8).count(),
+      Dedup.ngramJaccardPairs(docsN, 3, 0.8).count())
+    probe("minhash_lsh",
+      Dedup.minhashLshPairs(docs, 3, 64, 16).count(),
+      Dedup.minhashLshPairs(docsN, 3, 64, 16).count())
+    // 0.8 threshold: at 64 dims the random-cosine tail still crosses
+    // 0.25 a few percent of the time, so a low threshold would add
+    // O(copies^2) genuine cross-copy pairs and measure output growth,
+    // not operator scaling
+    // rowsPerBand=8 (256 buckets/band): the banding must match the
+    // threshold — at 0.8 the pair graph is sparse, so 8 sign bits per
+    // band keep per-bucket occupancy (and candidate volume ~N^2/2^r)
+    // down at ~0.7 recall; 4 bits would leave only 16 buckets and
+    // candidates would grow quadratically no matter the output size
+    probe("embedding_neardup",
+      Dedup.embeddingNearDupLsh(emb, 0.8, 8, 8, 64, 42L).count(),
+      Dedup.embeddingNearDupLsh(embN, 0.8, 8, 8, 64, 42L).count())
+    probe("dedup_groups_cc",
+      Dedup.dedupGroups(Dedup.embeddingNearDupLsh(emb, 0.8, 8, 8, 64, 42L)).count(),
+      Dedup.dedupGroups(Dedup.embeddingNearDupLsh(embN, 0.8, 8, 8, 64, 42L)).count())
+    probe("ann_topk",
+      Similarity.bruteForceTopK(emb, col("vec_id") < 20, 5).count(),
+      Similarity.bruteForceTopK(embN, col("vec_id") < 20, 5).count())
+    probe("cdc_chunks",
+      TextFunctions.cdcChunkDedup(docs).count(),
+      TextFunctions.cdcChunkDedup(docsN).count())
+    probe("token_rarity",
+      TextFunctions.tokenRarity(docs).count(),
+      TextFunctions.tokenRarity(docsN).count())
+    spark.stop()
+  }
+}

@@ -342,6 +342,32 @@ object ImageQueries {
           .select(col("sample"), chan("mean").as("m_mean"), chan("sum").as("m_sum"),
             chan("max").as("m_max"), chan("int").as("m_int"), chan("red").as("m_red"))
           .orderBy(col("sample"))
-      }, None)
+      }, None),
+
+    // distributed file sink → imagedir DSv2 source round trip (SURVEY
+    // S2/K2): constant Float32 images save as 16-bit gray PNGs
+    // (lossless for these magnitudes), the catalog scan decodes them
+    // back, and the per-file stats recover the exact fill values
+    ("img17_file_roundtrip",
+      (s, _) => {
+        import graft.ops.ImageOps
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_img_roundtrip"
+        // 16-bit first: PNG holds USHORT gray losslessly for these
+        // fills; a Float32 save would clamp through the 8-bit writer
+        val imgs16 = debugImages(s, count = 10, width = 64, height = 32)
+          .withColumn("image", ImageFunctions.run2Udf(col("image"), lit("16-bit"), lit("")))
+        ImageOps.saveImages(imgs16, dir, "png")
+        s.read.format("imagedir")
+          .option("path", dir).option("pattern", ".*\\.png").load()
+          .select(col("name"),
+            ImageFunctions.statsUdf(col("image")).getField("mean").as("mean"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"))
+          .orderBy(col("name"))
+      },
+      // sample "/imgs/<i>" sanitizes to file name "imgs_<i>.png"; the
+      // PNG round trip is exact, so mean = the constant fill
+      Some(s"""SELECT 'imgs_' || CAST(i AS VARCHAR) || '.png' AS name,
+        f AS mean, CAST(1 AS BIGINT) AS nslices
+        FROM ${imSql(10)} ORDER BY name"""))
   )
 }
