@@ -193,6 +193,14 @@ object PlanAudit {
           "8-byte chunk hash; no join",
         Seq("HashAggregate", "Generate"),
         Seq("Join", "CartesianProduct")),
+      ("q86_heavy_hitters",
+        "heavy hitters: a bounded-memory Misra–Gries sketch (k-entry " +
+          "partial buffers, map-side merged) proposes candidates; the " +
+          "exact recount is a broadcast LEFT-SEMI join of the token " +
+          "stream against ≤ k candidate rows plus one hash aggregation " +
+          "— the full vocabulary is never aggregated or shuffled",
+        Seq("LeftSemi", "MisraGriesAggregator"),
+        Seq("CartesianProduct")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

@@ -263,6 +263,46 @@ object TextFunctions {
       FROM ch GROUP BY chash HAVING COUNT(*) > 1 ORDER BY chash"""
   }
 
+  /** Heavy hitters: tokens with frequency > N/(k+1), exactly.
+    *
+    * Two phases: (1) a mergeable Misra–Gries sketch proposes ≤ k
+    * candidates in bounded memory (map-side partial buffers of k
+    * entries; the full vocabulary never aggregates); (2) the ≤ k
+    * candidates broadcast back and an exact recount + threshold filter
+    * produces the answer. The sketch's internal weights are
+    * order-dependent, but its GUARANTEE (every token above threshold
+    * survives) is not — so the exact phase restores full determinism,
+    * the same approx-prefilter + exact-verify shape as the Bloom
+    * decontamination and LSH near-dup paths. */
+  def heavyHitters(docs: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    val tok = PartitionUtil.spread(docs)
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k), Encoders.STRING)
+    val candidates = tok.agg(mg(col("tok")).as("cand"))
+      .select(explode(col("cand")).as("tok"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  /** DuckDB oracle for [[heavyHitters]] — the direct definition:
+    * GROUP BY with an integer-exact threshold (the sketch only prunes
+    * work; it never changes the answer). */
+  private[graft] def heavyHittersOracleSql(k: Int = 64): String =
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+      n AS (SELECT COUNT(*) AS n_total FROM tok)
+      SELECT tok, COUNT(*) AS cnt, (SELECT n_total FROM n) AS n_total
+      FROM tok GROUP BY tok
+      HAVING COUNT(*) * ${k + 1} > (SELECT n_total FROM n)
+      ORDER BY cnt DESC, tok"""
+
   /** Per-document fingerprint summary: count + min/max fingerprint.
     * Deterministic, ordered. */
   def fingerprints(docs: DataFrame): DataFrame =

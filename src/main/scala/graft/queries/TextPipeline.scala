@@ -576,7 +576,15 @@ object TextPipeline {
         CAST(SUM(LENGTH(text)) AS BIGINT) AS recomputed_chars,
         MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
         FROM read_json_auto('${interchangeDir("jsonl")}/*.json', format='newline_delimited')
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- heavy hitters: bounded-memory Misra–Gries candidates + an
+    // exact recount of the ≤ k survivors (the sketch prunes work, the
+    // recount restores determinism — the full vocabulary never
+    // aggregates) -----------------------------------------------------
+    ("q86_heavy_hitters",
+      (s, dir) => TextFunctions.heavyHitters(t(s, dir, "documents"), k = 64),
+      Some(TextFunctions.heavyHittersOracleSql(k = 64)))
   )
 
   /** Shared scratch dir for the interchange round-trips — a FIXED path

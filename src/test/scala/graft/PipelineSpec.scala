@@ -341,6 +341,23 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     rep shouldBe got
   }
 
+  test("heavy hitters: exact above-threshold set at any partitioning; sketch never drops a qualifier") {
+    import spark.implicits._
+    // 40 docs of filler + one token ("hot") in every doc: hot freq =
+    // 40 over N = 40*21 = 840 tokens; threshold with k=16 is N/17 ≈ 49
+    // → NOT a heavy hitter. "ultra" appears 3x per doc = 120 > 49 → is.
+    val docs = (0 until 40).map { i =>
+      val filler = (0 until 17).map(j => s"f${i}_$j").mkString(" ")
+      (i.toLong, s"$filler hot ultra ultra ultra")
+    }.toDF("doc_id", "text")
+    val got = TextFunctions.heavyHitters(docs, k = 16)
+      .select($"tok", $"cnt").as[(String, Long)].collect().toSet
+    got shouldBe Set(("ultra", 120L))
+    val rep = TextFunctions.heavyHitters(docs.repartition(11), k = 16)
+      .select($"tok", $"cnt").as[(String, Long)].collect().toSet
+    rep shouldBe got
+  }
+
   test("token rarity: common-token docs score higher; partition-invariant") {
     import spark.implicits._
     val r = TextFunctions.tokenRarity(docs)
