@@ -584,7 +584,28 @@ object TextPipeline {
     // aggregates) -----------------------------------------------------
     ("q86_heavy_hitters",
       (s, dir) => TextFunctions.heavyHitters(t(s, dir, "documents"), k = 64),
-      Some(TextFunctions.heavyHittersOracleSql(k = 64)))
+      Some(TextFunctions.heavyHittersOracleSql(k = 64))),
+
+    // ---- deterministic k-per-group sampling: md5-ranked top-k per
+    // language (eval-set construction: exactly k docs per stratum,
+    // stable under re-partitioning/appends-after-k, no RNG; the
+    // rate-based cousin is q65). Scale: one shuffle on the group key;
+    // rank stops at k per group (WindowGroupLimit pushes the limit
+    // into the sort) -----------------------------------------------
+    ("q87_group_sample",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("lang"), col("rk"), col("doc_id"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+        SELECT lang, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        FROM documents) WHERE rk <= 20 ORDER BY lang, rk"""))
   )
 
   /** Shared scratch dir for the interchange round-trips — a FIXED path
