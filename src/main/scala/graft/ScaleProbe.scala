@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Measured scaling evidence: run the heavy pipeline operators on the
-  * sf corpus and on an in-memory 10× copy-salted replica, and report
-  * the time ratio. Copy-salting (every token prefixed with its copy
-  * id) keeps the replicas mutually dissimilar, so near-dup outputs
-  * grow ~linearly with copies instead of quadratically and the ratio
-  * measures the OPERATOR's scaling, not output growth.
+  * sf corpus and on an in-memory 10× replica, and report the time
+  * ratio. The replicas use similarity-PRESERVING transforms — tokens
+  * prefixed with their copy id, embeddings sign-flipped per copy with
+  * a Rademacher pattern — so every within-copy similarity is exactly
+  * the base corpus's (outputs grow ~linearly with copies) while
+  * cross-copy pairs decorrelate; the ratio then measures the
+  * OPERATOR's scaling, not output growth.
   *
   * Usage: `sbt "runMain graft.ScaleProbe [sfDir]"`. Results land in
   * docs/SCALE.md's measured table (updated by hand from the output).
@@ -31,8 +33,7 @@ object ScaleProbe {
     val emb = graft.queries.QueryDsl.t(spark, dir, "embeddings")
 
     // 10× replicas: doc ids offset per copy; tokens prefixed "cK_" so
-    // no shingle is shared across copies; embeddings perturbed per
-    // copy in one deterministic dimension so no cross-copy near-dups
+    // no shingle is shared across copies
     val saltTok = udf { (text: String, c: Int) =>
       if (text == null) "" else text.split(" ").filter(_.nonEmpty).map(t => s"c${c}_$t").mkString(" ")
     }
