@@ -62,7 +62,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val den = 10000L
-    val num = math.round(threshold * den)
+    // floor, not round: num/den ≤ threshold must hold or the prefix
+    // comes out one short and the size filter over-prunes (false
+    // negatives). Floor is always conservative — a longer prefix and
+    // looser size filter only admit extra candidates, and the exact
+    // double-threshold re-score still decides membership.
+    val num = math.floor(threshold * den).toLong
     // The shingle table feeds several plan branches; without
     // persistence the tokenize+shingle UDF re-executes once per
     // branch. At corpus scale materializing the shingle table is the

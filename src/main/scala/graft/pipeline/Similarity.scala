@@ -291,7 +291,7 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
               nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              sampleFraction: Double = 0.25, maxFitSample: Int = 65536): DataFrame = {
+              maxFitSample: Int = 65536): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
@@ -299,17 +299,22 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", normalizeUdf(col("v")))
       .cache()
-    // Fit the coarse quantizer on a seeded SAMPLE collected to the
+    // Fit the coarse quantizer on a CONTENT-HASH sample collected to the
     // driver (standard IVF practice — the quantizer problem is tiny:
     // ≤ maxFitSample vectors, nClusters·dim centroid doubles), so
     // k-means iterations cost zero cluster scans and the full corpus
-    // is scanned exactly once, for assignment. Falls back to the full
-    // set only when the sample can't support nClusters centroids.
-    val sampled = base.select(col("v")).sample(withReplacement = false, sampleFraction, seed)
-      .as[Array[Double]].take(maxFitSample)
-    val fitData =
-      if (sampled.length >= 4 * nClusters) sampled
-      else base.select(col("v")).as[Array[Double]].take(maxFitSample)
+    // is scanned exactly once, for assignment. The fit set is the
+    // maxFitSample rows with the LOWEST md5(seed, vec_id) — a pure
+    // function of row content, so centroids (hence results) are
+    // identical across partition counts and environments, unlike
+    // sample()+take() whose outcome depends on partition order.
+    // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    // top-k then a driver merge, no shuffle of the corpus.
+    val fitData = base
+      .select(col("v"), md5(concat_ws("-", lit(s"ivf-fit-$seed"), col("vec_id"))).as("fk"))
+      .orderBy(col("fk"))
+      .limit(maxFitSample)
+      .select(col("v")).as[Array[Double]].collect()
     val centers = lloydKMeans(fitData, nClusters, iters = 10, seed = seed)
     val bcCenters = spark.sparkContext.broadcast(centers)
 

@@ -156,8 +156,9 @@ object TextFunctions {
         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       FROM tk)
-      SELECT doc_id, lang, n_tokens, cum_before // $seqLen AS bin,
-             cum_before % $seqLen AS offset
+      SELECT doc_id, lang, n_tokens,
+             CAST(cum_before // $seqLen AS BIGINT) AS bin,
+             CAST(cum_before % $seqLen AS BIGINT) AS offset
       FROM w ORDER BY doc_id"""
 
   /** Mean corpus token frequency per document — a model-free rarity /
@@ -276,18 +277,21 @@ object TextFunctions {
     * decontamination and LSH near-dup paths. */
   def heavyHitters(docs: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val spark = docs.sparkSession
     val tok = PartitionUtil.spread(docs)
       .select(explode(Dedup.tokens(col("text"))).as("tok"))
     val mg = udaf(new graft.functions.MisraGriesAggregator(k), Encoders.STRING)
-    val candidates = tok.agg(mg(col("tok")).as("cand"))
-      .select(explode(col("cand")).as("tok"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
-    tok.join(broadcast(candidates), Seq("tok"), "left_semi")
+    // One scan proposes the ≤ k candidates AND counts the stream — the
+    // result is a single bounded row (k strings + a long), so pulling it
+    // to the driver is the broadcast-threshold pattern, not a collect of
+    // data. The second (final) scan recounts candidates via an InSet
+    // filter (codegen'd, no join) — 2 total scans of the token stream.
+    val sketchRow = tok.agg(mg(col("tok")).as("cand"), count(lit(1)).as("n_total")).head()
+    val candidates: Seq[String] = sketchRow.getSeq[String](0)
+    val nTotal: Long = sketchRow.getLong(1)
+    tok.filter(col("tok").isin(candidates: _*))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * (k + 1) > col("n_total"))
-      .select(col("tok"), col("cnt"), col("n_total"))
+      .filter(col("cnt") * (k + 1) > nTotal)
+      .select(col("tok"), col("cnt"), lit(nTotal).as("n_total"))
       .orderBy(col("cnt").desc, col("tok"))
   }
 

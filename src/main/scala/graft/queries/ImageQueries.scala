@@ -352,6 +352,12 @@ object ImageQueries {
       (s, _) => {
         import graft.ops.ImageOps
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_img_roundtrip"
+        // saveImages only overwrites same-named files — clear the dir
+        // first (mode("overwrite") semantics) so stale .png files from
+        // an earlier run with different params can't match the pattern
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
         // 16-bit first: PNG holds USHORT gray losslessly for these
         // fills; a Float32 save would clamp through the 8-bit writer
         val imgs16 = debugImages(s, count = 10, width = 64, height = 32)

@@ -165,10 +165,12 @@ object EventStreams {
     * (q26): the FIRST document per content hash passes, every later
     * duplicate is dropped, across batches. State is one long per
     * distinct hash; a TTL (processing-time) bounds it for unbounded
-    * ingestion — after `ttl` without re-confirmation the hash is
-    * forgotten and a re-arrival passes again (the standard windowed
-    * dedup contract for continuous pipelines; pass null for exact
-    * unbounded dedup). Within a batch the smallest doc_id wins, so
+    * ingestion — `ttl` after FIRST sight the hash is forgotten and a
+    * re-arrival passes again, regardless of duplicates seen meanwhile
+    * (duplicates never touch the state, so the expiry clock is fixed
+    * at first arrival — the standard windowed dedup contract for
+    * continuous pipelines; pass null for exact unbounded dedup).
+    * Within a batch the smallest doc_id wins, so
     * output is deterministic under task reordering. */
   class FirstSeenProcessor(ttl: java.time.Duration)
       extends StatefulProcessor[Long, IngestDoc, IngestDoc] {

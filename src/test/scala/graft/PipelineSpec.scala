@@ -154,6 +154,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (recall.sum / recall.size) should be > 0.6
   }
 
+  test("IVF output is identical across partition counts (content-hash fit set)") {
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d * 0.9).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // small maxFitSample so the fit SELECTION (not just k-means) is
+    // exercised: sample().take() would pick different rows at different
+    // partition counts; the lowest-k content-hash set cannot
+    def run(parts: Int) =
+      Similarity.ivfTopK(df.repartition(parts), col("vec_id") < 10, k = 5,
+          nClusters = 8, nProbe = 3, maxFitSample = 64)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    run(3) shouldBe run(17)
+  }
+
   test("language ID picks the stopword-matching profile") {
     TextFunctions.detectLang("the quick fox and the dog".split(" ")) shouldBe "en"
     TextFunctions.detectLang("el zorro y el perro de la casa".split(" ")) shouldBe "es"

@@ -63,6 +63,24 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
             n_fail += 1
             continue
+        # The driver hashes str() of exact cell values, so an int column on
+        # one side vs float on the other (DuckDB HUGEINT -> pandas float64)
+        # hash-mismatches even when the numbers compare equal. Reject the
+        # dtype-kind mismatch outright so this gate predicts the driver's.
+        kind_bad = None
+        for col in spark_df.columns:
+            sk = spark_df[col].dtype.kind  # i/u int, f float, O object, ...
+            dk = duck_df[col].dtype.kind
+            int_kinds = {"i", "u"}
+            if (sk in int_kinds) != (dk in int_kinds) and {sk, dk} <= int_kinds | {"f"}:
+                kind_bad = (col, spark_df[col].dtype, duck_df[col].dtype)
+                break
+        if kind_bad:
+            col, sd, dd = kind_bad
+            print(f"FAIL {name}: dtype mismatch col={col}: spark={sd} duck={dd}"
+                  " (int vs float — likely an uncast HUGEINT in the oracle)")
+            n_fail += 1
+            continue
         bad = None
         for col in spark_df.columns:
             sv, dv = spark_df[col].tolist(), duck_df[col].tolist()
