@@ -130,6 +130,14 @@ object PlanAudit {
           "fallback Catalyst would otherwise emit never appears",
         Seq("Generate"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q88_range_join_ts",
+        "q73's raw inequality join on NATIVE TimestampType columns " +
+          "(interval arithmetic, no manual unix_micros prep): " +
+          "RangeJoinRewrite bucketizes through UnixMicros — exact on " +
+          "the internal µs longs — so the Generate equi-join plan " +
+          "replaces the nested-loop fallback here too",
+        Seq("Generate"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("q68_skew_join",
         "salted skew join: both sides join on (user_id, _salt) so a hot " +
           "user spreads over 8 tasks; the salt never reaches the output " +
@@ -194,13 +202,15 @@ object PlanAudit {
         Seq("HashAggregate", "Generate"),
         Seq("Join", "CartesianProduct")),
       ("q86_heavy_hitters",
-        "heavy hitters: a bounded-memory Misra–Gries sketch (k-entry " +
-          "partial buffers, map-side merged) proposes candidates; the " +
-          "exact recount is a broadcast LEFT-SEMI join of the token " +
-          "stream against ≤ k candidate rows plus one hash aggregation " +
-          "— the full vocabulary is never aggregated or shuffled",
-        Seq("LeftSemi", "MisraGriesAggregator"),
-        Seq("CartesianProduct")),
+        "heavy hitters: ONE prior scan computes the bounded-memory " +
+          "Misra–Gries sketch AND the stream total (a single 1-row " +
+          "action, pulled to the driver as a broadcast threshold); the " +
+          "plan here is the second and final scan — the exact recount " +
+          "with the ≤ k candidates inlined as a codegen'd INSET filter " +
+          "before the aggregation. No join anywhere; the full " +
+          "vocabulary is never aggregated or shuffled",
+        Seq("INSET", "HashAggregate"),
+        Seq("Join", "CartesianProduct")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

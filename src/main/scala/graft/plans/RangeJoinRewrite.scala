@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Optimizer rule: rewrite an INNER join whose condition contains a
   * band predicate — `lower(point, lo) AND upper(point, hi)` with the
@@ -31,10 +31,13 @@ import org.apache.spark.sql.types.LongType
   *
   * Opt-in: fires only when `spark.graft.rangeJoin.bucketWidth` is a
   * positive long (choose ≈ the typical band width; the bounds side
-  * replicates by ceil(width/bucketWidth)+1 rows). Only LongType
-  * operands are rewritten (epoch micros, grid indexes) — timestamp
-  * arithmetic is left alone. Registered via [[graft.GraftExtensions]]
-  * or `spark.experimental.extraOptimizations`.
+  * replicates by ceil(width/bucketWidth)+1 rows). LongType operands
+  * (epoch micros, grid indexes) bucketize directly; TimestampType
+  * operands bucketize through `UnixMicros` — exact on the internal
+  * µs representation, so a natural `ts BETWEEN lo AND hi` needs no
+  * manual epoch conversion (bucketWidth is then in MICROSECONDS).
+  * Registered via [[graft.GraftExtensions]] or
+  * `spark.experimental.extraOptimizations`.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
@@ -94,11 +97,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     val less = cs.flatMap(asLess)
     // a band is a pair: point as the larger of one (lo ≤ p) and the
     // smaller of another (p ≤ hi), bounds on the opposite side
+    // all three operands the same bucketizable type: raw longs divide
+    // directly, timestamps divide on their internal epoch-micros value
+    def bucketizable(t: org.apache.spark.sql.types.DataType) =
+      t == LongType || t == TimestampType
     less.iterator.flatMap { case (lo, p) =>
       less.collectFirst {
         case (p2, hi) if p.semanticEquals(p2) &&
-            p.dataType == LongType && lo.dataType == LongType &&
-            hi.dataType == LongType &&
+            bucketizable(p.dataType) && lo.dataType == p.dataType &&
+            hi.dataType == p.dataType &&
             sidesSplit(p, lo, hi, left, right).isDefined =>
           (p, lo, hi, sidesSplit(p, lo, hi, left, right).get)
       }
@@ -108,7 +115,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def rewrite(j: Join, point: Expression, lo: Expression,
                       hi: Expression, pointOnLeft: Boolean, width: Long): LogicalPlan = {
     val w = Literal(width, LongType)
-    def bkt(x: Expression): Expression = new IntegralDivide(x, w)
+    // UnixMicros is the identity on TimestampType's internal Long, so
+    // bucketing through it is exact and monotone (width = µs)
+    def asLong(x: Expression): Expression =
+      if (x.dataType == TimestampType) UnixMicros(x) else x
+    def bkt(x: Expression): Expression = new IntegralDivide(asLong(x), w)
 
     val (pointPlan, boundsPlan) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 

@@ -513,6 +513,19 @@ object Relational {
         .orderBy(col("l_returnflag")),
       None),
 
+    // ---- the exact half of q40 under the hash gate: same distinct
+    // aggregation, HLL column dropped so the row is oracle-checkable
+    // (the sketch itself stays rows-only above — HLL registers differ
+    // across engines by design) ----
+    ("q40_exact_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- ordered string aggregation ------------------------------------
     ("q47_string_agg",
       (s, dir) => t(s, dir, "nation")

@@ -140,6 +140,39 @@ object TemporalQueries {
           AND e.event_id <> err.event_id
         GROUP BY err.event_id ORDER BY err.event_id""")),
 
+    // ---- the SAME range join on RAW TimestampType columns — the
+    // natural user formulation (`ts >= w_start AND ts < w_end` with
+    // interval arithmetic, no manual unix_micros prep). The rewrite
+    // bucketizes through UnixMicros; same oracle as q62/q73 ----------
+    ("q88_range_join_ts",
+      (s, dir) => {
+        import graft.plans.RangeJoinRewrite
+        if (!s.experimental.extraOptimizations.exists(_ eq RangeJoinRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ RangeJoinRewrite
+        val windowUs = 10L * 60 * 1000 * 1000
+        s.conf.set(RangeJoinRewrite.WidthKey, windowUs.toString)
+        val ev = t(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts").as("w_start"))
+          .withColumn("w_end", col("w_start") + expr("INTERVAL 10 MINUTES"))
+        val points = ev.select(col("event_id"), col("ts"))
+        val pairs = errors.join(points,
+            col("ts") >= col("w_start") && col("ts") < col("w_end") &&
+            col("event_id") =!= col("err_id"))
+        val counts = pairs.groupBy(col("err_id")).agg(count(lit(1)).as("n_following"))
+        errors.select(col("err_id").as("event_id"))
+          .join(counts.withColumnRenamed("err_id", "event_id"), Seq("event_id"), "left")
+          .na.fill(0L, Seq("n_following"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH err AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+        SELECT err.event_id, COUNT(e.event_id) AS n_following
+        FROM err LEFT JOIN events e
+          ON e.ts >= err.ts AND e.ts < err.ts + INTERVAL 10 MINUTE
+          AND e.event_id <> err.event_id
+        GROUP BY err.event_id ORDER BY err.event_id""")),
+
     // ---- pivot: daily event-type count matrix. The pivot value list
     // is FIXED (no driver-side distinct scan — .pivot(col) without
     // values collects the domain to the driver, a full extra scan at
