@@ -35,6 +35,19 @@ object ImageFunctions {
     Kernels.histogramAuto(a).distance(Kernels.histogramAuto(b)))
   val toArrayUdf = udf((img: SparkImage) => Kernels.toArray3D(img))
   val nslicesUdf = udf((img: SparkImage) => img.slices)
+  // per-slice means, in slice order — the order-sensitive probe a
+  // stack round-trip oracle needs (a whole-stack mean can't tell a
+  // permuted stack from the original)
+  val sliceMeansUdf = udf { img: SparkImage =>
+    val px = img.toDoubles
+    val n = img.width * img.height
+    (0 until img.slices).map { s =>
+      var sum = 0.0; var i = s * n
+      val end = i + n
+      while (i < end) { sum += px(i); i += 1 }
+      sum / n
+    }
+  }
   val runtableUdf = udf((img: SparkImage, cmd: String, args: String) =>
     Kernels.runTable(img, cmd, args).toMap)
   val runrowUdf = udf((img: SparkImage, cmd: String, args: String) =>
@@ -64,6 +77,7 @@ object ImageFunctions {
     r.register("mean", meanUdf)
     r.register("shape", shapeUdf)
     r.register("nslices", nslicesUdf)
+    r.register("slicemeans", sliceMeansUdf)
     r.register("subtract", subtractUdf)
     r.register("scale", scaleUdf)
     r.register("hist", histUdf)

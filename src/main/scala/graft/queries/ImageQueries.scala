@@ -374,6 +374,43 @@ object ImageQueries {
       // PNG round trip is exact, so mean = the constant fill
       Some(s"""SELECT 'imgs_' || CAST(i AS VARCHAR) || '.png' AS name,
         f AS mean, CAST(1 AS BIGINT) AS nslices
-        FROM ${imSql(10)} ORDER BY name"""))
+        FROM ${imSql(10)} ORDER BY name""")),
+
+    // multi-slice STACK file IO (the reference's flagship IO shape: a
+    // 68-slice DICOM stack, IjRDDTests.scala:30-99 — here the
+    // JDK-supported multi-page TIFF container): 3-slice stacks with
+    // DISTINCT per-slice fills save as one TIFF page per slice, decode
+    // back in page order, and per-slice means recover each fill —
+    // order-sensitive, so a permuted or truncated stack cannot pass
+    ("img18_tiff_stack_roundtrip",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tiff_roundtrip"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val stacks = s.range(10L).map { i =>
+          val slices = (0 until 3).map(k =>
+            Kernels.constantImage(64, 32, 1, i * 10.0 + k * 3.0 + 7.0, PixelCodec.Short16))
+          (s"/imgs/$i", slices.reduce(Kernels.appendStack))
+        }.toDF("sample", "image")
+        ImageOps.saveImages(stacks, dir, "tif")
+        val sm = ImageFunctions.sliceMeansUdf(col("image"))
+        s.read.format("imagedir")
+          .option("path", dir).option("pattern", ".*\\.tif").load()
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            element_at(sm, 1).as("s0"), element_at(sm, 2).as("s1"),
+            element_at(sm, 3).as("s2"))
+          .orderBy(col("name"))
+      },
+      // 16-bit TIFF round-trips exactly: slice k mean = i*10 + 3k + 7
+      Some("""SELECT 'imgs_' || CAST(i AS VARCHAR) || '.tif' AS name,
+        CAST(3 AS BIGINT) AS nslices,
+        CAST(i * 10 + 7 AS DOUBLE) AS s0,
+        CAST(i * 10 + 10 AS DOUBLE) AS s1,
+        CAST(i * 10 + 13 AS DOUBLE) AS s2
+        FROM range(10) t(i) ORDER BY name"""))
   )
 }

@@ -547,7 +547,7 @@ object TextPipeline {
     // not just Spark-readable -------------------------------------------
     ("q84_csv_roundtrip",
       (s, dir) => {
-        val out = interchangeDir("csv")
+        val out = interchangeDir("csv", dir)
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
           .coalesce(8).write.mode("overwrite")
           .option("header", "true").option("escape", "\"")
@@ -560,12 +560,12 @@ object TextPipeline {
       Some(s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         CAST(SUM(LENGTH(text)) AS BIGINT) AS recomputed_chars,
         MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
-        FROM read_csv('${interchangeDir("csv")}/*.csv', header=true)
+        FROM read_csv('${interchangeOracleDir("csv")}/*.csv', header=true)
         GROUP BY lang ORDER BY lang""")),
 
     ("q85_jsonl_roundtrip",
       (s, dir) => {
-        val out = interchangeDir("jsonl")
+        val out = interchangeDir("jsonl", dir)
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
           .coalesce(8).write.mode("overwrite").json(out)
         fidelityDigest(s.read
@@ -575,7 +575,7 @@ object TextPipeline {
       Some(s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         CAST(SUM(LENGTH(text)) AS BIGINT) AS recomputed_chars,
         MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
-        FROM read_json_auto('${interchangeDir("jsonl")}/*.json', format='newline_delimited')
+        FROM read_json_auto('${interchangeOracleDir("jsonl")}/*.json', format='newline_delimited')
         GROUP BY lang ORDER BY lang""")),
 
     // ---- heavy hitters: bounded-memory Misra–Gries candidates + an
@@ -611,8 +611,20 @@ object TextPipeline {
   /** Shared scratch dir for the interchange round-trips — a FIXED path
     * because the oracle SQL (running later, in DuckDB) must find the
     * same files the query wrote. */
-  private def interchangeDir(fmt: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_interchange_$fmt"
+  /** Scratch dir for the interchange round trips, keyed by the sf
+    * basename so concurrent/interleaved runs at different scale
+    * factors (the ScalaTest smoke runs every query at sf0.001) never
+    * overwrite the files the gate's oracle is about to re-read. The
+    * oracle-side twin uses the literal `@SF@` token, which
+    * [[graft.Verify]] substitutes with the run's actual sf basename
+    * when dumping oracle_sql.json. */
+  private def interchangeDir(fmt: String, dir: String): String = {
+    val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
+    s"${System.getProperty("java.io.tmpdir")}/graft_interchange_${sfBase}_$fmt"
+  }
+
+  private def interchangeOracleDir(fmt: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_interchange_@SF@_$fmt"
 
   /** Per-lang fidelity digest over a re-read corpus: row counts, the
     * carried n_chars sum, lengths recomputed FROM the round-tripped

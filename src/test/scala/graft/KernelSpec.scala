@@ -146,6 +146,26 @@ class KernelSpec extends AnyFunSuite with Matchers {
     back.toDoubles shouldBe vals
   }
 
+  test("multi-page TIFF round-trips a stack with slice order preserved") {
+    // distinct per-slice values: any page permutation/truncation fails
+    val perSlice = Array(100.0, 2000.0, 30000.0, 65535.0)
+    val px = perSlice.flatMap(v => Array.fill(6)(v))
+    val img = SparkImage(ImageMeta(), "[]", 3, 2, 4, PixelCodec.Short16,
+      PixelCodec.encode(px, PixelCodec.Short16))
+    val back = graft.sources.ImageCodecIO.decode("t.tif",
+      graft.sources.ImageCodecIO.encode(img, "tif"))
+    back.slices shouldBe 4
+    back.pixelType shouldBe PixelCodec.Short16
+    back.toDoubles shouldBe px
+    // 8-bit stacks round-trip through BYTE_GRAY pages too
+    val img8 = SparkImage(ImageMeta(), "[]", 2, 2, 3, PixelCodec.Byte8,
+      PixelCodec.encode(Array(1.0, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3), PixelCodec.Byte8))
+    val back8 = graft.sources.ImageCodecIO.decode("t.tif",
+      graft.sources.ImageCodecIO.encode(img8, "tiff"))
+    back8.slices shouldBe 3
+    back8.toDoubles shouldBe img8.toDoubles
+  }
+
   test("processSlices applies a custom per-slice kernel (PortableImagePlus.scala:171-183)") {
     val base = Kernels.constantImage(4, 3, 2, 10.0)
     val doubled = Kernels.processSlices(base)((sl, _, _) => sl.map(_ * 2))
