@@ -159,6 +159,97 @@ object EventStreams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  case class OpenSession(user_id: Long, start_ms: Long, last_ms: Long,
+                         n_events: Long, total_value: Double)
+
+  /** Pure interval-merge core of [[EventTimeSessionProcessor]]: fold
+    * new events into the open-session set, coalescing any sessions
+    * that come within `gapMs` of each other. Order-insensitive — the
+    * result depends only on the event multiset, which is what makes
+    * out-of-order delivery (the reason to run in event time) safe. */
+  private[graft] def mergeSessions(existing: Seq[OpenSession], userId: Long,
+                                   events: Seq[(Long, Double)],
+                                   gapMs: Long): Seq[OpenSession] = {
+    val incoming = events.map { case (ts, v) => OpenSession(userId, ts, ts, 1L, v) }
+    val all = (existing ++ incoming).sortBy(s => (s.start_ms, s.last_ms))
+    val out = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    all.foreach { s =>
+      if (out.nonEmpty && s.start_ms <= out.last.last_ms + gapMs) {
+        val c = out.last
+        out(out.length - 1) = c.copy(
+          last_ms = math.max(c.last_ms, s.last_ms),
+          n_events = c.n_events + s.n_events,
+          total_value = c.total_value + s.total_value)
+      } else out += s
+    }
+    out.toSeq
+  }
+
+  /** Event-time sessionization — the replayable-pipeline variant of
+    * [[SessionProcessor]]: sessions close when the WATERMARK passes
+    * last-event-time + gap, not when wall-clock elapses, so a replay
+    * of the same stream produces the same sessions. State is the set
+    * of OPEN sessions per user (a ListState) merged as intervals:
+    * out-of-order events within the watermark extend or bridge
+    * sessions exactly as the batch `session_window` would, and a
+    * single event-time timer per key (earliest pending close,
+    * re-armed on every change) drives emission. */
+  class EventTimeSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var sessions: org.apache.spark.sql.streaming.ListState[OpenSession] = _
+    @transient private var timer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sessions = getHandle.getListState[OpenSession]("sessions",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def rearm(open: Seq[OpenSession]): Unit = {
+      if (timer.exists()) getHandle.deleteTimer(timer.get())
+      if (open.nonEmpty) {
+        val next = open.map(_.last_ms + gapMs).min
+        getHandle.registerTimer(next)
+        timer.update(next)
+      } else timer.clear()
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val evs = rows.map(e => (e.ts.getTime, e.value)).toSeq
+      val open = mergeSessions(sessions.get().toSeq, key, evs, gapMs)
+      sessions.clear()
+      if (open.nonEmpty) sessions.appendList(open.toArray)
+      rearm(open)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val (done, open) = sessions.get().toSeq.partition(_.last_ms + gapMs <= wm)
+      sessions.clear()
+      if (open.nonEmpty) sessions.appendList(open.toArray)
+      timer.clear() // the fired timer is gone; rearm registers the next
+      rearm(open)
+      done.sortBy(_.start_ms).iterator
+        .map(s => ClosedSession(s.user_id, s.n_events, s.total_value))
+    }
+  }
+
+  /** Sessionization through [[EventTimeSessionProcessor]] (RocksDB
+    * state store required, like all transformWithState). `delay` is
+    * the watermark lateness bound: events later than that are dropped
+    * by the engine before the processor sees them. */
+  def twsSessionsEventTime(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                           delay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class IngestDoc(doc_id: Long, content_hash: Long)
 
   /** Streaming ingestion dedup — the streaming face of exact dedup

@@ -198,6 +198,76 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("event-time sessionization: out-of-order stream equals the batch session_window oracle") {
+    import spark.implicits._
+    val gapMs = 300000L // 5-minute gap
+    val base = 1700000000000L
+    // user 1: two sessions (0/60/120s and 3600/3660s); user 2: one (30/90s)
+    val evs = Seq(
+      (0L, 0L, 1L), (1L, 60L, 1L), (2L, 120L, 1L),
+      (3L, 3600L, 1L), (4L, 3660L, 1L),
+      (5L, 30L, 2L), (6L, 90L, 2L)
+    ).map { case (id, sec, user) =>
+      EventStreams.Event(id, new Timestamp(base + sec * 1000L), user, "t", 1.0)
+    }
+    // batch oracle: built-in session_window over the same rows, same gap
+    val oracle = evs.toDF()
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("n"), col("v"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.Event]
+    // 2h lateness bound: the watermark stays below every event above
+    // while they arrive OUT OF ORDER across batches; the far-future
+    // pusher then advances it past all pending closes
+    val q = EventStreams.twsSessionsEventTime(mem.toDS(), gapMs, delay = "2 hours")
+      .toDF().writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      // processAllAvailable hangs for any transformWithState query on
+      // this build (see driveSessions note) — add data and poll only.
+      // Batch coalescing is harmless: the merge is order-insensitive
+      // and the 2h lateness bound keeps the watermark below every event.
+      mem.addData(evs(2), evs(0), evs(4)) // 120s, 0s, 3660s
+      mem.addData(evs(1), evs(3), evs(5), evs(6)) // 60s, 3600s, 30s, 90s
+      // push the watermark past every close (6h - 2h delay = 4h)
+      var tick = 0L
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def closed() = spark.table("et_sessions").filter(col("user_id").isin(1L, 2L)).count()
+      while (closed() < 3 && System.nanoTime() < deadline) {
+        mem.addData(EventStreams.Event(1000L + tick,
+          new Timestamp(base + 21600000L + tick * 1000L), 99L, "tick", 0.0))
+        tick += 1
+        Thread.sleep(250)
+      }
+      val got = spark.table("et_sessions").filter(col("user_id").isin(1L, 2L))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      got shouldBe oracle
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("event-time session merge is order-insensitive and bridges gaps") {
+    val gap = 1000L
+    val evs = Seq((5000L, 1.0), (0L, 1.0), (900L, 1.0), (4100L, 1.0))
+    val m = EventStreams.mergeSessions(Nil, 7L, evs, gap)
+    m.map(s => (s.start_ms, s.last_ms, s.n_events)) shouldBe
+      Seq((0L, 900L, 2L), (4100L, 5000L, 2L))
+    // a later out-of-order event BRIDGES the two open sessions
+    val m2 = EventStreams.mergeSessions(m, 7L, Seq((1800L, 1.0), (2700L, 1.0), (3500L, 1.0)), gap)
+    m2.map(s => (s.start_ms, s.last_ms, s.n_events)) shouldBe Seq((0L, 5000L, 7L))
+    // permuted arrival produces the identical state
+    val mAll = EventStreams.mergeSessions(Nil, 7L,
+      scala.util.Random.shuffle(evs ++ Seq((1800L, 1.0), (2700L, 1.0), (3500L, 1.0))), gap)
+    mAll shouldBe m2
+  }
+
   test("streaming first-seen dedup: first doc per hash passes, cross-batch dups drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
