@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cross-JVM serialization smoke: runs one representative query per
+  * operator family on `local-cluster[2,2,1024]` — a real standalone
+  * master + 2 worker JVMs + executor processes, so every task closure,
+  * Aggregator buffer (HistogramAggregator, MisraGriesAggregator,
+  * TopKAggregator, SaltedAgg), SparkImage encoder, and broadcast
+  * actually crosses a process boundary. `local[*]` keeps everything
+  * in-JVM and cannot catch a non-serializable buffer or an
+  * encoder that only works object-identity-local (the reference's
+  * test matrix runs local-cluster[2,2,512] for the same reason,
+  * IJSqlTest.scala:21-31, LocalSparkContext.scala:19,47).
+  *
+  * Run as a child process (ClusterSmokeSpec does this) — a JVM can
+  * hold only one SparkContext, and the suite's shared session is
+  * local[4]. Writes each result to `outDir/<name>` parquet for the
+  * spec's exact comparison against the same query run locally.
+  */
+object ClusterSmoke {
+
+  /** One per operator family: agg+dsum, broadcast star join, window,
+    * as-of (union+window), salted skew agg, Misra–Gries sketch, top-k
+    * Aggregator + codegen'd vector kernel, prefix-filtered similarity
+    * join, CDC chunk UDFs, SparkImage UDFs, stack assembly,
+    * cross-image histogram Aggregator. */
+  val queryNames: Seq[String] = Seq(
+    "q01_pricing_summary", "q05_region_revenue", "q11_window_topk",
+    "q60_asof_join", "q68_skew_join", "q86_heavy_hitters",
+    "q29_ann_topk", "q31_ngram_jaccard", "q83_cdc_chunks",
+    "img01_stats", "img10_stack_build", "img13_hist_aggregate")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val outDir = args(1)
+    // executor JVMs are spawned by the in-JVM workers: they need the
+    // application classes (this build's target dirs) on their
+    // classpath and the same JDK17 --add-opens the driver runs with.
+    // Classpath entries MUST be absolute: executors run from their own
+    // work dir, so a relative `target/scala-2.13/classes` silently
+    // resolves to nothing there and every graft class in a task binary
+    // becomes a ClassNotFound — which the JDK masks as
+    // "cannot assign instance of SerializedLambda/
+    // DefaultSerializationProxy to field ..." because an exception
+    // recorded on a stream handle suppresses readResolve.
+    val absCp = System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparator)
+      .filter(_.nonEmpty)
+      .map(p => new java.io.File(p).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("graft-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.extraClassPath", absCp)
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      queryNames.foreach { name =>
+        SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"[cluster-smoke] OK $name")
+      }
+      println("[cluster-smoke] ALL OK")
+    } finally spark.stop()
+  }
+}
