@@ -130,6 +130,14 @@ object PlanAudit {
           "fallback Catalyst would otherwise emit never appears",
         Seq("Generate"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q89_boilerplate_removal",
+        "boilerplate removal: chunk document-frequency reduces through " +
+          "a map-side-combining hash aggregation; the boilerplate set " +
+          "(chunks in >= minDocs docs — tiny by definition) broadcasts " +
+          "back for the flag join, so the corpus never shuffles through " +
+          "a join on chunk text",
+        Seq("BroadcastHashJoin", "HashAggregate"),
+        Seq("SortMergeJoin", "CartesianProduct")),
       ("q88_range_join_ts",
         "q73's raw inequality join on NATIVE TimestampType columns " +
           "(interval arithmetic, no manual unix_micros prep): " +

@@ -31,4 +31,57 @@ object Sampling {
     df.withColumn("bucket", hashBucket(contentCol))
       .filter(col("bucket") < rate)
   }
+
+  /** Temperature-weighted mixture allocation (the multilingual-LM
+    * α-sampling rebalance, α = 0.5): a token `budget` is split across
+    * sources ∝ n_tokens^α, so low-resource sources are upweighted
+    * relative to their raw share, capped at what each source actually
+    * has. Integer-exact across engines: the only floating step is
+    * sqrt (IEEE-required correct rounding), quantized to a 1e6 grid
+    * BIGINT weight before the ratio — the budget·w/Σw arithmetic is
+    * all integral, so the allocation is bit-identical anywhere.
+    *
+    * Scale shape: one map-side-combining aggregation to |sources|
+    * rows; the global-total window runs on that constant-size result,
+    * never on the corpus. */
+  def mixtureAllocation(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("source"), size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("w_q", floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    counts
+      .withColumn("total_w", sum(col("w_q")).over(Window.partitionBy()))
+      // integral `div` throughout: budget·w_q can exceed 2^53, where a
+      // double division would drift off the exact quotient
+      .withColumn("alloc_tokens",
+        least(col("n_tokens"), expr(s"(${budget}L * w_q) div total_w")))
+      .select(col("source"), col("n_tokens"), col("w_q"), col("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic corpus shuffle + sharding — the layout step before
+    * training ingestion: every document gets a shard (content-hash
+    * modulo) and a position within its shard (ordered by hash, then
+    * doc_id). The "shuffle" is a pure function of content: identical
+    * across runs, partitionings, and engines, and adding documents
+    * never reorders existing shards' relative hash order. No global
+    * sort or single-partition window — the only shuffle is the
+    * per-shard hash partition, so it scales to any corpus. */
+  def corpusShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docHashUdf(col("text"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    PartitionUtil.spread(docs)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** mix64(fnv64(text)) — the engine's standard content hash (same
+    * fold the fingerprint/minhash/CDC paths use; mirrored bit-exactly
+    * in SQL by [[HashSql]]). */
+  private val docHashUdf = udf { s: String => Dedup.mix64(Dedup.fnv64(s)) }
 }

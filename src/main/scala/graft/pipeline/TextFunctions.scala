@@ -307,6 +307,67 @@ object TextFunctions {
       HAVING COUNT(*) * ${k + 1} > (SELECT n_total FROM n)
       ORDER BY cnt DESC, tok"""
 
+  /** C4/CCNet-style corpus-level boilerplate REMOVAL at chunk
+    * granularity (the transform counterpart of q74's duplicate-chunk
+    * detection): documents split into fixed `n`-token chunks, a chunk
+    * appearing in ≥ `minDocs` DISTINCT documents is boilerplate
+    * (headers, footers, navigation, license blurbs), and each
+    * document is rewritten with its boilerplate chunks dropped —
+    * emitted as chunk counts plus the md5 of the cleaned text.
+    *
+    * Scale shape: one shuffle builds per-doc chunks (explicit
+    * sort-in-group — collect_list has no order guarantee), one
+    * map-side-combining hash aggregation computes chunk document
+    * frequency, and the boilerplate SET (tiny by definition: chunks
+    * repeated across ≥ minDocs docs) broadcasts back for the flag
+    * join — the corpus never shuffles through a JOIN on chunk text.
+    * Reconstruction is a second group-by-doc with the same explicit
+    * ordering. */
+  def removeBoilerplate(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
+    val tok = PartitionUtil.spread(docs)
+      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+    val chunks = tok
+      .withColumn("cid", expr(s"pos div $n").cast("long"))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("ctext"))
+    val boiler = chunks.groupBy(col("ctext"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("ctext"), lit(true).as("boiler"))
+    chunks.join(broadcast(boiler), Seq("ctext"), "left")
+      .withColumn("boiler", coalesce(col("boiler"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the nulls when() produces for boilerplate
+        md5(array_join(transform(array_sort(collect_list(
+            when(!col("boiler"), struct(col("cid"), col("ctext"))))),
+          x => x.getField("ctext")), " ").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[removeBoilerplate]] — the direct definition
+    * with ordered string_agg reconstruction; FILTER drops boilerplate
+    * chunks and COALESCE matches Spark's empty-join on fully-removed
+    * docs. */
+  private[graft] def removeBoilerplateOracleSql(n: Int = 8, minDocs: Int = 3): String =
+    s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      tokr AS (SELECT doc_id, unnest(t) AS tok,
+        unnest(range(1, len(t) + 1)) AS i FROM toks WHERE len(t) > 0),
+      chunks AS (SELECT doc_id, CAST((i - 1) // $n AS BIGINT) AS cid,
+          string_agg(tok, ' ' ORDER BY i) AS ctext
+        FROM tokr GROUP BY doc_id, (i - 1) // $n),
+      freq AS (SELECT ctext, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY ctext),
+      flagged AS (SELECT c.doc_id, c.cid, c.ctext, f.df >= $minDocs AS boiler
+        FROM chunks c JOIN freq f USING (ctext))
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        md5(COALESCE(string_agg(ctext, ' ' ORDER BY cid) FILTER (WHERE NOT boiler), ''))
+          AS clean_md5
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+
   /** Per-document fingerprint summary: count + min/max fingerprint.
     * Deterministic, ordered. */
   def fingerprints(docs: DataFrame): DataFrame =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import QueryDsl._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextFunctions}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: exact + near dedup, similarity search, text quality metrics.
@@ -605,12 +605,56 @@ object TextPipeline {
       Some("""SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
         SELECT lang, doc_id,
           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
-        FROM documents) WHERE rk <= 20 ORDER BY lang, rk"""))
+        FROM documents) WHERE rk <= 20 ORDER BY lang, rk""")),
+
+    // ---- corpus-level boilerplate removal (C4/CCNet-style): chunks
+    // repeated across >= 3 docs are dropped and each doc rewritten;
+    // the boilerplate set broadcasts (tiny by definition) -------------
+    ("q89_boilerplate_removal",
+      (s, dir) => TextFunctions.removeBoilerplate(t(s, dir, "documents"), n = 8, minDocs = 3),
+      Some(TextFunctions.removeBoilerplateOracleSql(n = 8, minDocs = 3))),
+
+    // ---- temperature-weighted mixture allocation (α = 0.5): token
+    // budget split across sources ∝ sqrt(n_tokens), integer-exact via
+    // the 1e6 weight grid + integral div ------------------------------
+    // budget below the corpus total so the PROPORTIONAL path (not just
+    // the availability cap) decides most allocations
+    ("q90_mixture_alloc",
+      (s, dir) => Sampling.mixtureAllocation(t(s, dir, "documents"), budget = 10000L),
+      Some("""WITH counts AS (
+          SELECT source,
+            CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+              AS n_tokens
+          FROM documents GROUP BY source),
+        wq AS (SELECT source, n_tokens,
+            CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_q
+          FROM counts)
+        SELECT source, n_tokens, w_q,
+          CAST(LEAST(n_tokens,
+            CAST((10000 * w_q) // (SUM(w_q) OVER ()) AS BIGINT)) AS BIGINT)
+            AS alloc_tokens
+        FROM wq ORDER BY source""")),
+
+    // ---- deterministic corpus shuffle + sharding: content-hash shard
+    // + within-shard (hash, doc_id) position — the training-ingestion
+    // layout step, reproducible across engines via the HashSql mirror
+    ("q91_corpus_shards",
+      (s, dir) => Sampling.corpusShards(t(s, dir, "documents"), nShards = 8),
+      Some {
+        import graft.pipeline.HashSql._
+        s"""WITH f AS (SELECT doc_id, ${fnv64("text")} AS h FROM documents),
+          m1 AS (SELECT doc_id, ${mixStage1("h")} AS h FROM f),
+          m2 AS (SELECT doc_id, ${mixStage2("h")} AS h FROM m1),
+          m3 AS (SELECT doc_id, ${mixStage3("h")} AS h FROM m2),
+          sgn AS (SELECT doc_id, ${toSigned(mixStage4("h"))} AS h FROM m3),
+          sh AS (SELECT doc_id, h, CAST(((h % 8) + 8) % 8 AS BIGINT) AS shard FROM sgn)
+          SELECT doc_id, shard,
+            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+              AS pos
+          FROM sh ORDER BY doc_id"""
+      })
   )
 
-  /** Shared scratch dir for the interchange round-trips — a FIXED path
-    * because the oracle SQL (running later, in DuckDB) must find the
-    * same files the query wrote. */
   /** Scratch dir for the interchange round trips, keyed by the sf
     * basename so concurrent/interleaved runs at different scale
     * factors (the ScalaTest smoke runs every query at sf0.001) never

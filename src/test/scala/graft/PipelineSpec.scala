@@ -374,6 +374,63 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     rep shouldBe got
   }
 
+  test("boilerplate removal: repeated chunks drop, unique text survives, partition-invariant") {
+    import spark.implicits._
+    // chunk size 4: "nav home about contact" is the shared header chunk
+    // in docs 0/1/2 (>= minDocs=3); each doc then has 4 unique tokens
+    val header = "nav home about contact"
+    val docs = Seq(
+      (0L, s"$header a0 b0 c0 d0"),
+      (1L, s"$header a1 b1 c1 d1"),
+      (2L, s"$header a2 b2 c2 d2"),
+      (3L, s"solo x3 y3 z3 a3 b3 c3 d3") // no shared chunk
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.removeBoilerplate(docs, n = 4, minDocs = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    got.map(r => (r._1, r._2, r._3)) shouldBe
+      Seq((0L, 2L, 1L), (1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L))
+    // cleaned doc 0 is exactly its unique chunk
+    val md5a0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("a0 b0 c0 d0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.head._4 shouldBe md5a0
+    val rep = TextFunctions.removeBoilerplate(docs.repartition(7), n = 4, minDocs = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    rep shouldBe got
+  }
+
+  test("mixture allocation: proportional sqrt weights with availability cap, integer-exact") {
+    import spark.implicits._
+    // srcA: 400 tokens, srcB: 100, srcC: 4 → sqrt weights 20:10:2
+    def doc(id: Long, src: String, n: Int) = (id, src, (0 until n).map(i => s"t$i").mkString(" "))
+    val docs = Seq(doc(0, "srcA", 400), doc(1, "srcB", 100), doc(2, "srcC", 4))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.mixtureAllocation(docs, budget = 64L)
+      .select($"source", $"n_tokens", $"alloc_tokens")
+      .as[(String, Long, Long)].collect().toSeq
+    // weights 20e6/10e6/2e6, total 32e6: alloc = 64*w div 32e6 → 40/20/4
+    // srcC capped at its 4 available tokens (proportional share equals it)
+    got shouldBe Seq(("srcA", 400L, 40L), ("srcB", 100L, 20L), ("srcC", 4L, 4L))
+    // sub-proportional budget exercises the div rounding
+    val small = Sampling.mixtureAllocation(docs, budget = 7L)
+      .select($"source", $"alloc_tokens").as[(String, Long)].collect().toMap
+    small shouldBe Map("srcA" -> 4L, "srcB" -> 2L, "srcC" -> 0L)
+  }
+
+  test("corpus shards: content-determined, partition-invariant, contiguous positions") {
+    import spark.implicits._
+    val docs = (0 until 120).map(i => (i.toLong, s"document body number $i with tokens")).toDF("doc_id", "text")
+    val a = Sampling.corpusShards(docs, nShards = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val b = Sampling.corpusShards(docs.repartition(13), nShards = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    b shouldBe a
+    a.map(_._2).distinct.sorted shouldBe a.map(_._2).distinct.sorted.filter(s => s >= 0 && s < 4)
+    // positions within each shard are exactly 1..k
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1L to rows.size.toLong)
+    }
+  }
+
   test("token rarity: common-token docs score higher; partition-invariant") {
     import spark.implicits._
     val r = TextFunctions.tokenRarity(docs)
