@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite an INNER join whose condition contains a
   * band predicate — `lower(point, lo) AND upper(point, hi)` with the
@@ -33,10 +33,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * positive long (choose ≈ the typical band width; the bounds side
   * replicates by ceil(width/bucketWidth)+1 rows). LongType operands
   * (epoch micros, grid indexes) bucketize directly; TimestampType
-  * operands bucketize through `UnixMicros` — exact on the internal
-  * µs representation, so a natural `ts BETWEEN lo AND hi` needs no
-  * manual epoch conversion (bucketWidth is then in MICROSECONDS).
-  * Registered via [[graft.GraftExtensions]] or
+  * operands bucketize through `UnixMicros` (bucketWidth in
+  * MICROSECONDS) and DateType through `UnixDate` (bucketWidth in
+  * DAYS) — both exact on the internal representation, so a natural
+  * `ts BETWEEN lo AND hi` or `d BETWEEN d1 AND d2` needs no manual
+  * epoch conversion. Registered via [[graft.GraftExtensions]] or
   * `spark.experimental.extraOptimizations`.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
@@ -98,9 +99,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     // a band is a pair: point as the larger of one (lo ≤ p) and the
     // smaller of another (p ≤ hi), bounds on the opposite side
     // all three operands the same bucketizable type: raw longs divide
-    // directly, timestamps divide on their internal epoch-micros value
+    // directly, timestamps divide on their internal epoch-micros
+    // value, dates on their internal epoch-days value
     def bucketizable(t: org.apache.spark.sql.types.DataType) =
-      t == LongType || t == TimestampType
+      t == LongType || t == TimestampType || t == DateType
     less.iterator.flatMap { case (lo, p) =>
       less.collectFirst {
         case (p2, hi) if p.semanticEquals(p2) &&
@@ -115,10 +117,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def rewrite(j: Join, point: Expression, lo: Expression,
                       hi: Expression, pointOnLeft: Boolean, width: Long): LogicalPlan = {
     val w = Literal(width, LongType)
-    // UnixMicros is the identity on TimestampType's internal Long, so
-    // bucketing through it is exact and monotone (width = µs)
-    def asLong(x: Expression): Expression =
-      if (x.dataType == TimestampType) UnixMicros(x) else x
+    // UnixMicros/UnixDate are the identity on the internal Long/Int
+    // representation, so bucketing through them is exact and monotone
+    // (width = µs for timestamps, days for dates)
+    def asLong(x: Expression): Expression = x.dataType match {
+      case TimestampType => UnixMicros(x)
+      case DateType      => Cast(UnixDate(x), LongType)
+      case _             => x
+    }
     def bkt(x: Expression): Expression = new IntegralDivide(asLong(x), w)
 
     val (pointPlan, boundsPlan) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)

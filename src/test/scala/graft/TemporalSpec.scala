@@ -106,6 +106,33 @@ class TemporalSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set(RangeJoinRewrite.WidthKey, "0")
   }
 
+  test("RangeJoinRewrite: DateType and TimestampType bands bucketize without manual epoch prep") {
+    import spark.implicits._
+    import graft.plans.RangeJoinRewrite
+    if (!spark.experimental.extraOptimizations.exists(_ eq RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    val intervals = Seq((1L, "2024-01-01", "2024-02-10"), (2L, "2024-03-05", "2024-03-06"))
+      .toDF("iv_id", "s", "e")
+      .select(col("iv_id"), col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = (0 until 120).map(d => (d.toLong, s"2024-01-01"))
+      .toDF("pt_id", "base")
+      .select(col("pt_id"), date_add(col("base").cast("date"), col("pt_id").cast("int")).as("d"))
+    def query() = intervals.join(points, col("d") >= col("s") && col("d") < col("e"))
+      .select("iv_id", "pt_id")
+    spark.conf.set(RangeJoinRewrite.WidthKey, "0")
+    val expected = query().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    expected.size shouldBe (40 + 1) // iv1 covers days 0..39, iv2 day 64
+    spark.conf.set(RangeJoinRewrite.WidthKey, "30") // 30-day buckets
+    try {
+      val rewritten = query()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should include("Generate")
+      rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+    } finally spark.conf.set(RangeJoinRewrite.WidthKey, "0")
+  }
+
   test("RangeJoinRewrite leaves equi-keyed and one-sided-inequality joins alone") {
     import spark.implicits._
     import graft.plans.RangeJoinRewrite
