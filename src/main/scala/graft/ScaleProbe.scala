@@ -104,6 +104,18 @@ object ScaleProbe {
     probe("token_rarity",
       TextFunctions.tokenRarity(docs).count(),
       TextFunctions.tokenRarity(docsN).count())
+    // copy-prefixed tokens: each copy's boilerplate chunks repeat only
+    // within that copy, so the boilerplate set grows linearly and the
+    // ratio measures the chunk-frequency aggregation, not join blowup
+    probe("boilerplate_removal",
+      TextFunctions.removeBoilerplate(docs).count(),
+      TextFunctions.removeBoilerplate(docsN).count())
+    probe("heavy_hitters",
+      TextFunctions.heavyHitters(docs).count(),
+      TextFunctions.heavyHitters(docsN).count())
+    probe("corpus_shards",
+      graft.pipeline.Sampling.corpusShards(docs).count(),
+      graft.pipeline.Sampling.corpusShards(docsN).count())
     spark.stop()
   }
 }

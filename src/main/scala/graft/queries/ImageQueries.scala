@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import QueryDsl._
-import graft.core.{Kernels, PixelCodec, SparkImage}
+import graft.core.{ImageLog, ImageMeta, Kernels, PixelCodec, SparkImage}
 import graft.functions.ImageFunctions
 
 /** Image-engine queries (the reference's actual domain).
@@ -411,6 +411,48 @@ object ImageQueries {
         CAST(i * 10 + 7 AS DOUBLE) AS s0,
         CAST(i * 10 + 10 AS DOUBLE) AS s1,
         CAST(i * 10 + 13 AS DOUBLE) AS s2
-        FROM range(10) t(i) ORDER BY name"""))
+        FROM range(10) t(i) ORDER BY name""")),
+
+    // the FULL RGB→scalar strategy family under the hash gate (SURVEY
+    // F4 — img16 exercises it on blob fixtures rows-only; here
+    // constant-channel RGB images make every strategy closed-form).
+    // "32-bit" is ImageJ's float conversion, so the one fractional
+    // strategy (MEAN) rounds through Float32 — the oracle mirrors that
+    // with CAST(AS FLOAT); every other strategy's value is an integer
+    // ≤ 2^24, exact in Float32
+    ("img19_rgb_strategies",
+      (s, _) => {
+        import s.implicits._
+        val imgs = s.range(12L).map { i =>
+          val r = (i * 17 % 256).toInt; val g = (i * 29 % 256).toInt; val b = (i * 41 % 256).toInt
+          val data = new Array[Byte](32 * 16 * 3)
+          var p = 0
+          while (p < 32 * 16) {
+            data(p * 3) = r.toByte; data(p * 3 + 1) = g.toByte; data(p * 3 + 2) = b.toByte
+            p += 1
+          }
+          (s"/rgb/$i", SparkImage(ImageMeta(),
+            ImageLog.create("constantRgb", s"r=$r,g=$g,b=$b"), 32, 16, 1, PixelCodec.Rgb, data))
+        }.toDF("sample", "image")
+        def chan(strategy: String) = ImageFunctions.statsUdf(
+          ImageFunctions.run2Udf(col("image"), lit("32-bit"), lit(s"rgb=$strategy")))
+          .getField("mean")
+        imgs.select(col("sample"), chan("mean").as("m_mean"), chan("sum").as("m_sum"),
+            chan("min").as("m_min"), chan("max").as("m_max"), chan("int").as("m_int"),
+            chan("red").as("m_red"), chan("green").as("m_green"), chan("blue").as("m_blue"))
+          .orderBy(col("sample"))
+      },
+      Some("""WITH c AS (SELECT i,
+          CAST(i * 17 % 256 AS BIGINT) AS r, CAST(i * 29 % 256 AS BIGINT) AS g,
+          CAST(i * 41 % 256 AS BIGINT) AS b FROM range(12) t(i))
+        SELECT '/rgb/' || CAST(i AS VARCHAR) AS sample,
+          CAST(CAST(CAST(r + g + b AS DOUBLE) / 3 AS FLOAT) AS DOUBLE) AS m_mean,
+          CAST(r + g + b AS DOUBLE) AS m_sum,
+          CAST(LEAST(r, g, b) AS DOUBLE) AS m_min,
+          CAST(GREATEST(r, g, b) AS DOUBLE) AS m_max,
+          CAST(r * 65536 + g * 256 + b AS DOUBLE) AS m_int,
+          CAST(r AS DOUBLE) AS m_red, CAST(g AS DOUBLE) AS m_green,
+          CAST(b AS DOUBLE) AS m_blue
+        FROM c ORDER BY sample"""))
   )
 }
