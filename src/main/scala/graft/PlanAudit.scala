@@ -130,6 +130,22 @@ object PlanAudit {
           "fallback Catalyst would otherwise emit never appears",
         Seq("Generate"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q90_mixture_alloc",
+        "mixture allocation: the corpus reduces through ONE map-side-" +
+          "combining hash aggregation to |sources| rows; the global-" +
+          "total window runs on that constant-size result — the " +
+          "single-partition window the plan shows is |sources| rows, " +
+          "never the corpus",
+        Seq("HashAggregate", "Window"),
+        Seq("Join", "CartesianProduct")),
+      ("q91_corpus_shards",
+        "corpus sharding: one hash-partition exchange on shard + a " +
+          "within-shard sort for position — position assignment never " +
+          "global-sorts by hash (no rangepartitioning on h; the final " +
+          "doc_id orderBy is the oracle's presentation contract, " +
+          "dropped in production use), no join",
+        Seq("Window", "hashpartitioning"),
+        Seq("rangepartitioning(h#", "Join", "CartesianProduct")),
       ("q89_boilerplate_removal",
         "boilerplate removal: chunk document-frequency reduces through " +
           "a map-side-combining hash aggregation; the boilerplate set " +

@@ -121,6 +121,29 @@ class SqlSurfaceSpec extends AnyFunSuite with Matchers {
     spark.read.format("imagedir").option("path", dir).load().count() shouldBe 4
   }
 
+  test("imagedir DSv2 write path carries multi-slice stacks as multi-page TIFF") {
+    import spark.implicits._
+    import graft.core.{ImageLog, ImageMeta, PixelCodec, SparkImage}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirwrite_tif").toString
+    val stacks = spark.range(3L).map { i =>
+      val slices = (0 until 2).map(k =>
+        graft.core.Kernels.constantImage(8, 4, 1, i * 100.0 + k * 7.0, PixelCodec.Short16))
+      ("", s"stack_$i.tif", 0L, slices.reduce(graft.core.Kernels.appendStack))
+    }.toDF("path", "name", "size", "image")
+    stacks.write.format("imagedir").option("path", dir)
+      .option("format", "tif").mode("append").save()
+    val back = spark.read.format("imagedir").option("path", dir)
+      .option("pattern", ".*\\.tif").load()
+      .select(col("name"),
+        ImageFunctions.nslicesUdf(col("image")).as("ns"),
+        ImageFunctions.sliceMeansUdf(col("image")).as("sm"))
+      .as[(String, Int, Seq[Double])].collect().sortBy(_._1)
+    back.map(_._2).toSeq shouldBe Seq(2, 2, 2)
+    back.zipWithIndex.foreach { case ((_, _, sm), i) =>
+      sm shouldBe Seq(i * 100.0, i * 100.0 + 7.0)
+    }
+  }
+
   test("macro-string sweep interpolation is integer-aware (ParameterSweep.scala:228-317)") {
     // integral endpoints interpolate as distinct ints; float endpoints
     // as floats; constant keys ride along; cartesian crosses keys
