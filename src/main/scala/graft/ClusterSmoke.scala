@@ -29,6 +29,7 @@ object ClusterSmoke {
     "q01_pricing_summary", "q05_region_revenue", "q11_window_topk",
     "q60_asof_join", "q68_skew_join", "q86_heavy_hitters",
     "q29_ann_topk", "q31_ngram_jaccard", "q83_cdc_chunks",
+    "q92_gram_matrix", // 2080-long Array[Long] Aggregator buffers cross JVMs
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {

@@ -130,6 +130,14 @@ object PlanAudit {
           "fallback Catalyst would otherwise emit never appears",
         Seq("Generate"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      ("q92_gram_matrix",
+        "Gram matrix: the corpus reduces through ONE typed aggregation " +
+          "with a d(d+1)/2 buffer (map-side partials; shuffle is " +
+          "O(partitions*d^2)); the posexplode and index join run on " +
+          "the single 2080-element result row, never the corpus — no " +
+          "N*d^2 triple explosion",
+        Seq("ObjectHashAggregate", "Generate", "BroadcastHashJoin"),
+        Seq("SortMergeJoin", "CartesianProduct")),
       ("q90_mixture_alloc",
         "mixture allocation: the corpus reduces through ONE map-side-" +
           "combining hash aggregation to |sources| rows; the global-" +

@@ -394,6 +394,32 @@ object Similarity {
     centers
   }
 
+  /** Quantized Gram / second-moment matrix Σ v·vᵀ (upper triangle) as
+    * (i, j, s) rows — the covariance / PCA-whitening / drift-check
+    * building block. ONE typed aggregation with a d(d+1)/2 buffer
+    * combined map-side ([[graft.functions.GramAggregator]]): shuffle
+    * volume is O(partitions·d²) regardless of corpus size — the naive
+    * posexplode² + groupBy formulation shuffles N·d² triples. Products
+    * quantize to the 1e-4 grid before the exact integer sum, so the
+    * result is bit-identical under any partitioning or engine. */
+  def gramMatrix(embeddings: DataFrame, d: Int = 64): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val spark = embeddings.sparkSession
+    val gram = udaf(new graft.functions.GramAggregator(d), ExpressionEncoder[Seq[Float]]())
+    // flat upper-triangle index -> (i, j): a d(d+1)/2-row broadcast map
+    // in the same (i, then j >= i) order the aggregator's buffer uses
+    val idx = spark.createDataFrame(
+      (for { i <- 0 until d; j <- i until d } yield (i.toLong, j.toLong))
+        .zipWithIndex.map { case ((i, j), k) => (k, i, j) })
+      .toDF("pos", "i", "j")
+    PartitionUtil.spread(embeddings)
+      .agg(gram(col("embedding")).as("g"))
+      .select(posexplode(col("g")).as(Seq("pos", "s")))
+      .join(broadcast(idx), Seq("pos"))
+      .select(col("i"), col("j"), col("s"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
   private[graft] def deterministicPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     var state = seed

@@ -652,7 +652,26 @@ object TextPipeline {
             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
               AS pos
           FROM sh ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- quantized Gram matrix (Σ v·vᵀ upper triangle): covariance /
+    // PCA-whitening building block as ONE map-side-combined typed
+    // aggregation — shuffle is O(partitions·d²), never N·d² triples.
+    // Products floor to the 1e-4 grid pre-sum (dsum convention), so
+    // the integer sums are engine- and partitioning-exact ------------
+    ("q92_gram_matrix",
+      (s, dir) => Similarity.gramMatrix(t(s, dir, "embeddings"), d = 64),
+      Some("""WITH grid AS (
+          SELECT i, j FROM range(64) t(i) CROSS JOIN range(64) s(j) WHERE j >= i),
+        prods AS (
+          SELECT g.i, g.j,
+            CAST(FLOOR(CAST(e.embedding[CAST(g.i + 1 AS INT)] AS DOUBLE)
+                     * CAST(e.embedding[CAST(g.j + 1 AS INT)] AS DOUBLE)
+                     * 10000.0) AS BIGINT) AS p
+          FROM embeddings e CROSS JOIN grid g)
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CAST(SUM(p) AS BIGINT) AS s
+        FROM prods GROUP BY i, j ORDER BY i, j"""))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

@@ -431,6 +431,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("gram matrix: exact quantized sums, partition-invariant") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, -3.0f, 0.5f)),
+      (2L, Array(0.0f, -1.5f, 2.0f, 4.0f)),
+      (3L, Array(2.5f, 0.1f, 0.0f, -1.0f))
+    )
+    val df = vecs.toDF("vec_id", "embedding")
+    // independent reference: plain double loop over the same fixture
+    val d = 4
+    val expected = (for { i <- 0 until d; j <- i until d } yield {
+      val s = vecs.map { case (_, v) =>
+        math.floor(v(i).toDouble * v(j).toDouble * 10000.0).toLong }.sum
+      (i.toLong, j.toLong, s)
+    }).toSeq
+    val got = Similarity.gramMatrix(df, d = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe expected
+    Similarity.gramMatrix(df.repartition(5), d = 4)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe expected
+  }
+
   test("token rarity: common-token docs score higher; partition-invariant") {
     import spark.implicits._
     val r = TextFunctions.tokenRarity(docs)
