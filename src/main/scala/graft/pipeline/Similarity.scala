@@ -420,6 +420,111 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
+  /** PCA whitening on top of [[gramMatrix]]: covariance from the
+    * quantized second moment + quantized mean (both exact integer
+    * aggregations, so the fitted transform is bit-deterministic under
+    * any partitioning), eigendecomposed ON THE DRIVER (a d×d
+    * symmetric problem — 64×64 here — is microscopic; distributing it
+    * would be pure overhead), and applied corpus-wide as a broadcast
+    * W·(v−μ) projection. The corpus is scanned twice (moments, then
+    * projection) — the minimum for any fit-then-transform — and the
+    * projection is a pure per-row map: no shuffle at all.
+    *
+    * `eps` regularizes small eigenvalues (λ ← λ + eps) so the inverse
+    * square root is stable when the corpus is rank-deficient. */
+  def pcaWhiten(embeddings: DataFrame, d: Int = 64, eps: Double = 1e-6): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+    val n = base.count().toDouble
+    // quantized per-dim means: same 1e-4 grid as the gram products
+    val meanQ = base.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(floor(col("x") * 10000.0).cast("long")).as("s"))
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2 / 10000.0 / n)
+    val gram = gramMatrix(embeddings, d).as[(Long, Long, Long)].collect()
+
+    // covariance C = E[vvT] - mu muT from the quantized moments
+    val c = Array.ofDim[Double](d, d)
+    gram.foreach { case (i, j, s) =>
+      val e = s / 10000.0 / n - meanQ(i.toInt) * meanQ(j.toInt)
+      c(i.toInt)(j.toInt) = e; c(j.toInt)(i.toInt) = e
+    }
+    val (eigVals, eigVecs) = jacobiEigen(c)
+    // W = diag(1/sqrt(lambda + eps)) * V^T: row r = eigenvector r
+    // scaled by its inverse-sqrt eigenvalue
+    val w = Array.tabulate(d, d) { (r, k) =>
+      eigVecs(r)(k) / math.sqrt(eigVals(r) + eps)
+    }
+    val bcW = spark.sparkContext.broadcast(w)
+    val bcMean = spark.sparkContext.broadcast(meanQ)
+
+    val whiten = udf { v: Seq[Double] =>
+      val mu = bcMean.value; val m = bcW.value
+      val centered = Array.tabulate(v.length)(k => v(k) - mu(k))
+      Array.tabulate(m.length) { r =>
+        var acc = 0.0; var k = 0
+        while (k < centered.length) { acc += m(r)(k) * centered(k); k += 1 }
+        acc
+      }
+    }
+    base.select(col("vec_id"), whiten(col("v")).as("whitened"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
+    * textbook algorithm — Golub & Van Loan §8.5): returns
+    * (eigenvalues, eigenvectors as rows of V^T... here V's columns as
+    * `vecs(col)(row)`), deterministic sweep order. Driver-side only —
+    * O(d³) per sweep on a d×d matrix. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+                                 sweeps: Int = 32): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-18) {
+            off = math.max(off, math.abs(a(p)(q)))
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val cos = 1.0 / math.sqrt(t * t + 1.0)
+            val sin = t * cos
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = cos * akp - sin * akq
+              a(k)(q) = sin * akp + cos * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = cos * apk - sin * aqk
+              a(q)(k) = sin * apk + cos * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = cos * vkp - sin * vkq
+              v(k)(q) = sin * vkp + cos * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((col, row) => v(row)(col)))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
   private[graft] def deterministicPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     var state = seed

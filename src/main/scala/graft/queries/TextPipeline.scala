@@ -671,7 +671,18 @@ object TextPipeline {
           FROM embeddings e CROSS JOIN grid g)
         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
                CAST(SUM(p) AS BIGINT) AS s
-        FROM prods GROUP BY i, j ORDER BY i, j"""))
+        FROM prods GROUP BY i, j ORDER BY i, j""")),
+
+    // ---- PCA whitening: covariance from the quantized moments (both
+    // exact integer aggs → bit-deterministic fit), driver-side Jacobi
+    // eigendecomposition of the 64×64 problem, broadcast W·(v−μ)
+    // projection — two corpus scans, zero shuffles in the transform.
+    // Eigenvectors are not SQL-expressible → rows-only here;
+    // PipelineSpec asserts whitened covariance ≈ I and bit-identical
+    // output across partitionings ------------------------------------
+    ("q93_pca_whiten",
+      (s, dir) => Similarity.pcaWhiten(t(s, dir, "embeddings"), d = 64),
+      None)
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

@@ -453,6 +453,51 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long)].collect().toSeq shouldBe expected
   }
 
+  test("jacobi eigendecomposition: A v = lambda v on a known symmetric matrix") {
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.0, 0.2),
+      Array(0.5, 0.0, 2.0, 0.1),
+      Array(0.0, 0.2, 0.1, 1.0))
+    val (vals, vecs) = Similarity.jacobiEigen(a)
+    (0 until 4).foreach { k =>
+      val v = vecs(k)
+      val av = Array.tabulate(4)(i => (0 until 4).map(j => a(i)(j) * v(j)).sum)
+      (0 until 4).foreach(i => av(i) shouldBe (vals(k) * v(i)) +- 1e-10)
+      math.sqrt(v.map(x => x * x).sum) shouldBe 1.0 +- 1e-10
+    }
+    vals.sum shouldBe (4.0 + 3.0 + 2.0 + 1.0) +- 1e-10 // trace preserved
+  }
+
+  test("pca whitening: whitened covariance is identity; fit is partition-deterministic") {
+    import spark.implicits._
+    // correlated 4-d data: x1 = x0 + noise, x2/x3 independent scales
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 300).map { i =>
+      val x0 = rng.nextGaussian()
+      (i.toLong, Array(
+        (x0 * 2.0).toFloat, (x0 * 2.0 + rng.nextGaussian() * 0.3).toFloat,
+        (rng.nextGaussian() * 0.5 + 1.0).toFloat, rng.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pcaWhiten(df, d = 4)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val w = out.map(_._2)
+    val n = w.length.toDouble
+    val mean = Array.tabulate(4)(k => w.map(_(k)).sum / n)
+    (0 until 4).foreach { i =>
+      (i until 4).foreach { j =>
+        val cov = w.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+        if (i == j) cov shouldBe 1.0 +- 0.05 // eps + 1e-4 grid tolerance
+        else cov shouldBe 0.0 +- 0.05
+      }
+    }
+    // grid-exact moments -> identical transform at any partitioning
+    val rep = Similarity.pcaWhiten(df.repartition(7), d = 4)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    rep.map(_._2.toSeq).toSeq shouldBe w.map(_.toSeq).toSeq
+  }
+
   test("token rarity: common-token docs score higher; partition-invariant") {
     import spark.implicits._
     val r = TextFunctions.tokenRarity(docs)
