@@ -1,136 +1,117 @@
 package graft
 
-import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.core._
-import graft.functions.TopKAggregator
-import graft.pipeline.Dedup
+import graft.core.PixelCodec
+import graft.streaming.EventStreams
 
-/** Property-based invariants for the pure cores: pixel codec
-  * round-trips, log escaping, top-k aggregation vs a naive sort,
-  * minhash monotonicity. Uses raw ScalaCheck generators with seeded
-  * sampling (the scalatest bridge artifact isn't a declared dep). */
+/** Property-based checks for the pure deterministic cores — the
+  * invariants the oracle gate relies on, exercised over generated
+  * inputs instead of fixtures. Raw ScalaCheck (`Test.check`) rather
+  * than the scalatest bridge, which is not a declared dependency.
+  */
 class PropertySpec extends AnyFunSuite with Matchers {
 
-  private def check[A](gen: Gen[A], n: Int = 60)(f: A => Unit): Unit =
-    (0 until n).foreach { i =>
-      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
-    }
+  private def check(name: String, p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    withClue(s"$name: $res\n") { res.passed shouldBe true }
+  }
 
-  test("pixel codec round-trips in-range values for every integer type") {
+  test("pixel codecs round-trip every integral value in range") {
     val cases = Seq(
+      PixelCodec.Bool -> Gen.choose(0, 1),
       PixelCodec.Byte8 -> Gen.choose(0, 255),
       PixelCodec.Short16 -> Gen.choose(0, 65535),
-      PixelCodec.Int32 -> Gen.choose(Int.MinValue, Int.MaxValue))
-    cases.foreach { case (t, gen) =>
-      check(Gen.listOfN(64, gen)) { vs =>
-        val doubles = vs.map(_.toDouble).toArray
-        PixelCodec.decode(PixelCodec.encode(doubles, t), t, doubles.length) shouldBe doubles
+      PixelCodec.Int32 -> Gen.choose(Int.MinValue, Int.MaxValue),
+      PixelCodec.Float32 -> Gen.choose(-(1 << 24), 1 << 24), // exact in f32
+      PixelCodec.Double64 -> Gen.choose(Int.MinValue, Int.MaxValue),
+      PixelCodec.Long64 -> Gen.choose(Int.MinValue, Int.MaxValue))
+    cases.foreach { case (tpe, genV) =>
+      check(s"codec $tpe", Prop.forAll(Gen.listOf(genV.map(_.toDouble))) { vs =>
+        val px = vs.toArray
+        PixelCodec.decode(PixelCodec.encode(px, tpe), tpe, px.length).sameElements(px)
+      })
+    }
+  }
+
+  test("Misra–Gries guarantee holds under any reduce/merge split tree") {
+    val genStream = Gen.listOf(Gen.choose(0, 9).map(i => s"t$i"))
+    val genK = Gen.choose(2, 8)
+    val genSeed = Gen.choose(0L, Long.MaxValue)
+    check("mg-guarantee", Prop.forAll(genStream, genK, genSeed) { (toks, k, seed) =>
+      val agg = new graft.functions.MisraGriesAggregator(k)
+      // random split tree: partition the stream into chunks, reduce
+      // each, then merge left-to-right (what Spark's partial/final
+      // aggregation does under arbitrary partitioning)
+      val rng = new scala.util.Random(seed)
+      val chunks = if (toks.isEmpty) Seq(Seq.empty[String])
+        else toks.grouped(math.max(1, rng.nextInt(toks.length) + 1)).toSeq
+      val merged = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      val out = agg.finish(merged).toSet
+      val n = toks.length
+      val exact = toks.groupBy(identity).view.mapValues(_.length)
+      exact.forall { case (t, c) => c * (k + 1) <= n || out.contains(t) }
+    })
+  }
+
+  test("event-time session merge: order-invariant, gap-separated, counts preserved") {
+    val genEvents = Gen.listOf(Gen.zip(Gen.choose(0L, 5000L), Gen.const(1.0)))
+    val genGap = Gen.choose(1L, 1000L)
+    val genSeed = Gen.choose(0L, Long.MaxValue)
+    check("session-merge", Prop.forAll(genEvents, genGap, genSeed) { (evs, gap, seed) =>
+      val rng = new scala.util.Random(seed)
+      val oneShot = EventStreams.mergeSessions(Nil, 1L, evs, gap)
+      // arbitrary batch split + per-batch shuffle must produce the
+      // same open-session state
+      val (b1, b2) = rng.shuffle(evs).splitAt(if (evs.isEmpty) 0 else rng.nextInt(evs.length))
+      val twoStep = EventStreams.mergeSessions(
+        EventStreams.mergeSessions(Nil, 1L, b1, gap), 1L, b2, gap)
+      val sameState = twoStep == oneShot
+      val gapSeparated = oneShot.sliding(2).forall {
+        case Seq(a, b) => b.start_ms > a.last_ms + gap
+        case _ => true
       }
-    }
+      val countsOk = oneShot.map(_.n_events).sum == evs.length
+      val boundsOk = oneShot.forall(s => s.start_ms <= s.last_ms)
+      sameState && gapSeparated && countsOk && boundsOk
+    })
   }
 
-  test("pixel codec round-trips arbitrary doubles for float64") {
-    check(Gen.listOfN(64, Gen.chooseNum(-1e12, 1e12))) { vs =>
-      val a = vs.toArray
-      PixelCodec.decode(PixelCodec.encode(a, PixelCodec.Double64),
-        PixelCodec.Double64, a.length) shouldBe a
-    }
+  test("top-k aggregator equals sorted take-k under any split tree") {
+    val genXs = Gen.listOf(Gen.zip(Gen.choose(-100, 100).map(_ / 7.0), Gen.choose(0L, 50L)))
+    val genK = Gen.choose(1, 8)
+    val genSeed = Gen.choose(0L, Long.MaxValue)
+    check("topk", Prop.forAll(genXs, genK, genSeed) { (xs, k, seed) =>
+      val agg = new graft.functions.TopKAggregator(k)
+      val rng = new scala.util.Random(seed)
+      val chunks = if (xs.isEmpty) Seq(Seq.empty[(Double, Long)])
+        else rng.shuffle(xs).grouped(math.max(1, rng.nextInt(xs.length) + 1)).toSeq
+      val got = agg.finish(chunks.map(c => c.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge))
+      // multiset-aware reference: duplicates of the same (score, id)
+      // pair are kept by the aggregator too
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      got == expected
+    })
   }
 
-  test("log escaping round-trips arbitrary strings through parseOps") {
-    check(Gen.zip(Gen.asciiStr, Gen.asciiStr)) { case (opval, opargs) =>
-      val log = ImageLog.append(ImageLog.empty, LogEntry("RUN", "SPARK", opval, opargs))
-      val parsed = ImageLog.parseOps(log)
-      parsed should have size 1
-      parsed.head shouldBe (("RUN", opval, opargs))
-    }
-  }
-
-  test("TopKAggregator equals sort-take for any input, at any merge split") {
-    val agg = new TopKAggregator(5)
-    val pairGen = Gen.listOf(Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 50L)))
-    check(Gen.zip(pairGen, Gen.chooseNum(0, 10))) { case (xs, splitAt) =>
-      val distinct = xs.distinctBy(_._2) // ids unique like vec_ids
-      val expected = distinct.sortBy { case (s, id) => (-s, id) }.take(5)
-      distinct.foldLeft(agg.zero)(agg.reduce) shouldBe expected
-      val (l, r) = distinct.splitAt(math.min(splitAt, distinct.length))
-      agg.merge(l.foldLeft(agg.zero)(agg.reduce),
-        r.foldLeft(agg.zero)(agg.reduce)) shouldBe expected
-    }
-  }
-
-  test("minhash signatures: order-invariant; supersets only lower slots") {
-    check(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { words =>
-      val sig = Dedup.minhashSignature(words, 16)
-      Dedup.minhashSignature(words.reverse, 16) shouldBe sig
-      val bigger = Dedup.minhashSignature(words :+ "extra-shingle-xyz", 16)
-      bigger.zip(sig).foreach { case (b, s) => b should be <= s }
-    }
-  }
-
-  test("histogram counts always sum to the pixel count") {
-    check(Gen.zip(Gen.listOfN(100, Gen.chooseNum(-50.0, 50.0)), Gen.chooseNum(1, 20))) {
-      case (vs, bins) =>
-        val img = SparkImage(ImageMeta(), "[]", 10, 10, 1, PixelCodec.Double64,
-          PixelCodec.encode(vs.toArray, PixelCodec.Double64))
-        Kernels.histogram(img, -10.0, 10.0, bins).counts.sum shouldBe 100L
-    }
-  }
-
-  test("cdc chunks: every chunk list reassembles the token stream; insertion keeps the tail") {
-    import graft.pipeline.TextFunctions
-    val tokGen = Gen.listOfN(40, Gen.oneOf((1 to 25).map(i => s"w$i")))
-    check(tokGen) { toks =>
-      // the chunking is a PARTITION: joining chunks back with spaces
-      // (chunks are themselves space-joined) reproduces the stream's
-      // join — verified via hashes of a reference re-partition
-      val mask = 15L
-      val boundaries = toks.map(t => (Dedup.mix64(Dedup.fnv64(t)) & mask) == 0L)
-      val ref = scala.collection.mutable.ArrayBuffer.empty[List[String]]
-      var cur = List.empty[String]
-      toks.zip(boundaries).foreach { case (t, b) =>
-        cur = cur :+ t
-        if (b) { ref += cur; cur = Nil }
-      }
-      if (cur.nonEmpty) ref += cur
-      val expected = ref.map(c => Dedup.fnv64(c.mkString(" "))).toSeq
-      TextFunctions.cdcChunkHashes(toks, maskBits = 4) shouldBe expected
-      // prefix insertion never changes chunks after the first boundary
-      val shifted = TextFunctions.cdcChunkHashes("inserted" +: toks, maskBits = 4)
-      if (expected.size > 1)
-        shifted.takeRight(expected.size - 1) shouldBe expected.takeRight(expected.size - 1)
-    }
-  }
-
-  test("jaccard prefix length is always a safe prefix (integer ceil never under-allocates)") {
-    // p = sz − ceil(t·sz) + 1 must satisfy: suffix size (sz − p) < t·sz
-    // exactly — i.e. any |A∩B| ≥ t·|A| intersects the prefix
-    check(Gen.zip(Gen.chooseNum(1, 5000), Gen.chooseNum(1, 9999))) { case (sz, num) =>
-      val den = 10000L
-      val p = sz - (sz * num + (den - 1)) / den + 1
-      val suffix = sz - p
-      // suffix < t·sz  ⟺  suffix·den < sz·num
-      (suffix * den) should be < (sz.toLong * num)
-      p should be >= 1L
-      p.toInt should be <= sz
-    }
-  }
-
-  test("int8 quantization: codes within [-127, 127], dequantized error below one step") {
-    check(Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0).suchThat(v => !v.isNaN))) { vsList =>
-      val vs = vsList.toArray
-      val maxabs = vs.map(math.abs).max
-      val sc = if (maxabs > 0) maxabs else 1.0
-      vs.foreach { v =>
-        val q = math.floor(v * 127.0 / sc).toLong
-        q should be >= -128L
-        q should be <= 127L
-        math.abs(v - q * sc / 127.0) should be <= (sc / 127.0) + 1e-12
-      }
-    }
+  test("gram aggregator: any split tree equals the direct double loop") {
+    val genVecs = Gen.listOf(Gen.listOfN(4, Gen.choose(-64, 64).map(_ / 8.0f)))
+    val genSeed = Gen.choose(0L, Long.MaxValue)
+    check("gram", Prop.forAll(genVecs, genSeed) { (vs, seed) =>
+      val agg = new graft.functions.GramAggregator(4)
+      val rng = new scala.util.Random(seed)
+      val chunks = if (vs.isEmpty) Seq(Seq.empty[List[Float]])
+        else rng.shuffle(vs).grouped(math.max(1, rng.nextInt(vs.length) + 1)).toSeq
+      val got = chunks.map(c => c.foldLeft(agg.zero)((b, v) => agg.reduce(b, v)))
+        .reduce(agg.merge).toSeq
+      val d = 4
+      val expected = (for { i <- 0 until d; j <- i until d } yield
+        vs.map(v => math.floor(v(i).toDouble * v(j).toDouble * 10000.0).toLong).sum).toSeq
+      got == expected
+    })
   }
 }
