@@ -474,6 +474,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-dimension embedding drift between two corpus slices (the
+    * monitoring face of the moments machinery): quantized per-dim
+    * means for the reference and candidate slices and their absolute
+    * difference — the signal that catches an embedding-model change,
+    * a re-normalization bug, or a corpus composition shift before it
+    * poisons dedup thresholds downstream.
+    *
+    * Scale shape: one explode + ONE map-side-combining hash
+    * aggregation with conditional sums — a single shuffle of d rows
+    * per partition, output d rows. Means quantize on the 1e-4 grid
+    * (exact integer sums), so both slices' means — and the drift —
+    * are bit-identical across engines and partitionings. */
+  def embeddingDrift(embeddings: DataFrame, refFilter: Column, d: Int = 64): DataFrame = {
+    val q = floor(col("x") * 10000.0).cast("long")
+    PartitionUtil.spread(embeddings)
+      .select(refFilter.as("is_ref"), posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(
+        sum(when(col("is_ref"), q).otherwise(0L)).as("s_ref"),
+        count(when(col("is_ref"), 1)).as("n_ref"),
+        sum(when(!col("is_ref"), q).otherwise(0L)).as("s_new"),
+        count(when(!col("is_ref"), 1)).as("n_new"))
+      .select(col("i").cast("long").as("i"),
+        (col("s_ref").cast("double") / 10000.0 / col("n_ref")).as("mean_ref"),
+        (col("s_new").cast("double") / 10000.0 / col("n_new")).as("mean_new"))
+      .withColumn("drift", abs(col("mean_ref") - col("mean_new")))
+      .orderBy(col("i"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
     * textbook algorithm — Golub & Van Loan §8.5): returns
     * (eigenvalues, eigenvectors as rows of V^T... here V's columns as

@@ -682,7 +682,33 @@ object TextPipeline {
     // output across partitionings ------------------------------------
     ("q93_pca_whiten",
       (s, dir) => Similarity.pcaWhiten(t(s, dir, "embeddings"), d = 64),
-      None)
+      None),
+
+    // ---- embedding drift: per-dim quantized means of two corpus
+    // slices (vec_id parity stands in for reference-vs-candidate) and
+    // their absolute difference — one explode + one conditional agg,
+    // d output rows, grid-exact ---------------------------------------
+    ("q94_embedding_drift",
+      (s, dir) => Similarity.embeddingDrift(
+        t(s, dir, "embeddings"), refFilter = pmod(col("vec_id"), lit(2L)) === 0L),
+      Some("""WITH ex AS (
+          SELECT vec_id % 2 = 0 AS is_ref, i,
+            CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 10000.0)
+              AS BIGINT) AS q
+          FROM embeddings CROSS JOIN range(64) t(i)),
+        ag AS (
+          SELECT i,
+            SUM(CASE WHEN is_ref THEN q ELSE 0 END) AS s_ref,
+            COUNT(CASE WHEN is_ref THEN 1 END) AS n_ref,
+            SUM(CASE WHEN NOT is_ref THEN q ELSE 0 END) AS s_new,
+            COUNT(CASE WHEN NOT is_ref THEN 1 END) AS n_new
+          FROM ex GROUP BY i)
+        SELECT CAST(i AS BIGINT) AS i,
+          CAST(s_ref AS DOUBLE) / 10000.0 / n_ref AS mean_ref,
+          CAST(s_new AS DOUBLE) / 10000.0 / n_new AS mean_new,
+          ABS(CAST(s_ref AS DOUBLE) / 10000.0 / n_ref
+            - CAST(s_new AS DOUBLE) / 10000.0 / n_new) AS drift
+        FROM ag ORDER BY i"""))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

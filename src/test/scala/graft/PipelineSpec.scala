@@ -498,6 +498,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     rep.map(_._2.toSeq).toSeq shouldBe w.map(_.toSeq).toSeq
   }
 
+  test("embedding drift: zero for identical slices, localized to the shifted dimension") {
+    import spark.implicits._
+    // even ids = reference; odd ids copy them except dim 2 shifted +0.5
+    val vecs = (0 until 100).flatMap { i =>
+      val base = Array.tabulate(4)(k => (math.sin(i * 0.7 + k) * 2).toFloat)
+      val shifted = base.clone(); shifted(2) = shifted(2) + 0.5f
+      Seq((i * 2L, base), (i * 2L + 1, shifted))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val drift = Similarity.embeddingDrift(df, pmod(col("vec_id"), lit(2L)) === 0L, d = 4)
+      .select($"i", $"drift").as[(Long, Double)].collect().toMap
+    drift(0L) shouldBe 0.0 +- 1e-4 // grid quantization only
+    drift(1L) shouldBe 0.0 +- 1e-4
+    drift(3L) shouldBe 0.0 +- 1e-4
+    drift(2L) shouldBe 0.5 +- 1e-3
+    // partition-invariant (grid-exact sums)
+    val rep = Similarity.embeddingDrift(df.repartition(9), pmod(col("vec_id"), lit(2L)) === 0L, d = 4)
+      .select($"i", $"drift").as[(Long, Double)].collect().toMap
+    rep shouldBe drift
+  }
+
   test("token rarity: common-token docs score higher; partition-invariant") {
     import spark.implicits._
     val r = TextFunctions.tokenRarity(docs)
