@@ -59,3 +59,34 @@ class GramAggregator(d: Int)
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
+
+/** First moment + count on the same 1e-4 grid: buffer = d quantized
+  * per-dimension sums with the row count in the last slot. Runs
+  * alongside [[GramAggregator]] in ONE aggregation so a
+  * fit-then-transform consumer (PCA whitening) gets mean, second
+  * moment, and n in a single corpus scan. */
+class VecMomentAggregator(d: Int)
+    extends Aggregator[Seq[Float], Array[Long], Array[Long]] {
+  require(d > 0)
+
+  override def zero: Array[Long] = new Array[Long](d + 1)
+
+  override def reduce(buf: Array[Long], v: Seq[Float]): Array[Long] = {
+    require(v.length == d, s"expected dim $d, got ${v.length}")
+    var k = 0
+    while (k < d) { buf(k) += math.floor(v(k).toDouble * 10000.0).toLong; k += 1 }
+    buf(d) += 1L
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i <= d) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}

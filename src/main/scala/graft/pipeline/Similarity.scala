@@ -433,24 +433,35 @@ object Similarity {
     * `eps` regularizes small eigenvalues (λ ← λ + eps) so the inverse
     * square root is stable when the corpus is rank-deficient. */
   def pcaWhiten(embeddings: DataFrame, d: Int = 64, eps: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val spark = embeddings.sparkSession
-    import spark.implicits._
     val base = PartitionUtil.spread(embeddings)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v"))
 
-    val n = base.count().toDouble
-    // quantized per-dim means: same 1e-4 grid as the gram products
-    val meanQ = base.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(sum(floor(col("x") * 10000.0).cast("long")).as("s"))
-      .as[(Int, Long)].collect().sortBy(_._1).map(_._2 / 10000.0 / n)
-    val gram = gramMatrix(embeddings, d).as[(Long, Long, Long)].collect()
+    // scan 1: second moment, first moment, and count in ONE
+    // aggregation (two udafs side by side — Spark evaluates both over
+    // the same pass; the result is a single bounded row)
+    val gramU = udaf(new graft.functions.GramAggregator(d), ExpressionEncoder[Seq[Float]]())
+    val momU = udaf(new graft.functions.VecMomentAggregator(d), ExpressionEncoder[Seq[Float]]())
+    val row = base.agg(gramU(col("embedding")).as("g"), momU(col("embedding")).as("m")).head()
+    val g = row.getSeq[Long](0)
+    val m = row.getSeq[Long](1)
+    val n = m(d).toDouble
+    val meanQ = Array.tabulate(d)(k => m(k) / 10000.0 / n)
 
-    // covariance C = E[vvT] - mu muT from the quantized moments
+    // covariance C = E[vvT] - mu muT from the quantized moments (g is
+    // the flat upper triangle in the aggregator's (i, j >= i) order)
     val c = Array.ofDim[Double](d, d)
-    gram.foreach { case (i, j, s) =>
-      val e = s / 10000.0 / n - meanQ(i.toInt) * meanQ(j.toInt)
-      c(i.toInt)(j.toInt) = e; c(j.toInt)(i.toInt) = e
+    var idx = 0
+    var gi = 0
+    while (gi < d) {
+      var gj = gi
+      while (gj < d) {
+        val e = g(idx) / 10000.0 / n - meanQ(gi) * meanQ(gj)
+        c(gi)(gj) = e; c(gj)(gi) = e
+        idx += 1; gj += 1
+      }
+      gi += 1
     }
     val (eigVals, eigVecs) = jacobiEigen(c)
     // W = diag(1/sqrt(lambda + eps)) * V^T: row r = eigenvector r
