@@ -72,12 +72,14 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val h = docHashUdf(col("text"))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    // no output ordering here: a consumer writing shards wants the
+    // per-shard partitioning as-is (the oracle-facing query adds its
+    // own presentation ORDER BY)
     PartitionUtil.spread(docs)
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
-      .orderBy(col("doc_id"))
   }
 
   /** mix64(fnv64(text)) — the engine's standard content hash (same

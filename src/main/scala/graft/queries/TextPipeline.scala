@@ -639,7 +639,8 @@ object TextPipeline {
     // + within-shard (hash, doc_id) position — the training-ingestion
     // layout step, reproducible across engines via the HashSql mirror
     ("q91_corpus_shards",
-      (s, dir) => Sampling.corpusShards(t(s, dir, "documents"), nShards = 8),
+      (s, dir) => Sampling.corpusShards(t(s, dir, "documents"), nShards = 8)
+        .orderBy(col("doc_id")),
       Some {
         import graft.pipeline.HashSql._
         s"""WITH f AS (SELECT doc_id, ${fnv64("text")} AS h FROM documents),
