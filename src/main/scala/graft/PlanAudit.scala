@@ -162,6 +162,23 @@ object PlanAudit {
           "a join on chunk text",
         Seq("BroadcastHashJoin", "HashAggregate"),
         Seq("SortMergeJoin", "CartesianProduct")),
+      ("q95_snapshot_diff",
+        "snapshot diff: each side reduces to (doc_id, md5) BEFORE the " +
+          "shuffle — the 32-byte digest crosses the exchange, never the " +
+          "text payload — then one full-outer sort-merge join on doc_id " +
+          "and a per-row CASE; cost O(|old|+|new|), no re-read of " +
+          "unchanged payloads",
+        Seq("SortMergeJoin", "FullOuter", "md5"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q96_canonical_keep",
+        "canonical keep: CC labels (iterations already materialized via " +
+          "localCheckpoint) join the score table on id, then ONE " +
+          "aggregation computes count + struct-max argmax per group. " +
+          "Struct-typed buffers aren't hash-aggregable, so Spark plans " +
+          "partial+final SortAggregate — still map-side combined with a " +
+          "single exchange on rep, and no per-group Window sort",
+        Seq("SortAggregate"),
+        Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q88_range_join_ts",
         "q73's raw inequality join on NATIVE TimestampType columns " +
           "(interval arithmetic, no manual unix_micros prep): " +

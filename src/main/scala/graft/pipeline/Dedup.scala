@@ -177,7 +177,8 @@ object Dedup {
     * Banding: `numHashes` signature slots split into `bands` bands of
     * r = numHashes/bands rows; documents colliding on any full band
     * become a candidate pair. Output: (id_a, id_b, n_bands) with the
-    * number of colliding bands — deterministic, ordered.
+    * number of colliding bands — deterministic content, unordered
+    * (presentation ORDER BY belongs to the consuming query).
     *
     * Scale shape: explode to (bandIndex, bandHash) keys and self-join
     * per bucket — shuffle is O(N · bands) narrow rows; no cross join.
@@ -201,7 +202,6 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_hash")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** DuckDB oracle for [[minhashLshPairs]]: the full MinHash+banding
@@ -211,7 +211,13 @@ object Dedup {
     * shingle sets keep the Long.MaxValue signature (they band-collide
     * with each other, exactly like the Scala side); the band fold
     * `h = mix64(h ^ v)` unrolls `r` steps × 4 stages as chained CTEs. */
-  private[graft] def minhashLshOracleSql(shingleN: Int, numHashes: Int, bands: Int): String = {
+  private[graft] def minhashLshOracleSql(shingleN: Int, numHashes: Int, bands: Int): String =
+    minhashLshOracleSqlBody(shingleN, numHashes, bands) + "\n      ORDER BY id_a, id_b"
+
+  /** ORDER-BY-free variant of [[minhashLshOracleSql]], embeddable as a
+    * `pairs AS (...)` CTE (the nested-WITH trick
+    * [[dedupGroupsOracleSql]] already uses). */
+  private[graft] def minhashLshOracleSqlBody(shingleN: Int, numHashes: Int, bands: Int): String = {
     import HashSql._
     require(numHashes % bands == 0)
     val r = numHashes / bands
@@ -255,7 +261,7 @@ object Dedup {
       SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
       FROM bandtbl a JOIN bandtbl c
         ON a.j = c.j AND a.h = c.h AND a.doc_id < c.doc_id
-      GROUP BY 1, 2 ORDER BY id_a, id_b"""
+      GROUP BY 1, 2"""
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -549,6 +555,66 @@ object Dedup {
       iter += 1
     }
     labels.select(col("id"), col("rep"))
+  }
+
+  /** Canonical representative selection — the final keep/drop decision
+    * of a dedup pipeline: near-dup pairs become connected-component
+    * groups ([[dedupGroups]]), and each multi-member group keeps its
+    * highest-quality document (max `score`, ties to the LOWEST id so
+    * the choice is deterministic). Docs with no near-dup pair never
+    * enter the pair graph, so every output group has >= 2 members —
+    * the output is exactly the set of groups where documents will be
+    * dropped (keep `keep_id`, drop the other n_docs-1).
+    *
+    * Scale shape: the CC labels join to the (id, score) table on id
+    * (shuffle hash join), then ONE aggregation per group computes the
+    * count and the argmax via a struct-max. Struct-typed buffers are
+    * not hash-aggregable, so Spark plans partial+final SortAggregate —
+    * still map-side combined with a single exchange on rep, and no
+    * per-group Window sort. Output: (rep, n_docs, keep_id, keep_score),
+    * unordered.
+    */
+  def canonicalKeep(pairs: DataFrame, scored: DataFrame,
+                    idCol: String = "doc_id", scoreCol: String = "n_chars"): DataFrame = {
+    val labels = dedupGroups(pairs) // (id, rep)
+    labels
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_docs"),
+           // argmax by (score, -id): higher score wins, ties pick the
+           // smaller id — one aggregation, no window/sort per group
+           max(struct(col("score").as("s"), (-col("id")).as("negid"))).as("best"))
+      .select(col("rep"), col("n_docs"),
+              (-col("best.negid")).as("keep_id"),
+              col("best.s").as("keep_score"))
+  }
+
+  /** DuckDB oracle for [[canonicalKeep]] over [[minhashLshPairs]]
+    * candidates: the mirrored MinHash pair SQL feeds the same
+    * recursive-CTE fixpoint as [[dedupGroupsOracleSql]]; the keep
+    * choice is re-derived INDEPENDENTLY via a ROW_NUMBER window
+    * (score DESC, id ASC) rather than the struct-max formulation. */
+  private[graft] def canonicalKeepOracleSql(shingleN: Int, numHashes: Int,
+                                            bands: Int): String = {
+    val pairsBody = minhashLshOracleSqlBody(shingleN, numHashes, bands)
+    s"""WITH RECURSIVE
+    pairs AS ($pairsBody),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+    reps AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+    scored AS (SELECT reps.rep, reps.id, d.n_chars AS score
+      FROM reps JOIN documents d ON d.doc_id = reps.id),
+    ranked AS (SELECT rep, id, score,
+        ROW_NUMBER() OVER (PARTITION BY rep ORDER BY score DESC, id ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY rep) AS n_docs
+      FROM scored)
+    SELECT rep, CAST(n_docs AS BIGINT) AS n_docs, id AS keep_id,
+      score AS keep_score
+    FROM ranked WHERE rn = 1 ORDER BY rep"""
   }
 
   /** Exact all-pairs embedding near-dups above a cosine threshold.

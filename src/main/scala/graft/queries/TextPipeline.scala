@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import QueryDsl._
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextFunctions}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Snapshot, TextFunctions}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: exact + near dedup, similarity search, text quality metrics.
@@ -204,7 +204,8 @@ object TextPipeline {
     // HUGEINT wraparound emulation) → hash-checked ----------------------
     ("q32_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(
-        t(s, dir, "documents"), shingleN = 3, numHashes = 64, bands = 16),
+        t(s, dir, "documents"), shingleN = 3, numHashes = 64, bands = 16)
+        .orderBy(col("id_a"), col("id_b")),
       Some(Dedup.minhashLshOracleSql(shingleN = 3, numHashes = 64, bands = 16))),
 
     // ---- SimHash near-dup buckets — also hash-checked via HashSql ------
@@ -709,7 +710,52 @@ object TextPipeline {
           CAST(s_new AS DOUBLE) / 10000.0 / n_new AS mean_new,
           ABS(CAST(s_ref AS DOUBLE) / 10000.0 / n_ref
             - CAST(s_new AS DOUBLE) / 10000.0 / n_new) AS drift
-        FROM ag ORDER BY i"""))
+        FROM ag ORDER BY i""")),
+
+    // ---- corpus snapshot diff: the delta feed between two crawls.
+    // Old/new snapshots are carved deterministically from `documents`
+    // (old = ids not divisible by 3; new = ids not congruent 2 mod 5,
+    // with every 7th doc's text revised) so the oracle re-derives both
+    // sides from the same parquet. Unchanged rows are filtered — the
+    // output is exactly the work list for incremental reprocessing ----
+    ("q95_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 3 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 5 =!= 2)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        Snapshot.diff(oldSnap, newSnap)
+          .filter(col("status") =!= "unchanged")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS h
+          FROM documents WHERE doc_id % 3 <> 0),
+        n AS (SELECT doc_id,
+            md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+          FROM documents WHERE doc_id % 5 <> 2),
+        d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.h IS NULL THEN 'added'
+                 WHEN n.h IS NULL THEN 'removed'
+                 WHEN o.h = n.h THEN 'unchanged'
+                 ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        SELECT doc_id, status FROM d
+        WHERE status <> 'unchanged' ORDER BY doc_id""")),
+
+    // ---- canonical representative selection: MinHash near-dup pairs →
+    // connected-component groups → keep the longest doc per group
+    // (ties to the lowest id). The oracle recomputes the pairs via the
+    // HashSql mirror, the groups via a recursive-CTE fixpoint, and the
+    // keep choice via an independent ROW_NUMBER formulation -------------
+    ("q96_canonical_keep",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, shingleN = 3, numHashes = 64, bands = 16)
+        Dedup.canonicalKeep(pairs, docs).orderBy(col("rep"))
+      },
+      Some(Dedup.canonicalKeepOracleSql(shingleN = 3, numHashes = 64, bands = 16)))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

@@ -53,16 +53,44 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
   }
 
+  test("canonicalKeep: per-group argmax keeps longest doc, ties to lowest id") {
+    import spark.implicits._
+    // components: {1,2,5} and {7,9}; scores give 2 the win in the first
+    // group; the second group ties so the lower id (7) wins
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("id_a", "id_b")
+    val scored = Seq((1L, 10L), (2L, 30L), (5L, 20L), (7L, 15L), (9L, 15L),
+      (42L, 99L) /* singleton: never in pairs, never in output */)
+      .toDF("doc_id", "n_chars")
+    def run(parts: Int) =
+      Dedup.canonicalKeep(pairs.repartition(parts), scored)
+        .as[(Long, Long, Long, Long)].collect().toList.sorted
+    val r = run(1)
+    r shouldBe List((1L, 3L, 2L, 30L), (7L, 2L, 7L, 15L))
+    run(5) shouldBe r // partition invariance
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Snapshot.diff(oldSnap.repartition(parts), newSnap.repartition(parts))
+        .as[(Long, String)].collect().toList.sorted
+    run(1) shouldBe List((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added"))
+    run(4) shouldBe run(1)
+  }
+
   test("minhash: identical docs collide on all bands; signature deterministic") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(docs, shingleN = 3, numHashes = 64, bands = 16)
-      .as[(Long, Long, Long)].collect().toList
+      .as[(Long, Long, Long)].collect().toList.sorted
     pairs.find(p => p._1 == 1L && p._2 == 3L).get._3 shouldBe 16L // all bands
     // near-dup should collide on at least one band
     pairs.map(p => (p._1, p._2)) should contain ((1L, 2L))
-    // partition invariance
+    // partition invariance (output is unordered — compare sorted)
     Dedup.minhashLshPairs(docs.repartition(5), 3, 64, 16)
-      .as[(Long, Long, Long)].collect().toList shouldBe pairs
+      .as[(Long, Long, Long)].collect().toList.sorted shouldBe pairs
     // pure-function signature sanity
     val sig = Dedup.minhashSignature(Seq("a b c", "b c d"), 8)
     sig.length shouldBe 8
