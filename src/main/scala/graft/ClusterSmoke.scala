@@ -24,12 +24,13 @@ object ClusterSmoke {
     * as-of (union+window), salted skew agg, Misra–Gries sketch, top-k
     * Aggregator + codegen'd vector kernel, prefix-filtered similarity
     * join, CDC chunk UDFs, SparkImage UDFs, stack assembly,
-    * cross-image histogram Aggregator. */
+    * cross-image histogram Aggregator, CC labeling + struct-max argmax. */
   val queryNames: Seq[String] = Seq(
     "q01_pricing_summary", "q05_region_revenue", "q11_window_topk",
     "q60_asof_join", "q68_skew_join", "q86_heavy_hitters",
     "q29_ann_topk", "q31_ngram_jaccard", "q83_cdc_chunks",
     "q92_gram_matrix", // 2080-long Array[Long] Aggregator buffers cross JVMs
+    "q96_canonical_keep", // localCheckpoint'd CC rounds + struct-typed agg buffers cross JVMs
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {
