@@ -458,6 +458,70 @@ object Dedup {
     WHERE list_cosine_similarity(a.v, c.v) > $threshold"""
   }
 
+  /** Semantic dedup — the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into clusters,
+    * then prune near-duplicates WITHIN clusters only. A vector is
+    * dropped when a lower-id vector in the same cluster has quantized
+    * cosine ≥ threshold; the survivor set keeps exactly one
+    * representative per semantic neighborhood. Clusters here are the
+    * deterministic grid-mean centroids of
+    * [[Similarity.gridCentroidAssignment]] (a production run would fit
+    * them like the IVF quantizer — the pruning contract is identical).
+    *
+    * Scale shape: this is the point of SemDeDup — candidate pairs form
+    * only inside a cluster (equi-join on cluster id), so the quadratic
+    * term is Σ|cluster|², bounded by growing the cluster count with
+    * the corpus, never N². One corpus scan for assignment (broadcast
+    * centroids), one self-join on cluster id over normalized vectors,
+    * one anti-join to flag survivors. Cosines land on the 1e-4 grid
+    * before thresholding, so the keep set is bit-identical across
+    * engines and partitionings.
+    *
+    * Output per vector: (vec_id, cluster, keep). */
+  def semDedup(embeddings: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val tq = math.floor(threshold * 10000.0).toLong
+    val av = Similarity.gridCentroidAssignment(embeddings)
+      .select(col("vec_id"), col("cluster"),
+        Similarity.normalizeUdf(col("v")).as("nv"))
+    val a = av.select(col("cluster"), col("vec_id").as("id_a"), col("nv").as("va"))
+    val b = av.select(col("cluster"), col("vec_id").as("id_b"), col("nv").as("vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(floor(Similarity.nativeDot(spark)(col("va"), col("vb"))
+        * lit(10000.0)).cast("long") >= lit(tq))
+      .select(col("id_a").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    av.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[semDedup]]: the assignment CTEs come from the
+    * same builder as the q79 oracle, normalization and the dot are the
+    * identical left folds, and the drop rule is an independent
+    * EXISTS-style LEFT JOIN formulation. */
+  private[graft] def semDedupOracleSql(threshold: Double, dim: Int = 64): String = {
+    val tq = math.floor(threshold * 10000.0).toLong
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    s"""WITH ${Similarity.centroidAssignCtes(dim)},
+      nrm AS (SELECT vec_id, clabel AS cluster, v,
+          sqrt(${fold("v[k] * v[k]")}) AS nm
+        FROM r WHERE rn = 1),
+      av AS (SELECT vec_id, cluster,
+          list_transform(v, x -> CASE WHEN nm = 0 THEN 0.0 ELSE x / nm END) AS nv
+        FROM nrm),
+      dup AS (SELECT DISTINCT a.vec_id
+        FROM av a JOIN av b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        WHERE CAST(FLOOR(${fold("a.nv[k] * b.nv[k]")} * 10000.0) AS BIGINT) >= $tq)
+      SELECT av.vec_id, av.cluster,
+        CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM av LEFT JOIN dup ON av.vec_id = dup.vec_id
+      ORDER BY av.vec_id"""
+  }
+
   /** DuckDB oracle for [[incrementalNearDups]]: the same seeded-plane
     * pair SQL restricted to old×new pairs, grouped per new id. */
   private[graft] def incrementalNearDupOracleSql(splitId: Long, threshold: Double,

@@ -181,7 +181,20 @@ object Similarity {
     * against the |labels| centroid rows scored by the codegen'd
     * vec_dot kernel, then a hash-aggregated struct-min argmin — one
     * corpus scan, no vector shuffle, no sort. */
-  def nearestCentroidAssign(embeddings: DataFrame): DataFrame = {
+  def nearestCentroidAssign(embeddings: DataFrame): DataFrame =
+    gridCentroidAssignment(embeddings)
+      .select(col("vec_id"), col("label"), col("cluster").as("assigned"),
+        (col("label") === col("cluster")).cast("long").as("is_match"))
+      .orderBy(col("vec_id"))
+
+  /** Shared grid-exact nearest-centroid machinery (the body of
+    * [[nearestCentroidAssign]], also the cluster prefilter for
+    * [[Dedup.semDedup]]): per-label grid-mean centroids, broadcast
+    * argmin via struct-min. Returns one row per vector:
+    * (vec_id, label, cluster, v) — `v` rides along (all copies of a
+    * vector carry the identical array, so `first` is deterministic)
+    * to spare consumers a second join against the corpus. */
+  private[graft] def gridCentroidAssignment(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     def ndot(a: Column, b: Column): Column = nativeDot(spark)(a, b)
     val e = PartitionUtil.spread(embeddings).select(col("vec_id"),
@@ -201,17 +214,18 @@ object Similarity {
       .withColumn("dg", floor((col("vv") + col("cc")
         - lit(2.0) * ndot(col("v"), col("cv"))) * lit(10000.0)).cast("long"))
     scored.groupBy(col("vec_id"), col("label"))
-      .agg(min(struct(col("dg"), col("clabel"))).as("best"))
-      .select(col("vec_id"), col("label"), col("best.clabel").as("assigned"),
-        (col("label") === col("best.clabel")).cast("long").as("is_match"))
-      .orderBy(col("vec_id"))
+      .agg(min(struct(col("dg"), col("clabel"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("label"), col("best.clabel").as("cluster"), col("v"))
   }
 
-  /** DuckDB oracle for [[nearestCentroidAssign]]: identical grid math
-    * with list folds; the argmin is a ROW_NUMBER over (dg, clabel),
-    * the same total order as the Spark-side struct-min. */
-  private[graft] def centroidAssignOracleSql(dim: Int = 64): String =
-    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+  /** Shared oracle CTE chain for [[gridCentroidAssignment]]: identical
+    * grid math with list folds; the argmin is a ROW_NUMBER over
+    * (dg, clabel), the same total order as the Spark-side struct-min.
+    * Ends with `r` — filter `rn = 1` for one (vec_id, label, clabel, v)
+    * row per vector. */
+  private[graft] def centroidAssignCtes(dim: Int): String =
+    s"""e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       ks AS (SELECT unnest(range(0, $dim)) AS k),
       dims AS (SELECT label, k, v[k + 1] AS x FROM e CROSS JOIN ks),
@@ -225,12 +239,16 @@ object Similarity {
       vself AS (SELECT vec_id, label, v,
           list_reduce(list_transform(range(1, ${dim + 1}), k -> v[k] * v[k]), (x, y) -> x + y) AS vv
         FROM e),
-      scored AS (SELECT vec_id, label, clabel,
+      scored AS (SELECT vec_id, label, v, clabel,
           CAST(FLOOR((vv + cc - 2.0 * list_reduce(list_transform(range(1, ${dim + 1}),
             k -> v[k] * cv[k]), (x, y) -> x + y)) * 10000.0) AS BIGINT) AS dg
         FROM vself CROSS JOIN cself),
-      r AS (SELECT vec_id, label, clabel,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dg, clabel) AS rn FROM scored)
+      r AS (SELECT vec_id, label, v, clabel,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dg, clabel) AS rn FROM scored)"""
+
+  /** DuckDB oracle for [[nearestCentroidAssign]]. */
+  private[graft] def centroidAssignOracleSql(dim: Int = 64): String =
+    s"""WITH ${centroidAssignCtes(dim)}
       SELECT vec_id, label, clabel AS assigned, CAST(label = clabel AS BIGINT) AS is_match
       FROM r WHERE rn = 1 ORDER BY vec_id"""
 

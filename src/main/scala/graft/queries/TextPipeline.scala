@@ -755,7 +755,15 @@ object TextPipeline {
         val pairs = Dedup.minhashLshPairs(docs, shingleN = 3, numHashes = 64, bands = 16)
         Dedup.canonicalKeep(pairs, docs).orderBy(col("rep"))
       },
-      Some(Dedup.canonicalKeepOracleSql(shingleN = 3, numHashes = 64, bands = 16)))
+      Some(Dedup.canonicalKeepOracleSql(shingleN = 3, numHashes = 64, bands = 16))),
+
+    // ---- semantic dedup (SemDeDup): cluster the embedding space with
+    // the deterministic grid centroids, prune pairs with quantized
+    // cosine ≥ τ INSIDE clusters only — the quadratic term is bounded
+    // per cluster, never N² ---------------------------------------------
+    ("q97_semdedup",
+      (s, dir) => Dedup.semDedup(t(s, dir, "embeddings"), threshold = 0.3, dim = 64),
+      Some(Dedup.semDedupOracleSql(threshold = 0.3, dim = 64)))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

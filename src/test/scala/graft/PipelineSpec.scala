@@ -350,6 +350,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long)].collect().toList shouldBe got
   }
 
+  test("semantic dedup prunes high-cosine pairs within clusters, keeps lowest id") {
+    import spark.implicits._
+    // two well-separated clusters; ids 2 and 5 are scaled copies of ids
+    // 0 and 3 (cosine 1 with their originals); the in-cluster distinct
+    // directions sit at cosine ~0.22, far under the 0.9 threshold
+    val rows = Seq(
+      (0L, 0L, Array(9f, 1f, 0f, 0f)),
+      (1L, 0L, Array(1f, 9f, 0f, 0f)),
+      (2L, 0L, Array(13.5f, 1.5f, 0f, 0f)),
+      (3L, 1L, Array(0f, 0f, 9f, 1f)),
+      (4L, 1L, Array(0f, 0f, 1f, 9f)),
+      (5L, 1L, Array(0f, 0f, 13.5f, 1.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Dedup.semDedup(rows, threshold = 0.9, dim = 4)
+      .as[(Long, Long, Long)].collect().toList
+    got shouldBe List((0L, 0L, 1L), (1L, 0L, 1L), (2L, 0L, 0L),
+      (3L, 1L, 1L), (4L, 1L, 1L), (5L, 1L, 0L))
+    // partition-invariant (grid-quantized cosines, deterministic argmin)
+    Dedup.semDedup(rows.repartition(5), threshold = 0.9, dim = 4)
+      .as[(Long, Long, Long)].collect().toList shouldBe got
+  }
+
   test("sequence packing: bins and offsets follow the per-lang running total") {
     import spark.implicits._
     val docs = Seq(
