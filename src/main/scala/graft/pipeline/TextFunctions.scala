@@ -197,6 +197,98 @@ object TextFunctions {
       FROM tok JOIN freq USING (tok)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Integer-exact token-length distribution quantiles per language —
+    * the corpus-profiling pass that feeds length-filter thresholds and
+    * sequence-packing bin sizing. The p-th percentile is the smallest
+    * length whose cumulative doc count reaches ⌈p·n/100⌉
+    * (percentile_disc semantics), tested as `100·cum ≥ p·n` in pure
+    * BIGINT — no float quantile interpolation, so every engine agrees
+    * exactly.
+    *
+    * Scale shape: one map-side-combining hash aggregation to
+    * (lang, len) counts — the only pass over the corpus — then the
+    * window and quantile picks run over DISTINCT lengths per lang (a
+    * bounded domain, thousands of rows at most), never over documents.
+    * No global sort of the corpus; compare sorting N rows to rank
+    * directly, which a naive percentile would do. */
+  def lengthQuantiles(docs: DataFrame, ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val nTok = size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+    val counts = PartitionUtil.spread(docs)
+      .select(col("lang"), nTok.as("len"))
+      .groupBy(col("lang"), col("len")).agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("lang").orderBy("len")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+    val aggs = max(col("n")).as("n_docs") +:
+      ps.map(p => min(when(col("cum") * 100 >= col("n") * p, col("len"))).as(s"p$p"))
+    cum.groupBy(col("lang"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB oracle for [[lengthQuantiles]] — the same pure-BIGINT rank
+    * test (DuckDB's window SUM yields HUGEINT; it only feeds the
+    * comparison, and every OUTPUT casts to BIGINT). */
+  private[graft] def lengthQuantilesOracleSql(ps: Seq[Int] = Seq(50, 90, 99)): String = {
+    val qcols = ps.map(p =>
+      s"CAST(MIN(CASE WHEN cum * 100 >= n * $p THEN len END) AS BIGINT) AS p$p")
+      .mkString(",\n        ")
+    s"""WITH lens AS (SELECT lang,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len
+      FROM documents),
+      counts AS (SELECT lang, len, COUNT(*) AS cnt FROM lens GROUP BY lang, len),
+      cum AS (SELECT lang, len, cnt,
+          SUM(cnt) OVER (PARTITION BY lang ORDER BY len) AS cum,
+          SUM(cnt) OVER (PARTITION BY lang) AS n
+        FROM counts)
+      SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+        $qcols
+      FROM cum GROUP BY lang ORDER BY lang"""
+  }
+
+  /** Vocabulary coverage / OOV rate against the corpus' own top-V
+    * vocabulary — the tokenizer-fit signal: docs with high OOV counts
+    * against a candidate vocabulary will fragment into long byte-level
+    * token sequences. Vocabulary = the `vocabSize` most frequent
+    * tokens (ties broken on the token string, so the cut is total and
+    * deterministic).
+    *
+    * Scale shape: the vocabulary is a map-side-combining count
+    * aggregation followed by a top-V (TakeOrdered over the vocabulary
+    * domain, not the corpus); scoring joins the token stream against
+    * the broadcast V-row vocab (hash join inside codegen, no shuffle
+    * of the stream) and re-aggregates per doc map-side. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val toks = PartitionUtil.spread(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .withColumn("n_oov", col("n_tokens") - col("n_in_vocab"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[vocabCoverage]] — independent ROW_NUMBER
+    * formulation of the same (count desc, token) vocabulary cut. */
+  private[graft] def vocabCoverageOracleSql(vocabSize: Int = 256): String =
+    s"""WITH toks AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+      vc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      vocab AS (SELECT tok FROM (
+          SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn FROM vc)
+        WHERE rn <= $vocabSize)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+        CAST(COUNT(*) - SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
+
   /** Content-defined chunking (CDC): a token ends a chunk when its
     * mix64(fnv64(token)) has `maskBits` low zero bits — the
     * rsync/LBFS-style gear rule, giving ~2^maskBits-token chunks whose
@@ -263,6 +355,79 @@ object TextFunctions {
              MIN(doc_id) AS keep_id
       FROM ch GROUP BY chash HAVING COUNT(*) > 1 ORDER BY chash"""
   }
+
+  /** Maximal duplicated token spans per document — the substring-level
+    * dedup signal (the distributed stand-in for the suffix-array
+    * "exact substring" dedup of Lee et al. 2022, arXiv:2107.06499):
+    * every position starting an n-token shingle that occurs in ≥ 2
+    * distinct documents is "duplicated", and runs of duplicated
+    * positions merge into maximal spans (classic gaps-and-islands —
+    * for fixed n the span end p+n is monotone in p, so a span breaks
+    * exactly when p > lag(p) + n). Unlike fixed (q74) or
+    * content-defined (q83) CHUNK dedup, spans localize how MUCH of
+    * each document is copied and in how many contiguous regions.
+    *
+    * Scale shape: one posexplode to (doc, position, shingle-md5) —
+    * O(total tokens) narrow rows; duplicated shingles come from one
+    * hash aggregation; positions semi-join against it (AQE broadcasts
+    * when the dup set is small); the island window partitions BY DOC
+    * over in-doc positions (bounded by doc length), never globally.
+    * Only 16-byte digests shuffle, not shingle text. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val posShingles = udf { toks: Seq[String] =>
+      if (toks == null || toks.length < n) Seq.empty[(Long, String)]
+      else toks.sliding(n).zipWithIndex
+        .map { case (w, p) => (p.toLong, w.mkString(" ")) }.toSeq
+    }
+    val sh = PartitionUtil.spread(docs)
+      .select(col("doc_id"), explode(posShingles(Dedup.tokens(col("text")))).as("ps"))
+      .select(col("doc_id"), col("ps._1").as("p"), md5(col("ps._2").cast("binary")).as("h"))
+    val dup = sh.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dupPos = sh.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("p"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val islands = dupPos
+      .withColumn("brk",
+        when(col("p") > coalesce(lag(col("p"), 1).over(w), lit(Long.MinValue)) + n, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("start"), (max(col("p")) + n).as("end"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start")).as("dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[duplicatedSpans]] — the same islands logic
+    * over positions of md5-hashed n-token shingles (both sides flag
+    * the first position of a doc as a span break: here via the NULL
+    * lag case, there because any p exceeds Long.MinValue + n). */
+  private[graft] def duplicatedSpansOracleSql(n: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      pos AS (SELECT doc_id, t, unnest(range(1, len(t) - $n + 2)) AS p
+        FROM toks WHERE len(t) >= $n),
+      sh AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS p,
+          md5(array_to_string(list_slice(t, p, p + $n - 1), ' ')) AS h
+        FROM pos),
+      dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      dp AS (SELECT doc_id, p FROM sh WHERE h IN (SELECT h FROM dup)),
+      brk AS (SELECT doc_id, p,
+          CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL THEN 1
+               WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + $n THEN 1
+               ELSE 0 END AS b
+        FROM dp),
+      isl AS (SELECT doc_id, p,
+          SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM brk),
+      spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(p) + $n AS e
+        FROM isl GROUP BY doc_id, island)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id ORDER BY doc_id"""
 
   /** Heavy hitters: tokens with frequency > N/(k+1), exactly.
     *

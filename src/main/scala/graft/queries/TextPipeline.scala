@@ -763,7 +763,28 @@ object TextPipeline {
     // per cluster, never N² ---------------------------------------------
     ("q97_semdedup",
       (s, dir) => Dedup.semDedup(t(s, dir, "embeddings"), threshold = 0.3, dim = 64),
-      Some(Dedup.semDedupOracleSql(threshold = 0.3, dim = 64)))
+      Some(Dedup.semDedupOracleSql(threshold = 0.3, dim = 64))),
+
+    // ---- token-length distribution quantiles: percentile_disc ranks
+    // in pure BIGINT (100·cum ≥ p·n); the window runs over DISTINCT
+    // lengths per lang, never over documents --------------------------
+    ("q98_length_quantiles",
+      (s, dir) => TextFunctions.lengthQuantiles(t(s, dir, "documents")),
+      Some(TextFunctions.lengthQuantilesOracleSql())),
+
+    // ---- vocabulary coverage / OOV rate vs the corpus' own top-V
+    // vocabulary (deterministic (count desc, token) cut, broadcast to
+    // the token stream) ----------------------------------------------
+    ("q99_vocab_coverage",
+      (s, dir) => TextFunctions.vocabCoverage(t(s, dir, "documents"), vocabSize = 256),
+      Some(TextFunctions.vocabCoverageOracleSql(vocabSize = 256))),
+
+    // ---- maximal duplicated token spans (substring-level dedup
+    // signal): positions whose n-gram occurs in ≥ 2 docs, merged via
+    // gaps-and-islands into per-doc contiguous copied regions ---------
+    ("q100_dup_spans",
+      (s, dir) => TextFunctions.duplicatedSpans(t(s, dir, "documents"), n = 8),
+      Some(TextFunctions.duplicatedSpansOracleSql(n = 8)))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

@@ -372,6 +372,46 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long)].collect().toList shouldBe got
   }
 
+  test("length quantiles: integer percentile_disc ranks per lang") {
+    import spark.implicits._
+    // en: token counts 1..10 -> p50 = 5 (cum 5 >= 5), p90 = 9, p99 = 10
+    val docs = (1 to 10).map(i => (i.toLong, "en", (1 to i).map(_ => "t").mkString(" "))) :+
+      ((99L, "fr", "a b c"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val got = TextFunctions.lengthQuantiles(df)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    got shouldBe List(("en", 10L, 5L, 9L, 10L), ("fr", 1L, 3L, 3L, 3L))
+    TextFunctions.lengthQuantiles(df.repartition(4))
+      .as[(String, Long, Long, Long, Long)].collect().toList shouldBe got
+  }
+
+  test("vocab coverage: top-V cut is (count desc, token) with OOV counts per doc") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=3, b=1, c=1; V=2 keeps a and (tie on 1 -> token asc) b
+    val got = TextFunctions.vocabCoverage(df, vocabSize = 2)
+      .as[(Long, Long, Long, Long)].collect().toList
+    got shouldBe List((1L, 3L, 3L, 0L), (2L, 2L, 1L, 1L))
+    TextFunctions.vocabCoverage(df.repartition(3), vocabSize = 2)
+      .as[(Long, Long, Long, Long)].collect().toList shouldBe got
+  }
+
+  test("duplicated spans: shared-shingle runs merge into maximal per-doc spans") {
+    import spark.implicits._
+    // shared 2-grams at positions {0,1} and {5,6} of both docs ->
+    // two maximal spans each: [0,3) and [5,8) -> 2 spans, 6 dup tokens
+    val df = Seq(
+      (1L, "x y z G1 G2 u v w"),
+      (2L, "x y z p q u v w"),
+      (3L, "totally unique text here")
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.duplicatedSpans(df, n = 2)
+      .as[(Long, Long, Long)].collect().toList
+    got shouldBe List((1L, 2L, 6L), (2L, 2L, 6L))
+    TextFunctions.duplicatedSpans(df.repartition(3), n = 2)
+      .as[(Long, Long, Long)].collect().toList shouldBe got
+  }
+
   test("sequence packing: bins and offsets follow the per-lang running total") {
     import spark.implicits._
     val docs = Seq(
