@@ -225,6 +225,37 @@ object PlanAudit {
           "aggregate struct-min, not a sort or window",
         Seq("HashAggregate", "vec_dot"),
         Seq("Window", "CartesianProduct")),
+      ("q97_semdedup",
+        "semantic dedup: cluster assignment reuses the q79 broadcast-" +
+          "centroid shape; the cosine-pruning candidate join is an " +
+          "EQUI-join on cluster id (quadratic work bounded per cluster " +
+          "by construction — SemDeDup's contract), and the survivor " +
+          "flag is a left outer join against the distinct dropped set " +
+          "— the corpus never cross-joins itself",
+        Seq("vec_dot"),
+        Seq("CartesianProduct")),
+      ("q98_length_quantiles",
+        "length quantiles: ONE map-side-combining hash aggregation " +
+          "reduces the corpus to (lang, len) counts; the rank windows " +
+          "run over DISTINCT lengths per lang (bounded domain) — no " +
+          "global sort of documents, no join",
+        Seq("HashAggregate", "Window"),
+        Seq("Join", "CartesianProduct")),
+      ("q99_vocab_coverage",
+        "vocab coverage: the top-V vocabulary cut is TakeOrdered over " +
+          "the aggregated vocabulary domain (never the corpus); scoring " +
+          "joins the token stream against the broadcast V-row vocab — " +
+          "the stream itself never shuffles for the join",
+        Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+        Seq("SortMergeJoin", "CartesianProduct")),
+      ("q100_dup_spans",
+        "duplicated spans: positions carry 16-byte shingle digests " +
+          "(never shingle text) into the doc-frequency aggregation; the " +
+          "position semi-join is a LeftSemi hash join; island windows " +
+          "partition BY DOC over in-doc positions — no global window, " +
+          "no cross join",
+        Seq("LeftSemi", "md5"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q80_seq_packing",
         "sequence packing: one window cumsum partitioned by lang — a " +
           "single hash-partition exchange of narrow (id, lang, count) " +
