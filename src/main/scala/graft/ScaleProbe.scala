@@ -116,6 +116,18 @@ object ScaleProbe {
     probe("corpus_shards",
       graft.pipeline.Sampling.corpusShards(docs).count(),
       graft.pipeline.Sampling.corpusShards(docsN).count())
+    probe("length_quantiles",
+      TextFunctions.lengthQuantiles(docs).count(),
+      TextFunctions.lengthQuantiles(docsN).count())
+    probe("vocab_coverage",
+      TextFunctions.vocabCoverage(docs).count(),
+      TextFunctions.vocabCoverage(docsN).count())
+    // copy-prefixed tokens: no shingle crosses copies, so the
+    // duplicated position set (and the spans) grows linearly with
+    // copies — the ratio measures the digest aggregation + windows
+    probe("dup_spans",
+      TextFunctions.duplicatedSpans(docs).count(),
+      TextFunctions.duplicatedSpans(docsN).count())
     spark.stop()
   }
 }
