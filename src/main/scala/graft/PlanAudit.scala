@@ -193,6 +193,15 @@ object PlanAudit {
           "(proved by the plain-join oracle)",
         Seq("_salt"),
         Seq.empty),
+      ("q101_bucketed_join",
+        "bucketed co-located join: both sides written bucketBy(8, " +
+          "orderkey) at ingest, so the SortMergeJoin AND the per-key " +
+          "aggregate consume the scans' hashpartitioning directly — the " +
+          "whole join+agg plan has NO Exchange node of any kind (the " +
+          "scans show SelectedBucketsCount); at 100 TB the recurring " +
+          "fact-fact shuffle becomes a one-time ingest cost",
+        Seq("SortMergeJoin", "SelectedBucketsCount"),
+        Seq("Exchange")),
       ("q46_ann_ivf",
         "IVF search: the quantizer fits driver-side on a sample, the " +
           "corpus is assigned in one scan via a broadcast-centroid " +

@@ -783,6 +783,51 @@ object Relational {
       Some("""SELECT l_returnflag,
         CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
         CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- bucketed co-located join: the ingest-time answer to the
+    // recurring-shuffle problem. Both fact tables are written ONCE
+    // bucketed by the join key (`bucketBy(8, orderkey)` — at 100 TB
+    // that is the one shuffle, paid at ingest); every later join AND
+    // per-key aggregation is then exchange-free: the bucketed scans
+    // report hashpartitioning(orderkey, 8), SortMergeJoin consumes it
+    // directly, and the per-orderkey aggregate reuses it again.
+    // PlanAudit asserts the join+agg plan contains NO Exchange node of
+    // any kind. The oracle is the plain (shuffling) join in DuckDB —
+    // proof that co-location changes the plan, not the answer. ---------
+    ("q101_bucketed_join",
+      (s, dir) => {
+        val key = java.nio.file.Paths.get(dir).getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$key"
+        val (liTbl, ordTbl) = (s"li_bkt_$key", s"ord_bkt_$key")
+        // same overwrite semantics the interchange sinks get from
+        // mode("overwrite"): drop stale catalog entries + data dirs
+        s.sql(s"DROP TABLE IF EXISTS $liTbl")
+        s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(basePath, true)
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").saveAsTable(liTbl)
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").saveAsTable(ordTbl)
+        // hint("merge") keeps the planner on SortMergeJoin (a broadcast
+        // would hide the co-location this query exists to demonstrate)
+        s.table(liTbl).hint("merge")
+          .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_orderkey"))
+          .limit(100)
+      },
+      Some(s"""SELECT l_orderkey, COUNT(*) AS n_items,
+        ${sqlDsum("l_extendedprice")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100"""))
   )
 }
