@@ -172,6 +172,147 @@ object TextFunctions {
     * heavy-tailed), so AQE broadcasts it in practice; per-doc
     * re-aggregation is map-side combinable. No O(N²) anywhere.
     */
+  /** BM25 term-weight index construction (k1=1.2, b=0.75) — the
+    * retrieval-quality scoring pass a corpus search/curation pipeline
+    * builds over its documents. Log-free rational idf: the classic
+    * ln((N−df+0.5)/(df+0.5)) is replaced by the raw odds ratio
+    * (2N−2df+1)/(2df+1) — libm ln() is not bit-portable across
+    * engines, and the odds ratio preserves the exact df ordering.
+    * With avgdl = T/N (T = corpus token count, N = corpus docs) every
+    * factor clears to integers:
+    *
+    *   score = 22·tf·T·(2N−2df+1) / [(10·tf·T + 3T + 9·dl·N)·(2df+1)]
+    *
+    * evaluated as ONE division of two exact BIGINT products — bit-equal
+    * in any IEEE engine (the doctrine q81's unigram LM set). Top-3
+    * terms per doc are emitted for the doc_id < 50 slice (q67's
+    * window), ranked by (score desc, token).
+    *
+    * Scale shape: the same two linear aggregations as TF-IDF (per-doc
+    * tf, per-token df) plus a broadcast 1-row corpus total (no driver
+    * count); the ranking window partitions per doc and
+    * WindowGroupLimit stops each group at k. No corpus-global sort. */
+  def bm25Index(docs: DataFrame): DataFrame = {
+    val tok = PartitionUtil.spread(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+    val tf = tok.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tok.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tok.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val corpus = tok.agg(count(lit(1)).as("t_total"),
+      count_distinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(dfreq, Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("num", lit(22L) * col("tf") * col("t_total") *
+        (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+      .withColumn("den",
+        (lit(10L) * col("tf") * col("t_total") + lit(3L) * col("t_total") +
+          lit(9L) * col("dl") * col("n_docs")) *
+          (lit(2L) * col("df") + lit(1L)))
+      .withColumn("score", col("num").cast("double") / col("den").cast("double"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[bm25Index]] — same integer products, same
+    * single double division. */
+  private[graft] def bm25OracleSql: String =
+    """WITH tok AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE doc_id < 50 GROUP BY 1, 2),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok
+        WHERE doc_id < 50 GROUP BY 1),
+      df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      corpus AS (SELECT COUNT(*) AS t_total,
+        COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+      scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        CAST(22 * tf.tf * c.t_total * (2 * c.n_docs - 2 * df.df + 1) AS DOUBLE) /
+        CAST((10 * tf.tf * c.t_total + 3 * c.t_total + 9 * dl.dl * c.n_docs)
+             * (2 * df.df + 1) AS DOUBLE) AS score
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (token), corpus c),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, token) AS rank FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1),
+    * restated in pure integer arithmetic so every engine agrees
+    * bit-exactly (no ratio is ever materialized as a float):
+    *
+    *   r_len:  50 ≤ n_tokens ≤ 100000
+    *   r_mtl:  3·n_tokens ≤ Σ len(token) ≤ 10·n_tokens  (mean token length 3–10)
+    *   r_stop: ≥ 2 stopword hits
+    *   r_rep:  5·max_tf ≤ n_tokens  (no token exceeds 20% of the doc)
+    *
+    * keep = all four. Emitted as 0/1 BIGINTs per rule — the per-rule
+    * breakdown is what a pipeline operator actually monitors (which
+    * rule fires, not just the survivor set).
+    *
+    * Scale shape: one (doc, token) hash aggregation, then one per-doc
+    * aggregation over it — two map-side-combined linear passes, no
+    * joins, no windows. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stops = profiles("en")
+    val tf = PartitionUtil.spread(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * length(col("token"))).as("char_sum"),
+        sum(when(col("token").isInCollection(stops), col("tf"))
+          .otherwise(0L)).as("stop_hits"),
+        max(col("tf")).as("max_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("char_sum"),
+        col("stop_hits"), col("max_tf"),
+        flag(col("n_tokens") >= 50 && col("n_tokens") <= 100000).as("r_len"),
+        flag(col("char_sum") >= col("n_tokens") * 3 &&
+          col("char_sum") <= col("n_tokens") * 10).as("r_mtl"),
+        flag(col("stop_hits") >= 2).as("r_stop"),
+        flag(col("max_tf") * 5 <= col("n_tokens")).as("r_rep"))
+      .withColumn("keep",
+        col("r_len") * col("r_mtl") * col("r_stop") * col("r_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[gopherRules]] — same integer tests. */
+  private[graft] def gopherRulesOracleSql: String = {
+    val stopList = profiles("en").toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    s"""WITH tf AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents),
+      tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      agg AS (SELECT doc_id,
+        CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        CAST(SUM(tf * LENGTH(token)) AS BIGINT) AS char_sum,
+        CAST(SUM(CASE WHEN token IN ($stopList) THEN tf ELSE 0 END) AS BIGINT) AS stop_hits,
+        CAST(MAX(tf) AS BIGINT) AS max_tf
+      FROM tfc GROUP BY doc_id)
+      SELECT doc_id, n_tokens, char_sum, stop_hits, max_tf,
+        CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+        CAST(CASE WHEN char_sum BETWEEN 3 * n_tokens AND 10 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_mtl,
+        CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        CAST(CASE WHEN 5 * max_tf <= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+        CAST((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+           * (CASE WHEN char_sum BETWEEN 3 * n_tokens AND 10 * n_tokens THEN 1 ELSE 0 END)
+           * (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)
+           * (CASE WHEN 5 * max_tf <= n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS keep
+      FROM agg ORDER BY doc_id"""
+  }
+
   def tokenRarity(docs: DataFrame): DataFrame = {
     val tok = PartitionUtil.spread(docs)
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))

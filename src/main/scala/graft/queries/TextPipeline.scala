@@ -784,7 +784,44 @@ object TextPipeline {
     // gaps-and-islands into per-doc contiguous copied regions ---------
     ("q100_dup_spans",
       (s, dir) => TextFunctions.duplicatedSpans(t(s, dir, "documents"), n = 8),
-      Some(TextFunctions.duplicatedSpansOracleSql(n = 8)))
+      Some(TextFunctions.duplicatedSpansOracleSql(n = 8))),
+
+    // ---- BM25 term-weight index (log-free rational idf: one BIGINT/
+    // BIGINT division, bit-portable — see TextFunctions.bm25Index) ----
+    ("q102_bm25_index",
+      (s, dir) => TextFunctions.bm25Index(t(s, dir, "documents")),
+      Some(TextFunctions.bm25OracleSql)),
+
+    // ---- source/domain-level curation: the C4-style rule that drops
+    // WHOLE sources (domains) rather than individual documents — a
+    // source survives iff it has ≥ 5 docs and mean doc length ≥ 290
+    // chars, tested as an integer cross-multiplication (sum_chars ≥
+    // 290·n_docs; no float mean ever materializes). Scale shape: one
+    // map-side-combined per-source aggregation (|sources| ≪ |docs|),
+    // the verdict broadcast back as a hash join — the corpus never
+    // shuffles ---------------------------------------------------------
+    ("q103_source_filter",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("src_docs"), sum(col("n_chars")).as("src_chars"))
+          .filter(col("src_docs") >= 5 &&
+            col("src_chars") >= col("src_docs") * 290)
+        docs.join(broadcast(kept), Seq("source"))
+          .select(col("doc_id"), col("source"), col("src_docs"), col("src_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH src AS (SELECT source, COUNT(*) AS src_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        FROM documents GROUP BY source
+        HAVING COUNT(*) >= 5 AND SUM(n_chars) >= 290 * COUNT(*))
+        SELECT doc_id, source, CAST(src_docs AS BIGINT) AS src_docs, src_chars
+        FROM documents JOIN src USING (source) ORDER BY doc_id""")),
+
+    // ---- Gopher-style per-document quality rules, integer-exact ----
+    ("q104_gopher_rules",
+      (s, dir) => TextFunctions.gopherRules(t(s, dir, "documents")),
+      Some(TextFunctions.gopherRulesOracleSql))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

@@ -680,4 +680,58 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     got(2)._3 shouldBe 0L
     got(2)._4 shouldBe 0.0
   }
+
+  test("bm25: hand-computed rational scores; rank by (score desc, token)") {
+    import spark.implicits._
+    // N=2 docs, T=7 tokens; df: aa->2, bb->1, cc->1
+    val df = Seq(
+      (0L, "aa aa bb"),   // dl=3
+      (1L, "aa cc cc cc") // dl=4
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.bm25Index(df)
+      .as[(Long, Long, String, Long, Long, Double)].collect().toList
+    // score = 22·tf·T·(2N−2df+1) / [(10·tf·T + 3T + 9·dl·N)·(2df+1)]
+    val exp = List(
+      (0L, 1L, "bb", 1L, 1L, (22.0 * 1 * 7 * 3) / ((70 + 21 + 54) * 3.0)),
+      (0L, 2L, "aa", 2L, 2L, (22.0 * 2 * 7 * 1) / ((140 + 21 + 54) * 5.0)),
+      (1L, 1L, "cc", 3L, 1L, (22.0 * 3 * 7 * 3) / ((210 + 21 + 72) * 3.0)),
+      (1L, 2L, "aa", 1L, 2L, (22.0 * 1 * 7 * 1) / ((70 + 21 + 72) * 5.0)))
+    got shouldBe exp
+    TextFunctions.bm25Index(df.repartition(3))
+      .as[(Long, Long, String, Long, Long, Double)].collect().toList shouldBe exp
+  }
+
+  test("source filter: whole sources drop on doc count or mean length, integer-exact") {
+    import spark.implicits._
+    val docs = (0 until 5).map(i => (i.toLong, "srcA", 300L)) ++   // keep
+      (5 until 10).map(i => (i.toLong, "srcB", 100L)) ++           // mean < 290
+      (10 until 12).map(i => (i.toLong, "srcC", 1000L))            // < 5 docs
+    val df = docs.toDF("doc_id", "source", "n_chars")
+    val kept = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_docs"), sum(col("n_chars")).as("src_chars"))
+      .filter(col("src_docs") >= 5 && col("src_chars") >= col("src_docs") * 290)
+    val got = df.join(broadcast(kept), Seq("source"))
+      .select(col("doc_id")).as[Long].collect().sorted.toList
+    got shouldBe (0L until 5L).toList
+  }
+
+  test("gopher rules: each rule fires independently; integer cross-multiplied ratios") {
+    import spark.implicits._
+    val longDoc = "the the the " + (1 to 57).map(i => f"t$i%03d").mkString(" ")
+    val df = Seq(
+      (0L, longDoc),                  // all four rules pass
+      (1L, "aaaa bbbb cccc the the")  // too short + top token 2/5 > 20%
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.gopherRules(df)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    // doc0: 60 tokens, chars 3·3+57·4=237, 3 stop hits, max_tf 3
+    // doc1: 5 tokens, chars 12+6=18, 2 stop hits, max_tf 2 (5·2 > 5)
+    got shouldBe List(
+      (0L, 60L, 237L, 3L, 3L, 1L, 1L, 1L, 1L, 1L),
+      (1L, 5L, 18L, 2L, 2L, 0L, 1L, 1L, 0L, 0L))
+    TextFunctions.gopherRules(df.repartition(2))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList shouldBe got
+  }
 }
