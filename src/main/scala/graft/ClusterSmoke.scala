@@ -31,6 +31,8 @@ object ClusterSmoke {
     "q29_ann_topk", "q31_ngram_jaccard", "q83_cdc_chunks",
     "q92_gram_matrix", // 2080-long Array[Long] Aggregator buffers cross JVMs
     "q96_canonical_keep", // localCheckpoint'd CC rounds + struct-typed agg buffers cross JVMs
+    "q101_bucketed_join", // bucketed saveAsTable write path + bucket-pruned scans cross JVMs
+    "q104_gopher_rules", // isInCollection stop set + long-arith flags serialize to executors
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {

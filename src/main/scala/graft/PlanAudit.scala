@@ -193,6 +193,28 @@ object PlanAudit {
           "(proved by the plain-join oracle)",
         Seq("_salt"),
         Seq.empty),
+      ("q102_bm25_index",
+        "BM25 index: two linear token aggregations (per-doc tf, " +
+          "per-token df) hash-join on their keys; the corpus totals " +
+          "(N, T) arrive as a broadcast 1-row build side — the one " +
+          "place BroadcastNestedLoopJoin is the right plan; scoring is " +
+          "integer products + one division, all codegen'd",
+        Seq("BroadcastNestedLoopJoin"),
+        Seq("CartesianProduct")),
+      ("q103_source_filter",
+        "source-level curation: the per-source verdict (|sources| rows) " +
+          "broadcasts back onto the corpus as a hash join — the " +
+          "documents side never shuffles",
+        Seq("BroadcastHashJoin"),
+        Seq("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q104_gopher_rules",
+        "Gopher rules: two map-side-combined hash aggregations " +
+          "((doc,token) tf, then per-doc rule stats) — no join node of " +
+          "any kind in the plan; every ratio is an integer " +
+          "cross-multiplication inside the aggregate projection",
+        Seq("HashAggregate"),
+        Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+          "BroadcastNestedLoopJoin")),
       ("q101_bucketed_join",
         "bucketed co-located join: both sides written bucketBy(8, " +
           "orderkey) at ingest, so the SortMergeJoin AND the per-key " +

@@ -128,6 +128,14 @@ object ScaleProbe {
     probe("dup_spans",
       TextFunctions.duplicatedSpans(docs).count(),
       TextFunctions.duplicatedSpans(docsN).count())
+    // bm25's scored slice (doc_id < 50) is fixed; the 10× cost is the
+    // corpus-side df/total aggregations the slice joins against
+    probe("bm25_index",
+      TextFunctions.bm25Index(docs).count(),
+      TextFunctions.bm25Index(docsN).count())
+    probe("gopher_rules",
+      TextFunctions.gopherRules(docs).count(),
+      TextFunctions.gopherRules(docsN).count())
     spark.stop()
   }
 }
