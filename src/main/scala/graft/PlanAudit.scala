@@ -193,6 +193,13 @@ object PlanAudit {
           "(proved by the plain-join oracle)",
         Seq("_salt"),
         Seq.empty),
+      ("q105_partition_pruning",
+        "hive-style partition pruning: the month filter resolves " +
+          "against the file index — PartitionFilters in the scan, one " +
+          "directory of a month-partitioned lake touched, no data file " +
+          "from any other month opened",
+        Seq("PartitionFilters", "1995-03"),
+        Seq.empty),
       ("q102_bm25_index",
         "BM25 index: two linear token aggregations (per-doc tf, " +
           "per-token df) hash-join on their keys; the corpus totals " +

@@ -801,19 +801,35 @@ object Relational {
           .replaceAll("[^A-Za-z0-9]", "_")
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$key"
         val (liTbl, ordTbl) = (s"li_bkt_$key", s"ord_bkt_$key")
-        // same overwrite semantics the interchange sinks get from
-        // mode("overwrite"): drop stale catalog entries + data dirs
-        s.sql(s"DROP TABLE IF EXISTS $liTbl")
-        s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+        // the ingest is ONE-TIME by design (that's the whole point of
+        // bucketing) — skip it when both tables' _SUCCESS markers are
+        // already on disk (the input is deterministic and the dir is
+        // sf-keyed), and merely re-register the external-table metadata
+        // in a fresh catalog. A missing/partial write rebuilds.
         val basePath = new org.apache.hadoop.fs.Path(base)
-        basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(basePath, true)
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/lineitem").saveAsTable(liTbl)
-        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/orders").saveAsTable(ordTbl)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val written = Seq("lineitem", "orders").forall(t0 =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$base/$t0/_SUCCESS")))
+        if (!written) {
+          s.sql(s"DROP TABLE IF EXISTS $liTbl")
+          s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+          fs.delete(basePath, true)
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/lineitem").saveAsTable(liTbl)
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$base/orders").saveAsTable(ordTbl)
+        } else {
+          if (!s.catalog.tableExists(liTbl))
+            s.sql(s"""CREATE TABLE $liTbl (l_orderkey BIGINT, l_extendedprice DOUBLE)
+              USING PARQUET CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+              INTO 8 BUCKETS LOCATION '$base/lineitem'""")
+          if (!s.catalog.tableExists(ordTbl))
+            s.sql(s"""CREATE TABLE $ordTbl (o_orderkey BIGINT, o_orderpriority STRING)
+              USING PARQUET CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
+              INTO 8 BUCKETS LOCATION '$base/orders'""")
+        }
         // hint("merge") keeps the planner on SortMergeJoin (a broadcast
         // would hide the co-location this query exists to demonstrate)
         s.table(liTbl).hint("merge")
@@ -828,6 +844,37 @@ object Relational {
         ${sqlDsum("l_extendedprice")} AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
-        GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100"""))
+        GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100""")),
+
+    // ---- hive-style partition pruning: orders land partitioned by
+    // month at ingest (`partitionBy("o_month")` — the standard layout
+    // for a 100 TB time-series lake); a one-month query then touches
+    // ONE directory — the filter resolves against the file index
+    // (PartitionFilters in the scan), zero data files from other
+    // months are opened, let alone read. PlanAudit asserts the
+    // PartitionFilters entry. The oracle filters the unpartitioned
+    // table — layout changes the IO, not the answer. -------------------
+    ("q105_partition_pruning",
+      (s, dir) => {
+        val key = java.nio.file.Paths.get(dir).getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned_$key"
+        // one-time ingest, same skip rule as q101
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")))
+          t(s, dir, "orders")
+            .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+            .write.mode("overwrite").partitionBy("o_month").parquet(base)
+        s.read.parquet(base)
+          .filter(col("o_month") === "1995-03")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        ${sqlDsum("o_totalprice")} AS revenue
+        FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
