@@ -57,6 +57,41 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
     salted shouldBe plain
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // salting (q68) is the PLANNED answer to skew; AQE's skew-join is
+    // the RUNTIME one. Force the sort-merge path and drop the skew
+    // thresholds so the hot key (0: 10k rows vs 10 per cold key)
+    // qualifies, then check the final adaptive plan re-planned it.
+    val dim = (0 to 100).map(k => (k.toLong, s"name_$k")).toDF("k", "name")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sum(v) keeps the 8-byte double payload through the join —
+      // column pruning would otherwise shrink the hot partition's
+      // shuffle blocks below the skew threshold (10k identical keys
+      // LZ4-compress to almost nothing)
+      val joined = skewed.join(dim, Seq("k"))
+        .groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      joined.collect().map(_.getLong(1)).sum shouldBe 11000L
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include ("SortMergeJoin")
+      plan should include ("skew=true")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     spark.sql("DROP TABLE IF EXISTS b_orders")
