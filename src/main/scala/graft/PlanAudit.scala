@@ -193,6 +193,14 @@ object PlanAudit {
           "(proved by the plain-join oracle)",
         Seq("_salt"),
         Seq.empty),
+      ("q106_zorder_scan",
+        "Z-order clustered scan: both box predicates are pushed to the " +
+          "parquet scan of the z-laid table, where footer min/max " +
+          "stats prune files/row-groups in BOTH dimensions (the " +
+          "file-count evidence is in ScaleTechniquesSpec)",
+        Seq("PushedFilters", "GreaterThanOrEqual(o_custkey,100)",
+          "GreaterThanOrEqual(o_day,100)"),
+        Seq.empty),
       ("q105_partition_pruning",
         "hive-style partition pruning: the month filter resolves " +
           "against the file index — PartitionFilters in the scan, one " +

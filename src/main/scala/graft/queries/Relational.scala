@@ -875,6 +875,46 @@ object Relational {
       Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
         ${sqlDsum("o_totalprice")} AS revenue
         FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Z-order (Morton) clustered layout: a lake can only be SORTED
+    // one way, but 2-D box queries (customer range × date range) want
+    // locality in BOTH columns. The ingest computes the codegen'd
+    // `z_order(o_custkey, o_day)` curve value, range-partitions and
+    // sorts by it (one-time, like q101/q105) — so parquet min/max
+    // footer stats prune files/row-groups on EITHER predicate.
+    // ScaleTechniquesSpec counts file-level hits: the box touches a
+    // fraction of the z-laid files but every single-column-sorted file
+    // range. Layout never changes the answer: the oracle filters the
+    // unpartitioned table. -----------------------------------------------
+    ("q106_zorder_scan",
+      (s, dir) => {
+        graft.functions.ZOrderExpression.register(s)
+        val key = java.nio.file.Paths.get(dir).getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$key"
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")))
+          t(s, dir, "orders")
+            .withColumn("o_day",
+              datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long"))
+            .withColumn("zval",
+              graft.functions.ZOrderExpression.zOrder(col("o_custkey"), col("o_day")))
+            .repartitionByRange(16, col("zval"))
+            .sortWithinPartitions(col("zval"))
+            .write.parquet(base)
+        s.read.parquet(base)
+          .filter(col("o_custkey").between(100, 300) && col("o_day").between(100, 200))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+        ${sqlDsum("o_totalprice")} AS revenue
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 300
+          AND date_diff('day', DATE '1995-01-01', o_orderdate) BETWEEN 100 AND 200
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -92,6 +92,57 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("z-order interleave: exact Morton values, order-preserving per axis") {
+    import graft.functions.ZOrderUtil._
+    interleave(1, 0) shouldBe 1L
+    interleave(0, 1) shouldBe 2L
+    interleave(3, 5) shouldBe 39L // spread(3)=5, spread(5)=17, 5 | 17<<1
+    interleave(0x7FFFFFFFL, 0x7FFFFFFFL) shouldBe 0x3FFFFFFFFFFFFFFFL
+    // monotone along each axis within a fixed other coordinate
+    (0L until 63L).foreach { x =>
+      interleave(x, 7) should be < interleave(x + 1, 7)
+      interleave(7, x) should be < interleave(7, x + 1)
+    }
+  }
+
+  test("z-order layout prunes files on BOTH axes; a single-column sort serves only its own") {
+    import spark.implicits._
+    graft.functions.ZOrderExpression.register(spark)
+    // 64×64 grid, one row per cell; 16 files of ~256 rows each → the
+    // z layout makes each file a ~16×16 tile, the x sort an x-stripe
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_test").toString
+    grid.withColumn("z",
+        graft.functions.ZOrderExpression.zOrder(col("x"), col("y")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .drop("z").write.mode("overwrite").parquet(s"$base/z")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(s"$base/x")
+    // files a reader must open for a predicate = files whose per-file
+    // min/max envelope (what parquet footers store) overlaps it
+    def filesOverlapping(dir: String, cCol: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min(col(cCol)).as("mn"), max(col(cCol)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    // y-range predicate: the x-sorted layout cannot prune AT ALL
+    // (every x-stripe spans all y); the z tiles keep it to the tile
+    // rows that intersect y∈[8,15]
+    val zHit = filesOverlapping(s"$base/z", "y", 8, 15)
+    val xHit = filesOverlapping(s"$base/x", "y", 8, 15)
+    xHit shouldBe 16L
+    zHit should be <= 6L
+    // x-range predicate: both layouts prune
+    filesOverlapping(s"$base/x", "x", 8, 15) should be <= 4L
+    filesOverlapping(s"$base/z", "x", 8, 15) should be <= 6L
+    // layout never changes answers
+    val a = spark.read.parquet(s"$base/z")
+      .filter(col("x").between(8, 15) && col("y").between(8, 15)).count()
+    a shouldBe 64L
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     spark.sql("DROP TABLE IF EXISTS b_orders")
