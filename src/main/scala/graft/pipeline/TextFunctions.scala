@@ -313,6 +313,34 @@ object TextFunctions {
       FROM agg ORDER BY doc_id"""
   }
 
+  /** Systematic PPS sampling: select docs with probability proportional
+    * to `n_chars` by walking each lang's cumulative-weight line and
+    * picking every s-th unit, s = ⌊W/k⌋ — deterministic and
+    * integer-exact (no RNG, no float pow/log). A doc is selected iff
+    * its interval [cum_before, cum_before+w) contains a multiple of s:
+    * m_min·s < cum_before + w with m_min = ⌈cum_before/s⌉, all in
+    * non-negative BIGINT arithmetic (trunc-vs-floor division can't
+    * differ). Long docs carry multiplicity n_picks ≥ 1 (standard PPS).
+    * Scale shape: ONE shuffle on lang serves both the running and the
+    * full-partition window. */
+  def ppsSample(docs: DataFrame, k: Long): DataFrame = {
+    val ord = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"))
+      .withColumn("cum_before",
+        coalesce(sum(col("w")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("step",
+        greatest(expr(s"sum(w) OVER (PARTITION BY lang) DIV $k"), lit(1L)))
+      .withColumn("m_min", expr("(cum_before + step - 1) DIV step"))
+      .withColumn("n_picks",
+        expr("(cum_before + w - 1) DIV step") - col("m_min") + 1L)
+      .filter(col("m_min") * col("step") < col("cum_before") + col("w"))
+      .select(col("lang"), col("doc_id"), col("w"), col("cum_before"),
+        col("m_min"), col("n_picks"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   def tokenRarity(docs: DataFrame): DataFrame = {
     val tok = PartitionUtil.spread(docs)
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))

@@ -821,7 +821,34 @@ object TextPipeline {
     // ---- Gopher-style per-document quality rules, integer-exact ----
     ("q104_gopher_rules",
       (s, dir) => TextFunctions.gopherRules(t(s, dir, "documents")),
-      Some(TextFunctions.gopherRulesOracleSql))
+      Some(TextFunctions.gopherRulesOracleSql)),
+
+    // ---- systematic PPS sampling: docs selected with probability
+    // proportional to size (n_chars) by walking the per-lang cumulative
+    // weight line and picking every s-th unit (s = ⌊W/k⌋) — the classic
+    // weighted eval-set sampler, here fully deterministic and
+    // integer-exact (no RNG, no float pow/log: selection is
+    // "does [cum_before, cum_before+w) contain a multiple of s",
+    // tested as m_min·s < cum_before + w with m_min = ⌈cum_before/s⌉
+    // in non-negative BIGINT arithmetic — identical in every engine;
+    // negative operands never appear, so trunc-vs-floor division
+    // differences can't bite). Long docs can carry multiplicity > 1
+    // (standard PPS). Scale shape: ONE shuffle on lang; both the
+    // running and the full-partition window share it. ------------------
+    ("q107_pps_sample",
+      (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
+      Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,
+          COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+          GREATEST(SUM(n_chars) OVER (PARTITION BY lang) // 20, 1) AS step
+        FROM documents)
+        SELECT lang, doc_id, CAST(w AS BIGINT) AS w,
+          CAST(cum_before AS BIGINT) AS cum_before,
+          CAST((cum_before + step - 1) // step AS BIGINT) AS m_min,
+          CAST((cum_before + w - 1) // step - (cum_before + step - 1) // step + 1 AS BIGINT) AS n_picks
+        FROM c
+        WHERE ((cum_before + step - 1) // step) * step < cum_before + w
+        ORDER BY lang, doc_id"""))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

@@ -715,6 +715,23 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     got shouldBe (0L until 5L).toList
   }
 
+  test("pps sampling: picks are the multiples of step on the cumulative weight line") {
+    import spark.implicits._
+    // W=20, k=4 -> step=5; picks at units 0,5,10,15 -> docs 1,2,2,3;
+    // doc 4's interval [16,20) contains no multiple
+    val df = Seq((1L, "en", 5L), (2L, "en", 10L), (3L, "en", 1L), (4L, "en", 4L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = TextFunctions.ppsSample(df, k = 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    got shouldBe List(
+      ("en", 1L, 5L, 0L, 0L, 1L),
+      ("en", 2L, 10L, 5L, 1L, 2L),
+      ("en", 3L, 1L, 15L, 3L, 1L))
+    got.map(_._6).sum shouldBe 4L // total multiplicity = k exactly
+    TextFunctions.ppsSample(df.repartition(3), k = 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList shouldBe got
+  }
+
   test("gopher rules: each rule fires independently; integer cross-multiplied ratios") {
     import spark.implicits._
     val longDoc = "the the the " + (1 to 57).map(i => f"t$i%03d").mkString(" ")
