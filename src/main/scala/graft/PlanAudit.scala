@@ -280,6 +280,15 @@ object PlanAudit {
           "— the corpus never cross-joins itself",
         Seq("vec_dot"),
         Seq("CartesianProduct")),
+      ("q108_bigram_lm",
+        "bigram LM: bigrams derive INSIDE each row's token array " +
+          "(slice+arrays_zip, codegen'd) so the corpus token stream is " +
+          "scanned and aggregated ONCE; c(a.) is a window over the " +
+          "already-aggregated |bigram types| table (vocab-sized sort, " +
+          "never corpus-sized); top-k is TakeOrderedAndProject — no " +
+          "join node anywhere",
+        Seq("HashAggregate", "Window", "TakeOrderedAndProject"),
+        Seq("Join", "CartesianProduct")),
       ("q98_length_quantiles",
         "length quantiles: ONE map-side-combining hash aggregation " +
           "reduces the corpus to (lang, len) counts; the rank windows " +

@@ -341,6 +341,52 @@ object TextFunctions {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Bigram language-model table — the training half of LM-based
+    * quality filtering (q81 scores with a unigram stand-in; this
+    * builds the bigram conditional table p(b|a) = c(ab)/c(a·)). The
+    * probability is ONE division of two exact BIGINT counts, so it is
+    * bit-equal in every IEEE engine; top-k is ordered by
+    * (c_ab desc, a, b) — fully deterministic.
+    *
+    * Scale shape: bigrams derive INSIDE each row's token array
+    * (`arrays_zip(slice(t,1,n-1), slice(t,2,n-1))` — codegen'd, no
+    * per-doc window, no shuffle before the count aggregation); the
+    * token stream is scanned ONCE — c(a·) comes from a window over
+    * the already-aggregated |bigram types| table (sorting vocab-sized
+    * data, never corpus-sized), not a second explode+count; top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def bigramLm(docs: DataFrame, k: Int = 50): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    val bg = PartitionUtil.spread(docs)
+      .select(t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("bg"))
+      .select(col("bg.0").as("a"), col("bg.1").as("b"))
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    cab.withColumn("c_a", sum(col("c_ab")).over(Window.partitionBy(col("a"))))
+      .withColumn("p", col("c_ab").cast("double") / col("c_a").cast("double"))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("p"))
+      .orderBy(col("c_ab").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[bigramLm]] — 1-based list indexing over the
+    * same token split; the window SUM yields HUGEINT, cast back to
+    * BIGINT on the way out (q80 lesson). */
+  private[graft] def bigramLmOracleSql(k: Int = 50): String =
+    s"""WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+      bg AS (SELECT t[p] AS a, t[p + 1] AS b
+        FROM (SELECT t, unnest(range(1, len(t))) AS p FROM toks WHERE len(t) >= 2)),
+      cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2)
+      SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        CAST(SUM(c_ab) OVER (PARTITION BY a) AS BIGINT) AS c_a,
+        CAST(c_ab AS DOUBLE) / CAST(SUM(c_ab) OVER (PARTITION BY a) AS DOUBLE) AS p
+      FROM cab
+      ORDER BY c_ab DESC, a, b LIMIT $k"""
+
   def tokenRarity(docs: DataFrame): DataFrame = {
     val tok = PartitionUtil.spread(docs)
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))

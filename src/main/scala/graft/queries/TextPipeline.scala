@@ -835,6 +835,12 @@ object TextPipeline {
     // differences can't bite). Long docs can carry multiplicity > 1
     // (standard PPS). Scale shape: ONE shuffle on lang; both the
     // running and the full-partition window share it. ------------------
+    // ---- bigram LM table: p(b|a) as one BIGINT/BIGINT division;
+    // bigrams derive inside each token array (no pre-agg shuffle) ----
+    ("q108_bigram_lm",
+      (s, dir) => TextFunctions.bigramLm(t(s, dir, "documents"), k = 50),
+      Some(TextFunctions.bigramLmOracleSql(k = 50))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

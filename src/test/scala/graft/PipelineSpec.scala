@@ -751,4 +751,19 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toList shouldBe got
   }
+
+  test("bigram LM: p(b|a) from exact counts; single-token docs contribute nothing") {
+    import spark.implicits._
+    // "a b a b c" -> (a,b),(b,a),(a,b),(b,c); "a b" -> (a,b); "z" -> none
+    val df = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.bigramLm(df, k = 10)
+      .as[(String, String, Long, Long, Double)].collect().toList
+    got shouldBe List(
+      ("a", "b", 3L, 3L, 1.0),
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "c", 1L, 2L, 0.5))
+    TextFunctions.bigramLm(df.repartition(3), k = 10)
+      .as[(String, String, Long, Long, Double)].collect().toList shouldBe got
+  }
 }
