@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // extra args restrict to those audits (iteration aid); restricted
+    // runs print asserts but do NOT rewrite docs/PLANS.md
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -289,6 +292,16 @@ object PlanAudit {
           "join node anywhere",
         Seq("HashAggregate", "Window", "TakeOrderedAndProject"),
         Seq("Join", "CartesianProduct")),
+      ("q109_bm25_search",
+        "BM25 retrieval: per-doc length AND per-term tf from ONE " +
+          "conditional aggregation; the corpus-stats side re-reduces " +
+          "the same per-doc aggregate, and ReuseExchange collapses the " +
+          "two consumers onto one physical corpus scan; stats come " +
+          "back as a broadcast 1-row build side (the acceptable BNLJ); " +
+          "top-k is TakeOrderedAndProject, never a global sort",
+        Seq("ReusedExchange", "TakeOrderedAndProject",
+          "BroadcastNestedLoopJoin"),
+        Seq("SortMergeJoin", "CartesianProduct")),
       ("q98_length_quantiles",
         "length quantiles: ONE map-side-combining hash aggregation " +
           "reduces the corpus to (lang, len) counts; the rank windows " +
@@ -363,7 +376,13 @@ object PlanAudit {
 
     var failures = 0
     audits.foreach { case (name, why, required, forbidden) =>
+      if (only.nonEmpty && !only(name)) ()
+      else {
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // AQE performs exchange/stage reuse at RUNTIME — audits that
+      // assert it must materialize first so the FINAL adaptive plan
+      // (isFinalPlan=true) is the one inspected
+      if (required.exists(_.startsWith("ReusedExchange"))) df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       required.foreach { needle =>
@@ -381,6 +400,11 @@ object PlanAudit {
       sb.append(s"\n## $name\n\n$why\n\n")
       sb.append(s"Asserted: ${required.map(r => s"`$r`").mkString(", ")}\n\n")
       sb.append("```\n").append(plan.take(6000)).append("\n```\n")
+      }
+    }
+    if (only.nonEmpty) {
+      println(s"restricted audit: $failures assertion failures (PLANS.md not rewritten)")
+      spark.stop(); return
     }
 
     // metadata-only scan over the DSv2 source must prune the image column

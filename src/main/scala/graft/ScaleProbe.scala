@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * cross-copy pairs decorrelate; the ratio then measures the
   * OPERATOR's scaling, not output growth.
   *
-  * Usage: `sbt "runMain graft.ScaleProbe [sfDir]"`. Results land in
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [probeName ...]"` —
+  * extra names restrict the run to those probes. Results land in
   * docs/SCALE.md's measured table (updated by hand from the output).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val only = args.drop(1).toSet
     val copies = 10
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -66,6 +68,7 @@ object ScaleProbe {
     }
 
     def probe(name: String, base: => Long, big: => Long): Unit = {
+      if (only.nonEmpty && !only(name)) return
       val t1 = time(s"$name@1x")(base)
       val tN = time(s"$name@${copies}x")(big)
       println(f"SCALE $name ratio: ${tN / t1}%.1f x for ${copies}x data")
@@ -136,6 +139,12 @@ object ScaleProbe {
     probe("gopher_rules",
       TextFunctions.gopherRules(docs).count(),
       TextFunctions.gopherRules(docsN).count())
+    // copy-prefixed tokens: bigram types grow linearly with copies, so
+    // the ratio measures the in-array derivation + one aggregation +
+    // the vocab-sized window, not cross-copy collisions
+    probe("bigram_lm",
+      TextFunctions.bigramLm(docs).count(),
+      TextFunctions.bigramLm(docsN).count())
     spark.stop()
   }
 }

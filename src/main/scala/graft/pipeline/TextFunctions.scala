@@ -248,6 +248,81 @@ object TextFunctions {
         CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
 
+  /** BM25 retrieval — the query half of [[bm25Index]]: score EVERY
+    * document against a fixed bag of query terms, return the top-k.
+    *
+    * Scale shape: per-doc length AND per-term tf come out of ONE
+    * conditional aggregation over the token stream (no per-term join,
+    * no token-table re-scan); df/N/T then reduce from that |docs|-row
+    * table and come back as a broadcast 1-row build side, and Spark's
+    * ReuseExchange collapses the two consumers of the per-doc
+    * aggregate onto one physical corpus scan. Per-term weights use
+    * q102's log-free rational idf; the CROSS-TERM sum floors each
+    * term's weight to the 1e-4 grid first and adds exact BIGINTs
+    * (per-row, order-free — a double Σ across terms would still be
+    * fine row-locally, but the grid keeps the score representable
+    * identically in any engine). Top-k is TakeOrderedAndProject. */
+  def bm25Search(docs: DataFrame,
+                 terms: Seq[String] = Seq("hash", "join", "vector", "spark"),
+                 k: Int = 20): DataFrame = {
+    val tok = PartitionUtil.spread(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      sum(col("dl")).as("t_total"),
+      count(lit(1)).as("n_docs") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    // per-term grid weight: 0 exactly when tf = 0 (num = 0), so no
+    // presence conditional is needed
+    def w(t: String): Column = {
+      val num = lit(22L) * col(s"tf_$t") * col("t_total") *
+        (lit(2L) * col("n_docs") - lit(2L) * col(s"df_$t") + lit(1L))
+      val den =
+        (lit(10L) * col(s"tf_$t") * col("t_total") + lit(3L) * col("t_total") +
+          lit(9L) * col("dl") * col("n_docs")) *
+          (lit(2L) * col(s"df_$t") + lit(1L))
+      floor(num.cast("double") / den.cast("double") * lit(10000.0)).cast("long")
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score",
+        terms.map(w).reduce(_ + _).cast("double") / lit(10000.0))
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[bm25Search]] — same conditional aggregation,
+    * same rational weights floored to the 1e-4 grid; window SUMs go
+    * HUGEINT, cast back to BIGINT before use (q80 lesson). */
+  private[graft] def bm25SearchOracleSql(
+      terms: Seq[String] = Seq("hash", "join", "vector", "spark"),
+      k: Int = 20): String = {
+    val tfCols = terms.map(t =>
+      s"SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(", ")
+    val dfCols = terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    def w(t: String): String =
+      s"""CAST(FLOOR(CAST(22 * tf_$t * t_total * (2 * n_docs - 2 * df_$t + 1) AS DOUBLE)
+         / CAST((10 * tf_$t * t_total + 3 * t_total + 9 * dl * n_docs)
+             * (2 * df_$t + 1) AS DOUBLE) * 10000.0) AS BIGINT)"""
+    val tfOut = terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents),
+      per_doc AS (SELECT doc_id, COUNT(*) AS dl, $tfCols FROM tok GROUP BY 1),
+      stats AS (SELECT SUM(dl) AS t_total, COUNT(*) AS n_docs, $dfCols
+        FROM per_doc)
+      SELECT doc_id, CAST(dl AS BIGINT) AS dl, $tfOut,
+        CAST(${terms.map(w).mkString(" + ")} AS DOUBLE) / 10000.0 AS score
+      FROM per_doc, stats
+      ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1),
     * restated in pure integer arithmetic so every engine agrees
     * bit-exactly (no ratio is ever materialized as a float):

@@ -841,6 +841,13 @@ object TextPipeline {
       (s, dir) => TextFunctions.bigramLm(t(s, dir, "documents"), k = 50),
       Some(TextFunctions.bigramLmOracleSql(k = 50))),
 
+    // ---- BM25 retrieval: whole-corpus scoring against a fixed term
+    // bag out of ONE conditional aggregation (ReuseExchange collapses
+    // the stats side onto the same physical scan) ----
+    ("q109_bm25_search",
+      (s, dir) => TextFunctions.bm25Search(t(s, dir, "documents")),
+      Some(TextFunctions.bm25SearchOracleSql())),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

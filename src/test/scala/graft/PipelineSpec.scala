@@ -752,6 +752,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toList shouldBe got
   }
 
+  test("bm25 search: hand-computed grid score; absent terms contribute exactly 0") {
+    import spark.implicits._
+    // terms=[a]: doc0 "a a b" dl=3 tf=2; doc1 "b c" dl=2 tf=0
+    // stats: T=5 N=2 df_a=1
+    // w(doc0) = floor(22*2*5*3 / ((10*2*5 + 3*5 + 9*3*2)*(2*1+1)) * 1e4)
+    //         = floor(660/507 * 1e4) = 13017
+    val df = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val got = TextFunctions.bm25Search(df, terms = Seq("a"), k = 20)
+      .as[(Long, Long, Long, Double)].collect().toList
+    got shouldBe List((0L, 3L, 2L, 13017.0 / 10000.0), (1L, 2L, 0L, 0.0))
+    TextFunctions.bm25Search(df.repartition(2), terms = Seq("a"), k = 20)
+      .as[(Long, Long, Long, Double)].collect().toList shouldBe got
+  }
+
   test("bigram LM: p(b|a) from exact counts; single-token docs contribute nothing") {
     import spark.implicits._
     // "a b a b c" -> (a,b),(b,a),(a,b),(b,c); "a b" -> (a,b); "z" -> none
