@@ -292,6 +292,14 @@ object PlanAudit {
           "join node anywhere",
         Seq("HashAggregate", "Window", "TakeOrderedAndProject"),
         Seq("Join", "CartesianProduct")),
+      ("q110_upsert",
+        "corpus upsert/MERGE: the base snapshot never shuffles — " +
+          "deletes and replaced rows drop out of ONE broadcast " +
+          "left-anti join against the change-feed key set, upserts " +
+          "union in behind it; no full-outer join of base against " +
+          "feed, no sort of the base",
+        Seq("BroadcastHashJoin", "LeftAnti"),
+        Seq("SortMergeJoin", "FullOuter", "CartesianProduct")),
       ("q109_bm25_search",
         "BM25 retrieval: per-doc length AND per-term tf from ONE " +
           "conditional aggregation; the corpus-stats side re-reduces " +

@@ -23,6 +23,27 @@ object Snapshot {
     * re-read of unchanged payloads. Output: (doc_id, status),
     * unordered.
     */
+  /** Apply a change feed to a snapshot — upserts (insert-or-replace)
+    * and deletes — producing the next snapshot: the Delta/Iceberg
+    * MERGE INTO shape restated as Spark joins.
+    *
+    * Scale shape: the base corpus NEVER shuffles — deletes and
+    * replaced rows both drop out of ONE broadcast left-anti join
+    * against the change feed's key set (small by CDC nature), and the
+    * upsert rows union in afterwards: scan + broadcast anti + union.
+    * No full-outer join, no sort, one pass over the base. A key both
+    * deleted and upserted resolves to the upsert (anti removes the
+    * old row either way; the union adds the new one). If a feed ever
+    * rivaled the base in size the same algebra holds, with the anti
+    * join degrading gracefully to a shuffled hash join on doc_id. */
+  def upsert(base: DataFrame, upserts: DataFrame,
+             deletes: DataFrame): DataFrame = {
+    val hot = upserts.select(col("doc_id"))
+      .union(deletes.select(col("doc_id"))).distinct()
+    base.join(broadcast(hot), Seq("doc_id"), "left_anti")
+      .unionByName(upserts)
+  }
+
   def diff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
     val o = oldSnap.select(col("doc_id"),
       md5(col("text").cast("binary")).as("h_old"))

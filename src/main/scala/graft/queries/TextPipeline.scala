@@ -744,6 +744,36 @@ object TextPipeline {
         SELECT doc_id, status FROM d
         WHERE status <> 'unchanged' ORDER BY doc_id""")),
 
+    // ---- corpus upsert/MERGE: apply a change feed (revisions,
+    // inserts, deletes — carved deterministically from `documents`,
+    // with % 143 ids exercising the delete+upsert collision, where
+    // the upsert wins) to the base snapshot. The base never shuffles:
+    // one broadcast anti join + union. Output is (doc_id, md5) so the
+    // oracle re-derives the whole next snapshot from the same parquet ----
+    ("q110_upsert",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val ups = docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("text", concat(col("text"), lit(" rev")))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        val dels = docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+        Snapshot.upsert(docs, ups, dels)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+        ups AS (SELECT doc_id, text || ' rev' AS text FROM documents
+            WHERE doc_id % 11 = 0
+          UNION ALL SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 17 = 0),
+        del AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+        hot AS (SELECT doc_id FROM ups UNION SELECT doc_id FROM del),
+        nxt AS (SELECT * FROM base
+            WHERE doc_id NOT IN (SELECT doc_id FROM hot)
+          UNION ALL SELECT * FROM ups)
+        SELECT doc_id, md5(text) AS h FROM nxt ORDER BY doc_id""")),
+
     // ---- canonical representative selection: MinHash near-dup pairs →
     // connected-component groups → keep the longest doc per group
     // (ties to the lowest id). The oracle recomputes the pairs via the

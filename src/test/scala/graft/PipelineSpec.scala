@@ -752,6 +752,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toList shouldBe got
   }
 
+  test("upsert: delete drops, replace wins over base, delete+upsert collision keeps the upsert") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val ups = Seq((2L, "two-v2"), (9L, "nine"), (4L, "four-v2"))
+      .toDF("doc_id", "text")
+    val dels = Seq(Tuple1(3L), Tuple1(4L)).toDF("doc_id") // 4 also upserted
+    val got = Snapshot.upsert(base, ups, dels)
+      .orderBy(col("doc_id")).as[(Long, String)].collect().toList
+    got shouldBe List((1L, "one"), (2L, "two-v2"), (4L, "four-v2"), (9L, "nine"))
+    Snapshot.upsert(base.repartition(3), ups.repartition(2), dels)
+      .orderBy(col("doc_id")).as[(Long, String)].collect().toList shouldBe got
+  }
+
   test("bm25 search: hand-computed grid score; absent terms contribute exactly 0") {
     import spark.implicits._
     // terms=[a]: doc0 "a a b" dl=3 tf=2; doc1 "b c" dl=2 tf=0
