@@ -292,6 +292,14 @@ object PlanAudit {
           "join node anywhere",
         Seq("HashAggregate", "Window", "TakeOrderedAndProject"),
         Seq("Join", "CartesianProduct")),
+      ("q111_scd2_history",
+        "SCD2 version history: ONE hash-partition exchange on user_id " +
+          "feeds both the LEAD window and (via the same sort) the " +
+          "version rows — no join, no self-join of the event log " +
+          "against itself (the naive SCD2 formulation), no second " +
+          "shuffle",
+        Seq("Window", "hashpartitioning(user_id"),
+        Seq("Join", "CartesianProduct")),
       ("q110_upsert",
         "corpus upsert/MERGE: the base snapshot never shuffles — " +
           "deletes and replaced rows drop out of ONE broadcast " +

@@ -197,14 +197,15 @@ object TextFunctions {
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
     val tf = tok.filter(col("doc_id") < 50)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = tok.filter(col("doc_id") < 50)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl = Σ tf per doc — a window over the already-aggregated slice
+    // (|slice| rows), NOT a second scan+explode of the filtered docs
+    val dl = sum(col("tf")).over(Window.partitionBy(col("doc_id")))
     val dfreq = tok.groupBy(col("token"))
       .agg(count_distinct(col("doc_id")).as("df"))
     val corpus = tok.agg(count(lit(1)).as("t_total"),
       count_distinct(col("doc_id")).as("n_docs"))
     val scored = tf
-      .join(dl, Seq("doc_id"))
+      .withColumn("dl", dl)
       .join(dfreq, Seq("token"))
       .crossJoin(broadcast(corpus))
       .withColumn("num", lit(22L) * col("tf") * col("t_total") *

@@ -662,6 +662,40 @@ object Relational {
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_start""")),
 
+    // ---- SCD2 version history: event-sourced state becomes
+    // effective-dated version rows (valid_from, valid_to, is_current)
+    // — the warehouse "time travel" dimension shape. One shuffle on
+    // user_id + one window; ties broken by event_id so LEAD is
+    // deterministic; valid_to coalesces to -1 (open version) so the
+    // BIGINT column never carries NULL (null int columns decay to
+    // float64 in both pandas readers and would soften the hash gate) ----
+    ("q111_scd2_history",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("vf"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("vf"), col("event_id"))
+        ev.withColumn("vt", coalesce(lead(col("vf"), 1).over(w), lit(-1L)))
+          .withColumn("is_current",
+            when(col("vt") === lit(-1L), 1L).otherwise(0L))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("vf").as("valid_from_us"), col("vt").as("valid_to_us"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+            epoch_us(ts) AS vf FROM events),
+        v AS (SELECT user_id, event_id, event_type, vf,
+            COALESCE(LEAD(vf) OVER (PARTITION BY user_id
+              ORDER BY vf, event_id), -1) AS vt
+          FROM ev)
+        SELECT user_id, event_id, event_type,
+          CAST(vf AS BIGINT) AS valid_from_us,
+          CAST(vt AS BIGINT) AS valid_to_us,
+          CAST(CASE WHEN vt = -1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM v ORDER BY user_id, valid_from_us, event_id""")),
+
     // ---- unpivot/melt: wide metric columns → long (metric, value)
     // rows via Dataset.unpivot (compiles to Expand — each input row
     // emits one row per metric in-place, no shuffle before the agg) ----
