@@ -292,6 +292,14 @@ object PlanAudit {
           "join node anywhere",
         Seq("HashAggregate", "Window", "TakeOrderedAndProject"),
         Seq("Join", "CartesianProduct")),
+      ("q112_leakage_safe_split",
+        "leakage-safe split: CC labels (iterations materialized via " +
+          "localCheckpoint) left-join the corpus on id, the rep's text " +
+          "arrives by one more hash join, and the split is a per-row " +
+          "md5-bucket projection — no window, no global sort, no " +
+          "nested loop anywhere in the assignment",
+        Seq.empty,
+        Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q111_scd2_history",
         "SCD2 version history: ONE hash-partition exchange on user_id " +
           "feeds both the LEAD window and (via the same sort) the " +

@@ -82,6 +82,64 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Leakage-safe train/val/test split: assignment is by near-dup
+    * GROUP, not by document — every member of a connected near-dup
+    * component lands in the SAME split, so a benchmark document's
+    * near-duplicate can never leak from train into val/test (the
+    * failure mode a per-document hash split — q57 — cannot prevent).
+    *
+    * The bucket hashes the group REPRESENTATIVE's text (content-
+    * defined, like every split here): stable across runs/engines and,
+    * because the rep is the group's min id, stable under appends that
+    * join an existing group.
+    *
+    * Scale shape: the pair graph and CC labels are the dedup
+    * pipeline's own artifacts (reused, not recomputed, when both
+    * steps run); on top of them this is two linear hash joins — docs
+    * ⋈ labels on id (unpaired docs keep themselves as rep via the
+    * left join + coalesce) and rep → rep-text — then a pure per-row
+    * bucket projection. No window, no global sort. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = Dedup.dedupGroups(pairs) // (id, rep), paired ids only
+    val withRep = docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+    val repText = docs.select(col("doc_id").as("rep"), col("text").as("rep_text"))
+    withRep.join(repText, Seq("rep"))
+      .withColumn("bucket", hashBucket(col("rep_text")))
+      .select(col("doc_id"), col("rep"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** DuckDB oracle for [[leakageSafeSplit]] over
+    * [[Dedup.minhashLshPairs]] candidates: mirrored MinHash pair SQL →
+    * recursive-CTE component fixpoint → same md5 bucket of the rep's
+    * text. */
+  private[graft] def leakageSafeSplitOracleSql(shingleN: Int, numHashes: Int,
+                                               bands: Int): String = {
+    val pairsBody = Dedup.minhashLshOracleSqlBody(shingleN, numHashes, bands)
+    s"""WITH RECURSIVE
+    pairs AS ($pairsBody),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+    reps AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+    alldocs AS (SELECT d.doc_id, COALESCE(reps.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN reps ON reps.id = d.doc_id),
+    b AS (SELECT a.doc_id, a.rep,
+        CAST(concat('0x', substr(md5(rd.text), 1, 8)) AS UBIGINT) % 100 AS bucket
+      FROM alldocs a JOIN documents rd ON rd.doc_id = a.rep)
+    SELECT doc_id, rep,
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM b ORDER BY doc_id"""
+  }
+
   /** mix64(fnv64(text)) — the engine's standard content hash (same
     * fold the fingerprint/minhash/CDC paths use; mirrored bit-exactly
     * in SQL by [[HashSql]]). */

@@ -787,6 +787,18 @@ object TextPipeline {
       },
       Some(Dedup.canonicalKeepOracleSql(shingleN = 3, numHashes = 64, bands = 16))),
 
+    // ---- leakage-safe split: train/val/test assignment by near-dup
+    // GROUP (CC over MinHash pairs), so a doc's near-duplicate can
+    // never straddle train and eval — the per-doc q57 split cannot
+    // give this guarantee. Bucket = md5 of the group rep's text ----
+    ("q112_leakage_safe_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, shingleN = 3, numHashes = 64, bands = 16)
+        Sampling.leakageSafeSplit(docs, pairs).orderBy(col("doc_id"))
+      },
+      Some(Sampling.leakageSafeSplitOracleSql(shingleN = 3, numHashes = 64, bands = 16))),
+
     // ---- semantic dedup (SemDeDup): cluster the embedding space with
     // the deterministic grid centroids, prune pairs with quantized
     // cosine ≥ τ INSIDE clusters only — the quadratic term is bounded

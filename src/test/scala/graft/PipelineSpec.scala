@@ -752,6 +752,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toList shouldBe got
   }
 
+  test("leakage-safe split: a connected near-dup component never straddles splits") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(docs, pairs)
+    val bySplit = got.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    // every component member shares its component's split
+    bySplit(1L) shouldBe bySplit(2L)
+    bySplit(2L) shouldBe bySplit(3L)
+    bySplit(5L) shouldBe bySplit(6L)
+    // reps are the component minimum (and self for unpaired docs)
+    got.select(col("doc_id"), col("rep")).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L)
+    // no pair crosses splits, by construction
+    val splits = got.select(col("doc_id"), col("split"))
+    pairs.join(splits.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .withColumnRenamed("split", "sa")
+      .join(splits.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+      .filter(col("sa") =!= col("split")).count() shouldBe 0L
+    Sampling.leakageSafeSplit(docs.repartition(3), pairs.repartition(2))
+      .select(col("doc_id"), col("split")).as[(Long, String)]
+      .collect().toMap shouldBe bySplit
+  }
+
   test("upsert: delete drops, replace wins over base, delete+upsert collision keeps the upsert") {
     import spark.implicits._
     val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
