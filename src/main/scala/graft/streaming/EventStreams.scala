@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -290,6 +290,64 @@ object EventStreams {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.content_hash)
       .transformWithState(new FirstSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  case class TokIn(sub: Int, token: String)
+  case class HHCand(sub: Int, token: String)
+
+  /** Flush sentinel for [[MgSketchProcessor]] — send one per substream
+    * to snapshot its candidate set (the punctuation/control-record
+    * pattern; NUL prefix keeps it disjoint from real tokens). */
+  val FlushToken: String = "\u0000flush"
+
+  /** Streaming heavy-hitter candidates — the MapState face of q86's
+    * Misra–Gries sketch: each substream (`sub` — hash-partition the
+    * token stream into a FIXED number of substreams upstream) keeps at
+    * most `k` (token, weight) counters and folds arriving tokens with
+    * EXACTLY the batch aggregator's reduce, so the streaming state
+    * evolution is the batch sketch's fold and inherits its guarantee:
+    * after N tokens on a substream, every token with true count
+    * > N/(k+1) is among the candidates. A [[FlushToken]] row emits the
+    * substream's current candidates (state persists — the sketch keeps
+    * running); downstream recounts candidates exactly, as in q86.
+    *
+    * Scale shape: state is ≤ k entries per substream — the full
+    * vocabulary NEVER enters the state store (keying by token would be
+    * an unbounded-state exact count, the thing a sketch exists to
+    * avoid); one state read + one write per (substream, batch). */
+  class MgSketchProcessor(k: Int)
+      extends StatefulProcessor[Int, TokIn, HHCand] {
+    @transient private var counts: MapState[String, Long] = _
+    private val core = new graft.functions.MisraGriesAggregator(k)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[TokIn],
+                                 tv: TimerValues): Iterator[HHCand] = {
+      var buf: Map[String, Long] =
+        counts.iterator().map(p => p._1 -> p._2).toMap
+      var flush = false
+      rows.foreach { r =>
+        if (r.token == FlushToken) flush = true
+        else buf = core.reduce(buf, r.token)
+      }
+      counts.clear()
+      buf.foreach { case (t, c) => counts.updateValue(t, c) }
+      if (flush) buf.keys.toSeq.sorted.map(HHCand(key, _)).iterator
+      else Iterator.empty
+    }
+  }
+
+  /** Heavy-hitter candidate stream through [[MgSketchProcessor]]
+    * (RocksDB state store required, like all transformWithState). */
+  def streamingHeavyHitterCandidates(toks: Dataset[TokIn],
+                                     k: Int = 8): Dataset[HHCand] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.sub)
+      .transformWithState(new MgSketchProcessor(k),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 

@@ -300,4 +300,36 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming MG sketch: cross-batch bounded state keeps every guaranteed heavy hitter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.TokIn]
+    val q = EventStreams.streamingHeavyHitterCandidates(mem.toDS(), k = 2).toDF()
+      .writeStream.format("memory").queryName("mg_cands")
+      .outputMode("append").start()
+    try {
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("mg_cands").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+      }
+      // N = 11 tokens, k = 2 → guarantee: count > N/(k+1) = 3.67
+      // survives ANY arrival order. a(4) and d(4) qualify; capacity is
+      // 2, so the flush snapshot is exactly {a, d} — and a arrives
+      // ONLY in batch 1, so its survival proves state crossed batches.
+      mem.addData(Seq("a", "a", "a", "a", "b", "c")
+        .map(EventStreams.TokIn(0, _)): _*)
+      mem.addData(Seq("d", "d", "d", "d", "e", EventStreams.FlushToken)
+        .map(EventStreams.TokIn(0, _)): _*)
+      awaitCount(2)
+      spark.table("mg_cands").as[EventStreams.HHCand]
+        .collect().map(_.token).sorted.toList shouldBe List("a", "d")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
