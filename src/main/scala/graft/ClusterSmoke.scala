@@ -33,6 +33,8 @@ object ClusterSmoke {
     "q96_canonical_keep", // localCheckpoint'd CC rounds + struct-typed agg buffers cross JVMs
     "q101_bucketed_join", // bucketed saveAsTable write path + bucket-pruned scans cross JVMs
     "q104_gopher_rules", // isInCollection stop set + long-arith flags serialize to executors
+    "q109_bm25_search", // runtime ReuseExchange stage dedup must hold across worker JVMs
+    "q112_leakage_safe_split", // CC labels + md5-bucket split: checkpointed rounds re-read cross-JVM
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {

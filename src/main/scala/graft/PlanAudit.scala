@@ -292,6 +292,15 @@ object PlanAudit {
           "join node anywhere",
         Seq("HashAggregate", "Window", "TakeOrderedAndProject"),
         Seq("Join", "CartesianProduct")),
+      ("q113_bigram_surprise",
+        "bigram surprise scoring: LM-build pass (aggregate + " +
+          "vocab-sized window) and scoring pass equi-join on (a,b) — " +
+          "the two passes a train-then-score pipeline has by " +
+          "definition; surprise is BIGINT grid division inside the " +
+          "projection and the per-doc re-agg is map-side combined; no " +
+          "nested loop, no per-doc window",
+        Seq("HashAggregate", "Window"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q112_leakage_safe_split",
         "leakage-safe split: CC labels (iterations materialized via " +
           "localCheckpoint) left-join the corpus on id, the rep's text " +

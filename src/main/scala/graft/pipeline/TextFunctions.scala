@@ -463,6 +463,64 @@ object TextFunctions {
       FROM cab
       ORDER BY c_ab DESC, a, b LIMIT $k"""
 
+  /** Bigram-surprise document scoring — the SCORING half of the
+    * [[bigramLm]] story (perplexity-style LM quality filtering,
+    * log-free): each bigram's surprise is the inverse conditional
+    * probability c(a·)/c(ab) floored onto a 1e-4 integer grid with
+    * pure BIGINT arithmetic (`c_a * 10000 div c_ab` — no float mul,
+    * no ln; monotone in 1/p, which is all a quality FILTER needs), and
+    * a document scores the exact BIGINT sum + count of its bigrams'
+    * surprises. Self-scored against the corpus's own LM here (so no
+    * OOV path is reachable by construction); a production run scores
+    * against a reference-corpus LM and adds smoothing/backoff.
+    *
+    * Scale shape: two passes over the token stream — one builds the
+    * LM (exactly [[bigramLm]]'s shape: aggregate + vocab-sized
+    * window), one scores — the same two passes a train-then-score
+    * pipeline has by definition (production scores against a
+    * pre-built LM table, making each phase single-pass). The doc
+    * bigram stream equi-joins the LM on (a,b) — both sides
+    * hash-partitioned by bigram, map-side-combined re-agg per doc
+    * after. No cross join, no per-doc window. */
+  def bigramSurprise(docs: DataFrame): DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    val bg = PartitionUtil.spread(docs)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("a"), col("bg.1").as("b"))
+    val lm = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("c_a", sum(col("c_ab")).over(Window.partitionBy(col("a"))))
+    bg.join(lm, Seq("a", "b"))
+      .withColumn("s", expr("(c_a * 10000L) div c_ab"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("total_surprise"))
+      .withColumn("avg_surprise",
+        col("total_surprise").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[bigramSurprise]] — same BIGINT grid division
+    * (`//` floors like Spark's `div` for the positive counts here);
+    * SUM outputs cast back from HUGEINT. */
+  private[graft] def bigramSurpriseOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      bg AS (SELECT doc_id, t[p] AS a, t[p + 1] AS b
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS p
+          FROM toks WHERE len(t) >= 2)),
+      lm AS (SELECT a, b, COUNT(*) AS c_ab,
+          CAST(SUM(COUNT(*)) OVER (PARTITION BY a) AS BIGINT) AS c_a
+        FROM bg GROUP BY 1, 2)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM((c_a * 10000) // c_ab) AS BIGINT) AS total_surprise,
+        CAST(SUM((c_a * 10000) // c_ab) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS avg_surprise
+      FROM bg JOIN lm USING (a, b)
+      GROUP BY doc_id ORDER BY doc_id"""
+
   def tokenRarity(docs: DataFrame): DataFrame = {
     val tok = PartitionUtil.spread(docs)
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))

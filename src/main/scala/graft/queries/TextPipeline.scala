@@ -890,6 +890,13 @@ object TextPipeline {
       (s, dir) => TextFunctions.bm25Search(t(s, dir, "documents")),
       Some(TextFunctions.bm25SearchOracleSql())),
 
+    // ---- bigram surprise: LM-based quality scoring (the q108 LM's
+    // scoring half) — inverse conditional probability on a BIGINT
+    // 1e-4 grid, exact sum per document ----
+    ("q113_bigram_surprise",
+      (s, dir) => TextFunctions.bigramSurprise(t(s, dir, "documents")),
+      Some(TextFunctions.bigramSurpriseOracleSql)),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

@@ -805,6 +805,18 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Double)].collect().toList shouldBe got
   }
 
+  test("bigram surprise: grid-exact inverse conditional probability per doc") {
+    import spark.implicits._
+    // LM: c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a·)=3 c(b·)=2
+    // s(a,b)=3*1e4 div 3=10000; s(b,a)=s(b,c)=2*1e4 div 1=20000
+    val df = Seq((0L, "a b a b c"), (1L, "a b")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramSurprise(df)
+      .as[(Long, Long, Long, Double)].collect().toList
+    got shouldBe List((0L, 4L, 60000L, 15000.0), (1L, 1L, 10000L, 10000.0))
+    TextFunctions.bigramSurprise(df.repartition(3))
+      .as[(Long, Long, Long, Double)].collect().toList shouldBe got
+  }
+
   test("bigram LM: p(b|a) from exact counts; single-token docs contribute nothing") {
     import spark.implicits._
     // "a b a b c" -> (a,b),(b,a),(a,b),(b,c); "a b" -> (a,b); "z" -> none
