@@ -145,6 +145,11 @@ object ScaleProbe {
     probe("bigram_lm",
       TextFunctions.bigramLm(docs).count(),
       TextFunctions.bigramLm(docsN).count())
+    // copy-prefixed tokens: each copy's LM is disjoint, so the scoring
+    // join and the per-doc re-agg both grow linearly with copies
+    probe("bigram_surprise",
+      TextFunctions.bigramSurprise(docs).count(),
+      TextFunctions.bigramSurprise(docsN).count())
     spark.stop()
   }
 }
