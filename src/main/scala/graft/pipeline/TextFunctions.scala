@@ -832,9 +832,14 @@ object TextFunctions {
     * Scale shape: one shuffle builds per-doc chunks (explicit
     * sort-in-group — collect_list has no order guarantee), one
     * map-side-combining hash aggregation computes chunk document
-    * frequency, and the boilerplate SET (tiny by definition: chunks
-    * repeated across ≥ minDocs docs) broadcasts back for the flag
-    * join — the corpus never shuffles through a JOIN on chunk text.
+    * frequency, and the boilerplate set flows into the flag join as
+    * `xxhash64(ctext)` ONLY — 8 bytes per entry, never the chunk
+    * text. The join is a plain shuffle equi-join on the hash: on a
+    * web crawl the chunks repeated across ≥ minDocs documents are
+    * precisely the nav bars / footers / license blurbs — an enormous
+    * set at 100 TB, so a forced driver-side broadcast of full chunk
+    * strings is an OOM hazard, while AQE remains free to pick a
+    * broadcast of the 8-byte hashes when the set really is small.
     * Reconstruction is a second group-by-doc with the same explicit
     * ordering. */
   def removeBoilerplate(docs: DataFrame, n: Int = 8, minDocs: Int = 3): DataFrame = {
@@ -845,11 +850,16 @@ object TextFunctions {
       .groupBy(col("doc_id"), col("cid"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ").as("ctext"))
+    // df is still counted on the exact chunk text (that aggregation
+    // shuffles the chunk stream anyway); only the post-filter survivor
+    // set is reduced to its hash for the join back
     val boiler = chunks.groupBy(col("ctext"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("ctext"), lit(true).as("boiler"))
-    chunks.join(broadcast(boiler), Seq("ctext"), "left")
+      .select(xxhash64(col("ctext")).as("chash")).distinct()
+      .withColumn("boiler", lit(true))
+    chunks.withColumn("chash", xxhash64(col("ctext")))
+      .join(boiler, Seq("chash"), "left")
       .withColumn("boiler", coalesce(col("boiler"), lit(false)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),

@@ -681,9 +681,17 @@ object TextPipeline {
     // projection — two corpus scans, zero shuffles in the transform.
     // Eigenvectors are not SQL-expressible → rows-only here;
     // PipelineSpec asserts whitened covariance ≈ I and bit-identical
-    // output across partitionings ------------------------------------
+    // output across partitionings. Gate shape: the harness hashes
+    // scalar cells only, so the vector is posexploded to
+    // (vec_id, i, x) rows with x floored to the 1e-4 grid (the q94
+    // pattern) — an array<double> column would void even the
+    // rows-only check -------------------------------------------------
     ("q93_pca_whiten",
-      (s, dir) => Similarity.pcaWhiten(t(s, dir, "embeddings"), d = 64),
+      (s, dir) => Similarity.pcaWhiten(t(s, dir, "embeddings"), d = 64)
+        .select(col("vec_id"), posexplode(col("whitened")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          (floor(col("x") * 10000.0) / 10000.0).as("x"))
+        .orderBy(col("vec_id"), col("i")),
       None),
 
     // ---- embedding drift: per-dim quantized means of two corpus
