@@ -29,15 +29,26 @@ object QueryDsl {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as a nanos long via the
-    * legacy conf and rebuild a µs-precision timestamp column. Queries
-    * only ever emit truncations of it, so the ns→µs loss is invisible.
-    */
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS), which Spark 4 refuses by default
+    * (PARQUET_TYPE_ILLEGAL) and must be read as a nanos long via the
+    * legacy conf then rebuilt as a µs timestamp, and TIMESTAMP(MICROS),
+    * which reads natively. Branch on the loaded type so both work.
+    * Queries only ever emit truncations of ts, so the ns→µs loss in
+    * the legacy path is invisible. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // native µs parquet loads as NTZ; cast to the session-local
+        // TIMESTAMP the inventory was written against (session tz is
+        // pinned UTC, so the epoch value is unchanged)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Deterministic sum of a double expression: each row is truncated to
