@@ -79,7 +79,63 @@ object ClusterSmoke {
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         println(s"[cluster-smoke] OK $name")
       }
+      streamingStateSmoke(spark)
+      println("[cluster-smoke] OK streaming_tws_sessions")
       println("[cluster-smoke] ALL OK")
     } finally spark.stop()
+  }
+
+  /** RocksDB-backed transformWithState across REAL executor processes:
+    * event-time sessionization (ListState of open sessions + an
+    * event-time timer per key) where every state row and timer is
+    * serialized by the RocksDB provider in a worker JVM — the state
+    * encoder class of bug that `local[*]`'s in-JVM store can't catch.
+    * Asserts the closed sessions equal the known session set. */
+  private def streamingStateSmoke(spark: SparkSession): Unit = {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = 1700000000000L
+    // user 1: sessions (0/60/120s) and (3600/3660s); user 2: (30/90s)
+    val evs = Seq(
+      (0L, 0L, 1L), (1L, 60L, 1L), (2L, 120L, 1L),
+      (3L, 3600L, 1L), (4L, 3660L, 1L),
+      (5L, 30L, 2L), (6L, 90L, 2L)
+    ).map { case (id, sec, user) =>
+      EventStreams.Event(id, new Timestamp(base + sec * 1000L), user, "t", 1.0)
+    }
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.twsSessionsEventTime(mem.toDS(), gapMs = 300000L,
+        delay = "2 hours")
+      .toDF().writeStream.format("memory").queryName("cluster_et_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs(2), evs(0), evs(4)) // out of order, 2h bound holds them
+      mem.addData(evs(1), evs(3), evs(5), evs(6))
+      var tick = 0L
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def closed() = spark.table("cluster_et_sessions")
+        .filter(col("user_id").isin(1L, 2L)).count()
+      while (closed() < 3 && System.nanoTime() < deadline) {
+        mem.addData(EventStreams.Event(1000L + tick,
+          new Timestamp(base + 21600000L + tick * 1000L), 99L, "tick", 0.0))
+        tick += 1
+        Thread.sleep(250)
+      }
+      val got = spark.table("cluster_et_sessions")
+        .filter(col("user_id").isin(1L, 2L))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val want = Seq((1L, 2L, 2.0), (1L, 3L, 3.0), (2L, 2L, 2.0))
+      if (got != want)
+        sys.error(s"streaming state smoke mismatch: got $got want $want")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 }

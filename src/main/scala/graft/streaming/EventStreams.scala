@@ -308,22 +308,47 @@ object EventStreams {
     * EXACTLY the batch aggregator's reduce, so the streaming state
     * evolution is the batch sketch's fold and inherits its guarantee:
     * after N tokens on a substream, every token with true count
-    * > N/(k+1) is among the candidates. A [[FlushToken]] row emits the
-    * substream's current candidates (state persists — the sketch keeps
-    * running); downstream recounts candidates exactly, as in q86.
+    * > N/(k+1) is among the candidates.
     *
-    * Scale shape: state is ≤ k entries per substream — the full
-    * vocabulary NEVER enters the state store (keying by token would be
-    * an unbounded-state exact count, the thing a sketch exists to
-    * avoid); one state read + one write per (substream, batch). */
-  class MgSketchProcessor(k: Int)
+    * Snapshots are emitted two ways: a [[FlushToken]] row emits the
+    * substream's current candidates on demand (the test/debug path),
+    * and — the operational shape — `snapshotEveryMs > 0` arms a
+    * processing-time timer per substream that emits the candidate set
+    * periodically and re-arms, so a substream that goes QUIET still
+    * publishes its candidates (an in-band sentinel can never reach a
+    * substream that stopped receiving tokens). Either way state
+    * persists — the sketch keeps running; downstream recounts
+    * candidates exactly, as in q86.
+    *
+    * Scale shape: state is ≤ k entries (+ one timer long) per
+    * substream — the full vocabulary NEVER enters the state store
+    * (keying by token would be an unbounded-state exact count, the
+    * thing a sketch exists to avoid); one state read + one write per
+    * (substream, batch). Timers are one per substream, and the
+    * substream count is fixed upstream, so the timer set is bounded
+    * too. */
+  class MgSketchProcessor(k: Int, snapshotEveryMs: Long = 0L)
       extends StatefulProcessor[Int, TokIn, HHCand] {
     @transient private var counts: MapState[String, Long] = _
+    @transient private var timer: ValueState[Long] = _
     private val core = new graft.functions.MisraGriesAggregator(k)
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counts = getHandle.getMapState[String, Long]("mg",
         Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("snap",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def candidates(key: Int): Iterator[HHCand] =
+      counts.iterator().map(_._1).toArray.sorted.iterator.map(HHCand(key, _))
+
+    private def armSnapshot(tv: TimerValues): Unit =
+      if (snapshotEveryMs > 0 && !timer.exists()) {
+        val next = tv.getCurrentProcessingTimeInMs() + snapshotEveryMs
+        getHandle.registerTimer(next)
+        timer.update(next)
+      }
 
     override def handleInputRows(key: Int, rows: Iterator[TokIn],
                                  tv: TimerValues): Iterator[HHCand] = {
@@ -336,18 +361,29 @@ object EventStreams {
       }
       counts.clear()
       buf.foreach { case (t, c) => counts.updateValue(t, c) }
+      armSnapshot(tv)
       if (flush) buf.keys.toSeq.sorted.map(HHCand(key, _)).iterator
       else Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Int, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[HHCand] = {
+      timer.clear() // the fired timer is spent; re-arm the next period
+      armSnapshot(tv)
+      candidates(key)
     }
   }
 
   /** Heavy-hitter candidate stream through [[MgSketchProcessor]]
-    * (RocksDB state store required, like all transformWithState). */
+    * (RocksDB state store required, like all transformWithState).
+    * `snapshotEveryMs > 0` adds timer-driven periodic candidate
+    * emission per substream; 0 keeps the sentinel-only behavior. */
   def streamingHeavyHitterCandidates(toks: Dataset[TokIn],
-                                     k: Int = 8): Dataset[HHCand] = {
+                                     k: Int = 8,
+                                     snapshotEveryMs: Long = 0L): Dataset[HHCand] = {
     import toks.sparkSession.implicits._
     toks.groupByKey(_.sub)
-      .transformWithState(new MgSketchProcessor(k),
+      .transformWithState(new MgSketchProcessor(k, snapshotEveryMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 

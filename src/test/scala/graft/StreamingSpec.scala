@@ -332,4 +332,111 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming MG sketch: timer-driven snapshots emit with NO flush sentinel in the input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.TokIn]
+    val q = EventStreams.streamingHeavyHitterCandidates(mem.toDS(), k = 2,
+        snapshotEveryMs = 300L).toDF()
+      .writeStream.format("memory").queryName("mg_timer_cands")
+      .outputMode("append").start()
+    try {
+      // all tokens for substream 0 go in up front — NO FlushToken ever;
+      // only the periodic timer can emit its candidates. Same MG math
+      // as the sentinel test: a(4) and d(4) exceed N/(k+1) = 11/3.
+      mem.addData(Seq("a", "a", "a", "a", "b", "c", "d", "d", "d", "d", "e")
+        .map(EventStreams.TokIn(0, _)): _*)
+      // keep batches flowing via a DIFFERENT substream so substream 0
+      // sees nothing further — its emission must be timer-driven
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def sub0Tokens() = spark.table("mg_timer_cands")
+        .filter(col("sub") === 0).select(col("token")).distinct().count()
+      var tick = 0L
+      while (sub0Tokens() < 2 && System.nanoTime() < deadline) {
+        mem.addData(EventStreams.TokIn(1, s"bystander$tick"))
+        tick += 1
+        Thread.sleep(200)
+      }
+      spark.table("mg_timer_cands").filter(col("sub") === 0)
+        .as[EventStreams.HHCand]
+        .collect().map(_.token).distinct.sorted.toList shouldBe List("a", "d")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("event-time sessionization state survives a stop/restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-recover").toString
+    val gapMs = 300000L
+    val base = 1700000000000L
+    val evs = Seq(
+      (0L, 0L, 1L), (1L, 60L, 1L), (2L, 120L, 1L),
+      (3L, 3600L, 1L), (4L, 3660L, 1L),
+      (5L, 30L, 2L), (6L, 90L, 2L)
+    ).map { case (id, sec, user) =>
+      EventStreams.Event(id, new Timestamp(base + sec * 1000L), user, "t", 1.0)
+    }
+    val oracle = evs.toDF()
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("n"), col("v"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+
+    // the memory sink cannot recover from a checkpoint — use the
+    // fault-tolerant FILE sink, whose metadata log also makes output
+    // across the restart exactly-once
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tws-recover-out").toString
+    val mem = MemoryStream[EventStreams.Event]
+    def start() =
+      EventStreams.twsSessionsEventTime(mem.toDS(), gapMs, delay = "2 hours")
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    def emitted() = spark.read
+      .schema("user_id LONG, n_events LONG, total_value DOUBLE")
+      .parquet(outDir).filter(col("user_id").isin(1L, 2L))
+
+    // phase 1: ingest every real event, COMMIT it into RocksDB state,
+    // then stop. The 2h lateness bound keeps the watermark below every
+    // close, so nothing is emitted before the kill — every closed
+    // session the restarted query emits can only come from state that
+    // survived the restart.
+    val q1 = start()
+    try {
+      mem.addData(evs(2), evs(0), evs(4))
+      mem.addData(evs(1), evs(3), evs(5), evs(6))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def committed() = q1.recentProgress.map(_.numInputRows).sum
+      while (committed() < 7 && System.nanoTime() < deadline) Thread.sleep(200)
+      committed() should be >= 7L
+    } finally q1.stop()
+    emitted().count() shouldBe 0L // nothing closed before the kill
+
+    // phase 2: new query instance, same checkpoint + source; push the
+    // watermark past every pending close and await the sessions
+    val q2 = start()
+    try {
+      var tick = 0L
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (emitted().count() < 3 && System.nanoTime() < deadline) {
+        mem.addData(EventStreams.Event(1000L + tick,
+          new Timestamp(base + 21600000L + tick * 1000L), 99L, "tick", 0.0))
+        tick += 1
+        Thread.sleep(250)
+      }
+      val got = emitted().as[(Long, Long, Double)].collect().toSeq.sorted
+      got shouldBe oracle
+    } finally {
+      q2.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
