@@ -159,12 +159,15 @@ object PlanAudit {
         Seq("rangepartitioning(h#", "Join", "CartesianProduct")),
       ("q89_boilerplate_removal",
         "boilerplate removal: chunk document-frequency reduces through " +
-          "a map-side-combining hash aggregation; the boilerplate set " +
-          "(chunks in >= minDocs docs — tiny by definition) broadcasts " +
-          "back for the flag join, so the corpus never shuffles through " +
-          "a join on chunk text",
-        Seq("BroadcastHashJoin", "HashAggregate"),
-        Seq("SortMergeJoin", "CartesianProduct")),
+          "a map-side-combining hash aggregation; the flag join is keyed " +
+          "on xxhash64(ctext) — 8 bytes per boilerplate entry, never the " +
+          "chunk text, and no forced driver-side broadcast (on a web " +
+          "crawl the >= minDocs chunk set is the nav bars/footers of the " +
+          "whole crawl — enormous at 100 TB). AQE remains free to pick a " +
+          "broadcast of the hashes when the set is genuinely small, as " +
+          "at bench scale",
+        Seq("xxhash64", "HashAggregate"),
+        Seq("CartesianProduct")),
       ("q95_snapshot_diff",
         "snapshot diff: each side reduces to (doc_id, md5) BEFORE the " +
           "shuffle — the 32-byte digest crosses the exchange, never the " +
