@@ -25,9 +25,18 @@ object ZOrderUtil {
 
   /** Morton-interleave the low 31 bits of x (even positions) and y
     * (odd positions); always non-negative, order-preserving along
-    * both axes. */
-  def interleave(x: Long, y: Long): Long =
+    * both axes. Inputs OUTSIDE [0, 2^31) fail loudly: masking would
+    * silently wrap a negative axis value to the top of the curve and
+    * split locality across the wrap boundary — a layout bug that
+    * produces no wrong answers (predicates re-apply after the scan),
+    * only quietly useless pruning, which is why it must throw. */
+  def interleave(x: Long, y: Long): Long = {
+    if ((x | y) < 0L || x > 0x7FFFFFFFL || y > 0x7FFFFFFFL)
+      throw new IllegalArgumentException(
+        s"z_order inputs must be in [0, 2^31): got ($x, $y) — offset the axis " +
+          "from its corpus minimum before interleaving")
     spread(x) | (spread(y) << 1)
+  }
 }
 
 /** `z_order(x, y)` — the Z-order (Morton) curve value of two
@@ -43,7 +52,10 @@ object ZOrderUtil {
   * bit-twiddling (Morton 1966).
   */
 case class ZOrder(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "z_order"

@@ -461,9 +461,14 @@ object Dedup {
   /** Semantic dedup — the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): partition the embedding space into clusters,
     * then prune near-duplicates WITHIN clusters only. A vector is
-    * dropped when a lower-id vector in the same cluster has quantized
-    * cosine ≥ threshold; the survivor set keeps exactly one
-    * representative per semantic neighborhood. Clusters here are the
+    * dropped when ANY lower-id vector in the same cluster (kept or
+    * itself dropped) has quantized cosine ≥ threshold — note this is
+    * the id-ordered drop rule, not a greedy kept-representative rule:
+    * on a similarity chain a~b, b~c, a≁c it keeps only `a` (c's only
+    * near neighbor b is dropped, and c still drops because b precedes
+    * it). A pipeline that needs every pruned vector to retain a KEPT
+    * near-duplicate should use the greedy keep-set variant instead;
+    * the oracle mirrors this exact rule. Clusters here are the
     * deterministic grid-mean centroids of
     * [[Similarity.gridCentroidAssignment]] (a production run would fit
     * them like the IVF quantizer — the pruning contract is identical).
@@ -618,6 +623,14 @@ object Dedup {
       labels = jumped
       iter += 1
     }
+    // fail LOUDLY on non-convergence: a silent exit here would hand
+    // downstream keep/drop decisions labels that still point into the
+    // middle of a chain. With pointer jumping rounds grow as
+    // log2(diameter), so 50 rounds covers any graph that fits on
+    // earth; hitting this is a bug or an adversarial input worth
+    // knowing about, not something to paper over.
+    require(changed == 0L,
+      s"dedupGroups did not converge after $maxIters rounds ($changed labels still moving)")
     labels.select(col("id"), col("rep"))
   }
 

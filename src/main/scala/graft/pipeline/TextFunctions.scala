@@ -188,6 +188,17 @@ object TextFunctions {
     * terms per doc are emitted for the doc_id < 50 slice (q67's
     * window), ranked by (score desc, token).
     *
+    * OPERATING RANGE: the numerator 22·tf·T·(2N−2df+1) must stay
+    * below 2^63, i.e. tf·T·N ≲ 2·10^17 — comfortable for any single
+    * index shard (T = 10^9 tokens, N = 10^6 docs, tf = 10^2 is
+    * 10^17), NOT for one monolithic 100 TB index (T ≈ 10^13,
+    * N ≈ 10^10 overflows; Spark wraps silently in non-ANSI mode while
+    * DuckDB raises). At that scale the index is sharded anyway — each
+    * shard scores within range and bit-portability holds per shard;
+    * a global unsharded run would need the per-factor grid form
+    * (floor each factor to 1e-4 before multiplying as doubles)
+    * instead. The same bound applies to [[bm25Search]].
+    *
     * Scale shape: the same two linear aggregations as TF-IDF (per-doc
     * tf, per-token df) plus a broadcast 1-row corpus total (no driver
     * count); the ranking window partitions per doc and
@@ -288,7 +299,14 @@ object TextFunctions {
           (lit(2L) * col(s"df_$t") + lit(1L))
       floor(num.cast("double") / den.cast("double") * lit(10000.0)).cast("long")
     }
-    perDoc.crossJoin(broadcast(stats))
+    // probe-side postings pruning: a document containing NONE of the
+    // query terms scores exactly 0 (every num = 0) and can never enter
+    // the top-k while >= k documents match, so drop it BEFORE the
+    // broadcast join — at corpus scale this is the difference between
+    // scoring the postings and scoring the whole corpus. stats above
+    // still reduces over ALL of perDoc (df/N/T are corpus-level).
+    perDoc.filter(greatest(terms.map(t => col(s"tf_$t")): _*) > 0L)
+      .crossJoin(broadcast(stats))
       .withColumn("score",
         terms.map(w).reduce(_ + _).cast("double") / lit(10000.0))
       .select(col("doc_id") +: col("dl") +:

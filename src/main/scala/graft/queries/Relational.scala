@@ -931,13 +931,19 @@ object Relational {
         val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")))
           t(s, dir, "orders")
+            // epoch = the corpus minimum order date, so o_day >= 0 for
+            // every row (z_order REQUIRES non-negative axes and now
+            // throws rather than silently wrapping — ZOrderUtil.interleave)
             .withColumn("o_day",
               datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long"))
             .withColumn("zval",
               graft.functions.ZOrderExpression.zOrder(col("o_custkey"), col("o_day")))
             .repartitionByRange(16, col("zval"))
             .sortWithinPartitions(col("zval"))
-            .write.parquet(base)
+            // overwrite: a crashed partial write (dir exists, no
+            // _SUCCESS) must rebuild, not fail ErrorIfExists (q105's
+            // rule; the _SUCCESS check above is the skip condition)
+            .write.mode("overwrite").parquet(base)
         s.read.parquet(base)
           .filter(col("o_custkey").between(100, 300) && col("o_day").between(100, 200))
           .groupBy(col("o_orderstatus"))

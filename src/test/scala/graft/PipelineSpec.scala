@@ -53,6 +53,25 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
   }
 
+  test("dedupGroups: pathological long chain converges (or fails LOUDLY, never silently)") {
+    import spark.implicits._
+    // a single 2000-node chain — diameter 1999. Pointer jumping makes
+    // label spread superlinear per round, so convergence fits easily
+    // inside maxIters = 50; the contract under test is stronger:
+    // dedupGroups must either return fully-converged labels or throw
+    // (the require guard), never hand back a silently-partial labeling.
+    val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = Dedup.dedupGroups(chain.repartition(8))
+      .as[(Long, Long)].collect()
+    groups.length shouldBe 2000
+    all(groups.map(_._2)) shouldBe 0L // every node labeled by the chain head
+    // and an artificially tiny budget fails loudly instead of returning
+    val boom = intercept[IllegalArgumentException] {
+      Dedup.dedupGroups(chain.repartition(8), maxIters = 2).collect()
+    }
+    boom.getMessage should include ("did not converge")
+  }
+
   test("canonicalKeep: per-group argmax keeps longest doc, ties to lowest id") {
     import spark.implicits._
     // components: {1,2,5} and {7,9}; scores give 2 the win in the first
