@@ -54,8 +54,10 @@ object ZOrderUtil {
 case class ZOrder(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
-  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
-    Seq(LongType, LongType)
+  // Declared as Seq[DataType] (covariant override) — the parent's
+  // AbstractDataType is private[sql] in the Spark 4 build and must not
+  // be named here.
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "z_order"

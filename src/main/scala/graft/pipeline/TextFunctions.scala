@@ -300,12 +300,15 @@ object TextFunctions {
       floor(num.cast("double") / den.cast("double") * lit(10000.0)).cast("long")
     }
     // probe-side postings pruning: a document containing NONE of the
-    // query terms scores exactly 0 (every num = 0) and can never enter
-    // the top-k while >= k documents match, so drop it BEFORE the
-    // broadcast join — at corpus scale this is the difference between
-    // scoring the postings and scoring the whole corpus. stats above
-    // still reduces over ALL of perDoc (df/N/T are corpus-level).
-    perDoc.filter(greatest(terms.map(t => col(s"tf_$t")): _*) > 0L)
+    // query terms scores exactly 0 (every num = 0), so drop it BEFORE
+    // the broadcast join — at corpus scale this is the difference
+    // between scoring the postings and scoring the whole corpus. The
+    // result therefore contains AT MOST k rows, fewer when fewer than
+    // k documents match any term — the oracle prunes identically.
+    // stats above still reduces over ALL of perDoc (df/N/T are
+    // corpus-level). The OR-reduction is arity-safe for a single term
+    // (greatest() requires >= 2 args).
+    perDoc.filter(terms.map(t => col(s"tf_$t") > 0L).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .withColumn("score",
         terms.map(w).reduce(_ + _).cast("double") / lit(10000.0))
@@ -339,6 +342,7 @@ object TextFunctions {
       SELECT doc_id, CAST(dl AS BIGINT) AS dl, $tfOut,
         CAST(${terms.map(w).mkString(" + ")} AS DOUBLE) / 10000.0 AS score
       FROM per_doc, stats
+      WHERE ${terms.map(t => s"tf_$t > 0").mkString(" OR ")}
       ORDER BY score DESC, doc_id LIMIT $k"""
   }
 

@@ -810,18 +810,34 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .orderBy(col("doc_id")).as[(Long, String)].collect().toList shouldBe got
   }
 
-  test("bm25 search: hand-computed grid score; absent terms contribute exactly 0") {
+  test("bm25 search: hand-computed grid score; zero-score docs are pruned") {
     import spark.implicits._
-    // terms=[a]: doc0 "a a b" dl=3 tf=2; doc1 "b c" dl=2 tf=0
-    // stats: T=5 N=2 df_a=1
+    // terms=[a] (single term — exercises the arity-1 pruning predicate):
+    // doc0 "a a b" dl=3 tf=2; doc1 "b c" dl=2 tf=0 (pruned: no term hit)
+    // stats over ALL docs: T=5 N=2 df_a=1
     // w(doc0) = floor(22*2*5*3 / ((10*2*5 + 3*5 + 9*3*2)*(2*1+1)) * 1e4)
     //         = floor(660/507 * 1e4) = 13017
     val df = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
     val got = TextFunctions.bm25Search(df, terms = Seq("a"), k = 20)
       .as[(Long, Long, Long, Double)].collect().toList
-    got shouldBe List((0L, 3L, 2L, 13017.0 / 10000.0), (1L, 2L, 0L, 0.0))
+    got shouldBe List((0L, 3L, 2L, 13017.0 / 10000.0))
     TextFunctions.bm25Search(df.repartition(2), terms = Seq("a"), k = 20)
       .as[(Long, Long, Long, Double)].collect().toList shouldBe got
+  }
+
+  test("bm25 search: fewer matches than k returns only the matches (no zero pad)") {
+    import spark.implicits._
+    // terms=[a,q]: only doc0 contains any term; k=5 but result has 1 row.
+    // doc0 "a b" dl=2 tf_a=1 tf_q=0; doc1 "b c" dl=2; doc2 "c d" dl=2
+    // stats over ALL docs: T=6 N=3 df_a=1 df_q=0
+    // w_a(doc0) = floor(22*1*6*(2*3-2*1+1) / ((10*1*6 + 3*6 + 9*2*3)*(2*1+1)) * 1e4)
+    //           = floor(660/396 * 1e4) = 16666;  w_q(doc0) = 0
+    val df = Seq((0L, "a b"), (1L, "b c"), (2L, "c d")).toDF("doc_id", "text")
+    val got = TextFunctions.bm25Search(df, terms = Seq("a", "q"), k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    got shouldBe List((0L, 2L, 1L, 0L, 16666.0 / 10000.0))
+    TextFunctions.bm25Search(df.repartition(3), terms = Seq("a", "q"), k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toList shouldBe got
   }
 
   test("bigram surprise: grid-exact inverse conditional probability per doc") {
