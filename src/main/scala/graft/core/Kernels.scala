@@ -136,22 +136,51 @@ object Kernels {
                         f: Double => Double): SparkImage =
     img.withPixels(img.toDoubles.map(f))
 
-  /** Seeded gaussian noise, σ=`standard`. Seed = content hash so the
-    * result is deterministic (the reference used ImageJ's unseeded
-    * `Add Noise` and could only assert statistics — SURVEY §5). */
+  /** Seeded pseudo-gaussian noise, σ=`standard` (the reference used
+    * ImageJ's unseeded `Add Noise` and could only assert statistics —
+    * SURVEY §5; here the noise is deterministic AND engine-agnostic).
+    *
+    * Per pixel p: an Irwin–Hall approximate gaussian — the sum S of
+    * twelve 5-bit uniforms carved from one counter-based splitmix64
+    * draw `mix64(seed + (p+1)·GAMMA)` — shifted/scaled to
+    * (S−186)/32·σ (mean 0, stdDev 0.9995·σ). The value is dyadic
+    * (5 fractional bits), so adding it to the integral debug fills
+    * stays EXACT in Float32: no transcendental and no rounding step
+    * anywhere, which is what lets the img02 oracle re-derive the
+    * identical pixels in DuckDB via the HashSql HUGEINT mirror of
+    * [[graft.pipeline.Dedup.mix64]]. */
   private def addNoise(defaultSigma: Double): Kernel = (img, a) => {
     val sigma = a.get("standard").map(_.toDouble).getOrElse(defaultSigma)
     val px = img.toDoubles
-    val rng = new java.util.Random(contentSeed(img))
-    img.withPixels(px.map(v => PixelCodec.clamp(v + rng.nextGaussian() * sigma, img.pixelType)))
+    val seed = noiseSeed(img)
+    val out = new Array[Double](px.length)
+    var p = 0
+    while (p < px.length) {
+      val s = graft.pipeline.Dedup.mix64(seed + (p + 1).toLong * 0x9e3779b97f4a7c15L)
+      var sum = 0
+      var j = 0
+      while (j < 12) { sum += ((s >>> (5 * j)) & 31L).toInt; j += 1 }
+      out(p) = PixelCodec.clamp(px(p) + (sum - 186) / 32.0 * sigma, img.pixelType)
+      p += 1
+    }
+    img.withPixels(out)
   }
 
-  private[core] def contentSeed(img: SparkImage): Long = {
-    var h = 0xcbf29ce484222325L
-    val d = img.data
-    var i = 0
-    while (i < d.length) { h ^= d(i); h *= 0x100000001b3L; i += 1 }
-    h ^ img.width.toLong << 32 ^ img.height
+  /** Order-independent content seed for [[addNoise]]:
+    * mix64(Σ_p round(px_p·32)·(2p+1) mod 2⁶⁴ ⊕ dims). Position-weighted
+    * so permuted content reseeds, yet order-independent, so a future
+    * per-tile parallel evaluation is layout-free. For a constant fill f
+    * the sum has the closed form 32·f·n² (Σ(2p+1) = n²), which is what
+    * the img02 oracle computes. */
+  private[core] def noiseSeed(img: SparkImage): Long = {
+    val px = img.toDoubles
+    var acc = 0L
+    var p = 0
+    while (p < px.length) {
+      acc += java.lang.Math.round(px(p) * 32.0) * (2L * p + 1)
+      p += 1
+    }
+    graft.pipeline.Dedup.mix64(acc ^ (img.width.toLong << 32) ^ img.height.toLong)
   }
 
   private def invert(img: SparkImage, a: Map[String, String]): SparkImage = {

@@ -32,6 +32,10 @@ private[graft] object HashSql {
   def addMod(a: String, c: Long): String =
     s"CAST((CAST($a AS HUGEINT) + ${u(c)}) % $Mod AS UBIGINT)"
 
+  /** (a + b) mod 2^64 — both UBIGINT expressions. */
+  def addModExpr(a: String, b: String): String =
+    s"CAST((CAST($a AS HUGEINT) + CAST($b AS HUGEINT)) % $Mod AS UBIGINT)"
+
   /** a ^ (a >>> k) on the UBIGINT bit pattern (logical shift). */
   def xorShift(a: String, k: Int): String = s"xor($a, ($a) >> $k)"
 

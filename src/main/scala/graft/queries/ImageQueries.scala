@@ -33,6 +33,146 @@ object ImageQueries {
   private def imSql(count: Int): String =
     s"(SELECT i, CAST((i % 5) * 1000 + 1000 AS DOUBLE) AS f FROM range($count) t(i))"
 
+  /** s_k = (A_k·s0 + C_k) mod 2^48 — `java.util.Random`'s LCG at step k
+    * in closed form, so the img16 oracle derives every blob parameter
+    * without sequential state. KernelSpec asserts this table (and the
+    * no-rejection fast path of `nextInt`) against `java.util.Random`
+    * for all fixture seeds. */
+  private[graft] val lcgStepConstants: Seq[(Int, Long, Long)] = Seq(
+    (1, 25214903917L, 11L), (2, 205749139540585L, 277363943098L),
+    (3, 233752471717045L, 11718085204285L), (4, 55986898099985L, 49720483695876L),
+    (5, 120950523281469L, 102626409374399L), (6, 76790647859193L, 25707281917278L),
+    (7, 61282721086213L, 25979478236433L), (8, 128954768138017L, 137139456763464L),
+    (9, 177269950146317L, 148267022728371L), (10, 19927021227657L, 127911637363266L),
+    (11, 92070806603349L, 65633894156837L), (12, 28158748839985L, 233987836661708L),
+    (13, 118637304785629L, 262259097190887L), (14, 127636996050457L, 159894566279526L),
+    (15, 12659659028133L, 156526639281273L), (16, 120681609298497L, 14307911880080L),
+    (17, 262331189124013L, 215905707320923L), (18, 31562171905705L, 5324043867850L),
+    (19, 1172916755445L, 71032958119949L), (20, 193905135338833L, 83935042429844L),
+    (21, 247073002637693L, 246566694182415L), (22, 112300943448121L, 149619956090478L),
+    (23, 219938666776133L, 259030427177185L), (24, 58725872150881L, 145080971318744L),
+    (25, 239969976468557L, 228115611557123L), (26, 94624061997769L, 53035585604690L),
+    (27, 145453462783381L, 249475337448181L), (28, 38540591316593L, 160613567801436L),
+    (29, 121251725909021L, 21610118862647L), (30, 132283442071129L, 229479197019254L),
+    (31, 54592345319909L, 277222176248393L), (32, 275731715003521L, 33313044635424L))
+
+  private def lcgSteps: String =
+    lcgStepConstants.map { case (k, a2, c2) => s"($k,$a2,$c2)" }.mkString(",")
+
+  /** DuckDB re-derivation of the FULL img16 pipeline: the 8 blob
+    * fixtures (seeds 42+i) from `java.util.Random`'s LCG in closed form
+    * ([[lcgSteps]]), gaussian blob accumulation, Float32 encode, 8-bit
+    * conversion (rint + clamp — `roundbankers` is the half-even
+    * mirror), gray→RGB replication, and the per-strategy means.
+    * Post-8-bit everything is integer-valued, so the strategy sums are
+    * exact in any order and the /16384 (2^14) division is exact — the
+    * only cross-engine tolerance is `exp` (≤1 ulp, absorbed by the
+    * Float32 encode and the rint step w.h.p.; deterministic for these
+    * fixed fixtures, verified green). Blob draw order per blob b:
+    * k = 4b+1..4b+4 → cx, cy, r = 2+d%6, amp = 100+d%155;
+    * nextInt(128) = next31 >> 24 (power-of-two path). */
+  private def img16OracleSql: String =
+    s"""WITH lcg(k, a2, c2) AS (VALUES $lcgSteps),
+      seeds AS (SELECT i, xor(CAST(42 + i AS BIGINT), 25214903917) AS s0
+        FROM range(8) t(i)),
+      draws AS (SELECT i, k,
+          CAST((CAST(a2 AS HUGEINT) * s0 + c2) % 281474976710656 AS BIGINT)
+            // 131072 AS d
+        FROM seeds, lcg),
+      blobs AS (SELECT i, (k - 1) // 4 AS b,
+          MAX(CASE WHEN (k - 1) % 4 = 0 THEN d // 16777216 END) AS cx,
+          MAX(CASE WHEN (k - 1) % 4 = 1 THEN d // 16777216 END) AS cy,
+          MAX(CASE WHEN (k - 1) % 4 = 2 THEN 2 + d % 6 END) AS r,
+          MAX(CASE WHEN (k - 1) % 4 = 3 THEN 100 + d % 155 END) AS amp
+        FROM draws GROUP BY i, (k - 1) // 4),
+      grid AS (SELECT i, x, y
+        FROM range(8) t(i), range(128) tx(x), range(128) ty(y)),
+      pxb AS (SELECT g.i, g.x, g.y,
+          CAST(COALESCE(SUM(b.amp * exp(
+            -CAST((g.x - b.cx) * (g.x - b.cx) + (g.y - b.cy) * (g.y - b.cy) AS DOUBLE)
+              / (2.0 * b.r * b.r))), 0) AS REAL) AS vf
+        FROM grid g LEFT JOIN blobs b ON b.i = g.i
+          AND g.x >= b.cx - 3 * b.r AND g.x <= b.cx + 3 * b.r - 1
+          AND g.y >= b.cy - 3 * b.r AND g.y <= b.cy + 3 * b.r - 1
+        GROUP BY g.i, g.x, g.y),
+      px8 AS (SELECT i, CAST(LEAST(255, GREATEST(0,
+          roundbankers(CAST(vf AS DOUBLE), 0))) AS BIGINT) AS v8 FROM pxb),
+      ag AS (SELECT i, SUM(v8) AS s1, SUM(v8 * 3) AS s3, SUM(v8 * 65793) AS si
+        FROM px8 GROUP BY i)
+      SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample,
+        CAST(s1 AS DOUBLE) / 16384.0 AS m_mean,
+        CAST(s3 AS DOUBLE) / 16384.0 AS m_sum,
+        CAST(s1 AS DOUBLE) / 16384.0 AS m_max,
+        CAST(si AS DOUBLE) / 16384.0 AS m_int,
+        CAST(s1 AS DOUBLE) / 16384.0 AS m_red
+      FROM ag ORDER BY sample"""
+
+  /** DuckDB re-derivation of the FULL img02 pipeline — seeded noise →
+    * 5×5 clamped median → 3×3 smooth → stats — on the 20 constant-fill
+    * 128×64 debug images. Every stage is engine-agnostic by
+    * construction (see [[graft.core.Kernels]] `addNoise`): the noise is
+    * integer-derived and dyadic (exact in Float32), the median is an
+    * exact order statistic, the smooth rounds through REAL (float32),
+    * and the only fp-order-sensitive step — the final mean/stdDev
+    * reduction — is floor-quantized to the 1e-4 grid on both sides.
+    * Constant-fill closed forms used: noiseSeed's content sum is
+    * 32·f·n² (n = 8192), and dims ⊕ = (128<<32)^64 = 549755813952. */
+  private def img02OracleSql: String = {
+    import graft.pipeline.HashSql._
+    val gamma = 0x9e3779b97f4a7c15L
+    // mix64 staged through CTE columns (HashSql convention)
+    def mix(cte: String, in: String, out: String, carry: String) =
+      s"""${cte}a AS (SELECT $carry, ${mixStage1(in)} AS z1 FROM ${cte}0),
+         ${cte}b AS (SELECT $carry, ${mixStage2("z1")} AS z2 FROM ${cte}a),
+         ${cte}c AS (SELECT $carry, ${mixStage3("z2")} AS z3 FROM ${cte}b),
+         $cte AS (SELECT $carry, ${mixStage4("z3")} AS $out FROM ${cte}c)"""
+    // Irwin–Hall: sum of twelve 5-bit chunks of the 64-bit draw
+    val chunkSum = (0 to 11)
+      .map(j => s"CAST(s // ${1L << (5 * j)} % 32 AS INTEGER)").mkString(" + ")
+    s"""WITH im0 AS (SELECT i, CAST((i % 5) * 1000 + 1000 AS DOUBLE) AS f,
+           xor(CAST((i % 5) * 1000 + 1000 AS UBIGINT) * 2147483648,
+               CAST(549755813952 AS UBIGINT)) AS sin
+         FROM range(20) t(i)),
+       ${mix("im", "sin", "seed0", "i, f")},
+       px0 AS (SELECT i, f, x, y,
+           ${addModExpr("seed0", mulMod("CAST(y * 128 + x + 1 AS UBIGINT)", gamma))} AS sin
+         FROM im, range(128) tx(x), range(64) ty(y)),
+       ${mix("px", "sin", "s", "i, f, x, y")},
+       noisy AS (SELECT i, x, y,
+           f + (($chunkSum) - 186) / 32.0 * 25.0 AS v FROM px),
+       d2 AS (SELECT CAST(a.d - 2 AS INTEGER) AS dx, CAST(b.d - 2 AS INTEGER) AS dy
+         FROM range(5) a(d), range(5) b(d)),
+       -- probe coordinates materialized FIRST so the neighbor lookup is
+       -- a composite-key equi-join (hash join on (i,nx,ny)), not a
+       -- per-image quadratic join on i alone
+       probe2 AS (SELECT a.i, a.x, a.y,
+           LEAST(127, GREATEST(0, a.x + d2.dx)) AS nx,
+           LEAST(63, GREATEST(0, a.y + d2.dy)) AS ny
+         FROM noisy a, d2),
+       med AS (SELECT p.i, p.x, p.y, median(n.v) AS v
+         FROM probe2 p JOIN noisy n
+           ON n.i = p.i AND n.x = p.nx AND n.y = p.ny
+         GROUP BY p.i, p.x, p.y),
+       d1 AS (SELECT CAST(a.d - 1 AS INTEGER) AS dx, CAST(b.d - 1 AS INTEGER) AS dy
+         FROM range(3) a(d), range(3) b(d)),
+       probe1 AS (SELECT a.i, a.x, a.y,
+           LEAST(127, GREATEST(0, a.x + d1.dx)) AS nx,
+           LEAST(63, GREATEST(0, a.y + d1.dy)) AS ny
+         FROM med a, d1),
+       sm AS (SELECT p.i, p.x, p.y, CAST(SUM(n.v) / 9.0 AS REAL) AS v
+         FROM probe1 p JOIN med n
+           ON n.i = p.i AND n.x = p.nx AND n.y = p.ny
+         GROUP BY p.i, p.x, p.y),
+       ag1 AS (SELECT i, SUM(CAST(v AS DOUBLE)) / 8192.0 AS mean FROM sm GROUP BY i),
+       ag2 AS (SELECT s.i, a.mean,
+           sqrt(SUM((CAST(s.v AS DOUBLE) - a.mean) * (CAST(s.v AS DOUBLE) - a.mean)) / 8192.0) AS sd
+         FROM sm s JOIN ag1 a ON a.i = s.i GROUP BY s.i, a.mean)
+       SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample,
+         floor(mean * 10000) / 10000.0 AS mean,
+         floor(sd * 10000) / 10000.0 AS "stdDev"
+       FROM ag2 ORDER BY sample"""
+  }
+
   /** The reference's workhorse fixture as a DataFrame
     * (createEmptyImages, scOps.scala:63-73). */
   def debugImages(s: SparkSession, count: Int = 20, width: Int = 128,
@@ -70,7 +210,11 @@ object ImageQueries {
         CAST(8192 AS BIGINT) AS pts
         FROM ${imSql(20)} ORDER BY sample""")),
 
-    // the 3-stage SQL pipeline (IJSqlTest.scala:150-170): noise → median → stats
+    // the 3-stage SQL pipeline (IJSqlTest.scala:150-170): noise → median →
+    // smooth → stats. The final mean/stdDev are floor-quantized to the
+    // 1e-4 grid so the oracle's re-derivation (identical pixels, but a
+    // different fp summation order in the final reduction) lands on the
+    // same grid cell.
     ("img02_pipeline",
       (s, _) => {
         ImageFunctions.registerAll(s)
@@ -81,9 +225,10 @@ object ImageQueries {
           .createOrReplaceTempView("FilteredImages")
         s.sql("""SELECT sample, run(fImg, 'Smooth') AS sImg FROM FilteredImages""")
           .createOrReplaceTempView("SmoothImages")
-        s.sql("""SELECT sample, stats(sImg)['mean'] AS mean, stats(sImg)['stdDev'] AS stdDev
+        s.sql("""SELECT sample, floor(stats(sImg)['mean'] * 10000) / 10000.0D AS mean,
+                        floor(stats(sImg)['stdDev'] * 10000) / 10000.0D AS stdDev
                  FROM SmoothImages ORDER BY sample""")
-      }, None),
+      }, Some(img02OracleSql)),
 
     // threshold + mask (PortableImagePlus.scala:366-377 semantics)
     ("img03_threshold",
@@ -342,7 +487,7 @@ object ImageQueries {
           .select(col("sample"), chan("mean").as("m_mean"), chan("sum").as("m_sum"),
             chan("max").as("m_max"), chan("int").as("m_int"), chan("red").as("m_red"))
           .orderBy(col("sample"))
-      }, None),
+      }, Some(img16OracleSql)),
 
     // distributed file sink → imagedir DSv2 source round trip (SURVEY
     // S2/K2): constant Float32 images save as 16-bit gray PNGs

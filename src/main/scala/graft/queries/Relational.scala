@@ -931,9 +931,14 @@ object Relational {
         val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_SUCCESS")))
           t(s, dir, "orders")
-            // epoch = the corpus minimum order date, so o_day >= 0 for
-            // every row (z_order REQUIRES non-negative axes and now
-            // throws rather than silently wrapping — ZOrderUtil.interleave)
+            // epoch contract: 1995-01-01 IS the measured corpus minimum
+            // of o_orderdate at sf0.001, sf0.01 and sf0.1 (verified
+            // against the regenerated testdata), so o_day >= 0 for
+            // every row. z_order REQUIRES non-negative axes; if a
+            // future regeneration moves the minimum earlier, the
+            // throw-on-negative guard in ZOrderUtil.interleave fails
+            // the ingest loudly instead of silently wrapping — update
+            // the epoch here AND in the oracle SQL below together.
             .withColumn("o_day",
               datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long"))
             .withColumn("zval",

@@ -422,4 +422,34 @@ class KernelSpec extends AnyFunSuite with Matchers {
       "8-bit", "setThreshold")
     Kernels.listPlugins.head should include ("=>")
   }
+
+  test("img16 oracle LCG closed form matches java.util.Random for all fixture seeds") {
+    // The img16/img05 blob fixtures draw (cx, cy, r, amp) per blob from
+    // java.util.Random; the DuckDB oracle replays those draws via the
+    // closed-form table s_k = (A_k·s0 + C_k) mod 2^48 and the
+    // NO-REJECTION fast paths of nextInt(128)/(6)/(155). This asserts
+    // both the table and the no-rejection assumption for every seed the
+    // fixtures use (42..61) — if a regenerated fixture ever hits the
+    // rejection path, this fails before the gate diverges.
+    val mask = (1L << 48) - 1
+    val steps = graft.queries.ImageQueries.lcgStepConstants
+    steps.size shouldBe 32
+    for (seed <- 42L to 61L) {
+      val rng = new java.util.Random(seed)
+      val s0 = (seed ^ 0x5DEECE66DL) & mask
+      def draw(k: Int): Long = {
+        val (_, a, c) = steps(k - 1)
+        // A_k·s0 ≤ 2^48·2^35 overflows a Long; BigInt mirrors the
+        // oracle's HUGEINT arithmetic exactly
+        ((BigInt(a) * s0 + c) % (BigInt(1) << 48)).toLong >>> 17
+      }
+      for (b <- 0 until 8) {
+        val k0 = 4 * b
+        rng.nextInt(128) shouldBe (draw(k0 + 1) >> 24)
+        rng.nextInt(128) shouldBe (draw(k0 + 2) >> 24)
+        rng.nextInt(6) shouldBe (draw(k0 + 3) % 6)
+        rng.nextInt(155) shouldBe (draw(k0 + 4) % 155)
+      }
+    }
+  }
 }
