@@ -81,8 +81,55 @@ object ClusterSmoke {
       }
       streamingStateSmoke(spark)
       println("[cluster-smoke] OK streaming_tws_sessions")
+      mgTimerSmoke(spark)
+      println("[cluster-smoke] OK streaming_mg_timer")
       println("[cluster-smoke] ALL OK")
     } finally spark.stop()
+  }
+
+  /** Timer-driven MG sketch snapshots under RocksDB across REAL
+    * executor processes — the last untested pairing: StreamingSpec
+    * covers the timer path in local[*] and [[streamingStateSmoke]]
+    * covers RocksDB cross-JVM for sessionization, but a processing-time
+    * timer + MapState candidate set had never crossed a worker-JVM
+    * RocksDB provider together. Substream 0 gets all its tokens up
+    * front and NO flush sentinel, so its {a, d} snapshot can only come
+    * from the periodic timer firing in an executor. */
+  private def mgTimerSmoke(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.TokIn]
+    val q = EventStreams.streamingHeavyHitterCandidates(mem.toDS(), k = 2,
+        snapshotEveryMs = 300L).toDF()
+      .writeStream.format("memory").queryName("cluster_mg_timer")
+      .outputMode("append").start()
+    try {
+      // a(4) and d(4) exceed N/(k+1) = 11/3, so the MG guarantee pins
+      // the capacity-2 candidate set to exactly {a, d} in any order
+      mem.addData(Seq("a", "a", "a", "a", "b", "c", "d", "d", "d", "d", "e")
+        .map(EventStreams.TokIn(0, _)): _*)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def sub0Tokens() = spark.table("cluster_mg_timer")
+        .filter(col("sub") === 0).select(col("token")).distinct().count()
+      var tick = 0L
+      while (sub0Tokens() < 2 && System.nanoTime() < deadline) {
+        mem.addData(EventStreams.TokIn(1, s"bystander$tick"))
+        tick += 1
+        Thread.sleep(250)
+      }
+      val got = spark.table("cluster_mg_timer").filter(col("sub") === 0)
+        .as[EventStreams.HHCand].collect().map(_.token).distinct.sorted.toList
+      if (got != List("a", "d"))
+        sys.error(s"mg timer smoke mismatch: got $got want List(a, d)")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   /** RocksDB-backed transformWithState across REAL executor processes:
