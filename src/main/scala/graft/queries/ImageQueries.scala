@@ -71,10 +71,13 @@ object ImageQueries {
     * fixed fixtures, verified green). Blob draw order per blob b:
     * k = 4b+1..4b+4 → cx, cy, r = 2+d%6, amp = 100+d%155;
     * nextInt(128) = next31 >> 24 (power-of-two path). */
-  private def img16OracleSql: String =
-    s"""WITH lcg(k, a2, c2) AS (VALUES $lcgSteps),
+  /** Shared WITH-fragment: the 128×128 blob fixtures (seeds 42+i) from
+    * the closed-form LCG — ends in a CTE `pxb(i, x, y, vf)` of exact
+    * Float32 blob pixel values. */
+  private def blobCtes(count: Int): String =
+    s"""lcg(k, a2, c2) AS (VALUES $lcgSteps),
       seeds AS (SELECT i, xor(CAST(42 + i AS BIGINT), 25214903917) AS s0
-        FROM range(8) t(i)),
+        FROM range($count) t(i)),
       draws AS (SELECT i, k,
           CAST((CAST(a2 AS HUGEINT) * s0 + c2) % 281474976710656 AS BIGINT)
             // 131072 AS d
@@ -86,7 +89,7 @@ object ImageQueries {
           MAX(CASE WHEN (k - 1) % 4 = 3 THEN 100 + d % 155 END) AS amp
         FROM draws GROUP BY i, (k - 1) // 4),
       grid AS (SELECT i, x, y
-        FROM range(8) t(i), range(128) tx(x), range(128) ty(y)),
+        FROM range($count) t(i), range(128) tx(x), range(128) ty(y)),
       pxb AS (SELECT g.i, g.x, g.y,
           CAST(COALESCE(SUM(b.amp * exp(
             -CAST((g.x - b.cx) * (g.x - b.cx) + (g.y - b.cy) * (g.y - b.cy) AS DOUBLE)
@@ -94,7 +97,10 @@ object ImageQueries {
         FROM grid g LEFT JOIN blobs b ON b.i = g.i
           AND g.x >= b.cx - 3 * b.r AND g.x <= b.cx + 3 * b.r - 1
           AND g.y >= b.cy - 3 * b.r AND g.y <= b.cy + 3 * b.r - 1
-        GROUP BY g.i, g.x, g.y),
+        GROUP BY g.i, g.x, g.y)"""
+
+  private def img16OracleSql: String =
+    s"""WITH ${blobCtes(8)},
       px8 AS (SELECT i, CAST(LEAST(255, GREATEST(0,
           roundbankers(CAST(vf AS DOUBLE), 0))) AS BIGINT) AS v8 FROM pxb),
       ag AS (SELECT i, SUM(v8) AS s1, SUM(v8 * 3) AS s3, SUM(v8 * 65793) AS si
@@ -107,6 +113,54 @@ object ImageQueries {
         CAST(s1 AS DOUBLE) / 16384.0 AS m_red
       FROM ag ORDER BY sample"""
 
+  /** DuckDB re-derivation of img05 particle analysis: the 20 blob
+    * fixtures ([[blobCtes]]), the ≥50 threshold mask, 8-connected
+    * component labeling, and per-particle areas.
+    *
+    * The labeling runs on HORIZONTAL RUNS (gaps-and-islands per row),
+    * not pixels — ~50× fewer nodes, so the recursive-CTE min-label
+    * fixpoint (the q59/q96 pattern) closes in ~1s instead of ~45s.
+    * Two runs are 8-adjacent iff they sit in consecutive rows with
+    * x-ranges overlapping after ±1 expansion; same-row runs are never
+    * adjacent (a gap of ≥1 pixel separates them by construction). The
+    * fixpoint propagates only labels ≤ the node: the component minimum
+    * always survives (every path node exceeds it), and MIN per node is
+    * unchanged. The engine renumbers components in raster order of
+    * first appearance (Kernels.analyzeSlice), which equals ascending
+    * minimum pixel index — ROW_NUMBER over the min run start
+    * reproduces it. Areas are integer counts: no quantization. */
+  private def img05OracleSql: String =
+    s"""WITH RECURSIVE ${blobCtes(20)},
+      mask AS (SELECT i, x, y FROM pxb
+        WHERE CAST(vf AS DOUBLE) >= 50.0 AND CAST(vf AS DOUBLE) <= 99999.0),
+      runs AS (SELECT i, y, MIN(x) AS x0, MAX(x) AS x1,
+          COUNT(*) AS len, MIN(y * 128 + x) AS p0
+        FROM (SELECT i, x, y,
+            x - ROW_NUMBER() OVER (PARTITION BY i, y ORDER BY x) AS grp
+          FROM mask) GROUP BY i, y, grp),
+      adj AS (SELECT a.i, a.p0 AS src, b.p0 AS dst
+        FROM runs a JOIN runs b ON b.i = a.i AND b.y = a.y + 1
+          AND b.x0 <= a.x1 + 1 AND a.x0 <= b.x1 + 1),
+      edges AS (SELECT i, p0 AS src, p0 AS dst FROM runs
+        UNION ALL SELECT i, src, dst FROM adj
+        UNION ALL SELECT i, dst AS src, src AS dst FROM adj),
+      reach(i, id, r) AS (
+        SELECT i, src, dst FROM edges WHERE dst <= src
+        UNION
+        SELECT e.i, e.src, reach.r FROM edges e
+          JOIN reach ON reach.i = e.i AND reach.id = e.dst
+        WHERE reach.r <= e.src),
+      comp AS (SELECT i, id AS p0, MIN(r) AS root FROM reach GROUP BY i, id),
+      parts AS (SELECT c.i, c.root, SUM(r.len) AS area
+        FROM comp c JOIN runs r ON r.i = c.i AND r.p0 = c.p0
+        GROUP BY c.i, c.root),
+      ranked AS (SELECT i, root, area,
+          ROW_NUMBER() OVER (PARTITION BY i ORDER BY root) - 1 AS particle
+        FROM parts)
+      SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample,
+        CAST(particle AS INTEGER) AS particle, CAST(area AS DOUBLE) AS area
+      FROM ranked ORDER BY sample, particle"""
+
   /** DuckDB re-derivation of the FULL img02 pipeline — seeded noise →
     * 5×5 clamped median → 3×3 smooth → stats — on the 20 constant-fill
     * 128×64 debug images. Every stage is engine-agnostic by
@@ -117,7 +171,11 @@ object ImageQueries {
     * reduction — is floor-quantized to the 1e-4 grid on both sides.
     * Constant-fill closed forms used: noiseSeed's content sum is
     * 32·f·n² (n = 8192), and dims ⊕ = (128<<32)^64 = 549755813952. */
-  private def img02OracleSql: String = {
+  /** Shared WITH-fragment: the 128×64 constant-fill debug images with
+    * the `Add Noise` stage re-derived in SQL — ends in a CTE
+    * `noisy(i, x, y, v)` of exact post-noise Float32 pixel values.
+    * (See [[graft.core.Kernels]] `addNoise` for why this is exact.) */
+  private def noisyCtes(count: Int): String = {
     import graft.pipeline.HashSql._
     val gamma = 0x9e3779b97f4a7c15L
     // mix64 staged through CTE columns (HashSql convention)
@@ -129,17 +187,21 @@ object ImageQueries {
     // Irwin–Hall: sum of twelve 5-bit chunks of the 64-bit draw
     val chunkSum = (0 to 11)
       .map(j => s"CAST(s // ${1L << (5 * j)} % 32 AS INTEGER)").mkString(" + ")
-    s"""WITH im0 AS (SELECT i, CAST((i % 5) * 1000 + 1000 AS DOUBLE) AS f,
+    s"""im0 AS (SELECT i, CAST((i % 5) * 1000 + 1000 AS DOUBLE) AS f,
            xor(CAST((i % 5) * 1000 + 1000 AS UBIGINT) * 2147483648,
                CAST(549755813952 AS UBIGINT)) AS sin
-         FROM range(20) t(i)),
+         FROM range($count) t(i)),
        ${mix("im", "sin", "seed0", "i, f")},
        px0 AS (SELECT i, f, x, y,
            ${addModExpr("seed0", mulMod("CAST(y * 128 + x + 1 AS UBIGINT)", gamma))} AS sin
          FROM im, range(128) tx(x), range(64) ty(y)),
        ${mix("px", "sin", "s", "i, f, x, y")},
        noisy AS (SELECT i, x, y,
-           f + (($chunkSum) - 186) / 32.0 * 25.0 AS v FROM px),
+           f + (($chunkSum) - 186) / 32.0 * 25.0 AS v FROM px)"""
+  }
+
+  private def img02OracleSql: String =
+    s"""WITH ${noisyCtes(20)},
        d2 AS (SELECT CAST(a.d - 2 AS INTEGER) AS dx, CAST(b.d - 2 AS INTEGER) AS dy
          FROM range(5) a(d), range(5) b(d)),
        -- probe coordinates materialized FIRST so the neighbor lookup is
@@ -171,7 +233,34 @@ object ImageQueries {
          floor(mean * 10000) / 10000.0 AS mean,
          floor(sd * 10000) / 10000.0 AS "stdDev"
        FROM ag2 ORDER BY sample"""
-  }
+
+  /** DuckDB re-derivation of the img08 parameter sweep: the SAME noise
+    * stage as img02 ([[noisyCtes]], 6 images), then one clamped median
+    * per radius r ∈ {1,2,3} and the per-(image, radius) stdDev,
+    * floor-quantized to the 1e-4 grid on both sides. */
+  private def img08OracleSql: String =
+    s"""WITH ${noisyCtes(6)},
+       radii AS (SELECT CAST(r AS INTEGER) AS r FROM range(1, 4) t(r)),
+       dd AS (SELECT radii.r, CAST(a.d - 3 AS INTEGER) AS dx,
+           CAST(b.d - 3 AS INTEGER) AS dy
+         FROM range(7) a(d), range(7) b(d), radii
+         WHERE abs(a.d - 3) <= radii.r AND abs(b.d - 3) <= radii.r),
+       probe AS (SELECT a.i, dd.r, a.x, a.y,
+           LEAST(127, GREATEST(0, a.x + dd.dx)) AS nx,
+           LEAST(63, GREATEST(0, a.y + dd.dy)) AS ny
+         FROM noisy a, dd),
+       med AS (SELECT p.i, p.r, p.x, p.y, median(n.v) AS v
+         FROM probe p JOIN noisy n
+           ON n.i = p.i AND n.x = p.nx AND n.y = p.ny
+         GROUP BY p.i, p.r, p.x, p.y),
+       ag1 AS (SELECT i, r, SUM(v) / 8192.0 AS mean FROM med GROUP BY i, r),
+       ag2 AS (SELECT m.i, m.r,
+           sqrt(SUM((m.v - a.mean) * (m.v - a.mean)) / 8192.0) AS sd
+         FROM med m JOIN ag1 a ON a.i = m.i AND a.r = m.r GROUP BY m.i, m.r)
+       SELECT '/imgs/' || CAST(i AS VARCHAR) AS sample,
+         'radius=' || CAST(r AS VARCHAR) AS args,
+         floor(sd * 10000) / 10000.0 AS "stdDev"
+       FROM ag2 ORDER BY sample, args"""
 
   /** The reference's workhorse fixture as a DataFrame
     * (createEmptyImages, scOps.scala:63-73). */
@@ -270,7 +359,7 @@ object ImageQueries {
           .select(col("sample"), posexplode(element_at(table, "Area")))
           .toDF("sample", "particle", "area")
           .orderBy(col("sample"), col("particle"))
-      }, None),
+      }, Some(img05OracleSql)),
 
     // image subtraction post-join (SURVEY J1: the reference's only
     // "join" shape, rebuilt as a real equi-join + 2-arg UDF)
@@ -319,10 +408,14 @@ object ImageQueries {
           .withColumn("args", explode(typedLit(params)))
         val noisy = ImageFunctions.runUdf(col("image"), lit("Add Noise"))
         val filtered = ImageFunctions.run2Udf(noisy, lit("Median..."), col("args"))
+        // stdDev floor-quantized to the 1e-4 grid (same rationale as
+        // img02: the oracle re-derives identical pixels but reduces in
+        // a different fp order)
         swept.select(col("sample"), col("args"),
-            ImageFunctions.statsUdf(filtered).getField("stdDev").as("stdDev"))
+            (floor(ImageFunctions.statsUdf(filtered).getField("stdDev") * 10000) /
+              10000.0).as("stdDev"))
           .orderBy(col("sample"), col("args"))
-      }, None),
+      }, Some(img08OracleSql)),
 
     // provenance log round-trip: every op appended, json-parseable
     ("img09_provenance",
