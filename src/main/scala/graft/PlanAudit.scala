@@ -277,6 +277,15 @@ object PlanAudit {
           "aggregate struct-min, not a sort or window",
         Seq("HashAggregate", "vec_dot"),
         Seq("Window", "CartesianProduct")),
+      ("q114_pq_encode",
+        "PQ encode: codebooks reduce through the q79 map-side-combining " +
+          "hash aggregation (|labels|·dim cells); encoding is a " +
+          "broadcast nested loop against the |labels| codebook ROWS " +
+          "(constant-size build side) with per-subspace vec_dot slices, " +
+          "and all m argmins collapse into ONE hash-aggregate " +
+          "struct-min pass — no sort, no window, one corpus scan",
+        Seq("HashAggregate", "vec_dot"),
+        Seq("Window", "CartesianProduct")),
       ("q97_semdedup",
         "semantic dedup: cluster assignment reuses the q79 broadcast-" +
           "centroid shape; the cosine-pruning candidate join is an " +

@@ -294,6 +294,89 @@ object Similarity {
           (acc, t) -> acc + t) AS recon_err
       FROM q ORDER BY vec_id"""
 
+  /** Product quantization (PQ) encode — the ANN memory-compression
+    * step between int8 scalar quantization ([[int8Quantize]], 4×) and
+    * binary hashing: split each d-dim vector into `m` subvectors and
+    * replace every subvector with the id of its nearest codebook entry
+    * (Jégou et al. 2011), storing m small codes per vector (here
+    * m·log₂|labels| bits vs 32·d). Codebooks are trained
+    * DETERMINISTICALLY, like q79's quantizer: codebook j = the
+    * per-label grid-mean centroids restricted to subspace j. Distances
+    * use the ‖v‖²+‖c‖²−2v·c identity on the 1e-4 grid before each
+    * per-subspace argmin (ties → lowest label), so codes — and the
+    * summed grid reconstruction error — are engine-exact.
+    *
+    * Scale shape: the codebook aggregation is one posexplode + hash
+    * agg into |labels|·d cells (map-side combined, corpus-size-free);
+    * encoding is a broadcast cross join against |labels| centroid rows
+    * scored by the codegen'd vec_dot kernel on array slices, then one
+    * hash-aggregated struct-min per subspace — one corpus scan, no
+    * vector shuffle. At 100 TB the codes (a few bytes/vector) are what
+    * an ANN index materializes instead of the raw embeddings. */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val spark = embeddings.sparkSession
+    def ndot(a: Column, b: Column): Column = nativeDot(spark)(a, b)
+    val e = PartitionUtil.spread(embeddings).select(col("vec_id"),
+      col("label").cast("long").as("label"), asDouble(col("embedding")).as("v"))
+    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("k", "x")))
+    val cent = dims.groupBy(col("label"), col("k"))
+      .agg((sum(floor(col("x") * lit(10000.0)).cast("long")).cast("double")
+        / lit(10000.0) / count(col("x"))).as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("k"), col("c")))).as("kc"))
+      .select(col("label").as("clabel"), expr("transform(kc, p -> p.c)").as("cv"))
+    def vs(c: Column, j: Int): Column = slice(c, j * sub + 1, sub)
+    val scored = e.crossJoin(broadcast(carr))
+      .select(Seq(col("vec_id"), col("label"), col("clabel")) ++
+        (0 until m).map { j =>
+          val (a, b) = (vs(col("v"), j), vs(col("cv"), j))
+          floor((ndot(a, a) + ndot(b, b) - lit(2.0) * ndot(a, b))
+            * lit(10000.0)).cast("long").as(s"dg_$j")
+        }: _*)
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dg_0"), col("clabel"))).as("b_0"),
+        (1 until m).map(j =>
+          min(struct(col(s"dg_$j"), col("clabel"))).as(s"b_$j")): _*)
+      .select(Seq(col("vec_id"), col("label")) ++
+        (0 until m).map(j => col(s"b_$j.clabel").as(s"code_$j")) :+
+        (0 until m).map(j => col(s"b_$j.dg_$j")).reduce(_ + _).as("recon_g"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[pqEncode]] — same grid centroids, same
+    * slice-fold distance identity, argmin as ROW_NUMBER over
+    * (dg, clabel). */
+  private[graft] def pqEncodeOracleSql(m: Int = 4, dim: Int = 64): String = {
+    val sub = dim / m
+    val codeCols = (0 until m)
+      .map(j => s"MAX(CASE WHEN j = $j THEN clabel END) AS code_$j").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ks AS (SELECT unnest(range(0, $dim)) AS k),
+      dims AS (SELECT label, k, v[k + 1] AS x FROM e CROSS JOIN ks),
+      cent AS (SELECT label, k,
+          (CAST(SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(x) AS c
+        FROM dims GROUP BY label, k),
+      carr AS (SELECT label AS clabel, list(c ORDER BY k) AS cv FROM cent GROUP BY label),
+      js AS (SELECT unnest(range(0, $m)) AS j),
+      scored AS (SELECT e.vec_id, e.label, c.clabel, js.j,
+          CAST(FLOOR((
+            list_reduce(list_transform(range(js.j * $sub + 1, js.j * $sub + ${sub + 1}),
+              k -> v[k] * v[k]), (x, y) -> x + y)
+            + list_reduce(list_transform(range(js.j * $sub + 1, js.j * $sub + ${sub + 1}),
+              k -> cv[k] * cv[k]), (x, y) -> x + y)
+            - 2.0 * list_reduce(list_transform(range(js.j * $sub + 1, js.j * $sub + ${sub + 1}),
+              k -> v[k] * cv[k]), (x, y) -> x + y)) * 10000.0) AS BIGINT) AS dg
+        FROM e CROSS JOIN carr c CROSS JOIN js),
+      r AS (SELECT vec_id, label, clabel, j, dg,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dg, clabel) AS rn
+        FROM scored)
+      SELECT vec_id, label, $codeCols, CAST(SUM(dg) AS BIGINT) AS recon_g
+      FROM r WHERE rn = 1 GROUP BY vec_id, label ORDER BY vec_id"""
+  }
+
   /** IVF-style approximate NN: a k-means coarse quantizer (MLlib,
     * seeded) partitions the corpus into `nClusters` inverted lists;
     * each query probes its `nProbe` nearest centroids and scores only

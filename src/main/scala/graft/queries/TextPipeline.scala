@@ -905,6 +905,13 @@ object TextPipeline {
       (s, dir) => TextFunctions.bigramSurprise(t(s, dir, "documents")),
       Some(TextFunctions.bigramSurpriseOracleSql)),
 
+    // ---- product-quantization encode: per-subspace nearest-codebook
+    // codes + grid reconstruction error (deterministic per-label
+    // codebooks, broadcast argmin per subspace) ----
+    ("q114_pq_encode",
+      (s, dir) => Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, dim = 64),
+      Some(Similarity.pqEncodeOracleSql(m = 4, dim = 64))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

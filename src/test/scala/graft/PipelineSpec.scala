@@ -369,6 +369,36 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long)].collect().toList shouldBe got
   }
 
+  test("PQ encode: hand-computed per-subspace codes, tie-break to lowest label, grid recon") {
+    import spark.implicits._
+    // dim=4, m=2 (sub=2). Centroids: c0=(1,0,2,2), c1=(0,1,0,2),
+    // c2=(1,0,0,2). Hand-computed: vec 0 (1,0,2,0): sub0 ties c0/c2 at
+    // 0 -> code 0; sub1 (2,0) vs c0 (2,2) dist 4 -> dg 40000. vec 5/6
+    // (1,0,0,2): sub0 ties c0/c2 -> 0; sub1 ties c1/c2 -> 1 — both
+    // tie-breaks to the LOWEST label, codes cross labels.
+    val rows = Seq(
+      (0L, 0L, Array(1f, 0f, 2f, 0f)),
+      (1L, 0L, Array(1f, 0f, 2f, 2f)),
+      (2L, 0L, Array(1f, 0f, 2f, 4f)),
+      (3L, 1L, Array(0f, 1f, 0f, 2f)),
+      (4L, 1L, Array(0f, 1f, 0f, 2f)),
+      (5L, 2L, Array(1f, 0f, 0f, 2f)),
+      (6L, 2L, Array(1f, 0f, 0f, 2f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.pqEncode(df, m = 2, dim = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    got shouldBe List(
+      (0L, 0L, 0L, 0L, 40000L),
+      (1L, 0L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 0L, 40000L),
+      (3L, 1L, 1L, 1L, 0L),
+      (4L, 1L, 1L, 1L, 0L),
+      (5L, 2L, 0L, 1L, 0L),
+      (6L, 2L, 0L, 1L, 0L))
+    Similarity.pqEncode(df.repartition(5), m = 2, dim = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toList shouldBe got
+  }
+
   test("semantic dedup prunes high-cosine pairs within clusters, keeps lowest id") {
     import spark.implicits._
     // two well-separated clusters; ids 2 and 5 are scaled copies of ids
