@@ -328,11 +328,22 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("k"), col("c")))).as("kc"))
       .select(col("label").as("clabel"), expr("transform(kc, p -> p.c)").as("cv"))
     def vs(c: Column, j: Int): Column = slice(c, j * sub + 1, sub)
-    val scored = e.crossJoin(broadcast(carr))
+    // slice each side ONCE and carry per-subspace self-dots, so the
+    // broadcast join computes only the m cross dots per (vector, code)
+    // pair — not 3m slices + 3m dots
+    val vsliced = e.select(Seq(col("vec_id"), col("label")) ++
+      (0 until m).map(j => vs(col("v"), j).as(s"v_$j")) ++
+      (0 until m).map(j =>
+        ndot(vs(col("v"), j), vs(col("v"), j)).as(s"vv_$j")): _*)
+    val csliced = carr.select(Seq(col("clabel")) ++
+      (0 until m).map(j => vs(col("cv"), j).as(s"c_$j")) ++
+      (0 until m).map(j =>
+        ndot(vs(col("cv"), j), vs(col("cv"), j)).as(s"cc_$j")): _*)
+    val scored = vsliced.crossJoin(broadcast(csliced))
       .select(Seq(col("vec_id"), col("label"), col("clabel")) ++
         (0 until m).map { j =>
-          val (a, b) = (vs(col("v"), j), vs(col("cv"), j))
-          floor((ndot(a, a) + ndot(b, b) - lit(2.0) * ndot(a, b))
+          floor((col(s"vv_$j") + col(s"cc_$j")
+            - lit(2.0) * ndot(col(s"v_$j"), col(s"c_$j")))
             * lit(10000.0)).cast("long").as(s"dg_$j")
         }: _*)
     scored.groupBy(col("vec_id"), col("label"))
