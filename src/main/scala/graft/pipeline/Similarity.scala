@@ -388,6 +388,70 @@ object Similarity {
       FROM r WHERE rn = 1 GROUP BY vec_id, label ORDER BY vec_id"""
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    * of the BM25 lexical ranking ([[TextFunctions.bm25Search]]) and
+    * the dense ANN cosine ranking ([[bruteForceTopK]]) for one query:
+    * score(d) = Σ_lists 1/(C + rank_d), absent list → 0. Ranks are
+    * integers, so each term is ONE exact division and the two-term sum
+    * is engine-exact — no grid needed; ties break on doc_id. Missing
+    * ranks surface as -1, never NULL (q111 lesson: NULL ints decay to
+    * float64 in pandas readers and would soften the gate).
+    *
+    * Scale shape: the fusion itself touches only the two k-row top-k
+    * lists (a constant-size join, trivially broadcast); the corpus
+    * work lives in the two retrieval legs, each with its own
+    * documented plan (q109 postings pruning, q29 broadcast-query
+    * scoring with map-side partial top-k). */
+  def hybridRetrieve(docs: DataFrame, embeddings: DataFrame,
+                     queryId: Long, terms: Seq[String],
+                     kEach: Int = 20, kOut: Int = 10,
+                     c: Int = 60): DataFrame = {
+    val bm = TextFunctions.bm25Search(docs, terms, kEach)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("bm25_rank"))
+    val ann = bruteForceTopK(embeddings, col("vec_id") === queryId, kEach)
+      .select(col("nid"), col("rank").as("ann_rank"))
+    def contrib(r: Column): Column =
+      when(r > 0, lit(1.0) / (lit(c.toDouble) + r.cast("double"))).otherwise(lit(0.0))
+    bm.join(ann, bm("doc_id") === ann("nid"), "full_outer")
+      .select(coalesce(col("doc_id"), col("nid")).as("doc_id"),
+        coalesce(col("bm25_rank"), lit(-1L)).as("bm25_rank"),
+        coalesce(col("ann_rank"), lit(-1L)).as("ann_rank"))
+      .withColumn("rrf_score",
+        contrib(col("bm25_rank")) + contrib(col("ann_rank")))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(kOut)
+  }
+
+  /** DuckDB oracle for [[hybridRetrieve]]: the BM25 oracle as a CTE,
+    * the q29-style cosine ranking restricted to the query id, the same
+    * CASE/COALESCE fusion arithmetic in the same order. */
+  private[graft] def hybridRetrieveOracleSql(queryId: Long, terms: Seq[String],
+                                             kEach: Int = 20, kOut: Int = 10,
+                                             c: Int = 60): String =
+    s"""WITH bmq AS (${TextFunctions.bm25SearchOracleSql(terms, kEach)}),
+      bm AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+        FROM bmq),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sims AS (SELECT b.vec_id AS nid, list_cosine_similarity(a.v, b.v) AS sim
+        FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id = $queryId),
+      ann AS (SELECT nid, rnk AS ann_rank FROM (
+          SELECT nid, ROW_NUMBER() OVER (ORDER BY sim DESC, nid) AS rnk
+          FROM sims) WHERE rnk <= $kEach),
+      fused AS (SELECT COALESCE(bm.doc_id, ann.nid) AS doc_id,
+          COALESCE(bm.bm25_rank, -1) AS bm25_rank,
+          COALESCE(ann.ann_rank, -1) AS ann_rank
+        FROM bm FULL OUTER JOIN ann ON ann.nid = bm.doc_id)
+      SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+        CAST(ann_rank AS BIGINT) AS ann_rank,
+        (CASE WHEN bm25_rank > 0 THEN 1.0 / ($c.0 + CAST(bm25_rank AS DOUBLE)) ELSE 0.0 END
+         + CASE WHEN ann_rank > 0 THEN 1.0 / ($c.0 + CAST(ann_rank AS DOUBLE)) ELSE 0.0 END)
+          AS rrf_score
+      FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $kOut"""
+
   /** IVF-style approximate NN: a k-means coarse quantizer (MLlib,
     * seeded) partitions the corpus into `nClusters` inverted lists;
     * each query probes its `nProbe` nearest centroids and scores only

@@ -912,6 +912,16 @@ object TextPipeline {
       (s, dir) => Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, dim = 64),
       Some(Similarity.pqEncodeOracleSql(m = 4, dim = 64))),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion of the BM25
+    // lexical ranking with the dense cosine ranking — exact two-term
+    // 1/(60+rank) arithmetic, missing ranks as -1 ----
+    ("q115_rrf_fusion",
+      (s, dir) => Similarity.hybridRetrieve(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        queryId = 7L, terms = Seq("hash", "join", "vector", "spark")),
+      Some(Similarity.hybridRetrieveOracleSql(
+        queryId = 7L, terms = Seq("hash", "join", "vector", "spark")))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

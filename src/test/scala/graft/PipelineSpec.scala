@@ -399,6 +399,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long, Long)].collect().toList shouldBe got
   }
 
+  test("hybrid RRF fusion: overlapping doc fuses both ranks; absent list contributes 0") {
+    import spark.implicits._
+    // doc 1 wins BOTH legs (both terms + identical direction to the
+    // query vector) -> 1/61 + 1/61; doc 3 matches no term, so its bm25
+    // rank is -1 and only the ann leg contributes
+    val docs = Seq((1L, "hash join"), (2L, "hash zzz yyy xxx"), (3L, "qqq"))
+      .toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.hybridRetrieve(docs, embs, queryId = 0L,
+        terms = Seq("hash", "join"))
+      .as[(Long, Long, Long, Double)].collect().toList
+    got shouldBe List(
+      (1L, 1L, 1L, 1.0 / 61.0 + 1.0 / 61.0),
+      (2L, 2L, 2L, 1.0 / 62.0 + 1.0 / 62.0),
+      (3L, -1L, 3L, 0.0 + 1.0 / 63.0))
+    Similarity.hybridRetrieve(docs.repartition(3), embs.repartition(2), 0L,
+        terms = Seq("hash", "join"))
+      .as[(Long, Long, Long, Double)].collect().toList shouldBe got
+  }
+
   test("semantic dedup prunes high-cosine pairs within clusters, keeps lowest id") {
     import spark.implicits._
     // two well-separated clusters; ids 2 and 5 are scaled copies of ids
