@@ -98,6 +98,27 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("noise kernel: dyadic offsets bounded by ±(186/32)·σ, deterministic, content-seeded") {
+    import graft.core.Kernels
+    val genFill = Gen.choose(0, 5000).map(_.toDouble)
+    val genDims = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24)
+    } yield (w, h)
+    check("noise-bounds", Prop.forAll(genFill, genDims) { case (f, (w, h)) =>
+      val img = Kernels.constantImage(w, h, 1, f, PixelCodec.Float32)
+      val noisy = Kernels.run(img, "Add Noise")
+      val px = noisy.toDoubles
+      val bound = 186.0 / 32.0 * 25.0 // max |Irwin–Hall sum − 186| / 32 · σ
+      val bounded = px.zip(img.toDoubles).forall { case (v, o) =>
+        math.abs(v - o) <= bound &&
+          (v * 32.0) == math.rint(v * 32.0) // dyadic: 5 fractional bits survive Float32
+      }
+      // deterministic per content; different fill → different seed path
+      val again = Kernels.run(img, "Add Noise")
+      bounded && java.util.Arrays.equals(noisy.data, again.data)
+    })
+  }
+
   test("gram aggregator: any split tree equals the direct double loop") {
     val genVecs = Gen.listOf(Gen.listOfN(4, Gen.choose(-64, 64).map(_ / 8.0f)))
     val genSeed = Gen.choose(0L, Long.MaxValue)
