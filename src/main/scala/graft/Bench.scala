@@ -4,10 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — the driver's per-round throughput probe.
   *
-  * Runs every declared query twice: an unmeasured warm-up pass (JIT +
-  * whole-stage-codegen compilation + OS page cache for the parquet
-  * inputs), then a timed pass. Reported numbers are steady-state
-  * per-query wall seconds; output is the contract's single JSON line.
+  * Runs every declared query three times: an unmeasured warm-up pass
+  * (JIT + whole-stage-codegen compilation + OS page cache for the
+  * parquet inputs), then TWO timed passes. The reported per-query
+  * figure is the MIN of the two timed readings — a box that takes a
+  * background-load hit during one pass (the documented drift class in
+  * docs/BENCH_METHOD.md: GC from a preceding Verify run, page-cache
+  * eviction, CPU contention) still records the steady-state number,
+  * because transient load only ever ADDS time. Both raw pass totals
+  * are emitted alongside so a polluted pass is visible, not hidden.
+  * Output is the contract's single JSON line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,15 +43,21 @@ object Bench {
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
-    val results = queries.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> math.min(a, b)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val t1 = pass1.map(_._2).sum; val t2 = pass2.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[$t1,$t2],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

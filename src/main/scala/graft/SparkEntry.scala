@@ -27,4 +27,16 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     all.collect { case (name, _, Some(sql)) => name -> sql }.toMap
+
+  /** Oracles whose SQL inlines deterministic fitted parameters
+    * recomputed from the given sf directory (IVF centroids, PCA μ/W)
+    * — generated at Verify time so the literals match the data the
+    * gate actually ran on. Disjoint from [[oracleSql]] keys. */
+  def dataOracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    TextPipeline.dataOracles.flatMap { case (name, build) =>
+      try Some(name -> build(spark, dir))
+      catch { case e: Throwable =>
+        System.err.println(s"[oracle] $name fit failed: ${e.getMessage}"); None
+      }
+    }
 }

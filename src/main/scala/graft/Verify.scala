@@ -46,7 +46,7 @@ object Verify {
     // can never clobber the gate's files): substitute the actual sf
     // basename so the dumped SQL reads exactly the files THIS run wrote.
     val sfBase = Paths.get(sfDir).getFileName.toString
-    val json = SparkEntry.oracleSql
+    val json = (SparkEntry.oracleSql ++ SparkEntry.dataOracleSql(spark, sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("@SF@", sfBase))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

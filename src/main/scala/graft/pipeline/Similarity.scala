@@ -475,23 +475,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", normalizeUdf(col("v")))
       .cache()
-    // Fit the coarse quantizer on a CONTENT-HASH sample collected to the
-    // driver (standard IVF practice — the quantizer problem is tiny:
-    // ≤ maxFitSample vectors, nClusters·dim centroid doubles), so
-    // k-means iterations cost zero cluster scans and the full corpus
-    // is scanned exactly once, for assignment. The fit set is the
-    // maxFitSample rows with the LOWEST md5(seed, vec_id) — a pure
-    // function of row content, so centroids (hence results) are
-    // identical across partition counts and environments, unlike
-    // sample()+take() whose outcome depends on partition order.
-    // orderBy+limit compiles to TakeOrderedAndProject: per-partition
-    // top-k then a driver merge, no shuffle of the corpus.
-    val fitData = base
-      .select(col("v"), md5(concat_ws("-", lit(s"ivf-fit-$seed"), col("vec_id"))).as("fk"))
-      .orderBy(col("fk"))
-      .limit(maxFitSample)
-      .select(col("v")).as[Array[Double]].collect()
-    val centers = lloydKMeans(fitData, nClusters, iters = 10, seed = seed)
+    val centers = ivfFitCenters(embeddings, nClusters, seed, maxFitSample)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
     val assignUdf = udf { v: Array[Double] => Similarity.nearestCenter(bcCenters.value, v) }
@@ -514,6 +498,72 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"))
     val out = topKPerKey(sims, "qid", k)
     out
+  }
+
+  /** The IVF coarse-quantizer fit, shared between [[ivfTopK]] and its
+    * oracle builder ([[ivfTopKOracleSql]]) so both see the identical
+    * centroids. Fit on a CONTENT-HASH sample collected to the driver
+    * (standard IVF practice — the quantizer problem is tiny:
+    * ≤ maxFitSample vectors, nClusters·dim centroid doubles), so
+    * k-means iterations cost zero cluster scans and the full corpus
+    * is scanned exactly once, for assignment. The fit set is the
+    * maxFitSample rows with the LOWEST md5(seed, vec_id) — a pure
+    * function of row content, so centroids (hence results) are
+    * identical across partition counts and environments, unlike
+    * sample()+take() whose outcome depends on partition order.
+    * orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    * top-k then a driver merge, no shuffle of the corpus. */
+  private[graft] def ivfFitCenters(embeddings: DataFrame, nClusters: Int = 16,
+                                   seed: Long = 42L,
+                                   maxFitSample: Int = 65536): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val fitData = PartitionUtil.spread(embeddings)
+      .select(asDouble(col("embedding")).as("v"),
+        md5(concat_ws("-", lit(s"ivf-fit-$seed"), col("vec_id"))).as("fk"))
+      .orderBy(col("fk"))
+      .limit(maxFitSample)
+      .select(col("v")).as[Array[Double]].collect()
+    lloydKMeans(fitData, nClusters, iters = 10, seed = seed)
+  }
+
+  /** DuckDB oracle for [[ivfTopK]]: the deterministic fitted centroids
+    * are inlined as full-precision double literals (the q54 pattern
+    * extended to a data-dependent fit — [[ivfFitCenters]] is rerun at
+    * oracle-build time on the same table, so the literals equal the
+    * impl's centroids bit-for-bit), and every fold mirrors the
+    * Spark-side sequential loops: sqDist's (a−b)² left fold for
+    * assignment and probe selection (ties → lowest centroid id, the
+    * strict-< scan order of `nearestCenter`), normalizeUdf's
+    * zero-guarded x/‖v‖, and the normalized dot. Output is ranks. */
+  private[graft] def ivfTopKOracleSql(centers: Array[Array[Double]], queryCond: String,
+                                      k: Int, nProbe: Int = 4, dim: Int = 64): String = {
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    val centRows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
+    }.mkString(",\n      ")
+    s"""WITH cent AS (SELECT * FROM (VALUES $centRows) t(cid, cv)),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nv AS (SELECT vec_id, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+      FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS nrm FROM e)),
+    d AS (SELECT vec_id, cid, ${fold("(v[k] - cv[k]) * (v[k] - cv[k])")} AS dist
+      FROM e CROSS JOIN cent),
+    asg AS (SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d) WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cluster FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d WHERE $queryCond) WHERE rn <= $nProbe),
+    sims AS (SELECT p.qid, a.vec_id AS nid, ${fold("q.nv[k] * b.nv[k]")} AS sim
+      FROM probes p JOIN asg a ON a.cluster = p.cluster
+      JOIN nv q ON q.vec_id = p.qid
+      JOIN nv b ON b.vec_id = a.vec_id
+      WHERE a.vec_id <> p.qid)
+    SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+      SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM sims)
+    WHERE rnk <= $k ORDER BY qid, rank"""
   }
 
   private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
@@ -609,10 +659,35 @@ object Similarity {
     * `eps` regularizes small eigenvalues (λ ← λ + eps) so the inverse
     * square root is stable when the corpus is rank-deficient. */
   def pcaWhiten(embeddings: DataFrame, d: Int = 64, eps: Double = 1e-6): DataFrame = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val spark = embeddings.sparkSession
     val base = PartitionUtil.spread(embeddings)
       .select(col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v"))
+    val (meanQ, w) = pcaFitParams(embeddings, d, eps)
+    val bcW = spark.sparkContext.broadcast(w)
+    val bcMean = spark.sparkContext.broadcast(meanQ)
+
+    val whiten = udf { v: Seq[Double] =>
+      val mu = bcMean.value; val m = bcW.value
+      val centered = Array.tabulate(v.length)(k => v(k) - mu(k))
+      Array.tabulate(m.length) { r =>
+        var acc = 0.0; var k = 0
+        while (k < centered.length) { acc += m(r)(k) * centered(k); k += 1 }
+        acc
+      }
+    }
+    base.select(col("vec_id"), whiten(col("v")).as("whitened"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The PCA-whitening fit (μ, W), shared between [[pcaWhiten]] and its
+    * oracle builder so both see identical parameters: quantized second
+    * moment + quantized mean (both exact integer aggregations, so the
+    * fit is bit-deterministic under any partitioning), then a
+    * driver-side Jacobi eigendecomposition of the d×d covariance. */
+  private[graft] def pcaFitParams(embeddings: DataFrame, d: Int = 64,
+                                  eps: Double = 1e-6): (Array[Double], Array[Array[Double]]) = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val base = PartitionUtil.spread(embeddings).select(col("embedding"))
 
     // scan 1: second moment, first moment, and count in ONE
     // aggregation (two udafs side by side — Spark evaluates both over
@@ -645,20 +720,32 @@ object Similarity {
     val w = Array.tabulate(d, d) { (r, k) =>
       eigVecs(r)(k) / math.sqrt(eigVals(r) + eps)
     }
-    val bcW = spark.sparkContext.broadcast(w)
-    val bcMean = spark.sparkContext.broadcast(meanQ)
+    (meanQ, w)
+  }
 
-    val whiten = udf { v: Seq[Double] =>
-      val mu = bcMean.value; val m = bcW.value
-      val centered = Array.tabulate(v.length)(k => v(k) - mu(k))
-      Array.tabulate(m.length) { r =>
-        var acc = 0.0; var k = 0
-        while (k < centered.length) { acc += m(r)(k) * centered(k); k += 1 }
-        acc
-      }
-    }
-    base.select(col("vec_id"), whiten(col("v")).as("whitened"))
-      .orderBy(col("vec_id"))
+  /** DuckDB oracle for the q93 gate shape of [[pcaWhiten]] (the
+    * posexploded (vec_id, i, x) rows with x floored to the 1e-4 grid):
+    * μ and the 64 rows of W are inlined as full-precision double
+    * literals — both engines round-trip shortest-repr strings to the
+    * identical binary doubles — and the projection replays the whiten
+    * UDF's exact arithmetic: w_r[k]·(v[k]−μ[k]) accumulated in a
+    * k-ascending left fold. Inputs being bit-identical, the grid floor
+    * lands every cell on the same value. */
+  private[graft] def pcaWhitenOracleSql(mu: Array[Double], w: Array[Array[Double]],
+                                        dim: Int = 64): String = {
+    val wRows = w.zipWithIndex.map { case (row, r) =>
+      s"($r, ${row.map(_.toString).mkString("[", ",", "]")})"
+    }.mkString(",\n      ")
+    val muLit = mu.map(_.toString).mkString("[", ",", "]")
+    s"""WITH wt AS (SELECT * FROM (VALUES $wRows) t(r, wr)),
+    m AS (SELECT $muLit AS mu),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    comp AS (SELECT vec_id, r,
+        list_reduce(list_transform(range(1, ${dim + 1}), k -> wr[k] * (v[k] - mu[k])),
+          (x, y) -> x + y) AS x
+      FROM e CROSS JOIN m CROSS JOIN wt)
+    SELECT vec_id, CAST(r AS BIGINT) AS i, FLOOR(x * 10000.0) / 10000.0 AS x
+    FROM comp ORDER BY vec_id, i"""
   }
 
   /** Per-dimension embedding drift between two corpus slices (the

@@ -72,7 +72,11 @@ object TextPipeline {
           FROM sims)
         WHERE rnk <= 5 ORDER BY qid, rank""")),
 
-    // ---- IVF ANN (k-means inverted lists; approximate → rows-only) -----
+    // ---- IVF ANN (k-means inverted lists). Approximate in recall but
+    // the fit is bit-deterministic (content-hash sample + seeded
+    // Lloyd), so the oracle — built at Verify time with the fitted
+    // centroids inlined as literals — matches exactly: see
+    // [[dataOracles]] --------------------------------------------------
     ("q46_ann_ivf",
       (s, dir) => Similarity.ivfTopK(
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
@@ -679,13 +683,15 @@ object TextPipeline {
     // exact integer aggs → bit-deterministic fit), driver-side Jacobi
     // eigendecomposition of the 64×64 problem, broadcast W·(v−μ)
     // projection — two corpus scans, zero shuffles in the transform.
-    // Eigenvectors are not SQL-expressible → rows-only here;
-    // PipelineSpec asserts whitened covariance ≈ I and bit-identical
-    // output across partitionings. Gate shape: the harness hashes
-    // scalar cells only, so the vector is posexploded to
-    // (vec_id, i, x) rows with x floored to the 1e-4 grid (the q94
-    // pattern) — an array<double> column would void even the
-    // rows-only check -------------------------------------------------
+    // The fitted (μ, W) are bit-deterministic (exact integer moment
+    // aggregations + driver-side Jacobi), so the oracle — built at
+    // Verify time with both inlined as literals, see [[dataOracles]] —
+    // matches exactly; PipelineSpec additionally asserts whitened
+    // covariance ≈ I and bit-identical output across partitionings.
+    // Gate shape: the harness hashes scalar cells only, so the vector
+    // is posexploded to (vec_id, i, x) rows with x floored to the
+    // 1e-4 grid (the q94 pattern) — an array<double> column would
+    // void the check ---------------------------------------------------
     ("q93_pca_whiten",
       (s, dir) => Similarity.pcaWhiten(t(s, dir, "embeddings"), d = 64)
         .select(col("vec_id"), posexplode(col("whitened")).as(Seq("i", "x")))
@@ -936,6 +942,22 @@ object TextPipeline {
         FROM c
         WHERE ((cum_before + step - 1) // step) * step < cum_before + w
         ORDER BY lang, doc_id"""))
+  )
+
+  /** Fit-dependent oracles, generated by [[graft.Verify]] at dump time
+    * against the run's actual sf directory: SQL whose literals inline
+    * DETERMINISTIC fitted parameters (q46's IVF centroids, q93's PCA
+    * μ/W) recomputed from the same parquet by the same fit code — the
+    * q54 plane-inlining pattern extended to data-dependent fits. Keys
+    * must match `entries` names; the static oracle for these is None. */
+  val dataOracles: Map[String, (SparkSession, String) => String] = Map(
+    "q46_ann_ivf" -> ((s, dir) => Similarity.ivfTopKOracleSql(
+      Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+      queryCond = "vec_id < 20", k = 5)),
+    "q93_pca_whiten" -> ((s, dir) => {
+      val (mu, w) = Similarity.pcaFitParams(t(s, dir, "embeddings"), d = 64)
+      Similarity.pcaWhitenOracleSql(mu, w)
+    })
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf
