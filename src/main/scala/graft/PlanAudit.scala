@@ -404,6 +404,17 @@ object PlanAudit {
           "vocabulary is never aggregated or shuffled",
         Seq("INSET", "HashAggregate"),
         Seq("Join", "CartesianProduct")),
+      ("q115_rrf_fusion",
+        "hybrid RRF fusion: ALL corpus-sized work lives in the two " +
+          "retrieval legs, each with its audited shape — the BM25 leg's " +
+          "single corpus scan collapsed by ReuseExchange with " +
+          "TakeOrderedAndProject top-k, the dense leg's broadcast-query " +
+          "scoring with the map-side-combining TopKAggregator. The " +
+          "fusion itself full-outer-joins only the two ≤k-row top-k " +
+          "lists (a constant-size join at any corpus scale) — no " +
+          "cartesian product anywhere",
+        Seq("TopKAggregator", "TakeOrderedAndProject", "ReusedExchange"),
+        Seq("CartesianProduct")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

@@ -150,6 +150,19 @@ object ScaleProbe {
     probe("bigram_surprise",
       TextFunctions.bigramSurprise(docs).count(),
       TextFunctions.bigramSurprise(docsN).count())
+    // codebook cells stay |labels|·dim at any corpus size (labels are
+    // shared across copies); the 10× cost is the encoding scan
+    probe("pq_encode",
+      Similarity.pqEncode(emb).count(),
+      Similarity.pqEncode(embN).count())
+    // copy-prefixed query terms ("c0_…") keep the BM25 hit set inside
+    // copy 0, so output stays ≤ k rows and the ratio measures the
+    // corpus-side df/stats aggregations + the dense scoring scan
+    probe("rrf_fusion",
+      Similarity.hybridRetrieve(docs, emb, 7L,
+        Seq("hash", "join", "vector", "spark")).count(),
+      Similarity.hybridRetrieve(docsN, embN, 7L,
+        Seq("c0_hash", "c0_join", "c0_vector", "c0_spark")).count())
     spark.stop()
   }
 }
