@@ -404,6 +404,15 @@ object PlanAudit {
           "vocabulary is never aggregated or shuffled",
         Seq("INSET", "HashAggregate"),
         Seq("Join", "CartesianProduct")),
+      ("q114b_pq_kmeans",
+        "PQ k-means encode: codebooks fit once on the bounded " +
+          "content-hash sample (driver-side, corpus-size-free — the " +
+          "q46 quantizer pattern) and ship as a broadcast; encoding is " +
+          "pure per-row projection work against them — scan → project " +
+          "→ output sort with NO join and NO aggregation exchange; at " +
+          "100 TB this pipelines with the scan",
+        Seq.empty,
+        Seq("Join", "HashAggregate", "CartesianProduct")),
       ("q115_rrf_fusion",
         "hybrid RRF fusion: ALL corpus-sized work lives in the two " +
           "retrieval legs, each with its audited shape — the BM25 leg's " +

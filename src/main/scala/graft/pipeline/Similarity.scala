@@ -17,6 +17,23 @@ object Similarity {
   /** Cast an embedding column to array<double> for stable math. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Render a double as a DuckDB literal that parses as DOUBLE. Java's
+    * shortest-repr string round-trips exactly — but ONLY if the parser
+    * treats it as a double: a plain decimal literal in DuckDB is a
+    * DECIMAL, and when many such literals of different scales unify
+    * into one VALUES column the widened decimal→double conversion can
+    * lose the last ulp. An explicit exponent forces DOUBLE parsing
+    * (correctly rounded), so we append E0 when toString didn't emit
+    * one. */
+  private[graft] def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  /** A DuckDB DOUBLE[] literal from an array, via [[dlit]]. */
+  private[graft] def dlitArr(a: Array[Double]): String =
+    a.map(dlit).mkString("[", ",", "]")
+
   /** Sequential-fold sum of an array<double> column. */
   def arraySum(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x)
@@ -149,7 +166,7 @@ object Similarity {
     def fold(prod: String) =
       s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
     val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
-      val w = p.map(_.toString).mkString("[", ",", "]")
+      val w = dlitArr(p)
       s"(CASE WHEN ${fold(s"v[k] * ($w)[k]")} >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("\n      + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -388,6 +405,119 @@ object Similarity {
       FROM r WHERE rn = 1 GROUP BY vec_id, label ORDER BY vec_id"""
   }
 
+  /** PQ encode with per-subspace K-MEANS codebooks — the Jégou et al.
+    * 2011 construction proper ([[pqEncode]]'s per-label grid-mean
+    * codebooks are a deterministic stand-in with only |labels| codes):
+    * split each d-dim vector into `m` subvectors; codebook j holds
+    * `codes` centroids from a seeded Lloyd fit on the content-hash
+    * sample's j-th slices ([[pqFitCodebooks]]); each subvector takes
+    * the id of its nearest centroid by squared L2 (strict-< scan, so
+    * ties keep the lowest code). Output per vector: the m codes plus
+    * the exact summed squared reconstruction error (the distortion an
+    * IVF-PQ index would see).
+    *
+    * Scale shape: the fit is corpus-size-free (≤ maxFitSample vectors
+    * collected once — the q46 quantizer pattern — then m driver-side
+    * Lloyd runs on sub-dim slices); encoding is ONE corpus scan of
+    * pure per-row map work against the broadcast m·codes·(d/m)-double
+    * codebooks — no join, no shuffle, pipelines with the scan. At
+    * 100 TB the m log₂(codes)-bit codes (4 bytes/vector here) replace
+    * the 256-byte raw embeddings in the serving index. */
+  def pqEncodeKmeans(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
+                     codes: Int = 256, seed: Long = 42L,
+                     maxFitSample: Int = 65536): DataFrame = {
+    val spark = embeddings.sparkSession
+    val books = pqFitCodebooks(embeddings, m, dim, codes, seed, maxFitSample)
+    val bc = spark.sparkContext.broadcast(books)
+    val encode = udf { v: Array[Double] =>
+      val bks = bc.value
+      val cs = new Array[Long](bks.length)
+      var recon = 0.0
+      var j = 0
+      while (j < bks.length) {
+        val book = bks(j)
+        val sub = book(0).length
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cv = book(c)
+          var dsum = 0.0; var k = 0
+          while (k < sub) { val t = v(j * sub + k) - cv(k); dsum += t * t; k += 1 }
+          if (dsum < bestD) { bestD = dsum; best = c }
+          c += 1
+        }
+        cs(j) = best.toLong; recon += bestD
+        j += 1
+      }
+      (cs.toSeq, recon)
+    }
+    PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        encode(asDouble(col("embedding"))).as("enc"))
+      .select(Seq(col("vec_id"), col("label")) ++
+        (0 until m).map(j => element_at(col("enc._1"), j + 1).as(s"code_$j")) :+
+        col("enc._2").as("recon"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The PQ codebook fit, shared between [[pqEncodeKmeans]] and its
+    * oracle builder: the q46 content-hash fit sample (lowest
+    * md5("pq-fit-seed", vec_id) rows — partition-order-free), sliced
+    * per subspace, each slice set through the seeded deterministic
+    * Lloyd ([[lloydKMeans]], seed offset by the subspace index so the
+    * m codebooks draw distinct initializations). Returns
+    * books(j)(code) = centroid. */
+  private[graft] def pqFitCodebooks(embeddings: DataFrame, m: Int = 4, dim: Int = 64,
+                                    codes: Int = 256, seed: Long = 42L,
+                                    maxFitSample: Int = 65536): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val fit = PartitionUtil.spread(embeddings)
+      .select(asDouble(col("embedding")).as("v"),
+        md5(concat_ws("-", lit(s"pq-fit-$seed"), col("vec_id"))).as("fk"))
+      .orderBy(col("fk"))
+      .limit(maxFitSample)
+      .select(col("v")).as[Array[Double]].collect()
+    Array.tabulate(m) { j =>
+      val pts = fit.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      lloydKMeans(pts, codes, iters = 10, seed = seed + j)
+    }
+  }
+
+  /** DuckDB oracle for [[pqEncodeKmeans]]: the fitted codebooks are
+    * inlined as (j, code, centroid) VALUES rows — the data-dependent
+    * literal-inlining pattern of q46/q93 — and the per-subspace
+    * distance replays the encode UDF's sequential (v−c)² fold; the
+    * argmin is ROW_NUMBER over (dist, code), recon re-adds the m
+    * chosen distances in explicit j order so the double sum matches
+    * the UDF's j-ascending accumulation bit-for-bit. */
+  private[graft] def pqEncodeKmeansOracleSql(books: Array[Array[Array[Double]]],
+                                             dim: Int = 64): String = {
+    val m = books.length
+    val sub = dim / m
+    val rows = for { j <- books.indices; c <- books(j).indices } yield
+      s"($j, $c, ${dlitArr(books(j)(c))})"
+    val codeCols = (0 until m).map(j =>
+      s"CAST(MAX(CASE WHEN j = $j THEN code END) AS BIGINT) AS code_$j").mkString(", ")
+    val reconExpr = (0 until m).map(j =>
+      s"MAX(CASE WHEN j = $j THEN dist END)").mkString(" + ")
+    s"""WITH cb AS (SELECT * FROM (VALUES ${rows.mkString(",\n      ")}) t(j, code, cv)),
+    e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT e.vec_id, e.label, cb.j, cb.code,
+        list_reduce(list_transform(range(1, ${sub + 1}),
+          k -> (v[cb.j * $sub + k] - cv[k]) * (v[cb.j * $sub + k] - cv[k])),
+          (x, y) -> x + y) AS dist
+      FROM e CROSS JOIN cb),
+    r AS (SELECT vec_id, label, j, code, dist,
+        ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+      FROM scored)
+    SELECT vec_id, label, $codeCols, ($reconExpr) AS recon
+    FROM r WHERE rn = 1 GROUP BY vec_id, label ORDER BY vec_id"""
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
     * of the BM25 lexical ranking ([[TextFunctions.bm25Search]]) and
     * the dense ANN cosine ranking ([[bruteForceTopK]]) for one query:
@@ -541,7 +671,7 @@ object Similarity {
     def fold(prod: String) =
       s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
     val centRows = centers.zipWithIndex.map { case (c, i) =>
-      s"($i, ${c.map(_.toString).mkString("[", ",", "]")})"
+      s"($i, ${dlitArr(c)})"
     }.mkString(",\n      ")
     s"""WITH cent AS (SELECT * FROM (VALUES $centRows) t(cid, cv)),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -734,9 +864,9 @@ object Similarity {
   private[graft] def pcaWhitenOracleSql(mu: Array[Double], w: Array[Array[Double]],
                                         dim: Int = 64): String = {
     val wRows = w.zipWithIndex.map { case (row, r) =>
-      s"($r, ${row.map(_.toString).mkString("[", ",", "]")})"
+      s"($r, ${dlitArr(row)})"
     }.mkString(",\n      ")
-    val muLit = mu.map(_.toString).mkString("[", ",", "]")
+    val muLit = dlitArr(mu)
     s"""WITH wt AS (SELECT * FROM (VALUES $wRows) t(r, wr)),
     m AS (SELECT $muLit AS mu),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -918,6 +918,14 @@ object TextPipeline {
       (s, dir) => Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, dim = 64),
       Some(Similarity.pqEncodeOracleSql(m = 4, dim = 64))),
 
+    // ---- PQ encode with REAL per-subspace k-means codebooks (256
+    // codes, Jégou construction; q114 keeps the per-label stand-in).
+    // Deterministic fit → oracle with inlined codebooks, see
+    // [[dataOracles]] ----
+    ("q114b_pq_kmeans",
+      (s, dir) => Similarity.pqEncodeKmeans(t(s, dir, "embeddings")),
+      None),
+
     // ---- hybrid retrieval: reciprocal-rank fusion of the BM25
     // lexical ranking with the dense cosine ranking — exact two-term
     // 1/(60+rank) arithmetic, missing ranks as -1 ----
@@ -957,7 +965,9 @@ object TextPipeline {
     "q93_pca_whiten" -> ((s, dir) => {
       val (mu, w) = Similarity.pcaFitParams(t(s, dir, "embeddings"), d = 64)
       Similarity.pcaWhitenOracleSql(mu, w)
-    })
+    }),
+    "q114b_pq_kmeans" -> ((s, dir) => Similarity.pqEncodeKmeansOracleSql(
+      Similarity.pqFitCodebooks(t(s, dir, "embeddings"))))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

@@ -399,6 +399,30 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long, Long)].collect().toList shouldBe got
   }
 
+  test("PQ k-means codebooks: deterministic, partition-invariant, and lower distortion " +
+       "than the per-label stand-in") {
+    import spark.implicits._
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.pqEncodeKmeans(emb)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList
+    got.nonEmpty shouldBe true
+    // bit-identical under repartitioning (content-hash fit sample +
+    // seeded Lloyd + per-row encode — nothing order-dependent)
+    Similarity.pqEncodeKmeans(emb.repartition(7))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toList shouldBe got
+    // distortion: 256 learned codes per subspace must reconstruct (much)
+    // better than q114's |labels| per-label grid-mean codebooks. The
+    // per-label recon_g is the grid-floored distance ×1e4 — dividing
+    // back underestimates each true distance by at most m·1e-4, covered
+    // by the margin (kmeans wins by orders of magnitude here).
+    val kmeansAvg = got.map(_._7).sum / got.size
+    val labelRows = Similarity.pqEncode(emb)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val labelAvg = labelRows.map(_._7.toDouble / 10000.0).sum / labelRows.length
+    assert(kmeansAvg < labelAvg * 0.5 + 4e-4,
+      s"PQ k-means distortion $kmeansAvg not clearly below per-label $labelAvg")
+  }
+
   test("hybrid RRF fusion: overlapping doc fuses both ranks; absent list contributes 0") {
     import spark.implicits._
     // doc 1 wins BOTH legs (both terms + identical direction to the
