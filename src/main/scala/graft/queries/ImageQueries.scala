@@ -691,6 +691,46 @@ object ImageQueries {
           CAST(r * 65536 + g * 256 + b AS DOUBLE) AS m_int,
           CAST(r AS DOUBLE) AS m_red, CAST(g AS DOUBLE) AS m_green,
           CAST(b AS DOUBLE) AS m_blue
-        FROM c ORDER BY sample"""))
+        FROM c ORDER BY sample""")),
+
+    // DICOM series round trip (the reference's flagship IO shape VERBATIM:
+    // a directory of single-frame CT files re-stacked into a volume,
+    // IjRDDTests.scala:30-99 — here through the minimal explicit-VR-LE
+    // codec instead of spark-scifio): 12 slices per series save as 12
+    // files with InstanceNumber 1..12, the glob load re-stacks in
+    // INSTANCE order (name order would interleave _10 before _2, so a
+    // name-sorted or permuted stack cannot pass), and per-slice means
+    // recover each closed-form fill exactly (16-bit round trip is
+    // lossless for these integral values)
+    ("img20_dicom_series",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_series"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val stacks = s.range(2L).map { i =>
+          val slices = (0 until 12).map(k =>
+            Kernels.constantImage(32, 16, 1, i * 200.0 + k * 7.0 + 9.0, PixelCodec.Short16))
+          (s"/dicom/$i", slices.reduce(Kernels.appendStack))
+        }.toDF("sample", "image")
+        ImageOps.saveDicomSeries(stacks, dir)
+        val sm = ImageFunctions.sliceMeansUdf(col("image"))
+        ImageOps.loadDicomSeries(s, s"$dir/*.dcm")
+          .select(col("series"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            element_at(sm, 1).as("s0"), element_at(sm, 2).as("s1"),
+            element_at(sm, 10).as("s9"), element_at(sm, 12).as("s11"))
+          .orderBy(col("series"))
+      },
+      // slice k (0-based) of series i fills i*200 + 7k + 9
+      Some("""SELECT 'dicom_' || CAST(i AS VARCHAR) AS series,
+        CAST(12 AS BIGINT) AS nslices,
+        CAST(i * 200 + 9 AS DOUBLE) AS s0,
+        CAST(i * 200 + 16 AS DOUBLE) AS s1,
+        CAST(i * 200 + 72 AS DOUBLE) AS s9,
+        CAST(i * 200 + 86 AS DOUBLE) AS s11
+        FROM range(2) t(i) ORDER BY series"""))
   )
 }

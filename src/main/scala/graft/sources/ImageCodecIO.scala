@@ -30,6 +30,113 @@ object ImageCodecIO {
       ((bytes(0) == 0x49 && bytes(1) == 0x49 && bytes(2) == 0x2a && bytes(3) == 0x00) ||
        (bytes(0) == 0x4d && bytes(1) == 0x4d && bytes(2) == 0x00 && bytes(3) == 0x2a))
 
+  /** DICOM Part 10 magic: a 128-byte preamble then "DICM". */
+  private def isDicom(bytes: Array[Byte]): Boolean =
+    bytes.length >= 132 && bytes(128) == 'D' && bytes(129) == 'I' &&
+      bytes(130) == 'C' && bytes(131) == 'M'
+
+  /** Minimal DICOM decode — the uncompressed explicit-VR little-endian
+    * profile (transfer syntax 1.2.840.10008.1.2.1), single-frame
+    * unsigned MONOCHROME2, 8 or 16 bits — the shape of the reference's
+    * flagship IO case (a CT series of single-frame files stacked into a
+    * volume, IjRDDTests.scala:30-99, where spark-scifio does the
+    * decode). Walks the element stream for Rows/Columns/BitsAllocated/
+    * InstanceNumber and stops at PixelData; anything compressed,
+    * signed, multi-frame, or implicit-VR is rejected loudly rather
+    * than mis-decoded. Returns the image plus the InstanceNumber
+    * (slice position for series stacking; 1 when absent). */
+  private[graft] def decodeDicomWithInstance(path: String, bytes: Array[Byte]): (SparkImage, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(132)
+    var rows = 0; var cols = 0; var bits = 16; var pixelRep = 0; var instance = 1
+    var ts = "1.2.840.10008.1.2.1"
+    var px: Array[Byte] = null
+    val longVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
+    var done = false
+    while (!done && bb.remaining >= 8) {
+      val group = bb.getShort & 0xffff; val elem = bb.getShort & 0xffff
+      val vr = new String(Array(bb.get(), bb.get()).map(b => b.toChar))
+      val len = if (longVRs(vr)) { bb.getShort(); bb.getInt() } else bb.getShort & 0xffff
+      require(len >= 0 && len <= bb.remaining, s"corrupt DICOM element length in $path")
+      val value = new Array[Byte](len); bb.get(value)
+      def u16: Int = (value(0) & 0xff) | ((value(1) & 0xff) << 8)
+      def str: String = new String(value, "US-ASCII").trim
+      (group, elem) match {
+        case (0x0002, 0x0010) => ts = str
+        case (0x0020, 0x0013) => instance = str.toInt
+        case (0x0028, 0x0010) => rows = u16
+        case (0x0028, 0x0011) => cols = u16
+        case (0x0028, 0x0100) => bits = u16
+        case (0x0028, 0x0103) => pixelRep = u16
+        case (0x7fe0, 0x0010) => px = value; done = true
+        case _ => ()
+      }
+    }
+    require(ts == "1.2.840.10008.1.2.1",
+      s"unsupported DICOM transfer syntax $ts in $path (explicit-VR LE only)")
+    require(pixelRep == 0, s"signed DICOM pixel data unsupported: $path")
+    require(px != null && rows > 0 && cols > 0, s"missing DICOM pixel data/dims: $path")
+    require(bits == 8 || bits == 16, s"unsupported DICOM BitsAllocated $bits: $path")
+    val n = rows * cols
+    require(px.length >= n * (bits / 8), s"short DICOM pixel payload: $path")
+    val doubles = new Array[Double](n)
+    var i = 0
+    if (bits == 16)
+      while (i < n) { doubles(i) = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8); i += 1 }
+    else
+      while (i < n) { doubles(i) = px(i) & 0xff; i += 1 }
+    val tpe = if (bits == 16) PixelCodec.Short16 else PixelCodec.Byte8
+    val log = ImageLog.append(ImageLog.empty, LogEntry("LOAD", "SPARK", path, ""))
+    (SparkImage(ImageMeta(info = path), log, cols, rows, 1, tpe,
+      PixelCodec.encode(doubles, tpe)), instance)
+  }
+
+  /** Encode ONE slice as a minimal conformant explicit-VR
+    * little-endian DICOM file (the profile [[decodeDicomWithInstance]]
+    * reads): preamble + DICM, file-meta group with the transfer-syntax
+    * UID, then InstanceNumber / MONOCHROME2 geometry / 16-bit pixel
+    * module / OW PixelData. Values clamp through the 16-bit unsigned
+    * range like every other fixed-width sink here. */
+  private[graft] def encodeDicom(img: SparkImage, instance: Int = 1,
+                                 slice: Int = 0): Array[Byte] = {
+    val w = img.width; val h = img.height
+    val px = img.toDoubles
+    val off = slice * w * h
+    val bos = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def elem(group: Int, el: Int, vr: String, value: Array[Byte]): Unit = {
+      require(value.length % 2 == 0, "DICOM values must have even length")
+      u16(group); u16(el); bos.write(vr(0)); bos.write(vr(1)); u16(value.length)
+      bos.write(value)
+    }
+    def us(group: Int, el: Int, v: Int): Unit =
+      elem(group, el, "US", Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    def str(group: Int, el: Int, vr: String, s0: String, pad: Char): Unit =
+      elem(group, el, vr,
+        (if (s0.length % 2 == 0) s0 else s0 + pad).getBytes("US-ASCII"))
+    bos.write(new Array[Byte](128))
+    "DICM".foreach(c => bos.write(c))
+    val ts = "1.2.840.10008.1.2.1" // explicit VR little endian
+    // (0002,0000) group length = the one element that follows: 8-byte
+    // header + NUL-padded UID
+    val metaLen = 8 + ts.length + 1
+    elem(0x0002, 0x0000, "UL", Array[Byte](
+      (metaLen & 0xff).toByte, ((metaLen >> 8) & 0xff).toByte, 0, 0))
+    str(0x0002, 0x0010, "UI", ts, '\u0000') // UIDs pad with NUL
+    str(0x0020, 0x0013, "IS", instance.toString, ' ')
+    us(0x0028, 0x0002, 1)
+    str(0x0028, 0x0004, "CS", "MONOCHROME2", ' ')
+    us(0x0028, 0x0010, h)
+    us(0x0028, 0x0011, w)
+    us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15)
+    us(0x0028, 0x0103, 0)
+    u16(0x7fe0); u16(0x0010); bos.write('O'); bos.write('W'); u16(0); u32(w * h * 2)
+    var i = 0
+    while (i < w * h) { u16(PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt); i += 1 }
+    bos.toByteArray
+  }
+
   /** One decoded page → (pixelType, slice bytes). Color inputs become
     * 24bit-rgb, grayscale becomes 8bit/16bit by sample depth. */
   private def pageToSlice(bi: BufferedImage): (String, Array[Byte]) = {
@@ -66,7 +173,8 @@ object ImageCodecIO {
     * other format is single-slice. */
   def decode(path: String, bytes: Array[Byte]): SparkImage = {
     val log = ImageLog.append(ImageLog.empty, LogEntry("LOAD", "SPARK", path, ""))
-    if (isTiff(bytes)) {
+    if (isDicom(bytes)) decodeDicomWithInstance(path, bytes)._1
+    else if (isTiff(bytes)) {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {
         val readers = ImageIO.getImageReaders(iis)
@@ -146,6 +254,7 @@ object ImageCodecIO {
   def encode(img: SparkImage, format: String = "png"): Array[Byte] = {
     val fmt = format.toLowerCase
     if (fmt == "tiff" || fmt == "tif") return encodeTiff(img)
+    if (fmt == "dcm" || fmt == "dicom") return encodeDicom(img)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(sliceToPage(img, img.toDoubles, 0), format, bos)
     bos.toByteArray

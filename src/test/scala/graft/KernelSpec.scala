@@ -166,6 +166,29 @@ class KernelSpec extends AnyFunSuite with Matchers {
     back8.toDoubles shouldBe img8.toDoubles
   }
 
+  test("DICOM encode/decode round-trips 16-bit pixels, instance number, and magic dispatch") {
+    val vals = Array(0.0, 255.0, 256.0, 4095.0, 65535.0, 40000.0)
+    val img = SparkImage(ImageMeta(), "[]", 3, 2, 1, PixelCodec.Short16,
+      PixelCodec.encode(vals, PixelCodec.Short16))
+    val bytes = graft.sources.ImageCodecIO.encodeDicom(img, instance = 7)
+    // Part 10 magic sits after the 128-byte preamble
+    new String(bytes.slice(128, 132), "US-ASCII") shouldBe "DICM"
+    val (back, inst) = graft.sources.ImageCodecIO.decodeDicomWithInstance("t.dcm", bytes)
+    inst shouldBe 7
+    back.pixelType shouldBe PixelCodec.Short16
+    back.width shouldBe 3
+    back.height shouldBe 2
+    back.toDoubles shouldBe vals
+    // the generic decode() dispatches on the magic, not the extension
+    graft.sources.ImageCodecIO.decode("noext", bytes).toDoubles shouldBe vals
+    // slice selection picks the right page of a stack
+    val stack = SparkImage(ImageMeta(), "[]", 2, 1, 3, PixelCodec.Short16,
+      PixelCodec.encode(Array(10.0, 10, 20, 20, 30, 30), PixelCodec.Short16))
+    graft.sources.ImageCodecIO.decode("s.dcm",
+      graft.sources.ImageCodecIO.encodeDicom(stack, instance = 2, slice = 1))
+      .toDoubles shouldBe Array(20.0, 20.0)
+  }
+
   test("processSlices applies a custom per-slice kernel (PortableImagePlus.scala:171-183)") {
     val base = Kernels.constantImage(4, 3, 2, 10.0)
     val doubled = Kernels.processSlices(base)((sl, _, _) => sl.map(_ * 2))
