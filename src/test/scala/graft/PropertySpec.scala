@@ -119,6 +119,107 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("CC labeling equals brute-force flood fill on random bitmaps") {
+    import graft.core.Kernels
+    import scala.collection.mutable
+    // 8-connected flood fill, components emitted in raster order of
+    // their first pixel — the same deterministic numbering contract as
+    // analyzeParticles' union-find renumbering
+    def floodComponents(bits: Array[Boolean], w: Int, h: Int): Seq[Seq[Int]] = {
+      val seen = new Array[Boolean](bits.length)
+      val comps = Seq.newBuilder[Seq[Int]]
+      var start = 0
+      while (start < bits.length) {
+        if (bits(start) && !seen(start)) {
+          val stack = mutable.Stack(start); seen(start) = true
+          val comp = mutable.ArrayBuffer[Int]()
+          while (stack.nonEmpty) {
+            val p = stack.pop(); comp += p
+            val x = p % w; val y = p / w
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                val nx = x + dx; val ny = y + dy
+                if ((dx != 0 || dy != 0) && nx >= 0 && nx < w && ny >= 0 && ny < h) {
+                  val q = ny * w + nx
+                  if (bits(q) && !seen(q)) { seen(q) = true; stack.push(q) }
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+          }
+          comps += comp.toSeq.sorted // raster order, like the kernel's scan
+        }
+        start += 1
+      }
+      comps.result()
+    }
+    val genCase = for {
+      w <- Gen.choose(1, 16); h <- Gen.choose(1, 16)
+      density <- Gen.choose(5, 95); seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, density, seed)
+    check("cc-floodfill", Prop.forAll(genCase) { case (w, h, density, seed) =>
+      val rng = new scala.util.Random(seed)
+      val bits = Array.fill(w * h)(rng.nextInt(100) < density)
+      val img = graft.core.SparkImage(graft.core.ImageMeta(), "[]", w, h, 1,
+        PixelCodec.Float32,
+        PixelCodec.encode(bits.map(b => if (b) 1.0 else 0.0), PixelCodec.Float32))
+      val got = Kernels.analyzeParticles(img).rows
+      val expected = floodComponents(bits, w, h)
+      got.length == expected.length && got.zip(expected).forall { case (row, comp) =>
+        // header: Slice Area Mean Min Max X Y Perim. BX BY Width Height
+        val xs = comp.map(_ % w); val ys = comp.map(_ / w)
+        var sx = 0.0; var sy = 0.0
+        comp.foreach { p => sx += p % w + 0.5; sy += p / w + 0.5 }
+        var perim = 0.0
+        comp.foreach { p =>
+          val x = p % w; val y = p / w
+          if (x == 0 || !bits(y * w + x - 1)) perim += 1
+          if (x == w - 1 || !bits(y * w + x + 1)) perim += 1
+          if (y == 0 || !bits((y - 1) * w + x)) perim += 1
+          if (y == h - 1 || !bits((y + 1) * w + x)) perim += 1
+        }
+        row(0) == 1.0 && row(1) == comp.length.toDouble &&
+          row(2) == 1.0 && row(3) == 1.0 && row(4) == 1.0 &&
+          row(5) == sx / comp.length && row(6) == sy / comp.length &&
+          row(7) == perim &&
+          row(8) == xs.min.toDouble && row(9) == ys.min.toDouble &&
+          row(10) == (xs.max - xs.min + 1).toDouble &&
+          row(11) == (ys.max - ys.min + 1).toDouble
+      }
+    })
+  }
+
+  test("Z-order interleave: bit-exact round trip, joint monotonicity, range guard") {
+    import graft.functions.ZOrderUtil
+    def compact(v0: Long): Long = {
+      var v = v0 & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      v = (v | (v >> 16)) & 0x00000000FFFFFFFFL
+      v
+    }
+    val genCoord = Gen.choose(0L, 0x7FFFFFFFL)
+    check("zorder-roundtrip", Prop.forAll(genCoord, genCoord) { (x, y) =>
+      val z = ZOrderUtil.interleave(x, y)
+      z >= 0 && compact(z) == x && compact(z >> 1) == y
+    })
+    check("zorder-monotone", Prop.forAll(genCoord, genCoord, genCoord, genCoord) {
+      (x1, y1, dx, dy) =>
+        val x2 = math.min(0x7FFFFFFFL, x1 + dx % 1024)
+        val y2 = math.min(0x7FFFFFFFL, y1 + dy % 1024)
+        ZOrderUtil.interleave(x1, y1) <= ZOrderUtil.interleave(x2, y2)
+    })
+    check("zorder-guard", Prop.forAll(genCoord) { x =>
+      Prop.throws(classOf[IllegalArgumentException])(ZOrderUtil.interleave(-1L, x)) &&
+      Prop.throws(classOf[IllegalArgumentException])(ZOrderUtil.interleave(x, 0x80000000L))
+    })
+  }
+
   test("gram aggregator: any split tree equals the direct double loop") {
     val genVecs = Gen.listOf(Gen.listOfN(4, Gen.choose(-64, 64).map(_ / 8.0f)))
     val genSeed = Gen.choose(0L, Long.MaxValue)
