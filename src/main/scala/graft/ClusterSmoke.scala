@@ -113,7 +113,8 @@ object ClusterSmoke {
       // the capacity-2 candidate set to exactly {a, d} in any order
       mem.addData(Seq("a", "a", "a", "a", "b", "c", "d", "d", "d", "d", "e")
         .map(EventStreams.TokIn(0, _)): _*)
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      val start = System.nanoTime()
+      val deadline = start + 120L * 1000 * 1000 * 1000
       def sub0Tokens() = spark.table("cluster_mg_timer")
         .filter(col("sub") === 0).select(col("token")).distinct().count()
       var tick = 0L
@@ -122,10 +123,23 @@ object ClusterSmoke {
         tick += 1
         Thread.sleep(250)
       }
+      val elapsedS = (System.nanoTime() - start) / 1e9
+      val snapshotRows = spark.table("cluster_mg_timer").count()
       val got = spark.table("cluster_mg_timer").filter(col("sub") === 0)
         .as[EventStreams.HHCand].collect().map(_.token).distinct.sorted.toList
-      if (got != List("a", "d"))
-        sys.error(s"mg timer smoke mismatch: got $got want List(a, d)")
+      // distinguish "the timer never fired" (deadline expiry, zero/partial
+      // sub-0 snapshots) from a genuine wrong candidate set — a timeout
+      // on a loaded box needs a different diagnosis than a sketch bug
+      if (got != List("a", "d")) {
+        val timedOut = System.nanoTime() >= deadline
+        if (timedOut)
+          sys.error(f"mg timer smoke DEADLINE EXPIRED after $elapsedS%.1fs: " +
+            s"$snapshotRows snapshot rows total, sub-0 tokens $got (want List(a, d)) " +
+            s"— the 300ms snapshot timer likely never fired in an executor")
+        else
+          sys.error(f"mg timer smoke mismatch after $elapsedS%.1fs " +
+            s"($snapshotRows snapshot rows): got $got want List(a, d)")
+      }
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -68,7 +68,13 @@ object ImageQueries {
     * exact in any order and the /16384 (2^14) division is exact — the
     * only cross-engine tolerance is `exp` (≤1 ulp, absorbed by the
     * Float32 encode and the rint step w.h.p.; deterministic for these
-    * fixed fixtures, verified green). Blob draw order per blob b:
+    * fixed fixtures, verified green — KernelSpec's "libm exp drift"
+    * guard asserts the margin at ±1e-12 per term, so if a DuckDB/JDK
+    * upgrade ever lands a fixture pixel on a mask-threshold or
+    * half-even boundary, that test fails with the pixel identified
+    * instead of the gate going flaky. Verified green on DuckDB 1.x /
+    * Temurin 17; re-run that guard first when either is upgraded).
+    * Blob draw order per blob b:
     * k = 4b+1..4b+4 → cx, cy, r = 2+d%6, amp = 100+d%155;
     * nextInt(128) = next31 >> 24 (power-of-two path). */
   /** Shared WITH-fragment: the 128×128 blob fixtures (seeds 42+i) from

@@ -293,6 +293,86 @@ object EventStreams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  case class StreamDoc(doc_id: Long, text: String)
+
+  /** Pure shingle core — bit-identical to the column-side
+    * [[graft.pipeline.Dedup.shingles]] (tokenize on single spaces,
+    * drop empties, distinct n-token windows joined by a space). */
+  private[graft] def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** Streaming benchmark decontamination — the streaming face of
+    * q77's [[graft.pipeline.Decontam.bloomDecontam]]: documents arrive
+    * continuously; any doc sharing a word n-gram with the (static)
+    * benchmark set is dropped, clean docs pass — each exactly once,
+    * even under at-least-once upstream redelivery across batches.
+    *
+    * Two-stage check per shingle, mirroring the batch operator's
+    * exactness argument: a compact broadcast Bloom bit array (a few
+    * bits per benchmark shingle) short-circuits ~all clean shingles,
+    * and the surviving trickle re-verifies against the broadcast exact
+    * benchmark set — so the keep decision is EXACT, never
+    * false-positive-contaminated. The exact set is driver-collected
+    * once at query start: eval suites are megabytes by definition
+    * (the corpus is the 100 TB side and only ever streams through).
+    *
+    * State is ONE boolean per doc_id ever decided — the cross-batch
+    * exactly-once guard: a redelivered doc (retry, replayed offset) is
+    * dropped without recomputation. `ttl` bounds the state for
+    * unbounded ingestion exactly as in [[FirstSeenProcessor]]. */
+  class DecontamProcessor(bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+                          bench: org.apache.spark.broadcast.Broadcast[Set[String]],
+                          n: Int, ttl: java.time.Duration)
+      extends StatefulProcessor[Long, StreamDoc, StreamDoc] {
+    @transient private var decided: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      decided = getHandle.getValueState[Boolean]("decided", Encoders.scalaBoolean,
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[StreamDoc],
+                                 tv: TimerValues): Iterator[StreamDoc] = {
+      if (decided.exists()) Iterator.empty // redelivery — already emitted or dropped
+      else if (!rows.hasNext) Iterator.empty
+      else {
+        val doc = rows.next() // same doc_id ⇒ same payload; any row decides
+        val contaminated = shingleSet(doc.text, n).exists(s =>
+          bloom.value.mightContainString(s) && bench.value.contains(s))
+        decided.update(true)
+        if (contaminated) Iterator.empty else Iterator.single(doc)
+      }
+    }
+  }
+
+  /** Decontamination keep-stream through [[DecontamProcessor]]
+    * (RocksDB state store required, like all transformWithState).
+    * `bench` is the static benchmark frame (needs a `text` column);
+    * its distinct `n`-gram shingles are folded into a Bloom prefilter
+    * plus the exact verification set, both broadcast once. The emitted
+    * rows over any prefix of the stream equal the batch keep set —
+    * the complement of `bloomDecontam`'s contaminated doc_ids — on the
+    * same rows, each exactly once. */
+  def streamingDecontam(docs: Dataset[StreamDoc], bench: DataFrame,
+                        n: Int = 4, fpp: Double = 0.01,
+                        ttl: java.time.Duration = null): Dataset[StreamDoc] = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val benchSet = bench
+      .select(explode(graft.pipeline.Dedup.shingles(col("text"), n)).as("shingle"))
+      .distinct().as[String].collect().toSet
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(benchSet.size.toLong, 1L), fpp)
+    benchSet.foreach(bloom.putString)
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val bcBench = spark.sparkContext.broadcast(benchSet)
+    docs.groupByKey(_.doc_id)
+      .transformWithState(new DecontamProcessor(bcBloom, bcBench, n, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   case class TokIn(sub: Int, token: String)
   case class HHCand(sub: Int, token: String)
 

@@ -475,4 +475,84 @@ class KernelSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  // ---- gate-stability guards: the img02/img05/img08/img16 oracles
+  // tolerate engine-order fp differences only because the fixtures'
+  // true values sit safely away from every decision boundary (the 1e-4
+  // floor grid, the 50.0 mask threshold, the 8-bit half-even rounding
+  // midpoints). These tests assert that safety margin, so a fixture or
+  // engine change that lands near a boundary fails HERE with a clear
+  // message instead of as gate flakiness.
+
+  test("img02/img08 fixture reductions sit clear of the 1e-4 floor-grid edges") {
+    // distance of v·1e4 from the nearest grid edge, in grid cells;
+    // cross-engine summation-order drift is a few ulps of v·1e4
+    // (~1e-9 for these magnitudes) — require 4+ orders more margin
+    def gridMargin(v: Double): Double = {
+      val g = v * 10000.0
+      math.abs(g - math.rint(g))
+    }
+    val minMargin = 1e-5
+    for (i <- 0 until 20) {
+      val img = Kernels.constantImage(128, 64, 1, (i % 5) * 1000.0 + 1000.0)
+      val sm = Kernels.run(Kernels.run(
+        Kernels.run(img, "Add Noise"), "Median...", "radius=2"), "Smooth")
+      val st = Kernels.stats(sm)
+      withClue(s"img02 fixture $i mean=${st.mean}: ") {
+        gridMargin(st.mean) should be > minMargin
+      }
+      withClue(s"img02 fixture $i stdDev=${st.stdDev}: ") {
+        gridMargin(st.stdDev) should be > minMargin
+      }
+    }
+    for (i <- 0 until 6; r <- 1 to 3) {
+      val img = Kernels.constantImage(128, 64, 1, (i % 5) * 1000.0 + 1000.0)
+      val f = Kernels.run(Kernels.run(img, "Add Noise"), "Median...", s"radius=$r")
+      val st = Kernels.stats(f)
+      withClue(s"img08 fixture $i radius=$r stdDev=${st.stdDev}: ") {
+        gridMargin(st.stdDev) should be > minMargin
+      }
+    }
+  }
+
+  test("blob fixtures are robust to libm exp drift (img05 mask, img16 8-bit rounding)") {
+    // model a cross-engine exp() difference as a per-term relative
+    // perturbation of ±1e-12 — four orders beyond the ≤1-ulp (~2e-16)
+    // contract — and assert every downstream DECISION (the img05 ≥50
+    // mask through Float32 encode; the img16 half-even 8-bit value) is
+    // identical under both signs. Replays blobImage's exact draw order.
+    val eps = 1e-12
+    def pixels(seed: Long, scale: Double): Array[Float] = {
+      val rng = new java.util.Random(seed)
+      val px = new Array[Double](128 * 128)
+      (0 until 8).foreach { _ =>
+        val cx = rng.nextInt(128); val cy = rng.nextInt(128)
+        val r = 2 + rng.nextInt(6); val amp = 100 + rng.nextInt(155)
+        var y = math.max(0, cy - 3 * r)
+        while (y < math.min(128, cy + 3 * r)) {
+          var x = math.max(0, cx - 3 * r)
+          while (x < math.min(128, cx + 3 * r)) {
+            val d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+            px(y * 128 + x) += amp * (math.exp(-d2.toDouble / (2.0 * r * r)) * scale)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      px.map(_.toFloat)
+    }
+    var maskFlips = 0; var byteFlips = 0
+    for (i <- 0 until 20) {
+      val lo = pixels(42L + i, 1 - eps); val hi = pixels(42L + i, 1 + eps)
+      var p = 0
+      while (p < lo.length) {
+        if ((lo(p).toDouble >= 50.0) != (hi(p).toDouble >= 50.0)) maskFlips += 1
+        def v8(f: Float) = math.min(255.0, math.max(0.0, math.rint(f.toDouble)))
+        if (v8(lo(p)) != v8(hi(p))) byteFlips += 1
+        p += 1
+      }
+    }
+    withClue("img05 mask decisions flipped under exp drift: ") { maskFlips shouldBe 0 }
+    withClue("img16 8-bit roundings flipped under exp drift: ") { byteFlips shouldBe 0 }
+  }
 }

@@ -301,6 +301,53 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming decontam: keep stream equals the batch q77 keep set, exactly once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // benchmark docs + train docs: 103 shares the 4-gram "kappa lambda
+    // mu nu"; 104 overlaps only a 3-gram, so it is CLEAN at n=4
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "kappa lambda mu nu xi omicron")).toDF("doc_id", "text")
+    val train = Seq(
+      EventStreams.StreamDoc(101L, "one two three four five six"),
+      EventStreams.StreamDoc(102L, "seven eight nine ten eleven"),
+      EventStreams.StreamDoc(103L, "intro kappa lambda mu nu outro"),
+      EventStreams.StreamDoc(104L, "alpha beta gamma wholly different"))
+    // batch oracle on the identical rows: q77's operator flags the
+    // contaminated ids; the keep set is their complement
+    val all = bench.union(train.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+    val contaminated = graft.pipeline.Decontam
+      .bloomDecontam(all, isBench = col("doc_id") < 100, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    contaminated shouldBe Set(103L) // guard: the fixture exercises both branches
+    val expectKeep = train.map(_.doc_id).toSet -- contaminated
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingDecontam(mem.toDS(), bench, n = 4).toDF()
+      .writeStream.format("memory").queryName("decontam_keep")
+      .outputMode("append").start()
+    try {
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("decontam_keep").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+      }
+      mem.addData(train(0), train(2)) // clean 101 + contaminated 103
+      awaitCount(1)
+      // batch 2 REDELIVERS 101 (at-least-once upstream) + the rest
+      mem.addData(train(0), train(1), train(3))
+      awaitCount(3)
+      // sorted-seq compare (not set): a duplicate emission of 101 fails
+      spark.table("decontam_keep").as[EventStreams.StreamDoc]
+        .collect().map(_.doc_id).sorted.toSeq shouldBe expectKeep.toSeq.sorted
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming MG sketch: cross-batch bounded state keeps every guaranteed heavy hitter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
