@@ -35,6 +35,9 @@ object ClusterSmoke {
     "q104_gopher_rules", // isInCollection stop set + long-arith flags serialize to executors
     "q109_bm25_search", // runtime ReuseExchange stage dedup must hold across worker JVMs
     "q112_leakage_safe_split", // CC labels + md5-bucket split: checkpointed rounds re-read cross-JVM
+    "q114b_pq_kmeans", // broadcast 3-D codebook array into an executor-side argmin UDF
+    "q115_rrf_fusion", // both retrieval legs + the k-row fusion join across JVMs
+    "img20_dicom_series", // executor-side Hadoop FS writes + binaryFile scan + mapGroups stacking
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {
@@ -83,8 +86,50 @@ object ClusterSmoke {
       println("[cluster-smoke] OK streaming_tws_sessions")
       mgTimerSmoke(spark)
       println("[cluster-smoke] OK streaming_mg_timer")
+      decontamSmoke(spark)
+      println("[cluster-smoke] OK streaming_decontam")
       println("[cluster-smoke] ALL OK")
     } finally spark.stop()
+  }
+
+  /** Streaming decontamination across REAL executor processes: the
+    * DecontamProcessor carries TWO driver Broadcast handles (the Bloom
+    * bit array and the exact benchmark shingle set) inside a
+    * StatefulProcessor that is serialized to worker JVMs — in
+    * `local[*]` broadcasts short-circuit through the driver-side block
+    * cache, so only this path proves the handles re-fetch their blocks
+    * from a remote BlockManager inside a streaming task. Also crosses
+    * the RocksDB decided-state. */
+  private def decontamSmoke(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val bench = Seq((1L, "kappa lambda mu nu xi omicron")).toDF("doc_id", "text")
+    val docs = Seq(
+      EventStreams.StreamDoc(101L, "one two three four five six"),
+      EventStreams.StreamDoc(103L, "intro kappa lambda mu nu outro"), // contaminated
+      EventStreams.StreamDoc(104L, "kappa lambda mu wholly different")) // 3-gram only: clean at n=4
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingDecontam(mem.toDS(), bench, n = 4).toDF()
+      .writeStream.format("memory").queryName("cluster_decontam")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs(0), docs(1))
+      mem.addData(docs(0), docs(2)) // 101 redelivered across batches
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table("cluster_decontam").count() < 2 &&
+             System.nanoTime() < deadline) Thread.sleep(250)
+      val got = spark.table("cluster_decontam").as[EventStreams.StreamDoc]
+        .collect().map(_.doc_id).sorted.toSeq
+      if (got != Seq(101L, 104L))
+        sys.error(s"decontam smoke mismatch: got $got want Seq(101, 104)")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   /** Timer-driven MG sketch snapshots under RocksDB across REAL
