@@ -69,6 +69,22 @@ object PlanAudit {
           "candidate set, which a window row_number would require)",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
         Seq.empty),
+      ("q116_filtered_ann",
+        "filtered vector search: the corpus attribute predicate reaches " +
+          "the parquet reader as a pushed In filter — at 100 TB the " +
+          "selective attribute prunes row groups BEFORE any vector math; " +
+          "then the same broadcast-query single-scan ANN plan as q29",
+        Seq("PushedFilters", "In(label", "BroadcastNestedLoopJoin",
+          "TopKAggregator"),
+        Seq.empty),
+      ("q117_diverse_topk",
+        "diversity-capped retrieval: the per-(query,label) cap is a " +
+          "map-side-combining TopKAggregator, so the shuffle carries at " +
+          "most cap rows per (query,label) per partition; the final rank " +
+          "window runs on the ≤ cap·|labels| survivors per query, never " +
+          "the |Q|·N candidate set",
+        Seq("BroadcastNestedLoopJoin", "TopKAggregator", "Window"),
+        Seq.empty),
       ("q31_ngram_jaccard",
         "EXACT prefix-filtered similarity join: only each doc's " +
           "sz−⌈t·sz⌉+1 rarest shingles are indexed (no false negatives " +

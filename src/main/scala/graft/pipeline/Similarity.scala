@@ -122,6 +122,70 @@ object Similarity {
       .orderBy(col(keyCol), col("rank"))
   }
 
+  /** Attribute-filtered exact ANN: cosine top-k restricted to the
+    * corpus rows matching `corpusFilter` (the "filtered vector search"
+    * shape — e.g. "nearest lore pages in language X"). Query rows need
+    * not satisfy the attribute predicate.
+    *
+    * Scale shape: the attribute predicate sits directly on the corpus
+    * scan, so it reaches the parquet reader as a pushed filter /
+    * row-group prune (PlanAudit asserts `PushedFilters` carries it) —
+    * at 100 TB a selective attribute cuts the scanned bytes BEFORE any
+    * vector math runs, which is why pre-filtering beats post-filtering
+    * an unfiltered ANN result (post-filtering also breaks the top-k
+    * contract: k survivors are not the k nearest survivors). The
+    * filtered corpus then streams through the same broadcast-query
+    * one-scan plan as [[bruteForceTopK]].
+    */
+  def filteredTopK(embeddings: DataFrame, corpusFilter: Column,
+                   queryFilter: Column, k: Int): DataFrame = {
+    val corpus = PartitionUtil.spread(embeddings.filter(corpusFilter))
+      .select(col("vec_id").as("nid"), normalizeUdf(asDouble(col("embedding"))).as("nv"))
+    val queries = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
+    val sims = corpus.join(broadcast(queries), col("nid") =!= col("qid"))
+      .withColumn("sim", nativeDot(embeddings.sparkSession)(col("qv"), col("nv")))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** Diversity-capped top-k: at most `perLabelCap` neighbors from any
+    * one corpus `label` in each query's final k (the round-robin
+    * diversification used to keep a retrieval slate from collapsing
+    * onto one cluster/domain/near-dup group).
+    *
+    * Scale shape: the cap is enforced FIRST, per (query, label), by the
+    * map-side-combining [[graft.functions.TopKAggregator]] — so the
+    * shuffle carries at most `perLabelCap` rows per (query, label)
+    * per map partition, never the |Q|·N candidate set. The final rank
+    * is a window over ≤ cap·|labels| survivors per query — a
+    * constant-bounded set, so the window's sort is O(1) per query
+    * regardless of corpus size.
+    */
+  def diverseTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+                  perLabelCap: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val corpus = PartitionUtil.spread(embeddings)
+      .select(col("vec_id").as("nid"), col("label").as("lbl"),
+              normalizeUdf(asDouble(col("embedding"))).as("nv"))
+    val queries = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
+    val sims = corpus.join(broadcast(queries), col("nid") =!= col("qid"))
+      .withColumn("sim", nativeDot(embeddings.sparkSession)(col("qv"), col("nv")))
+      .select(col("qid"), col("lbl"), col("nid"), col("sim"))
+    val topc = udaf(new graft.functions.TopKAggregator(perLabelCap),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val capped = sims.groupBy(col("qid"), col("lbl"))
+      .agg(topc(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), explode(col("top")).as("c"))
+      .select(col("qid"), col("c._1").as("sim"), col("c._2").as("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    capped.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** LSH-bucketed approximate NN: random-hyperplane signatures restrict
     * candidate pairs to equal buckets. The hyperplanes are seeded and
     * generated deterministically, so results are reproducible.

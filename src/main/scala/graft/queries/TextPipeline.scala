@@ -926,6 +926,51 @@ object TextPipeline {
       (s, dir) => Similarity.pqEncodeKmeans(t(s, dir, "embeddings")),
       None),
 
+    // ---- attribute-filtered vector search: cosine top-k over the
+    // corpus subset matching a metadata predicate — the predicate is
+    // PUSHED to the parquet scan (pre-filter, not post-filter, so the
+    // k results really are the k nearest survivors) ----
+    ("q116_filtered_ann",
+      (s, dir) => Similarity.filteredTopK(
+        t(s, dir, "embeddings"), corpusFilter = col("label").isin(0, 2, 4, 6, 8),
+        queryFilter = col("vec_id") < 20, k = 5),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 list_cosine_similarity(a.v, b.v) AS sim
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id AND b.label IN (0, 2, 4, 6, 8)
+          WHERE a.vec_id < 20)
+        SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          FROM sims)
+        WHERE rnk <= 5 ORDER BY qid, rank""")),
+
+    // ---- diversity-capped retrieval: at most 2 neighbors per corpus
+    // label in each query's top-5 — cap enforced map-side per
+    // (query,label) by the bounded TopK aggregator, final rank over a
+    // constant-size survivor set ----
+    ("q117_diverse_topk",
+      (s, dir) => Similarity.diverseTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20,
+        k = 5, perLabelCap = 2),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sims AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS lbl,
+                 list_cosine_similarity(a.v, b.v) AS sim
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 20),
+        capped AS (
+          SELECT qid, nid, sim FROM (
+            SELECT qid, nid, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid, lbl ORDER BY sim DESC, nid) AS rl
+            FROM sims) WHERE rl <= 2)
+        SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          FROM capped)
+        WHERE rnk <= 5 ORDER BY qid, rank""")),
+
     // ---- hybrid retrieval: reciprocal-rank fusion of the BM25
     // lexical ranking with the dense cosine ranking — exact two-term
     // 1/(60+rank) arithmetic, missing ranks as -1 ----

@@ -146,6 +146,60 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("filtered ANN: top-k over the attribute-matching corpus only") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat), i % 5)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.filteredTopK(df, col("label").isin(0, 2),
+        queryFilter = col("vec_id") < 3, k = 4)
+      .as[(Long, Long, Long)].collect().toList
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    for (q <- 0 until 3) {
+      val expected = vecs.filter(v => v._1 != q && Set(0, 2)(v._3))
+        .map { case (id, v, _) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1)
+      got.filter(_._1 == q).sortBy(_._2).map(_._3) shouldBe expected
+    }
+    // queries need not satisfy the attribute predicate themselves
+    got.map(_._1).distinct.sorted shouldBe List(0L, 1L, 2L)
+  }
+
+  test("diverse top-k: per-label cap holds and matches the naive greedy") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 0.4 + d * 0.8).toFloat), i % 4)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.diverseTopK(df, col("vec_id") < 3, k = 5, perLabelCap = 2)
+      .as[(Long, Long, Long)].collect().toList
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val labelOf = vecs.map(v => v._1 -> v._3).toMap
+    for (q <- 0 until 3) {
+      val ranked = vecs.filter(_._1 != q)
+        .map { case (id, v, lbl) => (id, lbl, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, _, s) => (-s, id) }
+      val capped = ranked.groupBy(_._2).values.flatMap(_.take(2)).toSeq
+        .sortBy { case (id, _, s) => (-s, id) }.take(5).map(_._1)
+      val mine = got.filter(_._1 == q).sortBy(_._2).map(_._3)
+      mine shouldBe capped
+      // cap invariant: never more than 2 results per corpus label
+      mine.groupBy(labelOf).values.foreach(_.size should be <= 2)
+    }
+    // partition invariance (map-side combine must not change results)
+    Similarity.diverseTopK(df.repartition(7), col("vec_id") < 3, k = 5, perLabelCap = 2)
+      .as[(Long, Long, Long)].collect().toList shouldBe got
+  }
+
   test("vector expressions: extension wiring + eval + SQL registration") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
