@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{ImageQueries, Relational, TemporalQueries, TextPipeline}
+import graft.queries.{GraphQueries, ImageQueries, Relational, TemporalQueries, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val all: List[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.entries ++ TextPipeline.entries ++ ImageQueries.entries ++
-      TemporalQueries.entries
+      TemporalQueries.entries ++ GraphQueries.entries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary — scan, filter, agg, sort. */

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus quality weighting.
+  *
+  * Web-scale training-data pipelines weight documents by the link
+  * structure of their origin (Common-Crawl-style host-graph PageRank,
+  * harmonic centrality); this module provides the iterative-graph
+  * machinery on Spark. The demonstration graph is derived from TPC-H:
+  * suppliers co-occurring in an order are linked (weight = number of
+  * co-occurrences), mirroring a host co-citation graph.
+  *
+  * **Cross-engine exactness**: ranks are fixed-point BIGINTs (scale
+  * [[Graph.Scale]]) and every step uses integral arithmetic only —
+  * `(rank * w) div ow` per edge, exact integer SUM per node, damping
+  * as `(17 * s) div 20` — so the result is bit-identical regardless of
+  * summation order or engine, unlike a floating-point PageRank whose
+  * per-node sums depend on reduction order. The DuckDB oracle unrolls
+  * the same recurrence with `//` floor division (identical to `div`
+  * for the non-negative values here).
+  *
+  * **Scale shape** (100 TB posture): the edge relation joins rank on
+  * `src` and aggregates contributions on `dst` — one shuffle per side
+  * per iteration, volume O(|E|); the rank vector is O(|V|). Edges are
+  * materialized once (out-weights attached before the loop) and every
+  * iteration localCheckpoints its rank vector, so the logical plan
+  * stays constant-depth across iterations (at production scale prefer
+  * reliable `checkpoint(dir)` for executor-loss tolerance, and
+  * pre-partition `edges` by `src` so the per-iteration join reuses one
+  * exchange). Per-order supplier sets are bounded (≤ 7 lineitems per
+  * order in TPC-H), so edge construction is a bounded per-key
+  * self-join, linear in lineitem.
+  */
+object Graph {
+
+  /** Fixed-point scale: rank 1.0 == 1e9. Headroom: rank ≤ Scale, so
+    * `rank * w` stays under Long.MaxValue while w ≤ ~9.2e9 — guarded
+    * in [[pagerank]]. */
+  val Scale: Long = 1000000000L
+
+  /** Supplier co-occurrence edges from lineitem: (src, dst, w) with
+    * w = number of orders where both suppliers appear; symmetric by
+    * construction, no self-loops. Distinct (order, supplier) first so
+    * multi-lineitem orders don't inflate weights quadratically. */
+  def supplierCooccurrence(lineitem: DataFrame): DataFrame = {
+    val su = lineitem.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val a = su.select(col("l_orderkey"), col("l_suppkey").as("src"))
+    val b = su.select(col("l_orderkey"), col("l_suppkey").as("dst"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank over (src, dst, w) edges, damping 0.85, a fixed
+    * number of synchronous iterations, all in Scale-fixed-point integer
+    * arithmetic. Nodes are the edge endpoints (every node of the
+    * symmetric co-occurrence graph has out-edges, so there is no
+    * dangling-mass term). Returns (v, rank) with rank BIGINT. */
+  def pagerank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // loop-invariant edge relation with out-weights attached once;
+    // eagerly materialized so no iteration re-runs edge construction
+    val ew = e0.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .localCheckpoint()
+    val Row2 = ew.agg(max(col("w")).as("mw"), countDistinct(col("src")).as("n")).head()
+    val maxW = Option(Row2.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val n = Row2.getLong(1)
+    require(n > 0, "pagerank: empty edge set")
+    require(maxW <= Long.MaxValue / Scale,
+      s"pagerank: edge weight $maxW would overflow rank*w at scale $Scale")
+    val base = (3L * Scale) / (20L * n) // 0.15/N in fixed point
+    val nodes = ew.select(col("src").as("v")).distinct().localCheckpoint()
+    var rank = nodes.select(col("v"), lit(Scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+      rank = nodes
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
+        .localCheckpoint() // constant-depth plan across iterations
+    }
+    rank
+  }
+
+  /** DuckDB oracle: the identical integer recurrence, unrolled to
+    * `iters` CTEs (standard SQL forbids aggregation in a recursive
+    * term, so a fixed unroll is the portable formulation). `//` is
+    * floor division — identical to Spark's `div` truncation for the
+    * non-negative operands here. */
+  private[graft] def pagerankOracleSql(iters: Int): String = {
+    val n = "(SELECT cnt FROM nn)"
+    val head =
+      s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |edges AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+         |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS cnt FROM outw),
+         |r0 AS (SELECT src AS v, CAST($Scale AS BIGINT) // $n AS rank FROM outw)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (SELECT o.src AS v,
+         |  (3 * CAST($Scale AS BIGINT)) // (20 * $n)
+         |  + (17 * COALESCE(CAST(c.sc AS BIGINT), 0)) // 20 AS rank
+         |  FROM outw o LEFT JOIN (
+         |    SELECT e.dst, SUM((r.rank * e.w) // eo.ow) AS sc
+         |    FROM edges e JOIN r${k - 1} r ON r.v = e.src JOIN outw eo ON eo.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = o.src)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iterCtes +
+      s"\nSELECT v AS s_suppkey, CAST(rank AS BIGINT) AS rank_scaled FROM r$iters ORDER BY rank_scaled DESC, v"
+  }
+}

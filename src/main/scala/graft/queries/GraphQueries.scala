@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDsl._
+import graft.pipeline.Graph
+
+/** Iterative link-graph operators (corpus quality weighting by graph
+  * centrality — the host-PageRank signal used by web-scale training
+  * pipelines). The demonstration graph links suppliers co-occurring in
+  * an order; ranks are fixed-point BIGINTs so the 10-iteration result
+  * is hash-exact against DuckDB's unrolled-CTE replay of the same
+  * integer recurrence (see [[graft.pipeline.Graph]]).
+  */
+object GraphQueries {
+
+  val entries: List[(String, Q, Option[String])] = List(
+
+    // ---- PageRank over the supplier co-occurrence graph: 10
+    // synchronous iterations, damping 0.85, integer fixed-point — the
+    // iterative-join counterpart of Dedup.dedupGroups' pointer jumping
+    // (that one converges on a predicate; this one runs a fixed
+    // recurrence). One shuffle per side per iteration, O(|E|). --------
+    ("q119_pagerank",
+      (s, dir) => {
+        val ranks = Graph.pagerank(Graph.supplierCooccurrence(t(s, dir, "lineitem")), iters = 10)
+        ranks.select(col("v").as("s_suppkey"), col("rank").as("rank_scaled"))
+          .orderBy(col("rank_scaled").desc, col("s_suppkey"))
+      },
+      Some(Graph.pagerankOracleSql(iters = 10))))
+}
