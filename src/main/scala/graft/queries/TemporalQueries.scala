@@ -194,6 +194,128 @@ object TemporalQueries {
         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
-        FROM events GROUP BY 1 ORDER BY day_ts"""))
+        FROM events GROUP BY 1 ORDER BY day_ts""")),
+
+    // ---- conversion funnel (view → click → purchase): per user, the
+    // first view, the first click strictly after it, the first
+    // purchase strictly after that. Three conditional-min aggregations
+    // and two joins, ALL keyed on user_id, so Catalyst plans one
+    // shuffle per aggregation on the same key and the joins reuse the
+    // partitioning — no window over the raw event stream, no
+    // per-user sort. MATCH_RECOGNIZE-shaped semantics from plain
+    // relational ops (streaming face: EventStreams sessionization). ---
+    ("q120_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            unix_timestamp(col("t_view")).as("view_sec"),
+            unix_timestamp(col("t_click")).as("click_sec"),
+            unix_timestamp(col("t_purchase")).as("purchase_sec"),
+            (lit(1L)
+              + when(col("t_click").isNotNull, 1L).otherwise(0L)
+              + when(col("t_purchase").isNotNull, 1L).otherwise(0L)
+            ).as("funnel_depth"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        SELECT v.user_id,
+          CAST(epoch(date_trunc('second', v.t_view)) AS BIGINT) AS view_sec,
+          CAST(epoch(date_trunc('second', c.t_click)) AS BIGINT) AS click_sec,
+          CAST(epoch(date_trunc('second', p.t_purchase)) AS BIGINT) AS purchase_sec,
+          CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                 + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS funnel_depth
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id""")),
+
+    // ---- distribution drift (PSI) between the first and second half
+    // of the event stream: 10 bins from the deciles of a DETERMINISTIC
+    // sample of period A (event_id % 7 — RNG-free, order-free; at
+    // 100 TB the sample is additionally capped the way the IVF fit
+    // is, keeping the single-reducer rank sort bounded), Laplace
+    // (+1) smoothing so empty bins stay finite, per-bin PSI terms
+    // floor-quantized to a 1e-6 grid (ln is the only non-rational
+    // step; both engines are ≤1 ulp so the grid absorbs the
+    // difference w.h.p. — same convention as the image oracles).
+    // Bin counting is one scan per period: the 9 edges ride along as
+    // ONE broadcast array row and bin = 1 + |{e : value > e}| via a
+    // codegen'd higher-order filter, not a 9× explode. ---------------
+    ("q121_psi_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+        val a = ev.filter(col("ts") < split)
+        val b = ev.filter(col("ts") >= split)
+        val samp = a.filter(col("event_id") % 7 === 0)
+          .select(col("value"), col("event_id"))
+        val ranked = samp
+          .withColumn("rn", row_number().over(Window.orderBy(col("value"), col("event_id"))))
+          .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+        val spine9 = s.range(1, 10).select(col("id").as("i"))
+        val edges = ranked.join(spine9, expr("rn = (i * ns) div 10"))
+        val edgeArr = edges.agg(sort_array(collect_list(col("value"))).as("edges"))
+        def binned(df: org.apache.spark.sql.DataFrame) = df
+          .crossJoin(broadcast(edgeArr))
+          .select((lit(1) + size(filter(col("edges"), e => col("value") > e))).cast("long").as("bin"))
+        val na = binned(a).groupBy(col("bin")).agg(count(lit(1)).as("n_a"))
+        val nb = binned(b).groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+        val spine10 = s.range(1, 11).select(col("id").as("bin"))
+        val j = spine10
+          .join(na, Seq("bin"), "left").join(nb, Seq("bin"), "left")
+          .na.fill(0L, Seq("n_a", "n_b"))
+          .withColumn("ta", sum(col("n_a")).over(Window.partitionBy()))
+          .withColumn("tb", sum(col("n_b")).over(Window.partitionBy()))
+        val pa = (col("n_a") + lit(1L)) / (col("ta") + lit(10.0))
+        val pb = (col("n_b") + lit(1L)) / (col("tb") + lit(10.0))
+        j.select(col("bin"), col("n_a"), col("n_b"),
+            floor(lit(1000000.0) * (pa - pb) * log(pa / pb)).cast("long").as("psi_term_q6"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH a AS (SELECT event_id, value FROM events
+          WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        b AS (SELECT event_id, value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        samp AS (SELECT value, event_id FROM a WHERE event_id % 7 = 0),
+        ranked AS (SELECT value,
+            ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+            COUNT(*) OVER () AS ns FROM samp),
+        edge AS (SELECT r.value AS edge FROM ranked r
+          JOIN generate_series(1, 9) i(i) ON r.rn = (i.i * r.ns) // 10),
+        el AS (SELECT list_sort(list(edge)) AS edges FROM edge),
+        abin AS (SELECT 1 + len(list_filter(el.edges, e -> a.value > e)) AS bin FROM a, el),
+        bbin AS (SELECT 1 + len(list_filter(el.edges, e -> b.value > e)) AS bin FROM b, el),
+        na AS (SELECT bin, COUNT(*) AS n_a FROM abin GROUP BY bin),
+        nb AS (SELECT bin, COUNT(*) AS n_b FROM bbin GROUP BY bin),
+        spine AS (SELECT i AS bin FROM generate_series(1, 10) t(i)),
+        j AS (SELECT s.bin, COALESCE(na.n_a, 0) AS n_a, COALESCE(nb.n_b, 0) AS n_b
+          FROM spine s LEFT JOIN na ON na.bin = s.bin LEFT JOIN nb ON nb.bin = s.bin),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j)
+        SELECT CAST(j.bin AS BIGINT) AS bin,
+          CAST(j.n_a AS BIGINT) AS n_a, CAST(j.n_b AS BIGINT) AS n_b,
+          CAST(FLOOR(1000000.0
+            * (((j.n_a + 1) / (tot.ta + 10.0)) - ((j.n_b + 1) / (tot.tb + 10.0)))
+            * LN(((j.n_a + 1) / (tot.ta + 10.0)) / ((j.n_b + 1) / (tot.tb + 10.0)))) AS BIGINT) AS psi_term_q6
+        FROM j, tot ORDER BY bin"""))
   )
 }
