@@ -981,6 +981,65 @@ object TextPipeline {
       Some(Similarity.hybridRetrieveOracleSql(
         queryId = 7L, terms = Seq("hash", "join", "vector", "spark")))),
 
+    // ---- ORC interchange round-trip: corpus → ORC → re-read →
+    // fidelity digest. DuckDB cannot read ORC, so the oracle digests
+    // the SOURCE parquet directly — a STRONGER check than the CSV/
+    // JSONL oracles (which re-read the written files): any byte lost
+    // or mangled by the ORC encode/decode flips a digest against the
+    // untouched source. -----------------------------------------------
+    ("q118_orc_roundtrip",
+      (s, dir) => {
+        val out = interchangeDir("orc", dir)
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .coalesce(8).write.mode("overwrite").orc(out)
+        fidelityDigest(s.read
+          .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING")
+          .orc(out))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(LENGTH(text)) AS BIGINT) AS recomputed_chars,
+        MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- Pareto-frontier data selection: documents not dominated on
+    // (lexical quality, length) — the skyline of the quality/size
+    // trade-off used to pick "best under a token budget" corpora.
+    // Quality is an integer grid (1000·distinct/total tokens, div) so
+    // dominance is exact. Shape: ONE aggregation per quality level
+    // (max length + count), then a running strict-prefix max over the
+    // ≤1001 quality levels (the only single-reducer step — constant-
+    // bounded by the grid, not the corpus), then a semi-join back.
+    // The quadratic NOT EXISTS formulation lives only in the oracle —
+    // an INDEPENDENT definition of dominance checking the window
+    // algebra. --------------------------------------------------------
+    ("q122_pareto_frontier",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          expr("1000 * size(array_distinct(filter(split(text, ' '), x -> x != ''))) div " +
+            "greatest(size(filter(split(text, ' '), x -> x != '')), 1)").cast("long").as("iq"))
+        val byIq = q.groupBy(col("iq")).agg(max(col("n_chars")).as("mx"))
+        val pmax = byIq.withColumn("pm",
+          max(col("mx")).over(Window.orderBy(col("iq").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        val frontierLvls = pmax.filter(col("mx") > coalesce(col("pm"), lit(Long.MinValue)))
+          .select(col("iq"), col("mx"))
+        q.join(broadcast(frontierLvls), Seq("iq"))
+          .filter(col("n_chars") === col("mx"))
+          .select(col("doc_id"), col("iq"), col("n_chars").cast("long").as("n_chars"))
+          .orderBy(col("iq").desc, col("doc_id"))
+      },
+      Some("""WITH q AS (SELECT doc_id, n_chars,
+          (1000 * len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))))
+            // GREATEST(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS iq
+        FROM documents)
+        SELECT a.doc_id, CAST(a.iq AS BIGINT) AS iq, CAST(a.n_chars AS BIGINT) AS n_chars
+        FROM q a WHERE NOT EXISTS (
+          SELECT 1 FROM q b
+          WHERE b.iq >= a.iq AND b.n_chars >= a.n_chars
+            AND (b.iq > a.iq OR b.n_chars > a.n_chars))
+        ORDER BY iq DESC, a.doc_id""")),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,
