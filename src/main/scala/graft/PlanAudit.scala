@@ -440,6 +440,32 @@ object PlanAudit {
           "cartesian product anywhere",
         Seq("TopKAggregator", "TakeOrderedAndProject", "ReusedExchange"),
         Seq("CartesianProduct")),
+      ("q120_funnel",
+        "conversion funnel: three conditional-min aggregations and two " +
+          "left joins ALL keyed on user_id — the aggregation outputs are " +
+          "already hash-partitioned on the join key, so the joins add no " +
+          "exchange of their own; no window over the raw event stream, " +
+          "no cartesian stage",
+        Seq("HashAggregate"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q121_psi_drift",
+        "PSI drift: the 9 bin edges ride along as ONE broadcast array " +
+          "row (BroadcastNestedLoopJoin with a 1-row build side — " +
+          "constant at any corpus scale); bin assignment is a codegen'd " +
+          "higher-order filter per row, NOT a 9-way explode, so each " +
+          "period is one scan + one 10-group aggregate",
+        Seq("BroadcastNestedLoopJoin", "HashAggregate"),
+        Seq("Generate")),
+      ("q122_pareto_frontier",
+        "Pareto frontier: per-quality-level max/count aggregation first " +
+          "(shuffle bounded by the 1001-level grid), the strict-prefix " +
+          "running max window runs over those ≤1001 rows (the only " +
+          "single-reducer step — grid-bounded, not corpus-bounded), and " +
+          "the frontier levels broadcast back for the final semi-join " +
+          "shaped filter; the quadratic NOT EXISTS dominance check " +
+          "exists only in the DuckDB oracle",
+        Seq("Window", "BroadcastHashJoin"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

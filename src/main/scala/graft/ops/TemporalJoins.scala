@@ -91,4 +91,35 @@ object TemporalJoins {
       .filter(col("__p") >= col("__s") && col("__p") < col("__e"))
       .select(col(intervalId), col(pointId))
   }
+
+  /** N-stage conversion funnel (MATCH_RECOGNIZE-shaped sequence
+    * detection from plain relational ops): per key, stage 1 is the
+    * earliest event of `stages.head`; each later stage is the earliest
+    * event of its type STRICTLY after the previous stage's time.
+    * Returns one row per key that reached stage 1, with a nullable
+    * `t_<stage>` timestamp per stage (null = never reached — and by
+    * construction, once a stage is null all later stages are null).
+    *
+    * Scale shape: one conditional-min aggregation per stage and one
+    * equi-join per stage boundary, ALL keyed on `keyCol` — every
+    * aggregation output is already hash-partitioned on the join key,
+    * so the joins introduce no additional exchange; nothing sorts or
+    * windows the raw event stream. */
+  def conversionFunnel(events: DataFrame, stages: Seq[String],
+                       keyCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "conversionFunnel: need at least one stage")
+    require(stages.distinct == stages, "conversionFunnel: duplicate stage types")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t_${stages.head}"))
+    val perStage = stages.tail.scanLeft(first) { (prev, st) =>
+      val prevTs = prev.columns.last
+      events.filter(col(typeCol) === st)
+        .join(prev.select(col(keyCol), col(prevTs)), Seq(keyCol))
+        .filter(col(tsCol) > col(prevTs))
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t_$st"))
+    }
+    perStage.tail.foldLeft(perStage.head)((l, r) => l.join(r, Seq(keyCol), "left"))
+  }
 }

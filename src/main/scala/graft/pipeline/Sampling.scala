@@ -144,4 +144,30 @@ object Sampling {
     * fold the fingerprint/minhash/CDC paths use; mirrored bit-exactly
     * in SQL by [[HashSql]]). */
   private val docHashUdf = udf { s: String => Dedup.mix64(Dedup.fnv64(s)) }
+
+  /** 2-D skyline (Pareto frontier), both dimensions MAXIMIZED: rows
+    * not dominated by any other row (dominance = >= on both integer
+    * dims, > on at least one; rows tied on BOTH dims are mutually
+    * non-dominating and all kept). Data-curation use: "best quality at
+    * every size" corpus selection under a token budget.
+    *
+    * Shape: one aggregation per distinct `xCol` level (max y + the
+    * level itself), a strict-prefix running max over those levels in
+    * descending x order — the only single-reducer step, bounded by
+    * |distinct x| (use an integer quality GRID, not a raw float, to
+    * keep it constant at corpus scale) — then the surviving levels
+    * broadcast back to filter the corpus in one scan. Never the
+    * quadratic all-pairs dominance join. */
+  def skyline(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__mx"))
+    val pm = byX.withColumn("__pm",
+      max(col("__mx")).over(Window.orderBy(col(xCol).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val lvls = pm.filter(col("__mx") > coalesce(col("__pm"), lit(Long.MinValue)))
+      .select(col(xCol), col("__mx"))
+    df.join(broadcast(lvls), Seq(xCol))
+      .filter(col(yCol) === col("__mx"))
+      .select(col(idCol), col(xCol), col(yCol))
+  }
 }

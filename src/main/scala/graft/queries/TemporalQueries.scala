@@ -206,20 +206,9 @@ object TemporalQueries {
     // relational ops (streaming face: EventStreams sessionization). ---
     ("q120_funnel",
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"), col("ts"))
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-        val c = ev.filter(col("event_type") === "click")
-          .join(v, Seq("user_id"))
-          .filter(col("ts") > col("t_view"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .join(c, Seq("user_id"))
-          .filter(col("ts") > col("t_click"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-        v.join(c, Seq("user_id"), "left")
-          .join(p, Seq("user_id"), "left")
+        TemporalJoins.conversionFunnel(
+            t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts")),
+            stages = Seq("view", "click", "purchase"))
           .select(col("user_id"),
             unix_timestamp(col("t_view")).as("view_sec"),
             unix_timestamp(col("t_click")).as("click_sec"),

@@ -1014,19 +1014,12 @@ object TextPipeline {
     // algebra. --------------------------------------------------------
     ("q122_pareto_frontier",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val q = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        val q = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
           expr("1000 * size(array_distinct(filter(split(text, ' '), x -> x != ''))) div " +
             "greatest(size(filter(split(text, ' '), x -> x != '')), 1)").cast("long").as("iq"))
-        val byIq = q.groupBy(col("iq")).agg(max(col("n_chars")).as("mx"))
-        val pmax = byIq.withColumn("pm",
-          max(col("mx")).over(Window.orderBy(col("iq").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)))
-        val frontierLvls = pmax.filter(col("mx") > coalesce(col("pm"), lit(Long.MinValue)))
-          .select(col("iq"), col("mx"))
-        q.join(broadcast(frontierLvls), Seq("iq"))
-          .filter(col("n_chars") === col("mx"))
-          .select(col("doc_id"), col("iq"), col("n_chars").cast("long").as("n_chars"))
+        Sampling.skyline(q, idCol = "doc_id", xCol = "iq", yCol = "n_chars")
+          .select(col("doc_id"), col("iq"), col("n_chars"))
           .orderBy(col("iq").desc, col("doc_id"))
       },
       Some("""WITH q AS (SELECT doc_id, n_chars,

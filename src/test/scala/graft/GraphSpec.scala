@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.TemporalJoins
+import graft.pipeline.{Graph, Sampling}
+
+/** Round-8 operator cores: fixed-point PageRank against an independent
+  * in-test integer reference model, funnel sequence detection on hand
+  * fixtures, and the windowed skyline against brute-force dominance.
+  */
+class GraphSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Independent reference: the same integer recurrence evaluated over
+    * plain Scala Maps — no Spark, no SQL. */
+  private def refPagerank(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val ow = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.size
+    val base = (3L * Graph.Scale) / (20L * n)
+    var rank = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (u, _, w) => (rank(u) * w) / ow(u) }.sum
+      }.toMap
+      rank = nodes.map(v => v -> (base + (17L * contrib.getOrElse(v, 0L)) / 20L)).toMap
+    }
+    rank
+  }
+
+  private def pagerankOn(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pagerank(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pagerank matches the integer reference model exactly (path / star / weighted)") {
+    val path = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+    val star = Seq( // hub 0 <-> spokes 1..4
+      (0L, 1L, 1L), (1L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L),
+      (0L, 3L, 1L), (3L, 0L, 1L), (0L, 4L, 1L), (4L, 0L, 1L))
+    val weighted = Seq( // asymmetric weights, incl. a 2-cycle and a chain
+      (1L, 2L, 5L), (2L, 1L, 1L), (2L, 3L, 4L), (3L, 2L, 2L),
+      (3L, 1L, 7L), (1L, 3L, 1L))
+    for (g <- Seq(path, star, weighted); iters <- Seq(1, 3, 10)) {
+      withClue(s"graph=$g iters=$iters: ") {
+        pagerankOn(g, iters) shouldBe refPagerank(g, iters)
+      }
+    }
+  }
+
+  test("pagerank is uniform on a vertex-transitive graph and conserves rank mass") {
+    // 6-cycle, symmetric unit weights: all nodes equivalent
+    val cyc = (0L until 6L).flatMap(i =>
+      Seq((i, (i + 1) % 6, 1L), ((i + 1) % 6, i, 1L)))
+    val ranks = pagerankOn(cyc, 10)
+    ranks.values.toSet.size shouldBe 1
+    // fixed-point floors only ever LOSE mass, at most a few units per
+    // node per iteration (one floor per edge contribution + one per
+    // damping step)
+    val total = ranks.values.sum
+    total should be <= Graph.Scale
+    total should be > Graph.Scale - 6L * 10L * 10L
+  }
+
+  test("supplierCooccurrence is symmetric, self-loop-free, and counts orders not lineitems") {
+    import spark.implicits._
+    val li = Seq(
+      // order 10: suppliers 1, 2 (supplier 1 appears TWICE -> still one co-occurrence)
+      (10L, 1L), (10L, 1L), (10L, 2L),
+      // order 20: suppliers 1, 2, 3
+      (20L, 1L), (20L, 2L), (20L, 3L),
+      // order 30: supplier 3 alone -> no edges
+      (30L, 3L)).toDF("l_orderkey", "l_suppkey")
+    val edges = Graph.supplierCooccurrence(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    edges shouldBe Set(
+      (1L, 2L, 2L), (2L, 1L, 2L), // orders 10 and 20
+      (1L, 3L, 1L), (3L, 1L, 1L),
+      (2L, 3L, 1L), (3L, 2L, 1L))
+  }
+
+  test("conversionFunnel finds strictly-ordered stage times and stops at the first gap") {
+    import spark.implicits._
+    def t(ms: Long) = new Timestamp(ms)
+    val ev = Seq(
+      // u1: full funnel, with decoys (click BEFORE view ignored;
+      // purchase before click ignored; earliest qualifying wins)
+      (1L, "click", t(50)), (1L, "view", t(100)), (1L, "purchase", t(150)),
+      (1L, "click", t(200)), (1L, "click", t(300)), (1L, "purchase", t(250)),
+      (1L, "purchase", t(400)),
+      // u2: view then purchase but NO click -> funnel stops at view
+      (2L, "view", t(10)), (2L, "purchase", t(20)),
+      // u3: click only, never views -> not in output
+      (3L, "click", t(5)),
+      // u4: click at exactly the view time -> strict > excludes it
+      (4L, "view", t(70)), (4L, "click", t(70)))
+      .toDF("user_id", "event_type", "ts")
+    val out = TemporalJoins.conversionFunnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 4L)
+    def ms(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getTimestamp(i).getTime)
+    ms(out(0), 1) shouldBe Some(100L)
+    ms(out(0), 2) shouldBe Some(200L) // first click AFTER the view, not t=50
+    ms(out(0), 3) shouldBe Some(250L) // first purchase after THAT click, not t=150
+    ms(out(1), 2) shouldBe None
+    ms(out(1), 3) shouldBe None // gap propagates: no purchase without click
+    ms(out(2), 2) shouldBe None // ts == prev stage is not strictly after
+  }
+
+  test("skyline equals brute-force dominance on seeded random point sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val pts = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      val brute = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, bx, by) =>
+          bx >= x && by >= y && (bx > x || by > y)
+        }
+      }.map(_._1).toSet
+      val got = Sampling.skyline(pts.toDF("id", "x", "y"), "id", "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      withClue(s"trial $trial: ") { got shouldBe brute }
+    }
+  }
+}
