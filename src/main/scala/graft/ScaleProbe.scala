@@ -183,6 +183,51 @@ object ScaleProbe {
         Seq("hash", "join", "vector", "spark")).count(),
       Similarity.hybridRetrieve(docsN, embN, 7L,
         Seq("c0_hash", "c0_join", "c0_vector", "c0_spark")).count())
+
+    // 10 DISJOINT subgraph copies (node ids offset per copy): |V| and
+    // |E| both grow 10×, every copy converges to the base ranks, so
+    // the ratio measures the per-iteration join+aggregate cost
+    if (only.isEmpty || only("pagerank")) {
+      val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
+      val edges1 = graft.pipeline.Graph.supplierCooccurrence(li).localCheckpoint()
+      val edgesN = (0 until copies).map { c =>
+        edges1.select((col("src") + lit(c * 1000000L)).as("src"),
+          (col("dst") + lit(c * 1000000L)).as("dst"), col("w"))
+      }.reduce(_ union _).localCheckpoint()
+      probe("pagerank",
+        graft.pipeline.Graph.pagerank(edges1, 10).count(),
+        graft.pipeline.Graph.pagerank(edgesN, 10).count())
+    }
+
+    // user ids offset per copy: 10× users, same per-user event counts,
+    // so the ratio measures the per-stage aggregations + key joins
+    if (only.isEmpty || only("funnel")) {
+      val ev = graft.queries.QueryDsl.t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val evN = (0 until copies).map { c =>
+        ev.select((col("user_id") + lit(c * 1000000L)).as("user_id"),
+          col("event_type"), col("ts"))
+      }.reduce(_ union _).cache()
+      evN.count()
+      val stages = Seq("view", "click", "purchase")
+      probe("funnel",
+        graft.ops.TemporalJoins.conversionFunnel(ev, stages).count(),
+        graft.ops.TemporalJoins.conversionFunnel(evN, stages).count())
+    }
+
+    // doc ids offset per copy, quality grid UNCHANGED: the per-level
+    // aggregation reads 10× rows into the same ≤1001 grid levels, so
+    // the single-reducer window stays constant and the ratio measures
+    // the grid aggregation + broadcast-filter scan
+    if (only.isEmpty || only("skyline")) {
+      val pts = docs.select(col("doc_id").as("id"),
+        (col("doc_id") % 1000L).as("x"), col("n_chars").cast("long").as("y"))
+      val ptsN = docsN.select(col("doc_id").as("id"),
+        (col("doc_id") % 1000L).as("x"), col("n_chars").cast("long").as("y"))
+      probe("skyline",
+        graft.pipeline.Sampling.skyline(pts, "id", "x", "y").count(),
+        graft.pipeline.Sampling.skyline(ptsN, "id", "x", "y").count())
+    }
     spark.stop()
   }
 }
