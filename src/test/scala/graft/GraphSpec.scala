@@ -47,7 +47,11 @@ class GraphSpec extends AnyFunSuite with Matchers {
     val weighted = Seq( // asymmetric weights, incl. a 2-cycle and a chain
       (1L, 2L, 5L), (2L, 1L, 1L), (2L, 3L, 4L), (3L, 2L, 2L),
       (3L, 1L, 7L), (1L, 3L, 1L))
-    for (g <- Seq(path, star, weighted); iters <- Seq(1, 3, 10)) {
+    val withSource = Seq( // node 3 has out-edges but NO in-edges: it must
+      // stay in the rank vector at constant base rank and keep feeding
+      // node 1 every iteration (the slow path's per-iteration left-join)
+      (1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 5L))
+    for (g <- Seq(path, star, weighted, withSource); iters <- Seq(1, 3, 10)) {
       withClue(s"graph=$g iters=$iters: ") {
         pagerankOn(g, iters) shouldBe refPagerank(g, iters)
       }
