@@ -237,6 +237,42 @@ object TemporalQueries {
                LEFT JOIN p ON v.user_id = p.user_id
         ORDER BY v.user_id""")),
 
+    // ---- cohort retention: users grouped by the week of their FIRST
+    // signup, counted once per (cohort, week-offset) they remain
+    // active in. Week indices are integer day-diffs div 7 (no
+    // timezone/locale week functions — engine-exact); after the
+    // (user, week) distinct, each user contributes exactly one row per
+    // active week, so a plain COUNT per (cohort, offset) IS the
+    // distinct-user count — no count-distinct shuffle. Two
+    // aggregations + one user-keyed join; at 100 TB the (user, week)
+    // distinct is the only corpus-sized shuffle. -----------------------
+    ("q123_cohort_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val wk = expr("datediff(cast(ts as date), date'2024-01-01') div 7")
+        val cohort = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), wk.as("w"))
+          .groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+        val active = ev.select(col("user_id"), wk.as("aw")).distinct()
+        cohort.join(active, Seq("user_id"))
+          .filter(col("aw") >= col("cohort_week"))
+          .groupBy(col("cohort_week"), (col("aw") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH cohort AS (SELECT user_id,
+          MIN(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS aw
+        FROM events)
+        SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+          CAST(a.aw - c.cohort_week AS BIGINT) AS week_offset,
+          COUNT(*) AS n_users
+        FROM cohort c JOIN active a ON a.user_id = c.user_id
+        WHERE a.aw >= c.cohort_week
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
     // ---- distribution drift (PSI) between the first and second half
     // of the event stream: 10 bins from the deciles of a DETERMINISTIC
     // sample of period A (event_id % 7 — RNG-free, order-free; at

@@ -467,6 +467,68 @@ object EventStreams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  case class FunnelIn(user_id: Long, event_type: String, ts_ms: Long)
+  case class FunnelHit(user_id: Long, stage: Int, event_type: String, ts_ms: Long)
+  private[graft] case class FunnelProgress(stage: Int, last_ms: Long)
+
+  /** Streaming conversion funnel — the transformWithState face of
+    * q120 / [[graft.ops.TemporalJoins.conversionFunnel]]: per user,
+    * emit a [[FunnelHit]] the moment each stage completes (stage i =
+    * first event of `stages(i)` STRICTLY after stage i-1's time).
+    *
+    * Contract: stage completions are MONOTONE — once emitted, a stage
+    * time is frozen (a streaming funnel cannot retract an emission).
+    * Under ts-ordered arrival across batches this equals the batch
+    * funnel's stage times exactly (asserted in StreamingSpec);
+    * within-batch reordering is absorbed by sorting the batch's rows
+    * before folding, so only cross-batch ts inversions can diverge
+    * (the standard streaming-funnel tradeoff; feed a watermarked sort
+    * upstream if the source reorders across batches).
+    *
+    * Scale shape: state is one (stage, last_ms) pair per user — two
+    * numbers regardless of event volume; one read + one write per
+    * (user, batch). Completed users ([[FunnelProgress.stage]] ==
+    * stages.length) keep a tombstone so redelivered events can't
+    * re-emit. */
+  class FunnelProcessor(stages: Seq[String])
+      extends StatefulProcessor[Long, FunnelIn, FunnelHit] {
+    @transient private var progress: ValueState[FunnelProgress] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      progress = getHandle.getValueState[FunnelProgress]("progress",
+        Encoders.product[FunnelProgress], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelIn],
+                                 tv: TimerValues): Iterator[FunnelHit] = {
+      val cur = if (progress.exists()) progress.get() else FunnelProgress(0, Long.MinValue)
+      var stage = cur.stage
+      var last = cur.last_ms
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      // sort the batch so within-batch arrival order can't change the
+      // fold; ties on ts break by stage order via the sequential scan
+      rows.toArray.sortBy(_.ts_ms).foreach { r =>
+        if (stage < stages.length && r.event_type == stages(stage) &&
+            (stage == 0 || r.ts_ms > last)) {
+          out += FunnelHit(key, stage + 1, r.event_type, r.ts_ms)
+          last = r.ts_ms
+          stage += 1
+        }
+      }
+      if (stage != cur.stage) progress.update(FunnelProgress(stage, last))
+      out.iterator
+    }
+  }
+
+  /** Funnel stream through [[FunnelProcessor]] (requires the RocksDB
+    * state store provider, like all transformWithState). */
+  def streamingFunnel(events: Dataset[FunnelIn],
+                      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState:
     * accumulates per-user counters, emits the session when the
     * processing-time gap expires. The custom-state path the built-in

@@ -486,4 +486,55 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming funnel: hits equal the batch funnel stage times under ts-ordered batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the GraphSpec funnel fixture: decoys, gaps, and a strict-tie case
+    val rows = Seq(
+      (1L, "click", 50L), (1L, "view", 100L), (1L, "purchase", 150L),
+      (1L, "click", 200L), (1L, "purchase", 250L), (1L, "click", 300L),
+      (1L, "purchase", 400L),
+      (2L, "view", 10L), (2L, "purchase", 20L),
+      (3L, "click", 5L),
+      (4L, "view", 70L), (4L, "click", 70L))
+    val batch = graft.ops.TemporalJoins.conversionFunnel(
+      rows.map { case (u, t, ms) => (u, t, new Timestamp(ms)) }
+        .toDF("user_id", "event_type", "ts"),
+      Seq("view", "click", "purchase"))
+    val expected = batch.collect().flatMap { r =>
+      (1 to 3).flatMap { st =>
+        if (r.isNullAt(st)) None
+        else Some((r.getLong(0), st, r.getTimestamp(st).getTime))
+      }
+    }.toSet
+    val ordered = rows.sortBy(_._3).map { case (u, t, ms) =>
+      EventStreams.FunnelIn(u, t, ms)
+    }
+    val (b1, b2) = ordered.splitAt(ordered.length / 2)
+    val mem = MemoryStream[EventStreams.FunnelIn]
+    val q = EventStreams.streamingFunnel(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode("append").start()
+    try {
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("funnel_hits").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+      }
+      mem.addData(b1: _*)
+      // u2's view@10 and u4's view@70/strict-tie click all land in b1
+      awaitCount(2)
+      mem.addData(b2: _*)
+      awaitCount(expected.size.toLong)
+      val got = spark.table("funnel_hits").as[EventStreams.FunnelHit]
+        .collect().map(h => (h.user_id, h.stage, h.ts_ms)).toSet
+      got shouldBe expected
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
