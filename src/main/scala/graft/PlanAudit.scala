@@ -466,6 +466,20 @@ object PlanAudit {
           "exists only in the DuckDB oracle",
         Seq("Window", "BroadcastHashJoin"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q123_cohort_retention",
+        "cohort retention: after the (user, week) distinct each user is " +
+          "ONE row per active week, so the per-(cohort, offset) user " +
+          "count is a plain COUNT — no count-distinct Expand anywhere " +
+          "in the plan; two aggregations + one user-keyed join",
+        Seq("HashAggregate"),
+        Seq("Expand", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q124_span_scrub",
+        "span scrubbing: keep decisions aggregate 16-byte shingle " +
+          "digests, span merge windows partition per doc, and the " +
+          "token-level removal is one anti join keyed on doc_id with a " +
+          "range residual — no cartesian stage, no broadcast of text",
+        Seq("Window", "LeftAnti"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

@@ -135,6 +135,13 @@ object ScaleProbe {
     // copy-prefixed tokens: no shingle crosses copies, so the
     // duplicated position set (and the spans) grows linearly with
     // copies — the ratio measures the digest aggregation + windows
+    // copy-salted tokens: no shingle crosses copies, so each copy's
+    // duplicated passages replicate independently — scrub output and
+    // span volume grow linearly, the ratio measures the digest aggs +
+    // per-doc windows + anti join + per-doc reassembly
+    probe("span_scrub",
+      TextFunctions.scrubDuplicatedSpans(docs).count(),
+      TextFunctions.scrubDuplicatedSpans(docsN).count())
     probe("dup_spans",
       TextFunctions.duplicatedSpans(docs).count(),
       TextFunctions.duplicatedSpans(docsN).count())

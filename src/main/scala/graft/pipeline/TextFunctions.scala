@@ -744,29 +744,42 @@ object TextFunctions {
     * when the dup set is small); the island window partitions BY DOC
     * over in-doc positions (bounded by doc length), never globally.
     * Only 16-byte digests shuffle, not shingle text. */
-  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+  /** (doc_id, p, h): md5 of each n-token shingle with its 0-based
+    * token position — the positioned inverted-index base shared by
+    * [[duplicatedSpans]] and [[scrubDuplicatedSpans]]. */
+  private def positionedShingles(docs: DataFrame, n: Int): DataFrame = {
     val posShingles = udf { toks: Seq[String] =>
       if (toks == null || toks.length < n) Seq.empty[(Long, String)]
       else toks.sliding(n).zipWithIndex
         .map { case (w, p) => (p.toLong, w.mkString(" ")) }.toSeq
     }
-    val sh = PartitionUtil.spread(docs)
+    PartitionUtil.spread(docs)
       .select(col("doc_id"), explode(posShingles(Dedup.tokens(col("text")))).as("ps"))
       .select(col("doc_id"), col("ps._1").as("p"), md5(col("ps._2").cast("binary")).as("h"))
-    val dup = sh.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    val dupPos = sh.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("p"))
+  }
+
+  /** Gaps-and-islands merge of shingle positions into maximal spans
+    * (doc_id, start, end) — end exclusive, in token positions. */
+  private def mergeIslands(dupPos: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("p")
-    val islands = dupPos
+    dupPos
       .withColumn("brk",
         when(col("p") > coalesce(lag(col("p"), 1).over(w), lit(Long.MinValue)) + n, 1L)
           .otherwise(0L))
       .withColumn("island", sum(col("brk")).over(
         Window.partitionBy("doc_id").orderBy("p")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands.groupBy(col("doc_id"), col("island"))
+      .groupBy(col("doc_id"), col("island"))
       .agg(min(col("p")).as("start"), (max(col("p")) + n).as("end"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = positionedShingles(docs, n)
+    val dup = sh.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dupPos = sh.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("p"))
+    mergeIslands(dupPos, n)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("end") - col("start")).as("dup_tokens"))
@@ -799,6 +812,95 @@ object TextFunctions {
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
              CAST(SUM(e - s) AS BIGINT) AS dup_tokens
       FROM spans GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Cross-document duplicated-span SCRUBBING — the rewrite half of
+    * [[duplicatedSpans]] (the ExactSubstr dedup of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * restated on the positioned shingle index): every token position
+    * covered by an n-shingle that also occurs in another document is
+    * removed, EXCEPT in the lowest-doc_id holder of that shingle — so
+    * exactly one copy of every duplicated passage survives the corpus,
+    * deterministically. Docs with nothing duplicated pass unchanged;
+    * fully-duplicated docs come out empty (md5 of "").
+    *
+    * Scale shape: the keep decision is per shingle hash (one
+    * aggregation: count distinct docs + min doc); scrub positions
+    * merge to maximal spans per doc (per-doc windows, never global);
+    * the token-level removal is ONE anti join keyed on doc_id with a
+    * range residual — each doc meets only its own few spans, no
+    * explode of span ranges. Reconstruction sorts each doc's kept
+    * tokens in one per-doc array_sort (no global order). Only 16-byte
+    * digests and (id, position) pairs ever shuffle — never text. */
+  def scrubDuplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = positionedShingles(docs, n)
+    val dupMin = sh.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("keeper"))
+    val scrubPos = sh.join(dupMin, Seq("h"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("p"))
+    val spans = mergeIslands(scrubPos, n)
+    val toks = PartitionUtil.spread(docs)
+      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.alias("t")
+      .join(spans.alias("s"),
+        col("t.doc_id") === col("s.doc_id") &&
+          col("t.pos") >= col("s.start") && col("t.pos") < col("s.end"),
+        "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("scrubbed"))
+    docs.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("scrubbed"), lit("")).cast("binary")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[scrubDuplicatedSpans]]: same positioned
+    * shingles, same min-doc keeper rule, same islands merge, token
+    * removal as an independent NOT EXISTS over the span ranges, and
+    * ordered string_agg reconstruction. */
+  private[graft] def scrubDuplicatedSpansOracleSql(n: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      pos AS (SELECT doc_id, t, unnest(range(1, len(t) - $n + 2)) AS p
+        FROM toks WHERE len(t) >= $n),
+      sh AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS p,
+          md5(array_to_string(list_slice(t, p, p + $n - 1), ' ')) AS h
+        FROM pos),
+      dupmin AS (SELECT h, MIN(doc_id) AS keeper FROM sh
+        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      sp AS (SELECT s.doc_id, s.p FROM sh s JOIN dupmin d ON s.h = d.h
+        WHERE s.doc_id <> d.keeper),
+      brk AS (SELECT doc_id, p,
+          CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL THEN 1
+               WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + $n THEN 1
+               ELSE 0 END AS b
+        FROM sp),
+      isl AS (SELECT doc_id, p,
+          SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM brk),
+      spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(p) + $n AS e
+        FROM isl GROUP BY doc_id, island),
+      tokpos0 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks),
+      tokpos AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+          t[CAST(p AS INT)] AS tok FROM tokpos0),
+      kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        WHERE NOT EXISTS (SELECT 1 FROM spans sp2
+          WHERE sp2.doc_id = tp.doc_id AND tp.pos >= sp2.s AND tp.pos < sp2.e)),
+      rebuilt AS (SELECT doc_id, COUNT(*) AS kept,
+          string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+        FROM kept GROUP BY doc_id)
+      SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(r.kept, 0) AS BIGINT) AS n_kept,
+        md5(COALESCE(r.scrubbed, '')) AS scrubbed_md5
+      FROM toks tk LEFT JOIN rebuilt r ON r.doc_id = tk.doc_id
+      ORDER BY tk.doc_id"""
 
   /** Heavy hitters: tokens with frequency > N/(k+1), exactly.
     *

@@ -981,6 +981,15 @@ object TextPipeline {
       Some(Similarity.hybridRetrieveOracleSql(
         queryId = 7L, terms = Seq("hash", "join", "vector", "spark")))),
 
+    // ---- cross-doc duplicated-span scrubbing (q100's rewrite half —
+    // ExactSubstr dedup, Lee et al. 2022): spans duplicated across
+    // docs are REMOVED everywhere except the lowest-doc_id holder, so
+    // exactly one copy of each duplicated passage survives; digests
+    // prove the rewritten text byte-for-byte ------------------------
+    ("q124_span_scrub",
+      (s, dir) => TextFunctions.scrubDuplicatedSpans(t(s, dir, "documents"), n = 8),
+      Some(TextFunctions.scrubDuplicatedSpansOracleSql(n = 8))),
+
     // ---- ORC interchange round-trip: corpus → ORC → re-read →
     // fidelity digest. DuckDB cannot read ORC, so the oracle digests
     // the SOURCE parquet directly — a STRONGER check than the CSV/

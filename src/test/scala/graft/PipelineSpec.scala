@@ -561,6 +561,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long)].collect().toList shouldBe got
   }
 
+  test("span scrubbing keeps exactly one copy: lowest doc_id holds, others lose the span") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y z G1 G2 u v w"),        // keeper of both shared runs
+      (2L, "x y z p q u v w"),          // loses [0,3) and [5,8) -> "p q"
+      (3L, "totally unique text here"), // untouched
+      (4L, "x y z")                     // fully duplicated vs doc 1 -> empty
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.scrubDuplicatedSpans(df, n = 2)
+      .as[(Long, Long, Long, String)].collect().toList
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got shouldBe List(
+      (1L, 8L, 8L, m("x y z G1 G2 u v w")),
+      (2L, 8L, 2L, m("p q")),
+      (3L, 4L, 4L, m("totally unique text here")),
+      (4L, 3L, 0L, m("")))
+    TextFunctions.scrubDuplicatedSpans(df.repartition(3), n = 2)
+      .as[(Long, Long, Long, String)].collect().toList shouldBe got
+  }
+
   test("sequence packing: bins and offsets follow the per-lang running total") {
     import spark.implicits._
     val docs = Seq(
