@@ -123,6 +123,49 @@ object Graph {
     rank
   }
 
+  /** Per-node triangle counts over an undirected edge set (the
+    * clustering-coefficient numerator — community density signal for
+    * link-graph quality weighting). Edges canonicalize to a < b;
+    * wedges a–b–c (a<b<c) form by ONE self-join on the middle vertex
+    * and close into triangles by a semi-join on the (a, c) edge —
+    * every triangle is found exactly once, then fans out to its three
+    * corners.
+    *
+    * Scale shape: the wedge join is the whole cost — Σ_v deg(v)² on
+    * the id-ordered orientation used here (adequate when degrees are
+    * bounded, as in co-occurrence graphs with small per-order sets);
+    * the standard 100 TB refinement is to orient edges by (degree,
+    * id) instead, which bounds the join by arboricity — same plan
+    * shape, different orientation key. The closing semi-join
+    * short-circuits per wedge; no triple materializes beyond the
+    * wedge set. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val wedges = e.select(col("a"), col("b").as("m"))
+      .join(e.select(col("a").as("m"), col("b").as("c")), Seq("m"))
+    val tris = wedges
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tris.select(explode(array(col("a"), col("m"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** DuckDB oracle for [[triangleCounts]] over the supplier
+    * co-occurrence graph: the same canonicalization and wedge-close
+    * joins, spelled as an independent triple join. */
+  private[graft] def triangleCountsOracleSql: String =
+    s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |edges AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+       |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+       |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+       |tri AS (SELECT e1.a, e1.b AS m, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |corners AS (SELECT a AS v FROM tri UNION ALL SELECT m FROM tri UNION ALL SELECT c FROM tri)
+       |SELECT v AS s_suppkey, COUNT(*) AS n_triangles FROM corners
+       |GROUP BY v ORDER BY n_triangles DESC, s_suppkey""".stripMargin
+
   /** DuckDB oracle: the identical integer recurrence, unrolled to
     * `iters` CTEs (standard SQL forbids aggregation in a recursive
     * term, so a fixed unroll is the portable formulation). `//` is

@@ -27,5 +27,16 @@ object GraphQueries {
         ranks.select(col("v").as("s_suppkey"), col("rank").as("rank_scaled"))
           .orderBy(col("rank_scaled").desc, col("s_suppkey"))
       },
-      Some(Graph.pagerankOracleSql(iters = 10))))
+      Some(Graph.pagerankOracleSql(iters = 10))),
+
+    // ---- per-node triangle counts (clustering-coefficient numerator):
+    // canonical a<b edges, wedge self-join on the middle vertex, semi-
+    // join close — each triangle found once, fanned to its 3 corners --
+    ("q125_triangles",
+      (s, dir) => {
+        Graph.triangleCounts(Graph.supplierCooccurrence(t(s, dir, "lineitem")))
+          .select(col("v").as("s_suppkey"), col("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("s_suppkey"))
+      },
+      Some(Graph.triangleCountsOracleSql)))
 }

@@ -118,6 +118,32 @@ class GraphSpec extends AnyFunSuite with Matchers {
     ms(out(2), 2) shouldBe None // ts == prev stage is not strictly after
   }
 
+  test("triangleCounts equals brute-force enumeration on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8260814L)
+    for (trial <- 1 to 4) {
+      val nV = 12
+      val undirected = (for {
+        a <- 0 until nV; b <- a + 1 until nV
+        if rnd.nextDouble() < 0.4
+      } yield (a.toLong, b.toLong)).toSeq
+      val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      val es = undirected.toSet
+      for {
+        Seq(x, y, z) <- (0L until nV.toLong).combinations(3)
+        if es((x, y)) && es((y, z)) && es((x, z))
+        v <- Seq(x, y, z)
+      } brute(v) += 1L
+      // feed as symmetric directed pairs with weights, as supplierCooccurrence emits
+      val sym = undirected.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+      val got = Graph.triangleCounts(sym.toDF("src", "dst", "w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (${undirected.size} edges): ") {
+        got shouldBe brute.toMap
+      }
+    }
+  }
+
   test("skyline equals brute-force dominance on seeded random point sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
