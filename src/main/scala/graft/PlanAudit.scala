@@ -480,6 +480,21 @@ object PlanAudit {
           "range residual — no cartesian stage, no broadcast of text",
         Seq("Window", "LeftAnti"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q125_triangles",
+        "triangle counting: canonical-edge wedge join on the middle " +
+          "vertex closed by a LEFT SEMI join on the (a, c) edge — the " +
+          "probe short-circuits per wedge, no triple materializes " +
+          "beyond the wedge set, no cartesian stage",
+        Seq("LeftSemi"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q126_kmeans",
+        "distributed k-means (final assignment iteration): the k·d " +
+          "centroid relation broadcasts against one scan of the grid " +
+          "triples (BroadcastHashJoin), both the distance and argmin " +
+          "aggregations are map-side-combined HashAggregates — MLlib's " +
+          "plan shape with engine-exact integer arithmetic",
+        Seq("BroadcastHashJoin", "HashAggregate"),
+        Seq("CartesianProduct", "SortMergeJoin")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

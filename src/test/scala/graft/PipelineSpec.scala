@@ -582,6 +582,38 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, String)].collect().toList shouldBe got
   }
 
+  test("distributed k-means matches an in-test integer reference and is partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(126126L)
+    val dim = 4
+    val vecs = (0L until 20L).map(i => i -> Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val k = 3; val iters = 3
+    // independent reference: same grid/seed/argmin/floor-mean recurrence on Maps
+    val grid = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 10000.0).toLong)
+    }.toMap
+    var cent: Map[Long, Array[Long]] = (0L until k.toLong).map(j => j -> grid(j)).toMap
+    var assign: Map[Long, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      assign = grid.map { case (id, g) =>
+        id -> cent.toSeq.map { case (j, c) =>
+          (g.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+        }.min._2
+      }
+      cent = assign.groupBy(_._2).map { case (j, members) =>
+        val gs = members.keys.map(grid).toSeq
+        j -> Array.tabulate(dim)(d =>
+          math.floor(gs.map(_(d)).sum.toDouble / gs.size).toLong)
+      }
+    }
+    val got = graft.pipeline.Similarity.distributedKMeans(df, k, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe assign
+    graft.pipeline.Similarity.distributedKMeans(df.repartition(7), k, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe assign
+  }
+
   test("sequence packing: bins and offsets follow the per-lang running total") {
     import spark.implicits._
     val docs = Seq(
