@@ -38,6 +38,8 @@ object ClusterSmoke {
     "q114b_pq_kmeans", // broadcast 3-D codebook array into an executor-side argmin UDF
     "q115_rrf_fusion", // both retrieval legs + the k-row fusion join across JVMs
     "img20_dicom_series", // executor-side Hadoop FS writes + binaryFile scan + mapGroups stacking
+    "q119_pagerank", // 10 localCheckpoint'd integer-rank rounds re-read across worker JVMs
+    "q126_kmeans", // broadcast centroid relation + grid-triple aggs per Lloyd iteration cross-JVM
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {
@@ -88,6 +90,8 @@ object ClusterSmoke {
       println("[cluster-smoke] OK streaming_mg_timer")
       decontamSmoke(spark)
       println("[cluster-smoke] OK streaming_decontam")
+      funnelSmoke(spark)
+      println("[cluster-smoke] OK streaming_funnel")
       println("[cluster-smoke] ALL OK")
     } finally spark.stop()
   }
@@ -126,6 +130,47 @@ object ClusterSmoke {
         .collect().map(_.doc_id).sorted.toSeq
       if (got != Seq(101L, 104L))
         sys.error(s"decontam smoke mismatch: got $got want Seq(101, 104)")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  /** Streaming funnel across REAL executor processes: the
+    * FunnelProcessor's ValueState carries a PRODUCT-encoded case
+    * class (FunnelProgress) — the state-encoder shape no other smoke
+    * covers (sessions use ListState of products, decontam a primitive
+    * ValueState, MG a MapState) — through a worker-JVM RocksDB
+    * provider, across two batches so the stage/last_ms pair must
+    * round-trip the store between microbatches. */
+  private def funnelSmoke(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.FunnelIn]
+    val q = EventStreams.streamingFunnel(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("cluster_funnel")
+      .outputMode("append").start()
+    try {
+      // batch 1: view then a decoy pre-view click redelivered later
+      mem.addData(EventStreams.FunnelIn(1L, "click", 50L),
+        EventStreams.FunnelIn(1L, "view", 100L))
+      // batch 2: the click and purchase complete the funnel — stage
+      // state from batch 1 must come back from RocksDB in an executor
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table("cluster_funnel").count() < 1 &&
+             System.nanoTime() < deadline) Thread.sleep(250)
+      mem.addData(EventStreams.FunnelIn(1L, "click", 200L),
+        EventStreams.FunnelIn(1L, "purchase", 250L))
+      while (spark.table("cluster_funnel").count() < 3 &&
+             System.nanoTime() < deadline) Thread.sleep(250)
+      val got = spark.table("cluster_funnel").as[EventStreams.FunnelHit]
+        .collect().map(h => (h.stage, h.ts_ms)).sorted.toSeq
+      if (got != Seq((1, 100L), (2, 200L), (3, 250L)))
+        sys.error(s"funnel smoke mismatch: got $got want Seq((1,100), (2,200), (3,250))")
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -501,22 +501,33 @@ object EventStreams {
     override def handleInputRows(key: Long, rows: Iterator[FunnelIn],
                                  tv: TimerValues): Iterator[FunnelHit] = {
       val cur = if (progress.exists()) progress.get() else FunnelProgress(0, Long.MinValue)
-      var stage = cur.stage
-      var last = cur.last_ms
-      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
-      // sort the batch so within-batch arrival order can't change the
-      // fold; ties on ts break by stage order via the sequential scan
-      rows.toArray.sortBy(_.ts_ms).foreach { r =>
-        if (stage < stages.length && r.event_type == stages(stage) &&
-            (stage == 0 || r.ts_ms > last)) {
-          out += FunnelHit(key, stage + 1, r.event_type, r.ts_ms)
-          last = r.ts_ms
-          stage += 1
-        }
-      }
-      if (stage != cur.stage) progress.update(FunnelProgress(stage, last))
-      out.iterator
+      val (next, hits) = funnelFold(cur, stages, key, rows.toSeq)
+      if (next.stage != cur.stage) progress.update(next)
+      hits.iterator
     }
+  }
+
+  /** Pure batch fold of [[FunnelProcessor]]: advance the per-user
+    * funnel through one batch of events. Sorts the batch by ts so
+    * within-batch arrival order can't change the fold (ties on ts
+    * break by stage order via the sequential scan). PROPERTY (checked
+    * in PropertySpec): for a ts-ordered stream, the fold is invariant
+    * under how the stream is split into batches — chaining the
+    * returned progress over any partitioning yields the same hits. */
+  private[graft] def funnelFold(cur: FunnelProgress, stages: Seq[String],
+                                key: Long, rows: Seq[FunnelIn]): (FunnelProgress, Seq[FunnelHit]) = {
+    var stage = cur.stage
+    var last = cur.last_ms
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+    rows.sortBy(_.ts_ms).foreach { r =>
+      if (stage < stages.length && r.event_type == stages(stage) &&
+          (stage == 0 || r.ts_ms > last)) {
+        out += FunnelHit(key, stage + 1, r.event_type, r.ts_ms)
+        last = r.ts_ms
+        stage += 1
+      }
+    }
+    (FunnelProgress(stage, last), out.toSeq)
   }
 
   /** Funnel stream through [[FunnelProcessor]] (requires the RocksDB

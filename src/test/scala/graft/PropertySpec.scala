@@ -81,6 +81,35 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("funnel fold: batch-split invariant on ts-ordered streams, hits strictly ordered") {
+    val genEvent = for {
+      tp <- Gen.oneOf("view", "click", "purchase", "noise")
+      ts <- Gen.choose(0L, 50L)
+    } yield EventStreams.FunnelIn(1L, tp, ts)
+    val genStream = Gen.listOf(genEvent).map(_.sortBy(_.ts_ms))
+    // split points: how the ts-ordered stream is carved into batches
+    val genCuts = Gen.listOf(Gen.choose(0, 40))
+    val stages = Seq("view", "click", "purchase")
+    check("funnel-split-invariance", Prop.forAll(genStream, genCuts) { (stream, cuts) =>
+      val whole = EventStreams.funnelFold(
+        EventStreams.FunnelProgress(0, Long.MinValue), stages, 1L, stream)
+      val bounds = (cuts.map(c => math.min(c, stream.length)) :+ stream.length)
+        .sorted.distinct
+      val batches = (0 +: bounds).zip(bounds).map { case (a, b) => stream.slice(a, b) }
+      var prog = EventStreams.FunnelProgress(0, Long.MinValue)
+      val hits = batches.flatMap { b =>
+        val (p2, h) = EventStreams.funnelFold(prog, stages, 1L, b)
+        prog = p2
+        h
+      }
+      val ordered = hits.sliding(2).forall {
+        case Seq(a, b) => b.stage == a.stage + 1 && b.ts_ms > a.ts_ms
+        case _ => true
+      }
+      hits == whole._2 && prog == whole._1 && ordered && hits.length <= stages.length
+    })
+  }
+
   test("top-k aggregator equals sorted take-k under any split tree") {
     val genXs = Gen.listOf(Gen.zip(Gen.choose(-100, 100).map(_ / 7.0), Gen.choose(0L, 50L)))
     val genK = Gen.choose(1, 8)
