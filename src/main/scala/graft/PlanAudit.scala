@@ -495,6 +495,12 @@ object PlanAudit {
           "plan shape with engine-exact integer arithmetic",
         Seq("BroadcastHashJoin", "HashAggregate"),
         Seq("CartesianProduct", "SortMergeJoin")),
+      ("q128_clustering_coeff",
+        "clustering coefficient: degree agg + the q125 wedge/semi-join " +
+          "triangle count merged by one left join; the coefficient is " +
+          "an integer-grid division (no floats) — no cartesian stage",
+        Seq("LeftSemi", "HashAggregate"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

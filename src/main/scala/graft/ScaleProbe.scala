@@ -194,7 +194,7 @@ object ScaleProbe {
     // 10 DISJOINT subgraph copies (node ids offset per copy): |V| and
     // |E| both grow 10×, every copy converges to the base ranks, so
     // the ratio measures the per-iteration join+aggregate cost
-    if (only.isEmpty || only("pagerank") || only("triangles")) {
+    if (only.isEmpty || only("pagerank") || only("triangles") || only("communities")) {
       val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
       val edges1 = graft.pipeline.Graph.supplierCooccurrence(li).localCheckpoint()
       val edgesN = (0 until copies).map { c =>
@@ -213,6 +213,12 @@ object ScaleProbe {
         probe("triangles",
           graft.pipeline.Graph.triangleCounts(edges1.filter(col("w") >= 8)).count(),
           graft.pipeline.Graph.triangleCounts(edgesN.filter(col("w") >= 8)).count())
+      // disjoint copies again: every copy's communities resolve
+      // independently; the ratio measures the per-round label join+agg
+      if (only.isEmpty || only("communities"))
+        probe("communities",
+          graft.pipeline.Graph.labelPropagation(edges1.filter(col("w") >= 8), 5).count(),
+          graft.pipeline.Graph.labelPropagation(edgesN.filter(col("w") >= 8), 5).count())
     }
 
     // sign-flipped copies share labels/ids modulo the offset; seeds

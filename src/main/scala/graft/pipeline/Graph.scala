@@ -168,6 +168,109 @@ object Graph {
        |SELECT v AS s_suppkey, COUNT(*) AS n_triangles FROM corners
        |GROUP BY v ORDER BY n_triangles DESC, s_suppkey""".stripMargin
 
+  /** Synchronous weighted label propagation (community detection —
+    * the topical-grouping signal over a link/co-occurrence graph):
+    * labels start as node ids; each round every node adopts the label
+    * with the greatest incident edge weight among its neighbors, ties
+    * to the SMALLEST label — fully deterministic, no RNG, no
+    * order-dependence (weighted sums are exact integer adds).
+    * Synchronous LPA can oscillate on bipartite structures, so the
+    * round count is FIXED (no convergence claim) — the standard
+    * deterministic variant.
+    *
+    * Scale shape: per round, one equi-join of the label vector on
+    * `dst` and one (v, label) weight aggregation + argmax, all
+    * bounded by |E|; the label vector localCheckpoints each round. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    // size per-round jobs to the graph (the pagerank pattern): narrow
+    // coalesce to ~2M edges/partition, capped at inherited parallelism
+    val m = e0.count()
+    val e = e0.coalesce(math.max(1L,
+      math.min(e0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt)
+    var labels = e.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = e
+        .join(labels.select(col("v").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(sum(col("w")).as("wt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("wt")).as("nw"), col("label"))).as("m"))
+        .select(col("src").as("v"), col("m.label").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** DuckDB oracle for [[labelPropagation]] on the strong-tie supplier
+    * graph: the same recurrence unrolled, argmax as ROW_NUMBER over
+    * (wt DESC, label ASC) — the independent spelling of the
+    * struct-min. */
+  private[graft] def labelPropagationOracleSql(minW: Long, iters: Int): String = {
+    val head =
+      s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |edges0 AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+         |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges0 WHERE w >= $minW),
+         |l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s"""l$k AS (SELECT src AS v, label FROM (
+         |    SELECT e.src, l.label, SUM(e.w) AS wt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY SUM(e.w) DESC, l.label ASC) AS rn
+         |    FROM edges e JOIN l${k - 1} l ON l.v = e.dst
+         |    GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iterCtes +
+      s"\nSELECT v AS s_suppkey, CAST(label AS BIGINT) AS community FROM l$iters ORDER BY community, s_suppkey"
+  }
+
+  /** Local clustering coefficient, exact rational: per node, triangle
+    * count T and degree d over the undirected edge set; the
+    * coefficient 2T / (d·(d−1)) is emitted as an integer-div
+    * quantization (1e6 grid) plus its exact (T, d) numerator inputs —
+    * no floating point anywhere. Nodes with d < 2 report 0. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges), Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_q6",
+        when(col("deg") < 2, lit(0L)).otherwise(
+          expr("(2000000 * n_triangles) div (deg * (deg - 1))")))
+  }
+
+  /** DuckDB oracle for [[clusteringCoefficient]] on the strong-tie
+    * graph (same `//` integer grid division). */
+  private[graft] def clusteringCoefficientOracleSql(minW: Long): String =
+    s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |edges AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+       |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges WHERE w >= $minW),
+       |deg AS (SELECT v, COUNT(*) AS deg FROM (
+       |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+       |tri AS (SELECT e1.a, e1.b AS m, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |tc AS (SELECT v, COUNT(*) AS n_triangles FROM (
+       |  SELECT a AS v FROM tri UNION ALL SELECT m FROM tri UNION ALL SELECT c FROM tri)
+       |  GROUP BY v)
+       |SELECT d.v AS s_suppkey, CAST(d.deg AS BIGINT) AS deg,
+       |  CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST(CASE WHEN d.deg < 2 THEN 0
+       |       ELSE (2000000 * CAST(COALESCE(tc.n_triangles, 0) AS BIGINT)) // (d.deg * (d.deg - 1))
+       |  END AS BIGINT) AS cc_q6
+       |FROM deg d LEFT JOIN tc ON tc.v = d.v
+       |ORDER BY s_suppkey""".stripMargin
+
   /** DuckDB oracle: the identical integer recurrence, unrolled to
     * `iters` CTEs (standard SQL forbids aggregation in a recursive
     * term, so a fixed unroll is the portable formulation). `//` is

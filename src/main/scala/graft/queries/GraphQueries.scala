@@ -45,5 +45,30 @@ object GraphQueries {
           .select(col("v").as("s_suppkey"), col("n_triangles"))
           .orderBy(col("n_triangles").desc, col("s_suppkey"))
       },
-      Some(Graph.triangleCountsOracleSql(minW = 8))))
+      Some(Graph.triangleCountsOracleSql(minW = 8))),
+
+    // ---- community detection: 5 rounds of deterministic synchronous
+    // weighted label propagation (min-label ties, fixed rounds) over
+    // the strong-tie graph ------------------------------------------
+    ("q127_communities",
+      (s, dir) => {
+        val strong = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 8)
+        Graph.labelPropagation(strong, iters = 5)
+          .select(col("v").as("s_suppkey"), col("label").cast("long").as("community"))
+          .orderBy(col("community"), col("s_suppkey"))
+      },
+      Some(Graph.labelPropagationOracleSql(minW = 8, iters = 5))),
+
+    // ---- local clustering coefficient: exact-rational 2T/(d(d-1))
+    // on the 1e6 integer grid, with the (T, d) inputs alongside ------
+    ("q128_clustering_coeff",
+      (s, dir) => {
+        val strong = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 8)
+        Graph.clusteringCoefficient(strong)
+          .select(col("v").as("s_suppkey"), col("deg"), col("n_triangles"), col("cc_q6"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(Graph.clusteringCoefficientOracleSql(minW = 8))))
 }

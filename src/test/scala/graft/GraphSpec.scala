@@ -144,6 +144,58 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("labelPropagation matches the reference recurrence; communities split at weak bridges") {
+    import spark.implicits._
+    // independent reference: same sync weighted-argmax/min-tie recurrence on Maps
+    def ref(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = edges.map(_._1).distinct
+      var lab = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        lab = nodes.map { v =>
+          val wt = edges.filter(_._1 == v)
+            .groupBy(e => lab(e._2)).view.mapValues(_.map(_._3).sum)
+          v -> wt.toSeq.minBy { case (l, w) => (-w, l) }._1
+        }.toMap
+      }
+      lab
+    }
+    // two heavy triangles {1,2,3} and {4,5,6} joined by a weak bridge
+    def sym(pairs: (Long, Long, Long)*): Seq[(Long, Long, Long)] =
+      pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val bridged = sym((1L, 2L, 9L), (2L, 3L, 9L), (1L, 3L, 9L),
+      (4L, 5L, 9L), (5L, 6L, 9L), (4L, 6L, 9L), (3L, 4L, 1L))
+    val rnd = new scala.util.Random(127127L)
+    val random = sym((for {
+      a <- 0L until 10L; b <- a + 1 until 10L
+      if rnd.nextDouble() < 0.5
+    } yield (a, b, rnd.nextInt(5).toLong + 1L)): _*)
+    for ((g, iters) <- Seq((bridged, 5), (random, 1), (random, 3), (random, 5))) {
+      val got = graft.pipeline.Graph.labelPropagation(g.toDF("src", "dst", "w"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"iters=$iters: ") { got shouldBe ref(g, iters) }
+    }
+    // the bridged graph resolves to one community per triangle
+    val comm = graft.pipeline.Graph.labelPropagation(bridged.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comm.filterKeys(_ <= 3L).values.toSet.size shouldBe 1
+    comm.filterKeys(_ >= 4L).values.toSet.size shouldBe 1
+    comm(1L) should not be comm(4L)
+  }
+
+  test("clusteringCoefficient: exact rational values on a hand-computed graph") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+    val got = graft.pipeline.Graph.clusteringCoefficient(edges.toDF("src", "dst", "w"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe Map(
+      1L -> ((2L, 1L, 1000000L)),            // deg 2, 1 triangle -> cc 1.0
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)),             // 2*1e6/(3*2) floor
+      4L -> ((1L, 0L, 0L)))                  // pendant: deg < 2
+  }
+
   test("skyline equals brute-force dominance on seeded random point sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
