@@ -233,12 +233,15 @@ object Graph {
     * quantization (1e6 grid) plus its exact (T, d) numerator inputs —
     * no floating point anywhere. Nodes with d < 2 report 0. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val e = edges.select(least(col("src"), col("dst")).as("a"),
+    // materialize the (possibly expensive) edge construction ONCE —
+    // both the degree aggregation and the triangle count read it
+    val ec = edges.localCheckpoint()
+    val e = ec.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct()
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(edges), Seq("v"), "left")
+    deg.join(triangleCounts(ec), Seq("v"), "left")
       .select(col("v"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("cc_q6",

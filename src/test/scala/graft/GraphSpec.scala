@@ -177,8 +177,8 @@ class GraphSpec extends AnyFunSuite with Matchers {
     // the bridged graph resolves to one community per triangle
     val comm = graft.pipeline.Graph.labelPropagation(bridged.toDF("src", "dst", "w"), 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    comm.filterKeys(_ <= 3L).values.toSet.size shouldBe 1
-    comm.filterKeys(_ >= 4L).values.toSet.size shouldBe 1
+    comm.filter(_._1 <= 3L).values.toSet.size shouldBe 1
+    comm.filter(_._1 >= 4L).values.toSet.size shouldBe 1
     comm(1L) should not be comm(4L)
   }
 
