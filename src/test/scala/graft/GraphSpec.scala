@@ -196,6 +196,24 @@ class GraphSpec extends AnyFunSuite with Matchers {
       4L -> ((1L, 0L, 0L)))                  // pendant: deg < 2
   }
 
+  test("graph family is partition-invariant (integer arithmetic owes nothing to layout)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777L)
+    val edges = (for {
+      a <- 0L until 15L; b <- a + 1 until 15L
+      if rnd.nextDouble() < 0.45
+    } yield (a, b, rnd.nextInt(9).toLong + 1L))
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val base = edges.toDF("src", "dst", "w")
+    val shuffled = edges.reverse.toDF("src", "dst", "w").repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    rows(Graph.pagerank(shuffled, 10)) shouldBe rows(Graph.pagerank(base, 10))
+    rows(Graph.triangleCounts(shuffled)) shouldBe rows(Graph.triangleCounts(base))
+    rows(Graph.labelPropagation(shuffled, 5)) shouldBe rows(Graph.labelPropagation(base, 5))
+    rows(Graph.clusteringCoefficient(shuffled)) shouldBe rows(Graph.clusteringCoefficient(base))
+  }
+
   test("skyline equals brute-force dominance on seeded random point sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
