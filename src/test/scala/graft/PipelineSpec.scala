@@ -614,6 +614,32 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe assign
   }
 
+  test("README curation chain runs end-to-end on real testdata") {
+    import spark.implicits._
+    // the exact chain documented in README.md — kept runnable so the
+    // example can never drift from the library's real signatures
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ok = TextFunctions.gopherRules(docs).filter($"keep" === 1).select("doc_id")
+    val kept = docs.join(ok, Seq("doc_id"), "left_semi")
+    val scrub = TextFunctions.scrubDuplicatedSpans(kept, n = 8)
+    val pairs = Dedup.minhashLshPairs(kept, shingleN = 3, numHashes = 64, bands = 16)
+    val keep = Dedup.canonicalKeep(pairs, kept)
+    val bench = docs.filter($"doc_id" % 17 === 0)
+      .select($"doc_id" + 1000000L as "doc_id", $"text", lit("benchmark").as("source"))
+    val contaminated = graft.pipeline.Decontam.bloomDecontam(
+      kept.select($"doc_id", $"text", $"source").unionByName(bench),
+      isBench = $"source" === "benchmark", n = 8)
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val split = Sampling.leakageSafeSplit(clean, pairs)
+    val shards = Sampling.corpusShards(clean, nShards = 16)
+    kept.count() should be > 0L
+    scrub.count() shouldBe kept.count()
+    keep.count() should be >= 0L
+    clean.count() should be > 0L
+    split.select("split").distinct().count() should be <= 3L
+    shards.select("shard").distinct().count() should be <= 16L
+  }
+
   test("sequence packing: bins and offsets follow the per-lang running total") {
     import spark.implicits._
     val docs = Seq(
