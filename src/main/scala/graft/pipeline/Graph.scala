@@ -45,11 +45,18 @@ object Graph {
     * construction, no self-loops. Distinct (order, supplier) first so
     * multi-lineitem orders don't inflate weights quadratically. */
   def supplierCooccurrence(lineitem: DataFrame): DataFrame = {
-    val su = lineitem.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val a = su.select(col("l_orderkey"), col("l_suppkey").as("src"))
-    val b = su.select(col("l_orderkey"), col("l_suppkey").as("dst"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("src") =!= col("dst"))
+    // group each order's supplier SET (collect_set dedups multi-line
+    // suppliers and is map-side combined), then expand ordered pairs
+    // with a codegen'd higher-order transform — two shuffles total
+    // (order group, pair count) and no join; the per-order set is
+    // bounded (≤ 7 lineitems/order in TPC-H), so the expansion is a
+    // bounded constant factor, never a hot-key blowup
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+          "y -> named_struct('src', x, 'dst', y))))")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
   }
