@@ -327,7 +327,7 @@ object TemporalQueries {
             COUNT(*) OVER () AS ns FROM samp),
         edge AS (SELECT r.value AS edge FROM ranked r
           JOIN generate_series(1, 9) i(i) ON r.rn = (i.i * r.ns) // 10),
-        el AS (SELECT list_sort(list(edge)) AS edges FROM edge),
+        el AS (SELECT COALESCE(list_sort(list(edge)), []) AS edges FROM edge),
         abin AS (SELECT 1 + len(list_filter(el.edges, e -> a.value > e)) AS bin FROM a, el),
         bbin AS (SELECT 1 + len(list_filter(el.edges, e -> b.value > e)) AS bin FROM b, el),
         na AS (SELECT bin, COUNT(*) AS n_a FROM abin GROUP BY bin),

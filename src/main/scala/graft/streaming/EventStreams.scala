@@ -540,6 +540,54 @@ object EventStreams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  case class SampleIn(lang: String, doc_id: Long, rank: String)
+
+  /** Streaming deterministic k-per-group sampling — the streaming face
+    * of q87's md5-ranked group sample: per stratum (`lang`), keep the
+    * k rows with the SMALLEST (rank, doc_id) seen so far; `rank` is
+    * the content hash computed upstream (md5 of the text), so the
+    * reservoir is RNG-free and — because min-k is a semilattice
+    * merge — identical for any batch arrival order or split, and
+    * idempotent under redelivery. A [[FlushToken]] rank emits the
+    * stratum's current reservoir (the MG sentinel pattern); data rows
+    * emit nothing, so the output stream is only ever explicit
+    * snapshots.
+    *
+    * Scale shape: state is ≤ k rows per stratum — corpus size never
+    * enters the store; one read + one rewrite per (stratum, batch). */
+  class GroupSampleProcessor(k: Int)
+      extends StatefulProcessor[String, SampleIn, SampleIn] {
+    @transient private var res: org.apache.spark.sql.streaming.ListState[SampleIn] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      res = getHandle.getListState[SampleIn]("reservoir",
+        Encoders.product[SampleIn], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SampleIn],
+                                 tv: TimerValues): Iterator[SampleIn] = {
+      val (flushes, data) = rows.toSeq.partition(_.rank == FlushToken)
+      val cur = res.get().toSeq
+      val merged = (cur ++ data)
+        .distinctBy(r => (r.rank, r.doc_id))
+        .sortBy(r => (r.rank, r.doc_id))
+        .take(k)
+      if (merged != cur) {
+        res.clear()
+        merged.foreach(res.appendValue)
+      }
+      if (flushes.nonEmpty) merged.iterator else Iterator.empty
+    }
+  }
+
+  /** k-per-group sample stream through [[GroupSampleProcessor]]
+    * (requires the RocksDB state store provider). */
+  def streamingGroupSample(docs: Dataset[SampleIn], k: Int = 20): Dataset[SampleIn] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .transformWithState(new GroupSampleProcessor(k),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState:
     * accumulates per-user counters, emits the session when the
     * processing-time gap expires. The custom-state path the built-in

@@ -487,6 +487,54 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming group sample: reservoir equals the batch top-k across batches and redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rnd = new scala.util.Random(8787L)
+    val rows = for {
+      lang <- Seq("en", "fr"); i <- 1 to 9
+    } yield EventStreams.SampleIn(lang, i.toLong + (if (lang == "fr") 100 else 0),
+      f"${rnd.nextInt(1 << 20)}%08x")
+    val k = 3
+    // batch reference: q87's shape — smallest (rank, doc_id) per stratum
+    val expected = rows.groupBy(_.lang).flatMap { case (_, rs) =>
+      rs.sortBy(r => (r.rank, r.doc_id)).take(k)
+    }.toSet
+    // independent cross-check through the windowed batch operator shape
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"rank", $"doc_id")
+    val viaWindow = rows.toDF("lang", "doc_id", "rank")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .as[(String, Long, String, Int)].collect()
+      .map(t => EventStreams.SampleIn(t._1, t._2, t._3)).toSet
+    viaWindow shouldBe expected
+    val (b1, b2) = rnd.shuffle(rows).splitAt(rows.length / 2)
+    val mem = MemoryStream[EventStreams.SampleIn]
+    val q = EventStreams.streamingGroupSample(mem.toDS(), k).toDF()
+      .writeStream.format("memory").queryName("group_sample")
+      .outputMode("append").start()
+    try {
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("group_sample").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+      }
+      mem.addData(b1: _*)
+      mem.addData((b2 ++ b1.take(3)): _*) // b1 rows redelivered
+      mem.addData(EventStreams.SampleIn("en", 0L, EventStreams.FlushToken),
+        EventStreams.SampleIn("fr", 0L, EventStreams.FlushToken))
+      awaitCount(2L * k)
+      val got = spark.table("group_sample").as[EventStreams.SampleIn]
+        .collect().toSet
+      got shouldBe expected
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming funnel: hits equal the batch funnel stage times under ts-ordered batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
