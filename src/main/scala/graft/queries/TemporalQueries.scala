@@ -273,6 +273,31 @@ object TemporalQueries {
         WHERE a.aw >= c.cohort_week
         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
 
+    // ---- recency-decayed activity score (freshness weighting for
+    // curriculum/sampling): Σ 1e9 / 2^age_weeks per user with a
+    // 1-week half-life. Power-of-two decay makes the weights EXACT
+    // integers (1e9 div (1 << age)), so the score is hash-exact with
+    // no float pow/exp anywhere; one scan, one map-side-combined
+    // aggregation. --------------------------------------------------
+    ("q129_decayed_activity",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("user_id"),
+            expr("datediff(date'2024-01-31', cast(ts as date)) div 7").as("aw"))
+          .select(col("user_id"),
+            expr("1000000000L div shiftleft(1L, cast(aw as int))").as("wgt"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("wgt")).as("activity_scaled"), count(lit(1)).as("n_events"))
+          .orderBy(col("activity_scaled").desc, col("user_id"))
+      },
+      Some("""SELECT user_id,
+          CAST(SUM(1000000000 // (CAST(1 AS BIGINT) <<
+            (date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7))) AS BIGINT)
+            AS activity_scaled,
+          COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY activity_scaled DESC, user_id""")),
+
     // ---- distribution drift (PSI) between the first and second half
     // of the event stream: 10 bins from the deciles of a DETERMINISTIC
     // sample of period A (event_id % 7 — RNG-free, order-free; at
