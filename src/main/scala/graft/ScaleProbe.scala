@@ -194,7 +194,8 @@ object ScaleProbe {
     // 10 DISJOINT subgraph copies (node ids offset per copy): |V| and
     // |E| both grow 10×, every copy converges to the base ranks, so
     // the ratio measures the per-iteration join+aggregate cost
-    if (only.isEmpty || only("pagerank") || only("triangles") || only("communities")) {
+    if (only.isEmpty || only("pagerank") || only("triangles") ||
+        only("communities") || only("skew_wedges")) {
       val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
       val edges1 = graft.pipeline.Graph.supplierCooccurrence(li).localCheckpoint()
       val edgesN = (0 until copies).map { c =>
@@ -213,6 +214,25 @@ object ScaleProbe {
         probe("triangles",
           graft.pipeline.Graph.triangleCounts(edges1.filter(col("w") >= 8)).count(),
           graft.pipeline.Graph.triangleCounts(edgesN.filter(col("w") >= 8)).count())
+      // deliberately skewed graph — one hub of degree 10³ over a
+      // sparse ring background: the degree-ordered orientation
+      // triangleCounts uses points every hub edge INTO the hub, so
+      // the hub pivots zero wedges and the join volume is m·ā
+      // (ring-dominated, ~O(m)); the naive id-order would pivot
+      // C(1000, 2) ≈ 5·10⁵ wedges at the hub alone
+      if (only.isEmpty || only("skew_wedges")) {
+        import spark.implicits._
+        val hub = (1 to 1000).map(i => (0L, i.toLong, 1L))
+        val ring = (1 to 1000).map(i => (i.toLong, (i % 1000 + 1).toLong, 1L))
+        val skew = (hub ++ ring).toDF("src", "dst", "w").localCheckpoint()
+        val naive = graft.pipeline.Graph.wedgeVolume(skew, degreeOrdered = false)
+        val ordered = graft.pipeline.Graph.wedgeVolume(skew, degreeOrdered = true)
+        println(s"SCALE skew_wedges: id-order $naive wedges vs degree-order " +
+          s"$ordered wedges on a deg-1000 hub + 1000-ring (m = ${1000 + 1000})")
+        val t0 = System.nanoTime()
+        val tri = graft.pipeline.Graph.triangleCounts(skew).count()
+        println(f"SCALE skew_triangles: ${(System.nanoTime() - t0) / 1e9}%.2f s ($tri rows)")
+      }
       // disjoint copies again: every copy's communities resolve
       // independently; the ratio measures the per-round label join+agg
       if (only.isEmpty || only("communities"))

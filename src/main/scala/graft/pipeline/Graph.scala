@@ -132,30 +132,84 @@ object Graph {
 
   /** Per-node triangle counts over an undirected edge set (the
     * clustering-coefficient numerator — community density signal for
-    * link-graph quality weighting). Edges canonicalize to a < b;
-    * wedges a–b–c (a<b<c) form by ONE self-join on the middle vertex
-    * and close into triangles by a semi-join on the (a, c) edge —
-    * every triangle is found exactly once, then fans out to its three
-    * corners.
+    * link-graph quality weighting). Each undirected edge is oriented
+    * from its (degree, id)-lexicographically smaller endpoint; wedges
+    * u→v, u→w (v before w in the same order) form by ONE self-join on
+    * the pivot u and close into triangles by a semi-join on the
+    * directed v→w edge — every triangle is found exactly once at its
+    * (degree, id)-minimal corner, then fans out to its three corners.
+    * The triangle multiset is orientation-invariant, so the output is
+    * identical to the naive id-ordered formulation.
     *
-    * Scale shape: the wedge join is the whole cost — Σ_v deg(v)² on
-    * the id-ordered orientation used here (adequate when degrees are
-    * bounded, as in co-occurrence graphs with small per-order sets);
-    * the standard 100 TB refinement is to orient edges by (degree,
-    * id) instead, which bounds the join by arboricity — same plan
-    * shape, different orientation key. The closing semi-join
-    * short-circuits per wedge; no triple materializes beyond the
-    * wedge set. */
+    * Scale shape: the wedge join is the whole cost — Σ_v outdeg(v)²
+    * under the orientation. Degree-ordering caps every out-degree at
+    * O(√m) (more precisely the join volume is bounded by m times the
+    * graph arboricity), so a high-degree hub contributes m·ā wedges,
+    * not deg(hub)² — the difference between linear and quadratic on a
+    * skewed real link graph (verified by the skew probe in
+    * ScaleProbe). The two degree-attach joins are plain O(|E|)
+    * equi-joins; the closing semi-join short-circuits per wedge and
+    * no triple materializes beyond the wedge set. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    val wedges = e.select(col("a"), col("b").as("m"))
-      .join(e.select(col("a").as("m"), col("b").as("c")), Seq("m"))
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient each edge low→high by (degree, id); keep the head's
+    // (degree, id) key so the wedge join can order its two spokes
+    // without a third degree lookup
+    val dir = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("x"), col("db").as("dx")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("x"), col("da").as("dx")))
+        .as("s"))
+      .select(col("s.u").as("u"), col("s.x").as("x"), col("s.dx").as("dx"))
+      .localCheckpoint()
+    // wedges u→v, u→w with v strictly before w in (degree, id) order:
+    // each unordered spoke pair counted once, and the closing edge
+    // {v, w} — if present — is oriented v→w by construction
+    val wedges = dir.select(col("u"), col("x").as("v"), col("dx").as("dv"))
+      .join(dir.select(col("u"), col("x").as("w"), col("dx").as("dw")), Seq("u"))
+      .filter(col("dv") < col("dw") ||
+              (col("dv") === col("dw") && col("v") < col("w")))
     val tris = wedges
-      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
-    tris.select(explode(array(col("a"), col("m"), col("c"))).as("v"))
+      .join(dir.select(col("x").as("w"), col("u").as("v")),
+        Seq("v", "w"), "left_semi")
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Diagnostic: the wedge-join volume Σ_v C(outdeg(v), 2) the
+    * triangle count would generate under either orientation — the
+    * number the skew probe reports. `degreeOrdered = true` is the
+    * orientation [[triangleCounts]] actually uses (arboricity-bounded:
+    * a degree-d hub's edges all point INTO it, so it pivots no
+    * wedges); `false` is the naive id-order, where the same hub
+    * pivots C(d, 2) wedges. */
+  def wedgeVolume(edges: DataFrame, degreeOrdered: Boolean): Long = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val pivots =
+      if (!degreeOrdered) e.select(col("a").as("u"))
+      else {
+        val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        e.join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+          .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+          .select(when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"))
+      }
+    val r = pivots.groupBy(col("u")).agg(count(lit(1)).as("od"))
+      .agg(sum(expr("od * (od - 1) div 2")).as("wedges")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** DuckDB oracle for [[triangleCounts]] over the supplier

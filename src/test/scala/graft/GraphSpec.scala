@@ -144,6 +144,27 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("degree orientation bounds wedge volume on a skewed hub graph") {
+    import spark.implicits._
+    // one hub of degree 200 over a 200-ring: id-order pivots C(200,2)
+    // wedges at the hub; degree-order points every hub edge INTO the
+    // hub (leaves have degree 3 < 200), so the hub pivots none
+    val hub = (1 to 200).map(i => (0L, i.toLong, 1L))
+    val ring = (1 to 200).map(i => (i.toLong, (i % 200 + 1).toLong, 1L))
+    val skew = (hub ++ ring).toDF("src", "dst", "w")
+    val naive = Graph.wedgeVolume(skew, degreeOrdered = false)
+    val ordered = Graph.wedgeVolume(skew, degreeOrdered = true)
+    naive should be >= (200L * 199L / 2)
+    ordered should be <= 3L * 400L // m·ā territory, hub contributes 0
+    // and the oriented count is still exact: each ring edge closes a
+    // triangle with the hub -> every leaf is in 2 triangles (its two
+    // ring neighbors), the hub in all 200
+    val tc = Graph.triangleCounts(skew).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tc(0L) shouldBe 200L
+    (1L to 200L).foreach(v => tc(v) shouldBe 2L)
+  }
+
   test("labelPropagation matches the reference recurrence; communities split at weak bridges") {
     import spark.implicits._
     // independent reference: same sync weighted-argmax/min-tie recurrence on Maps
