@@ -503,15 +503,63 @@ object Relational {
           ON o_orderkey = k)
         GROUP BY bucket, status_or_null ORDER BY bucket, status""")),
 
-    // ---- approximate distinct (HLL sketches differ across engines:
-    // rows-only check; exactness asserted relative to countDistinct) ----
+    // ---- approximate distinct via a KMV bottom-k sketch: the k
+    // smallest distinct mix64(fnv64(value)) hashes per group, estimate
+    // (k-1)·2^62 div kth — exact integer arithmetic end to end, so the
+    // whole sketch (unlike an HLL register file) replays bit-for-bit
+    // in DuckDB through the HashSql mirror. Map-side combined: each
+    // map partition ships ≤ k longs per group where countDistinct
+    // must shuffle every distinct value. (Built-in HLL accuracy is
+    // asserted in RelationalSmokeSpec — its registers are engine-
+    // specific by design, so it stays out of the hash gate.) ----
     ("q40_approx_distinct",
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy(col("l_returnflag")),
-      None),
+      (s, dir) => {
+        val kmv = udaf(new graft.functions.KmvAggregator(64))
+        val h62 = udf { v: String =>
+          graft.pipeline.Dedup.mix64(graft.pipeline.Dedup.fnv64(v)) >>> 2
+        }
+        t(s, dir, "lineitem")
+          .filter(col("l_partkey").isNotNull)
+          .select(col("l_returnflag"), col("l_partkey"),
+            h62(col("l_partkey").cast("string")).as("h"))
+          .groupBy(col("l_returnflag"))
+          .agg(kmv(col("h")).as("sk"),
+               countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"),
+            size(col("sk")).cast("long").as("k_used"),
+            element_at(col("sk"), -1).as("kth_hash"),
+            when(size(col("sk")) < 64, size(col("sk")).cast("long"))
+              .otherwise(expr(
+                "CAST((CAST(63 AS DECIMAL(38,0)) * CAST(4611686018427387904 AS DECIMAL(38,0)))" +
+                " div CAST(element_at(sk, -1) AS DECIMAL(38,0)) AS BIGINT)"))
+              .as("approx_parts"),
+            col("exact_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        import graft.pipeline.HashSql._
+        s"""WITH d AS (SELECT DISTINCT l_returnflag, CAST(l_partkey AS VARCHAR) AS pv
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+        f AS (SELECT l_returnflag, ${fnv64("pv")} AS h FROM d),
+        m1 AS (SELECT l_returnflag, ${mixStage1("h")} AS h FROM f),
+        m2 AS (SELECT l_returnflag, ${mixStage2("h")} AS h FROM m1),
+        m3 AS (SELECT l_returnflag, ${mixStage3("h")} AS h FROM m2),
+        hh AS (SELECT l_returnflag, CAST(${mixStage4("h")} // 4 AS BIGINT) AS h FROM m3),
+        hd AS (SELECT DISTINCT l_returnflag, h FROM hh),
+        rk AS (SELECT l_returnflag, h,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hd),
+        sk AS (SELECT l_returnflag, MAX(h) AS kth_hash, COUNT(*) AS k_used
+          FROM rk WHERE rn <= 64 GROUP BY l_returnflag),
+        ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+          FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_returnflag)
+        SELECT s.l_returnflag, CAST(s.k_used AS BIGINT) AS k_used, s.kth_hash,
+          CAST(CASE WHEN s.k_used < 64 THEN s.k_used
+               ELSE (63 * CAST(4611686018427387904 AS HUGEINT))
+                    // CAST(s.kth_hash AS HUGEINT) END AS BIGINT) AS approx_parts,
+          CAST(ex.exact_parts AS BIGINT) AS exact_parts
+        FROM sk s JOIN ex ON ex.l_returnflag = s.l_returnflag
+        ORDER BY s.l_returnflag"""
+      }),
 
     // ---- the exact half of q40 under the hash gate: same distinct
     // aggregation, HLL column dropped so the row is oracle-checkable

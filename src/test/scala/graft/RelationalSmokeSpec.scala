@@ -40,4 +40,53 @@ class RelationalSmokeSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("built-in HLL approx distinct lands within 5% of exact (engine-specific, off-gate)") {
+    import org.apache.spark.sql.functions._
+    val got = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+           countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    got.length should be > 0
+    got.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      withClue(s"flag ${r.getString(0)}: hll $a vs exact $e: ") {
+        math.abs(a - e) / e should be < 0.05
+      }
+    }
+  }
+
+  test("KMV sketch: buffer semantics exact, estimate within 3/sqrt(k) of truth, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // buffer semantics against a reference model
+    val agg = new graft.functions.KmvAggregator(5)
+    val xs = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 7L, 5L, 4L, 6L)
+    val buf = xs.foldLeft(agg.zero)(agg.reduce)
+    buf shouldBe Vector(1L, 2L, 3L, 4L, 5L) // 5 smallest DISTINCT
+    // merge == reduce over the concatenation, any split point
+    for (cut <- 0 to xs.length) {
+      val (l, r) = xs.splitAt(cut)
+      agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+                r.foldLeft(agg.zero)(agg.reduce)) shouldBe buf
+    }
+    // end-to-end estimate on n known-distinct values, k = 64
+    val n = 20000
+    val kmv = udaf(new graft.functions.KmvAggregator(64))
+    val h62 = udf { v: String =>
+      graft.pipeline.Dedup.mix64(graft.pipeline.Dedup.fnv64(v)) >>> 2
+    }
+    def run(parts: Int): (Long, Long) = {
+      val sk = (1 to n).map(i => s"v$i").toDF("v").repartition(parts)
+        .agg(kmv(h62(col("v"))).as("sk"))
+        .select(element_at(col("sk"), -1)).head().getLong(0)
+      val est = (BigInt(63) * BigInt(2).pow(62) / sk).toLong
+      (sk, est)
+    }
+    val (sk8, est) = run(8)
+    math.abs(est.toDouble - n) / n should be < (3.0 / math.sqrt(64.0))
+    run(1)._1 shouldBe sk8 // map-side combine owes nothing to layout
+    run(32)._1 shouldBe sk8
+  }
 }
