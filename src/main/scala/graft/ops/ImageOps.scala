@@ -70,11 +70,17 @@ object ImageOps {
     }
 
   /** Distributed DICOM series sink: each row's stack writes as one
-    * single-frame explicit-VR-LE file PER SLICE, named
-    * `<sample>_<instance>.dcm` with InstanceNumber = slice index + 1 —
-    * the on-disk layout of the reference's flagship IO case (a CT
-    * series directory, IjRDDTests.scala:30-99). */
+    * single-frame file PER SLICE, named `<sample>_<instance>.dcm`
+    * with InstanceNumber = slice index + 1 — the on-disk layout of
+    * the reference's flagship IO case (a CT series directory,
+    * IjRDDTests.scala:30-99). Slices ROTATE through the three
+    * uncompressed transfer syntaxes (implicit-VR LE, explicit-VR LE,
+    * explicit-VR BE) the way a mixed-vendor archive does — the
+    * series loader re-stacks them transparently because each file
+    * declares its own syntax in the Part 10 meta group. */
   def saveDicomSeries(df: DataFrame, dir: String): Unit = {
+    val syntaxes = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+      ImageCodecIO.TsExplicitBE)
     val spark = df.sparkSession
     import spark.implicits._
     val serConf = new org.apache.spark.util.SerializableConfiguration(
@@ -89,7 +95,8 @@ object ImageOps {
           while (s < img.slices) {
             val out = new org.apache.hadoop.fs.Path(base, s"${safeName(sample)}_${s + 1}.dcm")
             val os = fs.create(out, true)
-            try os.write(ImageCodecIO.encodeDicom(img, instance = s + 1, slice = s))
+            try os.write(ImageCodecIO.encodeDicom(img, instance = s + 1, slice = s,
+              transferSyntax = syntaxes(s % syntaxes.length)))
             finally os.close()
             s += 1
           }

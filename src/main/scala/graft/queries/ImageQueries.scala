@@ -701,13 +701,15 @@ object ImageQueries {
 
     // DICOM series round trip (the reference's flagship IO shape VERBATIM:
     // a directory of single-frame CT files re-stacked into a volume,
-    // IjRDDTests.scala:30-99 — here through the minimal explicit-VR-LE
-    // codec instead of spark-scifio): 12 slices per series save as 12
-    // files with InstanceNumber 1..12, the glob load re-stacks in
-    // INSTANCE order (name order would interleave _10 before _2, so a
-    // name-sorted or permuted stack cannot pass), and per-slice means
-    // recover each closed-form fill exactly (16-bit round trip is
-    // lossless for these integral values)
+    // IjRDDTests.scala:30-99 — here through the minimal DICOM codec
+    // instead of spark-scifio): 12 slices per series save as 12 files
+    // with InstanceNumber 1..12 ROTATING through all three
+    // uncompressed transfer syntaxes (implicit-VR LE, explicit-VR LE,
+    // explicit-VR BE — a mixed-vendor archive), the glob load
+    // re-stacks in INSTANCE order (name order would interleave _10
+    // before _2, so a name-sorted or permuted stack cannot pass), and
+    // per-slice means recover each closed-form fill exactly (16-bit
+    // round trip is lossless for these integral values)
     ("img20_dicom_series",
       (s, _) => {
         import s.implicits._

@@ -35,34 +35,78 @@ object ImageCodecIO {
     bytes.length >= 132 && bytes(128) == 'D' && bytes(129) == 'I' &&
       bytes(130) == 'C' && bytes(131) == 'M'
 
-  /** Minimal DICOM decode — the uncompressed explicit-VR little-endian
-    * profile (transfer syntax 1.2.840.10008.1.2.1), single-frame
-    * unsigned MONOCHROME2, 8 or 16 bits — the shape of the reference's
-    * flagship IO case (a CT series of single-frame files stacked into a
-    * volume, IjRDDTests.scala:30-99, where spark-scifio does the
-    * decode). Walks the element stream for Rows/Columns/BitsAllocated/
-    * InstanceNumber and stops at PixelData; anything compressed,
-    * signed, multi-frame, or implicit-VR is rejected loudly rather
-    * than mis-decoded. Returns the image plus the InstanceNumber
-    * (slice position for series stacking; 1 when absent). */
+  /** The three uncompressed DICOM transfer syntaxes this codec speaks:
+    * implicit-VR little-endian (the default syntax every conformant
+    * reader must accept), explicit-VR little-endian, and explicit-VR
+    * big-endian (retired but present in old PACS archives). */
+  private[graft] val TsImplicitLE = "1.2.840.10008.1.2"
+  private[graft] val TsExplicitLE = "1.2.840.10008.1.2.1"
+  private[graft] val TsExplicitBE = "1.2.840.10008.1.2.2"
+
+  /** Minimal DICOM decode — uncompressed single-frame unsigned
+    * MONOCHROME2, 8 or 16 bits, in any of the three uncompressed
+    * transfer syntaxes ([[TsImplicitLE]]/[[TsExplicitLE]]/
+    * [[TsExplicitBE]]) — the shape of the reference's flagship IO
+    * case (a CT series of single-frame files stacked into a volume,
+    * IjRDDTests.scala:30-99, where spark-scifio does the decode).
+    * The file-meta group (0002,xxxx) is always explicit-VR
+    * little-endian per Part 10; its TransferSyntaxUID then selects
+    * the element encoding and byte order for the rest of the
+    * dataset. Walks the element stream for Rows/Columns/
+    * BitsAllocated/InstanceNumber and stops at PixelData; anything
+    * compressed, signed, multi-frame, or undefined-length is
+    * rejected loudly rather than mis-decoded. Returns the image plus
+    * the InstanceNumber (slice position for series stacking; 1 when
+    * absent). */
   private[graft] def decodeDicomWithInstance(path: String, bytes: Array[Byte]): (SparkImage, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.position(132)
-    var rows = 0; var cols = 0; var bits = 16; var pixelRep = 0; var instance = 1
-    var ts = "1.2.840.10008.1.2.1"
-    var px: Array[Byte] = null
     val longVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
+    var rows = 0; var cols = 0; var bits = 16; var pixelRep = 0; var instance = 1
+    var ts = TsExplicitLE
+    var px: Array[Byte] = null
+    // ---- file-meta group: ALWAYS explicit-VR little-endian ----
+    var inMeta = true
+    while (inMeta && bb.remaining >= 8) {
+      bb.mark()
+      val group = bb.getShort & 0xffff
+      if (group != 0x0002) { bb.reset(); inMeta = false }
+      else {
+        val elem = bb.getShort & 0xffff
+        val vr = new String(Array(bb.get(), bb.get()).map(b => b.toChar))
+        val len = if (longVRs(vr)) { bb.getShort(); bb.getInt() } else bb.getShort & 0xffff
+        require(len >= 0 && len <= bb.remaining, s"corrupt DICOM meta length in $path")
+        val value = new Array[Byte](len); bb.get(value)
+        if (elem == 0x0010) ts = new String(value, "US-ASCII").trim
+      }
+    }
+    val (explicitVr, bigEndian) = ts match {
+      case TsImplicitLE => (false, false)
+      case TsExplicitLE => (true, false)
+      case TsExplicitBE => (true, true)
+      case other => throw new IllegalArgumentException(
+        s"unsupported DICOM transfer syntax $other in $path " +
+          "(uncompressed implicit-VR LE / explicit-VR LE / explicit-VR BE only)")
+    }
+    if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
+    // ---- dataset: element encoding + byte order per transfer syntax ----
     var done = false
     while (!done && bb.remaining >= 8) {
       val group = bb.getShort & 0xffff; val elem = bb.getShort & 0xffff
-      val vr = new String(Array(bb.get(), bb.get()).map(b => b.toChar))
-      val len = if (longVRs(vr)) { bb.getShort(); bb.getInt() } else bb.getShort & 0xffff
-      require(len >= 0 && len <= bb.remaining, s"corrupt DICOM element length in $path")
+      val len =
+        if (!explicitVr) bb.getInt
+        else {
+          val vr = new String(Array(bb.get(), bb.get()).map(b => b.toChar))
+          if (longVRs(vr)) { bb.getShort(); bb.getInt() } else bb.getShort & 0xffff
+        }
+      require(len >= 0 && len <= bb.remaining,
+        s"corrupt or undefined DICOM element length in $path")
       val value = new Array[Byte](len); bb.get(value)
-      def u16: Int = (value(0) & 0xff) | ((value(1) & 0xff) << 8)
+      def u16: Int =
+        if (bigEndian) ((value(0) & 0xff) << 8) | (value(1) & 0xff)
+        else (value(0) & 0xff) | ((value(1) & 0xff) << 8)
       def str: String = new String(value, "US-ASCII").trim
       (group, elem) match {
-        case (0x0002, 0x0010) => ts = str
         case (0x0020, 0x0013) => instance = str.toInt
         case (0x0028, 0x0010) => rows = u16
         case (0x0028, 0x0011) => cols = u16
@@ -72,8 +116,6 @@ object ImageCodecIO {
         case _ => ()
       }
     }
-    require(ts == "1.2.840.10008.1.2.1",
-      s"unsupported DICOM transfer syntax $ts in $path (explicit-VR LE only)")
     require(pixelRep == 0, s"signed DICOM pixel data unsupported: $path")
     require(px != null && rows > 0 && cols > 0, s"missing DICOM pixel data/dims: $path")
     require(bits == 8 || bits == 16, s"unsupported DICOM BitsAllocated $bits: $path")
@@ -81,7 +123,9 @@ object ImageCodecIO {
     require(px.length >= n * (bits / 8), s"short DICOM pixel payload: $path")
     val doubles = new Array[Double](n)
     var i = 0
-    if (bits == 16)
+    if (bits == 16 && bigEndian)
+      while (i < n) { doubles(i) = ((px(2 * i) & 0xff) << 8) | (px(2 * i + 1) & 0xff); i += 1 }
+    else if (bits == 16)
       while (i < n) { doubles(i) = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8); i += 1 }
     else
       while (i < n) { doubles(i) = px(i) & 0xff; i += 1 }
@@ -91,39 +135,64 @@ object ImageCodecIO {
       PixelCodec.encode(doubles, tpe)), instance)
   }
 
-  /** Encode ONE slice as a minimal conformant explicit-VR
-    * little-endian DICOM file (the profile [[decodeDicomWithInstance]]
-    * reads): preamble + DICM, file-meta group with the transfer-syntax
-    * UID, then InstanceNumber / MONOCHROME2 geometry / 16-bit pixel
-    * module / OW PixelData. Values clamp through the 16-bit unsigned
-    * range like every other fixed-width sink here. */
+  /** Encode ONE slice as a minimal conformant DICOM file in any of
+    * the three uncompressed transfer syntaxes (the profiles
+    * [[decodeDicomWithInstance]] reads): preamble + DICM, file-meta
+    * group (always explicit-VR little-endian per Part 10, carrying
+    * the transfer-syntax UID), then InstanceNumber / MONOCHROME2
+    * geometry / 16-bit pixel module / PixelData in the chosen
+    * dataset encoding and byte order. Values clamp through the
+    * 16-bit unsigned range like every other fixed-width sink here. */
   private[graft] def encodeDicom(img: SparkImage, instance: Int = 1,
-                                 slice: Int = 0): Array[Byte] = {
+                                 slice: Int = 0,
+                                 transferSyntax: String = TsExplicitLE): Array[Byte] = {
+    require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
+        transferSyntax == TsExplicitBE,
+      s"unsupported DICOM transfer syntax $transferSyntax")
+    val explicitVr = transferSyntax != TsImplicitLE
+    val bigEndian = transferSyntax == TsExplicitBE
     val w = img.width; val h = img.height
     val px = img.toDoubles
     val off = slice * w * h
     val bos = new ByteArrayOutputStream()
-    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
-    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    // file-meta writers: always little-endian explicit VR (Part 10)
+    def u16le(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def metaElem(group: Int, el: Int, vr: String, value: Array[Byte]): Unit = {
+      require(value.length % 2 == 0, "DICOM values must have even length")
+      u16le(group); u16le(el); bos.write(vr(0)); bos.write(vr(1)); u16le(value.length)
+      bos.write(value)
+    }
+    // dataset writers: byte order + element encoding per transfer syntax
+    def u16x(v: Int): Unit =
+      if (bigEndian) { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+      else u16le(v)
+    def u32x(v: Int): Unit =
+      if (bigEndian) { u16x((v >>> 16) & 0xffff); u16x(v & 0xffff) }
+      else { u16x(v & 0xffff); u16x((v >>> 16) & 0xffff) }
     def elem(group: Int, el: Int, vr: String, value: Array[Byte]): Unit = {
       require(value.length % 2 == 0, "DICOM values must have even length")
-      u16(group); u16(el); bos.write(vr(0)); bos.write(vr(1)); u16(value.length)
+      u16x(group); u16x(el)
+      if (explicitVr) { bos.write(vr(0)); bos.write(vr(1)); u16x(value.length) }
+      else u32x(value.length)
       bos.write(value)
     }
     def us(group: Int, el: Int, v: Int): Unit =
-      elem(group, el, "US", Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+      elem(group, el, "US",
+        if (bigEndian) Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        else Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
     def str(group: Int, el: Int, vr: String, s0: String, pad: Char): Unit =
       elem(group, el, vr,
         (if (s0.length % 2 == 0) s0 else s0 + pad).getBytes("US-ASCII"))
     bos.write(new Array[Byte](128))
     "DICM".foreach(c => bos.write(c))
-    val ts = "1.2.840.10008.1.2.1" // explicit VR little endian
     // (0002,0000) group length = the one element that follows: 8-byte
     // header + NUL-padded UID
-    val metaLen = 8 + ts.length + 1
-    elem(0x0002, 0x0000, "UL", Array[Byte](
+    val tsPadded = if (transferSyntax.length % 2 == 0) transferSyntax
+                   else transferSyntax + "\u0000" // UIDs pad with NUL
+    val metaLen = 8 + tsPadded.length
+    metaElem(0x0002, 0x0000, "UL", Array[Byte](
       (metaLen & 0xff).toByte, ((metaLen >> 8) & 0xff).toByte, 0, 0))
-    str(0x0002, 0x0010, "UI", ts, '\u0000') // UIDs pad with NUL
+    metaElem(0x0002, 0x0010, "UI", tsPadded.getBytes("US-ASCII"))
     str(0x0020, 0x0013, "IS", instance.toString, ' ')
     us(0x0028, 0x0002, 1)
     str(0x0028, 0x0004, "CS", "MONOCHROME2", ' ')
@@ -131,9 +200,11 @@ object ImageCodecIO {
     us(0x0028, 0x0011, w)
     us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15)
     us(0x0028, 0x0103, 0)
-    u16(0x7fe0); u16(0x0010); bos.write('O'); bos.write('W'); u16(0); u32(w * h * 2)
+    u16x(0x7fe0); u16x(0x0010)
+    if (explicitVr) { bos.write('O'); bos.write('W'); u16x(0); u32x(w * h * 2) }
+    else u32x(w * h * 2)
     var i = 0
-    while (i < w * h) { u16(PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt); i += 1 }
+    while (i < w * h) { u16x(PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt); i += 1 }
     bos.toByteArray
   }
 

@@ -266,7 +266,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
-  test("DICOM codec: encode/decode round-trips any 16-bit slice, instance, and geometry") {
+  test("DICOM codec: encode/decode round-trips any 16-bit slice, instance, geometry, and transfer syntax") {
     import graft.core.{ImageLog, ImageMeta, SparkImage}
     import graft.sources.ImageCodecIO
     val genCase = for {
@@ -275,12 +275,15 @@ class PropertySpec extends AnyFunSuite with Matchers {
       slices <- Gen.choose(1, 4)
       s <- Gen.choose(0, slices - 1)
       inst <- Gen.choose(1, 999)
+      ts <- Gen.oneOf(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+        ImageCodecIO.TsExplicitBE)
       px <- Gen.listOfN(w * h * slices, Gen.choose(0, 65535).map(_.toDouble))
-    } yield (w, h, slices, s, inst, px.toArray)
-    check("dicom-roundtrip", Prop.forAll(genCase) { case (w, h, slices, s, inst, px) =>
+    } yield (w, h, slices, s, inst, ts, px.toArray)
+    check("dicom-roundtrip", Prop.forAll(genCase) { case (w, h, slices, s, inst, ts, px) =>
       val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), w, h, slices,
         PixelCodec.Short16, PixelCodec.encode(px, PixelCodec.Short16))
-      val bytes = ImageCodecIO.encodeDicom(img, instance = inst, slice = s)
+      val bytes = ImageCodecIO.encodeDicom(img, instance = inst, slice = s,
+        transferSyntax = ts)
       val (dec, gotInst) = ImageCodecIO.decodeDicomWithInstance("gen.dcm", bytes)
       val want = px.slice(s * w * h, (s + 1) * w * h)
       gotInst == inst && dec.width == w && dec.height == h && dec.slices == 1 &&
