@@ -63,9 +63,12 @@ object Graph {
 
   /** Weighted PageRank over (src, dst, w) edges, damping 0.85, a fixed
     * number of synchronous iterations, all in Scale-fixed-point integer
-    * arithmetic. Nodes are the edge endpoints (every node of the
-    * symmetric co-occurrence graph has out-edges, so there is no
-    * dangling-mass term). Returns (v, rank) with rank BIGINT. */
+    * arithmetic. Nodes are the DISTINCT EDGE SOURCES — a node must
+    * have out-edges to hold rank, matching the oracle's outw-keyed
+    * recurrence; a pure sink (in-edges only) absorbs contributions
+    * but emits no rank row. On a symmetric graph (e.g. co-occurrence)
+    * sources and destinations coincide and there is no dangling-mass
+    * term. Returns (v, rank) with rank BIGINT. */
   def pagerank(edges: DataFrame, iters: Int = 10): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
@@ -93,19 +96,26 @@ object Graph {
     val ew = ew0.coalesce(parts)
     val base = (3L * Scale) / (20L * n) // 0.15/N in fixed point
     val nodes = ew.select(col("src").as("v")).distinct().localCheckpoint()
-    // A node with out-edges but NO in-edges receives no contribution,
-    // yet must keep contributing its own (constant `base`) rank every
-    // iteration — so it must stay in the rank vector even though the
-    // contribution aggregate never emits it. Detect that case once: if
-    // absent (true for any symmetric graph, e.g. co-occurrence), the
-    // per-iteration left-join that re-attaches such nodes is dropped —
-    // one less shuffle per iteration, and the remaining join+agg chain
-    // is reference-free so lineage can accumulate safely between the
+    // Both iteration paths must return the SAME row set: `nodes`
+    // (distinct src). The fast path keys each step's rank vector off
+    // the contribution aggregate (grouped by dst), which equals
+    // `nodes` only when src-set == dst-set — so it is taken only when
+    // (a) no node has out-edges without in-edges (such a node gets no
+    // contribution row yet must keep contributing its constant `base`
+    // rank), and (b) no pure sink exists (a dst-only node would gain
+    // a spurious rank row). Both hold for any symmetric graph, e.g.
+    // co-occurrence. The node left-join then drops out — one less
+    // shuffle per iteration, and the remaining join+agg chain is
+    // reference-free so lineage can accumulate safely between the
     // every-5th-iteration checkpoints (measured 2.6x faster at
     // |E| ~ 10^4; at large |E| the join+agg dominates either way).
     val hasZeroIndegree = nodes
       .join(ew.select(col("dst")), col("v") === col("dst"), "left_anti")
       .limit(1).count() > 0
+    val hasSink = ew.select(col("dst"))
+      .join(nodes, col("dst") === col("v"), "left_anti")
+      .limit(1).count() > 0
+    val needNodeJoin = hasZeroIndegree || hasSink
     var rank = nodes.select(col("v"), lit(Scale / n).as("rank"))
     for (k <- 1 to iters) {
       val contrib = ew
@@ -113,7 +123,7 @@ object Graph {
         .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("sc"))
       val stepped =
-        if (hasZeroIndegree)
+        if (needNodeJoin)
           nodes.join(contrib, Seq("v"), "left")
             .select(col("v"),
               (lit(base) + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
@@ -124,7 +134,7 @@ object Graph {
       // from ew — chaining would self-join ambiguous lineage); fast
       // path: bound plan depth without a per-iteration job
       rank =
-        if (hasZeroIndegree || k % 5 == 0 || k == iters) stepped.localCheckpoint()
+        if (needNodeJoin || k % 5 == 0 || k == iters) stepped.localCheckpoint()
         else stepped
     }
     rank

@@ -1022,7 +1022,6 @@ object Similarity {
     (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((col, row) => v(row)(col)))
   }
 
-  /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
   /** Fully-DISTRIBUTED Lloyd k-means over the whole corpus — the
     * scale-out counterpart of the driver-side sample fit used by IVF
     * (`ivfFitCenters`): here no sample cap exists because every step
@@ -1034,9 +1033,12 @@ object Similarity {
     * squared distances are exact integers (summation-order-free);
     * argmin ties break to the lowest centroid id; centroid updates are
     * floor(Σg / n) — an exact-integer double division under 2⁵³, so
-    * floor is engine-exact. Seeds are the k lowest vec_ids. Clusters
-    * that empty out drop from the centroid set (and can never win an
-    * argmin again) — the same contract on both engines.
+    * floor is engine-exact. Seeds are the vectors with `vec_id < k`
+    * — this ASSUMES 0-based contiguous vec_ids (the corpus contract
+    * here); offset or sparse ids would yield fewer seeds, so the
+    * seed count is asserted non-zero up front. Clusters that empty
+    * out drop from the centroid set (and can never win an argmin
+    * again) — the same contract on both engines.
     *
     * Scale shape: the grid explode is d× rows but shuffles only
     * (vec, dim, BIGINT) triples; per iteration, the assignment join
@@ -1044,6 +1046,8 @@ object Similarity {
     * aggregations are map-side combined. State between iterations is
     * the k·d centroid relation (localCheckpointed — microscopic). */
   def distributedKMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"distributedKMeans: iters must be >= 1, got $iters")
+    require(k >= 1, s"distributedKMeans: k must be >= 1, got $k")
     val gdim0 = PartitionUtil.spread(embeddings)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d").cast("long").as("d"),
@@ -1060,6 +1064,8 @@ object Similarity {
     var cent = gdim.filter(col("vec_id") < k)
       .select(col("vec_id").as("j"), col("d"), col("g").as("c"))
       .localCheckpoint()
+    require(!cent.isEmpty,
+      s"distributedKMeans: no seeds with vec_id < $k — ids must be 0-based contiguous")
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
       val dd = gdim.join(broadcast(cent), Seq("d"))
@@ -1074,6 +1080,10 @@ object Similarity {
         .select(col("cluster").as("j"), col("d"), col("c"))
         .localCheckpoint()
     }
+    // the total sort exists ONLY for gate hash stability (every gate
+    // query ends in total ORDER BY); a production pipeline would
+    // consume the unsorted assignment — don't copy the orderBy into a
+    // hot path
     assign.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
       .orderBy(col("vec_id"))
   }
@@ -1105,6 +1115,7 @@ object Similarity {
       s"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a$iters ORDER BY vec_id"
   }
 
+  /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
   private[graft] def deterministicPlanes(n: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     var state = seed
     def next(): Long = {

@@ -818,10 +818,16 @@ object TextFunctions {
     * "Deduplicating Training Data Makes Language Models Better",
     * restated on the positioned shingle index): every token position
     * covered by an n-shingle that also occurs in another document is
-    * removed, EXCEPT in the lowest-doc_id holder of that shingle — so
-    * exactly one copy of every duplicated passage survives the corpus,
-    * deterministically. Docs with nothing duplicated pass unchanged;
-    * fully-duplicated docs come out empty (md5 of "").
+    * removed, EXCEPT in the lowest-doc_id holder of that shingle.
+    * The keep rule is PER SHINGLE, not per passage: each duplicated
+    * shingle survives only in its lowest-doc_id holder, and when
+    * overlapping shingles of one passage have different min-doc_id
+    * holders the nominal keeper can lose interior tokens too (the
+    * passage then survives nowhere intact — ExactSubstr's known
+    * behavior, which trades occasional fragmentation for a fully
+    * deterministic, join-local decision). Docs with nothing
+    * duplicated pass unchanged; fully-duplicated docs come out empty
+    * (md5 of "").
     *
     * Scale shape: the keep decision is per shingle hash (one
     * aggregation: count distinct docs + min doc); scrub positions

@@ -240,7 +240,10 @@ object TemporalQueries {
     // ---- cohort retention: users grouped by the week of their FIRST
     // signup, counted once per (cohort, week-offset) they remain
     // active in. Week indices are integer day-diffs div 7 (no
-    // timezone/locale week functions — engine-exact); after the
+    // timezone/locale week functions — engine-exact; NOTE this
+    // assumes events at-or-after the 2024-01-01 anchor: on a NEGATIVE
+    // day-diff Spark's `div` truncates toward zero while DuckDB's
+    // `//` floors, so week indices would diverge); after the
     // (user, week) distinct, each user contributes exactly one row per
     // active week, so a plain COUNT per (cohort, offset) IS the
     // distinct-user count — no count-distinct shuffle. Two
@@ -278,21 +281,30 @@ object TemporalQueries {
     // 1-week half-life. Power-of-two decay makes the weights EXACT
     // integers (1e9 div (1 << age)), so the score is hash-exact with
     // no float pow/exp anywhere; one scan, one map-side-combined
-    // aggregation. --------------------------------------------------
+    // aggregation. The age CLAMPS to [0, 62] on both sides: events
+    // after the anchor score full weight, events older than 62 weeks
+    // score 0 — without the clamp, Java shift semantics (count wraps
+    // mod 64, negative counts become 63) and DuckDB's unwrapped `<<`
+    // silently diverge outside the anchor window. The clamp also
+    // absorbs the div-vs-floor difference on negative day-diffs
+    // (Spark `div` truncates toward zero, DuckDB `//` floors): any
+    // negative age lands on 0 either way. ----------------------------
     ("q129_decayed_activity",
       (s, dir) => {
         t(s, dir, "events")
           .select(col("user_id"),
             expr("datediff(date'2024-01-31', cast(ts as date)) div 7").as("aw"))
           .select(col("user_id"),
-            expr("1000000000L div shiftleft(1L, cast(aw as int))").as("wgt"))
+            expr("1000000000L div shiftleft(1L, cast(greatest(least(aw, 62L), 0L) as int))")
+              .as("wgt"))
           .groupBy(col("user_id"))
           .agg(sum(col("wgt")).as("activity_scaled"), count(lit(1)).as("n_events"))
           .orderBy(col("activity_scaled").desc, col("user_id"))
       },
       Some("""SELECT user_id,
           CAST(SUM(1000000000 // (CAST(1 AS BIGINT) <<
-            (date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7))) AS BIGINT)
+            GREATEST(LEAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7,
+                           62), 0))) AS BIGINT)
             AS activity_scaled,
           COUNT(*) AS n_events
         FROM events GROUP BY user_id

@@ -51,7 +51,11 @@ class GraphSpec extends AnyFunSuite with Matchers {
       // stay in the rank vector at constant base rank and keep feeding
       // node 1 every iteration (the slow path's per-iteration left-join)
       (1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 5L))
-    for (g <- Seq(path, star, weighted, withSource); iters <- Seq(1, 3, 10)) {
+    val withSink = Seq( // node 3 has in-edges but NO out-edges: it holds
+      // no rank (nodes = distinct src), so it must NOT appear in the
+      // output — the contribution aggregate alone would emit it
+      (1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 5L))
+    for (g <- Seq(path, star, weighted, withSource, withSink); iters <- Seq(1, 3, 10)) {
       withClue(s"graph=$g iters=$iters: ") {
         pagerankOn(g, iters) shouldBe refPagerank(g, iters)
       }
