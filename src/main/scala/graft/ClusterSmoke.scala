@@ -92,8 +92,35 @@ object ClusterSmoke {
       println("[cluster-smoke] OK streaming_decontam")
       funnelSmoke(spark)
       println("[cluster-smoke] OK streaming_funnel")
+      checkpointSmoke(spark)
+      println("[cluster-smoke] OK reliable_checkpoint")
       println("[cluster-smoke] ALL OK")
     } finally spark.stop()
+  }
+
+  /** Reliable checkpoint(dir) across REAL executor processes: the
+    * iterative family's production materialization — executor JVMs
+    * write each round's RDD state through the Hadoop FS API and the
+    * next round re-reads it (in `local[*]` the write short-circuits
+    * through one JVM, so only this path proves the cross-process
+    * round trip). Asserts bit-identical ranks vs the localCheckpoint
+    * path and that checkpoint data landed on disk. */
+  private def checkpointSmoke(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 5L), (2L, 1L, 1L), (2L, 3L, 4L), (3L, 2L, 2L),
+      (3L, 1L, 7L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster_ckpt").toString
+    def ranks(d: Option[String]) =
+      graft.pipeline.Graph.pagerank(edges, 6, checkpointDir = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val reliable = ranks(Some(dir))
+    val local = ranks(None)
+    if (reliable != local)
+      sys.error(s"checkpoint smoke mismatch: $reliable vs $local")
+    import scala.jdk.CollectionConverters._
+    val entries = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.size
+    if (entries <= 1) sys.error("checkpoint smoke: no checkpoint data written")
   }
 
   /** Streaming decontamination across REAL executor processes: the

@@ -544,6 +544,80 @@ object PlanAudit {
       sb.append("```\n").append(plan.take(6000)).append("\n```\n")
       }
     }
+    // ---- iterative round plans (q119 pagerank / q127 communities):
+    // the loops materialize every round, so the final query plan shows
+    // only a LogicalRDD scan — audit ONE un-materialized round
+    // directly, plus the pre-partitioned variant's exchange elision.
+    if (only.isEmpty || only("iterative_rounds")) {
+      import org.apache.spark.sql.functions.{col, lit}
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.queries.QueryDsl.t(spark, sfDir, "lineitem")
+      val strong = graft.pipeline.Graph.supplierCooccurrence(li)
+        .filter(col("w") >= 8)
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .localCheckpoint()
+      def topPlan(d: org.apache.spark.sql.DataFrame): String = {
+        val s = d.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val cut = s.indexOf("InMemoryRelation")
+        if (cut < 0) s else s.take(cut)
+      }
+      def nExchanges(d: org.apache.spark.sql.DataFrame): Int = {
+        val s = d.queryExecution.executedPlan.toString
+        val cut = s.indexOf("InMemoryRelation")
+        "Exchange".r.findAllIn(if (cut < 0) s else s.take(cut)).length
+      }
+      // q127 round: ONE label join + the (src,label) weight agg + the
+      // per-src argmax agg — no cartesian stage, bounded by |E|
+      val l0 = strong.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("label")).localCheckpoint()
+      val lpa = graft.pipeline.Graph.lpaRound(strong, l0)
+      val lpaPlan = lpa.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // count join OPERATORS in the plain tree (FormattedMode repeats
+      // each operator name in its details section)
+      val lpaJoins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+        .findAllIn(lpa.queryExecution.executedPlan.toString).length
+      if (lpaJoins != 1 || lpaPlan.contains("CartesianProduct") ||
+          lpaPlan.contains("BroadcastNestedLoopJoin")) {
+        println(s"ASSERT FAIL [q127 lpa round]: joins=$lpaJoins or cartesian present")
+        failures += 1
+      }
+      sb.append("\n## q127_communities — one LPA round\n\n")
+      sb.append("Per round: one equi-join of the label vector on dst, one\n")
+      sb.append("(src, label) weight aggregation, one per-src argmax — all\n")
+      sb.append("bounded by |E|, label vector materialized every 5th round\n")
+      sb.append("(the chain is reference-free, pagerank's fast-path pattern).\n\n")
+      sb.append("```\n").append(lpaPlan.take(4000)).append("\n```\n")
+      // pre-partitioned pagerank round: edge side cached hash(src) —
+      // the per-iteration join must NOT re-exchange it
+      val ranked = strong.groupBy(col("src"))
+        .agg(org.apache.spark.sql.functions.sum(col("w")).as("ow"))
+      val ew = strong.join(ranked, Seq("src"))
+        .select(col("src"), col("dst"), col("w"), col("ow"))
+      val ewPre = ew.repartition(col("src")).persist()
+      ewPre.count()
+      val ewPlain = ew.localCheckpoint()
+      val rank0 = ewPlain.select(col("src").as("v")).distinct()
+        .select(col("v"), lit(1L).as("rank")).localCheckpoint()
+      val exPre = nExchanges(graft.pipeline.Graph.pagerankStep(ewPre, rank0, 1L, None))
+      val exPlain = nExchanges(graft.pipeline.Graph.pagerankStep(ewPlain, rank0, 1L, None))
+      if (exPre >= exPlain) {
+        println(s"ASSERT FAIL [pre-partitioned pagerank round]: $exPre >= $exPlain exchanges")
+        failures += 1
+      }
+      sb.append("\n## q119_pagerank — pre-partitioned iteration round\n\n")
+      sb.append(s"With edges persisted under hash(src), one round plans $exPre\n")
+      sb.append(s"exchanges vs $exPlain on the default path: the edge side joins\n")
+      sb.append("from the cached partitioning and only the rank vector (O(|V|))\n")
+      sb.append("shuffles per iteration — the production shape for deep loops.\n\n")
+      sb.append("```\n")
+        .append(topPlan(graft.pipeline.Graph.pagerankStep(ewPre, rank0, 1L, None)).take(4000))
+        .append("\n```\n")
+      ewPre.unpersist(false)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+
     if (only.nonEmpty) {
       println(s"restricted audit: $failures assertion failures (PLANS.md not rewritten)")
       spark.stop(); return

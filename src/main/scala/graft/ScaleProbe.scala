@@ -194,8 +194,8 @@ object ScaleProbe {
     // 10 DISJOINT subgraph copies (node ids offset per copy): |V| and
     // |E| both grow 10×, every copy converges to the base ranks, so
     // the ratio measures the per-iteration join+aggregate cost
-    if (only.isEmpty || only("pagerank") || only("triangles") ||
-        only("communities") || only("skew_wedges")) {
+    if (only.isEmpty || only("pagerank") || only("pagerank_prepart") ||
+        only("triangles") || only("communities") || only("skew_wedges")) {
       val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
       val edges1 = graft.pipeline.Graph.supplierCooccurrence(li).localCheckpoint()
       val edgesN = (0 until copies).map { c =>
@@ -206,6 +206,13 @@ object ScaleProbe {
         probe("pagerank",
           graft.pipeline.Graph.pagerank(edges1, 10).count(),
           graft.pipeline.Graph.pagerank(edgesN, 10).count())
+      // pre-partitioned edges: one hash exchange up front, then every
+      // iteration's join reads the cached partitioning and shuffles
+      // only the rank vector — the production shape for deep loops
+      if (only.isEmpty || only("pagerank_prepart"))
+        probe("pagerank_prepart",
+          graft.pipeline.Graph.pagerank(edges1, 10, prePartitionEdges = true).count(),
+          graft.pipeline.Graph.pagerank(edgesN, 10, prePartitionEdges = true).count())
       // disjoint copies: wedge and triangle sets replicate per copy —
       // linear output growth, the ratio measures the wedge join
       // (strong-tie filter as in q125: the unfiltered co-occurrence

@@ -580,28 +580,33 @@ object Dedup {
     * per-iteration plan here is the same building block. Input pairs
     * must satisfy id_a < id_b; output is (id, rep).
     */
-  def dedupGroups(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def dedupGroups(pairs: DataFrame, maxIters: Int = 50,
+                  checkpointDir: Option[String] = None): DataFrame = {
     // Iterative algorithms MUST truncate lineage every round: each round
     // references the previous labels three times, so without
-    // checkpointing the logical plan grows 3^rounds. localCheckpoint
-    // materializes the round's result and replaces its plan with the
-    // stored partitions (at production scale prefer reliable
-    // checkpoint(dir) for executor-loss tolerance).
+    // checkpointing the logical plan grows 3^rounds. The default
+    // localCheckpoint materializes the round's result and replaces its
+    // plan with the stored partitions; passing `checkpointDir` swaps in
+    // reliable checkpoint(dir) so an executor loss at production scale
+    // re-reads one round's state instead of replaying the chain.
     // materialize the pair plan BEFORE symmetrizing: the union's two
     // branches otherwise each re-execute the (possibly expensive)
     // upstream near-dup computation
-    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val p0 = PartitionUtil.materialize(
+      pairs.select(col("id_a"), col("id_b")), checkpointDir)
     // lazy checkpoint: materialized by the first round's convergence
     // count — p0 above is eager so the union's two branches read the
     // stored pair partitions instead of re-running the upstream plan
-    val sym = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(false)
+    val sym = PartitionUtil.materialize(
+      p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p0.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      checkpointDir, eager = false)
     // fused round 0: from identity labels, one propagation step is just
     // rep = min(id, min neighbor id) — no distinct, no join
-    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      .select(col("src").as("id"), least(col("src"), col("m")).as("rep"))
-      .localCheckpoint(false)
+    var labels = PartitionUtil.materialize(
+      sym.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("id"), least(col("src"), col("m")).as("rep")),
+      checkpointDir, eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -618,9 +623,10 @@ object Dedup {
         .join(labels.select(col("id").as("mid"), col("rep").as("jump")), Seq("mid"), "left")
         .select(col("id"), col("old_rep"),
           least(col("mid"), coalesce(col("jump"), col("mid"))).as("rep"))
-        .localCheckpoint(false) // the convergence count materializes it
-      changed = jumped.filter(col("rep") =!= col("old_rep")).count()
-      labels = jumped
+      val jumpedM = PartitionUtil.materialize(jumped, checkpointDir,
+        eager = false) // the convergence count materializes it
+      changed = jumpedM.filter(col("rep") =!= col("old_rep")).count()
+      labels = jumpedM
       iter += 1
     }
     // fail LOUDLY on non-convergence: a silent exit here would hand

@@ -68,15 +68,28 @@ object Graph {
     * recurrence; a pure sink (in-edges only) absorbs contributions
     * but emits no rank row. On a symmetric graph (e.g. co-occurrence)
     * sources and destinations coincide and there is no dangling-mass
-    * term. Returns (v, rank) with rank BIGINT. */
-  def pagerank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    * term. Returns (v, rank) with rank BIGINT.
+    *
+    * `checkpointDir`: when given, iteration state materializes via
+    * RELIABLE `checkpoint` there instead of `localCheckpoint`, so an
+    * executor loss at production scale replays one round, not the
+    * whole chain. `prePartitionEdges`: hash-partition the edge
+    * relation by `src` ONCE before the loop — each iteration's rank
+    * join then shuffles only the (small) rank vector, never the edge
+    * relation; the one-time exchange pays for itself after the first
+    * iteration at any real |E| (asserted exchange-free in GraphSpec;
+    * measured delta in docs/SCALE.md). */
+  def pagerank(edges: DataFrame, iters: Int = 10,
+               checkpointDir: Option[String] = None,
+               prePartitionEdges: Boolean = false): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // loop-invariant edge relation with out-weights attached once;
     // eagerly materialized so no iteration re-runs edge construction
-    val ew0 = e0.join(outw, Seq("src"))
-      .select(col("src"), col("dst"), col("w"), col("ow"))
-      .localCheckpoint()
+    val ew0 = PartitionUtil.materialize(
+      e0.join(outw, Seq("src"))
+        .select(col("src"), col("dst"), col("w"), col("ow")),
+      checkpointDir)
     val stats = ew0.agg(max(col("w")).as("mw"), countDistinct(col("src")).as("n"),
       count(lit(1)).as("m")).head()
     val maxW = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
@@ -93,9 +106,23 @@ object Graph {
     // measured 4x slower at |E| ~ 10^4.
     val parts = math.max(1L,
       math.min(ew0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt
-    val ew = ew0.coalesce(parts)
+    // pre-partitioned: ONE hash exchange on src, cached via persist()
+    // — an InMemoryRelation KEEPS its output partitioning (a
+    // checkpoint's LogicalRDD does not under AQE), so every
+    // iteration's rank join sees an already-partitioned edge side and
+    // shuffles only the rank vector (asserted in GraphSpec). Lost
+    // cached blocks recompute from the materialized ew0 — one shuffle,
+    // bounded lineage. Default: narrow coalesce, no shuffle at all —
+    // right when iters is small or the graph fits a few partitions.
+    val ew =
+      if (prePartitionEdges) {
+        val p = ew0.repartition(parts, col("src")).persist()
+        p.count()
+        p
+      } else ew0.coalesce(parts)
     val base = (3L * Scale) / (20L * n) // 0.15/N in fixed point
-    val nodes = ew.select(col("src").as("v")).distinct().localCheckpoint()
+    val nodes = PartitionUtil.materialize(
+      ew.select(col("src").as("v")).distinct(), checkpointDir)
     // Both iteration paths must return the SAME row set: `nodes`
     // (distinct src). The fast path keys each step's rank vector off
     // the contribution aggregate (grouped by dst), which equals
@@ -118,26 +145,41 @@ object Graph {
     val needNodeJoin = hasZeroIndegree || hasSink
     var rank = nodes.select(col("v"), lit(Scale / n).as("rank"))
     for (k <- 1 to iters) {
-      val contrib = ew
-        .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
-        .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
-      val stepped =
-        if (needNodeJoin)
-          nodes.join(contrib, Seq("v"), "left")
-            .select(col("v"),
-              (lit(base) + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
-        else
-          contrib.select(col("v"),
-            (lit(base) + expr("(17 * sc) div 20")).as("rank"))
+      val stepped = pagerankStep(ew, rank, base,
+        if (needNodeJoin) Some(nodes) else None)
       // slow path: checkpoint every round (nodes + contrib both derive
       // from ew — chaining would self-join ambiguous lineage); fast
       // path: bound plan depth without a per-iteration job
       rank =
-        if (needNodeJoin || k % 5 == 0 || k == iters) stepped.localCheckpoint()
+        if (needNodeJoin || k % 5 == 0 || k == iters)
+          PartitionUtil.materialize(stepped, checkpointDir)
         else stepped
     }
+    if (prePartitionEdges) ew.unpersist(false) // rank is materialized
     rank
+  }
+
+  /** ONE synchronous PageRank round, un-materialized — the join+agg
+    * chain the loop repeats, exposed so its physical plan can be
+    * audited directly (the loop's materialization hides it behind a
+    * LogicalRDD scan): join rank onto the edge relation by src,
+    * aggregate contributions by dst, re-attach `nodes` when the
+    * graph is asymmetric. */
+  private[graft] def pagerankStep(ew: DataFrame, rank: DataFrame, base: Long,
+                                  nodes: Option[DataFrame]): DataFrame = {
+    val contrib = ew
+      .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
+      .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
+      .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+    nodes match {
+      case Some(ns) =>
+        ns.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(base) + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
+      case None =>
+        contrib.select(col("v"),
+          (lit(base) + expr("(17 * sc) div 20")).as("rank"))
+    }
   }
 
   /** Per-node triangle counts over an undirected edge set (the
@@ -251,29 +293,60 @@ object Graph {
     *
     * Scale shape: per round, one equi-join of the label vector on
     * `dst` and one (v, label) weight aggregation + argmax, all
-    * bounded by |E|; the label vector localCheckpoints each round. */
-  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+    * bounded by |E|. Like pagerank's fast path, the round chain is
+    * reference-free (the edge relation and the seed labels are both
+    * materialized), so the label vector checkpoints every 5th round
+    * and at the end — bounded plan depth without a per-round job.
+    * `checkpointDir` switches the materialization to reliable
+    * `checkpoint`; `prePartitionEdges` hash-partitions the edges by
+    * `dst` once so each round's label join shuffles only the label
+    * vector. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+                       checkpointDir: Option[String] = None,
+                       prePartitionEdges: Boolean = false): DataFrame = {
+    val e0 = PartitionUtil.materialize(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")),
+      checkpointDir)
     // size per-round jobs to the graph (the pagerank pattern): narrow
     // coalesce to ~2M edges/partition, capped at inherited parallelism
     val m = e0.count()
-    val e = e0.coalesce(math.max(1L,
-      math.min(e0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt)
-    var labels = e.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      labels = e
-        .join(labels.select(col("v").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src"), col("label"))
-        .agg(sum(col("w")).as("wt"))
-        .groupBy(col("src"))
-        .agg(min(struct((-col("wt")).as("nw"), col("label"))).as("m"))
-        .select(col("src").as("v"), col("m.label").as("label"))
-        .localCheckpoint()
+    val parts = math.max(1L,
+      math.min(e0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt
+    // persist (not checkpoint): InMemoryRelation keeps the hash
+    // partitioning on dst, so each round's label join shuffles only
+    // the label vector — see the pagerank note
+    val e =
+      if (prePartitionEdges) {
+        val p = e0.repartition(parts, col("dst")).persist()
+        p.count()
+        p
+      } else e0.coalesce(parts)
+    var labels = PartitionUtil.materialize(
+      e.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("label")),
+      checkpointDir)
+    for (k <- 1 to iters) {
+      val stepped = lpaRound(e, labels)
+      labels =
+        if (k % 5 == 0 || k == iters)
+          PartitionUtil.materialize(stepped, checkpointDir)
+        else stepped
     }
+    if (prePartitionEdges) e.unpersist(false) // labels are materialized
     labels
   }
+
+  /** ONE synchronous LPA round, un-materialized — join the label
+    * vector onto the edges by dst, sum incident weight per (src,
+    * label), argmax with min-label ties — exposed so the one-join-
+    * two-agg plan shape can be audited directly. */
+  private[graft] def lpaRound(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels.select(col("v").as("dst"), col("label")), Seq("dst"))
+      .groupBy(col("src"), col("label"))
+      .agg(sum(col("w")).as("wt"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("wt")).as("nw"), col("label"))).as("m"))
+      .select(col("src").as("v"), col("m.label").as("label"))
 
   /** DuckDB oracle for [[labelPropagation]] on the strong-tie supplier
     * graph: the same recurrence unrolled, argmax as ROW_NUMBER over

@@ -85,4 +85,42 @@ object PartitionUtil {
     val smallS = small.withColumn("_salt", explode(typedLit((0L until buckets.toLong).toSeq)))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Materialize one iteration's state for the iterative operators
+    * (pagerank / label propagation / k-means / CC pointer jumping):
+    * `localCheckpoint` by default — executor-local blocks, fast, but
+    * an executor loss replays the FULL lineage chain — or a RELIABLE
+    * `checkpoint` under `dir` when given, writing through the Hadoop
+    * FS API (HDFS/S3A/...), so at production scale a lost executor
+    * re-reads one round's state instead of recomputing every round
+    * since the source scan. NOTE: under AQE neither form preserves
+    * the plan's output partitioning (the LogicalRDD reports unknown
+    * partitioning) — to materialize AND keep a hash partitioning
+    * across joins, `persist()` the repartitioned plan instead (see
+    * Graph's prePartitionEdges). */
+  def materialize(df: DataFrame, checkpointDir: Option[String],
+                  eager: Boolean = true): DataFrame =
+    checkpointDir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
+  /** Skew-resistant whole-partition window aggregate: the salted
+    * two-phase aggregation computes each per-key value, then an
+    * equi-join attaches it back to every row — row-for-row equivalent
+    * to `agg OVER (PARTITION BY key)` with an unbounded frame, but no
+    * task ever SORTS or BUFFERS a whole partition: a 90%-one-key
+    * stream melts a window task (one reducer sorts and holds 90% of
+    * the data), while here the hot key's rows pre-aggregate across
+    * `buckets` reducers and the final join is a streamed probe that
+    * AQE's skew-join handling can further split at runtime. Use for
+    * unbounded-frame window aggregates on keys whose cardinality or
+    * skew is unknown; ordered frames (running sums, rank) instead
+    * want the map-side TopK/reservoir aggregators. */
+  def saltedWindow(df: DataFrame, key: String, buckets: Int,
+                   aggs: SaltedAgg*): DataFrame =
+    df.join(saltedAggregate(df, key, buckets, aggs: _*), Seq(key))
 }

@@ -1045,14 +1045,16 @@ object Similarity {
     * broadcasts k·d centroid rows against one corpus scan and both
     * aggregations are map-side combined. State between iterations is
     * the k·d centroid relation (localCheckpointed — microscopic). */
-  def distributedKMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  def distributedKMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                        checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"distributedKMeans: iters must be >= 1, got $iters")
     require(k >= 1, s"distributedKMeans: k must be >= 1, got $k")
-    val gdim0 = PartitionUtil.spread(embeddings)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d").cast("long").as("d"),
-        floor(col("x").cast("double") * lit(10000.0)).cast("long").as("g"))
-      .localCheckpoint()
+    val gdim0 = PartitionUtil.materialize(
+      PartitionUtil.spread(embeddings)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d").cast("long").as("d"),
+          floor(col("x").cast("double") * lit(10000.0)).cast("long").as("g")),
+      checkpointDir)
     // size the per-iteration jobs to the data (the pagerank pattern),
     // but CPU-denser than the edge relation: the assignment join
     // multiplies each grid triple by k, so ~250k triples per partition
@@ -1061,9 +1063,10 @@ object Similarity {
     val parts = math.max(1L,
       math.min(gdim0.rdd.getNumPartitions.toLong, rows / 250000L + 1L)).toInt
     val gdim = gdim0.coalesce(parts)
-    var cent = gdim.filter(col("vec_id") < k)
-      .select(col("vec_id").as("j"), col("d"), col("g").as("c"))
-      .localCheckpoint()
+    var cent = PartitionUtil.materialize(
+      gdim.filter(col("vec_id") < k)
+        .select(col("vec_id").as("j"), col("d"), col("g").as("c")),
+      checkpointDir)
     require(!cent.isEmpty,
       s"distributedKMeans: no seeds with vec_id < $k — ids must be 0-based contiguous")
     var assign: DataFrame = null
@@ -1074,11 +1077,12 @@ object Similarity {
       assign = dd.groupBy(col("vec_id"))
         .agg(min(struct(col("dd"), col("j"))).as("m"))
         .select(col("vec_id"), col("m.j").as("cluster"))
-      cent = gdim.join(assign, Seq("vec_id"))
-        .groupBy(col("cluster"), col("d"))
-        .agg(floor(sum(col("g")).cast("double") / count(lit(1))).cast("long").as("c"))
-        .select(col("cluster").as("j"), col("d"), col("c"))
-        .localCheckpoint()
+      cent = PartitionUtil.materialize(
+        gdim.join(assign, Seq("vec_id"))
+          .groupBy(col("cluster"), col("d"))
+          .agg(floor(sum(col("g")).cast("double") / count(lit(1))).cast("long").as("c"))
+          .select(col("cluster").as("j"), col("d"), col("c")),
+        checkpointDir)
     }
     // the total sort exists ONLY for gate hash stability (every gate
     // query ends in total ORDER BY); a production pipeline would

@@ -148,6 +148,67 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("prePartitionEdges: identical results; one step drops the edge-side exchange") {
+    import spark.implicits._
+    val g = Seq((1L, 2L, 5L), (2L, 1L, 1L), (2L, 3L, 4L), (3L, 2L, 2L),
+      (3L, 1L, 7L), (1L, 3L, 1L))
+    val df = g.toDF("src", "dst", "w")
+    // results owe nothing to the physical layout
+    Graph.pagerank(df, 7, prePartitionEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      refPagerank(g, 7)
+    val lpaPlain = Graph.labelPropagation(df, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.labelPropagation(df, 4, prePartitionEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe lpaPlain
+    // plan: with the edge relation hash-partitioned on the join key
+    // and persisted (InMemoryRelation keeps its partitioning; a
+    // checkpoint's LogicalRDD does not under AQE), ONE step's join
+    // shuffles only the rank side — broadcast disabled so the tiny
+    // fixture plans like a big graph. The plan text truncates at the
+    // cached subtree: exchanges INSIDE InMemoryRelation are the
+    // one-time cache build, not per-iteration work.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ewPre = {
+      val e0 = df.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      e0.join(outw, Seq("src"))
+        .select(col("src"), col("dst"), col("w"), col("ow"))
+    }
+    try {
+      val ewCached = ewPre.repartition(4, col("src")).persist()
+      ewCached.count()
+      val ewPlain = ewPre.localCheckpoint()
+      val rank = ewPlain.select(col("src").as("v")).distinct()
+        .select(col("v"), lit(Graph.Scale / 3).as("rank")).localCheckpoint()
+      def topExchanges(d: org.apache.spark.sql.DataFrame): Int = {
+        val s = d.queryExecution.executedPlan.toString
+        val cut = s.indexOf("InMemoryRelation")
+        "Exchange".r.findAllIn(if (cut < 0) s else s.take(cut)).length
+      }
+      val pre = topExchanges(Graph.pagerankStep(ewCached, rank, 1L, None))
+      val plain = topExchanges(Graph.pagerankStep(ewPlain, rank, 1L, None))
+      withClue(s"pre=$pre plain=$plain: ") { pre should be < plain }
+      ewCached.unpersist(false)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("checkpointDir: reliable-checkpoint path is bit-identical and writes state") {
+    import spark.implicits._
+    val g = Seq((1L, 2L, 5L), (2L, 1L, 1L), (2L, 3L, 4L), (3L, 2L, 2L),
+      (3L, 1L, 7L), (1L, 3L, 1L))
+    val df = g.toDF("src", "dst", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec").toString
+    Graph.pagerank(df, 6, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      refPagerank(g, 6)
+    // the reliable checkpoint actually wrote rdd state under dir
+    import scala.jdk.CollectionConverters._
+    val entries = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.size
+    entries should be > 1
+  }
+
   test("degree orientation bounds wedge volume on a skewed hub graph") {
     import spark.implicits._
     // one hub of degree 200 over a 200-ring: id-order pivots C(200,2)

@@ -57,6 +57,30 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
     salted shouldBe plain
   }
 
+  test("saltedWindow equals a whole-partition window, with no Window/partition sort in the plan") {
+    import spark.implicits._
+    import PartitionUtil.SaltedAgg
+    import org.apache.spark.sql.expressions.Window
+    // 90%-one-key stream: the window route sorts and buffers 10k rows
+    // on ONE reducer; the salted route pre-aggregates the hot key over
+    // 8 reducers and joins the per-key row back
+    val w = Window.partitionBy("k")
+    val plain = skewed
+      .select(col("k"), col("v"), count(lit(1)).over(w).as("n"),
+        max(col("v")).over(w).as("mx"))
+      .as[(Long, Double, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val saltedDf = PartitionUtil.saltedWindow(skewed, "k", buckets = 8,
+      SaltedAgg.count("n"), SaltedAgg.max("mx", col("v")))
+      .select(col("k"), col("v"), col("n"), col("mx"))
+    val salted = saltedDf
+      .as[(Long, Double, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    salted shouldBe plain
+    // the salted plan must contain NO window operator (nothing sorts
+    // or buffers a whole partition on one task)
+    val plan = saltedDf.queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     // salting (q68) is the PLANNED answer to skew; AQE's skew-join is
