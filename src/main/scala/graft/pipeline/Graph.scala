@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for corpus quality weighting.
@@ -157,6 +157,108 @@ object Graph {
     }
     if (prePartitionEdges) ew.unpersist(false) // rank is materialized
     rank
+  }
+
+  /** Personalized PageRank (TrustRank-style) from a SEED SET: the
+    * random walk teleports only to seeds, so rank measures proximity
+    * to the trusted set — the standard quality-propagation signal for
+    * weighting crawl hosts by distance from curated seed domains
+    * (Gyöngyi et al. 2004). Same fixed-point integer recurrence as
+    * [[pagerank]] with a seed-conditional base term:
+    * `rank₀ = Scale/|S|` on seeds (0 elsewhere);
+    * `rankₜ₊₁(v) = [v∈S]·(3·Scale)/(20·|S|) + (17·contrib)/20`.
+    * Every node of the graph appears in the output (non-seeds far
+    * from any seed simply converge to 0) — the row set is the
+    * distinct-src node set, like pagerank.
+    *
+    * Scale shape: identical to [[pagerank]] — one rank join on src +
+    * one contribution agg on dst per iteration, O(|E|); the seed flag
+    * rides on the materialized node relation, so the per-iteration
+    * node join (needed anyway: the base term is per-node) adds no
+    * extra pass. Same `checkpointDir` / `prePartitionEdges` knobs. */
+  def personalizedPagerank(edges: DataFrame, isSeed: Column => Column,
+                           iters: Int = 10,
+                           checkpointDir: Option[String] = None,
+                           prePartitionEdges: Boolean = false): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val ew0 = PartitionUtil.materialize(
+      e0.join(outw, Seq("src"))
+        .select(col("src"), col("dst"), col("w"), col("ow")),
+      checkpointDir)
+    val stats = ew0.agg(max(col("w")).as("mw"), count(lit(1)).as("m")).head()
+    val maxW = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val m = stats.getLong(1)
+    require(m > 0, "personalizedPagerank: empty edge set")
+    require(maxW <= Long.MaxValue / Scale,
+      s"personalizedPagerank: edge weight $maxW would overflow rank*w at scale $Scale")
+    val parts = math.max(1L,
+      math.min(ew0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt
+    val ew =
+      if (prePartitionEdges) {
+        val p = ew0.repartition(parts, col("src")).persist()
+        p.count()
+        p
+      } else ew0.coalesce(parts)
+    // seed flag rides on the node relation — ONE boolean column, no
+    // separate seed join anywhere in the loop
+    val seeded = PartitionUtil.materialize(
+      ew.select(col("src").as("v")).distinct()
+        .select(col("v"), isSeed(col("v")).cast("boolean").as("s")),
+      checkpointDir)
+    val nSeeds = seeded.filter(col("s")).count()
+    require(nSeeds > 0, "personalizedPagerank: seed predicate matched no node")
+    val base = (3L * Scale) / (20L * nSeeds)
+    var rank = seeded.select(col("v"),
+      when(col("s"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("rank"))
+    for (k <- 1 to iters) {
+      val contrib = ew
+        .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+      val stepped = seeded.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (when(col("s"), lit(base)).otherwise(lit(0L))
+            + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
+      // seeded and the contrib chain both bottom out in materialized
+      // relations, so lineage accumulates safely between every-5th
+      // checkpoints — the pagerank fast-path pattern
+      rank =
+        if (k % 5 == 0 || k == iters)
+          PartitionUtil.materialize(stepped, checkpointDir)
+        else stepped
+    }
+    if (prePartitionEdges) ew.unpersist(false)
+    rank
+  }
+
+  /** DuckDB oracle for [[personalizedPagerank]] over the supplier
+    * co-occurrence graph with seeds `s_suppkey % seedMod == 0`: the
+    * identical seed-conditional integer recurrence unrolled. */
+  private[graft] def personalizedPagerankOracleSql(seedMod: Int, iters: Int): String = {
+    val ns = "(SELECT c FROM ns)"
+    val head =
+      s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |edges AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+         |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+         |seeds AS (SELECT src AS v, (src % $seedMod = 0) AS s FROM outw),
+         |ns AS (SELECT COUNT(*) AS c FROM seeds WHERE s),
+         |r0 AS (SELECT v, CASE WHEN s THEN CAST($Scale AS BIGINT) // $ns
+         |  ELSE 0 END AS rank FROM seeds)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (SELECT sd.v,
+         |  CASE WHEN sd.s THEN (3 * CAST($Scale AS BIGINT)) // (20 * $ns) ELSE 0 END
+         |  + (17 * COALESCE(CAST(c.sc AS BIGINT), 0)) // 20 AS rank
+         |  FROM seeds sd LEFT JOIN (
+         |    SELECT e.dst, SUM((r.rank * e.w) // eo.ow) AS sc
+         |    FROM edges e JOIN r${k - 1} r ON r.v = e.src JOIN outw eo ON eo.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = sd.v)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iterCtes +
+      s"\nSELECT v AS s_suppkey, CAST(rank AS BIGINT) AS trust_scaled FROM r$iters" +
+      " ORDER BY trust_scaled DESC, s_suppkey"
   }
 
   /** ONE synchronous PageRank round, un-materialized — the join+agg

@@ -170,4 +170,70 @@ object Sampling {
       .filter(col(yCol) === col("__mx"))
       .select(col(idCol), col(xCol), col(yCol))
   }
+
+  /** Temperature-balanced mixture sampling across groups — the
+    * data-MIXING step of a multilingual / multi-source training run
+    * (the α-smoothed multinomial of Conneau & Lample 2019): each
+    * group's sampling weight is count^α with α = 1/2, so dominant
+    * groups are down-weighted and rare groups over-represented
+    * relative to their share. Exactly integer-replayable: the weight
+    * is floor(sqrt(count)) — IEEE sqrt is correctly rounded and the
+    * counts sit far below 2^52, so floor∘sqrt is bit-identical in
+    * every engine — and each group's quota is `budget·w div Σw`.
+    * WITHIN a group the quota picks the lowest (content-hash, id)
+    * rows: deterministic, reproducible, append-stable (the corpus
+    * sampling convention here — no RNG anywhere).
+    *
+    * Scale shape: one count aggregation (|groups| rows, broadcast
+    * back), one per-group rank window — partitioned by group, so the
+    * sort is per-group; for a corpus whose LARGEST group dwarfs
+    * executor memory, swap the window for the map-side k-smallest
+    * aggregator (TopKAggregator's pattern) with k = quota — and one
+    * filtered scan. Output is ≤ budget rows at any corpus size. */
+  def temperatureMixture(docs: DataFrame, groupCol: String,
+                         budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "temperatureMixture: budget must be positive")
+    val wts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("c"))
+      .select(col(groupCol),
+        floor(sqrt(col("c").cast("double"))).cast("long").as("wt"))
+    // Σw: one row pulled to the driver — bounded by |groups|, not corpus
+    val totW = wts.agg(sum(col("wt"))).head().getLong(0)
+    val quota = wts.select(col(groupCol),
+      expr(s"($budget * wt) div $totW").as("quota"))
+    docs.select(col("doc_id"), col(groupCol),
+        docHashUdf(col("text")).as("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(quota), Seq(groupCol))
+      .filter(col("pos") <= col("quota"))
+      .select(col("doc_id"), col(groupCol), col("pos").cast("long").as("pos"),
+        col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[temperatureMixture]] over `documents`
+    * grouped by `lang` — same isqrt weights, integer quota, and
+    * (mix64∘fnv64 content hash, doc_id) rank via the HashSql mirror. */
+  private[graft] def temperatureMixtureOracleSql(budget: Long): String = {
+    import HashSql._
+    s"""WITH f AS (SELECT doc_id, lang, ${fnv64("text")} AS h FROM documents),
+      m1 AS (SELECT doc_id, lang, ${mixStage1("h")} AS h FROM f),
+      m2 AS (SELECT doc_id, lang, ${mixStage2("h")} AS h FROM m1),
+      m3 AS (SELECT doc_id, lang, ${mixStage3("h")} AS h FROM m2),
+      sgn AS (SELECT doc_id, lang, ${toSigned(mixStage4("h"))} AS h FROM m3),
+      counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+      wts AS (SELECT lang, CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) AS wt
+        FROM counts),
+      tot AS (SELECT SUM(wt) AS t FROM wts),
+      quota AS (SELECT lang, CAST(($budget * wt) // (SELECT t FROM tot) AS BIGINT)
+        AS quota FROM wts),
+      ranked AS (SELECT doc_id, lang,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS pos
+        FROM sgn)
+      SELECT r.doc_id, r.lang, CAST(r.pos AS BIGINT) AS pos, q.quota
+      FROM ranked r JOIN quota q ON q.lang = r.lang
+      WHERE r.pos <= q.quota ORDER BY r.doc_id"""
+  }
 }

@@ -1061,4 +1061,83 @@ object TextFunctions {
              list_min(fps) AS min_fp, list_max(fps) AS max_fp
       FROM mins ORDER BY doc_id"""
   }
+
+  /** Intra-document repetition metrics — the Gopher/RefinedWeb
+    * repetition filters (Rae et al. 2021 §A1.1; Penedo et al. 2023):
+    * templated or looping text (boilerplate, scraped nav, generation
+    * artifacts) shows up as a dominant repeated n-gram long before
+    * any cross-document signal fires. Integer-exact on the 1e6 grid:
+    *
+    *   top2_q6 = 1e6 · (count of the most frequent bigram) div n_bigrams
+    *   dup3_q6 = 1e6 · (positions in trigram types seen ≥ 2×) div n_trigrams
+    *
+    * with keep flags r_2g: top2 ≤ 20% and r_3g: dup3 ≤ 60% (the
+    * published thresholds for these two statistics). Docs with fewer
+    * than 2 (resp. 3) tokens score 0 on the fraction — nothing to
+    * repeat.
+    *
+    * Scale shape: n-grams derive INSIDE each row's token array
+    * (slice+zip, codegen'd — no per-doc window) and reduce through
+    * (doc, gram) hash aggregations — two linear map-side-combined
+    * passes, one doc-keyed join to merge the bigram and trigram
+    * summaries, no corpus-wide sort but the output ORDER BY. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val base = PartitionUtil.spread(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+    val b2 = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max2"), sum(col("c")).as("n2"))
+    val t3 = base.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 2),
+        slice(col("t"), lit(2), size(col("t")) - 2),
+        slice(col("t"), lit(3), size(col("t")) - 2))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup3"),
+           sum(col("c")).as("n3"))
+    base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(b2, Seq("doc_id"), "left")
+      .join(t3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(expr("(1000000 * max2) div n2"), lit(0L)).as("top2_q6"),
+        coalesce(expr("(1000000 * dup3) div n3"), lit(0L)).as("dup3_q6"))
+      .withColumn("r_2g", when(col("top2_q6") <= 200000, 1L).otherwise(0L))
+      .withColumn("r_3g", when(col("dup3_q6") <= 600000, 1L).otherwise(0L))
+      .withColumn("keep", col("r_2g") * col("r_3g"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[repetitionMetrics]] — grams spelled as
+    * space-joined strings (injective: tokens cannot contain the
+    * separator), 1-based list indexing. */
+  private[graft] def repetitionMetricsOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      bg AS (SELECT doc_id, t[p] || ' ' || t[p + 1] AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS p
+              FROM toks WHERE len(t) >= 2)),
+      bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      b2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS n2 FROM bc GROUP BY doc_id),
+      tg AS (SELECT doc_id, t[p] || ' ' || t[p + 1] || ' ' || t[p + 2] AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS p
+              FROM toks WHERE len(t) >= 3)),
+      tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+      t3 AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3,
+               SUM(c) AS n3 FROM tc GROUP BY doc_id),
+      m AS (SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+          CAST(COALESCE((1000000 * b2.max2) // b2.n2, 0) AS BIGINT) AS top2_q6,
+          CAST(COALESCE((1000000 * t3.dup3) // t3.n3, 0) AS BIGINT) AS dup3_q6
+        FROM toks k LEFT JOIN b2 ON b2.doc_id = k.doc_id
+                    LEFT JOIN t3 ON t3.doc_id = k.doc_id)
+      SELECT doc_id, n_tokens, top2_q6, dup3_q6,
+        CAST(CASE WHEN top2_q6 <= 200000 THEN 1 ELSE 0 END AS BIGINT) AS r_2g,
+        CAST(CASE WHEN dup3_q6 <= 600000 THEN 1 ELSE 0 END AS BIGINT) AS r_3g,
+        CAST(CASE WHEN top2_q6 <= 200000 AND dup3_q6 <= 600000
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM m ORDER BY doc_id"""
 }

@@ -29,6 +29,22 @@ object GraphQueries {
       },
       Some(Graph.pagerankOracleSql(iters = 10))),
 
+    // ---- personalized PageRank / TrustRank: the walk teleports only
+    // to a SEED set (every 10th supplier id — standing in for curated
+    // trusted domains), so rank measures proximity to the seeds — the
+    // quality-propagation signal web-scale pipelines use to weight
+    // hosts by distance from a trusted core. Same integer fixed-point
+    // machinery as q119; seed-conditional base term. -----------------
+    ("q130_trustrank",
+      (s, dir) => {
+        val ranks = Graph.personalizedPagerank(
+          Graph.supplierCooccurrence(t(s, dir, "lineitem")),
+          isSeed = v => pmod(v, lit(10)) === 0, iters = 10)
+        ranks.select(col("v").as("s_suppkey"), col("rank").as("trust_scaled"))
+          .orderBy(col("trust_scaled").desc, col("s_suppkey"))
+      },
+      Some(Graph.personalizedPagerankOracleSql(seedMod = 10, iters = 10))),
+
     // ---- per-node triangle counts (clustering-coefficient numerator)
     // over the STRONG-TIE graph (co-occurrence weight >= 8 — weak
     // single-co-occurrence ties make the demo graph near-complete and

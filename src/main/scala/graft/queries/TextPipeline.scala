@@ -1050,6 +1050,23 @@ object TextPipeline {
       (s, dir) => Similarity.distributedKMeans(t(s, dir, "embeddings"), k = 8, iters = 3),
       Some(Similarity.distributedKMeansOracleSql(k = 8, iters = 3))),
 
+    // ---- intra-document repetition metrics (Gopher/RefinedWeb
+    // repetition filters): top-bigram fraction + duplicated-trigram
+    // coverage, integer-exact on the 1e6 grid, with the published
+    // keep thresholds (20% / 60%) as 0/1 flags --------------------
+    ("q131_repetition",
+      (s, dir) => TextFunctions.repetitionMetrics(t(s, dir, "documents")),
+      Some(TextFunctions.repetitionMetricsOracleSql)),
+
+    // ---- temperature-balanced mixture sampling across languages
+    // (α = 1/2 data mixing): per-lang quota = budget·isqrt(count)/Σ,
+    // filled by the lowest (content-hash, doc_id) rows — the fully
+    // deterministic multilingual rebalancing step -----------------
+    ("q132_temp_mixture",
+      (s, dir) => Sampling.temperatureMixture(t(s, dir, "documents"),
+        groupCol = "lang", budget = 200L),
+      Some(Sampling.temperatureMixtureOracleSql(budget = 200L))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

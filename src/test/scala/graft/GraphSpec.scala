@@ -62,6 +62,43 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("personalizedPagerank matches the seed-conditional reference model") {
+    import spark.implicits._
+    def ref(edges: Seq[(Long, Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+      val ow = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val nodes = edges.map(_._1).distinct.sorted
+      val nS = nodes.count(seeds)
+      val base = (3L * Graph.Scale) / (20L * nS)
+      var rank = nodes.map(v => v -> (if (seeds(v)) Graph.Scale / nS else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val contrib = edges.groupBy(_._2).view.mapValues { es =>
+          es.map { case (u, _, w) => (rank(u) * w) / ow(u) }.sum
+        }.toMap
+        rank = nodes.map(v => v ->
+          ((if (seeds(v)) base else 0L) + (17L * contrib.getOrElse(v, 0L)) / 20L)).toMap
+      }
+      rank
+    }
+    val g = Seq((1L, 2L, 5L), (2L, 1L, 1L), (2L, 3L, 4L), (3L, 2L, 2L),
+      (3L, 1L, 7L), (1L, 3L, 1L), (4L, 1L, 2L), (1L, 4L, 2L))
+    for (iters <- Seq(1, 3, 10)) {
+      val got = Graph.personalizedPagerank(g.toDF("src", "dst", "w"),
+          isSeed = v => v <= 2, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"iters=$iters: ") {
+        got shouldBe ref(g, Set(1L, 2L), iters)
+      }
+    }
+    // a node unreachable from any seed converges to 0, but stays a row
+    val island = g ++ Seq((7L, 8L, 1L), (8L, 7L, 1L))
+    val got = Graph.personalizedPagerank(island.toDF("src", "dst", "w"),
+        isSeed = v => v <= 2, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(7L) shouldBe 0L
+    got(8L) shouldBe 0L
+    got.keySet shouldBe Set(1L, 2L, 3L, 4L, 7L, 8L)
+  }
+
   test("pagerank is uniform on a vertex-transitive graph and conserves rank mass") {
     // 6-cycle, symmetric unit weights: all nodes equivalent
     val cyc = (0L until 6L).flatMap(i =>

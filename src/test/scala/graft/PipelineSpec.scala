@@ -1075,4 +1075,47 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     TextFunctions.bigramLm(df.repartition(3), k = 10)
       .as[(String, String, Long, Long, Double)].collect().toList shouldBe got
   }
+
+  test("repetition metrics: hand-computed fractions, thresholds, short-doc zeros") {
+    import spark.implicits._
+    val df = Seq(
+      // "a b a b a b": bigrams {ab×3, ba×2} -> top2 = 3/5;
+      // trigrams {aba×2, bab×2} -> dup3 = 4/4
+      (1L, "a b a b a b"),
+      // 11 distinct tokens: top2 = 1/10 = 100000 <= 20%, dup3 = 0 -> keep
+      (2L, "q w e r t y u i o p z"),
+      // one token: no bigrams/trigrams -> both fractions 0, keep
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextFunctions.repetitionMetrics(df)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    got shouldBe List(
+      (1L, 6L, 600000L, 1000000L, 0L, 0L, 0L),
+      (2L, 11L, 100000L, 0L, 1L, 1L, 1L),
+      (3L, 1L, 0L, 0L, 1L, 1L, 1L))
+    // partition-invariant
+    TextFunctions.repetitionMetrics(df.repartition(5))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList shouldBe got
+  }
+
+  test("temperature mixture: isqrt weights, integer quotas, deterministic lowest-hash fill") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // groups: big 100 docs, mid 25, tiny 4 -> weights 10, 5, 2 (Σ=17)
+    // budget 34 -> quotas 20, 10, 4: the tiny group keeps EVERYTHING
+    // while the big group downsamples 5x — the α=1/2 rebalancing
+    val docs = ((1 to 100).map(i => (i.toLong, "big", s"text big $i")) ++
+      (1 to 25).map(i => (200L + i, "mid", s"text mid $i")) ++
+      (1 to 4).map(i => (300L + i, "tiny", s"text tiny $i")))
+      .toDF("doc_id", "lang", "text")
+    val out = Sampling.temperatureMixture(docs, "lang", budget = 34L)
+    val perGroup = out.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    perGroup shouldBe Map("big" -> 20L, "mid" -> 10L, "tiny" -> 4L)
+    out.filter(col("pos") > col("quota")).count() shouldBe 0L
+    // deterministic: same rows regardless of partitioning
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureMixture(docs.repartition(7), "lang", budget = 34L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    b shouldBe a
+  }
 }
