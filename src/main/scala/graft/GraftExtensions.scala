@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{VectorDot, VectorNorm}
+import graft.functions.{ContentHash, VectorDot, VectorNorm}
 
 /** Session-extension entry point:
   *
@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorNorm(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("content_hash64"),
+      new ExpressionInfo(classOf[ContentHash].getName, "content_hash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ContentHash(exprs.head)))
     // band-join rewrite (opt-in via spark.graft.rangeJoin.bucketWidth):
     // turns inequality-only joins into bucketized equi-joins instead of
     // Catalyst's BroadcastNestedLoopJoin fallback

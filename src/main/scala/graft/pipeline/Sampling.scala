@@ -70,7 +70,7 @@ object Sampling {
     * per-shard hash partition, so it scales to any corpus. */
   def corpusShards(docs: DataFrame, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = docHashUdf(col("text"))
+    val h = docHash(docs, col("text"))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     // no output ordering here: a consumer writing shards wants the
     // per-shard partitioning as-is (the oracle-facing query adds its
@@ -142,8 +142,13 @@ object Sampling {
 
   /** mix64(fnv64(text)) — the engine's standard content hash (same
     * fold the fingerprint/minhash/CDC paths use; mirrored bit-exactly
-    * in SQL by [[HashSql]]). */
-  private val docHashUdf = udf { s: String => Dedup.mix64(Dedup.fnv64(s)) }
+    * in SQL by [[HashSql]]), as the NATIVE codegen'd expression
+    * `content_hash64` — no Scala-closure UDF boundary in the
+    * scan → hash → shuffle hot path. Registration is idempotent. */
+  private def docHash(df: DataFrame, c: Column): Column = {
+    graft.functions.ContentHashExpression.register(df.sparkSession)
+    graft.functions.ContentHashExpression.contentHash64(c)
+  }
 
   /** 2-D skyline (Pareto frontier), both dimensions MAXIMIZED: rows
     * not dominated by any other row (dominance = >= on both integer
@@ -203,7 +208,7 @@ object Sampling {
     val quota = wts.select(col(groupCol),
       expr(s"($budget * wt) div $totW").as("quota"))
     docs.select(col("doc_id"), col(groupCol),
-        docHashUdf(col("text")).as("h"))
+        docHash(docs, col("text")).as("h"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("h"), col("doc_id"))))
       .join(broadcast(quota), Seq(groupCol))

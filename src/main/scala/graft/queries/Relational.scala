@@ -515,9 +515,11 @@ object Relational {
     ("q40_approx_distinct",
       (s, dir) => {
         val kmv = udaf(new graft.functions.KmvAggregator(64))
-        val h62 = udf { v: String =>
-          graft.pipeline.Dedup.mix64(graft.pipeline.Dedup.fnv64(v)) >>> 2
-        }
+        // native codegen'd content hash — the value hashing stays
+        // inside WholeStageCodegen, no closure-UDF boundary
+        graft.functions.ContentHashExpression.register(s)
+        val h62 = (c: org.apache.spark.sql.Column) => shiftrightunsigned(
+          graft.functions.ContentHashExpression.contentHash64(c), 2)
         t(s, dir, "lineitem")
           .filter(col("l_partkey").isNotNull)
           .select(col("l_returnflag"), col("l_partkey"),

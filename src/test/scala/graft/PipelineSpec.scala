@@ -1097,6 +1097,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList shouldBe got
   }
 
+  test("content_hash64: native expression equals the Scala fold, null-safe, codegen'd") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.ContentHashExpression.register(spark)
+    val vals = Seq("", "a", "hello world", "κλμ unicode", "line sort table")
+    val df = vals.toDF("s")
+      .select(col("s"), graft.functions.ContentHashExpression.contentHash64(col("s")).as("h"))
+    df.collect().foreach { r =>
+      r.getLong(1) shouldBe Dedup.mix64(Dedup.fnv64(r.getString(0)))
+    }
+    // null in, null out (nullIntolerant)
+    Seq(Option.empty[String]).toDF("s")
+      .select(graft.functions.ContentHashExpression.contentHash64(col("s")))
+      .collect().head.isNullAt(0) shouldBe true
+    // SQL-registry path resolves too
+    spark.sql("SELECT content_hash64('abc')").head().getLong(0) shouldBe
+      Dedup.mix64(Dedup.fnv64("abc"))
+    // the whole projection stays inside generated code — no closure UDF
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("ScalaUDF") shouldBe false
+  }
+
   test("temperature mixture: isqrt weights, integer quotas, deterministic lowest-hash fill") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
