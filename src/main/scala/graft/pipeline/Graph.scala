@@ -366,6 +366,81 @@ object Graph {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** Bounded-radius harmonic centrality: H(v) = Σ_{0<d(u,v)≤R} 1/d —
+    * the closeness-family centrality that handles disconnected graphs
+    * gracefully (unreachable nodes contribute 0, not ∞), used as a
+    * link-graph quality signal alongside PageRank (Boldi & Vigna
+    * 2014). Computed by multi-source BFS: the frontier relation
+    * (source s, node v, distance d) expands one hop per round, anti-
+    * joined against everything already reached so each (s, v) pair
+    * keeps its FIRST (= shortest) distance. 1/d lands on the 1e6
+    * integer grid (`1e6 div d`) so the sum is engine-exact.
+    *
+    * Scale shape: round k's relation is Σ_v |ball_k(v)| pairs — the
+    * radius bound R is the knob that keeps this from becoming
+    * all-pairs on a 100 TB graph (R=3 is the standard local-centrality
+    * choice; the unbounded production variant is HyperBall, which
+    * replaces the exact pair set with per-node HLL counters — the
+    * KMV/HLL sketch family this engine already carries). Each round:
+    * one |frontier|·avg-degree equi-join + one anti join + distinct,
+    * all hash-shuffled on (s, v); state materializes per round. */
+  def harmonicCentrality(edges: DataFrame, radius: Int = 3,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    require(radius >= 1, s"harmonicCentrality: radius must be >= 1, got $radius")
+    val e = PartitionUtil.materialize(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct(),
+      checkpointDir)
+    // d(v, v) = 0 seeds; excluded from the sum but needed so round 1
+    // doesn't re-reach the source itself
+    var all = PartitionUtil.materialize(
+      e.select(col("src").as("s")).distinct()
+        .select(col("s"), col("s").as("v"), lit(0L).as("d")),
+      checkpointDir)
+    var frontier = all
+    for (k <- 1 to radius) {
+      val next = PartitionUtil.materialize(
+        frontier.join(e.select(col("src").as("v"), col("dst")), Seq("v"))
+          .select(col("s"), col("dst").as("v")).distinct()
+          .join(all, Seq("s", "v"), "left_anti")
+          .select(col("s"), col("v"), lit(k.toLong).as("d")),
+        checkpointDir)
+      all = PartitionUtil.materialize(all.union(next), checkpointDir)
+      frontier = next
+    }
+    all.filter(col("d") > 0)
+      .groupBy(col("v"))
+      .agg(sum(expr("1000000 div d")).as("harmonic_q6"),
+           count(lit(1)).as("n_reached"))
+  }
+
+  /** DuckDB oracle for [[harmonicCentrality]] on the strong-tie
+    * graph, radius unrolled to 3 hop CTEs with the same
+    * first-distance-wins anti-join semantics. */
+  private[graft] def harmonicCentralityOracleSql(minW: Long, radius: Int): String = {
+    require(radius >= 1)
+    val head =
+      s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |edges0 AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+         |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT DISTINCT src, dst FROM edges0 WHERE w >= $minW AND src <> dst),
+         |p0 AS (SELECT DISTINCT src AS s, src AS v, 0 AS d FROM e)""".stripMargin
+    val hops = (1 to radius).map { k =>
+      val prev = (0 until k).map(i => s"SELECT s, v FROM p$i").mkString(" UNION ALL ")
+      s"""p$k AS (SELECT DISTINCT f.s, e.dst AS v, $k AS d
+         |  FROM p${k - 1} f JOIN e ON e.src = f.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prev) r
+         |                    WHERE r.s = f.s AND r.v = e.dst))""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to radius).map(i => s"SELECT s, v, d FROM p$i").mkString(" UNION ALL ")
+    head + ",\n" + hops +
+      s"""\nSELECT v AS s_suppkey,
+         |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_q6,
+         |  COUNT(*) AS n_reached
+         |FROM ($unionAll) GROUP BY v ORDER BY s_suppkey""".stripMargin
+  }
+
   /** DuckDB oracle for [[triangleCounts]] over the supplier
     * co-occurrence graph: the same canonicalization and wedge-close
     * joins, spelled as an independent triple join. */

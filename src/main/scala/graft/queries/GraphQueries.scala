@@ -63,6 +63,21 @@ object GraphQueries {
       },
       Some(Graph.triangleCountsOracleSql(minW = 8))),
 
+    // ---- bounded-radius harmonic centrality (Σ 1/d, d ≤ 3) on the
+    // strong-tie graph: multi-source BFS with first-distance-wins
+    // anti joins, 1/d on the 1e6 integer grid — the closeness-family
+    // quality signal; the unbounded production variant is HyperBall
+    // (per-node HLL counters) ----------------------------------------
+    ("q133_harmonic",
+      (s, dir) => {
+        val strong = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 8)
+        Graph.harmonicCentrality(strong, radius = 3)
+          .select(col("v").as("s_suppkey"), col("harmonic_q6"), col("n_reached"))
+          .orderBy(col("harmonic_q6").desc, col("s_suppkey"))
+      },
+      Some(Graph.harmonicCentralityOracleSql(minW = 8, radius = 3))),
+
     // ---- community detection: 5 rounds of deterministic synchronous
     // weighted label propagation (min-label ties, fixed rounds) over
     // the strong-tie graph ------------------------------------------

@@ -246,6 +246,41 @@ class GraphSpec extends AnyFunSuite with Matchers {
     entries should be > 1
   }
 
+  test("harmonicCentrality equals brute-force BFS on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9260814L)
+    for (trial <- 1 to 3) {
+      val nV = 10
+      val und = (for {
+        a <- 0 until nV; b <- a + 1 until nV
+        if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toSeq
+      if (und.nonEmpty) {
+        val adj = (und ++ und.map(p => (p._2, p._1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        // brute-force BFS per source, radius 3
+        def dists(s: Long): Map[Long, Int] = {
+          var d = Map(s -> 0); var fr = Set(s)
+          for (k <- 1 to 3) {
+            val nx = fr.flatMap(adj.getOrElse(_, Set.empty)) -- d.keySet
+            d ++= nx.map(_ -> k); fr = nx
+          }
+          d - s
+        }
+        val nodes = adj.keySet
+        val want = nodes.map { v =>
+          // symmetric graph: d(u,v) over sources u = dists from v
+          val ds = dists(v).values.toSeq
+          v -> ((ds.map(1000000L / _).sum, ds.size.toLong))
+        }.toMap
+        val sym = und.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+        val got = Graph.harmonicCentrality(sym.toDF("src", "dst", "w"), radius = 3)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        withClue(s"trial $trial (${und.size} edges): ") { got shouldBe want }
+      }
+    }
+  }
+
   test("degree orientation bounds wedge volume on a skewed hub graph") {
     import spark.implicits._
     // one hub of degree 200 over a 200-ring: id-order pivots C(200,2)
