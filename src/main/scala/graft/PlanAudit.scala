@@ -501,6 +501,22 @@ object PlanAudit {
           "an integer-grid division (no floats) — no cartesian stage",
         Seq("LeftSemi", "HashAggregate"),
         Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q131_repetition",
+        "repetition metrics: n-grams derive inside each row's token " +
+          "array (slice+zip, codegen'd — no per-doc window) and reduce " +
+          "through map-side-combined (doc, gram) hash aggregations; " +
+          "the bigram and trigram summaries merge by doc-keyed joins — " +
+          "no cartesian stage, no window",
+        Seq("HashAggregate", "Generate"),
+        Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q132_temp_mixture",
+        "temperature mixture: the |groups|-bounded quota relation " +
+          "broadcasts back onto the ranked corpus (BroadcastHashJoin); " +
+          "the only per-group sort is the rank window partitioned by " +
+          "group; the content hash is the NATIVE content_hash64 " +
+          "expression — no ScalaUDF codegen break anywhere",
+        Seq("BroadcastHashJoin", "Window"),
+        Seq("ScalaUDF", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

@@ -195,6 +195,7 @@ object ScaleProbe {
     // |E| both grow 10×, every copy converges to the base ranks, so
     // the ratio measures the per-iteration join+aggregate cost
     if (only.isEmpty || only("pagerank") || only("pagerank_prepart") ||
+        only("trustrank") || only("harmonic") ||
         only("triangles") || only("communities") || only("skew_wedges")) {
       val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
       val edges1 = graft.pipeline.Graph.supplierCooccurrence(li).localCheckpoint()
@@ -213,6 +214,25 @@ object ScaleProbe {
         probe("pagerank_prepart",
           graft.pipeline.Graph.pagerank(edges1, 10, prePartitionEdges = true).count(),
           graft.pipeline.Graph.pagerank(edgesN, 10, prePartitionEdges = true).count())
+      // disjoint copies with ids offset by 10^6 (a multiple of 10, so
+      // the v % 10 == 0 seed set replicates per copy): the ratio
+      // measures the same per-iteration join+agg as pagerank plus the
+      // seed-flag node join
+      if (only.isEmpty || only("trustrank"))
+        probe("trustrank",
+          graft.pipeline.Graph.personalizedPagerank(edges1,
+            v => pmod(v, lit(10)) === 0, 10).count(),
+          graft.pipeline.Graph.personalizedPagerank(edgesN,
+            v => pmod(v, lit(10)) === 0, 10).count())
+      // disjoint copies: every copy's radius-3 balls replicate, so the
+      // (source, node) pair state grows linearly and the ratio
+      // measures the per-hop frontier join + anti join
+      if (only.isEmpty || only("harmonic"))
+        probe("harmonic",
+          graft.pipeline.Graph.harmonicCentrality(
+            edges1.filter(col("w") >= 8), 3).count(),
+          graft.pipeline.Graph.harmonicCentrality(
+            edgesN.filter(col("w") >= 8), 3).count())
       // disjoint copies: wedge and triangle sets replicate per copy —
       // linear output growth, the ratio measures the wedge join
       // (strong-tie filter as in q125: the unfiltered co-occurrence
@@ -274,6 +294,22 @@ object ScaleProbe {
         graft.ops.TemporalJoins.conversionFunnel(evN, stages).count())
     }
 
+    // copy-prefixed tokens: each copy's n-gram types are disjoint, so
+    // per-doc repetition fractions are unchanged per copy and the
+    // ratio measures the two (doc, gram) aggregations
+    if (only.isEmpty || only("repetition")) {
+      probe("repetition",
+        TextFunctions.repetitionMetrics(docs).count(),
+        TextFunctions.repetitionMetrics(docsN).count())
+    }
+    // lang is shared across copies, so the quota relation stays
+    // |langs| rows and the output stays <= budget at 10x: the ratio
+    // measures the count agg + per-lang rank window + filtered scan
+    if (only.isEmpty || only("temp_mixture")) {
+      probe("temp_mixture",
+        graft.pipeline.Sampling.temperatureMixture(docs, "lang", 200L).count(),
+        graft.pipeline.Sampling.temperatureMixture(docsN, "lang", 200L).count())
+    }
     // doc ids offset per copy, quality grid UNCHANGED: the per-level
     // aggregation reads 10× rows into the same ≤1001 grid levels, so
     // the single-reducer window stays constant and the ratio measures
