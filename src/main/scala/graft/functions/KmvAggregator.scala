@@ -53,3 +53,25 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] =
     ExpressionEncoder[Seq[Long]]()
 }
+
+/** Merge aggregator over KMV SKETCHES (each input row is already a
+  * sorted bottom-k array): the union of bottom-k sets is itself
+  * computed bottom-k — the property that makes KMV sketches
+  * distributively mergeable, which is what lets the HyperBall-style
+  * neighborhood iteration ([[graft.pipeline.Graph.neighborhoodFunction]])
+  * run as one groupBy per round. Same deterministic semantics as
+  * feeding every element through [[KmvAggregator]]. */
+class KmvMergeAggregator(k: Int)
+    extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+  require(k > 0)
+  private val one = new KmvAggregator(k)
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(buf: Seq[Long], sketch: Seq[Long]): Seq[Long] =
+    if (sketch == null) buf else sketch.foldLeft(buf)(one.reduce)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = reduce(a, b)
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}

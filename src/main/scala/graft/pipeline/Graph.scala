@@ -441,6 +441,104 @@ object Graph {
          |FROM ($unionAll) GROUP BY v ORDER BY s_suppkey""".stripMargin
   }
 
+  /** Approximate neighborhood function — the HyperBall construction
+    * (Boldi & Vigna 2013) with a KMV bottom-k sketch in place of the
+    * HLL counter: per node, a sketch of the hashes of every node
+    * within radius r, advanced one hop per round by MERGING each
+    * node's neighbors' sketches (bottom-k unions are distributively
+    * mergeable — one groupBy per round), with |ball_r(v)| estimated
+    * by the KMV estimator. Unlike HyperBall's HLL registers, every
+    * step here is exact integer arithmetic on a deterministic hash,
+    * so the whole iteration — sketches AND estimates — replays
+    * bit-for-bit in DuckDB.
+    *
+    * This is the scale path [[harmonicCentrality]] names: the exact
+    * pair set Σ|ball| becomes O(|V|·k) sketch state per round, so
+    * ball sizes (and radii) that would melt the exact BFS cost a
+    * constant k longs per node. Emits one row per (node, radius ≤ R):
+    * (v, r, k_used, kth, nb_est) where nb_est counts the ball
+    * INCLUDING v itself.
+    *
+    * Scale shape: per round one |E|-bounded join + one
+    * map-side-combined sketch-merge aggregation; self-loops carry
+    * each node's own sketch through the same merge (no separate
+    * union-with-previous pass); state materializes per round. */
+  def neighborhoodFunction(edges: DataFrame, radius: Int = 3, k: Int = 32,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(radius >= 1, s"neighborhoodFunction: radius must be >= 1")
+    require(k >= 1, s"neighborhoodFunction: k must be >= 1")
+    val spark = edges.sparkSession
+    graft.functions.ContentHashExpression.register(spark)
+    val h62 = shiftrightunsigned(
+      graft.functions.ContentHashExpression.contentHash64(col("v").cast("string")), 2)
+    val merge = udaf(new graft.functions.KmvMergeAggregator(k))
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e0.select(col("src").as("v")).distinct()
+    val e = PartitionUtil.materialize(
+      e0.union(nodes.select(col("v").as("src"), col("v").as("dst"))),
+      checkpointDir)
+    var hb = PartitionUtil.materialize(
+      nodes.select(col("v"), array(h62).as("sk")), checkpointDir)
+    val est =
+      when(size(col("sk")) < k, size(col("sk")).cast("long"))
+        .otherwise(expr(
+          s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST(4611686018427387904 AS DECIMAL(38,0)))" +
+            " div CAST(element_at(sk, -1) AS DECIMAL(38,0)) AS BIGINT)"))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to radius) {
+      hb = PartitionUtil.materialize(
+        e.join(hb.select(col("v").as("dst"), col("sk")), Seq("dst"))
+          .groupBy(col("src")).agg(merge(col("sk")).as("sk"))
+          .select(col("src").as("v"), col("sk")),
+        checkpointDir)
+      rounds += hb.select(col("v"), lit(r.toLong).as("r"),
+        size(col("sk")).cast("long").as("k_used"),
+        element_at(col("sk"), -1).as("kth"),
+        est.as("nb_est"))
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle for [[neighborhoodFunction]] on the strong-tie
+    * graph: the identical sketch recurrence with list operations —
+    * `list_sort(list_distinct(flatten(list(sk))))[1:k]` IS the
+    * bottom-k union — and the same integer estimator. */
+  private[graft] def neighborhoodFunctionOracleSql(minW: Long, radius: Int,
+                                                   k: Int): String = {
+    import HashSql._
+    val head =
+      s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |edges0 AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+         |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT DISTINCT src, dst FROM edges0 WHERE w >= $minW AND src <> dst),
+         |n AS (SELECT DISTINCT src AS v FROM e),
+         |es AS (SELECT src, dst FROM e UNION SELECT v, v FROM n),
+         |f AS (SELECT v, ${fnv64("CAST(v AS VARCHAR)")} AS h FROM n),
+         |m1 AS (SELECT v, ${mixStage1("h")} AS h FROM f),
+         |m2 AS (SELECT v, ${mixStage2("h")} AS h FROM m1),
+         |m3 AS (SELECT v, ${mixStage3("h")} AS h FROM m2),
+         |hm AS (SELECT v, CAST(${mixStage4("h")} // 4 AS BIGINT) AS h FROM m3),
+         |hb0 AS (SELECT v, [h] AS sk FROM hm)""".stripMargin
+    val hops = (1 to radius).map { r =>
+      s"""hb$r AS (SELECT es.src AS v,
+         |    list_sort(list_distinct(flatten(list(sk))))[1:$k] AS sk
+         |  FROM es JOIN hb${r - 1} p ON p.v = es.dst GROUP BY es.src)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to radius).map { r =>
+      s"""SELECT v, CAST($r AS BIGINT) AS r, CAST(len(sk) AS BIGINT) AS k_used,
+         |  sk[len(sk)] AS kth,
+         |  CAST(CASE WHEN len(sk) < $k THEN len(sk)
+         |       ELSE (${k - 1} * CAST(4611686018427387904 AS HUGEINT))
+         |            // CAST(sk[len(sk)] AS HUGEINT) END AS BIGINT) AS nb_est
+         |FROM hb$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    head + ",\n" + hops +
+      s"\nSELECT v AS s_suppkey, r, k_used, kth, nb_est FROM ($unions)" +
+      " ORDER BY r, s_suppkey"
+  }
+
   /** DuckDB oracle for [[triangleCounts]] over the supplier
     * co-occurrence graph: the same canonicalization and wedge-close
     * joins, spelled as an independent triple join. */

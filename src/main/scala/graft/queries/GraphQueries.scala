@@ -78,6 +78,22 @@ object GraphQueries {
       },
       Some(Graph.harmonicCentralityOracleSql(minW = 8, radius = 3))),
 
+    // ---- approximate neighborhood function (HyperBall with a KMV
+    // bottom-k sketch instead of HLL registers): |ball_r(v)| for
+    // r = 1..3 from mergeable bottom-32 sketches — the sketch-state
+    // scale path for the centralities q133 computes exactly; every
+    // sketch and estimate replays bit-for-bit in DuckDB ---------------
+    ("q134_neighborhood",
+      (s, dir) => {
+        val strong = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 8)
+        Graph.neighborhoodFunction(strong, radius = 3, k = 32)
+          .select(col("v").as("s_suppkey"), col("r"), col("k_used"),
+            col("kth"), col("nb_est"))
+          .orderBy(col("r"), col("s_suppkey"))
+      },
+      Some(Graph.neighborhoodFunctionOracleSql(minW = 8, radius = 3, k = 32))),
+
     // ---- community detection: 5 rounds of deterministic synchronous
     // weighted label propagation (min-label ties, fixed rounds) over
     // the strong-tie graph ------------------------------------------

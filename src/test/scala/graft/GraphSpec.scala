@@ -281,6 +281,46 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("neighborhoodFunction: exact ball sizes when k exceeds the ball, sane estimates when it doesn't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13370814L)
+    val nV = 14
+    val und = (for {
+      a <- 0 until nV; b <- a + 1 until nV
+      if rnd.nextDouble() < 0.3
+    } yield (a.toLong, b.toLong)).toSeq
+    val adj = (und ++ und.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(s: Long, radius: Int): Set[Long] = {
+      var d = Set(s); var fr = Set(s)
+      for (_ <- 1 to radius) { fr = fr.flatMap(adj.getOrElse(_, Set.empty)) -- d; d ++= fr }
+      d
+    }
+    val sym = und.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+    // k = 64 dominates every ball (≤ 14 nodes): sketches are EXACT,
+    // so nb_est == |ball_r(v)| including v, at every radius
+    val got = Graph.neighborhoodFunction(sym.toDF("src", "dst", "w"),
+        radius = 3, k = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    for (v <- adj.keySet; r <- 1 to 3) {
+      withClue(s"v=$v r=$r: ") { got((v, r)) shouldBe ball(v, r).size.toLong }
+    }
+    // k = 4 on the same graph: the estimator kicks in — positive, and
+    // never wildly off a 14-node universe (KMV σ ≈ 1/√2 here, so 5x
+    // bounds are a smoke check of the arithmetic, not the theory)
+    val est = Graph.neighborhoodFunction(sym.toDF("src", "dst", "w"),
+        radius = 3, k = 4)
+      .filter(col("r") === 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    for (v <- adj.keySet) {
+      val exact = ball(v, 3).size.toLong
+      withClue(s"v=$v exact=$exact est=${est(v)}: ") {
+        est(v) should be >= (exact / 5)
+        est(v) should be <= (exact * 5 + 5)
+      }
+    }
+  }
+
   test("degree orientation bounds wedge volume on a skewed hub graph") {
     import spark.implicits._
     // one hub of degree 200 over a 200-ring: id-order pivots C(200,2)
