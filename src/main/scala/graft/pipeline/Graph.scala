@@ -539,6 +539,70 @@ object Graph {
       " ORDER BY r, s_suppkey"
   }
 
+  /** Bounded-hop cheapest paths from a seed set — Bellman-Ford rounds
+    * in the MIN-PLUS semiring (where pagerank/LPA iterate sum/argmax):
+    * dist₀ = 0 on seeds; distₜ₊₁(v) = min(distₜ(v), min over in-edges
+    * (distₜ(u) + cost(u,v))). Integer edge costs, so min-plus is
+    * reduction-order-free and the result hash-exact. The pipeline
+    * reading: cost = distance from trusted/curated seeds along a
+    * weighted link graph (cheap edge = strong tie), the path-cost
+    * sibling of [[personalizedPagerank]]'s walk-mass signal. Nodes
+    * unreached within `hops` emit no row.
+    *
+    * Scale shape: per round one |E| join + one min aggregation over
+    * (reached ∪ relaxed) — both bounded by |E|; the distance vector
+    * references itself twice per round (keep + relax), so every
+    * round materializes (the dedupGroups discipline, not pagerank's
+    * every-5th: chaining here would square the plan per round). */
+  def cheapestPaths(edges: DataFrame, isSeed: Column => Column,
+                    hops: Int = 4,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(hops >= 1, s"cheapestPaths: hops must be >= 1, got $hops")
+    val e = PartitionUtil.materialize(
+      edges.select(col("src"), col("dst"), col("cost").cast("long").as("cost"))
+        .filter(col("src") =!= col("dst")),
+      checkpointDir)
+    val seeds = e.select(col("src").as("v")).distinct().filter(isSeed(col("v")))
+    var dist = PartitionUtil.materialize(
+      seeds.select(col("v"), lit(0L).as("cost")), checkpointDir)
+    require(dist.limit(1).count() > 0,
+      "cheapestPaths: seed predicate matched no node")
+    for (_ <- 1 to hops) {
+      val relaxed = e
+        .join(dist.select(col("v").as("src"), col("cost").as("dc")), Seq("src"))
+        .select(col("dst").as("v"), (col("dc") + col("cost")).as("cost"))
+      dist = PartitionUtil.materialize(
+        dist.union(relaxed).groupBy(col("v")).agg(min(col("cost")).as("cost")),
+        checkpointDir)
+    }
+    dist
+  }
+
+  /** DuckDB oracle for [[cheapestPaths]] on the strong-tie graph with
+    * cost = 1e6 div w and seeds `src % seedMod == 0`, hops unrolled. */
+  private[graft] def cheapestPathsOracleSql(minW: Long, seedMod: Int,
+                                            hops: Int): String = {
+    val head =
+      s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |edges0 AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+         |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst, CAST(1000000 // w AS BIGINT) AS cost
+         |  FROM edges0 WHERE w >= $minW AND src <> dst),
+         |d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS c
+         |  FROM e WHERE src % $seedMod = 0)""".stripMargin
+    val rounds = (1 to hops).map { k =>
+      s"""d$k AS (SELECT v, MIN(c) AS c FROM (
+         |    SELECT v, c FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, d.c + e.cost AS c
+         |    FROM d${k - 1} d JOIN e ON e.src = d.v) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds +
+      s"\nSELECT v AS s_suppkey, CAST(c AS BIGINT) AS path_cost FROM d$hops" +
+      " ORDER BY path_cost, s_suppkey"
+  }
+
   /** DuckDB oracle for [[triangleCounts]] over the supplier
     * co-occurrence graph: the same canonicalization and wedge-close
     * joins, spelled as an independent triple join. */

@@ -94,6 +94,22 @@ object GraphQueries {
       },
       Some(Graph.neighborhoodFunctionOracleSql(minW = 8, radius = 3, k = 32))),
 
+    // ---- bounded-hop cheapest paths (min-plus Bellman-Ford rounds)
+    // from the same every-10th seed set, cost = 1e6 div w (strong tie
+    // = cheap edge): the path-cost sibling of q130's walk-mass signal;
+    // integer min-plus is reduction-order-free, hash-exact -----------
+    ("q135_cheapest_paths",
+      (s, dir) => {
+        val strong = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 8)
+          .withColumn("cost", expr("1000000 div w"))
+        Graph.cheapestPaths(strong, isSeed = v => pmod(v, lit(10)) === 0,
+            hops = 4)
+          .select(col("v").as("s_suppkey"), col("cost").as("path_cost"))
+          .orderBy(col("path_cost"), col("s_suppkey"))
+      },
+      Some(Graph.cheapestPathsOracleSql(minW = 8, seedMod = 10, hops = 4))),
+
     // ---- community detection: 5 rounds of deterministic synchronous
     // weighted label propagation (min-label ties, fixed rounds) over
     // the strong-tie graph ------------------------------------------

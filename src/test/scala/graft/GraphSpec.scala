@@ -321,6 +321,33 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("cheapestPaths equals brute-force Bellman-Ford on seeded random weighted graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4440814L)
+    for (trial <- 1 to 3) {
+      val nV = 10
+      val dir = (for {
+        a <- 0 until nV; b <- 0 until nV
+        if a != b && rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong, (rnd.nextInt(9) + 1).toLong)).toSeq
+      if (dir.nonEmpty) {
+        val seeds = dir.map(_._1).distinct.filter(_ % 3 == 0).toSet
+        if (seeds.nonEmpty) {
+          // brute force: hops rounds of relaxation from the seed set
+          var d = seeds.map(_ -> 0L).toMap
+          for (_ <- 1 to 4) {
+            val relaxed = dir.flatMap { case (u, v, c) => d.get(u).map(du => v -> (du + c)) }
+            d = (d.toSeq ++ relaxed).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+          }
+          val got = Graph.cheapestPaths(
+              dir.toDF("src", "dst", "cost"), v => pmod(v, lit(3)) === 0, hops = 4)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          withClue(s"trial $trial: ") { got shouldBe d }
+        }
+      }
+    }
+  }
+
   test("degree orientation bounds wedge volume on a skewed hub graph") {
     import spark.implicits._
     // one hub of degree 200 over a 200-ring: id-order pivots C(200,2)
