@@ -387,10 +387,14 @@ object Graph {
   def harmonicCentrality(edges: DataFrame, radius: Int = 3,
                          checkpointDir: Option[String] = None): DataFrame = {
     require(radius >= 1, s"harmonicCentrality: radius must be >= 1, got $radius")
-    val e = PartitionUtil.materialize(
+    val e0 = PartitionUtil.materialize(
       edges.select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst")).distinct(),
       checkpointDir)
+    // size per-hop jobs to the graph (the pagerank pattern): a small
+    // graph otherwise pays `radius` rounds of full-width task launches
+    val e = e0.coalesce(math.max(1L, math.min(
+      e0.rdd.getNumPartitions.toLong, e0.count() / 2000000L + 1L)).toInt)
     // d(v, v) = 0 seeds; excluded from the sum but needed so round 1
     // doesn't re-reach the source itself
     var all = PartitionUtil.materialize(
@@ -475,9 +479,12 @@ object Graph {
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val nodes = e0.select(col("src").as("v")).distinct()
-    val e = PartitionUtil.materialize(
+    val eM = PartitionUtil.materialize(
       e0.union(nodes.select(col("v").as("src"), col("v").as("dst"))),
       checkpointDir)
+    // size per-round jobs to the graph (the pagerank pattern)
+    val e = eM.coalesce(math.max(1L, math.min(
+      eM.rdd.getNumPartitions.toLong, eM.count() / 2000000L + 1L)).toInt)
     var hb = PartitionUtil.materialize(
       nodes.select(col("v"), array(h62).as("sk")), checkpointDir)
     val est =
@@ -558,10 +565,13 @@ object Graph {
                     hops: Int = 4,
                     checkpointDir: Option[String] = None): DataFrame = {
     require(hops >= 1, s"cheapestPaths: hops must be >= 1, got $hops")
-    val e = PartitionUtil.materialize(
+    val e0 = PartitionUtil.materialize(
       edges.select(col("src"), col("dst"), col("cost").cast("long").as("cost"))
         .filter(col("src") =!= col("dst")),
       checkpointDir)
+    // size per-round jobs to the graph (the pagerank pattern)
+    val e = e0.coalesce(math.max(1L, math.min(
+      e0.rdd.getNumPartitions.toLong, e0.count() / 2000000L + 1L)).toInt)
     val seeds = e.select(col("src").as("v")).distinct().filter(isSeed(col("v")))
     var dist = PartitionUtil.materialize(
       seeds.select(col("v"), lit(0L).as("cost")), checkpointDir)
