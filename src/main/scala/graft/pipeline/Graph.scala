@@ -613,6 +613,80 @@ object Graph {
       " ORDER BY path_cost, s_suppkey"
   }
 
+  /** k-core extraction by iterative peeling: repeatedly remove nodes
+    * of degree < k (with their edges) until no such node remains —
+    * the densest-substructure filter link-graph pipelines use to
+    * separate organically-linked cores from sparsely-attached spam
+    * tendrils (a PageRank-orthogonal structure signal). Peeling is
+    * CONFLUENT — the final core is independent of removal order — so
+    * a fixed round count R ≥ the peel depth gives a deterministic,
+    * engine-exact result: extra rounds are no-ops on both sides, and
+    * convergence within R is asserted loudly (the dedupGroups
+    * discipline — a silent partial peel would hand downstream keep
+    * decisions a wrong core).
+    *
+    * Scale shape: per round one degree aggregation over the surviving
+    * edges + one semi-join filter, both O(|E_t|) and SHRINKING
+    * monotonically; edges materialize per round (each round
+    * references the survivors twice). Returns (v, core_deg) for the
+    * surviving nodes, core_deg = the node's degree inside the core. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    var e = PartitionUtil.materialize(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct(),
+      checkpointDir)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("v"))
+      val pruned = PartitionUtil.materialize(
+        e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")),
+        checkpointDir)
+      converged = pruned.count() == e.count()
+      e = pruned
+      r += 1
+    }
+    require(converged,
+      s"kCore: did not converge within $maxRounds peel rounds — raise maxRounds")
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** DuckDB oracle for [[kCore]] on the strong-tie graph: the same
+    * peel unrolled to `rounds` CTEs (peeling is confluent, so extra
+    * rounds are no-ops — the Spark side asserts convergence). */
+  private[graft] def kCoreOracleSql(minW: Long, k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |edges0 AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+         |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+         |  GROUP BY 1, 2),
+         |e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM edges0 WHERE w >= $minW AND src <> dst)""".stripMargin
+    // each round references the previous edge set three times, so the
+    // CTEs must be MATERIALIZED — inlined, the plan (and the open
+    // parquet handles) would grow 3^rounds
+    val peels = (1 to rounds).map { t =>
+      s"""k$t AS MATERIALIZED (SELECT v FROM (
+         |    SELECT v, COUNT(*) AS d FROM (
+         |      SELECT a AS v FROM e${t - 1} UNION ALL SELECT b FROM e${t - 1})
+         |    GROUP BY v) WHERE d >= $k),
+         |e$t AS MATERIALIZED (SELECT a, b FROM e${t - 1}
+         |  WHERE a IN (SELECT v FROM k$t) AND b IN (SELECT v FROM k$t))""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + peels +
+      s"""\nSELECT v AS s_suppkey, COUNT(*) AS core_deg FROM (
+         |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY v ORDER BY core_deg DESC, s_suppkey""".stripMargin
+  }
+
   /** DuckDB oracle for [[triangleCounts]] over the supplier
     * co-occurrence graph: the same canonicalization and wedge-close
     * joins, spelled as an independent triple join. */

@@ -110,6 +110,23 @@ object GraphQueries {
       },
       Some(Graph.cheapestPathsOracleSql(minW = 8, seedMod = 10, hops = 4))),
 
+    // ---- k-core extraction (k = 12 on the w ≥ 28 tie graph — the
+    // threshold pair where this near-regular synthetic graph actually
+    // has core structure: 63 of 100 nodes survive 7 peel rounds at
+    // sf0.01) by iterative peeling: the densest-substructure filter
+    // separating organically-linked cores from sparsely-attached
+    // tendrils; peeling is confluent, so the fixed-round oracle
+    // unroll is exact and the Spark side asserts convergence ----------
+    ("q136_kcore",
+      (s, dir) => {
+        val ties = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 28)
+        Graph.kCore(ties, k = 12, maxRounds = 12)
+          .select(col("v").as("s_suppkey"), col("core_deg"))
+          .orderBy(col("core_deg").desc, col("s_suppkey"))
+      },
+      Some(Graph.kCoreOracleSql(minW = 28, k = 12, rounds = 12))),
+
     // ---- community detection: 5 rounds of deterministic synchronous
     // weighted label propagation (min-label ties, fixed rounds) over
     // the strong-tie graph ------------------------------------------

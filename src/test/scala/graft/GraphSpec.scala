@@ -348,6 +348,45 @@ class GraphSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("kCore equals brute-force peeling on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5550814L)
+    for (trial <- 1 to 3; k <- Seq(2, 3)) {
+      val nV = 12
+      var und = (for {
+        a <- 0 until nV; b <- a + 1 until nV
+        if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toSet
+      if (und.nonEmpty) {
+        // brute force: peel to fixpoint
+        var stable = false
+        while (!stable) {
+          val deg = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val keep = deg.filter(_._2 >= k).keySet
+          val pruned = und.filter(e => keep(e._1) && keep(e._2))
+          stable = pruned == und
+          und = pruned
+        }
+        val want = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val sym = und.toSeq.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+        if (sym.nonEmpty) {
+          val got = Graph.kCore(sym.toDF("src", "dst", "w"), k, maxRounds = 15)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          withClue(s"trial $trial k=$k: ") { got shouldBe want }
+        } else {
+          // fully peeled: the operator must return an empty core
+          val base = (for {
+            a <- 0 until nV; b <- a + 1 until nV if rnd.nextBoolean()
+          } yield (a.toLong, b.toLong, 1L)).take(3)
+          if (base.nonEmpty)
+            Graph.kCore(base.toDF("src", "dst", "w"), 5, 15).count() shouldBe 0L
+        }
+      }
+    }
+  }
+
   test("degree orientation bounds wedge volume on a skewed hub graph") {
     import spark.implicits._
     // one hub of degree 200 over a 200-ring: id-order pivots C(200,2)

@@ -21,9 +21,10 @@ class RelationalSmokeSpec extends AnyFunSuite with Matchers {
     }
     val empty = counts.filter(_._2 == 0L).keys.toList.sorted
     withClue(s"queries with zero rows: $empty") {
-      // embedding_neardup may legitimately be sparse at tiny sf; all
-      // others must produce rows
-      empty.filterNot(_ == "q36_embedding_neardup") shouldBe Nil
+      // embedding_neardup may legitimately be sparse at tiny sf, and
+      // the k=12 core of the 10-supplier sf0.001 tie graph (max degree
+      // 9) is legitimately empty; all others must produce rows
+      empty.filterNot(Set("q36_embedding_neardup", "q136_kcore")) shouldBe Nil
     }
   }
 
