@@ -35,28 +35,151 @@ object ImageCodecIO {
     bytes.length >= 132 && bytes(128) == 'D' && bytes(129) == 'I' &&
       bytes(130) == 'C' && bytes(131) == 'M'
 
-  /** The three uncompressed DICOM transfer syntaxes this codec speaks:
-    * implicit-VR little-endian (the default syntax every conformant
-    * reader must accept), explicit-VR little-endian, and explicit-VR
-    * big-endian (retired but present in old PACS archives). */
+  /** The four DICOM transfer syntaxes this codec speaks: the three
+    * uncompressed ones — implicit-VR little-endian (the default
+    * syntax every conformant reader must accept), explicit-VR
+    * little-endian, explicit-VR big-endian (retired but present in
+    * old PACS archives) — plus RLE Lossless, the simplest compressed
+    * syntax (PackBits segments in an encapsulated PixelData), which
+    * round-trips exactly. */
   private[graft] val TsImplicitLE = "1.2.840.10008.1.2"
   private[graft] val TsExplicitLE = "1.2.840.10008.1.2.1"
   private[graft] val TsExplicitBE = "1.2.840.10008.1.2.2"
+  private[graft] val TsRle = "1.2.840.10008.1.2.5"
 
-  /** Minimal DICOM decode — uncompressed single-frame unsigned
-    * MONOCHROME2, 8 or 16 bits, in any of the three uncompressed
-    * transfer syntaxes ([[TsImplicitLE]]/[[TsExplicitLE]]/
-    * [[TsExplicitBE]]) — the shape of the reference's flagship IO
-    * case (a CT series of single-frame files stacked into a volume,
-    * IjRDDTests.scala:30-99, where spark-scifio does the decode).
-    * The file-meta group (0002,xxxx) is always explicit-VR
-    * little-endian per Part 10; its TransferSyntaxUID then selects
-    * the element encoding and byte order for the rest of the
-    * dataset. Walks the element stream for Rows/Columns/
-    * BitsAllocated/InstanceNumber and stops at PixelData; anything
-    * compressed, signed, multi-frame, or undefined-length is
-    * rejected loudly rather than mis-decoded. Returns the image plus
-    * the InstanceNumber (slice position for series stacking; 1 when
+  /** PackBits decode of one RLE segment into exactly `expected`
+    * bytes. Control byte n (signed): 0..127 → copy the next n+1
+    * bytes; −1..−127 → repeat the next byte 1−n times; −128 → no-op.
+    * Trailing pad bytes past `expected` are ignored. */
+  private def unpackBits(src: Array[Byte], from: Int, to: Int,
+                         expected: Int, path: String): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = from; var o = 0
+    while (o < expected && i < to) {
+      val n = src(i); i += 1
+      if (n >= 0) {
+        val c = n + 1
+        require(i + c <= to && o + c <= expected,
+          s"RLE literal overruns segment in $path")
+        System.arraycopy(src, i, out, o, c); i += c; o += c
+      } else if (n != -128) {
+        val c = 1 - n
+        require(i < to && o + c <= expected,
+          s"RLE replicate overruns segment in $path")
+        java.util.Arrays.fill(out, o, o + c, src(i)); i += 1; o += c
+      }
+    }
+    require(o == expected, s"short RLE segment ($o of $expected bytes) in $path")
+    out
+  }
+
+  /** PackBits encode: runs of ≥3 identical bytes replicate, the rest
+    * copy as literals (≤128 per control byte). */
+  private def packBits(src: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def runLen(p: Int): Int = {
+      var r = 1
+      while (p + r < src.length && src(p + r) == src(p) && r < 128) r += 1
+      r
+    }
+    var i = 0
+    while (i < src.length) {
+      val r = runLen(i)
+      if (r >= 3) { out.write((1 - r) & 0xff); out.write(src(i)); i += r }
+      else {
+        val start = i
+        i += r
+        while (i < src.length && (i - start) < 128 && runLen(i) < 3) i += runLen(i)
+        var litLen = i - start
+        if (litLen > 128) { i -= litLen - 128; litLen = 128 }
+        out.write(litLen - 1); out.write(src, start, litLen)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Read ONE encapsulated fragment (empty Basic Offset Table item,
+    * one fragment item, sequence delimiter) from an undefined-length
+    * PixelData element. Single-frame only — a second fragment fails
+    * the delimiter check loudly. */
+  private def readEncapsulatedFragment(bb: java.nio.ByteBuffer,
+                                       path: String): Array[Byte] = {
+    def item(): (Int, Int, Int) =
+      ((bb.getShort & 0xffff), (bb.getShort & 0xffff), bb.getInt)
+    val (g1, e1, l1) = item()
+    require(g1 == 0xfffe && e1 == 0xe000 && l1 >= 0 && l1 <= bb.remaining,
+      s"missing Basic Offset Table item in $path")
+    bb.position(bb.position() + l1)
+    val (g2, e2, l2) = item()
+    require(g2 == 0xfffe && e2 == 0xe000 && l2 >= 64 && l2 <= bb.remaining,
+      s"missing RLE fragment item in $path")
+    val frag = new Array[Byte](l2); bb.get(frag)
+    val (g3, e3, l3) = item()
+    require(g3 == 0xfffe && e3 == 0xe0dd && l3 == 0,
+      s"expected sequence delimiter after the single RLE fragment in $path")
+    frag
+  }
+
+  /** Decode one RLE Lossless fragment (PS3.5 annex G): 64-byte header
+    * (number of segments + 15 offsets from fragment start), then one
+    * PackBits segment per byte plane, most significant first. Returns
+    * little-endian interleaved pixel bytes (the layout the shared
+    * pixel loop reads). */
+  private def rleDecodeFragment(frag: Array[Byte], nPix: Int, bits: Int,
+                                path: String): Array[Byte] = {
+    val hb = java.nio.ByteBuffer.wrap(frag).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nSeg = hb.getInt
+    require(nSeg == bits / 8,
+      s"RLE segment count $nSeg does not match BitsAllocated $bits in $path")
+    val offsets = Array.fill(15)(hb.getInt)
+    val segs = (0 until nSeg).map { s =>
+      val start = offsets(s)
+      val end = if (s + 1 < nSeg && offsets(s + 1) > 0) offsets(s + 1) else frag.length
+      require(start >= 64 && start <= end && end <= frag.length,
+        s"corrupt RLE segment offsets in $path")
+      unpackBits(frag, start, end, nPix, path)
+    }
+    if (bits == 8) segs(0)
+    else {
+      val px = new Array[Byte](nPix * 2)
+      var i = 0
+      while (i < nPix) { px(2 * i) = segs(1)(i); px(2 * i + 1) = segs(0)(i); i += 1 }
+      px
+    }
+  }
+
+  /** Encode 16-bit pixels as an RLE Lossless fragment: header + the
+    * MSB then LSB PackBits segments, each even-padded. */
+  private def rleEncodeFragment(vals: Array[Int]): Array[Byte] = {
+    val msb = Array.tabulate(vals.length)(i => ((vals(i) >> 8) & 0xff).toByte)
+    val lsb = Array.tabulate(vals.length)(i => (vals(i) & 0xff).toByte)
+    def pad(a: Array[Byte]): Array[Byte] = if (a.length % 2 == 0) a else a :+ 0.toByte
+    val s0 = pad(packBits(msb)); val s1 = pad(packBits(lsb))
+    val bos = new ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    u32(2); u32(64); u32(64 + s0.length)
+    (0 until 13).foreach(_ => u32(0))
+    bos.write(s0); bos.write(s1)
+    bos.toByteArray
+  }
+
+  /** Minimal DICOM decode — single-frame unsigned MONOCHROME2, 8 or
+    * 16 bits, in any of the four supported transfer syntaxes
+    * ([[TsImplicitLE]]/[[TsExplicitLE]]/[[TsExplicitBE]]/[[TsRle]]) —
+    * the shape of the reference's flagship IO case (a CT series of
+    * single-frame files stacked into a volume, IjRDDTests.scala:30-99,
+    * where spark-scifio does the decode). The file-meta group
+    * (0002,xxxx) is always explicit-VR little-endian per Part 10; its
+    * TransferSyntaxUID then selects the element encoding, byte order,
+    * and (for RLE Lossless) the encapsulated-fragment pixel path.
+    * Walks the element stream for Rows/Columns/BitsAllocated/
+    * InstanceNumber and stops at PixelData; any OTHER compressed
+    * syntax, signed data, or multi-frame file is rejected loudly
+    * rather than mis-decoded. Returns the image plus the
+    * InstanceNumber (slice position for series stacking; 1 when
     * absent). */
   private[graft] def decodeDicomWithInstance(path: String, bytes: Array[Byte]): (SparkImage, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -80,16 +203,18 @@ object ImageCodecIO {
         if (elem == 0x0010) ts = new String(value, "US-ASCII").trim
       }
     }
-    val (explicitVr, bigEndian) = ts match {
-      case TsImplicitLE => (false, false)
-      case TsExplicitLE => (true, false)
-      case TsExplicitBE => (true, true)
+    val (explicitVr, bigEndian, encapsulated) = ts match {
+      case TsImplicitLE => (false, false, false)
+      case TsExplicitLE => (true, false, false)
+      case TsExplicitBE => (true, true, false)
+      case TsRle => (true, false, true)
       case other => throw new IllegalArgumentException(
         s"unsupported DICOM transfer syntax $other in $path " +
-          "(uncompressed implicit-VR LE / explicit-VR LE / explicit-VR BE only)")
+          "(implicit-VR LE / explicit-VR LE / explicit-VR BE / RLE Lossless only)")
     }
     if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     // ---- dataset: element encoding + byte order per transfer syntax ----
+    var rleFragment: Array[Byte] = null
     var done = false
     while (!done && bb.remaining >= 8) {
       val group = bb.getShort & 0xffff; val elem = bb.getShort & 0xffff
@@ -99,27 +224,37 @@ object ImageCodecIO {
           val vr = new String(Array(bb.get(), bb.get()).map(b => b.toChar))
           if (longVRs(vr)) { bb.getShort(); bb.getInt() } else bb.getShort & 0xffff
         }
-      require(len >= 0 && len <= bb.remaining,
-        s"corrupt or undefined DICOM element length in $path")
-      val value = new Array[Byte](len); bb.get(value)
-      def u16: Int =
-        if (bigEndian) ((value(0) & 0xff) << 8) | (value(1) & 0xff)
-        else (value(0) & 0xff) | ((value(1) & 0xff) << 8)
-      def str: String = new String(value, "US-ASCII").trim
-      (group, elem) match {
-        case (0x0020, 0x0013) => instance = str.toInt
-        case (0x0028, 0x0010) => rows = u16
-        case (0x0028, 0x0011) => cols = u16
-        case (0x0028, 0x0100) => bits = u16
-        case (0x0028, 0x0103) => pixelRep = u16
-        case (0x7fe0, 0x0010) => px = value; done = true
-        case _ => ()
+      if (group == 0x7fe0 && elem == 0x0010 && len == -1) {
+        // encapsulated PixelData: undefined length, fragment items
+        require(encapsulated,
+          s"undefined-length PixelData outside an encapsulated syntax in $path")
+        rleFragment = readEncapsulatedFragment(bb, path)
+        done = true
+      } else {
+        require(len >= 0 && len <= bb.remaining,
+          s"corrupt or undefined DICOM element length in $path")
+        val value = new Array[Byte](len); bb.get(value)
+        def u16: Int =
+          if (bigEndian) ((value(0) & 0xff) << 8) | (value(1) & 0xff)
+          else (value(0) & 0xff) | ((value(1) & 0xff) << 8)
+        def str: String = new String(value, "US-ASCII").trim
+        (group, elem) match {
+          case (0x0020, 0x0013) => instance = str.toInt
+          case (0x0028, 0x0010) => rows = u16
+          case (0x0028, 0x0011) => cols = u16
+          case (0x0028, 0x0100) => bits = u16
+          case (0x0028, 0x0103) => pixelRep = u16
+          case (0x7fe0, 0x0010) => px = value; done = true
+          case _ => ()
+        }
       }
     }
     require(pixelRep == 0, s"signed DICOM pixel data unsupported: $path")
-    require(px != null && rows > 0 && cols > 0, s"missing DICOM pixel data/dims: $path")
+    require(rows > 0 && cols > 0, s"missing DICOM dims: $path")
     require(bits == 8 || bits == 16, s"unsupported DICOM BitsAllocated $bits: $path")
     val n = rows * cols
+    if (rleFragment != null) px = rleDecodeFragment(rleFragment, n, bits, path)
+    require(px != null, s"missing DICOM pixel data: $path")
     require(px.length >= n * (bits / 8), s"short DICOM pixel payload: $path")
     val doubles = new Array[Double](n)
     var i = 0
@@ -147,10 +282,11 @@ object ImageCodecIO {
                                  slice: Int = 0,
                                  transferSyntax: String = TsExplicitLE): Array[Byte] = {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
-        transferSyntax == TsExplicitBE,
+        transferSyntax == TsExplicitBE || transferSyntax == TsRle,
       s"unsupported DICOM transfer syntax $transferSyntax")
     val explicitVr = transferSyntax != TsImplicitLE
     val bigEndian = transferSyntax == TsExplicitBE
+    val encapsulated = transferSyntax == TsRle
     val w = img.width; val h = img.height
     val px = img.toDoubles
     val off = slice * w * h
@@ -200,11 +336,24 @@ object ImageCodecIO {
     us(0x0028, 0x0011, w)
     us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15)
     us(0x0028, 0x0103, 0)
-    u16x(0x7fe0); u16x(0x0010)
-    if (explicitVr) { bos.write('O'); bos.write('W'); u16x(0); u32x(w * h * 2) }
-    else u32x(w * h * 2)
-    var i = 0
-    while (i < w * h) { u16x(PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt); i += 1 }
+    if (encapsulated) {
+      // RLE Lossless: OB PixelData with UNDEFINED length, empty Basic
+      // Offset Table item, ONE fragment item, sequence delimiter
+      val vals = Array.tabulate(w * h)(i =>
+        PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt)
+      val frag = rleEncodeFragment(vals)
+      u16x(0x7fe0); u16x(0x0010); bos.write('O'); bos.write('B'); u16x(0); u32x(-1)
+      u16x(0xfffe); u16x(0xe000); u32x(0)
+      u16x(0xfffe); u16x(0xe000); u32x(frag.length)
+      bos.write(frag)
+      u16x(0xfffe); u16x(0xe0dd); u32x(0)
+    } else {
+      u16x(0x7fe0); u16x(0x0010)
+      if (explicitVr) { bos.write('O'); bos.write('W'); u16x(0); u32x(w * h * 2) }
+      else u32x(w * h * 2)
+      var i = 0
+      while (i < w * h) { u16x(PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt); i += 1 }
+    }
     bos.toByteArray
   }
 
