@@ -1010,6 +1010,39 @@ object TextPipeline {
         MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ---- CSV + JSON interchange round-trips (q118's ORC pattern):
+    // write the corpus, re-read with an explicit schema, digest per
+    // lang against the untouched source — any quoting/escaping/typing
+    // corruption flips an md5. The synthetic text is comma- and
+    // quote-free, so the CSV leg tests the plumbing, not the quoting
+    // corner (JSON escapes everything regardless). --------------------
+    ("q137_text_interchange",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        val schema = "doc_id LONG, lang STRING, n_chars LONG, text STRING"
+        val outC = interchangeDir("csv", dir)
+        base.coalesce(8).write.mode("overwrite")
+          .option("header", "true").csv(outC)
+        val outJ = interchangeDir("json", dir)
+        base.coalesce(8).write.mode("overwrite").json(outJ)
+        fidelityDigest(s.read.schema(schema).option("header", "true").csv(outC))
+          .withColumn("fmt", lit("csv"))
+          .unionByName(fidelityDigest(s.read.schema(schema).json(outJ))
+            .withColumn("fmt", lit("json")))
+          .select(col("fmt"), col("lang"), col("n_docs"), col("total_chars"),
+            col("recomputed_chars"), col("min_md5"), col("max_md5"))
+          .orderBy(col("fmt"), col("lang"))
+      },
+      Some("""WITH d AS (SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(LENGTH(text)) AS BIGINT) AS recomputed_chars,
+          MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        FROM documents GROUP BY lang)
+        SELECT fmt, lang, n_docs, total_chars, recomputed_chars, min_md5, max_md5
+        FROM (SELECT 'csv' AS fmt, * FROM d UNION ALL SELECT 'json', * FROM d)
+        ORDER BY fmt, lang""")),
+
     // ---- Pareto-frontier data selection: documents not dominated on
     // (lexical quality, length) — the skyline of the quality/size
     // trade-off used to pick "best under a token budget" corpora.
