@@ -195,7 +195,8 @@ object ScaleProbe {
     // |E| both grow 10×, every copy converges to the base ranks, so
     // the ratio measures the per-iteration join+aggregate cost
     if (only.isEmpty || only("pagerank") || only("pagerank_prepart") ||
-        only("trustrank") || only("harmonic") ||
+        only("trustrank") || only("harmonic") || only("neighborhood") ||
+        only("kcore") ||
         only("triangles") || only("communities") || only("skew_wedges")) {
       val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
       val edges1 = graft.pipeline.Graph.supplierCooccurrence(li).localCheckpoint()
@@ -233,6 +234,24 @@ object ScaleProbe {
             edges1.filter(col("w") >= 8), 3).count(),
           graft.pipeline.Graph.harmonicCentrality(
             edgesN.filter(col("w") >= 8), 3).count())
+      // disjoint copies: every copy's radius-3 sketches replicate, so
+      // the O(|V|·k) sketch state grows linearly and the ratio
+      // measures the per-round |E| join + sketch-merge aggregation
+      if (only.isEmpty || only("neighborhood"))
+        probe("neighborhood",
+          graft.pipeline.Graph.neighborhoodFunction(
+            edges1.filter(col("w") >= 8), 3, 32).count(),
+          graft.pipeline.Graph.neighborhoodFunction(
+            edgesN.filter(col("w") >= 8), 3, 32).count())
+      // disjoint copies peel independently; w >= 6 / k = 18 is where
+      // the sf0.1 graph actually peels (3 rounds, 992 of 1000 nodes
+      // survive) instead of avalanching to empty or keeping everything
+      if (only.isEmpty || only("kcore"))
+        probe("kcore",
+          graft.pipeline.Graph.kCore(
+            edges1.filter(col("w") >= 6), 18, 15).count(),
+          graft.pipeline.Graph.kCore(
+            edgesN.filter(col("w") >= 6), 18, 15).count())
       // disjoint copies: wedge and triangle sets replicate per copy —
       // linear output growth, the ratio measures the wedge join
       // (strong-tie filter as in q125: the unfiltered co-occurrence
