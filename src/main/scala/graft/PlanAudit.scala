@@ -510,13 +510,16 @@ object PlanAudit {
         Seq("HashAggregate", "Generate"),
         Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q132_temp_mixture",
-        "temperature mixture: the |groups|-bounded quota relation " +
-          "broadcasts back onto the ranked corpus (BroadcastHashJoin); " +
-          "the only per-group sort is the rank window partitioned by " +
-          "group; the content hash is the NATIVE content_hash64 " +
-          "expression — no ScalaUDF codegen break anywhere",
-        Seq("BroadcastHashJoin", "Window"),
-        Seq("ScalaUDF", "CartesianProduct", "BroadcastNestedLoopJoin")),
+        "temperature mixture: per-group selection is the map-side-" +
+          "combining KSmallestAggregator (cap = max quota <= budget) " +
+          "salted over (group, salt) buckets, so NO task ever sorts or " +
+          "buffers a whole group — the rank-window formulation would " +
+          "put every row of a language on ONE task at 100 TB; the " +
+          "|groups|-bounded quota relation broadcasts back onto the " +
+          "<= budget survivors (BroadcastHashJoin); the content hash " +
+          "is the NATIVE content_hash64 expression",
+        Seq("BroadcastHashJoin", "KSmallestAggregator"),
+        Seq("Window", "ScalaUDF", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

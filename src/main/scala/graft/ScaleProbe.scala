@@ -323,11 +323,44 @@ object ScaleProbe {
     }
     // lang is shared across copies, so the quota relation stays
     // |langs| rows and the output stays <= budget at 10x: the ratio
-    // measures the count agg + per-lang rank window + filtered scan
+    // measures the count agg + the bounded per-lang TopK + filtered scan
     if (only.isEmpty || only("temp_mixture")) {
       probe("temp_mixture",
         graft.pipeline.Sampling.temperatureMixture(docs, "lang", 200L).count(),
         graft.pipeline.Sampling.temperatureMixture(docsN, "lang", 200L).count())
+    }
+    // straggler probe: a 90%-one-language replica of the 10x corpus.
+    // The rank-window formulation puts every 'xx' row on ONE task (the
+    // Window.partitionBy(lang) hazard); the bounded salted TopK spreads
+    // the hot language over the salt buckets with a quota-capped buffer
+    // per (lang, salt). Both formulations must return identical rows —
+    // asserted in PipelineSpec; here the shapes race on the skew.
+    if (only.isEmpty || only("temp_mixture_skew")) {
+      // the RANK STEP of q132 in isolation (hashing and the quota agg
+      // are identical, linear, map-side work in both formulations) on
+      // a 20M-row 90%-one-language relation — big enough that the
+      // window's single 'xx' task visibly straggles, which the sf-
+      // corpus replicas (≤ 10^5 hot rows) cannot show. Same quota cap
+      // (200) as q132.
+      val nSkew = 20000000L
+      val hashed = spark.range(nSkew).select(
+        when(pmod(col("id"), lit(10L)) < 9, lit("xx"))
+          .otherwise(concat(lit("l"), pmod(col("id"), lit(5L)).cast("string"))).as("lang"),
+        xxhash64(col("id")).as("h"), col("id"))
+        .cache()
+      val hot = hashed.filter(col("lang") === "xx").count()
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("id"))
+      val tW = time("temp_mixture_skew@window")(
+        hashed.withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= 200).count())
+      val tA = time("temp_mixture_skew@topk")(
+        graft.pipeline.PartitionUtil.saltedTopK(hashed, "lang", 200, "h", "id")
+          .count())
+      println(f"SCALE temp_mixture_skew: window $tW%.2f s (ONE task sorts the " +
+        f"$hot-row hot language) vs bounded topk $tA%.2f s " +
+        "on a 90%-one-language 20M-row rank step")
+      hashed.unpersist(false)
     }
     // doc ids offset per copy, quality grid UNCHANGED: the per-level
     // aggregation reads 10× rows into the same ≤1001 grid levels, so

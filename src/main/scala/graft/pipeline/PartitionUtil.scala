@@ -108,6 +108,41 @@ object PartitionUtil {
       case None => df.localCheckpoint(eager)
     }
 
+  /** Skew-resistant ORDER-SENSITIVE top-k per key — the rank case
+    * [[saltedWindow]] deliberately excludes: row-for-row equivalent to
+    * `ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord, id) <= k`, but
+    * no task ever sorts or buffers a whole key. Two phases, both
+    * bounded: (1) per (key, salt) the map-side-combining
+    * [[graft.functions.KSmallestAggregator]] keeps a k-element buffer
+    * — a 90%-one-key stream spreads over `buckets` reducers instead of
+    * melting one; (2) the ≤ buckets·k survivors per key merge through
+    * the same aggregator and the final buffer's index is the exact
+    * rank. Selecting the k smallest is invariant to how rows are
+    * bucketed (the union of per-bucket k-smallest contains the global
+    * k-smallest), so any cheap salt works and the result is
+    * partition-invariant. Returns (key, ordCol, idCol, pos) with pos
+    * in [1, k] — rows beyond rank k are dropped, which is the point:
+    * shuffle volume is O(k · buckets) per key, never O(|key's rows|).
+    */
+  def saltedTopK(df: DataFrame, key: String, k: Int,
+                 ordCol: String, idCol: String, buckets: Int = 32): DataFrame = {
+    require(k > 0, s"saltedTopK: k must be positive, got $k")
+    require(buckets > 0, s"saltedTopK: buckets must be positive, got $buckets")
+    import org.apache.spark.sql.Encoders
+    val ks = F.udaf(new graft.functions.KSmallestAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val partials = df
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(ks(col(ordCol), col(idCol)).as("_top"))
+    partials.select(col(key), explode(col("_top")).as("_p"))
+      .groupBy(col(key))
+      .agg(ks(col("_p._1"), col("_p._2")).as("_top"))
+      .select(col(key), posexplode(col("_top")))
+      .select(col(key), col("col._1").as(ordCol), col("col._2").as(idCol),
+        (col("pos") + 1).cast("long").as("pos"))
+  }
+
   /** Skew-resistant whole-partition window aggregate: the salted
     * two-phase aggregation computes each per-key value, then an
     * equi-join attaches it back to every row — row-for-row equivalent

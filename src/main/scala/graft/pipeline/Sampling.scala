@@ -190,23 +190,62 @@ object Sampling {
     * sampling convention here — no RNG anywhere).
     *
     * Scale shape: one count aggregation (|groups| rows, broadcast
-    * back), one per-group rank window — partitioned by group, so the
-    * sort is per-group; for a corpus whose LARGEST group dwarfs
-    * executor memory, swap the window for the map-side k-smallest
-    * aggregator (TopKAggregator's pattern) with k = quota — and one
-    * filtered scan. Output is ≤ budget rows at any corpus size. */
+    * back), then BOUNDED per-group selection via
+    * [[PartitionUtil.saltedTopK]] — the map-side-combining k-smallest
+    * aggregator with cap = max quota (≤ budget), so no task ever sorts
+    * or buffers a whole group. The per-group rank-window formulation
+    * ([[temperatureMixtureViaWindow]]) would put EVERY row of a group
+    * on one task — for a low-cardinality key like language that is a
+    * multi-TB single-task sort at corpus scale, a straggler by
+    * construction; here the hot group's rows pre-select across salt
+    * buckets and shuffle volume is O(quota · buckets) per group.
+    * Output is ≤ budget rows at any corpus size. */
   def temperatureMixture(docs: DataFrame, groupCol: String,
                          budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0, "temperatureMixture: budget must be positive")
+    val quota = mixtureQuotas(docs, groupCol, budget)
+    // the buffer cap: the LARGEST group quota — bounded by budget and
+    // read from the |groups|-row quota relation, not the corpus
+    val maxQuota = Option(quota.agg(max(col("quota"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val hashed = docs.select(col("doc_id"), col(groupCol),
+      docHash(docs, col("text")).as("h"))
+    if (maxQuota <= 0L)
+      return hashed
+        .select(col("doc_id"), col(groupCol), lit(0L).as("pos"), lit(0L).as("quota"))
+        .limit(0)
+    val ranked = PartitionUtil.saltedTopK(hashed, groupCol,
+      k = maxQuota.min(Int.MaxValue.toLong).toInt, ordCol = "h", idCol = "doc_id")
+    ranked.join(broadcast(quota), Seq(groupCol))
+      .filter(col("pos") <= col("quota"))
+      .select(col("doc_id"), col(groupCol), col("pos"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The α=½ quota relation shared by both mixture formulations:
+    * (group, quota) with quota = budget·⌊√count⌋ div Σ⌊√count⌋. */
+  private def mixtureQuotas(docs: DataFrame, groupCol: String,
+                            budget: Long): DataFrame = {
     val wts = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("c"))
       .select(col(groupCol),
         floor(sqrt(col("c").cast("double"))).cast("long").as("wt"))
     // Σw: one row pulled to the driver — bounded by |groups|, not corpus
     val totW = wts.agg(sum(col("wt"))).head().getLong(0)
-    val quota = wts.select(col(groupCol),
-      expr(s"($budget * wt) div $totW").as("quota"))
+    wts.select(col(groupCol), expr(s"($budget * wt) div $totW").as("quota"))
+  }
+
+  /** The rank-window formulation of [[temperatureMixture]] — row-for-
+    * row identical output, kept ONLY as the straggler comparison
+    * baseline for ScaleProbe and the equality spec: `row_number() OVER
+    * (PARTITION BY group)` ranks the ENTIRE corpus with one task per
+    * group, the exact shape the bounded TopK replaces. Never call this
+    * from a query. */
+  private[graft] def temperatureMixtureViaWindow(docs: DataFrame, groupCol: String,
+                                                 budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "temperatureMixture: budget must be positive")
+    val quota = mixtureQuotas(docs, groupCol, budget)
     docs.select(col("doc_id"), col(groupCol),
         docHash(docs, col("text")).as("h"))
       .withColumn("pos", row_number().over(

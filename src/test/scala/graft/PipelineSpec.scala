@@ -1140,4 +1140,23 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .select("doc_id").as[Long].collect().sorted.toSeq
     b shouldBe a
   }
+
+  test("temperature mixture: bounded TopK path matches the window formulation row-for-row, no Window in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 90%-one-language skew — the case the window formulation handles
+    // with ONE task for 'xx' and the bounded TopK must match exactly
+    val docs = (1 to 600).map { i =>
+      (i.toLong, if (i % 10 < 9) "xx" else s"l${i % 3}", s"doc number $i payload")
+    }.toDF("doc_id", "lang", "text")
+    val topk = Sampling.temperatureMixture(docs, "lang", budget = 40L)
+    val window = Sampling.temperatureMixtureViaWindow(docs, "lang", budget = 40L)
+    val ta = topk.as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val wa = window.as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    ta shouldBe wa
+    ta.nonEmpty shouldBe true
+    // the production path must not contain a Window operator: no task
+    // may sort or buffer a whole language
+    topk.queryExecution.executedPlan.toString.contains("Window") shouldBe false
+  }
 }

@@ -81,6 +81,35 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
     plan should not include "Window"
   }
 
+  test("saltedTopK equals a rank window on a 90%-one-key table, with no Window in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 90%-one-key: key 0 holds 9000 rows, keys 1..10 hold 100 each;
+    // ord is a deterministic pseudo-hash with collisions (ties broken
+    // by id, which is unique)
+    val rows = ((0 until 9000).map(i => (0L, (i * 2654435761L) % 997L, i.toLong)) ++
+      (1 to 10).flatMap(k => (0 until 100).map(i =>
+        (k.toLong, (i * 40503L) % 97L, (k * 100000 + i).toLong))))
+      .toDF("k", "ord", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"), col("id"))
+    val plain = rows.withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 7)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val saltedDf = PartitionUtil.saltedTopK(rows, "k", k = 7,
+      ordCol = "ord", idCol = "id", buckets = 8)
+    val salted = saltedDf.select(col("k"), col("ord"), col("id"), col("pos"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    salted shouldBe plain
+    // no task sorts or buffers a whole key: no Window operator anywhere
+    saltedDf.queryExecution.executedPlan.toString should not include "Window"
+    // partition-invariant
+    val re = PartitionUtil.saltedTopK(rows.repartition(13), "k", k = 7,
+        ordCol = "ord", idCol = "id", buckets = 8)
+      .select(col("k"), col("ord"), col("id"), col("pos"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    re shouldBe plain
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     // salting (q68) is the PLANNED answer to skew; AQE's skew-join is
