@@ -396,23 +396,28 @@ object Graph {
     val e = e0.coalesce(math.max(1L, math.min(
       e0.rdd.getNumPartitions.toLong, e0.count() / 2000000L + 1L)).toInt)
     // d(v, v) = 0 seeds; excluded from the sum but needed so round 1
-    // doesn't re-reach the source itself
-    var all = PartitionUtil.materialize(
-      e.select(col("src").as("s")).distinct()
-        .select(col("s"), col("s").as("v"), lit(0L).as("d")),
-      checkpointDir)
-    var frontier = all
+    // doesn't re-reach the source itself. Only each round's FRONTIER
+    // materializes — the accumulated reached set stays a lazy union of
+    // the already-materialized per-round relations (each round's new
+    // pairs are the only new state, so checkpoint I/O is O(Σ|ball|)
+    // total, not O(R·Σ|ball|); the anti join probes the union, which
+    // scans R materialized block sets — R = radius, a small constant).
+    val frontiers = scala.collection.mutable.ArrayBuffer(
+      PartitionUtil.materialize(
+        e.select(col("src").as("s")).distinct()
+          .select(col("s"), col("s").as("v"), lit(0L).as("d")),
+        checkpointDir))
     for (k <- 1 to radius) {
+      val all = frontiers.reduce(_ union _)
       val next = PartitionUtil.materialize(
-        frontier.join(e.select(col("src").as("v"), col("dst")), Seq("v"))
+        frontiers.last.join(e.select(col("src").as("v"), col("dst")), Seq("v"))
           .select(col("s"), col("dst").as("v")).distinct()
           .join(all, Seq("s", "v"), "left_anti")
           .select(col("s"), col("v"), lit(k.toLong).as("d")),
         checkpointDir)
-      all = PartitionUtil.materialize(all.union(next), checkpointDir)
-      frontier = next
+      frontiers += next
     }
-    all.filter(col("d") > 0)
+    frontiers.reduce(_ union _).filter(col("d") > 0)
       .groupBy(col("v"))
       .agg(sum(expr("1000000 div d")).as("harmonic_q6"),
            count(lit(1)).as("n_reached"))
@@ -640,6 +645,11 @@ object Graph {
       checkpointDir)
     var converged = false
     var r = 0
+    // carry the surviving-edge count across rounds: the materialize is
+    // eager (its job already counts nothing), so ONE count() action per
+    // peel round suffices — the previous round's count is a variable,
+    // not a second job
+    var mPrev = e.count()
     while (!converged && r < maxRounds) {
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -649,7 +659,9 @@ object Graph {
           .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
           .select(col("a"), col("b")),
         checkpointDir)
-      converged = pruned.count() == e.count()
+      val m = pruned.count()
+      converged = m == mPrev
+      mPrev = m
       e = pruned
       r += 1
     }

@@ -1013,9 +1013,12 @@ object TextPipeline {
     // ---- CSV + JSON interchange round-trips (q118's ORC pattern):
     // write the corpus, re-read with an explicit schema, digest per
     // lang against the untouched source — any quoting/escaping/typing
-    // corruption flips an md5. The synthetic text is comma- and
-    // quote-free, so the CSV leg tests the plumbing, not the quoting
-    // corner (JSON escapes everything regardless). --------------------
+    // corruption flips an md5. The CSV legs use [[csvWriteOpts]]/
+    // [[csvReadOpts]], which round-trip commas, quotes, embedded
+    // newlines, backslashes, empty strings and leading zeros
+    // byte-exactly (proven on hostile strings in PipelineSpec); the
+    // synthetic corpus happens to be benign, but the options no longer
+    // depend on that. -------------------------------------------------
     ("q137_text_interchange",
       (s, dir) => {
         val base = t(s, dir, "documents")
@@ -1023,10 +1026,10 @@ object TextPipeline {
         val schema = "doc_id LONG, lang STRING, n_chars LONG, text STRING"
         val outC = interchangeDir("csv", dir)
         base.coalesce(8).write.mode("overwrite")
-          .option("header", "true").csv(outC)
+          .options(csvWriteOpts).csv(outC)
         val outJ = interchangeDir("json", dir)
         base.coalesce(8).write.mode("overwrite").json(outJ)
-        fidelityDigest(s.read.schema(schema).option("header", "true").csv(outC))
+        fidelityDigest(s.read.schema(schema).options(csvReadOpts).csv(outC))
           .withColumn("fmt", lit("csv"))
           .unionByName(fidelityDigest(s.read.schema(schema).json(outJ))
             .withColumn("fmt", lit("json")))
@@ -1148,6 +1151,28 @@ object TextPipeline {
 
   private def interchangeOracleDir(fmt: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_interchange_@SF@_$fmt"
+
+  /** CSV options making the interchange round-trip BYTE-EXACT for
+    * hostile content, not just the benign synthetic corpus (the r9
+    * caveat): nulls serialize as a NUL (U+0000) sentinel no real text
+    * contains, so a genuinely empty string ("" in the file) reads back
+    * as "" instead of Spark's default empty→null coercion, and nulls
+    * still round-trip as nulls; `multiLine` on the read side parses
+    * fields with embedded newlines (the writer quotes them by
+    * default). Quotes/backslashes ride the default quote-escape.
+    * Proven on commas, double quotes, newlines, CRLF, backslashes,
+    * leading zeros, empties and nulls in PipelineSpec. */
+  private[graft] val csvWriteOpts: Map[String, String] =
+    Map("header" -> "true", "nullValue" -> "\u0000",
+      // the WRITER trims unquoted leading/trailing whitespace by
+      // default (univocity) — byte fidelity requires turning that off
+      "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false")
+  private[graft] val csvReadOpts: Map[String, String] =
+    Map("header" -> "true", "nullValue" -> "\u0000",
+      "emptyValue" -> "", "multiLine" -> "true",
+      "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false")
 
   /** Per-lang fidelity digest over a re-read corpus: row counts, the
     * carried n_chars sum, lengths recomputed FROM the round-tripped

@@ -1159,4 +1159,34 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // may sort or buffer a whole language
     topk.queryExecution.executedPlan.toString.contains("Window") shouldBe false
   }
+
+  test("CSV interchange options round-trip hostile strings byte-exactly (q137's options)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every classic CSV corruption vector: commas, double quotes,
+    // embedded LF and CRLF, backslashes, leading zeros (type
+    // inference bait — defeated by the explicit schema), leading/
+    // trailing spaces, genuinely empty strings, and nulls
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "plain text",
+      2L -> "comma, separated, values",
+      3L -> "say \"hi\" to \"them\"",
+      4L -> "line one\nline two",
+      5L -> "crlf\r\nline",
+      6L -> "back\\slash and \\\" combo",
+      7L -> "007",
+      8L -> "  leading and trailing  ",
+      9L -> "",
+      10L -> null,
+      11L -> "quote\"comma,\nnewline mix",
+      12L -> "controlchars")
+    val df = rows.toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_hostile").toString
+    df.coalesce(1).write.mode("overwrite")
+      .options(graft.queries.TextPipeline.csvWriteOpts).csv(dir)
+    val back = spark.read.schema("id LONG, text STRING")
+      .options(graft.queries.TextPipeline.csvReadOpts).csv(dir)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    back shouldBe rows.sortBy(_._1)
+  }
 }
