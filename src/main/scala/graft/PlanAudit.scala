@@ -568,7 +568,7 @@ object PlanAudit {
     // only a LogicalRDD scan — audit ONE un-materialized round
     // directly, plus the pre-partitioned variant's exchange elision.
     if (only.isEmpty || only("iterative_rounds")) {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.{array, col, expr, greatest, least, lit, shiftrightunsigned, udaf, when}
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val li = graft.queries.QueryDsl.t(spark, sfDir, "lineitem")
       val strong = graft.pipeline.Graph.supplierCooccurrence(li)
@@ -634,6 +634,110 @@ object PlanAudit {
         .append(topPlan(graft.pipeline.Graph.pagerankStep(ewPre, rank0, 1L, None)).take(4000))
         .append("\n```\n")
       ewPre.unpersist(false)
+
+      // ---- round-shape audits for the round-9 graph family
+      // (q130/q133/q134/q135/q136): each loop body is a private[graft]
+      // step function, audited here exactly as lpaRound/pagerankStep
+      // are — join-count + forbidden-operator pins against regression.
+      def joinCount(d: org.apache.spark.sql.DataFrame): Int =
+        "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+          .findAllIn(d.queryExecution.executedPlan.toString).length
+      def auditRound(name: String, round: org.apache.spark.sql.DataFrame,
+                     wantJoins: Int, mustContain: Seq[String], why: String): Unit = {
+        val planStr = round.queryExecution.executedPlan.toString
+        val joins = joinCount(round)
+        val badJoin = planStr.contains("CartesianProduct") ||
+          planStr.contains("BroadcastNestedLoopJoin") ||
+          planStr.contains("Window")
+        val missing = mustContain.filterNot(planStr.contains)
+        if (joins != wantJoins || badJoin || missing.nonEmpty) {
+          println(s"ASSERT FAIL [$name round]: joins=$joins (want $wantJoins), " +
+            s"cartesian/window=$badJoin, missing=${missing.mkString(",")}")
+          failures += 1
+        }
+        sb.append(s"\n## $name — one iteration round\n\n$why\n\n")
+        sb.append(s"Asserted: exactly $wantJoins join(s)" +
+          (if (mustContain.nonEmpty) s", ${mustContain.map(m => s"`$m`").mkString(", ")}" else "") +
+          "; no CartesianProduct / BroadcastNestedLoopJoin / Window.\n\n")
+        sb.append("```\n")
+          .append(round.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).take(3500))
+          .append("\n```\n")
+      }
+
+      // q130 trustrank: contribution join+agg, then the seed-conditional
+      // restart riding the node relation's boolean — exactly two joins
+      val seeded0 = ewPlain.select(col("src").as("v")).distinct()
+        .select(col("v"), (col("v") % 5 === 0).as("s")).localCheckpoint()
+      val rank0p = seeded0.select(col("v"),
+        when(col("s"), lit(1000L)).otherwise(lit(0L)).as("rank"))
+        .localCheckpoint()
+      auditRound("q130_trustrank",
+        graft.pipeline.Graph.pprStep(ewPlain, seeded0, rank0p, 7L), 2, Nil,
+        "Per round: ONE contribution equi-join on src + its sum agg, then\n" +
+          "ONE left join re-attaching the seeded node relation whose boolean\n" +
+          "carries the restart mass — the seed set never joins separately,\n" +
+          "so the round costs exactly what plain pagerank costs.")
+
+      // q133 harmonic centrality hop: frontier×edges equi-join, dedup,
+      // first-distance-wins anti join against the reached union
+      val strongE = strong.select(col("src"), col("dst"))
+      val frontier0 = strongE.select(col("src").as("s")).distinct()
+        .select(col("s"), col("s").as("v"), lit(0L).as("d")).localCheckpoint()
+      auditRound("q133_harmonic",
+        graft.pipeline.Graph.harmonicHop(strongE, frontier0, frontier0, 1), 2,
+        Seq("LeftAnti"),
+        "Per hop: ONE equi-join expanding the frontier across the edge\n" +
+          "relation, a distinct, and ONE anti join against the reached union\n" +
+          "(first-distance-wins) — bounded by |frontier|·deg; only the new\n" +
+          "frontier materializes (reached stays a lazy union of prior rounds).")
+
+      // q134 KMV-HyperBall merge round: one |E| join + ONE map-side-
+      // combinable bottom-k sketch-merge aggregation — no second pass
+      graft.functions.ContentHashExpression.register(spark)
+      val h62 = shiftrightunsigned(
+        graft.functions.ContentHashExpression.contentHash64(col("v").cast("string")), 2)
+      val merge8 = udaf(new graft.functions.KmvMergeAggregator(8))
+      val nodesHB = strongE.select(col("src").as("v")).distinct()
+      val eSelf = strongE
+        .union(nodesHB.select(col("v").as("src"), col("v").as("dst")))
+        .localCheckpoint()
+      val hb0 = nodesHB.select(col("v"), array(h62).as("sk")).localCheckpoint()
+      auditRound("q134_neighborhood_sketch",
+        graft.pipeline.Graph.hyperballRound(eSelf, hb0, merge8), 1, Nil,
+        "Per round: ONE equi-join carrying each node's sketch to its\n" +
+          "in-neighbors (self-loops carry the node's own sketch — no separate\n" +
+          "union-with-previous pass) + ONE bottom-k merge aggregation that\n" +
+          "combines map-side, so shuffle is O(|V|·k), not O(|E|·k).")
+
+      // q135 min-plus relax round: one |E| join + one min agg over
+      // (kept ∪ relaxed) — reduction-order-free integer arithmetic
+      val ec = strong
+        .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+        .localCheckpoint()
+      val dist0 = ec.select(col("src").as("v")).distinct()
+        .filter(col("v") % 5 === 0)
+        .select(col("v"), lit(0L).as("cost")).localCheckpoint()
+      auditRound("q135_cheapest_paths",
+        graft.pipeline.Graph.relaxRound(ec, dist0), 1, Nil,
+        "Per round: ONE equi-join relaxing every edge from the current\n" +
+          "distance vector, then a union with the kept distances and ONE min\n" +
+          "aggregation — O(|E|) per round, integer min-plus is\n" +
+          "reduction-order-free so any physical grouping gives the same result.")
+
+      // q136 k-core peel round: one degree agg + TWO semi joins filtering
+      // both endpoints through the >= k survivor set
+      val eu = strongE
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      auditRound("q136_kcore",
+        graft.pipeline.Graph.peelRound(eu, 3), 2, Seq("LeftSemi"),
+        "Per peel round: ONE degree aggregation over the surviving edges +\n" +
+          "TWO semi joins keeping edges whose endpoints both survive — all\n" +
+          "O(|E_t|) on a monotonically shrinking edge set, one count action\n" +
+          "per round (the prior round's count is carried in a variable).")
+
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 

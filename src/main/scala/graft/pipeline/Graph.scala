@@ -212,14 +212,7 @@ object Graph {
     var rank = seeded.select(col("v"),
       when(col("s"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("rank"))
     for (k <- 1 to iters) {
-      val contrib = ew
-        .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
-        .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
-      val stepped = seeded.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (when(col("s"), lit(base)).otherwise(lit(0L))
-            + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
+      val stepped = pprStep(ew, seeded, rank, base)
       // seeded and the contrib chain both bottom out in materialized
       // relations, so lineage accumulates safely between every-5th
       // checkpoints — the pagerank fast-path pattern
@@ -259,6 +252,23 @@ object Graph {
     head + ",\n" + iterCtes +
       s"\nSELECT v AS s_suppkey, CAST(rank AS BIGINT) AS trust_scaled FROM r$iters" +
       " ORDER BY trust_scaled DESC, s_suppkey"
+  }
+
+  /** ONE personalized-PageRank round, un-materialized (exposed for
+    * plan audits, same as [[pagerankStep]]): the contribution
+    * join+agg, then the seed-conditional restart riding the `seeded`
+    * node relation's boolean — still exactly two joins, no extra
+    * seed join anywhere. */
+  private[graft] def pprStep(ew: DataFrame, seeded: DataFrame,
+                             rank: DataFrame, base: Long): DataFrame = {
+    val contrib = ew
+      .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
+      .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
+      .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+    seeded.join(contrib, Seq("v"), "left")
+      .select(col("v"),
+        (when(col("s"), lit(base)).otherwise(lit(0L))
+          + expr("(17 * coalesce(sc, 0L)) div 20")).as("rank"))
   }
 
   /** ONE synchronous PageRank round, un-materialized — the join+agg
@@ -410,11 +420,7 @@ object Graph {
     for (k <- 1 to radius) {
       val all = frontiers.reduce(_ union _)
       val next = PartitionUtil.materialize(
-        frontiers.last.join(e.select(col("src").as("v"), col("dst")), Seq("v"))
-          .select(col("s"), col("dst").as("v")).distinct()
-          .join(all, Seq("s", "v"), "left_anti")
-          .select(col("s"), col("v"), lit(k.toLong).as("d")),
-        checkpointDir)
+        harmonicHop(e, frontiers.last, all, k), checkpointDir)
       frontiers += next
     }
     frontiers.reduce(_ union _).filter(col("d") > 0)
@@ -422,6 +428,18 @@ object Graph {
       .agg(sum(expr("1000000 div d")).as("harmonic_q6"),
            count(lit(1)).as("n_reached"))
   }
+
+  /** ONE BFS hop of [[harmonicCentrality]], un-materialized (exposed
+    * for plan audits): expand the frontier across the edge relation
+    * (one equi-join), dedup, and keep first-distance-wins via ONE
+    * anti join against the already-reached union — no other join, no
+    * window, everything bounded by |frontier|·deg. */
+  private[graft] def harmonicHop(e: DataFrame, frontier: DataFrame,
+                                 reached: DataFrame, k: Int): DataFrame =
+    frontier.join(e.select(col("src").as("v"), col("dst")), Seq("v"))
+      .select(col("s"), col("dst").as("v")).distinct()
+      .join(reached, Seq("s", "v"), "left_anti")
+      .select(col("s"), col("v"), lit(k.toLong).as("d"))
 
   /** DuckDB oracle for [[harmonicCentrality]] on the strong-tie
     * graph, radius unrolled to 3 hop CTEs with the same
@@ -500,10 +518,7 @@ object Graph {
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to radius) {
       hb = PartitionUtil.materialize(
-        e.join(hb.select(col("v").as("dst"), col("sk")), Seq("dst"))
-          .groupBy(col("src")).agg(merge(col("sk")).as("sk"))
-          .select(col("src").as("v"), col("sk")),
-        checkpointDir)
+        hyperballRound(e, hb, merge), checkpointDir)
       rounds += hb.select(col("v"), lit(r.toLong).as("r"),
         size(col("sk")).cast("long").as("k_used"),
         element_at(col("sk"), -1).as("kth"),
@@ -511,6 +526,17 @@ object Graph {
     }
     rounds.reduce(_ unionByName _)
   }
+
+  /** ONE HyperBall round, un-materialized (exposed for plan audits):
+    * join each node's sketch onto its in-edges (the self-loop row
+    * carries the node's own sketch), then ONE map-side-combinable
+    * bottom-k merge aggregation per destination — one join + one agg,
+    * O(|E|·k) shuffle, no window, no second pass. */
+  private[graft] def hyperballRound(e: DataFrame, hb: DataFrame,
+      merge: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    e.join(hb.select(col("v").as("dst"), col("sk")), Seq("dst"))
+      .groupBy(col("src")).agg(merge(col("sk")).as("sk"))
+      .select(col("src").as("v"), col("sk"))
 
   /** DuckDB oracle for [[neighborhoodFunction]] on the strong-tie
     * graph: the identical sketch recurrence with list operations —
@@ -583,14 +609,21 @@ object Graph {
     require(dist.limit(1).count() > 0,
       "cheapestPaths: seed predicate matched no node")
     for (_ <- 1 to hops) {
-      val relaxed = e
-        .join(dist.select(col("v").as("src"), col("cost").as("dc")), Seq("src"))
-        .select(col("dst").as("v"), (col("dc") + col("cost")).as("cost"))
-      dist = PartitionUtil.materialize(
-        dist.union(relaxed).groupBy(col("v")).agg(min(col("cost")).as("cost")),
-        checkpointDir)
+      dist = PartitionUtil.materialize(relaxRound(e, dist), checkpointDir)
     }
     dist
+  }
+
+  /** ONE Bellman-Ford relax round, un-materialized (exposed for plan
+    * audits): relax every edge from the current distance vector (one
+    * equi-join), union with the kept distances, take the min per node
+    * (one aggregation) — integer min-plus is reduction-order-free, so
+    * the round is deterministic under any physical grouping. */
+  private[graft] def relaxRound(e: DataFrame, dist: DataFrame): DataFrame = {
+    val relaxed = e
+      .join(dist.select(col("v").as("src"), col("cost").as("dc")), Seq("src"))
+      .select(col("dst").as("v"), (col("dc") + col("cost")).as("cost"))
+    dist.union(relaxed).groupBy(col("v")).agg(min(col("cost")).as("cost"))
   }
 
   /** DuckDB oracle for [[cheapestPaths]] on the strong-tie graph with
@@ -651,14 +684,7 @@ object Graph {
     // not a second job
     var mPrev = e.count()
     while (!converged && r < maxRounds) {
-      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select(col("v"))
-      val pruned = PartitionUtil.materialize(
-        e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-          .select(col("a"), col("b")),
-        checkpointDir)
+      val pruned = PartitionUtil.materialize(peelRound(e, k), checkpointDir)
       val m = pruned.count()
       converged = m == mPrev
       mPrev = m
@@ -669,6 +695,20 @@ object Graph {
       s"kCore: did not converge within $maxRounds peel rounds — raise maxRounds")
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** ONE k-core peel round, un-materialized (exposed for plan
+    * audits): one degree aggregation over the surviving edges, then
+    * BOTH endpoints filtered through the ≥k survivor set by two semi
+    * joins — O(|E_t|), shrinking monotonically, no window, no
+    * cartesian anywhere. */
+  private[graft] def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val keep = deg.filter(col("d") >= k).select(col("v"))
+    e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
   }
 
   /** DuckDB oracle for [[kCore]] on the strong-tie graph: the same

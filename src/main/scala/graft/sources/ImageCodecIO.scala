@@ -35,17 +35,20 @@ object ImageCodecIO {
     bytes.length >= 132 && bytes(128) == 'D' && bytes(129) == 'I' &&
       bytes(130) == 'C' && bytes(131) == 'M'
 
-  /** The four DICOM transfer syntaxes this codec speaks: the three
+  /** The five DICOM transfer syntaxes this codec speaks: the three
     * uncompressed ones — implicit-VR little-endian (the default
     * syntax every conformant reader must accept), explicit-VR
     * little-endian, explicit-VR big-endian (retired but present in
-    * old PACS archives) — plus RLE Lossless, the simplest compressed
-    * syntax (PackBits segments in an encapsulated PixelData), which
-    * round-trips exactly. */
+    * old PACS archives) — plus two lossless compressed syntaxes that
+    * round-trip exactly: RLE Lossless (PackBits segments in an
+    * encapsulated PixelData) and JPEG Lossless SV1 (process 14,
+    * first-order horizontal prediction — the syntax real PACS
+    * archives most commonly use for lossless exports). */
   private[graft] val TsImplicitLE = "1.2.840.10008.1.2"
   private[graft] val TsExplicitLE = "1.2.840.10008.1.2.1"
   private[graft] val TsExplicitBE = "1.2.840.10008.1.2.2"
   private[graft] val TsRle = "1.2.840.10008.1.2.5"
+  private[graft] val TsJpegLossless = "1.2.840.10008.1.2.4.70"
 
   /** PackBits decode of one RLE segment into exactly `expected`
     * bytes. Control byte n (signed): 0..127 → copy the next n+1
@@ -103,7 +106,7 @@ object ImageCodecIO {
     * PixelData element. Single-frame only — a second fragment fails
     * the delimiter check loudly. */
   private def readEncapsulatedFragment(bb: java.nio.ByteBuffer,
-                                       path: String): Array[Byte] = {
+                                       path: String, minLen: Int): Array[Byte] = {
     def item(): (Int, Int, Int) =
       ((bb.getShort & 0xffff), (bb.getShort & 0xffff), bb.getInt)
     val (g1, e1, l1) = item()
@@ -111,12 +114,12 @@ object ImageCodecIO {
       s"missing Basic Offset Table item in $path")
     bb.position(bb.position() + l1)
     val (g2, e2, l2) = item()
-    require(g2 == 0xfffe && e2 == 0xe000 && l2 >= 64 && l2 <= bb.remaining,
-      s"missing RLE fragment item in $path")
+    require(g2 == 0xfffe && e2 == 0xe000 && l2 >= minLen && l2 <= bb.remaining,
+      s"missing pixel fragment item in $path")
     val frag = new Array[Byte](l2); bb.get(frag)
     val (g3, e3, l3) = item()
     require(g3 == 0xfffe && e3 == 0xe0dd && l3 == 0,
-      s"expected sequence delimiter after the single RLE fragment in $path")
+      s"expected sequence delimiter after the single pixel fragment in $path")
     frag
   }
 
@@ -166,9 +169,239 @@ object ImageCodecIO {
     bos.toByteArray
   }
 
+  // ======================= JPEG Lossless (process 14, SV1) ==========
+  // ITU-T T.81 annex H: lossless sequential Huffman coding of
+  // prediction differences, computed modulo 2^16. SV1 ("selection
+  // value 1") predicts each sample from its left neighbour Ra, the
+  // first sample of every subsequent line from the sample above Rb,
+  // and the very first sample from 2^(P-1). A difference d is coded
+  // as Huffman(SSSS = magnitude category 0..16) followed by SSSS raw
+  // bits (negatives as d-1 in SSSS low bits, exactly DC coding);
+  // SSSS=16 means d=32768 with no extra bits. Entropy bytes 0xFF are
+  // stuffed with 0x00.
+
+  /** MSB-first bit writer with JPEG 0xFF→0xFF00 byte stuffing. */
+  private final class BitWriter(bos: ByteArrayOutputStream) {
+    private var acc = 0; private var nBits = 0
+    def put(value: Int, bits: Int): Unit = {
+      var b = bits - 1
+      while (b >= 0) {
+        acc = (acc << 1) | ((value >>> b) & 1); nBits += 1
+        if (nBits == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00)
+          acc = 0; nBits = 0
+        }
+        b -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (nBits > 0) put(0xff, 8 - nBits)
+  }
+
+  /** MSB-first bit reader that un-stuffs 0xFF00 and refuses to read
+    * past a marker (any 0xFF followed by non-zero). */
+  private final class BitReader(src: Array[Byte], private var pos: Int,
+                                path: String) {
+    private var acc = 0; private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        require(pos < src.length, s"truncated JPEG entropy data in $path")
+        var b = src(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < src.length && src(pos) == 0x00,
+            s"unexpected marker inside JPEG entropy data in $path")
+          pos += 1
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >>> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** The one Huffman table this encoder writes: all 17 SSSS symbols
+    * at code length 5 (BITS = seventeen length-5 codes). Canonical
+    * codes are then simply 00000₂..10000₂ = the symbol value itself,
+    * the all-ones code stays reserved as T.81 annex C requires, and
+    * the table is complete for every possible difference. A
+    * per-image optimal table would shave bits but adds a second
+    * pass; lossless-exact and conformant is the contract here — and
+    * the DECODER builds its table from whatever BITS/HUFFVAL the
+    * file declares, so third-party streams with tuned tables decode
+    * fine. */
+  private val JpegFlatCodeLen = 5
+
+  /** Magnitude category of a difference mapped to (-32767..32768). */
+  private def ssss(sd: Int): Int =
+    if (sd == 32768) 16
+    else 32 - Integer.numberOfLeadingZeros(math.abs(sd))
+
+  /** Encode one 16-bit single-component frame as a complete JPEG
+    * lossless interchange stream (SOI, SOF3, DHT, SOS with Ss=1,
+    * entropy data, EOI). */
+  private[graft] def jpegLosslessEncode(vals: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
+    def u16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xc3) // SOF3: lossless sequential Huffman
+    u16(11); bos.write(16); u16(h); u16(w); bos.write(1)
+    bos.write(1); bos.write(0x11); bos.write(0)
+    marker(0xc4) // DHT: class 0 / id 0, 17 symbols all at length 5
+    u16(2 + 1 + 16 + 17); bos.write(0x00)
+    (1 to 16).foreach(l => bos.write(if (l == JpegFlatCodeLen) 17 else 0))
+    (0 to 16).foreach(bos.write)
+    marker(0xda) // SOS: one component, predictor SV1, no point transform
+    u16(8); bos.write(1); bos.write(1); bos.write(0x00)
+    bos.write(1); bos.write(0); bos.write(0x00)
+    val bw = new BitWriter(bos)
+    var i = 0
+    while (i < vals.length) {
+      val pred =
+        if (i == 0) 32768
+        else if (i % w == 0) vals(i - w)
+        else vals(i - 1)
+      val d = (vals(i) - pred) & 0xffff
+      val sd = if (d > 32768) d - 65536 else d
+      val s = ssss(sd)
+      bw.put(s, JpegFlatCodeLen) // canonical code == symbol at flat length
+      if (s > 0 && s < 16) bw.put(if (sd >= 0) sd else sd - 1, s)
+      i += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Canonical Huffman decode tables per T.81 F.2.2.3: for each code
+    * length, the smallest/largest code and the HUFFVAL index of the
+    * smallest. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k; minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1; l += 1
+      }
+    }
+    def decode(br: BitReader, path: String): Int = {
+      var code = br.bit(); var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.bit(); l += 1
+      }
+      require(l <= 16, s"invalid Huffman code in JPEG stream in $path")
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** Decode a single-component JPEG lossless (SOF3) stream. Handles
+    * any declared Huffman table and any predictor selection 1..7;
+    * rejects loudly everything this profile does not cover (lossy
+    * SOFs, multi-component scans, point transforms, restart
+    * intervals). Returns (width, height, samples in raster order). */
+  private[graft] def jpegLosslessDecode(frag: Array[Byte], path: String): (Int, Int, Array[Int]) = {
+    require(frag.length >= 4 && (frag(0) & 0xff) == 0xff && (frag(1) & 0xff) == 0xd8,
+      s"missing JPEG SOI marker in $path")
+    var pos = 2
+    def u16(p: Int): Int = ((frag(p) & 0xff) << 8) | (frag(p + 1) & 0xff)
+    var w = 0; var h = 0; var precision = 0
+    var table: HuffTable = null
+    var predictor = 0; var scanStart = -1
+    while (scanStart < 0) {
+      require(pos + 4 <= frag.length && (frag(pos) & 0xff) == 0xff,
+        s"malformed JPEG marker stream in $path")
+      val m = frag(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      require(pos + 2 + len <= frag.length, s"truncated JPEG segment in $path")
+      m match {
+        case 0xc3 => // SOF3: the only frame type this profile speaks
+          precision = frag(pos + 4) & 0xff
+          h = u16(pos + 5); w = u16(pos + 7)
+          require((frag(pos + 9) & 0xff) == 1,
+            s"multi-component lossless JPEG unsupported in $path")
+          require(precision >= 2 && precision <= 16,
+            s"bad JPEG precision $precision in $path")
+        case sof if sof >= 0xc0 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          throw new IllegalArgumentException(
+            f"lossy JPEG frame (SOF marker 0xFF$sof%02X) unsupported in $path — lossless SOF3 only")
+        case 0xc4 => // DHT: may carry several tables; keep class-0 id-0
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val tcTh = frag(p) & 0xff
+            val bits = Array.tabulate(16)(i => frag(p + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => frag(p + 17 + i) & 0xff)
+            if (tcTh == 0x00) table = new HuffTable(bits, vals)
+            p += 17 + n
+          }
+        case 0xdd =>
+          require(u16(pos + 4) == 0, s"JPEG restart intervals unsupported in $path")
+        case 0xda => // SOS
+          require((frag(pos + 4) & 0xff) == 1,
+            s"multi-component JPEG scan unsupported in $path")
+          predictor = frag(pos + 7) & 0xff
+          require(predictor >= 1 && predictor <= 7,
+            s"bad JPEG predictor selection $predictor in $path")
+          require((frag(pos + 9) & 0x0f) == 0,
+            s"JPEG point transform unsupported in $path")
+          scanStart = pos + 2 + len
+        case _ => () // APPn / COM / other tables: skip
+      }
+      pos += 2 + len
+    }
+    require(w > 0 && h > 0, s"missing JPEG SOF3 frame header in $path")
+    require(table != null, s"missing JPEG Huffman table in $path")
+    val br = new BitReader(frag, scanStart, path)
+    val out = new Array[Int](w * h)
+    val defaultPred = 1 << (precision - 1)
+    var i = 0
+    while (i < out.length) {
+      val s = table.decode(br, path)
+      require(s <= 16, s"bad JPEG magnitude category $s in $path")
+      val d =
+        if (s == 0) 0
+        else if (s == 16) 32768
+        else {
+          val v = br.bits(s)
+          if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+        }
+      val x = i % w
+      val pred =
+        if (i == 0) defaultPred
+        else if (i < w) out(i - 1)                       // first line: Ra
+        else if (x == 0) out(i - w)                      // first column: Rb
+        else predictor match {
+          case 1 => out(i - 1)
+          case 2 => out(i - w)
+          case 3 => out(i - w - 1)
+          case 4 => out(i - 1) + out(i - w) - out(i - w - 1)
+          case 5 => out(i - 1) + ((out(i - w) - out(i - w - 1)) >> 1)
+          case 6 => out(i - w) + ((out(i - 1) - out(i - w - 1)) >> 1)
+          case 7 => (out(i - 1) + out(i - w)) >> 1
+        }
+      out(i) = (pred + d) & 0xffff
+      i += 1
+    }
+    (w, h, out)
+  }
+
   /** Minimal DICOM decode — single-frame unsigned MONOCHROME2, 8 or
-    * 16 bits, in any of the four supported transfer syntaxes
-    * ([[TsImplicitLE]]/[[TsExplicitLE]]/[[TsExplicitBE]]/[[TsRle]]) —
+    * 16 bits, in any of the five supported transfer syntaxes
+    * ([[TsImplicitLE]]/[[TsExplicitLE]]/[[TsExplicitBE]]/[[TsRle]]/
+    * [[TsJpegLossless]]) —
     * the shape of the reference's flagship IO case (a CT series of
     * single-frame files stacked into a volume, IjRDDTests.scala:30-99,
     * where spark-scifio does the decode). The file-meta group
@@ -207,14 +440,15 @@ object ImageCodecIO {
       case TsImplicitLE => (false, false, false)
       case TsExplicitLE => (true, false, false)
       case TsExplicitBE => (true, true, false)
-      case TsRle => (true, false, true)
+      case TsRle | TsJpegLossless => (true, false, true)
       case other => throw new IllegalArgumentException(
         s"unsupported DICOM transfer syntax $other in $path " +
-          "(implicit-VR LE / explicit-VR LE / explicit-VR BE / RLE Lossless only)")
+          "(implicit-VR LE / explicit-VR LE / explicit-VR BE / RLE Lossless / " +
+          "JPEG Lossless SV1 only)")
     }
     if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     // ---- dataset: element encoding + byte order per transfer syntax ----
-    var rleFragment: Array[Byte] = null
+    var encapFragment: Array[Byte] = null
     var done = false
     while (!done && bb.remaining >= 8) {
       val group = bb.getShort & 0xffff; val elem = bb.getShort & 0xffff
@@ -228,7 +462,8 @@ object ImageCodecIO {
         // encapsulated PixelData: undefined length, fragment items
         require(encapsulated,
           s"undefined-length PixelData outside an encapsulated syntax in $path")
-        rleFragment = readEncapsulatedFragment(bb, path)
+        encapFragment =
+          readEncapsulatedFragment(bb, path, minLen = if (ts == TsRle) 64 else 4)
         done = true
       } else {
         require(len >= 0 && len <= bb.remaining,
@@ -253,7 +488,22 @@ object ImageCodecIO {
     require(rows > 0 && cols > 0, s"missing DICOM dims: $path")
     require(bits == 8 || bits == 16, s"unsupported DICOM BitsAllocated $bits: $path")
     val n = rows * cols
-    if (rleFragment != null) px = rleDecodeFragment(rleFragment, n, bits, path)
+    if (encapFragment != null) {
+      if (ts == TsRle) px = rleDecodeFragment(encapFragment, n, bits, path)
+      else {
+        val (jw, jh, samples) = jpegLosslessDecode(encapFragment, path)
+        require(jw == cols && jh == rows,
+          s"JPEG frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
+        require(bits == 16, s"JPEG lossless with BitsAllocated $bits unsupported: $path")
+        px = new Array[Byte](n * 2)
+        var j = 0
+        while (j < n) {
+          px(2 * j) = (samples(j) & 0xff).toByte
+          px(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+          j += 1
+        }
+      }
+    }
     require(px != null, s"missing DICOM pixel data: $path")
     require(px.length >= n * (bits / 8), s"short DICOM pixel payload: $path")
     val doubles = new Array[Double](n)
@@ -271,7 +521,7 @@ object ImageCodecIO {
   }
 
   /** Encode ONE slice as a minimal conformant DICOM file in any of
-    * the three uncompressed transfer syntaxes (the profiles
+    * the five supported transfer syntaxes (the profiles
     * [[decodeDicomWithInstance]] reads): preamble + DICM, file-meta
     * group (always explicit-VR little-endian per Part 10, carrying
     * the transfer-syntax UID), then InstanceNumber / MONOCHROME2
@@ -282,11 +532,12 @@ object ImageCodecIO {
                                  slice: Int = 0,
                                  transferSyntax: String = TsExplicitLE): Array[Byte] = {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
-        transferSyntax == TsExplicitBE || transferSyntax == TsRle,
+        transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
+        transferSyntax == TsJpegLossless,
       s"unsupported DICOM transfer syntax $transferSyntax")
     val explicitVr = transferSyntax != TsImplicitLE
     val bigEndian = transferSyntax == TsExplicitBE
-    val encapsulated = transferSyntax == TsRle
+    val encapsulated = transferSyntax == TsRle || transferSyntax == TsJpegLossless
     val w = img.width; val h = img.height
     val px = img.toDoubles
     val off = slice * w * h
@@ -337,11 +588,15 @@ object ImageCodecIO {
     us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15)
     us(0x0028, 0x0103, 0)
     if (encapsulated) {
-      // RLE Lossless: OB PixelData with UNDEFINED length, empty Basic
-      // Offset Table item, ONE fragment item, sequence delimiter
+      // RLE Lossless / JPEG Lossless: OB PixelData with UNDEFINED
+      // length, empty Basic Offset Table item, ONE fragment item
+      // (even-padded), sequence delimiter
       val vals = Array.tabulate(w * h)(i =>
         PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt)
-      val frag = rleEncodeFragment(vals)
+      val frag0 =
+        if (transferSyntax == TsRle) rleEncodeFragment(vals)
+        else jpegLosslessEncode(vals, w, h)
+      val frag = if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
       u16x(0x7fe0); u16x(0x0010); bos.write('O'); bos.write('B'); u16x(0); u32x(-1)
       u16x(0xfffe); u16x(0xe000); u32x(0)
       u16x(0xfffe); u16x(0xe000); u32x(frag.length)

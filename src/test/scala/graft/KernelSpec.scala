@@ -189,6 +189,73 @@ class KernelSpec extends AnyFunSuite with Matchers {
       .toDoubles shouldBe Array(20.0, 20.0)
   }
 
+  test("JPEG Lossless SV1 DICOM round-trips worst-case differences and compresses smooth data") {
+    import graft.sources.ImageCodecIO
+    // alternating 0/65535 wraps to ±1 under mod-2^16 differencing; the
+    // planted 0→32768 steps hit difference 32768 exactly — magnitude
+    // category 16, the one symbol with NO extra bits (both signs: the
+    // following 32768→0 step is −32768 ≡ 32768 mod 2^16 as well)
+    val w = 5; val h = 4
+    val hostile = Array.tabulate(w * h)(i => if (i % 2 == 0) 0.0 else 65535.0)
+    hostile(0) = 32768.0
+    hostile(6) = 0.0; hostile(7) = 32768.0; hostile(8) = 0.0
+    val img = SparkImage(ImageMeta(), "[]", w, h, 1, PixelCodec.Short16,
+      PixelCodec.encode(hostile, PixelCodec.Short16))
+    val bytes = ImageCodecIO.encodeDicom(img, instance = 3,
+      transferSyntax = ImageCodecIO.TsJpegLossless)
+    val (back, inst) = ImageCodecIO.decodeDicomWithInstance("j.dcm", bytes)
+    inst shouldBe 3
+    back.toDoubles shouldBe hostile
+    // smooth data (the realistic case) must actually compress: a ramp's
+    // differences are tiny, so 5-bit codes + short mantissas beat raw 16-bit
+    val rampPx = Array.tabulate(64 * 64)(i => ((i % 64) * 3 + (i / 64)).toDouble)
+    val ramp = SparkImage(ImageMeta(), "[]", 64, 64, 1, PixelCodec.Short16,
+      PixelCodec.encode(rampPx, PixelCodec.Short16))
+    val jpeg = ImageCodecIO.encodeDicom(ramp, transferSyntax = ImageCodecIO.TsJpegLossless)
+    val raw = ImageCodecIO.encodeDicom(ramp, transferSyntax = ImageCodecIO.TsExplicitLE)
+    jpeg.length.toDouble should be < raw.length * 0.75
+    ImageCodecIO.decodeDicomWithInstance("r.dcm", jpeg)._1.toDoubles shouldBe rampPx
+  }
+
+  test("JPEG Lossless decoder handles third-party streams: tuned Huffman table, predictor 4, APPn/COM segments") {
+    import graft.sources.ImageCodecIO
+    // hand-build a stream this encoder would never emit: an APP0 and a
+    // COM segment to skip, a two-length Huffman table (0→'0', 1→'10',
+    // rest unused), and SOS predictor selection 4 (Ra + Rb − Rc).
+    // Samples: a 3x2 frame of {1000 1001 1001 / 1001 1002 1002}.
+    // Raster diffs under the standard's first-line/first-column rules:
+    //   (0,0): pred 32768 → d = 1000-32768 = -31768  … too wide for the
+    // tiny table, so keep first pixel = 32768 (d=0) instead:
+    //   samples {32768 32769 32769 / 32769 32770 32770}
+    //   (0,0) d=0 [cat 0]; (1,0) Ra d=+1 [cat 1, bit 1]; (2,0) Ra d=0
+    //   (0,1) Rb d=+1; (1,1) P4: 32770-(32769+32769-32768)=0
+    //   (2,1) P4: 32770-(32770+32769-32769)=0
+    val bos = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { bos.write(0xff); bos.write(mk) }
+    def u16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    m(0xd8)
+    m(0xe0); u16(4); bos.write('x'); bos.write('y')          // APP0: skipped
+    m(0xc3); u16(11); bos.write(16); u16(2); u16(3); bos.write(1)
+    bos.write(1); bos.write(0x11); bos.write(0)
+    m(0xfe); u16(5); bos.write('c'); bos.write('o'); bos.write('m') // COM: skipped
+    m(0xc4); u16(2 + 1 + 16 + 2); bos.write(0x00)
+    bos.write(1); bos.write(1); (3 to 16).foreach(_ => bos.write(0)) // BITS: 1@len1, 1@len2
+    bos.write(0); bos.write(1)                                       // HUFFVAL: 0, 1
+    m(0xda); u16(8); bos.write(1); bos.write(1); bos.write(0x00)
+    bos.write(4); bos.write(0); bos.write(0x00)
+    // entropy bits: 0 | 10 1 | 0 | 10 1 | 0 | 0 → 01010101 00<pad 1s>
+    bos.write(Integer.parseInt("01010101", 2)); bos.write(Integer.parseInt("00111111", 2))
+    m(0xd9)
+    val (jw, jh, got) = ImageCodecIO.jpegLosslessDecode(bos.toByteArray, "handmade.jpg")
+    (jw, jh) shouldBe ((3, 2))
+    got.toSeq shouldBe Seq(32768, 32769, 32769, 32769, 32770, 32770)
+    // lossy SOF0 frames reject loudly, never mis-decode
+    val lossy = bos.toByteArray.clone()
+    lossy(9) = 0xc0.toByte // the SOF3 marker byte (SOI=2 + APP0 segment=6, +1)
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.jpegLosslessDecode(lossy, "lossy.jpg")
+  }
+
   test("processSlices applies a custom per-slice kernel (PortableImagePlus.scala:171-183)") {
     val base = Kernels.constantImage(4, 3, 2, 10.0)
     val doubled = Kernels.processSlices(base)((sl, _, _) => sl.map(_ * 2))
