@@ -80,7 +80,8 @@ object ImageOps {
     * each file declares its own syntax in the Part 10 meta group. */
   def saveDicomSeries(df: DataFrame, dir: String): Unit = {
     val syntaxes = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
-      ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle, ImageCodecIO.TsJpegLossless)
+      ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle, ImageCodecIO.TsJpegLossless,
+      ImageCodecIO.TsJpegLossless14)
     val spark = df.sparkSession
     import spark.implicits._
     val serConf = new org.apache.spark.util.SerializableConfiguration(

@@ -35,7 +35,7 @@ object ImageCodecIO {
     bytes.length >= 132 && bytes(128) == 'D' && bytes(129) == 'I' &&
       bytes(130) == 'C' && bytes(131) == 'M'
 
-  /** The five DICOM transfer syntaxes this codec speaks: the three
+  /** The core five DICOM transfer syntaxes this codec speaks: the three
     * uncompressed ones — implicit-VR little-endian (the default
     * syntax every conformant reader must accept), explicit-VR
     * little-endian, explicit-VR big-endian (retired but present in
@@ -49,6 +49,18 @@ object ImageCodecIO {
   private[graft] val TsExplicitBE = "1.2.840.10008.1.2.2"
   private[graft] val TsRle = "1.2.840.10008.1.2.5"
   private[graft] val TsJpegLossless = "1.2.840.10008.1.2.4.70"
+
+  /** Two more JPEG-family syntaxes beyond SV1: process-14 with ANY
+    * predictor (the decoder is predictor-generic, and an SV1 stream
+    * is itself a legal process-14 stream, so encode emits the same
+    * bytes as [[TsJpegLossless]]), and 8-bit JPEG Baseline — LOSSY,
+    * decoded by the JDK's built-in baseline codec; decode of a given
+    * file is deterministic but encode→decode does not round-trip
+    * pixel values, so Baseline stays out of the hash gate (sbt-spec
+    * coverage only) and out of [[graft.ops.ImageOps]]' lossless
+    * series rotation. */
+  private[graft] val TsJpegLossless14 = "1.2.840.10008.1.2.4.57"
+  private[graft] val TsJpegBaseline = "1.2.840.10008.1.2.4.50"
 
   /** PackBits decode of one RLE segment into exactly `expected`
     * bytes. Control byte n (signed): 0..127 → copy the next n+1
@@ -279,6 +291,34 @@ object ImageCodecIO {
     bos.toByteArray
   }
 
+  /** Encode one slice as an 8-bit grayscale JPEG Baseline stream via
+    * the JDK's built-in codec (LOSSY — values clamp to Byte8 and DCT
+    * quantization perturbs them; callers gate on that). */
+  private def jpegBaselineEncode(img: SparkImage, px: Array[Double],
+                                 slice: Int): Array[Byte] = {
+    val w = img.width; val h = img.height
+    val off = slice * w * h
+    val page = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = page.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0,
+        PixelCodec.clamp(px(off + i), PixelCodec.Byte8).toInt)
+      i += 1
+    }
+    val writers = ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "no JPEG writer registered (the JDK ships one)")
+    val writer = writers.next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try { writer.setOutput(ios); writer.write(null, new IIOImage(page, null, null), p) }
+    finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Canonical Huffman decode tables per T.81 F.2.2.3: for each code
     * length, the smallest/largest code and the HUFFVAL index of the
     * smallest. */
@@ -399,9 +439,9 @@ object ImageCodecIO {
   }
 
   /** Minimal DICOM decode — single-frame unsigned MONOCHROME2, 8 or
-    * 16 bits, in any of the five supported transfer syntaxes
+    * 16 bits, in any of the seven supported transfer syntaxes
     * ([[TsImplicitLE]]/[[TsExplicitLE]]/[[TsExplicitBE]]/[[TsRle]]/
-    * [[TsJpegLossless]]) —
+    * [[TsJpegLossless]]/[[TsJpegLossless14]]/[[TsJpegBaseline]]) —
     * the shape of the reference's flagship IO case (a CT series of
     * single-frame files stacked into a volume, IjRDDTests.scala:30-99,
     * where spark-scifio does the decode). The file-meta group
@@ -440,11 +480,12 @@ object ImageCodecIO {
       case TsImplicitLE => (false, false, false)
       case TsExplicitLE => (true, false, false)
       case TsExplicitBE => (true, true, false)
-      case TsRle | TsJpegLossless => (true, false, true)
+      case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline =>
+        (true, false, true)
       case other => throw new IllegalArgumentException(
         s"unsupported DICOM transfer syntax $other in $path " +
           "(implicit-VR LE / explicit-VR LE / explicit-VR BE / RLE Lossless / " +
-          "JPEG Lossless SV1 only)")
+          "JPEG Lossless (.57/.70) / JPEG Baseline only)")
     }
     if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     // ---- dataset: element encoding + byte order per transfer syntax ----
@@ -490,7 +531,20 @@ object ImageCodecIO {
     val n = rows * cols
     if (encapFragment != null) {
       if (ts == TsRle) px = rleDecodeFragment(encapFragment, n, bits, path)
-      else {
+      else if (ts == TsJpegBaseline) {
+        // lossy 8-bit baseline: the JDK's JPEG codec decodes the
+        // fragment (a complete JFIF stream)
+        val bi = ImageIO.read(new ByteArrayInputStream(encapFragment))
+        require(bi != null, s"undecodable JPEG Baseline fragment in $path")
+        require(bi.getWidth == cols && bi.getHeight == rows,
+          s"JPEG frame ${bi.getWidth}x${bi.getHeight} does not match DICOM " +
+            s"Rows/Columns ${cols}x$rows in $path")
+        require(bits == 8, s"JPEG Baseline with BitsAllocated $bits unsupported: $path")
+        val raster = bi.getRaster
+        px = new Array[Byte](n)
+        var j = 0
+        while (j < n) { px(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
+      } else {
         val (jw, jh, samples) = jpegLosslessDecode(encapFragment, path)
         require(jw == cols && jh == rows,
           s"JPEG frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
@@ -521,7 +575,7 @@ object ImageCodecIO {
   }
 
   /** Encode ONE slice as a minimal conformant DICOM file in any of
-    * the five supported transfer syntaxes (the profiles
+    * the seven supported transfer syntaxes (the profiles
     * [[decodeDicomWithInstance]] reads): preamble + DICM, file-meta
     * group (always explicit-VR little-endian per Part 10, carrying
     * the transfer-syntax UID), then InstanceNumber / MONOCHROME2
@@ -533,11 +587,17 @@ object ImageCodecIO {
                                  transferSyntax: String = TsExplicitLE): Array[Byte] = {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
-        transferSyntax == TsJpegLossless,
+        transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
+        transferSyntax == TsJpegBaseline,
       s"unsupported DICOM transfer syntax $transferSyntax")
     val explicitVr = transferSyntax != TsImplicitLE
     val bigEndian = transferSyntax == TsExplicitBE
-    val encapsulated = transferSyntax == TsRle || transferSyntax == TsJpegLossless
+    val encapsulated = transferSyntax == TsRle ||
+      transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
+      transferSyntax == TsJpegBaseline
+    // Baseline is the one 8-bit (and lossy) profile; everything else
+    // writes the 16-bit pixel module
+    val bits8 = transferSyntax == TsJpegBaseline
     val w = img.width; val h = img.height
     val px = img.toDoubles
     val off = slice * w * h
@@ -585,16 +645,18 @@ object ImageCodecIO {
     str(0x0028, 0x0004, "CS", "MONOCHROME2", ' ')
     us(0x0028, 0x0010, h)
     us(0x0028, 0x0011, w)
-    us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15)
+    if (bits8) { us(0x0028, 0x0100, 8); us(0x0028, 0x0101, 8); us(0x0028, 0x0102, 7) }
+    else { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15) }
     us(0x0028, 0x0103, 0)
     if (encapsulated) {
-      // RLE Lossless / JPEG Lossless: OB PixelData with UNDEFINED
-      // length, empty Basic Offset Table item, ONE fragment item
-      // (even-padded), sequence delimiter
+      // RLE / JPEG family: OB PixelData with UNDEFINED length, empty
+      // Basic Offset Table item, ONE fragment item (even-padded),
+      // sequence delimiter
       val vals = Array.tabulate(w * h)(i =>
         PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt)
       val frag0 =
         if (transferSyntax == TsRle) rleEncodeFragment(vals)
+        else if (bits8) jpegBaselineEncode(img, px, slice)
         else jpegLosslessEncode(vals, w, h)
       val frag = if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
       u16x(0x7fe0); u16x(0x0010); bos.write('O'); bos.write('B'); u16x(0); u32x(-1)

@@ -217,6 +217,36 @@ class KernelSpec extends AnyFunSuite with Matchers {
     ImageCodecIO.decodeDicomWithInstance("r.dcm", jpeg)._1.toDoubles shouldBe rampPx
   }
 
+  test("JPEG process-14 (.57) round-trips losslessly; JPEG Baseline (.50) decodes 8-bit with lossy tolerance") {
+    import graft.sources.ImageCodecIO
+    // .57 (process 14, any predictor): encode emits the SV1 stream — a
+    // legal process-14 stream — under the .57 UID; decode is exact
+    val vals = Array(100.0, 200.0, 300.0, 65535.0, 0.0, 12345.0)
+    val img = SparkImage(ImageMeta(), "[]", 3, 2, 1, PixelCodec.Short16,
+      PixelCodec.encode(vals, PixelCodec.Short16))
+    val b57 = ImageCodecIO.encodeDicom(img, instance = 9,
+      transferSyntax = ImageCodecIO.TsJpegLossless14)
+    val (back57, inst57) = ImageCodecIO.decodeDicomWithInstance("l57.dcm", b57)
+    inst57 shouldBe 9
+    back57.toDoubles shouldBe vals
+    // .50 (8-bit baseline, LOSSY): geometry + instance exact, pixel
+    // values within DCT-quantization tolerance of the 8-bit original
+    val smoothPx = Array.tabulate(16 * 16)(i => 100.0 + (i % 16))
+    val smooth = SparkImage(ImageMeta(), "[]", 16, 16, 1, PixelCodec.Byte8,
+      PixelCodec.encode(smoothPx, PixelCodec.Byte8))
+    val b50 = ImageCodecIO.encodeDicom(smooth, instance = 4,
+      transferSyntax = ImageCodecIO.TsJpegBaseline)
+    val (back50, inst50) = ImageCodecIO.decodeDicomWithInstance("b50.dcm", b50)
+    inst50 shouldBe 4
+    back50.pixelType shouldBe PixelCodec.Byte8
+    back50.width shouldBe 16
+    back50.height shouldBe 16
+    val got = back50.toDoubles
+    got.indices.foreach { i =>
+      math.abs(got(i) - smoothPx(i)) should be <= 6.0
+    }
+  }
+
   test("JPEG Lossless decoder handles third-party streams: tuned Huffman table, predictor 4, APPn/COM segments") {
     import graft.sources.ImageCodecIO
     // hand-build a stream this encoder would never emit: an APP0 and a
