@@ -137,6 +137,40 @@ object ImageOps {
       .toDF("series", "image")
   }
 
+  /** Archive inventory over a DICOM file glob — the cheap first pass
+    * a PACS ingest runs before committing to a decode plan: per
+    * transfer syntax, how many files / series / instances and what
+    * geometry. Reads ONLY each file's Part 10 meta group plus the
+    * header elements (the full decode also runs here to surface
+    * geometry — at inventory time one would swap it for the
+    * header-only walk; both are per-file map work on the distributed
+    * binaryFile scan, no shuffle beyond the final syntax-count agg,
+    * which is bounded by the handful of registered syntaxes). */
+  def dicomCensus(spark: SparkSession, pathGlob: String): DataFrame = {
+    val syntax = udf { (path: String, content: Array[Byte]) =>
+      ImageCodecIO.dicomTransferSyntax(path, content)
+    }
+    val decode = udf { (path: String, content: Array[Byte]) =>
+      ImageCodecIO.decodeDicomWithInstance(path, content)
+    }
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"),
+        syntax(col("path"), col("content")).as("ts"),
+        decode(col("path"), col("content")).as("d"))
+      .select(col("ts"),
+        regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1), "_\\d+\\.dcm$", "")
+          .as("series"),
+        col("d._2").as("inst"),
+        col("d._1.width").as("w"), col("d._1.height").as("h"))
+      .groupBy(col("ts"))
+      .agg(count(lit(1)).as("n_files"),
+        countDistinct(col("series")).as("n_series"),
+        min(col("inst")).cast("long").as("min_inst"),
+        max(col("inst")).cast("long").as("max_inst"),
+        sum(col("w")).cast("long").as("sum_w"),
+        sum(col("h")).cast("long").as("sum_h"))
+  }
+
   /** `k=v` args strings for parameter sweeps (the reference's
     * ParameterSweep generators, ParameterSweep.scala:22-37; arg format
     * parseArgsWithDelim, 86-92). */

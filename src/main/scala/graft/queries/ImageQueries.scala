@@ -739,6 +739,42 @@ object ImageQueries {
         CAST(i * 200 + 16 AS DOUBLE) AS s1,
         CAST(i * 200 + 72 AS DOUBLE) AS s9,
         CAST(i * 200 + 86 AS DOUBLE) AS s11
-        FROM range(2) t(i) ORDER BY series"""))
+        FROM range(2) t(i) ORDER BY series""")),
+
+    // ---- DICOM archive census: per-transfer-syntax inventory of a
+    // mixed-vendor archive (the pre-ingest pass a PACS pipeline runs
+    // before choosing a decode plan). The writer rotates 12 instances
+    // per series through the SIX lossless syntaxes (s % 6), so syntax
+    // index i holds instances {i+1, i+7} of both series — file counts,
+    // series counts, instance range, and geometry sums are all closed
+    // form. Any mis-sniffed TransferSyntaxUID, dropped file, or
+    // mis-decoded header flips a row. ---------------------------------
+    ("img21_dicom_census",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_census"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val stacks = s.range(2L).map { i =>
+          val slices = (0 until 12).map(k =>
+            Kernels.constantImage(32, 16, 1, i * 100.0 + k * 3.0 + 5.0, PixelCodec.Short16))
+          (s"/census/$i", slices.reduce(Kernels.appendStack))
+        }.toDF("sample", "image")
+        ImageOps.saveDicomSeries(stacks, dir)
+        ImageOps.dicomCensus(s, s"$dir/*.dcm").orderBy(col("ts"))
+      },
+      Some("""WITH m AS (SELECT * FROM (VALUES
+          (0, '1.2.840.10008.1.2'),
+          (1, '1.2.840.10008.1.2.1'),
+          (2, '1.2.840.10008.1.2.2'),
+          (3, '1.2.840.10008.1.2.5'),
+          (4, '1.2.840.10008.1.2.4.70'),
+          (5, '1.2.840.10008.1.2.4.57')) AS t(i, ts))
+        SELECT ts, CAST(4 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_series,
+          CAST(i + 1 AS BIGINT) AS min_inst, CAST(i + 7 AS BIGINT) AS max_inst,
+          CAST(4 * 32 AS BIGINT) AS sum_w, CAST(4 * 16 AS BIGINT) AS sum_h
+        FROM m ORDER BY ts"""))
   )
 }

@@ -438,6 +438,34 @@ object ImageCodecIO {
     (w, h, out)
   }
 
+  /** Read ONLY the Part 10 file-meta group and return the
+    * TransferSyntaxUID — the cheap first pass of an archive
+    * inventory (no pixel decode, no dataset walk; bytes beyond the
+    * meta group are never touched). */
+  private[graft] def dicomTransferSyntax(path: String, bytes: Array[Byte]): String = {
+    require(isDicom(bytes), s"not a DICOM Part 10 file: $path")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(132)
+    val longVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
+    var ts: String = null
+    var inMeta = true
+    while (inMeta && bb.remaining >= 8) {
+      bb.mark()
+      val group = bb.getShort & 0xffff
+      if (group != 0x0002) { bb.reset(); inMeta = false }
+      else {
+        val elem = bb.getShort & 0xffff
+        val vr = new String(Array(bb.get(), bb.get()).map(b => b.toChar))
+        val len = if (longVRs(vr)) { bb.getShort(); bb.getInt() } else bb.getShort & 0xffff
+        require(len >= 0 && len <= bb.remaining, s"corrupt DICOM meta length in $path")
+        val value = new Array[Byte](len); bb.get(value)
+        if (elem == 0x0010) ts = new String(value, "US-ASCII").trim
+      }
+    }
+    require(ts != null, s"missing TransferSyntaxUID in $path")
+    ts
+  }
+
   /** Minimal DICOM decode — single-frame unsigned MONOCHROME2, 8 or
     * 16 bits, in any of the seven supported transfer syntaxes
     * ([[TsImplicitLE]]/[[TsExplicitLE]]/[[TsExplicitBE]]/[[TsRle]]/

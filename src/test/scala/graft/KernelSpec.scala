@@ -247,6 +247,21 @@ class KernelSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("dicomTransferSyntax sniffs the meta group for every syntax; rejects non-DICOM bytes") {
+    import graft.sources.ImageCodecIO
+    val img = SparkImage(ImageMeta(), "[]", 2, 2, 1, PixelCodec.Short16,
+      PixelCodec.encode(Array(1.0, 2, 3, 4), PixelCodec.Short16))
+    Seq(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+        ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle,
+        ImageCodecIO.TsJpegLossless, ImageCodecIO.TsJpegLossless14,
+        ImageCodecIO.TsJpegBaseline).foreach { ts =>
+      ImageCodecIO.dicomTransferSyntax("t.dcm",
+        ImageCodecIO.encodeDicom(img, transferSyntax = ts)) shouldBe ts
+    }
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.dicomTransferSyntax("junk", Array.fill(200)(7.toByte))
+  }
+
   test("JPEG Lossless decoder handles third-party streams: tuned Huffman table, predictor 4, APPn/COM segments") {
     import graft.sources.ImageCodecIO
     // hand-build a stream this encoder would never emit: an APP0 and a
