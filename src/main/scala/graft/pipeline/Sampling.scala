@@ -280,4 +280,58 @@ object Sampling {
       FROM ranked r JOIN quota q ON q.lang = r.lang
       WHERE r.pos <= q.quota ORDER BY r.doc_id"""
   }
+
+  /** Per-domain caps with a blocklist — the RefinedWeb/C4-style
+    * domain curation step: drop every document from a blocklisted
+    * domain, then keep AT MOST `cap` documents per surviving domain so
+    * no single crawl host dominates the mixture. Within a domain the
+    * survivors are the lowest (content-hash, doc_id) rows — the same
+    * deterministic, append-stable convention as [[temperatureMixture]]
+    * (no RNG; a re-crawl that appends documents keeps every previously
+    * selected row whose hash rank still clears the cap).
+    *
+    * Scale shape: the blocklist is a RELATION, not a literal `isin`
+    * list — production blocklists run to millions of hosts and arrive
+    * as data. It joins as a LEFT ANTI join (hinted broadcast: even a
+    * 10M-row hostname list is ~100 MB, far under executor memory; drop
+    * the hint and the same plan degrades gracefully to a shuffled anti
+    * join). The cap is enforced by [[PartitionUtil.saltedTopK]], never
+    * a rank window: a hot domain (a crawl is OFTEN 90% one host)
+    * pre-selects its cap-sized survivor set across salt buckets
+    * map-side, so shuffle volume is O(cap · buckets) per domain and no
+    * task ever sorts a whole domain's rows. */
+  def sourceCaps(docs: DataFrame, domainCol: String, blocklist: DataFrame,
+                 cap: Int): DataFrame = {
+    require(cap > 0, "sourceCaps: cap must be positive")
+    val kept = docs.join(broadcast(blocklist), Seq(domainCol), "left_anti")
+    val hashed = kept.select(col("doc_id"), col(domainCol),
+      docHash(docs, col("text")).as("h"))
+    PartitionUtil.saltedTopK(hashed, domainCol, k = cap,
+        ordCol = "h", idCol = "doc_id")
+      .select(col("doc_id"), col(domainCol), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[sourceCaps]] over `documents` grouped by
+    * `source` — the blocklist inlined as VALUES, the content-hash rank
+    * replayed via the [[HashSql]] mirror, the cap as a rank filter
+    * (the oracle may use the rank window the engine deliberately
+    * avoids — it only has to be CORRECT, not scale). */
+  private[graft] def sourceCapsOracleSql(blocked: Seq[String], cap: Int): String = {
+    import HashSql._
+    val bl = blocked.map(s => s"('$s')").mkString(", ")
+    s"""WITH bl(source) AS (VALUES $bl),
+      kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.source = d.source)),
+      f AS (SELECT doc_id, source, ${fnv64("text")} AS h FROM kept),
+      m1 AS (SELECT doc_id, source, ${mixStage1("h")} AS h FROM f),
+      m2 AS (SELECT doc_id, source, ${mixStage2("h")} AS h FROM m1),
+      m3 AS (SELECT doc_id, source, ${mixStage3("h")} AS h FROM m2),
+      sgn AS (SELECT doc_id, source, ${toSigned(mixStage4("h"))} AS h FROM m3),
+      ranked AS (SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS pos
+        FROM sgn)
+      SELECT doc_id, source, CAST(pos AS BIGINT) AS pos
+      FROM ranked WHERE pos <= $cap ORDER BY doc_id"""
+  }
 }

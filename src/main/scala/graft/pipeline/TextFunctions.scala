@@ -568,6 +568,69 @@ object TextFunctions {
       FROM tok JOIN freq USING (tok)
       GROUP BY doc_id ORDER BY doc_id"""
 
+  /** DSIR-style data selection via importance reweighting (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how target-like its
+    * unigram distribution is, then keep the top `k`. The per-token
+    * importance weight is the smoothed target/raw frequency odds ratio
+    * on a 1e4 integer grid, `((2·c_t+1)·10000) div (2·c_r+1)` — the
+    * same libm-free substitution the BM25 path documents (log-space
+    * weights are not bit-portable across engines; the odds ratio is
+    * exact BIGINT arithmetic and rank-equivalent for selection). The
+    * constant normalizer Σc_r/Σc_t scales every token's weight equally
+    * and is omitted — it cannot change any document's rank. A doc's
+    * score is the SUM of its token instances' weights (the additive
+    * analogue of the paper's log-likelihood ratio).
+    *
+    * Scale shape: ONE pass over the token stream builds both corpus
+    * models as a single conditional aggregate (c_r = all instances,
+    * c_t = instances from target docs — map-side combined, vocab-sized
+    * result), the weight table equi-joins back to the token stream on
+    * token (both sides hash-partitioned by token), per-doc re-agg is
+    * map-side combined, and the final global top-k is
+    * [[PartitionUtil.saltedTopK]] under a constant key — bounded
+    * two-phase selection, never a corpus-wide rank window. */
+  def dsirSelect(docs: DataFrame, targetCond: Column, k: Int): DataFrame = {
+    require(k > 0, "dsirSelect: k must be positive")
+    val tok = PartitionUtil.spread(docs)
+      .select(col("doc_id"), targetCond.as("tgt"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+    val w = tok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"))
+      .withColumn("wg", expr("((2 * c_t + 1) * 10000) div (2 * c_r + 1)"))
+    val scores = tok.join(w.select(col("tok"), col("wg")), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wg")).as("score"))
+      .withColumn("g", lit(0L))
+      .withColumn("neg", -col("score"))
+    PartitionUtil.saltedTopK(scores, "g", k = k, ordCol = "neg", idCol = "doc_id")
+      .select(col("doc_id"), (-col("neg")).as("score"), col("pos"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .select(col("pos"), col("doc_id"), col("lang"), col("source"), col("score"))
+      .orderBy(col("pos"))
+  }
+
+  /** DuckDB oracle for [[dsirSelect]] over `documents` with target =
+    * `source = 'src0'` — same one-pass conditional counts, grid odds
+    * ratios, and (score DESC, doc_id) rank (the oracle may use the
+    * global rank window the engine deliberately avoids). */
+  private[graft] def dsirSelectOracleSql(k: Int): String =
+    s"""WITH tok AS (SELECT doc_id, (source = 'src0') AS tgt,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+      w AS (SELECT tok, ((2 * SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + 1) * 10000)
+          // (2 * COUNT(*) + 1) AS wg
+        FROM tok GROUP BY tok),
+      scores AS (SELECT doc_id, CAST(SUM(wg) AS BIGINT) AS score
+        FROM tok JOIN w USING (tok) GROUP BY doc_id),
+      ranked AS (SELECT doc_id, score,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS pos
+        FROM scores)
+      SELECT CAST(r.pos AS BIGINT) AS pos, r.doc_id, d.lang, d.source, r.score
+      FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+      WHERE r.pos <= $k ORDER BY pos"""
+
   /** Integer-exact token-length distribution quantiles per language —
     * the corpus-profiling pass that feeds length-filter thresholds and
     * sequence-packing bin sizing. The p-th percentile is the smallest

@@ -1103,6 +1103,38 @@ object TextPipeline {
         groupCol = "lang", budget = 200L),
       Some(Sampling.temperatureMixtureOracleSql(budget = 200L))),
 
+    // ---- per-domain caps + blocklist (RefinedWeb/C4 domain
+    // curation): blocklisted hosts anti-joined away, then at most
+    // `cap` docs kept per surviving domain by lowest (content-hash,
+    // doc_id) — blocklist rides a broadcast anti join, the cap a
+    // bounded salted TopK (never a rank window over the domain) ----
+    ("q138_source_caps",
+      (s, dir) => {
+        import s.implicits._
+        val bl = Seq("src6", "src14").toDF("source")
+        Sampling.sourceCaps(t(s, dir, "documents"), domainCol = "source",
+          blocklist = bl, cap = 20)
+      },
+      Some(Sampling.sourceCapsOracleSql(blocked = Seq("src6", "src14"), cap = 20))),
+
+    // ---- DSIR importance-reweighted selection: one-pass conditional
+    // unigram counts (raw + target), grid odds-ratio weights, summed
+    // per doc, global top-k via bounded salted TopK — the "pick the
+    // most target-like raw documents" curation step ------------------
+    ("q139_dsir_select",
+      (s, dir) => TextFunctions.dsirSelect(t(s, dir, "documents"),
+        targetCond = col("source") === "src0", k = 50),
+      Some(TextFunctions.dsirSelectOracleSql(k = 50))),
+
+    // ---- distributed BPE vocabulary training (subword-nmt): 10
+    // merge rounds on the vocab-sized (word, freq) table — corpus
+    // touched exactly once; each round's argmax pair + post-merge
+    // symbol census is oracle-replayed by 10 unrolled MATERIALIZED
+    // CTE stages in DuckDB ------------------------------------------
+    ("q140_bpe_train",
+      (s, dir) => graft.pipeline.Bpe.bpeTrain(t(s, dir, "documents"), rounds = 10),
+      Some(graft.pipeline.Bpe.bpeTrainOracleSql(rounds = 10))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

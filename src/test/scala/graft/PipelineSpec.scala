@@ -1189,4 +1189,77 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     back shouldBe rows.sortBy(_._1)
   }
+
+  test("BPE: hand-checked merge sequence, tie-breaks, and the sym_count -= cnt invariant") {
+    import spark.implicits._
+    val corpus = Seq((1L, "banana banana apple"), (2L, "banana apple apple"))
+      .toDF("doc_id", "text")
+    val m = Bpe.bpeTrain(corpus, rounds = 3)
+      .as[(Long, String, String, Long, Long)].collect().toList
+    // banana×3: pairs (a,n):6 (n,a):6 (b,a):3; apple×3: (a,p)(p,p)(p,l)(l,e) each 3.
+    // r1: count-6 tie (a,n)/(n,a) → left asc picks (a,n). r2: count-3 tie
+    // → smallest left "a" picks (a,p). r3: smallest left "an", then
+    // right asc "a" < "an" picks (an,a) — banana = [b an an a] merges
+    // its SECOND an (greedy-left finds no ␟an␟␟a␟ at the first).
+    m.map(r => (r._1, r._2, r._3, r._4)) shouldBe List(
+      (1L, "a", "n", 6L), (2L, "a", "p", 3L), (3L, "an", "a", 3L))
+    // initial symbols: 6·3 + 5·3 = 33; each merge removes exactly cnt
+    m.map(_._5) shouldBe List(27L, 24L, 21L)
+  }
+
+  test("BPE: greedy-left run merging ([a a a] + (a,a) -> [aa a]) and partition invariance") {
+    import spark.implicits._
+    val runs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m = Bpe.bpeTrain(runs, rounds = 2)
+      .as[(Long, String, String, Long, Long)].collect().toList
+    m.map(r => (r._1, r._2, r._3, r._4, r._5)) shouldBe List(
+      (1L, "a", "a", 2L, 2L),   // [a a a] -> [aa a], NOT [a aa]
+      (2L, "aa", "a", 1L, 1L))  // -> [aaa]
+    val corpus = Seq((1L, "banana banana apple"), (2L, "banana apple apple"))
+      .toDF("doc_id", "text")
+    val base = Bpe.bpeTrain(corpus, rounds = 3)
+      .as[(Long, String, String, Long, Long)].collect().toList
+    Bpe.bpeTrain(corpus.repartition(7), rounds = 3)
+      .as[(Long, String, String, Long, Long)].collect().toList shouldBe base
+  }
+
+  test("sourceCaps: blocklist dropped, cap enforced, small domains kept whole, partition-invariant") {
+    import spark.implicits._
+    // skewed: hot has 50 docs, cold has 2, bad is blocklisted
+    val rows = (1L to 50L).map(i => (i, s"hot doc number $i", "hot")) ++
+      Seq((101L, "cold one", "cold"), (102L, "cold two", "cold"),
+        (201L, "evil", "bad"), (202L, "evil twin", "bad"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val bl = Seq("bad").toDF("source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.sourceCaps(d, "source", bl, cap = 5)
+        .as[(Long, String, Long)].collect().toList
+    val kept = run(df)
+    kept.map(_._2).toSet shouldBe Set("hot", "cold")
+    kept.count(_._2 == "hot") shouldBe 5
+    kept.filter(_._2 == "cold").map(_._1).toSet shouldBe Set(101L, 102L)
+    kept.map(_._3).foreach(_ should be <= 5L)
+    run(df.repartition(13)) shouldBe kept
+  }
+
+  test("dsirSelect: target-vocabulary documents outrank off-target ones; partition-invariant") {
+    import spark.implicits._
+    // target = source 'tgt'; doc 10 reuses the target's vocabulary,
+    // doc 11 shares none of it
+    val rows = Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "tgt"),
+      (2L, "alpha gamma gamma beta", "en", "tgt"),
+      (10L, "alpha beta alpha gamma", "en", "raw"),
+      (11L, "delta epsilon zeta eta theta", "en", "raw"))
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextFunctions.dsirSelect(d, targetCond = col("source") === "tgt", k = 4)
+        .as[(Long, Long, String, String, Long)].collect().toList
+    val sel = run(df)
+    sel.map(_._2) should contain allOf (10L, 11L)
+    val byDoc = sel.map(r => r._2 -> (r._1, r._5)).toMap
+    byDoc(10L)._2 should be > byDoc(11L)._2   // score
+    byDoc(10L)._1 should be < byDoc(11L)._1   // rank
+    run(df.repartition(9)) shouldBe sel
+  }
 }
