@@ -62,6 +62,12 @@ object ImageCodecIO {
   private[graft] val TsJpegLossless14 = "1.2.840.10008.1.2.4.57"
   private[graft] val TsJpegBaseline = "1.2.840.10008.1.2.4.50"
 
+  /** JPEG-LS Lossless (ITU-T T.87, the LOCO-I algorithm) — the
+    * modern lossless PACS syntax; context-modeled Golomb coding with
+    * run mode, implemented natively in [[JpegLsCodec]] and bit-exact
+    * on round-trip. */
+  private[graft] val TsJpegLs = "1.2.840.10008.1.2.4.80"
+
   /** PackBits decode of one RLE segment into exactly `expected`
     * bytes. Control byte n (signed): 0..127 → copy the next n+1
     * bytes; −1..−127 → repeat the next byte 1−n times; −128 → no-op.
@@ -508,12 +514,12 @@ object ImageCodecIO {
       case TsImplicitLE => (false, false, false)
       case TsExplicitLE => (true, false, false)
       case TsExplicitBE => (true, true, false)
-      case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline =>
+      case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline | TsJpegLs =>
         (true, false, true)
       case other => throw new IllegalArgumentException(
         s"unsupported DICOM transfer syntax $other in $path " +
           "(implicit-VR LE / explicit-VR LE / explicit-VR BE / RLE Lossless / " +
-          "JPEG Lossless (.57/.70) / JPEG Baseline only)")
+          "JPEG Lossless (.57/.70) / JPEG Baseline / JPEG-LS Lossless only)")
     }
     if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     // ---- dataset: element encoding + byte order per transfer syntax ----
@@ -572,6 +578,25 @@ object ImageCodecIO {
         px = new Array[Byte](n)
         var j = 0
         while (j < n) { px(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
+      } else if (ts == TsJpegLs) {
+        val (jw, jh, prec, samples) = JpegLsCodec.decode(encapFragment, path)
+        require(jw == cols && jh == rows,
+          s"JPEG-LS frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
+        require(prec <= bits,
+          s"JPEG-LS precision $prec exceeds DICOM BitsAllocated $bits in $path")
+        if (bits == 16) {
+          px = new Array[Byte](n * 2)
+          var j = 0
+          while (j < n) {
+            px(2 * j) = (samples(j) & 0xff).toByte
+            px(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+            j += 1
+          }
+        } else {
+          px = new Array[Byte](n)
+          var j = 0
+          while (j < n) { px(j) = (samples(j) & 0xff).toByte; j += 1 }
+        }
       } else {
         val (jw, jh, samples) = jpegLosslessDecode(encapFragment, path)
         require(jw == cols && jh == rows,
@@ -616,13 +641,13 @@ object ImageCodecIO {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
-        transferSyntax == TsJpegBaseline,
+        transferSyntax == TsJpegBaseline || transferSyntax == TsJpegLs,
       s"unsupported DICOM transfer syntax $transferSyntax")
     val explicitVr = transferSyntax != TsImplicitLE
     val bigEndian = transferSyntax == TsExplicitBE
     val encapsulated = transferSyntax == TsRle ||
       transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
-      transferSyntax == TsJpegBaseline
+      transferSyntax == TsJpegBaseline || transferSyntax == TsJpegLs
     // Baseline is the one 8-bit (and lossy) profile; everything else
     // writes the 16-bit pixel module
     val bits8 = transferSyntax == TsJpegBaseline
@@ -685,6 +710,7 @@ object ImageCodecIO {
       val frag0 =
         if (transferSyntax == TsRle) rleEncodeFragment(vals)
         else if (bits8) jpegBaselineEncode(img, px, slice)
+        else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals, w, h, 16)
         else jpegLosslessEncode(vals, w, h)
       val frag = if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
       u16x(0x7fe0); u16x(0x0010); bos.write('O'); bos.write('B'); u16x(0); u32x(-1)

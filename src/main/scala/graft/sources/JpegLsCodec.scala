@@ -1,0 +1,452 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** JPEG-LS (ITU-T T.87 / ISO 14495-1) codec — lossless (NEAR = 0),
+  * single component, default preset parameters, 2..16-bit precision.
+  * This is the LOCO-I algorithm: gradient-quantized context modeling
+  * with bias cancellation, limited-length Golomb coding of mapped
+  * prediction residuals, and run mode with run-interruption sample
+  * coding. The full baseline single-component decode path is
+  * implemented (any precision the frame header declares, both run and
+  * regular modes, the k=0 error-mapping special case), so third-party
+  * lossless streams decode too; non-default LSE preset parameters and
+  * multi-component/interleaved scans are rejected loudly, never
+  * mis-decoded.
+  *
+  * Serves the DICOM JPEG-LS Lossless transfer syntax
+  * (1.2.840.10008.1.2.4.80) in [[ImageCodecIO]] — the reference reads
+  * this family through spark-scifio (reference pom.xml:60-64,
+  * exercised by IjRDDTests.scala:30-99).
+  *
+  * Entropy-coded data uses the JPEG-LS marker-stuffing rule (T.87
+  * A.1): after an 0xFF byte the next byte carries only SEVEN data
+  * bits with its MSB forced to 0 — unlike classic JPEG's full 0x00
+  * stuff byte.
+  */
+private[graft] object JpegLsCodec {
+
+  /** T.87 A.2.1: run-length code order table. */
+  private val J = Array(
+    0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+    4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  private val Reset = 64
+  private val MinC = -128
+  private val MaxC = 127
+
+  /** Default preset thresholds (T.87 C.2.4.1.1.1) for NEAR = 0. */
+  private def defaultThresholds(maxval: Int): (Int, Int, Int) = {
+    def clamp(v: Int, lo: Int): Int = math.min(math.max(v, lo), maxval)
+    if (maxval >= 128) {
+      val f = (math.min(maxval, 4095) + 128) / 256
+      val t1 = clamp(f * (3 - 2) + 2, 1)
+      val t2 = clamp(f * (7 - 3) + 3, t1)
+      (t1, t2, clamp(f * (21 - 4) + 4, t2))
+    } else {
+      val f = 256 / (maxval + 1)
+      val t1 = clamp(math.max(2, 3 / f), 1)
+      val t2 = clamp(math.max(3, 7 / f), t1)
+      (t1, t2, clamp(math.max(4, 21 / f), t2))
+    }
+  }
+
+  /** Per-scan modeling state (shared by encoder and decoder — both
+    * sides run the identical update recurrences, which is what makes
+    * the code a bijection). */
+  private final class State(val precision: Int) {
+    val maxval: Int = (1 << precision) - 1
+    val range: Int = maxval + 1
+    val qbpp: Int = precision
+    val bpp: Int = math.max(2, precision)
+    val limit: Int = 2 * (bpp + math.max(8, bpp))
+    val (t1, t2, t3) = defaultThresholds(maxval)
+
+    // regular contexts 0..364 (0 unused), run-interruption contexts 365/366
+    val a = Array.fill(367)(math.max(2, (range + 32) / 64))
+    val b = new Array[Int](365)
+    val c = new Array[Int](365)
+    val n = Array.fill(367)(1)
+    val nn = new Array[Int](367) // negative-error counters, 365/366 used
+    var runIndex = 0
+
+    def quantize(d: Int): Int =
+      if (d <= -t3) -4
+      else if (d <= -t2) -3
+      else if (d <= -t1) -2
+      else if (d < 0) -1
+      else if (d == 0) 0
+      else if (d < t1) 1
+      else if (d < t2) 2
+      else if (d < t3) 3
+      else 4
+
+    def predict(ra: Int, rb: Int, rc: Int): Int =
+      if (rc >= math.max(ra, rb)) math.min(ra, rb)
+      else if (rc <= math.min(ra, rb)) math.max(ra, rb)
+      else ra + rb - rc
+
+    def golombK(q: Int): Int = {
+      var k = 0
+      while ((n(q) << k) < a(q)) k += 1
+      k
+    }
+
+    /** A.6: context update after coding a regular-mode sample. */
+    def updateRegular(q: Int, errval: Int): Unit = {
+      b(q) += errval
+      a(q) += math.abs(errval)
+      if (n(q) == Reset) { a(q) >>= 1; b(q) >>= 1; n(q) >>= 1 }
+      n(q) += 1
+      if (b(q) <= -n(q)) {
+        if (c(q) > MinC) c(q) -= 1
+        b(q) += n(q)
+        if (b(q) <= -n(q)) b(q) = -n(q) + 1
+      } else if (b(q) > 0) {
+        if (c(q) < MaxC) c(q) += 1
+        b(q) -= n(q)
+        if (b(q) > 0) b(q) = 0
+      }
+    }
+
+    def golombKRun(riType: Int): Int = {
+      val q = 365 + riType
+      val temp = a(q) + ((n(q) >> 1) * riType)
+      var k = 0
+      var nTest = n(q)
+      while (nTest < temp) { nTest <<= 1; k += 1 }
+      k
+    }
+
+    /** A.7.2: run-interruption context update. */
+    def updateRun(riType: Int, errval: Int, eMapped: Int): Unit = {
+      val q = 365 + riType
+      if (errval < 0) nn(q) += 1
+      a(q) += (eMapped + 1 - riType) >> 1
+      if (n(q) == Reset) { a(q) >>= 1; n(q) >>= 1; nn(q) >>= 1 }
+      n(q) += 1
+    }
+  }
+
+  // ======================= bit IO with JPEG-LS stuffing ============
+
+  private final class BitWriter(bos: ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    private var cap = 8 // 7 after an 0xFF byte: MSB of the next byte is 0
+    def put(value: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >>> i) & 1)
+        nBits += 1
+        if (nBits == cap) {
+          bos.write(acc)
+          cap = if (acc == 0xff) 7 else 8
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def putZeros(count: Int): Unit = { var i = 0; while (i < count) { put(0, 1); i += 1 } }
+    /** Zero-pad the final partial byte (never produces 0xFF: the last
+      * data bit of a partial byte is followed by at least one 0). */
+    def flush(): Unit = if (nBits > 0) put(0, cap - nBits)
+  }
+
+  private final class BitReader(src: Array[Byte], private var pos: Int, path: String) {
+    private var acc = 0
+    private var nBits = 0
+    private var afterFF = false
+    def bit(): Int = {
+      if (nBits == 0) {
+        require(pos < src.length, s"truncated JPEG-LS entropy data in $path")
+        val b = src(pos) & 0xff; pos += 1
+        if (afterFF) {
+          require((b & 0x80) == 0, s"unexpected marker inside JPEG-LS entropy data in $path")
+          acc = b; nBits = 7
+        } else { acc = b; nBits = 8 }
+        afterFF = b == 0xff
+      }
+      nBits -= 1
+      (acc >>> nBits) & 1
+    }
+    def bits(count: Int): Int = {
+      var v = 0; var i = 0
+      while (i < count) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  // ======================= Golomb limited-length coding ============
+
+  /** A.5.3: limited-length Golomb encode of a mapped non-negative
+    * value: unary(value >> k) zeros + 1 + k low bits, escaping to
+    * (limit - qbpp - 1) zeros + 1 + qbpp bits of (value - 1). */
+  private def encodeMapped(bw: BitWriter, value: Int, k: Int, limit: Int, qbpp: Int): Unit = {
+    val high = value >>> k
+    if (high < limit - qbpp - 1) {
+      bw.putZeros(high)
+      bw.put(1, 1)
+      if (k > 0) bw.put(value & ((1 << k) - 1), k)
+    } else {
+      bw.putZeros(limit - qbpp - 1)
+      bw.put(1, 1)
+      bw.put(value - 1, qbpp)
+    }
+  }
+
+  private def decodeMapped(br: BitReader, k: Int, limit: Int, qbpp: Int, path: String): Int = {
+    var high = 0
+    while (br.bit() == 0) {
+      high += 1
+      require(high <= limit, s"runaway unary code in JPEG-LS stream in $path")
+    }
+    if (high < limit - qbpp - 1) (high << k) | (if (k > 0) br.bits(k) else 0)
+    else br.bits(qbpp) + 1
+  }
+
+  // ======================= scan coding =============================
+
+  /** Encode one P-bit single-component frame as a complete JPEG-LS
+    * interchange stream (SOI, SOF55, SOS, entropy data, EOI). Values
+    * must lie in [0, 2^precision). */
+  private[graft] def encode(vals: Array[Int], w: Int, h: Int, precision: Int): Array[Byte] = {
+    require(precision >= 2 && precision <= 16, s"bad JPEG-LS precision $precision")
+    require(vals.length == w * h, "sample count mismatch")
+    val st = new State(precision)
+    val bos = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
+    def u16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xf7) // SOF55
+    u16(11); bos.write(precision); u16(h); u16(w); bos.write(1)
+    bos.write(1); bos.write(0x11); bos.write(0)
+    marker(0xda) // SOS: 1 component, NEAR=0, ILV=0 (plane), Al=0
+    u16(8); bos.write(1); bos.write(1); bos.write(0)
+    bos.write(0); bos.write(0); bos.write(0)
+
+    val bw = new BitWriter(bos)
+    // prev/cur with 2 phantom cells: [0] = x-1 edge, [w+1] = x=w edge
+    var prev = new Array[Int](w + 2)
+    var cur = new Array[Int](w + 2)
+    var y = 0
+    while (y < h) {
+      prev(w + 1) = prev(w)     // Rd at x = w-1 falls back to Rb
+      cur(0) = prev(1)          // Ra at x = 0 is Rb
+      var x = 0
+      while (x < w) {
+        val ra = cur(x); val rb = prev(x + 1); val rc = prev(x); val rd = prev(x + 2)
+        val ix = vals(y * w + x)
+        val q1 = st.quantize(rd - rb); val q2 = st.quantize(rb - rc); val q3 = st.quantize(rc - ra)
+        if (q1 == 0 && q2 == 0 && q3 == 0) {
+          // ---- run mode (A.7) ----
+          var runLen = 0
+          while (x + runLen < w && vals(y * w + x + runLen) == ra) runLen += 1
+          var i = 0
+          while (i < runLen) { cur(x + 1 + i) = ra; i += 1 }
+          val eol = x + runLen == w
+          var rem = runLen
+          while (rem >= (1 << J(st.runIndex))) {
+            bw.put(1, 1)
+            rem -= 1 << J(st.runIndex)
+            if (st.runIndex < 31) st.runIndex += 1
+          }
+          if (eol) {
+            if (rem > 0) bw.put(1, 1)
+            x += runLen
+          } else {
+            bw.put(rem, J(st.runIndex) + 1) // leading 0 + J bits
+            // run-interruption sample (A.7.2)
+            val xi = x + runLen
+            val rbI = prev(xi + 1)
+            val ixI = vals(y * w + xi)
+            val riType = if (ra == rbI) 1 else 0
+            val px = if (riType == 1) ra else rbI
+            var errval = ixI - px
+            if (riType == 0 && ra > rbI) errval = -errval
+            // modulo reduction (A.4.5)
+            if (errval < 0) errval += st.range
+            if (errval >= (st.range + 1) / 2) errval -= st.range
+            val k = st.golombKRun(riType)
+            val q = 365 + riType
+            val map =
+              (k == 0 && errval > 0 && 2 * st.nn(q) < st.n(q)) ||
+              (errval < 0 && 2 * st.nn(q) >= st.n(q)) ||
+              (errval < 0 && k != 0)
+            val eMapped = 2 * math.abs(errval) - riType - (if (map) 1 else 0)
+            encodeMapped(bw, eMapped, k, st.limit - J(st.runIndex) - 1, st.qbpp)
+            st.updateRun(riType, errval, eMapped)
+            if (st.runIndex > 0) st.runIndex -= 1
+            cur(xi + 1) = ixI
+            x = xi + 1
+          }
+        } else {
+          // ---- regular mode (A.4-A.6) ----
+          var sign = 1
+          var q = 81 * q1 + 9 * q2 + q3
+          if (q < 0) { sign = -1; q = -q }
+          var px = st.predict(ra, rb, rc) + sign * st.c(q)
+          if (px < 0) px = 0 else if (px > st.maxval) px = st.maxval
+          var errval = ix - px
+          if (sign < 0) errval = -errval
+          if (errval < 0) errval += st.range
+          if (errval >= (st.range + 1) / 2) errval -= st.range
+          val k = st.golombK(q)
+          val mapped =
+            if (k == 0 && 2 * st.b(q) <= -st.n(q)) {
+              if (errval >= 0) 2 * errval + 1 else -2 * (errval + 1)
+            } else {
+              if (errval >= 0) 2 * errval else -2 * errval - 1
+            }
+          encodeMapped(bw, mapped, k, st.limit, st.qbpp)
+          st.updateRegular(q, errval)
+          cur(x + 1) = ix
+          x += 1
+        }
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Decode a single-component JPEG-LS stream. Accepts any declared
+    * precision 2..16 and both coding modes; rejects loudly what this
+    * profile does not cover (multi-component scans, interleaving,
+    * NEAR > 0, point transforms, non-default LSE presets, restart
+    * intervals). Returns (width, height, precision, samples). */
+  private[graft] def decode(frag: Array[Byte], path: String): (Int, Int, Int, Array[Int]) = {
+    require(frag.length >= 4 && (frag(0) & 0xff) == 0xff && (frag(1) & 0xff) == 0xd8,
+      s"missing JPEG-LS SOI marker in $path")
+    def u16(p: Int): Int = ((frag(p) & 0xff) << 8) | (frag(p + 1) & 0xff)
+    var pos = 2
+    var w = 0; var h = 0; var precision = 0
+    var scanStart = -1
+    while (scanStart < 0) {
+      require(pos + 4 <= frag.length && (frag(pos) & 0xff) == 0xff,
+        s"malformed JPEG-LS marker stream in $path")
+      val m = frag(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      require(pos + 2 + len <= frag.length, s"truncated JPEG-LS segment in $path")
+      m match {
+        case 0xf7 => // SOF55
+          precision = frag(pos + 4) & 0xff
+          h = u16(pos + 5); w = u16(pos + 7)
+          require((frag(pos + 9) & 0xff) == 1,
+            s"multi-component JPEG-LS unsupported in $path")
+          require(precision >= 2 && precision <= 16,
+            s"bad JPEG-LS precision $precision in $path")
+        case 0xf8 => // LSE: only the default preset restatement is accepted
+          require((frag(pos + 4) & 0xff) == 1,
+            s"non-preset JPEG-LS LSE segment unsupported in $path")
+          require(precision > 0, s"JPEG-LS LSE before SOF55 in $path")
+          val st0 = new State(precision)
+          val declared = (u16(pos + 5), u16(pos + 7), u16(pos + 9), u16(pos + 11), u16(pos + 13))
+          require(declared == ((st0.maxval, st0.t1, st0.t2, st0.t3, Reset)),
+            s"non-default JPEG-LS preset parameters $declared unsupported in $path")
+        case sof if sof >= 0xc0 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          throw new IllegalArgumentException(
+            f"non-JPEG-LS frame (SOF marker 0xFF$sof%02X) in $path — SOF55 only")
+        case 0xdd =>
+          require(u16(pos + 4) == 0, s"JPEG-LS restart intervals unsupported in $path")
+        case 0xda => // SOS
+          require((frag(pos + 4) & 0xff) == 1,
+            s"multi-component JPEG-LS scan unsupported in $path")
+          require((frag(pos + 7) & 0xff) == 0,
+            s"near-lossless JPEG-LS (NEAR > 0) unsupported in $path")
+          require((frag(pos + 8) & 0xff) == 0,
+            s"interleaved JPEG-LS scan unsupported in $path")
+          require((frag(pos + 9) & 0x0f) == 0,
+            s"JPEG-LS point transform unsupported in $path")
+          scanStart = pos + 2 + len
+        case _ => () // APPn / COM: skip
+      }
+      pos += 2 + len
+    }
+    require(w > 0 && h > 0, s"missing JPEG-LS SOF55 frame header in $path")
+
+    val st = new State(precision)
+    val br = new BitReader(frag, scanStart, path)
+    val out = new Array[Int](w * h)
+    var prev = new Array[Int](w + 2)
+    var cur = new Array[Int](w + 2)
+    var y = 0
+    while (y < h) {
+      prev(w + 1) = prev(w)
+      cur(0) = prev(1)
+      var x = 0
+      while (x < w) {
+        val ra = cur(x); val rb = prev(x + 1); val rc = prev(x); val rd = prev(x + 2)
+        val q1 = st.quantize(rd - rb); val q2 = st.quantize(rb - rc); val q3 = st.quantize(rc - ra)
+        if (q1 == 0 && q2 == 0 && q3 == 0) {
+          // ---- run mode ----
+          var runLen = 0
+          var broken = false
+          while (!broken && br.bit() == 1) {
+            val step = math.min(1 << J(st.runIndex), w - x - runLen)
+            runLen += step
+            if (step == (1 << J(st.runIndex)) && st.runIndex < 31) st.runIndex += 1
+            if (x + runLen == w) broken = true
+          }
+          if (x + runLen < w) { // interrupted run: remainder then sample
+            if (J(st.runIndex) > 0) runLen += br.bits(J(st.runIndex))
+            require(x + runLen < w, s"JPEG-LS run overruns line in $path")
+          }
+          var i = 0
+          while (i < runLen) { out(y * w + x + i) = ra; cur(x + 1 + i) = ra; i += 1 }
+          if (x + runLen == w) x += runLen
+          else {
+            val xi = x + runLen
+            val rbI = prev(xi + 1)
+            val riType = if (ra == rbI) 1 else 0
+            val q = 365 + riType
+            val k = st.golombKRun(riType)
+            val eMapped = decodeMapped(br, k, st.limit - J(st.runIndex) - 1, st.qbpp, path)
+            val temp = eMapped + riType
+            val map = (temp & 1) == 1
+            val errAbs = (temp + (if (map) 1 else 0)) / 2
+            val errval =
+              if ((k != 0 || 2 * st.nn(q) >= st.n(q)) == map) -errAbs else errAbs
+            st.updateRun(riType, errval, eMapped)
+            if (st.runIndex > 0) st.runIndex -= 1
+            val px = if (riType == 1) ra else rbI
+            val signedErr = if (riType == 0 && ra > rbI) -errval else errval
+            var rx = px + signedErr
+            if (rx < 0) rx += st.range else if (rx > st.maxval) rx -= st.range
+            require(rx >= 0 && rx <= st.maxval, s"JPEG-LS sample out of range in $path")
+            out(y * w + xi) = rx
+            cur(xi + 1) = rx
+            x = xi + 1
+          }
+        } else {
+          // ---- regular mode ----
+          var sign = 1
+          var q = 81 * q1 + 9 * q2 + q3
+          if (q < 0) { sign = -1; q = -q }
+          var px = st.predict(ra, rb, rc) + sign * st.c(q)
+          if (px < 0) px = 0 else if (px > st.maxval) px = st.maxval
+          val k = st.golombK(q)
+          val mapped = decodeMapped(br, k, st.limit, st.qbpp, path)
+          val errval =
+            if (k == 0 && 2 * st.b(q) <= -st.n(q)) {
+              if ((mapped & 1) == 1) (mapped - 1) / 2 else -(mapped / 2) - 1
+            } else {
+              if ((mapped & 1) == 0) mapped / 2 else -((mapped + 1) / 2)
+            }
+          st.updateRegular(q, errval)
+          var rx = px + (if (sign < 0) -errval else errval)
+          if (rx < 0) rx += st.range else if (rx > st.maxval) rx -= st.range
+          require(rx >= 0 && rx <= st.maxval, s"JPEG-LS sample out of range in $path")
+          out(y * w + x) = rx
+          cur(x + 1) = rx
+          x += 1
+        }
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    (w, h, precision, out)
+  }
+}

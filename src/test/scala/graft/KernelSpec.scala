@@ -254,12 +254,59 @@ class KernelSpec extends AnyFunSuite with Matchers {
     Seq(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
         ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle,
         ImageCodecIO.TsJpegLossless, ImageCodecIO.TsJpegLossless14,
-        ImageCodecIO.TsJpegBaseline).foreach { ts =>
+        ImageCodecIO.TsJpegBaseline, ImageCodecIO.TsJpegLs).foreach { ts =>
       ImageCodecIO.dicomTransferSyntax("t.dcm",
         ImageCodecIO.encodeDicom(img, transferSyntax = ts)) shouldBe ts
     }
     an[IllegalArgumentException] should be thrownBy
       ImageCodecIO.dicomTransferSyntax("junk", Array.fill(200)(7.toByte))
+  }
+
+  test("JPEG-LS round-trips hostile, flat, ramp and random frames bit-exactly at 8/12/16-bit") {
+    import graft.sources.JpegLsCodec
+    val rnd = new scala.util.Random(1234)
+    // random frames across precisions and shapes (incl. 1-wide and
+    // 1-tall edges); random data drives regular mode, plateaus drive
+    // run mode with interruption samples at every plateau boundary
+    for (p <- Seq(8, 12, 16); (w, h) <- Seq((1, 7), (7, 1), (5, 4), (16, 16), (33, 9))) {
+      val maxv = (1 << p) - 1
+      val vals = Array.fill(w * h)(rnd.nextInt(maxv + 1))
+      val (dw, dh, dp, back) = JpegLsCodec.decode(JpegLsCodec.encode(vals, w, h, p), "t")
+      (dw, dh, dp) shouldBe ((w, h, p))
+      back shouldBe vals
+      val plateau = Array.tabulate(w * h)(i => if ((i / 5) % 2 == 0) 7 else maxv - 3)
+      JpegLsCodec.decode(JpegLsCodec.encode(plateau, w, h, p), "t")._4 shouldBe plateau
+    }
+    // worst-case 16-bit alternation (max-magnitude residuals, escape coding)
+    val hostile = Array.tabulate(64)(i => if (i % 2 == 0) 0 else 65535)
+    JpegLsCodec.decode(JpegLsCodec.encode(hostile, 8, 8, 16), "t")._4 shouldBe hostile
+    // flat frame: pure run mode, and it must COMPRESS (64x64x2 raw
+    // bytes down to a few dozen — one run code per line)
+    val flat = Array.fill(64 * 64)(1234)
+    val flatBytes = JpegLsCodec.encode(flat, 64, 64, 16)
+    JpegLsCodec.decode(flatBytes, "t")._4 shouldBe flat
+    flatBytes.length should be < 200
+    // smooth ramp: regular mode with small residuals, must beat raw
+    val ramp = Array.tabulate(64 * 64)(i => (i % 64) * 3 + (i / 64))
+    val rampBytes = JpegLsCodec.encode(ramp, 64, 64, 16)
+    JpegLsCodec.decode(rampBytes, "t")._4 shouldBe ramp
+    rampBytes.length should be < (64 * 64 * 2 * 3) / 4
+  }
+
+  test("JPEG-LS DICOM (.80) round-trips through the encapsulated PixelData path") {
+    import graft.sources.ImageCodecIO
+    val vals = Array(0.0, 65535.0, 32768.0, 40000.0, 123.0, 123.0, 123.0, 9.0)
+    val img = SparkImage(ImageMeta(), "[]", 4, 2, 1, PixelCodec.Short16,
+      PixelCodec.encode(vals, PixelCodec.Short16))
+    val bytes = ImageCodecIO.encodeDicom(img, instance = 11,
+      transferSyntax = ImageCodecIO.TsJpegLs)
+    val (back, inst) = ImageCodecIO.decodeDicomWithInstance("ls.dcm", bytes)
+    inst shouldBe 11
+    back.width shouldBe 4
+    back.height shouldBe 2
+    back.toDoubles shouldBe vals
+    // magic dispatch reads it without the extension hint
+    ImageCodecIO.decode("noext", bytes).toDoubles shouldBe vals
   }
 
   test("JPEG Lossless decoder handles third-party streams: tuned Huffman table, predictor 4, APPn/COM segments") {

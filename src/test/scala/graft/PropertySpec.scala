@@ -277,7 +277,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
       inst <- Gen.choose(1, 999)
       ts <- Gen.oneOf(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
         ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle, ImageCodecIO.TsJpegLossless,
-        ImageCodecIO.TsJpegLossless14)
+        ImageCodecIO.TsJpegLossless14, ImageCodecIO.TsJpegLs)
       px <- Gen.listOfN(w * h * slices, Gen.choose(0, 65535).map(_.toDouble))
     } yield (w, h, slices, s, inst, ts, px.toArray)
     check("dicom-roundtrip", Prop.forAll(genCase) { case (w, h, slices, s, inst, ts, px) =>
