@@ -520,6 +520,25 @@ object PlanAudit {
           "is the NATIVE content_hash64 expression",
         Seq("BroadcastHashJoin", "KSmallestAggregator"),
         Seq("Window", "ScalaUDF", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q138_source_caps",
+        "domain caps: the blocklist RELATION anti-joins as a broadcast " +
+          "LeftAnti (a 10M-host list is ~100 MB — ships to executors, " +
+          "never shuffles the corpus); the per-domain cap is the salted " +
+          "map-side-combining KSmallestAggregator, so a 90%-one-domain " +
+          "crawl pre-selects its cap-sized survivor set across salt " +
+          "buckets — no task ever sorts a whole domain",
+        Seq("BroadcastHashJoin", "LeftAnti", "KSmallestAggregator"),
+        Seq("Window", "ScalaUDF", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q139_dsir_select",
+        "DSIR selection: ONE pass over the token stream builds both " +
+          "unigram models as a conditional hash aggregation (map-side " +
+          "combined, vocab-sized result); the weight table equi-joins " +
+          "back to the token stream on token; per-doc score re-agg is " +
+          "map-side combined; the global top-k is the salted " +
+          "KSmallestAggregator under a constant key — bounded two-phase " +
+          "selection, never a corpus-wide rank window",
+        Seq("HashAggregate", "KSmallestAggregator"),
+        Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

@@ -375,6 +375,29 @@ object ScaleProbe {
         graft.pipeline.Sampling.skyline(pts, "id", "x", "y").count(),
         graft.pipeline.Sampling.skyline(ptsN, "id", "x", "y").count())
     }
+    // blocklist anti-join + bounded per-domain TopK: output is capped
+    // (≤ cap·|domains| rows at any corpus size), so the ratio measures
+    // the scan + salted selection, not output growth
+    if (only.isEmpty || only("source_caps")) {
+      import spark.implicits._
+      val bl = Seq("src6", "src14").toDF("source")
+      probe("source_caps",
+        graft.pipeline.Sampling.sourceCaps(docs, "source", bl, 20).count(),
+        graft.pipeline.Sampling.sourceCaps(docsN, "source", bl, 20).count())
+    }
+    // one token-stream pass (conditional counts), weight join, top-k:
+    // the replicas' per-copy token prefixes grow the vocab 10×, so the
+    // weight table grows with the corpus here; selection stays k-bounded
+    probe("dsir_select",
+      TextFunctions.dsirSelect(docs, col("source") === "src0", 50).count(),
+      TextFunctions.dsirSelect(docsN, col("source") === "src0", 50).count())
+    // BPE: corpus-scale work is ONE tokenize+count; the three merge
+    // rounds then run on the (word, freq) table — which the per-copy
+    // token prefixes also grow 10×, so this measures the honest
+    // worst case (rounds scale with vocab, not corpus)
+    probe("bpe_3rounds",
+      graft.pipeline.Bpe.bpeTrain(docs, 3).count(),
+      graft.pipeline.Bpe.bpeTrain(docsN, 3).count())
     spark.stop()
   }
 }

@@ -35,7 +35,25 @@ import org.apache.spark.sql.types._
   */
 object Bpe {
 
-  private val Sep = "\u001f"
+  private[graft] val Sep = "\u001f"
+
+  /** One merge round's pair-count body: adjacent symbol pairs derive
+    * INSIDE each word's symbol array (slice + zip, codegen'd — no
+    * per-word window), weighted by word frequency and reduced through
+    * a map-side-combined (l, r) hash aggregation whose output is
+    * bounded by the live pair vocabulary. Exposed for the plan assert
+    * in ScaleTechniquesSpec. */
+  private[graft] def pairCounts(words: DataFrame): DataFrame = {
+    val syms = split(regexp_replace(col("seg"), s"^$Sep|$Sep$$", ""), s"$Sep$Sep")
+    words
+      .select(col("freq"), syms.as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("freq"), explode(arrays_zip(
+        slice(col("s"), lit(1), size(col("s")) - 1),
+        slice(col("s"), lit(2), size(col("s")) - 1))).as("p"))
+      .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
 
   /** `rounds` BPE merges learned from the corpus's whitespace words.
     * Output: one row per round — (round, left_sym, right_sym, cnt,
@@ -56,17 +74,9 @@ object Bpe {
     var words = words0
     var r = 1
     while (r <= rounds) {
-      val syms = split(regexp_replace(col("seg"), s"^$Sep|$Sep$$", ""), s"$Sep$Sep")
-      val pairs = words
-        .select(col("freq"), syms.as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("freq"), explode(arrays_zip(
-          slice(col("s"), lit(1), size(col("s")) - 1),
-          slice(col("s"), lit(2), size(col("s")) - 1))).as("p"))
-        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
       // the argmax merge: ONE row to the driver, bounded by construction
-      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).head()
+      val best = pairCounts(words).orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).head()
       val (l, rt, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       val next = words.withColumn("seg",
           replace(col("seg"), lit(s"$Sep$l$Sep$Sep$rt$Sep"), lit(s"$Sep$l$rt$Sep")))

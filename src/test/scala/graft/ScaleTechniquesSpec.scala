@@ -226,4 +226,24 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE b_lineitem")
     }
   }
+
+  test("BPE pair-count round: partial+final hash agg, in-array pair derivation, no Window") {
+    import spark.implicits._
+    val sep = graft.pipeline.Bpe.Sep
+    val words = Seq(("banana", 3L), ("apple", 2L), ("kiwi", 5L))
+      .toDF("word", "freq")
+      .withColumn("seg", regexp_replace(col("word"), "(.)", s"$sep$$1$sep"))
+    val pairs = graft.pipeline.Bpe.pairCounts(words)
+    val got = pairs.as[(String, String, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    got(("a", "n")) shouldBe 6L   // banana: (a,n) twice, freq 3
+    got(("p", "p")) shouldBe 2L
+    got(("k", "i")) shouldBe 5L   // kiwi: k-i and w-i are distinct pairs
+    got(("w", "i")) shouldBe 5L
+    val plan = pairs.queryExecution.executedPlan.toString
+    // map-side combine: a partial and a final HashAggregate pair
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
 }
