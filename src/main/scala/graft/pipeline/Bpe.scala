@@ -58,41 +58,14 @@ object Bpe {
   /** `rounds` BPE merges learned from the corpus's whitespace words.
     * Output: one row per round — (round, left_sym, right_sym, cnt,
     * sym_count), where cnt is the merged pair's weighted frequency at
-    * selection time and sym_count the total corpus symbol count AFTER
-    * the merge (each merge removes exactly cnt symbols — the invariant
-    * the spec asserts). */
+    * selection time and sym_count the MEASURED total corpus symbol
+    * count after the merge (equal to the pre-merge count minus cnt
+    * only when no merged pairs overlap in runs — PipelineSpec pins the
+    * [a a a] case where they do). */
   def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
-    require(rounds > 0, "bpeTrain: rounds must be positive")
     val spark = docs.sparkSession
-    val words0 = PartitionUtil.spread(docs)
-      .select(explode(Dedup.tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("seg", regexp_replace(col("word"), "(.)", s"$Sep$$1$Sep"))
-      .persist()
-
-    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
-    var words = words0
-    var r = 1
-    while (r <= rounds) {
-      // the argmax merge: ONE row to the driver, bounded by construction
-      val best = pairCounts(words).orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).head()
-      val (l, rt, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      val next = words.withColumn("seg",
-          replace(col("seg"), lit(s"$Sep$l$Sep$Sep$rt$Sep"), lit(s"$Sep$l$rt$Sep")))
-        .persist()
-      val symCount = next
-        .select((col("freq") *
-          size(split(regexp_replace(col("seg"), s"^$Sep|$Sep$$", ""), s"$Sep$Sep")))
-          .as("n"))
-        .agg(sum(col("n"))).head().getLong(0)
-      words.unpersist()
-      words = next
-      merges += ((r.toLong, l, rt, cnt, symCount))
-      r += 1
-    }
-    words.unpersist()
-
+    val (merges, wordsFinal) = trainLoop(docs, rounds)
+    wordsFinal.unpersist()
     val schema = StructType(Seq(
       StructField("round", LongType, nullable = false),
       StructField("left_sym", StringType, nullable = false),
@@ -100,8 +73,98 @@ object Bpe {
       StructField("cnt", LongType, nullable = false),
       StructField("sym_count", LongType, nullable = false)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.result().map(Row.fromTuple), 1), schema)
+      spark.sparkContext.parallelize(merges.map(Row.fromTuple), 1), schema)
       .orderBy(col("round"))
+  }
+
+  /** Train `rounds` merges, then APPLY the learned vocabulary back to
+    * the corpus — the production tokenizer-application pass: per
+    * document, how many whitespace words and how many BPE subword
+    * tokens they segment into (the number a sequence-packing or
+    * token-budget stage actually consumes). The word table already
+    * holds each word's final segmentation when training ends, so
+    * application is ONE equi-join of the corpus token stream against
+    * the vocab-sized (word → |symbols|) relation (hash-partitioned by
+    * word at scale; Spark may broadcast it when small) followed by a
+    * map-side-combined per-doc count — the corpus is never segmented
+    * character-by-character a second time. */
+  def bpeSegment(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, wordsFinal) = trainLoop(docs, rounds)
+    val nSyms = wordsFinal.select(col("word"),
+      size(split(regexp_replace(col("seg"), s"^$Sep|$Sep$$", ""), s"$Sep$Sep"))
+        .cast("long").as("n_syms"))
+    val tok = PartitionUtil.spread(docs)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("word"))
+    val out = tok.join(nSyms, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+    // the join above materializes before unpersist only when the
+    // caller acts; keep the cache — it is vocab-sized — and let the
+    // executor LRU reclaim it (matches the fit-table discipline)
+    out
+  }
+
+  /** The shared merge-training loop: returns the merge rows and the
+    * PERSISTED final (word, freq, seg) relation.
+    *
+    * ONE Spark action per round: a single global aggregation over the
+    * pair counts yields BOTH the argmax merge (min_by over the
+    * (-cnt, l, r) ordering struct — count desc, then lexicographic)
+    * AND Σcnt, which is the PREVIOUS round's symbol census for free:
+    * every word contributes |symbols|-1 adjacent pairs, so
+    * Σ freq·|symbols| = Σ pair counts + Σ freq (the total word
+    * instances, computed once up front). Only the LAST round's census
+    * needs one extra Σcnt pass over the final segmentations. (Note
+    * sym_count is a MEASURED census, not `prev - cnt`: greedy-left run
+    * merging makes those differ — [a a a] counts the (a,a) pair twice
+    * but one merge removes one symbol.) */
+  private def trainLoop(docs: DataFrame,
+                        rounds: Int): (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    require(rounds > 0, "bpeTrain: rounds must be positive")
+    val words0 = PartitionUtil.spread(docs)
+      .select(explode(Dedup.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", regexp_replace(col("word"), "(.)", s"$Sep$$1$Sep"))
+      .persist()
+    val totalFreq = Option(words0.agg(sum(col("freq"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+
+    // round r's aggregation reports (argmax merge of s_{r-1}, census of
+    // s_{r-1}); the census of round r-1's OUTPUT lands one iteration
+    // later, so merge metadata is completed with a 1-round lag
+    def roundAgg(w: DataFrame): (Long, String, String, Long) = {
+      val row = pairCounts(w).agg(
+        sum(col("cnt")),
+        min_by(struct(col("l"), col("r"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("l"), col("r")))).head()
+      require(!row.isNullAt(0),
+        s"BPE corpus exhausted: every word is a single symbol before $rounds rounds")
+      val best = row.getStruct(1)
+      (row.getLong(0), best.getString(0), best.getString(1), best.getLong(2))
+    }
+
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+    var words = words0
+    var pending: (Long, String, String, Long) = null // (round, l, r, cnt) awaiting census
+    var r = 1
+    while (r <= rounds) {
+      val (sumCnt, l, rt, cnt) = roundAgg(words)
+      if (pending != null)
+        merges += ((pending._1, pending._2, pending._3, pending._4, sumCnt + totalFreq))
+      pending = (r.toLong, l, rt, cnt)
+      val next = words.withColumn("seg",
+          replace(col("seg"), lit(s"$Sep$l$Sep$Sep$rt$Sep"), lit(s"$Sep$l$rt$Sep")))
+        .persist()
+      words.unpersist()
+      words = next
+      r += 1
+    }
+    // the last round's census: one Σ(|symbols|-1) pass over the final table
+    val lastPairs = Option(pairCounts(words).agg(sum(col("cnt"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    merges += ((pending._1, pending._2, pending._3, pending._4, lastPairs + totalFreq))
+    (merges.result(), words)
   }
 
   /** DuckDB oracle for [[bpeTrain]] over `documents` — the `rounds`
@@ -111,14 +174,22 @@ object Bpe {
     * segmentation encoding is built with list functions rather than
     * the engine's regexp — an independent formulation of the same
     * wrapping. */
-  private[graft] def bpeTrainOracleSql(rounds: Int): String = {
-    val S = "chr(31)"
-    def symsOf(seg: String) = s"string_split(trim($seg, $S), $S || $S)"
+  private val OracleSep = "chr(31)"
+
+  private def oracleSymsOf(seg: String) =
+    s"string_split(trim($seg, $OracleSep), $OracleSep || $OracleSep)"
+
+  /** The shared merge-round CTE chain: w (word freqs), s0 (initial
+    * segmentations), then per round pair counts p_r, argmax b_r,
+    * merged segmentations s_r, symbol census c_r. `word` rides every
+    * s_r stage so the segment oracle can join the corpus back. */
+  private def oracleStagesSql(rounds: Int): String = {
+    val S = OracleSep
     val stages = new StringBuilder
     stages.append(s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM
         (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
          FROM documents) GROUP BY word),
-      s0 AS MATERIALIZED (SELECT freq,
+      s0 AS MATERIALIZED (SELECT word, freq,
         array_to_string(list_transform(string_split(word, ''), c -> $S || c || $S), '') AS seg
         FROM w)""")
     for (r <- 1 to rounds) {
@@ -127,22 +198,39 @@ object Bpe {
       p$r AS MATERIALIZED (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM
         (SELECT freq, syms[p] AS l, syms[p + 1] AS r FROM
           (SELECT freq, syms, unnest(range(1, len(syms))) AS p FROM
-            (SELECT freq, ${symsOf("seg")} AS syms FROM $prev)
+            (SELECT freq, ${oracleSymsOf("seg")} AS syms FROM $prev)
            WHERE len(syms) >= 2))
         GROUP BY l, r),
       b$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
-      s$r AS MATERIALIZED (SELECT freq,
+      s$r AS MATERIALIZED (SELECT word, freq,
         replace(seg, $S || b.l || $S || $S || b.r || $S, $S || b.l || b.r || $S) AS seg
         FROM $prev, b$r b),
-      c$r AS (SELECT CAST(SUM(freq * len(${symsOf("seg")})) AS BIGINT) AS sym_count
+      c$r AS (SELECT CAST(SUM(freq * len(${oracleSymsOf("seg")})) AS BIGINT) AS sym_count
         FROM s$r)""")
     }
+    stages.toString
+  }
+
+  private[graft] def bpeTrainOracleSql(rounds: Int): String = {
     val union = (1 to rounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round, l AS left_sym, r AS right_sym, cnt,
         (SELECT sym_count FROM c$r) AS sym_count FROM b$r"""
     }.mkString("\n      UNION ALL\n      ")
-    stages.append(s"""
+    s"""${oracleStagesSql(rounds)}
       $union
-      ORDER BY round""").toString
+      ORDER BY round"""
   }
+
+  /** DuckDB oracle for [[bpeSegment]]: the same merge-round chain,
+    * then the corpus token stream joins the FINAL segmentation
+    * relation on word and aggregates per document. */
+  private[graft] def bpeSegmentOracleSql(rounds: Int): String =
+    s"""${oracleStagesSql(rounds)}
+      SELECT t.doc_id, COUNT(*) AS n_words,
+        CAST(SUM(len(${oracleSymsOf("seg")})) AS BIGINT) AS n_subwords
+      FROM (SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents) t
+      JOIN s$rounds USING (word)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
 }

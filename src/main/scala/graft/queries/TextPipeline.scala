@@ -1135,6 +1135,14 @@ object TextPipeline {
       (s, dir) => graft.pipeline.Bpe.bpeTrain(t(s, dir, "documents"), rounds = 10),
       Some(graft.pipeline.Bpe.bpeTrainOracleSql(rounds = 10))),
 
+    // ---- tokenizer application: the learned 10-merge vocabulary
+    // segments the corpus — per doc, whitespace words vs BPE subword
+    // tokens (the count a packing/token-budget stage consumes). ONE
+    // word-keyed join against the vocab-sized final segmentation ----
+    ("q141_bpe_segment",
+      (s, dir) => graft.pipeline.Bpe.bpeSegment(t(s, dir, "documents"), rounds = 10),
+      Some(graft.pipeline.Bpe.bpeSegmentOracleSql(rounds = 10))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

@@ -1190,7 +1190,7 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     back shouldBe rows.sortBy(_._1)
   }
 
-  test("BPE: hand-checked merge sequence, tie-breaks, and the sym_count -= cnt invariant") {
+  test("BPE: hand-checked merge sequence, tie-breaks, and measured sym_count per round") {
     import spark.implicits._
     val corpus = Seq((1L, "banana banana apple"), (2L, "banana apple apple"))
       .toDF("doc_id", "text")
@@ -1203,7 +1203,9 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // its SECOND an (greedy-left finds no ␟an␟␟a␟ at the first).
     m.map(r => (r._1, r._2, r._3, r._4)) shouldBe List(
       (1L, "a", "n", 6L), (2L, "a", "p", 3L), (3L, "an", "a", 3L))
-    // initial symbols: 6·3 + 5·3 = 33; each merge removes exactly cnt
+    // initial symbols: 6·3 + 5·3 = 33; with no overlapping pairs here
+    // each merge removes exactly cnt symbols (the [aaa] test below
+    // pins the overlap case where it removes FEWER)
     m.map(_._5) shouldBe List(27L, 24L, 21L)
   }
 
