@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ContentHash, VectorDot, VectorNorm}
+import graft.functions.{ContentHash, SaltedHash64, VectorDot, VectorNorm}
 
 /** Session-extension entry point:
   *
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ContentHash].getName, "content_hash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ContentHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("salted_hash64"),
+      new ExpressionInfo(classOf[SaltedHash64].getName, "salted_hash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SaltedHash64(exprs(0), exprs(1))))
     // band-join rewrite (opt-in via spark.graft.rangeJoin.bucketWidth):
     // turns inequality-only joins into bucketized equi-joins instead of
     // Catalyst's BroadcastNestedLoopJoin fallback

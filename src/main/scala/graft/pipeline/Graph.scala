@@ -827,7 +827,7 @@ object Graph {
     * graph: the same recurrence unrolled, argmax as ROW_NUMBER over
     * (wt DESC, label ASC) — the independent spelling of the
     * struct-min. */
-  private[graft] def labelPropagationOracleSql(minW: Long, iters: Int): String = {
+  private def lpaCtes(minW: Long, iters: Int): String = {
     val head =
       s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
          |edges0 AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
@@ -836,15 +836,87 @@ object Graph {
          |edges AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges0 WHERE w >= $minW),
          |l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges)""".stripMargin
     val iterCtes = (1 to iters).map { k =>
-      s"""l$k AS (SELECT src AS v, label FROM (
+      s"""l$k AS MATERIALIZED (SELECT src AS v, label FROM (
          |    SELECT e.src, l.label, SUM(e.w) AS wt,
          |      ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY SUM(e.w) DESC, l.label ASC) AS rn
          |    FROM edges e JOIN l${k - 1} l ON l.v = e.dst
          |    GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    head + ",\n" + iterCtes +
-      s"\nSELECT v AS s_suppkey, CAST(label AS BIGINT) AS community FROM l$iters ORDER BY community, s_suppkey"
+    head + ",\n" + iterCtes
   }
+
+  private[graft] def labelPropagationOracleSql(minW: Long, iters: Int): String =
+    lpaCtes(minW, iters) +
+      s"\nSELECT v AS s_suppkey, CAST(label AS BIGINT) AS community FROM l$iters ORDER BY community, s_suppkey"
+
+  /** Community quality audit over [[labelPropagation]]'s partition —
+    * per community: node count, internal (within-community) edges of
+    * the undirected simple graph, degree sum, and the EXACT integer
+    * modularity numerator `4·m·internal − degree_sum²` (the community
+    * contribution to Newman modularity is that value over the shared
+    * denominator 4m², left implicit so every emitted number is an
+    * exact BIGINT — no float, no signed integer-division divergence
+    * between engines). At extreme edge counts (m ≳ 2^31) the square
+    * needs DECIMAL headroom; the TPC-H co-occurrence graphs sit far
+    * below that.
+    *
+    * Scale shape: one LPA run (the q127 machinery, same knobs), then
+    * two |E|-bounded joins label the undirected edge list's endpoints
+    * and two map-side-combined per-community aggregations. The m
+    * scalar is a single driver pull. */
+  def communityModularity(edges: DataFrame, iters: Int): DataFrame = {
+    val ec = PartitionUtil.materialize(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")), None)
+    val labels = labelPropagation(ec, iters)
+    val und = ec.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist()
+    val m = und.count()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val comm = labels.join(deg, Seq("v"))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val la = labels.select(col("v").as("a"), col("label").as("la"))
+    val lb = labels.select(col("v").as("b"), col("label").as("lb"))
+    val intra = und.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    // und stays cached: the caller's action re-reads it through three
+    // branches (deg, intra); it is |E|-bounded and LRU-reclaimable
+    comm.join(intra, Seq("community"), "left")
+      .select(col("community").cast("long").as("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        (lit(4L * m) * coalesce(col("internal_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("q_num"))
+      .orderBy(col("community"))
+  }
+
+  /** DuckDB oracle for [[communityModularity]]: the LPA chain plus the
+    * same undirected edge set, degree sums, and integer numerator. */
+  private[graft] def communityModularityOracleSql(minW: Long, iters: Int): String =
+    lpaCtes(minW, iters) +
+      s""",
+         |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |mm AS (SELECT COUNT(*) AS m FROM und),
+         |deg AS (SELECT v, COUNT(*) AS deg FROM
+         |  (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+         |comm AS (SELECT l.label AS community, COUNT(*) AS n_nodes,
+         |    CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+         |  FROM l$iters l JOIN deg d USING (v) GROUP BY l.label),
+         |intra AS (SELECT la.label AS community, COUNT(*) AS internal_edges
+         |  FROM und u JOIN l$iters la ON la.v = u.a JOIN l$iters lb ON lb.v = u.b
+         |  WHERE la.label = lb.label GROUP BY la.label)
+         |SELECT CAST(c.community AS BIGINT) AS community, c.n_nodes,
+         |  COALESCE(i.internal_edges, 0) AS internal_edges, c.degree_sum,
+         |  4 * (SELECT m FROM mm) * COALESCE(i.internal_edges, 0)
+         |    - c.degree_sum * c.degree_sum AS q_num
+         |FROM comm c LEFT JOIN intra i USING (community)
+         |ORDER BY community""".stripMargin
 
   /** Local clustering coefficient, exact rational: per node, triangle
     * count T and degree d over the undirected edge set; the

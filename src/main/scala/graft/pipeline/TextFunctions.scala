@@ -611,6 +611,91 @@ object TextFunctions {
       .orderBy(col("pos"))
   }
 
+  /** Count-Min sketch over the corpus token stream, audited against
+    * exact counts (Cormode & Muthukrishnan 2005): a depth×width cell
+    * matrix where cell (d, b) counts token instances whose d-th hash
+    * lands in bucket b; a token's estimate is the MIN over its depth
+    * cells and NEVER undercounts. The sketch is LINEAR — cells are
+    * plain sums — so it is exactly mergeable in any split order, fully
+    * map-side combinable, and bit-reproducible (the point of the
+    * exercise: an approximate structure whose every cell is an exact
+    * integer, so the DuckDB oracle replays estimate AND error).
+    * Per-depth hashes come from the native `salted_hash64` expression
+    * (the minhash permutation family mix64(h + d·GOLDEN) — codegen'd,
+    * no ANSI-overflow hazard, mirrored in [[HashSql]]).
+    *
+    * Output: the `probes` alphabetically-first tokens with exact
+    * count, sketch estimate, and overestimate (≥ 0 by construction).
+    * Scale shape: ONE pass over the token stream into a depth·width-
+    * bounded cell relation (the sketch is ~KB at ANY corpus size —
+    * this is what you ship to a dashboard instead of a 10^9-row exact
+    * count table); the probe estimate join broadcasts the cells. */
+  def countMinEstimates(docs: DataFrame, width: Int = 256, depth: Int = 4,
+                        probes: Int = 25): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0,
+      "countMin: width must be a power of two (cross-engine bucket parity " +
+        "relies on low-bit masking semantics)")
+    require(depth > 0 && probes > 0, "countMin: depth and probes must be positive")
+    val s = docs.sparkSession
+    graft.functions.ContentHashExpression.register(s)
+    graft.functions.SaltedHashExpression.register(s)
+    import graft.functions.ContentHashExpression.contentHash64
+    import graft.functions.SaltedHashExpression.saltedHash64
+    val ds = array((0 until depth).map(d => lit(d.toLong)): _*)
+    def bucket(h: Column, d: Column): Column =
+      pmod(saltedHash64(h, d), lit(width.toLong))
+    val tok = PartitionUtil.spread(docs)
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+    val hashed = tok.select(col("tok"), contentHash64(col("tok")).as("h"))
+    val cells = hashed
+      .select(explode(ds).as("d"), col("h"))
+      .select(col("d"), bucket(col("h"), col("d")).as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = hashed.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    exact.orderBy(col("tok")).limit(probes)
+      .select(col("tok"), col("exact_cnt"), contentHash64(col("tok")).as("h"))
+      .select(col("tok"), col("exact_cnt"), explode(ds).as("d"), col("h"))
+      .select(col("tok"), col("exact_cnt"), col("d"), bucket(col("h"), col("d")).as("b"))
+      .join(broadcast(cells), Seq("d", "b"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overest"))
+      .orderBy(col("tok"))
+  }
+
+  /** DuckDB oracle for [[countMinEstimates]]: the same staged
+    * mix64∘fnv64 content hash, the same per-depth salted permutation
+    * (addMod of the wrapped d·GOLDEN, then the four mix stages), the
+    * same power-of-two bucket masking on the UNSIGNED bit pattern. */
+  private[graft] def countMinOracleSql(width: Int, depth: Int, probes: Int): String = {
+    import HashSql._
+    val g = graft.functions.SaltedHashUtil.Golden
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents),
+      f0 AS MATERIALIZED (SELECT tok, ${fnv64("tok")} AS h FROM tok),
+      f1 AS (SELECT tok, ${mixStage1("h")} AS h FROM f0),
+      f2 AS (SELECT tok, ${mixStage2("h")} AS h FROM f1),
+      f3 AS (SELECT tok, ${mixStage3("h")} AS h FROM f2),
+      ch AS MATERIALIZED (SELECT tok, ${mixStage4("h")} AS h FROM f3),
+      td AS (SELECT tok, ${addModExpr("h", mulMod("d", g))} AS h, d
+        FROM ch, range($depth) t(d)),
+      p1 AS (SELECT tok, d, ${mixStage1("h")} AS h FROM td),
+      p2 AS (SELECT tok, d, ${mixStage2("h")} AS h FROM p1),
+      p3 AS (SELECT tok, d, ${mixStage3("h")} AS h FROM p2),
+      p4 AS MATERIALIZED (SELECT tok, d, CAST(${mixStage4("h")} % $width AS BIGINT) AS b
+        FROM p3),
+      cells AS MATERIALIZED (SELECT d, b, COUNT(*) AS c FROM p4 GROUP BY d, b),
+      exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM tok GROUP BY tok),
+      probe AS MATERIALIZED (SELECT tok, exact_cnt FROM exact ORDER BY tok LIMIT $probes),
+      pb AS (SELECT DISTINCT p4.tok, d, b FROM p4
+        WHERE p4.tok IN (SELECT tok FROM probe)),
+      est AS (SELECT pb.tok, MIN(c) AS cms_est
+        FROM pb JOIN cells USING (d, b) GROUP BY pb.tok)
+      SELECT p.tok, p.exact_cnt, e.cms_est, e.cms_est - p.exact_cnt AS overest
+      FROM probe p JOIN est e USING (tok) ORDER BY tok"""
+  }
+
   /** DuckDB oracle for [[dsirSelect]] over `documents` with target =
     * `source = 'src0'` — same one-pass conditional counts, grid odds
     * ratios, and (score DESC, doc_id) rank (the oracle may use the

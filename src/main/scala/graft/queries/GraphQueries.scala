@@ -140,6 +140,22 @@ object GraphQueries {
       },
       Some(Graph.labelPropagationOracleSql(minW = 8, iters = 5))),
 
+    // ---- community quality audit: per LPA community, node count,
+    // internal edges, degree sum, and the exact integer Newman
+    // modularity numerator 4·m·internal − degsum² (denominator 4m²
+    // implicit — every emitted number is an exact BIGINT) ------------
+    ("q143_modularity",
+      (s, dir) => {
+        // w >= 30: the co-occurrence graph's community structure only
+        // emerges above the background tie weight (18 communities on
+        // the sf0.01 graph; the q127 threshold of 8 merges everything
+        // into one, which would make this audit vacuous)
+        val strong = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 30)
+        Graph.communityModularity(strong, iters = 5)
+      },
+      Some(Graph.communityModularityOracleSql(minW = 30, iters = 5))),
+
     // ---- local clustering coefficient: exact-rational 2T/(d(d-1))
     // on the 1e6 integer grid, with the (T, d) inputs alongside ------
     ("q128_clustering_coeff",

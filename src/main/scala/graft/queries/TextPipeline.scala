@@ -1143,6 +1143,15 @@ object TextPipeline {
       (s, dir) => graft.pipeline.Bpe.bpeSegment(t(s, dir, "documents"), rounds = 10),
       Some(graft.pipeline.Bpe.bpeSegmentOracleSql(rounds = 10))),
 
+    // ---- Count-Min sketch audit: a 4×256 linear sketch of the token
+    // stream (exactly mergeable integer cells — KB-sized at any
+    // corpus size), probed for the 25 first tokens with exact count,
+    // estimate and the never-negative overestimate ------------------
+    ("q142_countmin",
+      (s, dir) => TextFunctions.countMinEstimates(t(s, dir, "documents"),
+        width = 256, depth = 4, probes = 25),
+      Some(TextFunctions.countMinOracleSql(width = 256, depth = 4, probes = 25))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

@@ -494,4 +494,31 @@ class GraphSpec extends AnyFunSuite with Matchers {
       withClue(s"trial $trial: ") { got shouldBe brute }
     }
   }
+
+  test("communityModularity: hand-computed audit on the bridged-triangles graph; global invariants") {
+    import spark.implicits._
+    def sym(pairs: (Long, Long, Long)*): Seq[(Long, Long, Long)] =
+      pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    // two heavy triangles {1,2,3} / {4,5,6} + a weak 3-4 bridge: LPA
+    // resolves one community per triangle (asserted in the LPA spec);
+    // m = 7 undirected edges. Community {1,2,3}: 3 internal edges,
+    // degree sum 2+2+3 = 7 -> q_num = 4·7·3 − 49 = 35. Community
+    // {4,5,6}: symmetric -> 35.
+    val bridged = sym((1L, 2L, 9L), (2L, 3L, 9L), (1L, 3L, 9L),
+      (4L, 5L, 9L), (5L, 6L, 9L), (4L, 6L, 9L), (3L, 4L, 1L))
+    val out = graft.pipeline.Graph.communityModularity(
+        bridged.toDF("src", "dst", "w"), iters = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    out.map(r => (r._2, r._3, r._4, r._5)) shouldBe List(
+      (3L, 3L, 7L, 35L), (3L, 3L, 7L, 35L))
+    // global invariants: Σ n_nodes = |V|, Σ degree_sum = 2m, and the
+    // internal edges never exceed m
+    out.map(_._2).sum shouldBe 6L
+    out.map(_._4).sum shouldBe 14L
+    out.map(_._3).sum should be <= 7L
+    // partition invariance
+    graft.pipeline.Graph.communityModularity(
+        bridged.toDF("src", "dst", "w").repartition(7), iters = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toList shouldBe out
+  }
 }

@@ -1244,6 +1244,29 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     run(df.repartition(13)) shouldBe kept
   }
 
+  test("countMin: estimates never undercount, collapse to exact at wide width, collide at width 2") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta epsilon beta"),
+      (3L, "zeta eta theta alpha alpha")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, w: Int) =
+      TextFunctions.countMinEstimates(d, width = w, depth = 4, probes = 10)
+        .as[(String, Long, Long, Long)].collect().toList
+    val wide = run(df, 4096)
+    // the guarantee: est >= exact always; at width 4096 with 8 distinct
+    // tokens, collisions across ALL 4 depths are absent and est == exact
+    wide.foreach { case (_, exact, est, over) =>
+      est should be >= exact
+      over shouldBe est - exact
+    }
+    wide.foreach { case (_, exact, est, _) => est shouldBe exact }
+    wide.find(_._1 == "alpha").get._2 shouldBe 4L
+    // width 2: every depth has 2 buckets over 8 tokens — collisions
+    // certain, estimates still never BELOW exact
+    run(df, 2).foreach { case (_, exact, est, _) => est should be >= exact }
+    // partition invariance (the sketch is linear: cells are plain sums)
+    run(df.repartition(5), 4096) shouldBe wide
+  }
+
   test("dsirSelect: target-vocabulary documents outrank off-target ones; partition-invariant") {
     import spark.implicits._
     // target = source 'tgt'; doc 10 reuses the target's vocabulary,
