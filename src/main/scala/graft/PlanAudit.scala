@@ -539,6 +539,23 @@ object PlanAudit {
           "selection, never a corpus-wide rank window",
         Seq("HashAggregate", "KSmallestAggregator"),
         Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q142_countmin",
+        "Count-Min audit: the sketch builds as ONE map-side-combined " +
+          "hash aggregation over the token stream (cells are plain " +
+          "sums — linear, mergeable in any split order) into a " +
+          "depth×width-bounded relation; the probe-estimate join " +
+          "BROADCASTS the KB-sized cell matrix; per-depth hashes are " +
+          "the native codegen'd salted_hash64 (no ScalaUDF boundary)",
+        Seq("HashAggregate", "BroadcastHashJoin", "salted_hash64"),
+        Seq("Window", "ScalaUDF", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q143_modularity",
+        "community modularity audit: after the LPA rounds (audited in " +
+          "the iterative section), the audit itself is two |E|-bounded " +
+          "label equi-joins on the undirected edge list plus map-side-" +
+          "combined per-community aggregations — no cartesian stage, " +
+          "no window, the m scalar is ONE bounded driver pull",
+        Seq("HashAggregate"),
+        Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q55_multimodal_features",
         "multimodal features: two partition-mapped stages " +
           "(decode+resize, decode+feature) compose as back-to-back " +

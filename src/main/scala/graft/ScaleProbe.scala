@@ -398,6 +398,11 @@ object ScaleProbe {
     probe("bpe_3rounds",
       graft.pipeline.Bpe.bpeTrain(docs, 3).count(),
       graft.pipeline.Bpe.bpeTrain(docsN, 3).count())
+    // the sketch is depth×width cells at ANY corpus size; the ratio
+    // measures the one map-side-combined pass over the token stream
+    probe("countmin",
+      TextFunctions.countMinEstimates(docs, 256, 4, 25).count(),
+      TextFunctions.countMinEstimates(docsN, 256, 4, 25).count())
     spark.stop()
   }
 }

@@ -146,23 +146,28 @@ object Bpe {
 
     val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
     var words = words0
+    var prev: DataFrame = null // unpersisted ONE ROUND LATE: round r's
+    // aggregation is what first materializes round r-1's persist, so
+    // r-2's cache must stay alive until that action has run — an eager
+    // unpersist would silently re-derive the whole chain every round
     var pending: (Long, String, String, Long) = null // (round, l, r, cnt) awaiting census
     var r = 1
     while (r <= rounds) {
       val (sumCnt, l, rt, cnt) = roundAgg(words)
+      if (prev != null) prev.unpersist()
+      prev = words
       if (pending != null)
         merges += ((pending._1, pending._2, pending._3, pending._4, sumCnt + totalFreq))
       pending = (r.toLong, l, rt, cnt)
-      val next = words.withColumn("seg",
+      words = words.withColumn("seg",
           replace(col("seg"), lit(s"$Sep$l$Sep$Sep$rt$Sep"), lit(s"$Sep$l$rt$Sep")))
         .persist()
-      words.unpersist()
-      words = next
       r += 1
     }
     // the last round's census: one Σ(|symbols|-1) pass over the final table
     val lastPairs = Option(pairCounts(words).agg(sum(col("cnt"))).head().get(0))
       .fold(0L)(_.asInstanceOf[Long])
+    if (prev != null) prev.unpersist()
     merges += ((pending._1, pending._2, pending._3, pending._4, lastPairs + totalFreq))
     (merges.result(), words)
   }
