@@ -539,6 +539,15 @@ object PlanAudit {
           "selection, never a corpus-wide rank window",
         Seq("HashAggregate", "KSmallestAggregator"),
         Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q141_bpe_segment",
+        "BPE application: the corpus token stream equi-joins the " +
+          "vocab-sized final segmentation on word (hash join — Spark " +
+          "may broadcast the build side when it is small; at a 10^8-" +
+          "word production vocab it degrades gracefully to shuffled " +
+          "hash) and the per-doc count is map-side combined; the " +
+          "corpus is never re-segmented character-by-character",
+        Seq("HashAggregate"),
+        Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
       ("q142_countmin",
         "Count-Min audit: the sketch builds as ONE map-side-combined " +
           "hash aggregation over the token stream (cells are plain " +
