@@ -611,6 +611,62 @@ object TextFunctions {
       .orderBy(col("pos"))
   }
 
+  /** Collocation extraction: the top-k adjacent token pairs by
+    * association strength — the classic corpus-linguistics PMI
+    * ranking (Church & Hanks 1990) with the engine's libm-free
+    * substitution: instead of log(P(ab)/(P(a)P(b))) the EXACT integer
+    * odds `(c_ab · N · 10⁴) div (c_a · c_b)` (rank-equivalent: log is
+    * monotone), with a minimum pair support so hapax pairs don't
+    * dominate. At extreme corpus sizes (N ≳ 2³¹) the product needs
+    * DECIMAL headroom; BIGINT covers every test scale by orders of
+    * magnitude.
+    *
+    * Scale shape: one bigram aggregation + one unigram aggregation
+    * (both map-side combined, vocab-bounded), two token-keyed joins to
+    * attach c_a/c_b, and a TakeOrdered top-k (per-partition partial
+    * top-k, never a global sort). */
+  def collocations(docs: DataFrame, minSupport: Long, k: Int): DataFrame = {
+    require(minSupport > 0 && k > 0, "collocations: minSupport and k must be positive")
+    val t = Dedup.tokens(col("text"))
+    val bg = PartitionUtil.spread(docs)
+      .select(t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("bg"))
+      .select(col("bg.0").as("a"), col("bg.1").as("b"))
+    val uni = PartitionUtil.spread(docs)
+      .select(explode(t).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c"))).head().getLong(0)
+    bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .withColumn("pmi_q4", expr(s"(c_ab * ${n}L * 10000) div (c_a * c_b)"))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"), col("pmi_q4"))
+      .orderBy(col("pmi_q4").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[collocations]] — same integer odds and
+    * (pmi DESC, a, b) rank. */
+  private[graft] def collocationsOracleSql(minSupport: Long, k: Int): String =
+    s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      bg AS (SELECT t[p] AS a, t[p + 1] AS b
+        FROM (SELECT t, unnest(range(1, len(t))) AS p
+          FROM toks WHERE len(t) >= 2)),
+      uni AS (SELECT unnest(t) AS tok FROM toks),
+      uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+      n AS (SELECT COUNT(*) AS n FROM uni),
+      pairs AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b
+        HAVING COUNT(*) >= $minSupport)
+      SELECT p.a, p.b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+        (p.c_ab * (SELECT n FROM n) * 10000) // (ca.c * cb.c) AS pmi_q4
+      FROM pairs p JOIN uc ca ON ca.tok = p.a JOIN uc cb ON cb.tok = p.b
+      ORDER BY pmi_q4 DESC, p.a, p.b LIMIT $k"""
+
   /** Count-Min sketch over the corpus token stream, audited against
     * exact counts (Cormode & Muthukrishnan 2005): a depth×width cell
     * matrix where cell (d, b) counts token instances whose d-th hash

@@ -1152,6 +1152,15 @@ object TextPipeline {
         width = 256, depth = 4, probes = 25),
       Some(TextFunctions.countMinOracleSql(width = 256, depth = 4, probes = 25))),
 
+    // ---- collocation extraction: top-30 adjacent pairs by the
+    // integer PMI odds (c_ab·N·10⁴ div c_a·c_b, support ≥ 5) — the
+    // phrase-mining / tokenizer-seeding pass; two map-side-combined
+    // aggs + token-keyed joins + TakeOrdered, no global sort ---------
+    ("q144_collocations",
+      (s, dir) => TextFunctions.collocations(t(s, dir, "documents"),
+        minSupport = 5L, k = 30),
+      Some(TextFunctions.collocationsOracleSql(minSupport = 5L, k = 30))),
+
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),
       Some("""WITH c AS (SELECT lang, doc_id, n_chars AS w,

@@ -293,6 +293,36 @@ class KernelSpec extends AnyFunSuite with Matchers {
     rampBytes.length should be < (64 * 64 * 2 * 3) / 4
   }
 
+  test("JPEG-LS decoder handles third-party stream shapes: APPn/COM segments and a default-preset LSE") {
+    import graft.sources.JpegLsCodec
+    val vals = Array.tabulate(24)(i => (i * 977) % 65536)
+    val own = JpegLsCodec.encode(vals, 6, 4, 16)
+    // splice APP0 + COM + LSE(default restatement for P=16) after SOI —
+    // segments our encoder never writes but conformant encoders do
+    // (LSE parameters for MAXVAL=65535: T1=18 T2=67 T3=276 RESET=64)
+    def seg(marker: Int, payload: Array[Int]): Array[Byte] = {
+      val len = payload.length + 2
+      (Array(0xff, marker, (len >> 8) & 0xff, len & 0xff) ++ payload).map(_.toByte)
+    }
+    val app0 = seg(0xe0, "JLS-test".map(_.toInt).toArray)
+    val com = seg(0xfe, "third party comment".map(_.toInt).toArray)
+    val lse = seg(0xf8, Array(1, 0xff, 0xff, 0, 18, 0, 67, 1, 20, 0, 64))
+    // LSE must come after SOF55 (it needs the precision); splice it in
+    // front of SOS, the APP/COM in front of SOF55
+    val sofAt = own.indexOfSlice(Seq(0xff.toByte, 0xf7.toByte))
+    val sosAt = own.indexOfSlice(Seq(0xff.toByte, 0xda.toByte))
+    val spliced = own.slice(0, 2) ++ app0 ++ com ++ own.slice(sofAt, sosAt) ++
+      lse ++ own.slice(sosAt, own.length)
+    val (w, h, p, back) = JpegLsCodec.decode(spliced, "third.jls")
+    (w, h, p) shouldBe ((6, 4, 16))
+    back shouldBe vals
+    // a NON-default LSE is rejected loudly, never mis-decoded
+    val badLse = seg(0xf8, Array(1, 0xff, 0xff, 0, 19, 0, 67, 1, 20, 0, 64))
+    val badSpliced = own.slice(0, sosAt) ++ badLse ++ own.slice(sosAt, own.length)
+    an[IllegalArgumentException] should be thrownBy
+      JpegLsCodec.decode(badSpliced, "bad.jls")
+  }
+
   test("JPEG-LS DICOM (.80) round-trips through the encapsulated PixelData path") {
     import graft.sources.ImageCodecIO
     val vals = Array(0.0, 65535.0, 32768.0, 40000.0, 123.0, 123.0, 123.0, 9.0)

@@ -1267,6 +1267,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     run(df.repartition(5), 4096) shouldBe wide
   }
 
+  test("collocations: hand-computed integer PMI odds, support cut, partition-invariant") {
+    import spark.implicits._
+    // "new york" appears 5x (the only pair clearing support 5);
+    // "of the" appears 6x but its unigrams are everywhere -> low odds
+    val rows = (1L to 5L).map(i => (i, "new york of the")) ++
+      Seq((6L, "of the of coast the of")) // extra of/the bulk
+    val df = rows.toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextFunctions.collocations(d, minSupport = 5L, k = 10)
+        .as[(String, String, Long, Long, Long, Long)].collect().toList
+    val got = run(df)
+    // token stream: 5·4 + 6 = 26 tokens; new=5 york=5 of=8 the=7 coast=1
+    // pairs with support >= 5: (new,york)=5, (york,of)=5, (of,the)=6
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    byPair(("new", "york"))._6 shouldBe (5L * 26L * 10000L) / (5L * 5L)   // 52000
+    byPair(("york", "of"))._6 shouldBe (5L * 26L * 10000L) / (5L * 8L)    // 32500
+    byPair(("of", "the"))._6 shouldBe (6L * 26L * 10000L) / (8L * 7L)     // 27857
+    got.map(r => (r._1, r._2)) shouldBe List(("new", "york"), ("york", "of"), ("of", "the"))
+    run(df.repartition(7)) shouldBe got
+  }
+
   test("dsirSelect: target-vocabulary documents outrank off-target ones; partition-invariant") {
     import spark.implicits._
     // target = source 'tgt'; doc 10 reuses the target's vocabulary,
