@@ -403,6 +403,16 @@ object ScaleProbe {
     probe("countmin",
       TextFunctions.countMinEstimates(docs, 256, 4, 25).count(),
       TextFunctions.countMinEstimates(docsN, 256, 4, 25).count())
+    // train + apply: the application join's build side is the grown
+    // vocab (the probe's worst case); per-doc re-agg is map-side work
+    probe("bpe_segment",
+      graft.pipeline.Bpe.bpeSegment(docs, 3).count(),
+      graft.pipeline.Bpe.bpeSegment(docsN, 3).count())
+    // two vocab-bounded aggs + token-keyed joins + TakeOrdered top-k;
+    // copy-prefixed tokens keep each copy's pair space disjoint
+    probe("collocations",
+      TextFunctions.collocations(docs, 5, 30).count(),
+      TextFunctions.collocations(docsN, 5, 30).count())
     spark.stop()
   }
 }

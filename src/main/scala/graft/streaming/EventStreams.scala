@@ -347,6 +347,35 @@ object EventStreams {
     }
   }
 
+  /** Streaming Count-Min sketch over an ingest stream — the
+    * demonstration that the batch sketch
+    * ([[graft.pipeline.TextFunctions.countMinEstimates]]) is
+    * streaming-NATIVE because it is linear: cells are plain counts,
+    * so `groupBy(d, bucket).count()` under a streaming aggregation IS
+    * the cross-batch sketch. No custom state processor, no merge
+    * logic, no watermark (the sketch never expires); after ANY batch
+    * split the cells equal the batch run on the union of the rows —
+    * asserted in StreamingSpec. The depth×width state is bounded by
+    * construction (~KB), the streaming-state shape every dashboard
+    * sketch wants. */
+  def streamingCountMin(docs: Dataset[StreamDoc], width: Int = 256,
+                        depth: Int = 4): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0,
+      "streamingCountMin: width must be a power of two")
+    val spark = docs.sparkSession
+    graft.functions.ContentHashExpression.register(spark)
+    graft.functions.SaltedHashExpression.register(spark)
+    import graft.functions.ContentHashExpression.contentHash64
+    import graft.functions.SaltedHashExpression.saltedHash64
+    docs.toDF()
+      .select(explode(graft.pipeline.Dedup.tokens(col("text"))).as("tok"))
+      .select(contentHash64(col("tok")).as("h"))
+      .select(explode(array((0 until depth).map(d => lit(d.toLong)): _*)).as("d"),
+        col("h"))
+      .select(col("d"), pmod(saltedHash64(col("h"), col("d")), lit(width.toLong)).as("b"))
+      .groupBy(col("d"), col("b")).count()
+  }
+
   /** Decontamination keep-stream through [[DecontamProcessor]]
     * (RocksDB state store required, like all transformWithState).
     * `bench` is the static benchmark frame (needs a `text` column);

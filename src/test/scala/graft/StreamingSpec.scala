@@ -585,4 +585,32 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming Count-Min cells equal the batch sketch after any batch split (linearity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      EventStreams.StreamDoc(1L, "alpha beta beta gamma"),
+      EventStreams.StreamDoc(2L, "alpha delta epsilon beta"),
+      EventStreams.StreamDoc(3L, "zeta eta theta alpha alpha"),
+      EventStreams.StreamDoc(4L, "beta beta gamma gamma iota"))
+    // batch truth: the same pipeline over ALL rows at once
+    val batchCells = EventStreams.streamingCountMin(rows.toDS(), width = 64, depth = 4)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingCountMin(mem.toDS(), width = 64, depth = 4)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      mem.addData(rows(2))
+      q.processAllAvailable()
+      mem.addData(rows(3))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_cells")
+        .as[(Long, Long, Long)].collect().sorted.toList
+      streamed shouldBe batchCells
+    } finally q.stop()
+  }
 }
