@@ -125,7 +125,11 @@ object Bpe {
     val words0 = PartitionUtil.spread(docs)
       .select(explode(Dedup.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("seg", regexp_replace(col("word"), "(.)", s"$Sep$$1$Sep"))
+      .withColumn("seg", regexp_replace(col("word"), "(?s)(.)", s"$Sep$$1$Sep"))
+      // (?s): tokens are whitespace-SPACE-split, so they can contain \n/\r;
+      // without DOTALL those chars would escape the sentinel wrapping and
+      // embed U+001F inside a symbol, silently diverging from the oracle's
+      // per-char string_split
       .persist()
     val totalFreq = Option(words0.agg(sum(col("freq"))).head().get(0))
       .fold(0L)(_.asInstanceOf[Long])

@@ -214,8 +214,13 @@ object Sampling {
       return hashed
         .select(col("doc_id"), col(groupCol), lit(0L).as("pos"), lit(0L).as("quota"))
         .limit(0)
+    // the aggregator's buffer cap is an Int; a quota past 2^31 would
+    // silently truncate the selection, so fail LOUDLY instead (a
+    // 2-billion-row single-group sample is a mis-set budget anyway)
+    require(maxQuota <= Int.MaxValue.toLong,
+      s"temperatureMixture: per-group quota $maxQuota exceeds the Int buffer cap")
     val ranked = PartitionUtil.saltedTopK(hashed, groupCol,
-      k = maxQuota.min(Int.MaxValue.toLong).toInt, ordCol = "h", idCol = "doc_id")
+      k = maxQuota.toInt, ordCol = "h", idCol = "doc_id")
     ranked.join(broadcast(quota), Seq(groupCol))
       .filter(col("pos") <= col("quota"))
       .select(col("doc_id"), col(groupCol), col("pos"), col("quota"))

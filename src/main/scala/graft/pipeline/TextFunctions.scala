@@ -617,9 +617,10 @@ object TextFunctions {
     * substitution: instead of log(P(ab)/(P(a)P(b))) the EXACT integer
     * odds `(c_ab · N · 10⁴) div (c_a · c_b)` (rank-equivalent: log is
     * monotone), with a minimum pair support so hapax pairs don't
-    * dominate. At extreme corpus sizes (N ≳ 2³¹) the product needs
-    * DECIMAL headroom; BIGINT covers every test scale by orders of
-    * magnitude.
+    * dominate. Overflow bound: a dominant pair has c_ab = Θ(N), so
+    * c_ab·N·10⁴ ≈ N²·10⁴ exceeds 2⁶³ once N ≳ 3·10⁷ tokens — the
+    * 100 TB path swaps the product to DECIMAL; BIGINT covers every
+    * test scale by orders of magnitude.
     *
     * Scale shape: one bigram aggregation + one unigram aggregation
     * (both map-side combined, vocab-bounded), two token-keyed joins to
@@ -638,7 +639,9 @@ object TextFunctions {
     val uni = PartitionUtil.spread(docs)
       .select(explode(t).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val n = uni.agg(sum(col("c"))).head().getLong(0)
+    val n = Option(uni.agg(sum(col("c"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    require(n > 0, "collocations: empty token stream")
     bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minSupport)
       .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))

@@ -705,7 +705,9 @@ object ImageCodecIO {
       // RLE / JPEG family: OB PixelData with UNDEFINED length, empty
       // Basic Offset Table item, ONE fragment item (even-padded),
       // sequence delimiter
-      val vals = Array.tabulate(w * h)(i =>
+      // the 16-bit clamp pass is only needed by the lossless encoders;
+      // the Baseline path re-reads px itself with a Byte8 clamp
+      def vals: Array[Int] = Array.tabulate(w * h)(i =>
         PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt)
       val frag0 =
         if (transferSyntax == TsRle) rleEncodeFragment(vals)

@@ -232,7 +232,7 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
     val sep = graft.pipeline.Bpe.Sep
     val words = Seq(("banana", 3L), ("apple", 2L), ("kiwi", 5L))
       .toDF("word", "freq")
-      .withColumn("seg", regexp_replace(col("word"), "(.)", s"$sep$$1$sep"))
+      .withColumn("seg", regexp_replace(col("word"), "(?s)(.)", s"$sep$$1$sep"))
     val pairs = graft.pipeline.Bpe.pairCounts(words)
     val got = pairs.as[(String, String, Long)].collect()
       .map(r => ((r._1, r._2), r._3)).toMap
