@@ -73,17 +73,19 @@ object ImageOps {
     * single-frame file PER SLICE, named `<sample>_<instance>.dcm`
     * with InstanceNumber = slice index + 1 — the on-disk layout of
     * the reference's flagship IO case (a CT series directory,
-    * IjRDDTests.scala:30-99). Slices ROTATE through all seven
+    * IjRDDTests.scala:30-99). Slices ROTATE through all eight
     * LOSSLESS transfer syntaxes (implicit-VR LE, explicit-VR LE,
-    * explicit-VR BE, RLE Lossless, JPEG Lossless SV1/.57, JPEG-LS)
-    * the way a mixed-vendor archive does — the series loader
-    * re-stacks them transparently because each file declares its own
-    * syntax in the Part 10 meta group. (Lossy JPEG Baseline stays
-    * out: rotation slices must reconstruct bit-exactly.) */
+    * explicit-VR BE, RLE Lossless, JPEG Lossless SV1/.57, JPEG-LS,
+    * JPEG 2000 Lossless) the way a mixed-vendor archive does — the
+    * series loader re-stacks them transparently because each file
+    * declares its own syntax in the Part 10 meta group. (Lossy JPEG
+    * Baseline stays out: rotation slices must reconstruct
+    * bit-exactly.) */
   def saveDicomSeries(df: DataFrame, dir: String): Unit = {
     val syntaxes = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
       ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle, ImageCodecIO.TsJpegLossless,
-      ImageCodecIO.TsJpegLossless14, ImageCodecIO.TsJpegLs)
+      ImageCodecIO.TsJpegLossless14, ImageCodecIO.TsJpegLs,
+      ImageCodecIO.TsJpeg2000Lossless)
     val spark = df.sparkSession
     import spark.implicits._
     val serConf = new org.apache.spark.util.SerializableConfiguration(

@@ -743,9 +743,9 @@ object ImageQueries {
 
     // ---- DICOM archive census: per-transfer-syntax inventory of a
     // mixed-vendor archive (the pre-ingest pass a PACS pipeline runs
-    // before choosing a decode plan). The writer rotates 14 instances
-    // per series through the SEVEN lossless syntaxes (s % 7), so syntax
-    // index i holds instances {i+1, i+8} of both series — file counts,
+    // before choosing a decode plan). The writer rotates 16 instances
+    // per series through the EIGHT lossless syntaxes (s % 8), so syntax
+    // index i holds instances {i+1, i+9} of both series — file counts,
     // series counts, instance range, and geometry sums are all closed
     // form. Any mis-sniffed TransferSyntaxUID, dropped file, or
     // mis-decoded header flips a row. ---------------------------------
@@ -758,7 +758,7 @@ object ImageQueries {
         val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(basePath, true)
         val stacks = s.range(2L).map { i =>
-          val slices = (0 until 14).map(k =>
+          val slices = (0 until 16).map(k =>
             Kernels.constantImage(32, 16, 1, i * 100.0 + k * 3.0 + 5.0, PixelCodec.Short16))
           (s"/census/$i", slices.reduce(Kernels.appendStack))
         }.toDF("sample", "image")
@@ -772,9 +772,10 @@ object ImageQueries {
           (3, '1.2.840.10008.1.2.5'),
           (4, '1.2.840.10008.1.2.4.70'),
           (5, '1.2.840.10008.1.2.4.57'),
-          (6, '1.2.840.10008.1.2.4.80')) AS t(i, ts))
+          (6, '1.2.840.10008.1.2.4.80'),
+          (7, '1.2.840.10008.1.2.4.90')) AS t(i, ts))
         SELECT ts, CAST(4 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_series,
-          CAST(i + 1 AS BIGINT) AS min_inst, CAST(i + 8 AS BIGINT) AS max_inst,
+          CAST(i + 1 AS BIGINT) AS min_inst, CAST(i + 9 AS BIGINT) AS max_inst,
           CAST(4 * 32 AS BIGINT) AS sum_w, CAST(4 * 16 AS BIGINT) AS sum_h
         FROM m ORDER BY ts"""))
   )

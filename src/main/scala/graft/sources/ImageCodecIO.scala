@@ -68,6 +68,12 @@ object ImageCodecIO {
     * on round-trip. */
   private[graft] val TsJpegLs = "1.2.840.10008.1.2.4.80"
 
+  /** JPEG 2000 Image Compression (Lossless Only) — ITU-T T.800 with
+    * the reversible 5/3 wavelet, implemented natively in
+    * [[Jpeg2000Codec]] (MQ coder, EBCOT Tier-1/Tier-2, raw
+    * codestream as DICOM requires) and bit-exact on round-trip. */
+  private[graft] val TsJpeg2000Lossless = "1.2.840.10008.1.2.4.90"
+
   /** PackBits decode of one RLE segment into exactly `expected`
     * bytes. Control byte n (signed): 0..127 → copy the next n+1
     * bytes; −1..−127 → repeat the next byte 1−n times; −128 → no-op.
@@ -473,9 +479,10 @@ object ImageCodecIO {
   }
 
   /** Minimal DICOM decode — single-frame unsigned MONOCHROME2, 8 or
-    * 16 bits, in any of the seven supported transfer syntaxes
+    * 16 bits, in any of the nine supported transfer syntaxes
     * ([[TsImplicitLE]]/[[TsExplicitLE]]/[[TsExplicitBE]]/[[TsRle]]/
-    * [[TsJpegLossless]]/[[TsJpegLossless14]]/[[TsJpegBaseline]]) —
+    * [[TsJpegLossless]]/[[TsJpegLossless14]]/[[TsJpegBaseline]]/
+    * [[TsJpegLs]]/[[TsJpeg2000Lossless]]) —
     * the shape of the reference's flagship IO case (a CT series of
     * single-frame files stacked into a volume, IjRDDTests.scala:30-99,
     * where spark-scifio does the decode). The file-meta group
@@ -514,12 +521,14 @@ object ImageCodecIO {
       case TsImplicitLE => (false, false, false)
       case TsExplicitLE => (true, false, false)
       case TsExplicitBE => (true, true, false)
-      case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline | TsJpegLs =>
+      case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline | TsJpegLs |
+           TsJpeg2000Lossless =>
         (true, false, true)
       case other => throw new IllegalArgumentException(
         s"unsupported DICOM transfer syntax $other in $path " +
           "(implicit-VR LE / explicit-VR LE / explicit-VR BE / RLE Lossless / " +
-          "JPEG Lossless (.57/.70) / JPEG Baseline / JPEG-LS Lossless only)")
+          "JPEG Lossless (.57/.70) / JPEG Baseline / JPEG-LS Lossless / " +
+          "JPEG 2000 Lossless only)")
     }
     if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     // ---- dataset: element encoding + byte order per transfer syntax ----
@@ -578,6 +587,25 @@ object ImageCodecIO {
         px = new Array[Byte](n)
         var j = 0
         while (j < n) { px(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
+      } else if (ts == TsJpeg2000Lossless) {
+        val (jw, jh, prec, samples) = Jpeg2000Codec.decode(encapFragment, path)
+        require(jw == cols && jh == rows,
+          s"JPEG 2000 frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
+        require(prec <= bits,
+          s"JPEG 2000 precision $prec exceeds DICOM BitsAllocated $bits in $path")
+        if (bits == 16) {
+          px = new Array[Byte](n * 2)
+          var j = 0
+          while (j < n) {
+            px(2 * j) = (samples(j) & 0xff).toByte
+            px(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+            j += 1
+          }
+        } else {
+          px = new Array[Byte](n)
+          var j = 0
+          while (j < n) { px(j) = (samples(j) & 0xff).toByte; j += 1 }
+        }
       } else if (ts == TsJpegLs) {
         val (jw, jh, prec, samples) = JpegLsCodec.decode(encapFragment, path)
         require(jw == cols && jh == rows,
@@ -641,13 +669,15 @@ object ImageCodecIO {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
-        transferSyntax == TsJpegBaseline || transferSyntax == TsJpegLs,
+        transferSyntax == TsJpegBaseline || transferSyntax == TsJpegLs ||
+        transferSyntax == TsJpeg2000Lossless,
       s"unsupported DICOM transfer syntax $transferSyntax")
     val explicitVr = transferSyntax != TsImplicitLE
     val bigEndian = transferSyntax == TsExplicitBE
     val encapsulated = transferSyntax == TsRle ||
       transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
-      transferSyntax == TsJpegBaseline || transferSyntax == TsJpegLs
+      transferSyntax == TsJpegBaseline || transferSyntax == TsJpegLs ||
+      transferSyntax == TsJpeg2000Lossless
     // Baseline is the one 8-bit (and lossy) profile; everything else
     // writes the 16-bit pixel module
     val bits8 = transferSyntax == TsJpegBaseline
@@ -713,6 +743,7 @@ object ImageCodecIO {
         if (transferSyntax == TsRle) rleEncodeFragment(vals)
         else if (bits8) jpegBaselineEncode(img, px, slice)
         else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals, w, h, 16)
+        else if (transferSyntax == TsJpeg2000Lossless) Jpeg2000Codec.encode(vals, w, h, 16)
         else jpegLosslessEncode(vals, w, h)
       val frag = if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
       u16x(0x7fe0); u16x(0x0010); bos.write('O'); bos.write('B'); u16x(0); u32x(-1)

@@ -1,0 +1,1011 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import scala.collection.mutable.ArrayBuffer
+
+/** Native JPEG 2000 Part-1 codec (ITU-T T.800 / ISO 15444-1) for the
+  * DICOM JPEG 2000 Lossless transfer syntax (1.2.840.10008.1.2.4.90)
+  * — the last compressed syntax the reference stack reads (via
+  * spark-scifio, /root/reference/pom.xml:60-64, exercised by
+  * IjRDDTests.scala:30-99) that this engine previously rejected.
+  *
+  * Profile implemented, end to end and bit-exact:
+  *   - raw JPEG 2000 codestream (SOC..EOC — DICOM encapsulates the
+  *     codestream, not the JP2 container),
+  *   - single tile at origin (0,0), single component, unsigned
+  *     samples up to 16 bit, DC level shift per E.3,
+  *   - REVERSIBLE 5/3 integer wavelet (Annex F lifting, symmetric
+  *     extension), any number of decomposition levels incl. 0,
+  *   - no quantization (Sqcd style 0, derived Mb = G + eps − 1),
+  *   - EBCOT Tier-1 (Annex D): three coding passes per bit plane,
+  *     zero/sign/magnitude-refinement context modelling, run-length
+  *     mode, MQ arithmetic coder (Annex C) with the 47-state table,
+  *   - Tier-2 (Annex B): LRCP progression, one layer, one precinct
+  *     (PPx=PPy=15), tag-tree coded inclusion + zero-bit-planes,
+  *     bit-stuffed packet headers, Lblock length signalling,
+  *   - configurable code-block size (reader honours whatever COD
+  *     declares, writer defaults to 64x64), so multi-code-block
+  *     subbands and third-party stream shapes decode.
+  *
+  * Not implemented (rejected loudly at parse time, never
+  * mis-decoded): multiple tiles/components, precinct partitions,
+  * SOP/EPH, selective arithmetic bypass / vertically-causal /
+  * termination cblk styles, the 9/7 irreversible filter, ROI shifts,
+  * multiple layers and non-LRCP progressions.
+  */
+object Jpeg2000Codec {
+
+  // ----------------------------------------------------------------
+  // MQ arithmetic coder (T.800 Annex C): the 47-state Qe table.
+  // ----------------------------------------------------------------
+  private val QeTab = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val NmpsTab = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val NlpsTab = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val SwitchTab = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Tier-1 context count and numbering: 0-8 zero coding, 9-13 sign
+    * coding, 14-16 magnitude refinement, 17 run-length, 18 uniform. */
+  private val NCtx = 19
+  private val CtxRl = 17
+  private val CtxUni = 18
+
+  private def initStates(idx: Array[Int], mps: Array[Int]): Unit = {
+    java.util.Arrays.fill(idx, 0); java.util.Arrays.fill(mps, 0)
+    idx(0) = 4; idx(CtxRl) = 3; idx(CtxUni) = 46 // Table D.7
+  }
+
+  private final class MqEncoder {
+    private val buf = ArrayBuffer[Byte](0) // buf(0): carry catcher before the stream
+    private var bp = 0
+    private var a = 0x8000
+    private var c = 0
+    private var ct = 12
+    val idx = new Array[Int](NCtx); val mps = new Array[Int](NCtx)
+    initStates(idx, mps)
+
+    private def byteOut(): Unit = {
+      if ((buf(bp) & 0xff) == 0xff) {
+        bp += 1; if (bp == buf.length) buf += 0
+        buf(bp) = ((c >> 20) & 0xff).toByte; c &= 0xfffff; ct = 7
+      } else {
+        if (c >= 0x8000000) { // carry into the previous byte
+          buf(bp) = (buf(bp) + 1).toByte; c &= 0x7ffffff
+          if ((buf(bp) & 0xff) == 0xff) {
+            bp += 1; if (bp == buf.length) buf += 0
+            buf(bp) = ((c >> 20) & 0xff).toByte; c &= 0xfffff; ct = 7
+            return
+          }
+        }
+        bp += 1; if (bp == buf.length) buf += 0
+        buf(bp) = ((c >> 19) & 0xff).toByte; c &= 0x7ffff; ct = 8
+      }
+    }
+
+    private def renorm(): Unit = {
+      while (a < 0x8000) {
+        a <<= 1; c <<= 1; ct -= 1
+        if (ct == 0) byteOut()
+      }
+    }
+
+    def encode(cx: Int, d: Int): Unit = {
+      val qe = QeTab(idx(cx))
+      if (d == mps(cx)) {
+        a -= qe
+        if (a >= 0x8000) c += qe
+        else {
+          if (a < qe) a = qe else c += qe
+          idx(cx) = NmpsTab(idx(cx)); renorm()
+        }
+      } else {
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (SwitchTab(idx(cx)) == 1) mps(cx) = 1 - mps(cx)
+        idx(cx) = NlpsTab(idx(cx)); renorm()
+      }
+    }
+
+    /** FLUSH (C.2.9) and return the codeword segment. */
+    def finish(): Array[Byte] = {
+      val tempc = c + a
+      c |= 0xffff
+      if (c >= tempc) c -= 0x8000
+      c <<= ct; byteOut()
+      c <<= ct; byteOut()
+      if ((buf(bp) & 0xff) != 0xff) bp += 1
+      require((buf(0) & 0xff) == 0,
+        "MQ flush carried past the stream start") // unreachable by C + A invariant
+      buf.slice(1, math.max(1, bp)).toArray
+    }
+  }
+
+  private final class MqDecoder(data: Array[Byte]) {
+    private var bp = 0
+    private var c = 0
+    private var a = 0
+    private var ct = 0
+    val idx = new Array[Int](NCtx); val mps = new Array[Int](NCtx)
+    initStates(idx, mps)
+    // INITDEC (C.3.5)
+    c = (byteAt(0) & 0xff) << 16
+    byteIn()
+    c <<= 7; ct -= 7; a = 0x8000
+
+    private def byteAt(i: Int): Int = if (i < data.length) data(i) & 0xff else 0xff
+
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xff) {
+        if (byteAt(bp + 1) > 0x8f) { c += 0xff00; ct = 8 }
+        else { bp += 1; c += byteAt(bp) << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp) << 8; ct = 8 }
+    }
+
+    def decode(cx: Int): Int = {
+      val qe = QeTab(idx(cx))
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xffff) < qe) {
+        // LPS exchange path
+        if (a < qe) { d = mps(cx); idx(cx) = NmpsTab(idx(cx)) }
+        else {
+          d = 1 - mps(cx)
+          if (SwitchTab(idx(cx)) == 1) mps(cx) = 1 - mps(cx)
+          idx(cx) = NlpsTab(idx(cx))
+        }
+        a = qe
+        renorm()
+      } else {
+        c -= qe << 16
+        if ((a & 0x8000) == 0) {
+          if (a < qe) {
+            d = 1 - mps(cx)
+            if (SwitchTab(idx(cx)) == 1) mps(cx) = 1 - mps(cx)
+            idx(cx) = NlpsTab(idx(cx))
+          } else { d = mps(cx); idx(cx) = NmpsTab(idx(cx)) }
+          renorm()
+        } else d = mps(cx)
+      }
+      d
+    }
+
+    private def renorm(): Unit = {
+      while ((a & 0x8000) == 0) {
+        if (ct == 0) byteIn()
+        a <<= 1; c <<= 1; ct -= 1
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // Packet-header bit IO with the B.10.1 stuffing rule: after an
+  // emitted 0xFF byte the next byte carries only 7 bits.
+  // ----------------------------------------------------------------
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    private var lastWasFF = false
+
+    private def cap: Int = if (lastWasFF) 7 else 8 // post-0xFF bytes carry 7 bits
+    def bit(b: Int): Unit = {
+      acc = (acc << 1) | (b & 1); n += 1
+      if (n == cap) { out.write(acc); lastWasFF = acc == 0xff; acc = 0; n = 0 }
+    }
+    def bits(v: Int, nb: Int): Unit = { var i = nb - 1; while (i >= 0) { bit((v >>> i) & 1); i -= 1 } }
+    /** Pad to a byte boundary; a trailing 0xFF gets its stuffed 0x00. */
+    def finish(): Array[Byte] = {
+      if (n > 0) {
+        while (n < cap) { acc <<= 1; n += 1 }
+        out.write(acc); lastWasFF = acc == 0xff; acc = 0; n = 0
+      }
+      if (lastWasFF) out.write(0)
+      val b = out.toByteArray
+      require(b.isEmpty || (b.last & 0xff) != 0xff, "packet header may not end in 0xFF")
+      b
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var have = 0
+    private var lastByte = 0
+
+    def bit(): Int = {
+      if (have == 0) {
+        val nbits = if (lastByte == 0xff) 7 else 8
+        require(pos < data.length, "packet header truncated")
+        lastByte = data(pos) & 0xff; pos += 1
+        acc = lastByte; have = nbits
+        if (nbits == 7) require((acc & 0x80) == 0, "missing stuffed zero after 0xFF in packet header")
+      }
+      have -= 1
+      (acc >>> have) & 1
+    }
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
+    /** Align to the next byte boundary (end of packet header). */
+    def align(): Int = {
+      have = 0
+      if (lastByte == 0xff) { // stuffed byte after a trailing 0xFF
+        require(pos < data.length && (data(pos) & 0xff) != 0xff, "bad stuffing at header end")
+        pos += 1
+      }
+      lastByte = 0
+      pos
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // Tag trees (B.10.2) over the code-block grid of one subband.
+  // ----------------------------------------------------------------
+  private final class TagTree(val w: Int, val h: Int) {
+    // level 0 = leaves; halve (ceil) until 1x1
+    private val dims = {
+      val b = ArrayBuffer((w, h))
+      while (b.last._1 > 1 || b.last._2 > 1)
+        b += (((b.last._1 + 1) / 2, (b.last._2 + 1) / 2))
+      b.toArray
+    }
+    private val off = dims.scanLeft(0)((acc, d) => acc + d._1 * d._2)
+    val value = new Array[Int](off.last)
+    private val low = new Array[Int](off.last)
+    private val known = new Array[Boolean](off.last)
+
+    private def node(level: Int, x: Int, y: Int): Int = off(level) + y * dims(level)._1 + x
+    private def path(leaf: Int): Array[Int] = {
+      var x = leaf % w; var y = leaf / w
+      val p = new Array[Int](dims.length)
+      var l = 0
+      while (l < dims.length) { p(dims.length - 1 - l) = node(l, x, y); x /= 2; y /= 2; l += 1 }
+      p
+    }
+    /** Leaf values are set directly; internal nodes become min of children. */
+    def build(): Unit = {
+      var l = 1
+      while (l < dims.length) {
+        val (pw, ph) = dims(l); val (cw, ch) = dims(l - 1)
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            var m = Int.MaxValue
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val cx = 2 * x + dx; val cy = 2 * y + dy
+                if (cx < cw && cy < ch) m = math.min(m, value(node(l - 1, cx, cy)))
+                dx += 1
+              }
+              dy += 1
+            }
+            value(node(l, x, y)) = m
+            x += 1
+          }
+          y += 1
+        }
+        l += 1
+      }
+    }
+    def encode(bw: BitWriter, leaf: Int, threshold: Int): Unit = {
+      var lo = 0
+      for (n <- path(leaf)) {
+        if (low(n) < lo) low(n) = lo else lo = low(n)
+        var break = false
+        while (!break && lo < threshold) {
+          if (lo >= value(n)) {
+            if (!known(n)) { bw.bit(1); known(n) = true }
+            break = true
+          } else { bw.bit(0); lo += 1 }
+        }
+        low(n) = lo
+      }
+    }
+    /** Returns true iff the leaf's value is < threshold (then `valueOf` is final). */
+    def decode(br: BitReader, leaf: Int, threshold: Int): Boolean = {
+      var lo = 0
+      for (n <- path(leaf)) {
+        if (low(n) < lo) low(n) = lo else lo = low(n)
+        while (lo < threshold && !known(n)) {
+          if (br.bit() == 1) { known(n) = true; value(n) = lo }
+          else lo += 1
+        }
+        low(n) = lo
+      }
+      val n = path(leaf).last
+      known(n) && value(n) < threshold
+    }
+    /** Decode a leaf completely (raise the threshold until known). */
+    def decodeValue(br: BitReader, leaf: Int): Int = {
+      var t = 1
+      while (!decode(br, leaf, t)) t += 1
+      value(path(leaf).last)
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // Reversible 5/3 DWT (Annex F lifting, symmetric extension),
+  // even-origin signals (tile and all subbands start at 0).
+  // ----------------------------------------------------------------
+  private def fwd53(x: Array[Int], n: Int, stride: Int, base: Int, tmp: Array[Int]): Unit = {
+    if (n <= 1) return
+    var i = 0
+    while (i < n) { tmp(i) = x(base + i * stride); i += 1 }
+    val y = new Array[Int](n)
+    i = 1
+    while (i < n) { // high (odd) samples first
+      val r = if (i + 1 < n) tmp(i + 1) else tmp(i - 1)
+      y(i) = tmp(i) - ((tmp(i - 1) + r) >> 1)
+      i += 2
+    }
+    i = 0
+    while (i < n) { // then low (even) samples
+      val l = if (i - 1 >= 0) y(i - 1) else y(1)
+      val r = if (i + 1 < n) y(i + 1) else y(i - 1)
+      y(i) = tmp(i) + ((l + r + 2) >> 2)
+      i += 2
+    }
+    // deinterleave: low half then high half
+    val nl = (n + 1) / 2
+    i = 0
+    while (i < n) { val d = if (i % 2 == 0) i / 2 else nl + i / 2; x(base + d * stride) = y(i); i += 1 }
+  }
+
+  private def inv53(x: Array[Int], n: Int, stride: Int, base: Int, tmp: Array[Int]): Unit = {
+    if (n <= 1) return
+    val nl = (n + 1) / 2
+    val y = new Array[Int](n)
+    var i = 0
+    while (i < n) { val s = if (i % 2 == 0) i / 2 else nl + i / 2; y(i) = x(base + s * stride); i += 1 }
+    i = 0
+    while (i < n) { // even (low) samples first
+      val l = if (i - 1 >= 0) y(i - 1) else y(1)
+      val r = if (i + 1 < n) y(i + 1) else y(i - 1)
+      tmp(i) = y(i) - ((l + r + 2) >> 2)
+      i += 2
+    }
+    i = 1
+    while (i < n) { // then odd (high) samples
+      val r = if (i + 1 < n) tmp(i + 1) else tmp(i - 1)
+      tmp(i) = y(i) + ((tmp(i - 1) + r) >> 1)
+      i += 2
+    }
+    i = 0
+    while (i < n) { x(base + i * stride) = tmp(i); i += 1 }
+  }
+
+  /** In-place multi-level forward transform of the w x h image held
+    * row-major in `img`; after the call the canonical subband layout
+    * (LL top-left, HL top-right, LH bottom-left, HH bottom-right,
+    * recursively) occupies the array. Rows are lifted before columns
+    * each level; the inverse mirrors that. */
+  private def fdwt(img: Array[Int], w: Int, h: Int, levels: Int): Unit = {
+    val tmp = new Array[Int](math.max(w, h))
+    var lw = w; var lh = h
+    var l = 0
+    while (l < levels) {
+      var y = 0
+      while (y < lh) { fwd53(img, lw, 1, y * w, tmp); y += 1 }
+      var x = 0
+      while (x < lw) { fwd53(img, lh, w, x, tmp); x += 1 }
+      lw = (lw + 1) / 2; lh = (lh + 1) / 2
+      l += 1
+    }
+  }
+
+  private def idwt(img: Array[Int], w: Int, h: Int, levels: Int): Unit = {
+    val tmp = new Array[Int](math.max(w, h))
+    var l = levels - 1
+    while (l >= 0) {
+      val lw = sizeAt(w, l); val lh = sizeAt(h, l)
+      var x = 0
+      while (x < lw) { inv53(img, lh, w, x, tmp); x += 1 }
+      var y = 0
+      while (y < lh) { inv53(img, lw, 1, y * w, tmp); y += 1 }
+      l -= 1
+    }
+  }
+
+  /** Low-band size of dimension n after `l` halvings (ceil each). */
+  private def sizeAt(n: Int, l: Int): Int = {
+    var v = n; var i = 0
+    while (i < l) { v = (v + 1) / 2; i += 1 }
+    v
+  }
+
+  // ----------------------------------------------------------------
+  // Tier-1 (Annex D): one engine drives both directions so encoder
+  // and decoder are symmetric by construction.
+  // ----------------------------------------------------------------
+  /** Orientations: 0 = LL, 1 = HL (h/v swapped in zero coding),
+    * 2 = LH, 3 = HH (Table D.1). */
+  private def zcContext(orient: Int, h0: Int, v0: Int, d: Int): Int = {
+    val (h, v) = if (orient == 1) (v0, h0) else (h0, v0)
+    if (orient == 3) {
+      val hv = h + v
+      if (d >= 3) 8
+      else if (d == 2) { if (hv >= 1) 7 else 6 }
+      else if (d == 1) { if (hv >= 2) 5 else if (hv == 1) 4 else 3 }
+      else { if (hv >= 2) 2 else if (hv == 1) 1 else 0 }
+    } else {
+      if (h == 2) 8
+      else if (h == 1) { if (v >= 1) 7 else if (d >= 1) 6 else 5 }
+      else { if (v == 2) 4 else if (v == 1) 3 else if (d >= 2) 2 else if (d == 1) 1 else 0 }
+    }
+  }
+
+  /** Sign-coding context and XOR bit from clamped neighbour sums
+    * (Table D.3): returns (ctx, xorBit). */
+  private def scContext(hc: Int, vc: Int): (Int, Int) = (hc, vc) match {
+    case (1, 1)   => (13, 0)
+    case (1, 0)   => (12, 0)
+    case (1, -1)  => (11, 0)
+    case (0, 1)   => (10, 0)
+    case (0, 0)   => (9, 0)
+    case (0, -1)  => (10, 1)
+    case (-1, 1)  => (11, 1)
+    case (-1, 0)  => (12, 1)
+    case (-1, -1) => (13, 1)
+    case _        => throw new IllegalStateException("unclamped sign contribution")
+  }
+
+  /** One code block's coefficient state during Tier-1 coding. */
+  private final class T1Block(val w: Int, val h: Int, val orient: Int) {
+    val mag = new Array[Int](w * h)
+    val sgn = new Array[Int](w * h) // 0 positive, 1 negative
+    val sig = new Array[Boolean](w * h)
+    val visited = new Array[Boolean](w * h)
+    val refined = new Array[Boolean](w * h)
+
+    @inline def at(x: Int, y: Int): Int = y * w + x
+    @inline private def s(x: Int, y: Int): Boolean =
+      x >= 0 && x < w && y >= 0 && y < h && sig(at(x, y))
+
+    def counts(x: Int, y: Int): (Int, Int, Int) = {
+      val hh = (if (s(x - 1, y)) 1 else 0) + (if (s(x + 1, y)) 1 else 0)
+      val vv = (if (s(x, y - 1)) 1 else 0) + (if (s(x, y + 1)) 1 else 0)
+      val dd = (if (s(x - 1, y - 1)) 1 else 0) + (if (s(x + 1, y - 1)) 1 else 0) +
+        (if (s(x - 1, y + 1)) 1 else 0) + (if (s(x + 1, y + 1)) 1 else 0)
+      (hh, vv, dd)
+    }
+    def anyNeighbourSig(x: Int, y: Int): Boolean = {
+      val (a, b, c) = counts(x, y); a + b + c > 0
+    }
+    private def contrib(x: Int, y: Int): Int =
+      if (!s(x, y)) 0 else if (sgn(at(x, y)) == 0) 1 else -1
+    def signCtx(x: Int, y: Int): (Int, Int) = {
+      val hc = math.max(-1, math.min(1, contrib(x - 1, y) + contrib(x + 1, y)))
+      val vc = math.max(-1, math.min(1, contrib(x, y - 1) + contrib(x, y + 1)))
+      scContext(hc, vc)
+    }
+  }
+
+  /** Direction-agnostic MQ face: the encoder codes the bit the
+    * by-name argument computes; the decoder ignores it and returns
+    * the decoded bit. */
+  private sealed trait MqIo { def bit(cx: Int, encBit: => Int): Int; def decoding: Boolean }
+  private final class EncIo(enc: MqEncoder) extends MqIo {
+    def bit(cx: Int, encBit: => Int): Int = { val b = encBit; enc.encode(cx, b); b }
+    def decoding = false
+  }
+  private final class DecIo(dec: MqDecoder) extends MqIo {
+    def bit(cx: Int, encBit: => Int): Int = dec.decode(cx)
+    def decoding = true
+  }
+
+  /** Code the sign of (x,y) and mark it significant at plane p. */
+  private def codeSign(t: T1Block, io: MqIo, x: Int, y: Int, p: Int): Unit = {
+    val i = t.at(x, y)
+    if (io.decoding) t.mag(i) |= 1 << p
+    val (cx, xor) = t.signCtx(x, y)
+    val b = io.bit(cx, t.sgn(i) ^ xor)
+    if (io.decoding) t.sgn(i) = b ^ xor
+    t.sig(i) = true
+  }
+
+  /** Significance-propagation pass (D.3.1). */
+  private def pass1(t: T1Block, io: MqIo, p: Int): Unit = {
+    var y0 = 0
+    while (y0 < t.h) {
+      var x = 0
+      while (x < t.w) {
+        var y = y0
+        while (y < math.min(y0 + 4, t.h)) {
+          val i = t.at(x, y)
+          if (!t.sig(i)) {
+            val (hh, vv, dd) = t.counts(x, y)
+            if (hh + vv + dd > 0) {
+              val cx = zcContext(t.orient, hh, vv, dd)
+              val b = io.bit(cx, (t.mag(i) >>> p) & 1)
+              t.visited(i) = true
+              if (b == 1) codeSign(t, io, x, y, p)
+            }
+          }
+          y += 1
+        }
+        x += 1
+      }
+      y0 += 4
+    }
+  }
+
+  /** Magnitude-refinement pass (D.3.3). */
+  private def pass2(t: T1Block, io: MqIo, p: Int): Unit = {
+    var y0 = 0
+    while (y0 < t.h) {
+      var x = 0
+      while (x < t.w) {
+        var y = y0
+        while (y < math.min(y0 + 4, t.h)) {
+          val i = t.at(x, y)
+          if (t.sig(i) && !t.visited(i)) {
+            val cx = if (!t.refined(i)) { if (t.anyNeighbourSig(x, y)) 15 else 14 } else 16
+            val b = io.bit(cx, (t.mag(i) >>> p) & 1)
+            if (io.decoding) t.mag(i) |= b << p
+            t.refined(i) = true
+          }
+          y += 1
+        }
+        x += 1
+      }
+      y0 += 4
+    }
+  }
+
+  /** Clean-up pass with run-length mode (D.3.4). */
+  private def pass3(t: T1Block, io: MqIo, p: Int): Unit = {
+    var y0 = 0
+    while (y0 < t.h) {
+      var x = 0
+      while (x < t.w) {
+        var y = y0
+        // run-length mode: full stripe column, all four insignificant,
+        // unvisited, with entirely insignificant neighbourhoods
+        val full = y0 + 4 <= t.h
+        var rl = full
+        if (full) {
+          var k = y0
+          while (rl && k < y0 + 4) {
+            val i = t.at(x, k)
+            if (t.sig(i) || t.visited(i)) rl = false
+            else {
+              val (hh, vv, dd) = t.counts(x, k)
+              if (hh + vv + dd > 0) rl = false
+            }
+            k += 1
+          }
+        }
+        if (rl) {
+          val any = io.bit(CtxRl, {
+            var a = 0; var k = y0
+            while (k < y0 + 4) { if (((t.mag(t.at(x, k)) >>> p) & 1) == 1) a = 1; k += 1 }
+            a
+          })
+          if (any == 0) y = y0 + 4 // whole column confirmed zero
+          else {
+            val r = {
+              val hi = io.bit(CtxUni, {
+                var k = y0
+                while (((t.mag(t.at(x, k)) >>> p) & 1) == 0) k += 1
+                ((k - y0) >> 1) & 1
+              })
+              val lo = io.bit(CtxUni, {
+                var k = y0
+                while (((t.mag(t.at(x, k)) >>> p) & 1) == 0) k += 1
+                (k - y0) & 1
+              })
+              (hi << 1) | lo
+            }
+            codeSign(t, io, x, y0 + r, p)
+            y = y0 + r + 1
+          }
+        }
+        while (y < math.min(y0 + 4, t.h)) {
+          val i = t.at(x, y)
+          if (!t.sig(i) && !t.visited(i)) {
+            val (hh, vv, dd) = t.counts(x, y)
+            val cx = zcContext(t.orient, hh, vv, dd)
+            val b = io.bit(cx, (t.mag(i) >>> p) & 1)
+            if (b == 1) codeSign(t, io, x, y, p)
+          }
+          y += 1
+        }
+        x += 1
+      }
+      y0 += 4
+    }
+    java.util.Arrays.fill(t.visited, false)
+  }
+
+  /** Run `nPasses` coding passes starting from the MSB plane
+    * `planes - 1` (first plane: clean-up only). */
+  private def tier1(t: T1Block, io: MqIo, planes: Int, nPasses: Int): Unit = {
+    var done = 0
+    var p = planes - 1
+    while (p >= 0 && done < nPasses) {
+      if (p < planes - 1) {
+        if (done < nPasses) { pass1(t, io, p); done += 1 }
+        if (done < nPasses) { pass2(t, io, p); done += 1 }
+      }
+      if (done < nPasses) { pass3(t, io, p); done += 1 }
+      p -= 1
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // Geometry: subbands and code blocks.
+  // ----------------------------------------------------------------
+  /** One subband: orientation, top-left position in the coefficient
+    * plane, and dimensions. Resolution r of NL levels carries LL at
+    * r=0 and (HL, LH, HH) of decomposition level NL-r+1 for r>=1. */
+  private final case class Band(orient: Int, x0: Int, y0: Int, w: Int, h: Int, gain: Int)
+
+  private def bandsFor(w: Int, h: Int, levels: Int): Array[Array[Band]] = {
+    val res = new Array[Array[Band]](levels + 1)
+    res(0) = Array(Band(0, 0, 0, sizeAt(w, levels), sizeAt(h, levels), 0))
+    var r = 1
+    while (r <= levels) {
+      val l = levels - r + 1 // decomposition level of these bands
+      val pw = sizeAt(w, l - 1); val ph = sizeAt(h, l - 1)
+      val lw = (pw + 1) / 2; val lh = (ph + 1) / 2
+      val hw = pw / 2; val hh = ph / 2
+      res(r) = Array(
+        Band(1, lw, 0, hw, lh, 1), // HL: horizontally high-pass
+        Band(2, 0, lh, lw, hh, 1), // LH
+        Band(3, lw, lh, hw, hh, 2)) // HH
+      r += 1
+    }
+    res
+  }
+
+  private final case class Cblk(bx: Int, by: Int, x0: Int, y0: Int, w: Int, h: Int)
+
+  private def cblksFor(b: Band, cbw: Int, cbh: Int): Array[Cblk] = {
+    if (b.w == 0 || b.h == 0) return Array.empty
+    val nx = (b.w + cbw - 1) / cbw; val ny = (b.h + cbh - 1) / cbh
+    val out = new Array[Cblk](nx * ny)
+    var j = 0
+    var by = 0
+    while (by < ny) {
+      var bx = 0
+      while (bx < nx) {
+        val x0 = bx * cbw; val y0 = by * cbh
+        out(j) = Cblk(bx, by, x0, y0, math.min(cbw, b.w - x0), math.min(cbh, b.h - y0))
+        j += 1; bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  private val GuardBits = 2
+  private def mbFor(bits: Int, gain: Int): Int = GuardBits + (bits + gain) - 1
+
+  // ----------------------------------------------------------------
+  // Number-of-passes codeword (B.10.6) and Lblock lengths (B.10.7).
+  // ----------------------------------------------------------------
+  private def writeNumPasses(bw: BitWriter, n: Int): Unit = {
+    require(n >= 1 && n <= 164, s"coding passes out of range: $n")
+    if (n == 1) bw.bit(0)
+    else if (n == 2) { bw.bit(1); bw.bit(0) }
+    else if (n <= 5) { bw.bits(3, 2); bw.bits(n - 3, 2) }
+    else if (n <= 36) { bw.bits(0xf, 4); bw.bits(n - 6, 5) }
+    else { bw.bits(0x1ff, 9); bw.bits(n - 37, 7) }
+  }
+  private def readNumPasses(br: BitReader): Int = {
+    if (br.bit() == 0) 1
+    else if (br.bit() == 0) 2
+    else {
+      val t = br.bits(2)
+      if (t < 3) 3 + t
+      else {
+        val u = br.bits(5)
+        if (u < 31) 6 + u
+        else 37 + br.bits(7)
+      }
+    }
+  }
+  private def log2floor(n: Int): Int = 31 - Integer.numberOfLeadingZeros(n)
+
+  // ----------------------------------------------------------------
+  // Encoder
+  // ----------------------------------------------------------------
+  /** Encode unsigned `bits`-deep samples as a lossless JPEG 2000
+    * codestream. `levels` decomposition levels (0 = no transform);
+    * code-block size 2^cbxExp x 2^cbyExp. */
+  def encode(vals: Array[Int], w: Int, h: Int, bits: Int,
+             levels: Int = 2, cbxExp: Int = 6, cbyExp: Int = 6): Array[Byte] = {
+    require(w > 0 && h > 0 && vals.length == w * h, "bad image geometry")
+    require(bits >= 1 && bits <= 16, s"unsupported precision $bits")
+    require(levels >= 0 && levels <= 32, s"bad decomposition levels $levels")
+    require(cbxExp >= 2 && cbyExp >= 2 && cbxExp + cbyExp <= 12,
+      s"bad code-block size 2^$cbxExp x 2^$cbyExp")
+    val img = new Array[Int](w * h)
+    val shift = 1 << (bits - 1) // DC level shift (E.3)
+    var i = 0
+    while (i < img.length) {
+      require(vals(i) >= 0 && vals(i) < (1 << bits), s"sample out of $bits-bit range: ${vals(i)}")
+      img(i) = vals(i) - shift; i += 1
+    }
+    fdwt(img, w, h, levels)
+
+    val cbw = 1 << cbxExp; val cbh = 1 << cbyExp
+    val allBands = bandsFor(w, h, levels)
+    val packets = new ArrayBuffer[Array[Byte]]
+    for (r <- 0 to levels) {
+      val bw = new BitWriter
+      bw.bit(1) // non-empty packet
+      val bodies = new ArrayBuffer[Array[Byte]]
+      for (band <- allBands(r); if band.w > 0 && band.h > 0) {
+        val mb = mbFor(bits, band.gain)
+        val blocks = cblksFor(band, cbw, cbh)
+        val nx = (band.w + cbw - 1) / cbw; val ny = (band.h + cbh - 1) / cbh
+        val incl = new TagTree(nx, ny); val zbp = new TagTree(nx, ny)
+        val coded = blocks.map { cb =>
+          val t = new T1Block(cb.w, cb.h, band.orient)
+          var maxMag = 0
+          var y = 0
+          while (y < cb.h) {
+            var x = 0
+            while (x < cb.w) {
+              val v = img((band.y0 + cb.y0 + y) * w + (band.x0 + cb.x0 + x))
+              val m = math.abs(v)
+              t.mag(t.at(x, y)) = m
+              t.sgn(t.at(x, y)) = if (v < 0) 1 else 0
+              if (m > maxMag) maxMag = m
+              x += 1
+            }
+            y += 1
+          }
+          require(maxMag < (1 << mb), s"coefficient magnitude $maxMag overflows Mb=$mb")
+          if (maxMag == 0) None
+          else {
+            val planes = log2floor(maxMag) + 1
+            val nPasses = 3 * planes - 2
+            val enc = new MqEncoder
+            tier1(t, new EncIo(enc), planes, nPasses)
+            Some((enc.finish(), nPasses, mb - planes))
+          }
+        }
+        var j = 0
+        while (j < blocks.length) {
+          incl.value(j) = if (coded(j).isDefined) 0 else 1
+          zbp.value(j) = coded(j).map(_._3).getOrElse(mb)
+          j += 1
+        }
+        incl.build(); zbp.build()
+        j = 0
+        while (j < blocks.length) {
+          incl.encode(bw, j, 1)
+          coded(j) match {
+            case None => ()
+            case Some((data, nPasses, missing)) =>
+              zbp.encode(bw, j, missing + 1)
+              writeNumPasses(bw, nPasses)
+              // Lblock signalling: one codeword segment
+              var lblock = 3
+              val lenBitsAvail = () => lblock + log2floor(nPasses)
+              val need = if (data.length == 0) 1 else log2floor(data.length) + 1
+              var extra = 0
+              while (lenBitsAvail() < need) { lblock += 1; extra += 1 }
+              var k = 0
+              while (k < extra) { bw.bit(1); k += 1 }
+              bw.bit(0)
+              bw.bits(data.length, lenBitsAvail())
+              bodies += data
+          }
+          j += 1
+        }
+      }
+      val header = bw.finish()
+      val pk = new ByteArrayOutputStream()
+      pk.write(header, 0, header.length)
+      bodies.foreach(b => pk.write(b, 0, b.length))
+      packets += pk.toByteArray
+    }
+
+    // ---- codestream markers (Annex A) ----
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
+    u16(0xff4f) // SOC
+    u16(0xff51); u16(38 + 3) // SIZ, Lsiz for 1 component
+    u16(0) // Rsiz
+    u32(w); u32(h); u32(0); u32(0) // Xsiz Ysiz XOsiz YOsiz
+    u32(w); u32(h); u32(0); u32(0) // XTsiz YTsiz XTOsiz YTOsiz
+    u16(1) // Csiz
+    u8(bits - 1); u8(1); u8(1) // Ssiz (unsigned), XRsiz, YRsiz
+    u16(0xff52); u16(12) // COD, Lcod
+    u8(0) // Scod: default precincts, no SOP/EPH
+    u8(0); u16(1); u8(0) // SGcod: LRCP, 1 layer, no MCT
+    u8(levels); u8(cbxExp - 2); u8(cbyExp - 2); u8(0); u8(1) // SPcod: 5/3 reversible
+    u16(0xff5c); u16(3 + (3 * levels + 1)) // QCD, Lqcd
+    u8(GuardBits << 5) // Sqcd: style 0 (no quantization)
+    u8((bits + 0) << 3) // epsilon for LL
+    for (_ <- 1 to levels) { u8((bits + 1) << 3); u8((bits + 1) << 3); u8((bits + 2) << 3) }
+    val packetLen = packets.map(_.length).sum
+    u16(0xff90); u16(10) // SOT, Lsot
+    u16(0) // Isot
+    u32(12 + 2 + packetLen) // Psot: SOT segment (12) + SOD (2) + packet data
+    u8(0); u8(1) // TPsot, TNsot
+    u16(0xff93) // SOD
+    packets.foreach(p => out.write(p, 0, p.length))
+    u16(0xffd9) // EOC
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------
+  // Decoder
+  // ----------------------------------------------------------------
+  /** Decode a JPEG 2000 codestream produced by this profile:
+    * returns (width, height, precision, unsigned samples). */
+  def decode(data: Array[Byte], path: String): (Int, Int, Int, Array[Int]) = {
+    var p = 0
+    def u8(): Int = { val v = data(p) & 0xff; p += 1; v }
+    def u16(): Int = { val v = ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff); p += 2; v }
+    def u32(): Int = { val v = u16(); (v << 16) | u16() }
+    require(data.length >= 4 && u16() == 0xff4f, s"not a JPEG 2000 codestream: $path")
+
+    var w = 0; var h = 0; var bits = 0
+    var levels = -1; var cbxExp = 0; var cbyExp = 0
+    var guard = GuardBits; var expBytes: Array[Int] = null
+    var sawSiz = false; var sawCod = false; var sawQcd = false
+    var done = false
+    while (!done) {
+      require(p + 4 <= data.length, s"truncated JPEG 2000 codestream: $path")
+      val marker = u16()
+      require((marker & 0xff00) == 0xff00, f"bad JPEG 2000 marker $marker%04x in $path")
+      marker match {
+        case 0xff51 => // SIZ
+          val len = u16(); val end = p + len - 2
+          val rsiz = u16()
+          require(rsiz == 0 || rsiz == 1 || rsiz == 2, s"unsupported Rsiz $rsiz in $path")
+          val xs = u32(); val ys = u32(); val xo = u32(); val yo = u32()
+          val xt = u32(); val yt = u32(); val xto = u32(); val yto = u32()
+          require(xo == 0 && yo == 0 && xto == 0 && yto == 0,
+            s"non-zero image/tile offsets unsupported in $path")
+          require(xt >= xs && yt >= ys, s"multiple tiles unsupported in $path")
+          val csiz = u16()
+          require(csiz == 1, s"only single-component JPEG 2000 supported, got $csiz in $path")
+          val ssiz = u8()
+          require((ssiz & 0x80) == 0, s"signed JPEG 2000 samples unsupported in $path")
+          bits = (ssiz & 0x7f) + 1
+          require(bits <= 16, s"JPEG 2000 precision $bits unsupported in $path")
+          val xr = u8(); val yr = u8()
+          require(xr == 1 && yr == 1, s"subsampled components unsupported in $path")
+          w = xs; h = ys
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 28), s"bad JPEG 2000 geometry in $path")
+          sawSiz = true; p = end
+        case 0xff52 => // COD
+          val len = u16(); val end = p + len - 2
+          val scod = u8()
+          require((scod & 0x07) == 0, s"precinct/SOP/EPH COD options unsupported in $path")
+          val order = u8()
+          require(order == 0, s"only LRCP progression supported, got $order in $path")
+          val layers = u16()
+          require(layers == 1, s"only single-layer streams supported, got $layers in $path")
+          val mct = u8()
+          require(mct == 0, s"MCT unsupported in $path")
+          levels = u8()
+          require(levels <= 32, s"bad decomposition level count $levels in $path")
+          cbxExp = u8() + 2; cbyExp = u8() + 2
+          require(cbxExp + cbyExp <= 12, s"bad code-block size in $path")
+          val cstyle = u8()
+          require(cstyle == 0, s"code-block style options unsupported in $path")
+          val transform = u8()
+          require(transform == 1, s"only the reversible 5/3 transform supported in $path")
+          sawCod = true; p = end
+        case 0xff5c => // QCD: no-quantization style; keep guard bits + exponents for Mb
+          val len = u16(); val end = p + len - 2
+          val sqcd = u8()
+          require((sqcd & 0x1f) == 0, s"quantized (irreversible) stream unsupported in $path")
+          guard = (sqcd >>> 5) & 0x7
+          expBytes = Array.fill(end - p)(u8() >>> 3)
+          sawQcd = true; p = end
+        case 0xff90 => // SOT
+          val len = u16(); val end = p + len - 2
+          val isot = u16(); u32(); val tpsot = u8(); u8()
+          require(isot == 0 && tpsot == 0, s"multiple tiles/tile-parts unsupported in $path")
+          p = end
+        case 0xff93 => done = true // SOD: packet data follows
+        case 0xff64 | 0xff63 => // COM / CRG: informational, skip
+          val len = u16(); p += len - 2
+        case 0xff55 | 0xff57 | 0xff58 => // TLM / PLM / PLT: pointer info, skip
+          val len = u16(); p += len - 2
+        case other =>
+          // anything that would CHANGE decoding (RGN, POC, COC, QCC,
+          // PPM/PPT, ...) rejects loudly rather than mis-decoding
+          throw new IllegalArgumentException(f"unsupported JPEG 2000 marker $other%04x in $path")
+      }
+    }
+    require(sawSiz && sawCod && sawQcd, s"missing SIZ/COD/QCD in $path")
+    require(expBytes.length >= 3 * levels + 1,
+      s"QCD carries ${expBytes.length} exponents for $levels levels in $path")
+    // Mb per subband from the stream's own QCD (E.1): Mb = G + eps - 1,
+    // exponents in subband order LL, then (HL, LH, HH) per resolution
+    def mbAt(r: Int, bandIdx: Int): Int = {
+      val eps = if (r == 0) expBytes(0) else expBytes(1 + (r - 1) * 3 + bandIdx)
+      val mb = guard + eps - 1
+      require(mb >= 1 && mb <= 30, s"bad bit-plane count $mb from QCD in $path")
+      mb
+    }
+
+    val cbw = 1 << cbxExp; val cbh = 1 << cbyExp
+    val img = new Array[Int](w * h)
+    val allBands = bandsFor(w, h, levels)
+    for (r <- 0 to levels) {
+      val br = new BitReader(data, p)
+      val nonEmpty = br.bit()
+      if (nonEmpty == 1) {
+        val toDecode = new ArrayBuffer[(Band, Cblk, Int, Int, Int)] // band, cblk, mb, passes, length
+        for ((band, bandIdx) <- allBands(r).zipWithIndex; if band.w > 0 && band.h > 0) {
+          val mb = mbAt(r, bandIdx)
+          val blocks = cblksFor(band, cbw, cbh)
+          val nx = (band.w + cbw - 1) / cbw; val ny = (band.h + cbh - 1) / cbh
+          val incl = new TagTree(nx, ny); val zbp = new TagTree(nx, ny)
+          var j = 0
+          while (j < blocks.length) {
+            val included = incl.decode(br, j, 1)
+            if (included) {
+              val missing = zbp.decodeValue(br, j)
+              require(missing <= mb, s"zero-bit-planes $missing exceeds Mb=$mb in $path")
+              val nPasses = readNumPasses(br)
+              var lblock = 3
+              while (br.bit() == 1) lblock += 1
+              val lenBits = lblock + log2floor(nPasses)
+              val dataLen = br.bits(lenBits)
+              toDecode += ((band, blocks(j), mb - missing, nPasses, dataLen))
+            }
+            j += 1
+          }
+        }
+        p = br.align()
+        for ((band, cb, planes, nPasses, dataLen) <- toDecode) {
+          require(p + dataLen <= data.length, s"truncated code-block data in $path")
+          val seg = java.util.Arrays.copyOfRange(data, p, p + dataLen)
+          p += dataLen
+          require(planes >= 1 && nPasses <= 3 * planes - 2,
+            s"inconsistent pass count $nPasses for $planes planes in $path")
+          val t = new T1Block(cb.w, cb.h, band.orient)
+          tier1(t, new DecIo(new MqDecoder(seg)), planes, nPasses)
+          var y = 0
+          while (y < cb.h) {
+            var x = 0
+            while (x < cb.w) {
+              val i = t.at(x, y)
+              val v = if (t.sgn(i) == 1) -t.mag(i) else t.mag(i)
+              img((band.y0 + cb.y0 + y) * w + (band.x0 + cb.x0 + x)) = v
+              x += 1
+            }
+            y += 1
+          }
+        }
+      } else p = br.align()
+    }
+    idwt(img, w, h, levels)
+    val shift = 1 << (bits - 1)
+    val maxV = (1 << bits) - 1
+    var i = 0
+    while (i < img.length) {
+      val v = img(i) + shift
+      require(v >= 0 && v <= maxV, s"decoded sample $v outside $bits-bit range in $path")
+      img(i) = v; i += 1
+    }
+    (w, h, bits, img)
+  }
+}

@@ -254,7 +254,8 @@ class KernelSpec extends AnyFunSuite with Matchers {
     Seq(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
         ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle,
         ImageCodecIO.TsJpegLossless, ImageCodecIO.TsJpegLossless14,
-        ImageCodecIO.TsJpegBaseline, ImageCodecIO.TsJpegLs).foreach { ts =>
+        ImageCodecIO.TsJpegBaseline, ImageCodecIO.TsJpegLs,
+        ImageCodecIO.TsJpeg2000Lossless).foreach { ts =>
       ImageCodecIO.dicomTransferSyntax("t.dcm",
         ImageCodecIO.encodeDicom(img, transferSyntax = ts)) shouldBe ts
     }
@@ -337,6 +338,51 @@ class KernelSpec extends AnyFunSuite with Matchers {
     back.toDoubles shouldBe vals
     // magic dispatch reads it without the extension hint
     ImageCodecIO.decode("noext", bytes).toDoubles shouldBe vals
+  }
+
+  test("JPEG 2000 DICOM (.90) round-trips through the encapsulated PixelData path") {
+    import graft.sources.ImageCodecIO
+    val rnd = new scala.util.Random(90)
+    val vals = Array.fill(48 * 20)(rnd.nextInt(65536).toDouble)
+    val img = SparkImage(ImageMeta(), "[]", 48, 20, 1, PixelCodec.Short16,
+      PixelCodec.encode(vals, PixelCodec.Short16))
+    val bytes = ImageCodecIO.encodeDicom(img, instance = 90,
+      transferSyntax = ImageCodecIO.TsJpeg2000Lossless)
+    val (back, inst) = ImageCodecIO.decodeDicomWithInstance("j2k.dcm", bytes)
+    inst shouldBe 90
+    back.width shouldBe 48
+    back.height shouldBe 20
+    back.toDoubles shouldBe vals
+    // magic dispatch reads it without the extension hint
+    ImageCodecIO.decode("noext", bytes).toDoubles shouldBe vals
+  }
+
+  test("JPEG 2000 decoder handles third-party stream shapes: COM segments, odd code-blocks, 1-level and 0-level streams") {
+    import graft.sources.Jpeg2000Codec
+    val rnd = new scala.util.Random(800)
+    val vals = Array.fill(40 * 24)(rnd.nextInt(65536))
+    // parameters our DICOM writer never uses: 16x32 code blocks, 1 and
+    // 0 decomposition levels — the decoder must honour COD, not assume
+    for ((lv, cbx, cby) <- Seq((1, 4, 5), (0, 6, 6), (3, 5, 4))) {
+      val enc = Jpeg2000Codec.encode(vals, 40, 24, 16, lv, cbx, cby)
+      Jpeg2000Codec.decode(enc, "t.j2k")._4 shouldBe vals
+    }
+    // splice a COM (comment) marker segment between QCD and SOT — legal
+    // main-header content our encoder never writes
+    val own = Jpeg2000Codec.encode(vals, 40, 24, 16)
+    val sotAt = own.indexOfSlice(Seq(0xff.toByte, 0x90.toByte))
+    sotAt should be > 0
+    val comPayload = "third party comment".getBytes("US-ASCII")
+    val com = Array[Byte](0xff.toByte, 0x64.toByte,
+      (((comPayload.length + 4) >> 8) & 0xff).toByte, ((comPayload.length + 4) & 0xff).toByte,
+      0, 1) ++ comPayload // Rcom=1: latin-1 text
+    val spliced = own.slice(0, sotAt) ++ com ++ own.slice(sotAt, own.length)
+    Jpeg2000Codec.decode(spliced, "com.j2k")._4 shouldBe vals
+    // a marker that CHANGES decoding (POC) rejects loudly
+    val poc = Array[Byte](0xff.toByte, 0x5f.toByte, 0, 9, 0, 0, 0, 1, 0, 4, 1, 4, 0)
+    val badSpliced = own.slice(0, sotAt) ++ poc ++ own.slice(sotAt, own.length)
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg2000Codec.decode(badSpliced, "poc.j2k")
   }
 
   test("JPEG Lossless decoder handles third-party streams: tuned Huffman table, predictor 4, APPn/COM segments") {

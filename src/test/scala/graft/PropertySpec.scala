@@ -277,7 +277,8 @@ class PropertySpec extends AnyFunSuite with Matchers {
       inst <- Gen.choose(1, 999)
       ts <- Gen.oneOf(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
         ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle, ImageCodecIO.TsJpegLossless,
-        ImageCodecIO.TsJpegLossless14, ImageCodecIO.TsJpegLs)
+        ImageCodecIO.TsJpegLossless14, ImageCodecIO.TsJpegLs,
+        ImageCodecIO.TsJpeg2000Lossless)
       px <- Gen.listOfN(w * h * slices, Gen.choose(0, 65535).map(_.toDouble))
     } yield (w, h, slices, s, inst, ts, px.toArray)
     check("dicom-roundtrip", Prop.forAll(genCase) { case (w, h, slices, s, inst, ts, px) =>
@@ -290,5 +291,45 @@ class PropertySpec extends AnyFunSuite with Matchers {
       gotInst == inst && dec.width == w && dec.height == h && dec.slices == 1 &&
         dec.pixelType == PixelCodec.Short16 && dec.toDoubles.sameElements(want)
     })
+  }
+
+  test("JPEG 2000 codec: lossless round trip across geometry, precision, levels, code-block size") {
+    import graft.sources.Jpeg2000Codec
+    val genCase = for {
+      w <- Gen.choose(1, 70)
+      h <- Gen.choose(1, 70)
+      bits <- Gen.oneOf(1, 8, 12, 16)
+      levels <- Gen.choose(0, 3)
+      cbx <- Gen.choose(2, 6)
+      cby <- Gen.choose(2, math.min(6, 12 - 2)) // keep cbx+cby <= 12
+      px <- Gen.listOfN(w * h, Gen.choose(0, (1 << bits) - 1))
+    } yield (w, h, bits, levels, math.min(cbx, 12 - cby), cby, px.toArray)
+    check("jpeg2000-roundtrip", Prop.forAll(genCase) { case (w, h, bits, levels, cbx, cby, px) =>
+      val bytes = Jpeg2000Codec.encode(px, w, h, bits, levels, cbx, cby)
+      val (gw, gh, gbits, out) = Jpeg2000Codec.decode(bytes, "gen.j2k")
+      gw == w && gh == h && gbits == bits && out.sameElements(px)
+    })
+  }
+
+  test("JPEG 2000 codec: multi-code-block subbands, flat and extreme images, degenerate shapes") {
+    import graft.sources.Jpeg2000Codec
+    val rnd = new scala.util.Random(7)
+    // 160x96 at 2 levels: level-1 subbands are 80x48 -> 2x1 code-block
+    // grids at 64x64, so inclusion/zbp tag trees are non-trivial
+    for ((w, h, lv) <- Seq((160, 96, 2), (129, 65, 1), (256, 8, 3), (1, 64, 2), (64, 1, 2))) {
+      val px = Array.fill(w * h)(rnd.nextInt(65536))
+      val enc = Jpeg2000Codec.encode(px, w, h, 16, lv)
+      val (gw, gh, gb, out) = Jpeg2000Codec.decode(enc, "big.j2k")
+      assert(gw == w && gh == h && gb == 16)
+      assert(out.sameElements(px))
+    }
+    for (const <- Seq(0, 65535, 32768)) { // all-zero blocks excluded from packets
+      val px = Array.fill(48 * 48)(const)
+      val (_, _, _, out) = Jpeg2000Codec.decode(Jpeg2000Codec.encode(px, 48, 48, 16, 2), "c.j2k")
+      assert(out.sameElements(px))
+    }
+    val single = Array(40000)
+    val (sw, sh, _, sout) = Jpeg2000Codec.decode(Jpeg2000Codec.encode(single, 1, 1, 16, 2), "s.j2k")
+    assert(sw == 1 && sh == 1 && sout.sameElements(single))
   }
 }
