@@ -992,4 +992,92 @@ object Graph {
     head + ",\n" + iterCtes +
       s"\nSELECT v AS s_suppkey, CAST(rank AS BIGINT) AS rank_scaled FROM r$iters ORDER BY rank_scaled DESC, v"
   }
+
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * pair with at least one common neighbour, the three classic
+    * integer-exact indices — common-neighbour count, Jaccard
+    * (|N(a)∩N(b)| / |N(a)∪N(b)|, 1e6 grid) and resource allocation
+    * (Σ_z 1/deg(z) over common neighbours z, 1e6 grid; Zhou, Lü &
+    * Zhang 2009 — the RA index is Adamic-Adar with 1/d in place of
+    * 1/log d, which keeps it on the integer grid). Top `topK` pairs
+    * by (cn, ra, pair id), a total order.
+    *
+    * Scale shape: candidate pairs come from wedges through a common
+    * MIDDLE, so the join volume is Σ_m C(deg(m), 2) — inherently
+    * quadratic in hub degree, the one graph pattern degree-ordering
+    * cannot fix (both spokes are needed). The standard production
+    * guard is `maxMiddleDegree`: middles above the cap are dropped
+    * from candidate GENERATION (their RA contribution 1/deg is
+    * negligible by construction; full degrees still drive the Jaccard
+    * denominator). The wedge shuffle is then ≤ cap·|E|, map-side
+    * combined on (a, b); everything else is |V|-sized joins. The cap
+    * is part of the operator's CONTRACT (the oracle applies the same
+    * cap), not a silent truncation — [[linkWedgeVolume]] measures
+    * what a cap admits and ScaleProbe reports it on a hub graph. */
+  def linkPrediction(edges: DataFrame, maxMiddleDegree: Long, topK: Int): DataFrame = {
+    require(maxMiddleDegree >= 2 && topK >= 1, "cap >= 2 and topK >= 1")
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val adj = e.select(col("a").as("u"), col("b").as("z"))
+      .union(e.select(col("b").as("u"), col("a").as("z")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // neighbours grouped by middle, hubs above the cap dropped loudly
+    // at generation time (contract knob, mirrored in the oracle)
+    val nbm = adj.select(col("u").as("m"), col("z").as("n"))
+      .join(deg.select(col("u").as("m"), col("d").as("dm")), Seq("m"))
+      .filter(col("dm") <= maxMiddleDegree)
+    val wedges = nbm.select(col("m"), col("n").as("a"), col("dm"))
+      .join(nbm.select(col("m"), col("n").as("b")), Seq("m"))
+      .filter(col("a") < col("b"))
+    val cand = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 div dm")).as("ra_q6"))
+      .join(e, Seq("a", "b"), "left_anti") // score only MISSING links
+    cand
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        expr("1000000 * cn div (da + db - cn)").as("jaccard_q6"), col("ra_q6"))
+      .orderBy(col("cn").desc, col("ra_q6").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Diagnostic for [[linkPrediction]]'s cap: the wedge volume
+    * Σ_m C(deg(m), 2) over middles with deg ≤ cap (cap ≤ 0 → no
+    * cap). The ScaleProbe hub row reports capped vs uncapped. */
+  def linkWedgeVolume(edges: DataFrame, cap: Long): Long = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val kept = if (cap <= 0) deg else deg.filter(col("d") <= cap)
+    val r = kept.agg(sum(expr("d * (d - 1) div 2")).as("wedges")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** DuckDB oracle for [[linkPrediction]] on the strong-tie supplier
+    * graph — same canonical edges, same cap, same integer grids. */
+  private[graft] def linkPredictionOracleSql(minW: Long, cap: Long, topK: Int): String =
+    s"""WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |edges AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+       |  FROM su a JOIN su b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges WHERE w >= $minW),
+       |adj AS (SELECT a AS u, b AS z FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1),
+       |nbm AS (SELECT adj.u AS m, adj.z AS n, deg.d AS dm
+       |  FROM adj JOIN deg ON deg.u = adj.u WHERE deg.d <= $cap),
+       |wedges AS (SELECT x.n AS a, y.n AS b, x.dm
+       |  FROM nbm x JOIN nbm y ON x.m = y.m AND x.n < y.n),
+       |cand AS (SELECT a, b, COUNT(*) AS cn, SUM(1000000 // dm) AS ra_q6
+       |  FROM wedges GROUP BY 1, 2),
+       |missing AS (SELECT c.* FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b))
+       |SELECT m.a, m.b, CAST(m.cn AS BIGINT) AS cn,
+       |  CAST(1000000 * m.cn // (da.d + db.d - m.cn) AS BIGINT) AS jaccard_q6,
+       |  CAST(m.ra_q6 AS BIGINT) AS ra_q6
+       |FROM missing m JOIN deg da ON da.u = m.a JOIN deg db ON db.u = m.b
+       |ORDER BY cn DESC, ra_q6 DESC, a, b LIMIT $topK""".stripMargin
 }

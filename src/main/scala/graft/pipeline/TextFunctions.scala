@@ -652,6 +652,45 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Blocklist scan: per banned pattern, how many documents contain
+    * it and how many occurrences the corpus holds — the single-pass
+    * compliance/contamination sweep. One Aho–Corasick automaton
+    * (built once on the driver, broadcast as a few KB) finds every
+    * occurrence of every pattern in one pass over each document —
+    * P patterns cost ONE scan, not P scans, and the text column is
+    * never shuffled: the only exchange is the final |P|-row
+    * aggregation, map-side combined. Patterns are border-free by
+    * [[graft.functions.AhoCorasick]]'s build contract, which is what
+    * makes the occurrence counts replayable with `replace()`
+    * arithmetic in the oracle. */
+  def blocklistStats(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val ac = graft.functions.AhoCorasick.build(patterns)
+    val bc = docs.sparkSession.sparkContext.broadcast(ac)
+    val hits = udf { (text: String) =>
+      bc.value.countMatches(if (text == null) "" else text)
+    }
+    val pats = array(patterns.map(lit): _*)
+    docs.select(posexplode(hits(col("text"))).as(Seq("p", "h")))
+      .groupBy(col("p"))
+      .agg(count(when(col("h") > 0, 1)).as("n_docs"), sum(col("h")).as("n_hits"))
+      .select(element_at(pats, col("p") + 1).as("pat"), col("n_docs"), col("n_hits"))
+      .orderBy(col("pat"))
+  }
+
+  /** DuckDB oracle for [[blocklistStats]]: replace()-based
+    * non-overlapping occurrence counts — equal to the automaton's
+    * all-occurrence counts because patterns are border-free. */
+  private[graft] def blocklistOracleSql(patterns: Seq[String]): String = {
+    val vals = patterns.map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+    s"""WITH pats(pat) AS (VALUES $vals),
+       |h AS (SELECT p.pat,
+       |  (length(d.text) - length(replace(d.text, p.pat, ''))) // length(p.pat) AS h
+       |  FROM documents d CROSS JOIN pats p)
+       |SELECT pat, CAST(COUNT(CASE WHEN h > 0 THEN 1 END) AS BIGINT) AS n_docs,
+       |  CAST(SUM(h) AS BIGINT) AS n_hits
+       |FROM h GROUP BY pat ORDER BY pat""".stripMargin
+  }
+
   /** DuckDB oracle for [[collocations]] — same integer odds and
     * (pmi DESC, a, b) rank. */
   private[graft] def collocationsOracleSql(minSupport: Long, k: Int): String =

@@ -166,5 +166,21 @@ object GraphQueries {
           .select(col("v").as("s_suppkey"), col("deg"), col("n_triangles"), col("cc_q6"))
           .orderBy(col("s_suppkey"))
       },
-      Some(Graph.clusteringCoefficientOracleSql(minW = 8))))
+      Some(Graph.clusteringCoefficientOracleSql(minW = 8))),
+
+    // ---- link prediction (recommend missing edges): common-neighbour,
+    // Jaccard and resource-allocation indices for non-adjacent pairs,
+    // wedge-generated with the middle-degree cap that bounds the one
+    // inherently hub-quadratic join at 100 TB (cap mirrored in the
+    // oracle — it is the operator's contract, not a truncation) ------
+    ("q145_link_prediction",
+      (s, dir) => {
+        // minW = 24: at 8 the demo graph is near-complete (every 2-hop
+        // pair is already an edge — zero missing links to predict);
+        // 24 leaves ~2.2k edges and ~2.8k non-adjacent candidates
+        val strong = Graph.supplierCooccurrence(t(s, dir, "lineitem"))
+          .filter(col("w") >= 24)
+        Graph.linkPrediction(strong, maxMiddleDegree = 100000L, topK = 100)
+      },
+      Some(Graph.linkPredictionOracleSql(minW = 24, cap = 100000L, topK = 100))))
 }

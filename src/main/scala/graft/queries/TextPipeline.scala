@@ -15,6 +15,12 @@ import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Snapshot, TextFu
   */
 object TextPipeline {
 
+  /** q146's banned phrases: all border-free (the AhoCorasick build
+    * contract), nested ("table" ⊂ "fast table"), and one absent from
+    * the corpus ("flink") so the zero row is exercised. */
+  val blocklistPatterns: Seq[String] =
+    Seq("spark", "table", "fast table", "scan query", "merge batch", "the line", "flink")
+
   val entries: List[(String, Q, Option[String])] = List(
 
     // ---- exact dedup: content-hash groups ------------------------------
@@ -1160,6 +1166,16 @@ object TextPipeline {
       (s, dir) => TextFunctions.collocations(t(s, dir, "documents"),
         minSupport = 5L, k = 30),
       Some(TextFunctions.collocationsOracleSql(minSupport = 5L, k = 30))),
+
+    // ---- Aho–Corasick blocklist sweep: P banned phrases found in ONE
+    // automaton pass per document (broadcast KB-sized automaton, no
+    // text shuffle, |P|-row map-side-combined agg) — vs P regex scans;
+    // includes nested patterns ("table" inside "fast table", exercising
+    // suffix-output links) and a never-occurring pattern -------------
+    ("q146_blocklist",
+      (s, dir) => TextFunctions.blocklistStats(t(s, dir, "documents"),
+        TextPipeline.blocklistPatterns),
+      Some(TextFunctions.blocklistOracleSql(TextPipeline.blocklistPatterns))),
 
     ("q107_pps_sample",
       (s, dir) => TextFunctions.ppsSample(t(s, dir, "documents"), k = 20L),

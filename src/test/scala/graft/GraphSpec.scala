@@ -521,4 +521,46 @@ class GraphSpec extends AnyFunSuite with Matchers {
         bridged.toDF("src", "dst", "w").repartition(7), iters = 5)
       .as[(Long, Long, Long, Long, Long)].collect().toList shouldBe out
   }
+
+  test("linkPrediction equals brute-force index computation; cap drops hub middles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1450814L)
+    for (trial <- 1 to 3) {
+      val nV = 12
+      val edges = (for {
+        a <- 0 until nV; b <- a + 1 until nV
+        if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val nbr = (edges ++ edges.map(e => (e._2, e._1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val deg = nbr.view.mapValues(_.size.toLong).toMap
+        val eset = edges.toSet
+        val want = (for {
+          a <- nbr.keys; b <- nbr.keys
+          if a < b && !eset((a, b))
+          common = nbr(a) intersect nbr(b)
+          if common.nonEmpty
+        } yield {
+          val cn = common.size.toLong
+          val ra = common.toSeq.map(z => 1000000L / deg(z)).sum
+          val jac = 1000000L * cn / (deg(a) + deg(b) - cn)
+          (a, b, cn, jac, ra)
+        }).toSet
+        val got = Graph.linkPrediction(edges.toDF("src", "dst"),
+            maxMiddleDegree = 1000L, topK = 1000)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        withClue(s"trial $trial: ") { got shouldBe want }
+      }
+    }
+    // hub star: every 2-hop pair only via the hub; capping below the
+    // hub degree leaves NO candidates, capping above keeps them all
+    val star = (1L to 8L).map(i => (0L, i))
+    Graph.linkPrediction(star.toDF("src", "dst"),
+      maxMiddleDegree = 7L, topK = 100).count() shouldBe 0L
+    Graph.linkPrediction(star.toDF("src", "dst"),
+      maxMiddleDegree = 8L, topK = 100).count() shouldBe 28L // C(8,2)
+    Graph.linkWedgeVolume(star.toDF("src", "dst"), 7L) shouldBe 0L
+    Graph.linkWedgeVolume(star.toDF("src", "dst"), 0L) shouldBe 28L
+  }
 }

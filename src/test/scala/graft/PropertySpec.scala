@@ -311,6 +311,25 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("Aho–Corasick counts equal naive scanning on random texts; bordered patterns reject") {
+    import graft.functions.AhoCorasick
+    val patterns = Seq("ab", "abc", "bca", "cb", "aabb")
+    val ac = AhoCorasick.build(patterns)
+    def naive(text: String): Array[Long] =
+      patterns.map(p => (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong).toArray
+    val genText = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    check("aho-corasick", Prop.forAll(genText) { text =>
+      ac.countMatches(text).sameElements(naive(text))
+    })
+    // self-overlapping patterns (proper border) reject loudly: their
+    // all-occurrence counts would diverge from the oracle's
+    // non-overlapping replace() counts
+    intercept[IllegalArgumentException](AhoCorasick.build(Seq("aa")))
+    intercept[IllegalArgumentException](AhoCorasick.build(Seq("abab")))
+    intercept[IllegalArgumentException](AhoCorasick.build(Seq("window")))
+  }
+
   test("JPEG 2000 codec: multi-code-block subbands, flat and extreme images, degenerate shapes") {
     import graft.sources.Jpeg2000Codec
     val rnd = new scala.util.Random(7)
