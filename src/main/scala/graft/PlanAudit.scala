@@ -572,7 +572,25 @@ object PlanAudit {
           "SerializeFromObject with NO exchange between the stages; " +
           "only the output sort shuffles",
         Seq("MapPartitions"),
-        Seq("Join", "HashAggregate")))
+        Seq("Join", "HashAggregate")),
+      ("q145_link_prediction",
+        "link prediction: candidate pairs come from ONE wedge self-" +
+          "join keyed on the middle vertex (volume ≤ cap·|E| by the " +
+          "middle-degree cap — the contract knob for the inherently " +
+          "hub-quadratic pattern), the (a,b) index aggregation is " +
+          "map-side combined, the missing-link filter is a LEFT ANTI " +
+          "hash join on the edge key, and the top-k is TakeOrdered " +
+          "(per-partition partial top-k) — never a global sort, " +
+          "never a cartesian stage",
+        Seq("HashAggregate", "LeftAnti", "TakeOrderedAndProject"),
+        Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin", "GlobalLimit")),
+      ("q146_blocklist",
+        "Aho–Corasick blocklist: the corpus is scanned ONCE by the " +
+          "broadcast automaton (per-row map work, no text shuffle — " +
+          "P patterns cost one pass, not P scans); the only exchange " +
+          "is the |patterns|-row aggregation, map-side combined",
+        Seq("HashAggregate", "Generate"),
+        Seq("Window", "Join", "CartesianProduct", "SortMergeJoin")))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.PlanAudit)\n\n")

@@ -84,6 +84,13 @@ object ScaleProbe {
     probe("exact_dedup",
       Dedup.exact(docs).count(),
       Dedup.exact(docsN).count())
+    // one automaton pass per document, output fixed at |patterns|
+    // rows — the ratio measures the pure map-side scan
+    probe("blocklist",
+      TextFunctions.blocklistStats(docs,
+        graft.queries.TextPipeline.blocklistPatterns).count(),
+      TextFunctions.blocklistStats(docsN,
+        graft.queries.TextPipeline.blocklistPatterns).count())
     probe("jaccard_prefix",
       Dedup.ngramJaccardPairs(docs, 3, 0.8).count(),
       Dedup.ngramJaccardPairs(docsN, 3, 0.8).count())
@@ -196,7 +203,7 @@ object ScaleProbe {
     // the ratio measures the per-iteration join+aggregate cost
     if (only.isEmpty || only("pagerank") || only("pagerank_prepart") ||
         only("trustrank") || only("harmonic") || only("neighborhood") ||
-        only("kcore") ||
+        only("kcore") || only("link_prediction") || only("link_cap") ||
         only("triangles") || only("communities") || only("skew_wedges")) {
       val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
       val edges1 = graft.pipeline.Graph.supplierCooccurrence(li).localCheckpoint()
@@ -252,6 +259,35 @@ object ScaleProbe {
             edges1.filter(col("w") >= 6), 18, 15).count(),
           graft.pipeline.Graph.kCore(
             edgesN.filter(col("w") >= 6), 18, 15).count())
+      // disjoint copies: candidate sets replicate per copy — linear
+      // output growth; the ratio measures the middle-keyed wedge join
+      // + the (a,b) index agg. minW = 6 here, not q145's 24: the
+      // strong-tie threshold is sf-relative (at sf0.1 the 1000-supplier
+      // graph spreads co-occurrence 10x thinner — w >= 24 keeps zero
+      // edges, w >= 6 keeps ~18k edges / ~340k missing candidates)
+      if (only.isEmpty || only("link_prediction"))
+        probe("link_prediction",
+          graft.pipeline.Graph.linkPrediction(
+            edges1.filter(col("w") >= 6), 100000L, 10000000).count(),
+          graft.pipeline.Graph.linkPrediction(
+            edgesN.filter(col("w") >= 6), 100000L, 10000000).count())
+      // the middle-degree cap on the hub graph: without it the hub
+      // pivots C(1000, 2) ≈ 5·10⁵ wedges; capped below the hub degree
+      // the volume is ring-only (O(m)) — the knob that keeps link
+      // prediction's one quadratic join bounded at 100 TB
+      if (only.isEmpty || only("link_cap")) {
+        import spark.implicits._
+        val hub = (1 to 1000).map(i => (0L, i.toLong))
+        val ring = (1 to 1000).map(i => (i.toLong, (i % 1000 + 1).toLong))
+        val skew = (hub ++ ring).toDF("src", "dst").localCheckpoint()
+        val uncapped = graft.pipeline.Graph.linkWedgeVolume(skew, 0L)
+        val capped = graft.pipeline.Graph.linkWedgeVolume(skew, 64L)
+        println(s"SCALE link_cap: uncapped $uncapped wedges vs capped(64) " +
+          s"$capped on a deg-1000 hub + 1000-ring (m = ${1000 + 1000})")
+        val t0 = System.nanoTime()
+        val n = graft.pipeline.Graph.linkPrediction(skew, 64L, 1000000).count()
+        println(f"SCALE link_cap_pred: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
       // disjoint copies: wedge and triangle sets replicate per copy —
       // linear output growth, the ratio measures the wedge join
       // (strong-tie filter as in q125: the unfiltered co-occurrence
