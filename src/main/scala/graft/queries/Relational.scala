@@ -1011,5 +1011,65 @@ object Relational {
         WHERE o_custkey BETWEEN 100 AND 300
           AND date_diff('day', DATE '1995-01-01', o_orderdate) BETWEEN 100 AND 200
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+  ,
+
+    // ---- HDR-histogram quantile sketch (Gil Tene's HdrHistogram
+    // bucketing: exact below 2^5, then 16 log-spaced sub-buckets per
+    // power of two — ≤3.2% relative error): the MERGEABLE bounded-
+    // memory quantile structure telemetry pipelines use where exact
+    // percentile_disc (q41/q98) needs the full value multiset. The
+    // whole sketch is integer arithmetic (bucket = value truncated to
+    // its top 5 bits via length(bin(x))), so unlike t-digest/GK —
+    // whose results depend on merge order — it replays bit-for-bit in
+    // DuckDB. State: ≤ ~500 buckets per group at ANY corpus size; the
+    // quantile walk's window runs over that bounded relation, never
+    // the data. p50/p90/p99 bucket bounds per return flag, with the
+    // per-group totals the estimate divides. --------------------------
+    ("q147_hdr_quantiles",
+      (s, dir) => {
+        val sub = 32 // 2^5: exact region bound and sub-bucket resolution
+        val v = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("x"))
+          .filter(col("x") >= 1)
+          .withColumn("w", expr(
+            s"CASE WHEN x < $sub THEN CAST(1 AS BIGINT) " +
+              s"ELSE CAST(power(2, length(bin(x)) - 5) AS BIGINT) END"))
+          .withColumn("lb", expr("(x div w) * w"))
+        val hist = v.groupBy(col("g"), col("lb"))
+          .agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+              .orderBy(col("lb")).rowsBetween(Long.MinValue, 0)))
+          .withColumn("tot", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+        cum.crossJoin(s.range(1).select(explode(array(lit(50), lit(90), lit(99))).as("p")))
+          .filter(expr("100 * cum >= p * tot"))
+          .groupBy(col("g"), col("p"))
+          .agg(min(col("lb")).as("est_lo"), max(col("tot")).as("n_total"))
+          .withColumn("est_hi", expr(
+            s"CASE WHEN est_lo < $sub THEN est_lo " +
+              s"ELSE est_lo + CAST(power(2, length(bin(est_lo)) - 5) AS BIGINT) - 1 END"))
+          .select(col("g").as("l_returnflag"), col("p").cast("long").as("p"),
+            col("est_lo"), col("est_hi"), col("n_total"))
+          .orderBy(col("l_returnflag"), col("p"))
+      },
+      Some("""WITH v AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+          FROM lineitem WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) >= 1),
+        b AS (SELECT g, x, CASE WHEN x < 32 THEN CAST(1 AS BIGINT)
+            ELSE CAST(power(2, length(printf('%b', x)) - 5) AS BIGINT) END AS w FROM v),
+        h AS (SELECT g, (x // w) * w AS lb, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        cum AS (SELECT g, lb, c,
+            SUM(c) OVER (PARTITION BY g ORDER BY lb) AS cum,
+            SUM(c) OVER (PARTITION BY g) AS tot FROM h),
+        q AS (SELECT g, p, MIN(lb) AS est_lo, CAST(MAX(tot) AS BIGINT) AS n_total
+          FROM cum CROSS JOIN (VALUES (50), (90), (99)) t(p)
+          WHERE 100 * cum >= p * tot GROUP BY 1, 2)
+        SELECT g AS l_returnflag, CAST(p AS BIGINT) AS p, est_lo,
+          CASE WHEN est_lo < 32 THEN est_lo
+            ELSE est_lo + CAST(power(2, length(printf('%b', est_lo)) - 5) AS BIGINT) - 1
+          END AS est_hi, n_total
+        FROM q ORDER BY l_returnflag, p"""))
   )
 }

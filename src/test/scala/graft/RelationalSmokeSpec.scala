@@ -21,10 +21,14 @@ class RelationalSmokeSpec extends AnyFunSuite with Matchers {
     }
     val empty = counts.filter(_._2 == 0L).keys.toList.sorted
     withClue(s"queries with zero rows: $empty") {
-      // embedding_neardup may legitimately be sparse at tiny sf, and
-      // the k=12 core of the 10-supplier sf0.001 tie graph (max degree
-      // 9) is legitimately empty; all others must produce rows
-      empty.filterNot(Set("q36_embedding_neardup", "q136_kcore")) shouldBe Nil
+      // embedding_neardup may legitimately be sparse at tiny sf, the
+      // k=12 core of the 10-supplier sf0.001 tie graph (max degree
+      // 9) is legitimately empty, and that same tiny graph has no
+      // w >= 24 strong ties for link prediction to wedge over (q145
+      // produces 100 rows at the sf0.01 gate); all others must
+      // produce rows
+      empty.filterNot(Set("q36_embedding_neardup", "q136_kcore",
+        "q145_link_prediction")) shouldBe Nil
     }
   }
 
@@ -89,5 +93,28 @@ class RelationalSmokeSpec extends AnyFunSuite with Matchers {
     math.abs(est.toDouble - n) / n should be < (3.0 / math.sqrt(64.0))
     run(1)._1 shouldBe sk8 // map-side combine owes nothing to layout
     run(32)._1 shouldBe sk8
+  }
+
+  test("HDR quantile sketch brackets the exact percentile_disc value") {
+    // the q147 contract: for every (group, p) the reported bucket
+    // [est_lo, est_hi] CONTAINS the true percentile — the bounded-
+    // error guarantee HdrHistogram bucketing provides by construction
+    val rows = SparkEntry.queries("q147_hdr_quantiles")(spark, sf).collect()
+    rows should not be empty
+    val cents = graft.queries.QueryDsl.t(spark, sf, "lineitem")
+      .selectExpr("l_returnflag", "CAST(floor(l_extendedprice * 100) AS BIGINT) AS x")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val (g, p, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val xs = cents(g)
+      // percentile_disc: smallest value with rank covering p% of n
+      val exact = xs(((p * xs.length + 99) / 100 - 1).toInt.max(0))
+      withClue(s"$g p$p: [$lo, $hi] vs exact $exact: ") {
+        exact should be >= lo
+        exact should be <= hi
+      }
+      (hi - lo).toDouble / lo.toDouble should be <= (1.0 / 16.0) // 2^-(5-1) relative width
+    }
   }
 }
