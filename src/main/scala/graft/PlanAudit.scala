@@ -590,7 +590,36 @@ object PlanAudit {
           "P patterns cost one pass, not P scans); the only exchange " +
           "is the |patterns|-row aggregation, map-side combined",
         Seq("HashAggregate", "Generate"),
-        Seq("Window", "Join", "CartesianProduct", "SortMergeJoin")))
+        Seq("Window", "Join", "CartesianProduct", "SortMergeJoin")),
+      ("q147_hdr_quantiles",
+        "HDR quantile sketch: the corpus is reduced by ONE map-side-" +
+          "combined (flag, bucket) aggregation into the log-spaced " +
+          "histogram — ≤ 16·log2(max) buckets per group at ANY corpus " +
+          "size; the cumulative window, the 3-row percentile probe " +
+          "(BroadcastNestedLoopJoin against a literal array — bounded " +
+          "by construction), and the final min/max agg all run over " +
+          "that KB-sized sketch relation, never the data. The Window " +
+          "here is the q132 hazard's safe dual: partitioned by group " +
+          "over a bounded relation, not the corpus",
+        Seq("HashAggregate", "Window", "BroadcastNestedLoopJoin"),
+        Seq("CartesianProduct", "SortMergeJoin")),
+      ("q148_mad_anomaly",
+        "MAD anomaly detection: ONE map-side-combined (type, day) count " +
+          "agg reduces the corpus to |types|·|days| rows; the median/MAD " +
+          "rank windows and the med/mad joins (both BROADCAST — the " +
+          "|types|-row relations) run over that bounded relation, never " +
+          "the data — the q147-style safe dual of the corpus-window hazard",
+        Seq("HashAggregate", "Window", "BroadcastHashJoin"),
+        Seq("CartesianProduct", "SortMergeJoin")),
+      ("q149_bloom_prejoin",
+        "Bloom pre-join: the probe predicate (codegen'd xxhash64 + word " +
+          "test against the ONE-row broadcast bit array) drops non-" +
+          "matching lineitem rows BEFORE any exchange; the exact semi " +
+          "join then removes false positives. At 100 TB the build side " +
+          "outgrows raw broadcast long before its Bloom outgrows KBs — " +
+          "this is the explicit runtime-filter shape",
+        Seq("xxhash64", "LeftSemi", "BroadcastNestedLoopJoin"),
+        Seq("CartesianProduct", "SortMergeJoin")))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.PlanAudit)\n\n")

@@ -91,6 +91,56 @@ object ScaleProbe {
         graft.queries.TextPipeline.blocklistPatterns).count(),
       TextFunctions.blocklistStats(docsN,
         graft.queries.TextPipeline.blocklistPatterns).count())
+    // bounded-sketch contract: the 10× side feeds 10× rows through the
+    // SAME ≤16·log2(max)-bucket histogram (values unchanged, counts
+    // scale), so the ratio isolates the one corpus-scale stage — the
+    // map-side-combined (g, bucket) agg
+    if (only.isEmpty || only("hdr_quantiles")) {
+      val gx = graft.queries.QueryDsl.t(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("x"))
+      val gxN = (0 until copies).map(_ => gx).reduce(_ union _)
+      probe("hdr_quantiles",
+        graft.queries.Relational.hdrQuantiles(spark, gx).count(),
+        graft.queries.Relational.hdrQuantiles(spark, gxN).count())
+    }
+    // same bounded-sketch contract as hdr_quantiles: 10× events feed
+    // the SAME |types|·|days| relation (counts scale, medians shift,
+    // state doesn't)
+    if (only.isEmpty || only("mad_anomaly")) {
+      val ev = graft.queries.QueryDsl.t(spark, dir, "events")
+      val evN = (0 until copies).map(_ => ev).reduce(_ union _)
+      def mad(e: DataFrame): Long = {
+        val d = e.groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("c"))
+        d.count()
+      }
+      probe("mad_anomaly", mad(ev), mad(evN))
+    }
+    // bloom pre-join: ratio measures the probe-side scan + KB-sized
+    // broadcast; the prune line is the operator's reason to exist —
+    // rows dropped BEFORE the exchange
+    if (only.isEmpty || only("bloom_prejoin")) {
+      val li = graft.queries.QueryDsl.t(spark, dir, "lineitem")
+      val liN = (0 until copies).map(_ => li).reduce(_ union _)
+      val dim = graft.queries.QueryDsl.t(spark, dir, "supplier")
+        .filter(col("s_acctbal") > 5000.0).select(col("s_suppkey"))
+      probe("bloom_prejoin",
+        graft.pipeline.PartitionUtil.bloomSemiJoin(li, dim, "l_suppkey", "s_suppkey").count(),
+        graft.pipeline.PartitionUtil.bloomSemiJoin(liN, dim, "l_suppkey", "s_suppkey").count())
+      if (only.nonEmpty) {
+        val bf = graft.pipeline.PartitionUtil.bloomFilterArray(
+          dim.select(col("s_suppkey").as("k")), "k")
+        val total = li.count()
+        val survive = li.crossJoin(broadcast(bf))
+          .filter(graft.pipeline.PartitionUtil.bloomMightContain(
+            col("bf"), col("l_suppkey"), 1 << 16, 3)).count()
+        val exact = li.join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi").count()
+        println(s"SCALE bloom_prune: $total probe rows -> $survive past the bloom " +
+          s"($exact exact matches) before any exchange")
+      }
+    }
     probe("jaccard_prefix",
       Dedup.ngramJaccardPairs(docs, 3, 0.8).count(),
       Dedup.ngramJaccardPairs(docsN, 3, 0.8).count())

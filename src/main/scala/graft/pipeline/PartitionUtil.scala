@@ -158,4 +158,63 @@ object PartitionUtil {
   def saltedWindow(df: DataFrame, key: String, buckets: Int,
                    aggs: SaltedAgg*): DataFrame =
     df.join(saltedAggregate(df, key, buckets, aggs: _*), Seq(key))
+
+  /** Build a Bloom filter over `dim`'s `key` column as a ONE-row
+    * (bf: array<bigint>) relation — `bits` filter bits packed 64 per
+    * word, `k` probe hashes (xxhash64 seeded 0..k-1, codegen'd).
+    *
+    * The 100 TB case this serves: a semi/inner join whose build side
+    * is too large to broadcast RAW (say 100 M keys ≈ GBs hashed) but
+    * whose BLOOM fits in KBs–MBs — the classic shuffle-reduction
+    * move (runtime filters in Spark/Trino do exactly this when they
+    * can; this is the explicit, optimizer-independent form for the
+    * plans they won't touch, e.g. pre-shuffle reduction ahead of an
+    * aggregate or an anti join's probe side). Probe rows failing
+    * [[bloomMightContain]] are dropped BEFORE the exchange; false
+    * positives (rate ≈ (1-e^{-kn/m})^k) survive to the exact join,
+    * so results are identical to the unfiltered plan.
+    *
+    * Built entirely from codegen'd built-ins: per-key positions via
+    * posexplode of the k hashes, one map-side-combined bit_or agg
+    * into ≤ bits/64 words, densified against a word spine and packed
+    * with sort_array+collect_list (the q121 edge-array pattern). */
+  def bloomFilterArray(dim: DataFrame, key: String,
+                       bits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    require(bits > 0 && (bits & (bits - 1)) == 0, s"bits must be a power of two, got $bits")
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    val nWords = bits / 64
+    val pos = dim.select(explode(array(
+      (0 until k).map(i => pmod(xxhash64(col(key), lit(i)), lit(bits.toLong))): _*)).as("pos"))
+    val words = pos
+      .groupBy((col("pos") / 64).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("m"))
+    val spine = dim.sparkSession.range(nWords).select(col("id").cast("int").as("w"))
+    spine.join(words, Seq("w"), "left")
+      .na.fill(0L, Seq("m"))
+      .agg(sort_array(collect_list(struct(col("w"), col("m")))).as("wm"))
+      .select(transform(col("wm"), x => x.getField("m")).as("bf"))
+  }
+
+  /** The probe predicate for [[bloomFilterArray]]'s packed words:
+    * true iff all `k` hash positions of `key` are set in `bf`. */
+  def bloomMightContain(bf: Column, key: Column, bits: Int, k: Int): Column =
+    (0 until k).map { i =>
+      val p = pmod(xxhash64(key, lit(i)), lit(bits.toLong))
+      (element_at(bf, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L)
+    }.reduce(_ && _)
+
+  /** Semi join `fact` ⋉ `dim` with a Bloom pre-filter on the probe
+    * side: rows that cannot match are dropped before the exchange,
+    * the exact semi join afterwards removes the false positives —
+    * bit-identical output to `fact.join(dim, keys, "left_semi")`. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    bits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val bf = bloomFilterArray(dim.select(col(dimKey).as("k")), "k", bits, k)
+    fact.crossJoin(broadcast(bf))
+      .filter(bloomMightContain(col("bf"), col(factKey), bits, k))
+      .drop("bf")
+      .join(dim, fact(factKey) === dim(dimKey), "left_semi")
+  }
 }

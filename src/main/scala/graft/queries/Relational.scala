@@ -1026,35 +1026,12 @@ object Relational {
     // the data. p50/p90/p99 bucket bounds per return flag, with the
     // per-group totals the estimate divides. --------------------------
     ("q147_hdr_quantiles",
-      (s, dir) => {
-        val sub = 32 // 2^5: exact region bound and sub-bucket resolution
-        val v = t(s, dir, "lineitem")
-          .select(col("l_returnflag").as("g"),
-            expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("x"))
-          .filter(col("x") >= 1)
-          .withColumn("w", expr(
-            s"CASE WHEN x < $sub THEN CAST(1 AS BIGINT) " +
-              s"ELSE CAST(power(2, length(bin(x)) - 5) AS BIGINT) END"))
-          .withColumn("lb", expr("(x div w) * w"))
-        val hist = v.groupBy(col("g"), col("lb"))
-          .agg(count(lit(1)).as("c"))
-        val cum = hist
-          .withColumn("cum", sum(col("c")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-              .orderBy(col("lb")).rowsBetween(Long.MinValue, 0)))
-          .withColumn("tot", sum(col("c")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-        cum.crossJoin(s.range(1).select(explode(array(lit(50), lit(90), lit(99))).as("p")))
-          .filter(expr("100 * cum >= p * tot"))
-          .groupBy(col("g"), col("p"))
-          .agg(min(col("lb")).as("est_lo"), max(col("tot")).as("n_total"))
-          .withColumn("est_hi", expr(
-            s"CASE WHEN est_lo < $sub THEN est_lo " +
-              s"ELSE est_lo + CAST(power(2, length(bin(est_lo)) - 5) AS BIGINT) - 1 END"))
-          .select(col("g").as("l_returnflag"), col("p").cast("long").as("p"),
-            col("est_lo"), col("est_hi"), col("n_total"))
-          .orderBy(col("l_returnflag"), col("p"))
-      },
+      (s, dir) => hdrQuantiles(s,
+        t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("x")))
+        .select(col("g").as("l_returnflag"), col("p"),
+          col("est_lo"), col("est_hi"), col("n_total"))
+        .orderBy(col("l_returnflag"), col("p")),
       Some("""WITH v AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
           FROM lineitem WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) >= 1),
         b AS (SELECT g, x, CASE WHEN x < 32 THEN CAST(1 AS BIGINT)
@@ -1070,6 +1047,65 @@ object Relational {
           CASE WHEN est_lo < 32 THEN est_lo
             ELSE est_lo + CAST(power(2, length(printf('%b', est_lo)) - 5) AS BIGINT) - 1
           END AS est_hi, n_total
-        FROM q ORDER BY l_returnflag, p"""))
+        FROM q ORDER BY l_returnflag, p""")),
+
+    // ---- Bloom-filter pre-join — the explicit form of the runtime-
+    // filter shuffle reduction (Spark's own bloom injection only
+    // rewrites shuffle-join probes; this composes anywhere): the
+    // high-balance supplier keys pack into a 64 Kbit / 3-hash Bloom
+    // (one map-side-combined bit_or agg, KB-sized broadcast), lineitem
+    // rows that CANNOT match drop before any exchange, and the exact
+    // semi join afterwards removes the false positives — bit-identical
+    // to the plain semi join the oracle runs, which is exactly what
+    // makes the technique gate-checkable. The 100 TB case: a build
+    // side too big to broadcast raw whose Bloom still fits. ----------
+    ("q149_bloom_prejoin",
+      (s, dir) => {
+        val dim = t(s, dir, "supplier").filter(col("s_acctbal") > 5000.0)
+          .select(col("s_suppkey"))
+        val kept = graft.pipeline.PartitionUtil.bloomSemiJoin(
+          t(s, dir, "lineitem"), dim, "l_suppkey", "s_suppkey")
+        kept.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000.0)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
+
+  /** The q147 HDR-histogram quantile sketch over an arbitrary
+    * (g: group, x: BIGINT value ≥ 1) relation — rows with x < 1 are
+    * dropped (HdrHistogram tracks positive values). Returns one row
+    * per (g, p∈{50,90,99}) with the bucket bounds [est_lo, est_hi]
+    * containing the exact percentile_disc value and the group total.
+    * Exposed for ScaleProbe: the sketch agg is the only corpus-scale
+    * stage; everything downstream is over ≤16·log2(max) buckets/group. */
+  def hdrQuantiles(s: SparkSession, gx: DataFrame): DataFrame = {
+    val sub = 32 // 2^5: exact region bound and sub-bucket resolution
+    val v = gx
+      .filter(col("x") >= 1)
+      .withColumn("w", expr(
+        s"CASE WHEN x < $sub THEN CAST(1 AS BIGINT) " +
+          s"ELSE CAST(power(2, length(bin(x)) - 5) AS BIGINT) END"))
+      .withColumn("lb", expr("(x div w) * w"))
+    val hist = v.groupBy(col("g"), col("lb"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("lb")).rowsBetween(Long.MinValue, 0)))
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("g"))))
+    cum.crossJoin(s.range(1).select(explode(array(lit(50), lit(90), lit(99))).as("p")))
+      .filter(expr("100 * cum >= p * tot"))
+      .groupBy(col("g"), col("p"))
+      .agg(min(col("lb")).as("est_lo"), max(col("tot")).as("n_total"))
+      .withColumn("est_hi", expr(
+        s"CASE WHEN est_lo < $sub THEN est_lo " +
+          s"ELSE est_lo + CAST(power(2, length(bin(est_lo)) - 5) AS BIGINT) - 1 END"))
+      .select(col("g"), col("p").cast("long").as("p"),
+        col("est_lo"), col("est_hi"), col("n_total"))
+  }
 }

@@ -378,6 +378,59 @@ object TemporalQueries {
           CAST(FLOOR(1000000.0
             * (((j.n_a + 1) / (tot.ta + 10.0)) - ((j.n_b + 1) / (tot.tb + 10.0)))
             * LN(((j.n_a + 1) / (tot.ta + 10.0)) / ((j.n_b + 1) / (tot.tb + 10.0)))) AS BIGINT) AS psi_term_q6
-        FROM j, tot ORDER BY bin"""))
+        FROM j, tot ORDER BY bin""")),
+
+    // ---- MAD anomaly detection on daily volumes — the ingest-
+    // monitoring op of a 100 TB pipeline: flag days whose event count
+    // deviates from the per-type median by > 3× the median absolute
+    // deviation (Hampel's robust z-score; mean/stddev would let the
+    // anomaly inflate its own threshold). ONE map-side-combined
+    // (type, day) count agg reduces the corpus to |types|·|days| rows;
+    // both medians are rank-picked (lower median, day-tiebroken — the
+    // disc definition both engines replay exactly, no interpolation)
+    // over that BOUNDED relation, so the windows here are the q147-
+    // style safe duals of the corpus-window hazard. All integer
+    // arithmetic — no IEEE step anywhere. ---------------------------
+    ("q148_mad_anomaly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val wt = Window.partitionBy(col("event_type"))
+        val med = d
+          .withColumn("rn", row_number().over(wt.orderBy(col("c"), col("day"))))
+          .withColumn("n", count(lit(1)).over(wt))
+          .filter(expr("rn = (n + 1) div 2"))
+          .select(col("event_type"), col("c").as("med"))
+        val dev = d.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", abs(col("c") - col("med")))
+        val mad = dev
+          .withColumn("rn2", row_number().over(wt.orderBy(col("dev"), col("day"))))
+          .withColumn("n2", count(lit(1)).over(wt))
+          .filter(expr("rn2 = (n2 + 1) div 2"))
+          .select(col("event_type"), col("dev").as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("day"), col("c"), col("med"), col("mad"),
+            when(col("dev") > lit(3L) * col("mad"), lit(1L)).otherwise(lit(0L)).as("is_anom"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, day) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+        m AS (SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med
+          FROM r GROUP BY 1),
+        dev AS (SELECT d.event_type, d.day, d.c, m.med, ABS(d.c - m.med) AS dev
+          FROM d JOIN m USING (event_type)),
+        r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn2,
+            COUNT(*) OVER (PARTITION BY event_type) AS n2 FROM dev),
+        mad AS (SELECT event_type, MAX(CASE WHEN rn2 = (n2 + 1) // 2 THEN dev END) AS mad
+          FROM r2 GROUP BY 1)
+        SELECT dev.event_type, dev.day, dev.c, dev.med, mad.mad,
+          CAST(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+        FROM dev JOIN mad USING (event_type)
+        ORDER BY event_type, day"""))
   )
 }

@@ -246,4 +246,24 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
     plan should not include "Window"
     plan should not include "CartesianProduct"
   }
+
+  test("bloomSemiJoin equals a plain semi join; the Bloom never false-negatives and actually prunes") {
+    import spark.implicits._
+    import graft.pipeline.PartitionUtil
+    val bits = 1 << 12
+    val fact = (0L until 20000L).map(i => (i % 1000L, i)).toDF("fk", "payload")
+    val dim = (0L until 1000L by 13L).map(k => Tuple1(k)).toDF("dk") // 77 of 1000 keys
+    val plain = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .as[(Long, Long)].collect().sorted
+    val bloomed = PartitionUtil.bloomSemiJoin(fact, dim, "fk", "dk", bits = bits)
+      .as[(Long, Long)].collect().sorted
+    bloomed shouldBe plain
+    // no false negatives: every true key passes the probe predicate
+    val bf = PartitionUtil.bloomFilterArray(dim.select(col("dk").as("k")), "k", bits, 3)
+    val survivors = fact.crossJoin(broadcast(bf))
+      .filter(PartitionUtil.bloomMightContain(col("bf"), col("fk"), bits, 3))
+      .count()
+    survivors should be >= plain.length.toLong // superset of matches …
+    survivors should be < fact.count()         // … that still prunes hard
+  }
 }

@@ -183,4 +183,22 @@ class TemporalSpec extends AnyFunSuite with Matchers {
       .as[String].head()
     out shouldBe "id <NUMMAIL> a@b.c" // second rule sees the first rule's output
   }
+
+  test("q148 MAD anomaly: medians match the brute-force lower median, flags only >3·MAD days") {
+    val rows = SparkEntry.queries("q148_mad_anomaly")(spark, "/root/testdata/sf0.001").collect()
+    rows should not be empty
+    // brute-force per type from the raw (day, c) pairs the query emits
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byDay = rs.sortBy(_.getString(1))
+      val cs = byDay.map(_.getLong(2))
+      def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val med = lowerMedian(cs.toSeq)
+      val mad = lowerMedian(cs.map(c => math.abs(c - med)).toSeq)
+      byDay.foreach { r =>
+        r.getLong(3) shouldBe med
+        r.getLong(4) shouldBe mad
+        r.getLong(5) shouldBe (if (math.abs(r.getLong(2) - med) > 3 * mad) 1L else 0L)
+      }
+    }
+  }
 }
