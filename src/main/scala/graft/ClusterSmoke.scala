@@ -40,6 +40,8 @@ object ClusterSmoke {
     "img20_dicom_series", // executor-side Hadoop FS writes + binaryFile scan + mapGroups stacking
     "q119_pagerank", // 10 localCheckpoint'd integer-rank rounds re-read across worker JVMs
     "q126_kmeans", // broadcast centroid relation + grid-triple aggs per Lloyd iteration cross-JVM
+    "q146_blocklist", // the Aho-Corasick automaton program broadcasts into executor-side scans
+    "q149_bloom_prejoin", // ONE-row packed-word Bloom array broadcast + xxhash64 probe cross-JVM
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {

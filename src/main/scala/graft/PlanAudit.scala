@@ -619,7 +619,16 @@ object PlanAudit {
           "outgrows raw broadcast long before its Bloom outgrows KBs — " +
           "this is the explicit runtime-filter shape",
         Seq("xxhash64", "LeftSemi", "BroadcastNestedLoopJoin"),
-        Seq("CartesianProduct", "SortMergeJoin")))
+        Seq("CartesianProduct", "SortMergeJoin")),
+      ("q150_dq_audit",
+        "data-quality audit: each table's constraint set folds into ONE " +
+          "conditional-aggregation scan (5 checks = 1 pass, map-side " +
+          "combined; uniqueness rides the same scan as count-distinct); " +
+          "the FK check is the only join, a LEFT ANTI on the PK " +
+          "(broadcast here; SMJ on a 100 TB orders side — either way " +
+          "one exchange); the final union moves 9 scalar rows",
+        Seq("HashAggregate", "LeftAnti"),
+        Seq("CartesianProduct", "Window")))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.PlanAudit)\n\n")

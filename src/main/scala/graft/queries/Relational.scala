@@ -1072,7 +1072,69 @@ object Relational {
       Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
         FROM lineitem
         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000.0)
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Deequ-style data-quality audit — the constraint sweep a
+    // 100 TB ingest runs before promoting a snapshot: completeness
+    // (nulls), uniqueness (duplicate PKs), referential integrity
+    // (orphan FKs), domain ranges, freshness — each as ONE BIGINT
+    // violation count. Per-table checks fold into a SINGLE conditional-
+    // aggregation scan (map-side combined — 5 checks cost one pass,
+    // not 5); uniqueness rides the same scan as count-distinct; the
+    // FK check is the only join, a broadcast-able anti join on the PK.
+    // One tiny union of scalars at the end. ---------------------------
+    ("q150_dq_audit",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val oScan = o.agg(
+          count(lit(1)).as("orders_rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("orders_null_custkey"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_dup_pk"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("orders_nonpos_price"),
+          sum(when(col("o_orderdate") > lit("2001-08-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("orders_stale_dates"))
+        val liScan = li.agg(
+          count(lit(1)).as("lineitem_rows"),
+          sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+            .otherwise(0L)).as("lineitem_qty_range"),
+          sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5, 1L)
+            .otherwise(0L)).as("lineitem_discount_range"))
+        val orphans = li.join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("lineitem_orphan_fk"))
+        val unpivot = (d: DataFrame) => {
+          val cols = d.columns
+          d.select(explode(array(cols.map(c =>
+            struct(lit(c).as("check_name"), col(c).cast("long").as("violations"))): _*)).as("kv"))
+            .select(col("kv.check_name"), col("kv.violations"))
+        }
+        unpivot(oScan).union(unpivot(liScan)).union(unpivot(orphans))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH o AS (SELECT COUNT(*) AS orders_rows,
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS orders_null_custkey,
+            COUNT(*) - COUNT(DISTINCT o_orderkey) AS orders_dup_pk,
+            SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS orders_nonpos_price,
+            SUM(CASE WHEN o_orderdate > TIMESTAMP '2001-08-01 00:00:00' THEN 1 ELSE 0 END) AS orders_stale_dates
+          FROM orders),
+        l AS (SELECT COUNT(*) AS lineitem_rows,
+            SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS lineitem_qty_range,
+            SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS lineitem_discount_range
+          FROM lineitem),
+        f AS (SELECT COUNT(*) AS lineitem_orphan_fk FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
+        u AS (
+          SELECT 'orders_rows' AS check_name, CAST(orders_rows AS BIGINT) AS violations FROM o
+          UNION ALL SELECT 'orders_null_custkey', CAST(orders_null_custkey AS BIGINT) FROM o
+          UNION ALL SELECT 'orders_dup_pk', CAST(orders_dup_pk AS BIGINT) FROM o
+          UNION ALL SELECT 'orders_nonpos_price', CAST(orders_nonpos_price AS BIGINT) FROM o
+          UNION ALL SELECT 'orders_stale_dates', CAST(orders_stale_dates AS BIGINT) FROM o
+          UNION ALL SELECT 'lineitem_rows', CAST(lineitem_rows AS BIGINT) FROM l
+          UNION ALL SELECT 'lineitem_qty_range', CAST(lineitem_qty_range AS BIGINT) FROM l
+          UNION ALL SELECT 'lineitem_discount_range', CAST(lineitem_discount_range AS BIGINT) FROM l
+          UNION ALL SELECT 'lineitem_orphan_fk', CAST(lineitem_orphan_fk AS BIGINT) FROM f)
+        SELECT check_name, violations FROM u ORDER BY check_name"""))
   )
 
   /** The q147 HDR-histogram quantile sketch over an arbitrary
