@@ -211,10 +211,12 @@ object PartitionUtil {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
                     factKey: String, dimKey: String,
                     bits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    // internal name kept collision-free with any fact column
     val bf = bloomFilterArray(dim.select(col(dimKey).as("k")), "k", bits, k)
+      .select(col("bf").as("__graft_bf"))
     fact.crossJoin(broadcast(bf))
-      .filter(bloomMightContain(col("bf"), col(factKey), bits, k))
-      .drop("bf")
+      .filter(bloomMightContain(col("__graft_bf"), col(factKey), bits, k))
+      .drop("__graft_bf")
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }
 }
