@@ -166,6 +166,41 @@ class KernelSpec extends AnyFunSuite with Matchers {
     back8.toDoubles shouldBe img8.toDoubles
   }
 
+  test("COMPRESSED multi-page TIFF (LZW / Deflate / PackBits) decodes bit-exact") {
+    // third-party archives arrive compressed (TIFF tag 259 = 5/8/32773);
+    // the decode path must handle them even though graft writes
+    // uncompressed — write via the JDK encoder with each compression
+    // type and decode through the SAME ImageCodecIO.decode entry
+    val perSlice = Array(7.0, 1234.0, 65535.0)
+    val px = perSlice.flatMap(v => Array.fill(4)(v))
+    def compressedTiff(codec: String): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(codec)
+      writer.prepareWriteSequence(null)
+      perSlice.foreach { v =>
+        val bi = new java.awt.image.BufferedImage(2, 2,
+          java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+        (0 until 4).foreach(i => bi.getRaster.setSample(i % 2, i / 2, 0, v.toInt))
+        writer.writeToSequence(new javax.imageio.IIOImage(bi, null, null), p)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    Seq("LZW", "Deflate", "PackBits").foreach { codec =>
+      val back = graft.sources.ImageCodecIO.decode(s"c_$codec.tif", compressedTiff(codec))
+      withClue(s"$codec: ") {
+        back.slices shouldBe 3
+        back.pixelType shouldBe PixelCodec.Short16
+        back.toDoubles shouldBe px
+      }
+    }
+  }
+
   test("DICOM encode/decode round-trips 16-bit pixels, instance number, and magic dispatch") {
     val vals = Array(0.0, 255.0, 256.0, 4095.0, 65535.0, 40000.0)
     val img = SparkImage(ImageMeta(), "[]", 3, 2, 1, PixelCodec.Short16,
