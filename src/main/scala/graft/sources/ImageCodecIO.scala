@@ -62,6 +62,16 @@ object ImageCodecIO {
   private[graft] val TsJpegLossless14 = "1.2.840.10008.1.2.4.57"
   private[graft] val TsJpegBaseline = "1.2.840.10008.1.2.4.50"
 
+  /** JPEG Extended (Process 2 & 4) — LOSSY 12-bit sequential DCT,
+    * the syntax PACS archives use for 12-bit CT/MR exports that
+    * Baseline (8-bit only) cannot carry. Implemented natively in
+    * [[JpegDctCodec]] (SOF1, flat canonical tables, all-ones quant;
+    * the decoder also reads SOF0 and third-party DQT/DHT/DRI
+    * streams). Same gate treatment as Baseline: deterministic decode,
+    * but encode→decode perturbs values by design, so it stays out of
+    * the hash gate and the lossless rotation. */
+  private[graft] val TsJpegExtended = "1.2.840.10008.1.2.4.51"
+
   /** JPEG-LS Lossless (ITU-T T.87, the LOCO-I algorithm) — the
     * modern lossless PACS syntax; context-modeled Golomb coding with
     * run mode, implemented natively in [[JpegLsCodec]] and bit-exact
@@ -479,10 +489,10 @@ object ImageCodecIO {
   }
 
   /** Minimal DICOM decode — single-frame unsigned MONOCHROME2, 8 or
-    * 16 bits, in any of the nine supported transfer syntaxes
+    * 16 bits, in any of the ten supported transfer syntaxes
     * ([[TsImplicitLE]]/[[TsExplicitLE]]/[[TsExplicitBE]]/[[TsRle]]/
     * [[TsJpegLossless]]/[[TsJpegLossless14]]/[[TsJpegBaseline]]/
-    * [[TsJpegLs]]/[[TsJpeg2000Lossless]]) —
+    * [[TsJpegExtended]]/[[TsJpegLs]]/[[TsJpeg2000Lossless]]) —
     * the shape of the reference's flagship IO case (a CT series of
     * single-frame files stacked into a volume, IjRDDTests.scala:30-99,
     * where spark-scifio does the decode). The file-meta group
@@ -521,14 +531,14 @@ object ImageCodecIO {
       case TsImplicitLE => (false, false, false)
       case TsExplicitLE => (true, false, false)
       case TsExplicitBE => (true, true, false)
-      case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline | TsJpegLs |
-           TsJpeg2000Lossless =>
+      case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline | TsJpegExtended |
+           TsJpegLs | TsJpeg2000Lossless =>
         (true, false, true)
       case other => throw new IllegalArgumentException(
         s"unsupported DICOM transfer syntax $other in $path " +
           "(implicit-VR LE / explicit-VR LE / explicit-VR BE / RLE Lossless / " +
-          "JPEG Lossless (.57/.70) / JPEG Baseline / JPEG-LS Lossless / " +
-          "JPEG 2000 Lossless only)")
+          "JPEG Lossless (.57/.70) / JPEG Baseline / JPEG Extended (.51) / " +
+          "JPEG-LS Lossless / JPEG 2000 Lossless only)")
     }
     if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     // ---- dataset: element encoding + byte order per transfer syntax ----
@@ -587,6 +597,26 @@ object ImageCodecIO {
         px = new Array[Byte](n)
         var j = 0
         while (j < n) { px(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
+      } else if (ts == TsJpegExtended) {
+        // lossy 12-bit extended sequential DCT: native decoder
+        val (jw, jh, prec, samples) = JpegDctCodec.decode(encapFragment, path)
+        require(jw == cols && jh == rows,
+          s"JPEG Extended frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
+        require(prec <= bits,
+          s"JPEG Extended precision $prec exceeds DICOM BitsAllocated $bits in $path")
+        if (bits == 16) {
+          px = new Array[Byte](n * 2)
+          var j = 0
+          while (j < n) {
+            px(2 * j) = (samples(j) & 0xff).toByte
+            px(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+            j += 1
+          }
+        } else {
+          px = new Array[Byte](n)
+          var j = 0
+          while (j < n) { px(j) = (samples(j) & 0xff).toByte; j += 1 }
+        }
       } else if (ts == TsJpeg2000Lossless) {
         val (jw, jh, prec, samples) = Jpeg2000Codec.decode(encapFragment, path)
         require(jw == cols && jh == rows,
@@ -656,7 +686,7 @@ object ImageCodecIO {
   }
 
   /** Encode ONE slice as a minimal conformant DICOM file in any of
-    * the seven supported transfer syntaxes (the profiles
+    * the ten supported transfer syntaxes (the profiles
     * [[decodeDicomWithInstance]] reads): preamble + DICM, file-meta
     * group (always explicit-VR little-endian per Part 10, carrying
     * the transfer-syntax UID), then InstanceNumber / MONOCHROME2
@@ -669,18 +699,22 @@ object ImageCodecIO {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
-        transferSyntax == TsJpegBaseline || transferSyntax == TsJpegLs ||
-        transferSyntax == TsJpeg2000Lossless,
+        transferSyntax == TsJpegBaseline || transferSyntax == TsJpegExtended ||
+        transferSyntax == TsJpegLs || transferSyntax == TsJpeg2000Lossless,
       s"unsupported DICOM transfer syntax $transferSyntax")
     val explicitVr = transferSyntax != TsImplicitLE
     val bigEndian = transferSyntax == TsExplicitBE
     val encapsulated = transferSyntax == TsRle ||
       transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
-      transferSyntax == TsJpegBaseline || transferSyntax == TsJpegLs ||
-      transferSyntax == TsJpeg2000Lossless
-    // Baseline is the one 8-bit (and lossy) profile; everything else
-    // writes the 16-bit pixel module
+      transferSyntax == TsJpegBaseline || transferSyntax == TsJpegExtended ||
+      transferSyntax == TsJpegLs || transferSyntax == TsJpeg2000Lossless
+    // Baseline is the one 8-bit (and lossy) profile; Extended (.51)
+    // is the 12-bit lossy profile (BitsAllocated 16 / BitsStored 12,
+    // values clamp to the 12-bit range — a documented lossy clamp
+    // like Baseline's Byte8 clamp); everything else writes the
+    // full 16-bit pixel module
     val bits8 = transferSyntax == TsJpegBaseline
+    val bits12 = transferSyntax == TsJpegExtended
     val w = img.width; val h = img.height
     val px = img.toDoubles
     val off = slice * w * h
@@ -729,6 +763,7 @@ object ImageCodecIO {
     us(0x0028, 0x0010, h)
     us(0x0028, 0x0011, w)
     if (bits8) { us(0x0028, 0x0100, 8); us(0x0028, 0x0101, 8); us(0x0028, 0x0102, 7) }
+    else if (bits12) { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 12); us(0x0028, 0x0102, 11) }
     else { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15) }
     us(0x0028, 0x0103, 0)
     if (encapsulated) {
@@ -742,6 +777,11 @@ object ImageCodecIO {
       val frag0 =
         if (transferSyntax == TsRle) rleEncodeFragment(vals)
         else if (bits8) jpegBaselineEncode(img, px, slice)
+        else if (bits12) JpegDctCodec.encode(
+          Array.tabulate(w * h) { i =>
+            val v = PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt
+            math.min(v, 4095) // 12-bit profile: documented lossy clamp
+          }, w, h, 12)
         else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals, w, h, 16)
         else if (transferSyntax == TsJpeg2000Lossless) Jpeg2000Codec.encode(vals, w, h, 16)
         else jpegLosslessEncode(vals, w, h)

@@ -351,4 +351,89 @@ class PropertySpec extends AnyFunSuite with Matchers {
     val (sw, sh, _, sout) = Jpeg2000Codec.decode(Jpeg2000Codec.encode(single, 1, 1, 16, 2), "s.j2k")
     assert(sw == 1 && sh == 1 && sout.sameElements(single))
   }
+
+  test("JPEG DCT codec: bounded-error round trips at 8/12-bit, any geometry") {
+    import graft.sources.JpegDctCodec
+    val rnd = new scala.util.Random(11)
+    // this codec class is LOSSY by construction (coefficient
+    // rounding); with the all-ones quant table the error bound is a
+    // few grays — assert it, don't demand bit equality
+    for ((w, h, prec) <- Seq((32, 24, 12), (17, 9, 12), (8, 8, 12), (40, 40, 8), (1, 1, 12), (9, 1, 8))) {
+      val maxV = (1 << prec) - 1
+      // mid-band random: keeps worst-case AC magnitudes clear of the
+      // T.81 category caps, so the only loss is rounding
+      val px = Array.fill(w * h)(maxV / 4 + rnd.nextInt(maxV / 2 + 1))
+      val (gw, gh, gp, out) = JpegDctCodec.decode(JpegDctCodec.encode(px, w, h, prec), "t.jpg")
+      assert(gw == w && gh == h && gp == prec)
+      val maxErr = px.zip(out).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= 4, s"${w}x$h p$prec: max error $maxErr > 4")
+    }
+    // smooth gradient: tighter bound
+    val gpx = Array.tabulate(48 * 32)(i => 500 + (i % 48) * 40 + (i / 48) * 20)
+    val (_, _, _, gout) = JpegDctCodec.decode(JpegDctCodec.encode(gpx, 48, 32, 12), "g.jpg")
+    assert(gpx.zip(gout).map { case (a, b) => math.abs(a - b) }.max <= 2)
+  }
+
+  test("JPEG DCT codec: cross-decoder agreement with the JDK on baseline streams, both directions") {
+    import graft.sources.JpegDctCodec
+    val w = 40; val h = 24
+    val rnd = new scala.util.Random(3)
+    val px = Array.tabulate(w * h)(i => math.min(255, (i % w) * 5 + rnd.nextInt(20)))
+    // direction 1: MY encoder's SOF0 stream decodes in the JDK —
+    // independent conformance check of marker layout, DHT, entropy data
+    val mine = JpegDctCodec.encode(px, w, h, 8)
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(mine))
+    assert(bi != null, "JDK could not parse the native encoder's stream")
+    assert(bi.getWidth == w && bi.getHeight == h)
+    val jdkOfMine = Array.tabulate(w * h)(i => bi.getRaster.getSample(i % w, i / w, 0))
+    val (_, _, _, mineOfMine) = JpegDctCodec.decode(mine, "m.jpg")
+    // T.81 mandates no exact IDCT: independent decoders may differ ±1-2
+    assert(jdkOfMine.zip(mineOfMine).map { case (a, b) => math.abs(a - b) }.max <= 2)
+    // direction 2: a JDK-encoded grayscale stream (its own optimized
+    // tables, its own quant) decodes in MY decoder to the JDK's values
+    val page = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until w * h).foreach(i => page.getRaster.setSample(i % w, i / w, 0, px(i)))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.97f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(page, null, null), p)
+    writer.dispose(); ios.close()
+    val theirs = bos.toByteArray
+    val jdkDec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(theirs))
+    val jdkVals = Array.tabulate(w * h)(i => jdkDec.getRaster.getSample(i % w, i / w, 0))
+    val (dw, dh, dp, mineOfTheirs) = JpegDctCodec.decode(theirs, "jdk.jpg")
+    assert(dw == w && dh == h && dp == 8)
+    assert(jdkVals.zip(mineOfTheirs).map { case (a, b) => math.abs(a - b) }.max <= 2)
+  }
+
+  test("DICOM JPEG Extended (.51): 12-bit end-to-end with bounded error; progressive rejects") {
+    import graft.core.{ImageLog, ImageMeta, SparkImage}
+    import graft.sources.{ImageCodecIO, JpegDctCodec}
+    val w = 24; val h = 16
+    val rnd = new scala.util.Random(5)
+    val vals = Array.fill(w * h)((1024 + rnd.nextInt(2048)).toDouble)
+    val img = SparkImage(ImageMeta(), ImageLog.create("x", ""), w, h, 1,
+      PixelCodec.Short16, PixelCodec.encode(vals, PixelCodec.Short16))
+    val bytes = ImageCodecIO.encodeDicom(img, instance = 3,
+      transferSyntax = "1.2.840.10008.1.2.4.51")
+    val (dec, inst) = ImageCodecIO.decodeDicomWithInstance("e.dcm", bytes)
+    inst shouldBe 3
+    dec.width shouldBe w
+    dec.height shouldBe h
+    val err = dec.toDoubles.zip(vals).map { case (a, b) => math.abs(a - b) }.max
+    assert(err <= 4, s".51 end-to-end error $err > 4")
+    // the census syntax sniffer reads the declared UID
+    graft.sources.ImageCodecIO.dicomTransferSyntax("e.dcm", bytes) shouldBe
+      "1.2.840.10008.1.2.4.51"
+    // progressive (SOF2) rejects loudly, never mis-decodes
+    val sof2 = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
+      8, 0, 16, 0, 16, 1, 1, 0x11, 0).map(_.toByte)
+    val e = intercept[IllegalArgumentException](JpegDctCodec.decode(sof2, "p.jpg"))
+    assert(e.getMessage.contains("sequential DCT"))
+  }
 }
