@@ -266,4 +266,30 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
     survivors should be >= plain.length.toLong // superset of matches …
     survivors should be < fact.count()         // … that still prunes hard
   }
+
+  test("observe(): the q150 constraint sweep rides a production job for FREE (zero extra scans)") {
+    // at 100 TB the cheapest DQ audit is no audit job at all: attach
+    // the conditional-agg metrics to a query the pipeline already
+    // runs — Spark accumulates them during that job's own scan
+    val li = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val obs = org.apache.spark.sql.Observation("dq")
+    val audited = li.observe(obs,
+      count(lit(1)).as("rows"),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+        .otherwise(0L)).as("qty_range"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5, 1L)
+        .otherwise(0L)).as("discount_range"))
+    // the "production job": a real aggregation the pipeline needs anyway
+    val revenue = audited.groupBy(col("l_returnflag")).count().collect()
+    revenue should not be empty
+    val got = obs.get
+    // ground truth from an explicit scan
+    val want = li.agg(
+      count(lit(1)),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L).otherwise(0L)),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5, 1L).otherwise(0L))).head()
+    got("rows") shouldBe want.getLong(0)
+    got("qty_range") shouldBe want.getLong(1)
+    got("discount_range") shouldBe want.getLong(2)
+  }
 }
