@@ -95,7 +95,7 @@ object ScaleProbe {
     // SAME ≤16·log2(max)-bucket histogram (values unchanged, counts
     // scale), so the ratio isolates the one corpus-scale stage — the
     // map-side-combined (g, bucket) agg
-    if (only.isEmpty || only("hdr_quantiles")) {
+    locally {
       val gx = graft.queries.QueryDsl.t(spark, dir, "lineitem")
         .select(col("l_returnflag").as("g"),
           expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("x"))
@@ -107,15 +107,14 @@ object ScaleProbe {
     // same bounded-sketch contract as hdr_quantiles: 10× events feed
     // the SAME |types|·|days| relation (counts scale, medians shift,
     // state doesn't)
-    if (only.isEmpty || only("mad_anomaly")) {
+    locally {
       val ev = graft.queries.QueryDsl.t(spark, dir, "events")
       val evN = (0 until copies).map(_ => ev).reduce(_ union _)
-      def mad(e: DataFrame): Long = {
-        val d = e.groupBy(col("event_type"),
+      def mad(e: DataFrame): Long =
+        e.groupBy(col("event_type"),
             date_format(col("ts"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("c"))
-        d.count()
-      }
+          .count()
       probe("mad_anomaly", mad(ev), mad(evN))
     }
     // bloom pre-join: ratio measures the probe-side scan + KB-sized

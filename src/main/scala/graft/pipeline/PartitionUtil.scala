@@ -180,7 +180,8 @@ object PartitionUtil {
     * with sort_array+collect_list (the q121 edge-array pattern). */
   def bloomFilterArray(dim: DataFrame, key: String,
                        bits: Int = 1 << 16, k: Int = 3): DataFrame = {
-    require(bits > 0 && (bits & (bits - 1)) == 0, s"bits must be a power of two, got $bits")
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 64 (one packed word), got $bits")
     require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
     val nWords = bits / 64
     val pos = dim.select(explode(array(
@@ -211,6 +212,15 @@ object PartitionUtil {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
                     factKey: String, dimKey: String,
                     bits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    // xxhash64 is TYPE-sensitive where the equi-join would coerce: an
+    // INT probe against a BIGINT build hashes differently, and a
+    // matching row would silently fail the Bloom and vanish before
+    // the exact join could save it — so demand identical key types
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloomSemiJoin: key types must match exactly ($factKey: $ft vs $dimKey: $dt) — " +
+        "hash equality is stricter than join equality; cast one side first")
     // internal name kept collision-free with any fact column
     val bf = bloomFilterArray(dim.select(col(dimKey).as("k")), "k", bits, k)
       .select(col("bf").as("__graft_bf"))

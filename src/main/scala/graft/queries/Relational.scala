@@ -1100,7 +1100,12 @@ object Relational {
             .otherwise(0L)).as("lineitem_qty_range"),
           sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5, 1L)
             .otherwise(0L)).as("lineitem_discount_range"))
-        val orphans = li.join(o.select(col("o_orderkey")),
+        // orphan = a NON-NULL key with no parent (a NULL FK is the
+        // completeness check's finding, not a referential one — and
+        // SQL's NOT IN drops NULL probes, so the isNotNull filter is
+        // also what keeps both engines counting the same rows)
+        val orphans = li.filter(col("l_orderkey").isNotNull)
+          .join(o.select(col("o_orderkey")),
             col("l_orderkey") === col("o_orderkey"), "left_anti")
           .agg(count(lit(1)).as("lineitem_orphan_fk"))
         val unpivot = (d: DataFrame) => {

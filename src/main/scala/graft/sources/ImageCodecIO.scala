@@ -385,6 +385,9 @@ object ImageCodecIO {
     while (scanStart < 0) {
       require(pos + 4 <= frag.length && (frag(pos) & 0xff) == 0xff,
         s"malformed JPEG marker stream in $path")
+      // T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+      // fill bytes — skip them or the next marker byte reads as a length
+      while (pos + 4 <= frag.length && (frag(pos + 1) & 0xff) == 0xff) pos += 1
       val m = frag(pos + 1) & 0xff
       val len = u16(pos + 2)
       require(pos + 2 + len <= frag.length, s"truncated JPEG segment in $path")

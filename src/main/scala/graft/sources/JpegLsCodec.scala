@@ -327,6 +327,9 @@ private[graft] object JpegLsCodec {
     while (scanStart < 0) {
       require(pos + 4 <= frag.length && (frag(pos) & 0xff) == 0xff,
         s"malformed JPEG-LS marker stream in $path")
+      // T.81 B.1.1.2 (inherited by T.87): markers may be preceded by
+      // 0xFF fill bytes — skip them or the marker byte reads as length
+      while (pos + 4 <= frag.length && (frag(pos + 1) & 0xff) == 0xff) pos += 1
       val m = frag(pos + 1) & 0xff
       val len = u16(pos + 2)
       require(pos + 2 + len <= frag.length, s"truncated JPEG-LS segment in $path")

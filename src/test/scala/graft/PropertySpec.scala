@@ -436,4 +436,31 @@ class PropertySpec extends AnyFunSuite with Matchers {
     val e = intercept[IllegalArgumentException](JpegDctCodec.decode(sof2, "p.jpg"))
     assert(e.getMessage.contains("sequential DCT"))
   }
+
+  test("JPEG marker loops tolerate T.81 B.1.1.2 fill bytes (0xFF padding before markers)") {
+    import graft.sources.JpegDctCodec
+    // splice fill bytes before every marker of a valid stream — a
+    // conformant encoder MAY pad this way; the decode must be unchanged
+    def padMarkers(stream: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var entropy = false
+      while (i < stream.length) {
+        val b = stream(i) & 0xff
+        if (!entropy && i > 0 && b == 0xff && i + 1 < stream.length &&
+            (stream(i + 1) & 0xff) != 0x00) { // (SOI itself stays unpadded)
+          out.write(0xff); out.write(0xff) // two fill bytes
+          out.write(0xff); out.write(stream(i + 1) & 0xff)
+          if ((stream(i + 1) & 0xff) == 0xda) entropy = true // stop before scan data
+          i += 2
+        } else { out.write(b); i += 1 }
+      }
+      out.toByteArray
+    }
+    val px = Array.tabulate(16 * 16)(i => 100 + (i % 16) * 8)
+    val clean = JpegDctCodec.encode(px, 16, 16, 12)
+    val (w1, h1, _, out1) = JpegDctCodec.decode(clean, "c.jpg")
+    val (w2, h2, _, out2) = JpegDctCodec.decode(padMarkers(clean), "f.jpg")
+    assert(w1 == w2 && h1 == h2 && out1.sameElements(out2))
+  }
 }
