@@ -298,7 +298,11 @@ private[graft] object JpegDctCodec {
     }
   }
 
-  /** Decode a single-component sequential-DCT stream (SOF0 or SOF1).
+  /** Decode a single-component DCT stream: SOF0 Baseline, SOF1
+    * Extended sequential, or SOF2 PROGRESSIVE (spectral selection +
+    * successive approximation, any scan script — coefficients
+    * accumulate across scans exactly as T.81 G.2 prescribes, with
+    * EOB-run skipping and the G.1.2.3 correction-bit refinement).
     * Returns (width, height, precision, samples in raster order,
     * clamped to [0, 2^precision)). */
   def decode(frag: Array[Byte], path: String): (Int, Int, Int, Array[Int]) = {
@@ -307,141 +311,262 @@ private[graft] object JpegDctCodec {
     var pos = 2
     def u16(p: Int): Int = ((frag(p) & 0xff) << 8) | (frag(p + 1) & 0xff)
     var w = 0; var h = 0; var precision = 0
+    var progressive = false
     val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
     val huff = scala.collection.mutable.Map.empty[Int, HuffTable] // key class<<4|id
     var compQuantId = -1
-    var dcTable = -1; var acTable = -1
     var restartInterval = 0
-    var scanStart = -1
-    while (scanStart < 0) {
-      require(pos + 4 <= frag.length && (frag(pos) & 0xff) == 0xff,
+    // per-block RAW coefficients in ZIGZAG space, accumulated over
+    // scans (one scan for sequential frames, many for progressive)
+    var coefs: Array[Array[Int]] = null
+    var nBlocks = 0
+    var sawSos = false
+    var sawEoi = false
+
+    /** End of a scan's entropy segment: the first 0xFF not followed
+      * by a stuff byte or an RSTn marker. */
+    def scanEnd(start: Int): Int = {
+      var p = start
+      while (p + 1 < frag.length) {
+        if ((frag(p) & 0xff) == 0xff) {
+          val nxt = frag(p + 1) & 0xff
+          if (nxt != 0x00 && (nxt & 0xf8) != 0xd0) return p
+          p += 2
+        } else p += 1
+      }
+      frag.length
+    }
+
+    def extend(v: Int, s: Int): Int =
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    /** One scan over all blocks (single component → MCU = block). */
+    def decodeScan(start: Int, ss: Int, se: Int, ah: Int, al: Int,
+                   dcT: Int, acT: Int): Unit = {
+      // DC refinement scans read raw bits only; every other scan kind
+      // needs its entropy table declared before the SOS
+      val dc = huff.getOrElse(dcT, null)
+      val ac = huff.getOrElse(0x10 | (acT & 0x0f), null)
+      if (!progressive || (ss == 0 && ah == 0))
+        require(dc != null, s"missing JPEG DC Huffman table in $path")
+      if (se > 0) require(ac != null, s"missing JPEG AC Huffman table in $path")
+      val br = new BitReader(frag, start, path)
+      val p1 = 1 << al; val m1 = -1 << al
+      var prevDc = 0
+      var eobrun = 0
+      def refine(cf: Array[Int], k: Int): Unit =
+        if (br.bit() == 1 && (cf(k) & p1) == 0)
+          cf(k) += (if (cf(k) >= 0) p1 else m1)
+      var b = 0
+      while (b < nBlocks) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          br.restart(); prevDc = 0; eobrun = 0
+        }
+        val cf = coefs(b)
+        if (!progressive) {
+          // sequential: DC + the full 1..63 band in one pass
+          val sDc = dc.decode(br, path)
+          require(sDc <= 15, s"bad JPEG DC category $sDc in $path")
+          prevDc += (if (sDc == 0) 0 else extend(br.bits(sDc), sDc))
+          cf(0) = prevDc
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = ac.decode(br, path)
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 else eob = true
+            } else {
+              k += r
+              require(k < 64, s"JPEG AC coefficient index overflow in $path")
+              cf(k) = extend(br.bits(s), s)
+              k += 1
+            }
+          }
+        } else if (ss == 0 && ah == 0) {
+          // DC first scan: diffs of (DC >> al)
+          val sDc = dc.decode(br, path)
+          require(sDc <= 15, s"bad JPEG DC category $sDc in $path")
+          prevDc += (if (sDc == 0) 0 else extend(br.bits(sDc), sDc))
+          cf(0) = prevDc << al
+        } else if (ss == 0) {
+          // DC refinement: one correction bit per block
+          cf(0) |= br.bit() << al
+        } else if (ah == 0) {
+          // AC first scan of band [ss, se] with EOB-run skipping
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = ac.decode(br, path)
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+                  k = se + 1
+                }
+              } else {
+                k += r
+                require(k <= se, s"JPEG AC band overflow in $path")
+                cf(k) = extend(br.bits(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement (T.81 G.1.2.3 / the correction-bit walk)
+          var k = ss
+          if (eobrun == 0) {
+            var inBand = true
+            while (inBand && k <= se) {
+              val rs = ac.decode(br, path)
+              var r = rs >> 4; val s = rs & 0x0f
+              var newval = 0
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+                  inBand = false // rest of band handled by the EOB sweep
+                }
+                // r == 15 (ZRL): skip 16 zero-history positions below
+              } else {
+                require(s == 1, s"bad JPEG refinement size $s in $path")
+                newval = if (br.bit() == 1) p1 else m1
+              }
+              if (inBand) {
+                var placed = false
+                while (!placed && k <= se) {
+                  if (cf(k) != 0) refine(cf, k)
+                  else if (r == 0) { if (newval != 0) cf(k) = newval; placed = true }
+                  else r -= 1
+                  k += 1
+                }
+                require(placed || k > se, s"JPEG refinement walk overflow in $path")
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB-run block: every nonzero history coefficient in the
+            // (remaining) band takes one correction bit
+            while (k <= se) { if (cf(k) != 0) refine(cf, k); k += 1 }
+            eobrun -= 1
+          }
+        }
+        b += 1
+      }
+    }
+
+    while (!sawEoi) {
+      require(pos + 2 <= frag.length && (frag(pos) & 0xff) == 0xff,
         s"malformed JPEG marker stream in $path")
       // T.81 B.1.1.2: markers may be preceded by any number of 0xFF
       // fill bytes — skip them or the next marker byte reads as a length
-      while (pos + 4 <= frag.length && (frag(pos + 1) & 0xff) == 0xff) pos += 1
+      while (pos + 2 < frag.length && (frag(pos + 1) & 0xff) == 0xff) pos += 1
       val m = frag(pos + 1) & 0xff
-      val len = u16(pos + 2)
-      require(pos + 2 + len <= frag.length, s"truncated JPEG segment in $path")
-      m match {
-        case 0xc0 | 0xc1 => // SOF0 Baseline / SOF1 Extended sequential
-          precision = frag(pos + 4) & 0xff
-          h = u16(pos + 5); w = u16(pos + 7)
-          require((frag(pos + 9) & 0xff) == 1,
-            s"multi-component DCT JPEG unsupported in $path")
-          require(precision >= 2 && precision <= 12,
-            s"bad JPEG DCT precision $precision in $path")
-          require((frag(pos + 11) & 0xff) == 0x11,
-            s"subsampled single-component JPEG is malformed in $path")
-          compQuantId = frag(pos + 12) & 0xff
-        case sof if sof >= 0xc2 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
-          throw new IllegalArgumentException(
-            f"unsupported JPEG frame type 0xFF$sof%02X in $path — " +
-              "sequential DCT (SOF0/SOF1) only in this codec")
-        case 0xdb => // DQT: one or more tables, Pq selects 8/16-bit entries
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val pqTq = frag(p) & 0xff
-            val pq = pqTq >> 4; val tq = pqTq & 0x0f
-            require(pq <= 1, s"bad DQT precision in $path")
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) {
-              t(i) = if (pq == 0) frag(p + 1 + i) & 0xff else u16(p + 1 + 2 * i)
-              i += 1
+      if (m == 0xd9) { sawEoi = true } // EOI: standalone, no length
+      else {
+        require(pos + 4 <= frag.length, s"truncated JPEG stream in $path")
+        val len = u16(pos + 2)
+        require(pos + 2 + len <= frag.length, s"truncated JPEG segment in $path")
+        m match {
+          case 0xc0 | 0xc1 | 0xc2 => // Baseline / Extended / Progressive
+            progressive = m == 0xc2
+            precision = frag(pos + 4) & 0xff
+            h = u16(pos + 5); w = u16(pos + 7)
+            require((frag(pos + 9) & 0xff) == 1,
+              s"multi-component DCT JPEG unsupported in $path")
+            require(precision >= 2 && precision <= 12,
+              s"bad JPEG DCT precision $precision in $path")
+            require((frag(pos + 11) & 0xff) == 0x11,
+              s"subsampled single-component JPEG is malformed in $path")
+            compQuantId = frag(pos + 12) & 0xff
+            nBlocks = ((w + 7) / 8) * ((h + 7) / 8)
+            coefs = Array.fill(nBlocks)(new Array[Int](64))
+          case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+            throw new IllegalArgumentException(
+              f"unsupported JPEG frame type 0xFF$sof%02X in $path — " +
+                "sequential/progressive DCT (SOF0/SOF1/SOF2) only in this codec")
+          case 0xdb => // DQT: one or more tables, Pq selects 8/16-bit entries
+            var p = pos + 4
+            while (p < pos + 2 + len) {
+              val pqTq = frag(p) & 0xff
+              val pq = pqTq >> 4; val tq = pqTq & 0x0f
+              require(pq <= 1, s"bad DQT precision in $path")
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(i) = if (pq == 0) frag(p + 1 + i) & 0xff else u16(p + 1 + 2 * i)
+                i += 1
+              }
+              quant(tq) = t
+              p += 1 + (if (pq == 0) 64 else 128)
             }
-            quant(tq) = t
-            p += 1 + (if (pq == 0) 64 else 128)
-          }
-        case 0xc4 => // DHT: tables keyed (class, id)
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val tcTh = frag(p) & 0xff
-            val bits = Array.tabulate(16)(i => frag(p + 1 + i) & 0xff)
-            val n = bits.sum
-            val vals = Array.tabulate(n)(i => frag(p + 17 + i) & 0xff)
-            huff(tcTh) = new HuffTable(bits, vals)
-            p += 17 + n
-          }
-        case 0xdd =>
-          restartInterval = u16(pos + 4)
-        case 0xda => // SOS
-          require((frag(pos + 4) & 0xff) == 1,
-            s"multi-component JPEG scan unsupported in $path")
-          val tdTa = frag(pos + 6) & 0xff
-          dcTable = tdTa >> 4; acTable = 0x10 | (tdTa & 0x0f)
-          require((frag(pos + 7) & 0xff) == 0 && (frag(pos + 8) & 0xff) == 63,
-            s"partial spectral selection unsupported in $path (progressive stream?)")
-          require((frag(pos + 9) & 0xff) == 0,
-            s"successive approximation unsupported in $path (progressive stream?)")
-          scanStart = pos + 2 + len
-        case _ => () // APPn / COM: skip
+          case 0xc4 => // DHT: tables keyed (class, id)
+            var p = pos + 4
+            while (p < pos + 2 + len) {
+              val tcTh = frag(p) & 0xff
+              val bits = Array.tabulate(16)(i => frag(p + 1 + i) & 0xff)
+              val n = bits.sum
+              val vals = Array.tabulate(n)(i => frag(p + 17 + i) & 0xff)
+              huff(tcTh) = new HuffTable(bits, vals)
+              p += 17 + n
+            }
+          case 0xdd =>
+            restartInterval = u16(pos + 4)
+          case 0xda => // SOS: one scan (of possibly many, if progressive)
+            require(coefs != null, s"JPEG SOS before SOF in $path")
+            require((frag(pos + 4) & 0xff) == 1,
+              s"multi-component JPEG scan unsupported in $path")
+            val tdTa = frag(pos + 6) & 0xff
+            val ss = frag(pos + 7) & 0xff; val se = frag(pos + 8) & 0xff
+            val ahAl = frag(pos + 9) & 0xff
+            val ah = ahAl >> 4; val al = ahAl & 0x0f
+            if (!progressive)
+              require(ss == 0 && se == 63 && ah == 0 && al == 0,
+                s"sequential JPEG scan with progressive parameters in $path")
+            else {
+              require(se >= ss && se <= 63, s"bad JPEG spectral band [$ss, $se] in $path")
+              require(if (ss == 0) se == 0 else ss >= 1,
+                s"progressive DC scan must be the lone band [0, 0] in $path")
+              require(ah == 0 || ah == al + 1,
+                s"bad JPEG successive approximation $ah/$al in $path")
+            }
+            val dataStart = pos + 2 + len
+            decodeScan(dataStart, ss, se, ah, al, tdTa >> 4, tdTa & 0x0f)
+            sawSos = true
+            pos = scanEnd(dataStart) - (2 + len) // net: loop resumes at scan end
+          case _ => () // APPn / COM: skip
+        }
+        pos += 2 + len
       }
-      pos += 2 + len
     }
     require(w > 0 && h > 0, s"missing JPEG SOF frame header in $path")
+    require(sawSos, s"missing JPEG scan in $path")
     require(quant.contains(compQuantId), s"missing JPEG quant table in $path")
-    require(huff.contains(dcTable) && huff.contains(acTable),
-      s"missing JPEG Huffman tables in $path")
     val qt = quant(compQuantId)
-    val dc = huff(dcTable); val ac = huff(acTable)
-    val br = new BitReader(frag, scanStart, path)
-    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+    val bw8 = (w + 7) / 8
     val out = new Array[Int](w * h)
     val mid = 1 << (precision - 1)
     val maxV = (1 << precision) - 1
     val coef = new Array[Double](64)
-    var prevDc = 0
-    var mcu = 0
-    var by = 0
-    while (by < bh8) {
-      var bx = 0
-      while (bx < bw8) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.restart(); prevDc = 0
+    var b = 0
+    while (b < nBlocks) {
+      val cf = coefs(b)
+      var i = 0
+      while (i < 64) { coef(zigzag(i)) = cf(i).toDouble * qt(i); i += 1 }
+      val px = idct(coef)
+      val bx = b % bw8; val by = b / bw8
+      i = 0
+      while (i < 64) {
+        val x = bx * 8 + i % 8; val y = by * 8 + i / 8
+        if (x < w && y < h) {
+          var v = math.round(px(i)).toInt + mid
+          if (v < 0) v = 0 else if (v > maxV) v = maxV
+          out(y * w + x) = v
         }
-        java.util.Arrays.fill(coef, 0.0)
-        val sDc = dc.decode(br, path)
-        require(sDc <= 15, s"bad JPEG DC category $sDc in $path")
-        val diff =
-          if (sDc == 0) 0
-          else {
-            val v = br.bits(sDc)
-            if (v < (1 << (sDc - 1))) v - (1 << sDc) + 1 else v
-          }
-        prevDc += diff
-        coef(0) = prevDc.toDouble * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = ac.decode(br, path)
-          val r = rs >> 4; val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else eob = true      // EOB
-          } else {
-            k += r
-            require(k < 64, s"JPEG AC coefficient index overflow in $path")
-            val v = br.bits(s)
-            val sv = if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
-            coef(zigzag(k)) = sv.toDouble * qt(k)
-            k += 1
-          }
-        }
-        val px = idct(coef)
-        var i = 0
-        while (i < 64) {
-          val x = bx * 8 + i % 8; val y = by * 8 + i / 8
-          if (x < w && y < h) {
-            var v = math.round(px(i)).toInt + mid
-            if (v < 0) v = 0 else if (v > maxV) v = maxV
-            out(y * w + x) = v
-          }
-          i += 1
-        }
-        mcu += 1
-        bx += 1
+        i += 1
       }
-      by += 1
+      b += 1
     }
     (w, h, precision, out)
   }

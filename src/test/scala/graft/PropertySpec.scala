@@ -430,11 +430,48 @@ class PropertySpec extends AnyFunSuite with Matchers {
     // the census syntax sniffer reads the declared UID
     graft.sources.ImageCodecIO.dicomTransferSyntax("e.dcm", bytes) shouldBe
       "1.2.840.10008.1.2.4.51"
-    // progressive (SOF2) rejects loudly, never mis-decodes
-    val sof2 = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
+    // hierarchical (SOF5) rejects loudly, never mis-decodes
+    val sof5 = Array[Int](0xff, 0xd8, 0xff, 0xc5, 0x00, 0x0b,
       8, 0, 16, 0, 16, 1, 1, 0x11, 0).map(_.toByte)
-    val e = intercept[IllegalArgumentException](JpegDctCodec.decode(sof2, "p.jpg"))
-    assert(e.getMessage.contains("sequential DCT"))
+    val e = intercept[IllegalArgumentException](JpegDctCodec.decode(sof5, "p.jpg"))
+    assert(e.getMessage.contains("SOF0/SOF1/SOF2"))
+  }
+
+  test("JPEG DCT codec: PROGRESSIVE streams (JDK scan script) decode to the JDK's own values") {
+    import graft.sources.JpegDctCodec
+    // the JDK writer emits a real multi-scan SOF2 script (DC first +
+    // refinements, AC bands with EOB runs + correction-bit scans) —
+    // a third-party progressive stream our decoder must accumulate
+    // across scans exactly as T.81 G.2 prescribes
+    val w = 72; val h = 40
+    val rnd = new scala.util.Random(17)
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.min(255, math.max(0, 40 + x * 2 + ((y * 7) % 60) + rnd.nextInt(25)))
+    }
+    val page = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until w * h).foreach(i => page.getRaster.setSample(i % w, i / w, 0, px(i)))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(page, null, null), p)
+    writer.dispose(); ios.close()
+    val stream = bos.toByteArray
+    // prove the stream really is progressive (SOF2 present)
+    assert(stream.sliding(2).exists(a => (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xc2),
+      "JDK did not emit a progressive stream")
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+    val jdkVals = Array.tabulate(w * h)(i => jdk.getRaster.getSample(i % w, i / w, 0))
+    val (dw, dh, dp, mine) = JpegDctCodec.decode(stream, "prog.jpg")
+    assert(dw == w && dh == h && dp == 8)
+    val maxDiff = jdkVals.zip(mine).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 2, s"progressive cross-decode max diff $maxDiff > 2")
   }
 
   test("JPEG marker loops tolerate T.81 B.1.1.2 fill bytes (0xFF padding before markers)") {
