@@ -296,6 +296,8 @@ private[graft] object JpegDctCodec {
         s"missing JPEG restart marker in $path")
       pos += 2
     }
+    /** Position of the next unread byte (for scan-end discovery). */
+    def bytePos: Int = pos
   }
 
   /** Decode a single-component DCT stream: SOF0 Baseline, SOF1
@@ -318,7 +320,7 @@ private[graft] object JpegDctCodec {
     var restartInterval = 0
     // per-block RAW coefficients in ZIGZAG space, accumulated over
     // scans (one scan for sequential frames, many for progressive)
-    var coefs: Array[Array[Int]] = null
+    var coefs: Array[Int] = null // flat nBlocks x 64, zigzag-major
     var nBlocks = 0
     var sawSos = false
     var sawEoi = false
@@ -340,9 +342,11 @@ private[graft] object JpegDctCodec {
     def extend(v: Int, s: Int): Int =
       if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-    /** One scan over all blocks (single component → MCU = block). */
+    /** One scan over all blocks (single component → MCU = block).
+      * Returns the byte position where the scan's entropy data ends
+      * (the next marker's 0xFF). */
     def decodeScan(start: Int, ss: Int, se: Int, ah: Int, al: Int,
-                   dcT: Int, acT: Int): Unit = {
+                   dcT: Int, acT: Int): Int = {
       // DC refinement scans read raw bits only; every other scan kind
       // needs its entropy table declared before the SOS
       val dc = huff.getOrElse(dcT, null)
@@ -354,32 +358,35 @@ private[graft] object JpegDctCodec {
       val p1 = 1 << al; val m1 = -1 << al
       var prevDc = 0
       var eobrun = 0
-      def refine(cf: Array[Int], k: Int): Unit =
-        if (br.bit() == 1 && (cf(k) & p1) == 0)
-          cf(k) += (if (cf(k) >= 0) p1 else m1)
+      def refine(k: Int): Unit =
+        if (br.bit() == 1 && (coefs(k) & p1) == 0)
+          coefs(k) += (if (coefs(k) >= 0) p1 else m1)
       var b = 0
       while (b < nBlocks) {
         if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
           br.restart(); prevDc = 0; eobrun = 0
         }
-        val cf = coefs(b)
+        val o = b * 64 // this block's slice of the flat zigzag array
         if (!progressive) {
           // sequential: DC + the full 1..63 band in one pass
           val sDc = dc.decode(br, path)
           require(sDc <= 15, s"bad JPEG DC category $sDc in $path")
           prevDc += (if (sDc == 0) 0 else extend(br.bits(sDc), sDc))
-          cf(0) = prevDc
+          coefs(o) = prevDc
           var k = 1
           var eob = false
           while (k < 64 && !eob) {
             val rs = ac.decode(br, path)
             val r = rs >> 4; val s = rs & 0x0f
             if (s == 0) {
-              if (r == 15) k += 16 else eob = true
+              if (r == 15) {
+                k += 16 // ZRL
+                require(k <= 64, s"JPEG AC coefficient index overflow in $path")
+              } else eob = true
             } else {
               k += r
               require(k < 64, s"JPEG AC coefficient index overflow in $path")
-              cf(k) = extend(br.bits(s), s)
+              coefs(o + k) = extend(br.bits(s), s)
               k += 1
             }
           }
@@ -388,10 +395,10 @@ private[graft] object JpegDctCodec {
           val sDc = dc.decode(br, path)
           require(sDc <= 15, s"bad JPEG DC category $sDc in $path")
           prevDc += (if (sDc == 0) 0 else extend(br.bits(sDc), sDc))
-          cf(0) = prevDc << al
+          coefs(o) = prevDc << al
         } else if (ss == 0) {
           // DC refinement: one correction bit per block
-          cf(0) |= br.bit() << al
+          coefs(o) |= br.bit() << al
         } else if (ah == 0) {
           // AC first scan of band [ss, se] with EOB-run skipping
           if (eobrun > 0) eobrun -= 1
@@ -401,15 +408,17 @@ private[graft] object JpegDctCodec {
               val rs = ac.decode(br, path)
               val r = rs >> 4; val s = rs & 0x0f
               if (s == 0) {
-                if (r == 15) k += 16 // ZRL
-                else {
+                if (r == 15) {
+                  k += 16 // ZRL
+                  require(k <= se + 1, s"JPEG AC band overflow in $path")
+                } else {
                   eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
                   k = se + 1
                 }
               } else {
                 k += r
                 require(k <= se, s"JPEG AC band overflow in $path")
-                cf(k) = extend(br.bits(s), s) << al
+                coefs(o + k) = extend(br.bits(s), s) << al
                 k += 1
               }
             }
@@ -436,24 +445,31 @@ private[graft] object JpegDctCodec {
               if (inBand) {
                 var placed = false
                 while (!placed && k <= se) {
-                  if (cf(k) != 0) refine(cf, k)
-                  else if (r == 0) { if (newval != 0) cf(k) = newval; placed = true }
+                  if (coefs(o + k) != 0) refine(o + k)
+                  else if (r == 0) { if (newval != 0) coefs(o + k) = newval; placed = true }
                   else r -= 1
                   k += 1
                 }
-                require(placed || k > se, s"JPEG refinement walk overflow in $path")
+                // a new coefficient whose zero-run overruns the band is
+                // corrupt (ZRL, s == 0, legitimately consumes zeros to
+                // the band end)
+                require(placed || s == 0, s"JPEG refinement walk overflow in $path")
               }
             }
           }
           if (eobrun > 0) {
             // EOB-run block: every nonzero history coefficient in the
             // (remaining) band takes one correction bit
-            while (k <= se) { if (cf(k) != 0) refine(cf, k); k += 1 }
+            while (k <= se) { if (coefs(o + k) != 0) refine(o + k); k += 1 }
             eobrun -= 1
           }
         }
         b += 1
       }
+      // the reader stops inside the last entropy byte; the scan's true
+      // end is the next marker at-or-after that byte (a short walk —
+      // padding bits plus possibly a stray stuffed byte)
+      scanEnd(br.bytePos)
     }
 
     while (!sawEoi) {
@@ -480,8 +496,13 @@ private[graft] object JpegDctCodec {
             require((frag(pos + 11) & 0xff) == 0x11,
               s"subsampled single-component JPEG is malformed in $path")
             compQuantId = frag(pos + 12) & 0xff
+            // header-driven allocation needs a sanity cap: a crafted
+            // 20-byte SOF declaring 65535x65535 would otherwise demand
+            // ~17 GB before any entropy data is validated
+            require(w.toLong * h <= (1L << 26),
+              s"JPEG frame ${w}x$h exceeds this codec's 64M-pixel cap in $path")
             nBlocks = ((w + 7) / 8) * ((h + 7) / 8)
-            coefs = Array.fill(nBlocks)(new Array[Int](64))
+            coefs = new Array[Int](nBlocks * 64) // flat, zigzag-major
           case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
             throw new IllegalArgumentException(
               f"unsupported JPEG frame type 0xFF$sof%02X in $path — " +
@@ -526,15 +547,19 @@ private[graft] object JpegDctCodec {
                 s"sequential JPEG scan with progressive parameters in $path")
             else {
               require(se >= ss && se <= 63, s"bad JPEG spectral band [$ss, $se] in $path")
-              require(if (ss == 0) se == 0 else ss >= 1,
+              require(ss != 0 || se == 0,
                 s"progressive DC scan must be the lone band [0, 0] in $path")
               require(ah == 0 || ah == al + 1,
                 s"bad JPEG successive approximation $ah/$al in $path")
             }
-            val dataStart = pos + 2 + len
-            decodeScan(dataStart, ss, se, ah, al, tdTa >> 4, tdTa & 0x0f)
+            val end = decodeScan(pos + 2 + len, ss, se, ah, al, tdTa >> 4, tdTa & 0x0f)
             sawSos = true
-            pos = scanEnd(dataStart) - (2 + len) // net: loop resumes at scan end
+            // sequential frames have exactly ONE scan; stop here so a
+            // stream truncated after the entropy data (no EOI — a
+            // tolerated real-world shape the pre-progressive decoder
+            // accepted) still decodes
+            if (!progressive) sawEoi = true
+            pos = end - (2 + len) // net: loop resumes at the scan's end marker
           case _ => () // APPn / COM: skip
         }
         pos += 2 + len
@@ -551,9 +576,9 @@ private[graft] object JpegDctCodec {
     val coef = new Array[Double](64)
     var b = 0
     while (b < nBlocks) {
-      val cf = coefs(b)
+      val o = b * 64
       var i = 0
-      while (i < 64) { coef(zigzag(i)) = cf(i).toDouble * qt(i); i += 1 }
+      while (i < 64) { coef(zigzag(i)) = coefs(o + i).toDouble * qt(i); i += 1 }
       val px = idct(coef)
       val bx = b % bw8; val by = b / bw8
       i = 0

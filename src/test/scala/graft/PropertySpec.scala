@@ -499,5 +499,14 @@ class PropertySpec extends AnyFunSuite with Matchers {
     val (w1, h1, _, out1) = JpegDctCodec.decode(clean, "c.jpg")
     val (w2, h2, _, out2) = JpegDctCodec.decode(padMarkers(clean), "f.jpg")
     assert(w1 == w2 && h1 == h2 && out1.sameElements(out2))
+    // a sequential stream truncated after its entropy data (EOI cut
+    // off — a tolerated real-world shape) still decodes identically
+    val (w3, h3, _, out3) = JpegDctCodec.decode(clean.dropRight(2), "trunc.jpg")
+    assert(w3 == w1 && h3 == h1 && out3.sameElements(out1))
+    // a crafted giant SOF header rejects before allocating anything
+    val bomb = Array[Int](0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b,
+      8, 0xff, 0xff, 0xff, 0xff, 1, 1, 0x11, 0).map(_.toByte)
+    val eb = intercept[IllegalArgumentException](JpegDctCodec.decode(bomb, "b.jpg"))
+    assert(eb.getMessage.contains("64M-pixel cap"))
   }
 }
