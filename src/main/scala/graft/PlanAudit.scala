@@ -620,6 +620,16 @@ object PlanAudit {
           "this is the explicit runtime-filter shape",
         Seq("xxhash64", "LeftSemi", "BroadcastNestedLoopJoin"),
         Seq("CartesianProduct", "SortMergeJoin")),
+      ("q151_ann_ivfpq",
+        "IVF-PQ search: both fits are driver-side sample problems " +
+          "(content-hash-bounded, corpus-size-free); the corpus pass " +
+          "is ONE scan of per-row encode work against broadcast " +
+          "centroids+codebooks; candidate generation is the cluster " +
+          "equi-join with the KB-sized probe table BROADCAST; the " +
+          "top-k is the map-side-combined TopK aggregator — no " +
+          "window, no global sort, no cartesian stage",
+        Seq("HashAggregate", "BroadcastHashJoin"),
+        Seq("Window", "CartesianProduct", "SortMergeJoin")),
       ("q150_dq_audit",
         "data-quality audit: each table's constraint set folds into ONE " +
           "conditional-aggregation scan (5 checks = 1 pass, map-side " +

@@ -225,6 +225,12 @@ object ScaleProbe {
     probe("pq_encode",
       Similarity.pqEncode(emb).count(),
       Similarity.pqEncode(embN).count())
+    // both IVF-PQ fits are content-hash-sample-bounded (corpus-size-
+    // free); the 10× cost is the one-scan residual encode plus the
+    // nProbe/nClusters share of the wider inverted lists
+    probe("ann_ivfpq",
+      Similarity.ivfPqTopK(emb, col("vec_id") < 20, 5).count(),
+      Similarity.ivfPqTopK(embN, col("vec_id") < 20, 5).count())
     // copy-prefixed query terms ("c0_…") keep the BM25 hit set inside
     // copy 0, so output stays ≤ k rows and the ratio measures the
     // corpus-side df/stats aggregations + the dense scoring scan

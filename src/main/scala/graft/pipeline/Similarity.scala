@@ -760,6 +760,183 @@ object Similarity {
     WHERE rnk <= $k ORDER BY qid, rank"""
   }
 
+  /** IVF-PQ approximate NN — the production-scale ANN composition
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011; the FAISS `IVFPQ` index): the q46 coarse
+    * quantizer partitions the corpus into inverted lists, each
+    * vector's RESIDUAL from its centroid is product-quantized with
+    * the q114b machinery, and queries score candidates by asymmetric
+    * distance (exact query residual vs the code's reconstruction).
+    *
+    * Scale shape: both fits are corpus-size-free (content-hash
+    * samples, driver-side Lloyd); the corpus pass is ONE scan of
+    * per-row map work against broadcast centroids+codebooks (no
+    * join); the search join is the q46 cluster equi-join with the
+    * probe table broadcast — per-query work ~N·nProbe/nClusters, and
+    * at 100 TB the serving index stores m·log₂(codes) BITS per vector
+    * (2 bytes here) instead of the 512-byte raw embedding: the memory
+    * math that makes billion-vector ANN fit a cluster at all. */
+  def ivfPqTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+                nClusters: Int = 8, nProbe: Int = 2, m: Int = 4,
+                dim: Int = 64, codes: Int = 16, seed: Long = 42L,
+                maxFitSample: Int = 65536): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centers = ivfFitCenters(embeddings, nClusters, seed, maxFitSample)
+    val books = ivfPqFitResidualBooks(embeddings, centers, m, dim, codes, seed, maxFitSample)
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcB = spark.sparkContext.broadcast(books)
+    val sub = dim / m
+    val base = PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // corpus pass: coarse-assign, residual-encode — pure map work
+    val encodeUdf = udf { v: Array[Double] =>
+      val cs = bcC.value; val bks = bcB.value
+      val c = nearestCenter(cs, v)
+      val cv = cs(c)
+      val code = new Array[Long](bks.length)
+      var j = 0
+      while (j < bks.length) {
+        val book = bks(j)
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < book.length) {
+          val bv = book(ci)
+          var d = 0.0; var kk = 0
+          while (kk < sub) {
+            val t = (v(j * sub + kk) - cv(j * sub + kk)) - bv(kk)
+            d += t * t; kk += 1
+          }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        code(j) = best.toLong
+        j += 1
+      }
+      (c, code.toSeq)
+    }
+    val assigned = base.select(col("vec_id").as("nid"), encodeUdf(col("v")).as("e"))
+      .select(col("nid"), col("e._1").as("cluster"), col("e._2").as("code"))
+    // query side: nProbe nearest lists, one residual per probed list
+    val probes = base.filter(queryFilter)
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, v) =>
+        val cs = bcC.value
+        cs.zipWithIndex.map { case (c, i) => (sqDist(c, v), i) }
+          .sortBy(x => (x._1, x._2)).take(nProbe)
+          .map { case (_, c) =>
+            (qid, c, Array.tabulate(dim)(kk => v(kk) - cs(c)(kk)).toSeq)
+          }
+      }
+      .toDF("qid", "cluster", "qres")
+    // asymmetric distance: exact query residual vs code reconstruction,
+    // summed j-ascending (the oracle replays the same order)
+    val adcUdf = udf { (qres: Seq[Double], code: Seq[Long]) =>
+      val bks = bcB.value
+      var tot = 0.0
+      var j = 0
+      while (j < bks.length) {
+        val bv = bks(j)(code(j).toInt)
+        var d = 0.0; var kk = 0
+        while (kk < sub) { val t = qres(j * sub + kk) - bv(kk); d += t * t; kk += 1 }
+        tot += d
+        j += 1
+      }
+      tot
+    }
+    val sims = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", -adcUdf(col("qres"), col("code"))) // negate: top-k keeps LARGEST
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** The PQ-on-residuals fit for [[ivfPqTopK]]: the same content-hash
+    * sample discipline as [[ivfFitCenters]]/[[pqFitCodebooks]] (lowest
+    * md5("ivfpq-fit-seed", vec_id) rows), each sample vector reduced
+    * to its residual from the given coarse centroids, then m seeded
+    * driver-side Lloyd runs on the residual sub-slices. */
+  private[graft] def ivfPqFitResidualBooks(embeddings: DataFrame,
+                                           centers: Array[Array[Double]],
+                                           m: Int, dim: Int, codes: Int,
+                                           seed: Long,
+                                           maxFitSample: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val fit = PartitionUtil.spread(embeddings)
+      .select(asDouble(col("embedding")).as("v"),
+        md5(concat_ws("-", lit(s"ivfpq-fit-$seed"), col("vec_id"))).as("fk"))
+      .orderBy(col("fk"))
+      .limit(maxFitSample)
+      .select(col("v")).as[Array[Double]].collect()
+    val residuals = fit.map { v =>
+      val cv = centers(nearestCenter(centers, v))
+      Array.tabulate(dim)(kk => v(kk) - cv(kk))
+    }
+    Array.tabulate(m) { j =>
+      val pts = residuals.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      lloydKMeans(pts, codes, iters = 10, seed = seed + 1000 + j)
+    }
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]]: coarse centroids AND residual
+    * codebooks inlined as literals (both fits rerun at oracle-build
+    * time — the q46/q114b pattern composed); assignment, probe
+    * selection, residual encode, and the j-ascending ADC sum all
+    * replay the impl's sequential folds; ranking is (distance ASC,
+    * nid), the mirror of the negated-sim top-k. */
+  private[graft] def ivfPqTopKOracleSql(centers: Array[Array[Double]],
+                                        books: Array[Array[Array[Double]]],
+                                        queryCond: String, k: Int,
+                                        nProbe: Int = 2, dim: Int = 64): String = {
+    val m = books.length
+    val sub = dim / m
+    def fold(prod: String, n: Int) =
+      s"list_reduce(list_transform(range(1, ${n + 1}), k -> $prod), (x, y) -> x + y)"
+    val centRows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${dlitArr(c)})"
+    }.mkString(",\n      ")
+    val bookRows = (for { j <- books.indices; c <- books(j).indices } yield
+      s"($j, $c, ${dlitArr(books(j)(c))})").mkString(",\n      ")
+    val adcSum = (0 until m).map(j => s"MAX(CASE WHEN j = $j THEN d END)").mkString(" + ")
+    s"""WITH cent AS (SELECT * FROM (VALUES $centRows) t(cid, cv)),
+    cb AS (SELECT * FROM (VALUES $bookRows) t(j, code, bv)),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cd AS (SELECT vec_id, cid, ${fold("(v[k] - cv[k]) * (v[k] - cv[k])", dim)} AS dist
+      FROM e CROSS JOIN cent),
+    asg AS (SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM cd) WHERE rn = 1),
+    res AS (SELECT e.vec_id, a.cluster,
+        list_transform(range(1, ${dim + 1}), k -> e.v[k] - c.cv[k]) AS rv
+      FROM e JOIN asg a ON a.vec_id = e.vec_id JOIN cent c ON c.cid = a.cluster),
+    encd AS (SELECT vec_id, cluster, j, code FROM (
+        SELECT r.vec_id, r.cluster, cb.j, cb.code,
+          ROW_NUMBER() OVER (PARTITION BY r.vec_id, cb.j ORDER BY
+            ${fold(s"(rv[cb.j * $sub + k] - bv[k]) * (rv[cb.j * $sub + k] - bv[k])", sub)}, cb.code) AS rn
+        FROM res r CROSS JOIN cb) WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS cluster FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM cd WHERE $queryCond) WHERE rn <= $nProbe),
+    qres AS (SELECT p.qid, p.cluster,
+        list_transform(range(1, ${dim + 1}), k -> e.v[k] - c.cv[k]) AS qv
+      FROM probes p JOIN e ON e.vec_id = p.qid JOIN cent c ON c.cid = p.cluster),
+    terms AS (SELECT q.qid, a.vec_id AS nid, en.j,
+        ${fold(s"(q.qv[en.j * $sub + k] - bv.bv[k]) * (q.qv[en.j * $sub + k] - bv.bv[k])", sub)} AS d
+      FROM qres q
+      JOIN asg a ON a.cluster = q.cluster
+      JOIN encd en ON en.vec_id = a.vec_id
+      JOIN cb bv ON bv.j = en.j AND bv.code = en.code
+      WHERE a.vec_id <> q.qid),
+    dists AS (SELECT qid, nid, ($adcSum) AS dist FROM terms GROUP BY qid, nid)
+    SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+      SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
+      FROM dists)
+    WHERE rnk <= $k ORDER BY qid, rank"""
+  }
+
   private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var j = 0
     val n = math.min(a.length, b.length)

@@ -88,6 +88,18 @@ object TextPipeline {
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
       None),
 
+    // ---- IVF-PQ: the q46 coarse quantizer + q114b product quantizer
+    // COMPOSED the way a production billion-vector index is (FAISS
+    // IVFPQ / Jégou 2011): residual-encode per inverted list,
+    // asymmetric-distance scoring, 2 bytes per vector in the serving
+    // index. Both fits are deterministic content-hash samples, so the
+    // oracle (built at Verify time, [[dataOracles]]) inlines centroids
+    // AND codebooks and replays ranks bit-for-bit ---------------------
+    ("q151_ann_ivfpq",
+      (s, dir) => Similarity.ivfPqTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      None),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and
@@ -1208,7 +1220,14 @@ object TextPipeline {
       Similarity.pcaWhitenOracleSql(mu, w)
     }),
     "q114b_pq_kmeans" -> ((s, dir) => Similarity.pqEncodeKmeansOracleSql(
-      Similarity.pqFitCodebooks(t(s, dir, "embeddings"))))
+      Similarity.pqFitCodebooks(t(s, dir, "embeddings")))),
+    "q151_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centers = Similarity.ivfFitCenters(e, nClusters = 8)
+      val books = Similarity.ivfPqFitResidualBooks(e, centers,
+        m = 4, dim = 64, codes = 16, seed = 42L, maxFitSample = 65536)
+      Similarity.ivfPqTopKOracleSql(centers, books, queryCond = "vec_id < 20", k = 5)
+    })
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf
