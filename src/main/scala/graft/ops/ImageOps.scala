@@ -81,11 +81,20 @@ object ImageOps {
     * declares its own syntax in the Part 10 meta group. (Lossy JPEG
     * Baseline stays out: rotation slices must reconstruct
     * bit-exactly.) */
-  def saveDicomSeries(df: DataFrame, dir: String): Unit = {
-    val syntaxes = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
-      ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle, ImageCodecIO.TsJpegLossless,
-      ImageCodecIO.TsJpegLossless14, ImageCodecIO.TsJpegLs,
-      ImageCodecIO.TsJpeg2000Lossless)
+  def saveDicomSeries(df: DataFrame, dir: String): Unit =
+    saveDicomSeriesWith(df, dir, Array(ImageCodecIO.TsImplicitLE,
+      ImageCodecIO.TsExplicitLE, ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle,
+      ImageCodecIO.TsJpegLossless, ImageCodecIO.TsJpegLossless14,
+      ImageCodecIO.TsJpegLs, ImageCodecIO.TsJpeg2000Lossless))
+
+  /** [[saveDicomSeries]] with an explicit syntax rotation — the lossy
+    * JPEG syntaxes (.50/.51) are legal here (img22 exercises them:
+    * census METADATA is deterministic even where pixels are not), but
+    * must stay out of the default lossless rotation that img20's
+    * per-slice value oracle depends on. */
+  def saveDicomSeriesWith(df: DataFrame, dir: String,
+                          syntaxes: Array[String]): Unit = {
+    require(syntaxes.nonEmpty, "at least one transfer syntax")
     val spark = df.sparkSession
     import spark.implicits._
     val serConf = new org.apache.spark.util.SerializableConfiguration(
