@@ -42,6 +42,7 @@ object ClusterSmoke {
     "q126_kmeans", // broadcast centroid relation + grid-triple aggs per Lloyd iteration cross-JVM
     "q146_blocklist", // the Aho-Corasick automaton program broadcasts into executor-side scans
     "q149_bloom_prejoin", // ONE-row packed-word Bloom array broadcast + xxhash64 probe cross-JVM
+    "q151_ann_ivfpq", // nested centroid+codebook arrays broadcast into executor-side encode/ADC UDFs
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {
