@@ -780,15 +780,16 @@ object ImageQueries {
         FROM m ORDER BY ts""")),
 
     // ---- LOSSY-syntax archive census: the same pre-ingest inventory
-    // over an archive written in the two lossy JPEG syntaxes (8-bit
-    // Baseline .50 and 12-bit Extended .51). Pixel values perturb
-    // under DCT quantization — which is exactly why the GATE rides the
-    // census METADATA (file/series/instance/geometry), deterministic
-    // regardless of pixel loss, while the census's full decode still
-    // exercises both lossy decode paths end-to-end: a broken SOF1
-    // parse, a mis-sized frame, or a bad instance header flips a row
-    // even though no pixel is hashed. Pixel-error bounds live in
-    // PropertySpec. -------------------------------------------------
+    // over an archive written in the three lossy JPEG syntaxes (8-bit
+    // Baseline .50, 12-bit Extended .51, JPEG-LS near-lossless .81).
+    // Pixel values perturb under DCT quantization / NEAR binning —
+    // which is exactly why the GATE rides the census METADATA
+    // (file/series/instance/geometry), deterministic regardless of
+    // pixel loss, while the census's full decode still exercises all
+    // three lossy decode paths end-to-end: a broken SOF1 parse, a
+    // mis-sized frame, or a bad instance header flips a row even
+    // though no pixel is hashed. Pixel-error bounds live in
+    // PropertySpec (|err| ≤ NEAR exactly for .81). -------------------
     ("img22_dicom_lossy_census",
       (s, _) => {
         import s.implicits._
@@ -798,21 +799,23 @@ object ImageQueries {
         val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(basePath, true)
         val stacks = s.range(2L).map { i =>
-          val slices = (0 until 4).map(k =>
+          val slices = (0 until 6).map(k =>
             Kernels.constantImage(32, 16, 1, i * 50.0 + k * 11.0 + 40.0, PixelCodec.Short16))
           (s"/lossy/$i", slices.reduce(Kernels.appendStack))
         }.toDF("sample", "image")
         ImageOps.saveDicomSeriesWith(stacks, dir, Array(
-          "1.2.840.10008.1.2.4.50", "1.2.840.10008.1.2.4.51"))
+          "1.2.840.10008.1.2.4.50", "1.2.840.10008.1.2.4.51",
+          "1.2.840.10008.1.2.4.81"))
         ImageOps.dicomCensus(s, s"$dir/*.dcm").orderBy(col("ts"))
       },
-      // 4 instances rotate through 2 syntaxes: syntax j holds
-      // instances {j+1, j+3} of both series
+      // 6 instances rotate through 3 syntaxes: syntax j holds
+      // instances {j+1, j+4} of both series
       Some("""WITH m AS (SELECT * FROM (VALUES
           (0, '1.2.840.10008.1.2.4.50'),
-          (1, '1.2.840.10008.1.2.4.51')) AS t(i, ts))
+          (1, '1.2.840.10008.1.2.4.51'),
+          (2, '1.2.840.10008.1.2.4.81')) AS t(i, ts))
         SELECT ts, CAST(4 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_series,
-          CAST(i + 1 AS BIGINT) AS min_inst, CAST(i + 3 AS BIGINT) AS max_inst,
+          CAST(i + 1 AS BIGINT) AS min_inst, CAST(i + 4 AS BIGINT) AS max_inst,
           CAST(4 * 32 AS BIGINT) AS sum_w, CAST(4 * 16 AS BIGINT) AS sum_h
         FROM m ORDER BY ts"""))
   )

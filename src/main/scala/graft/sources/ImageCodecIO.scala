@@ -78,6 +78,14 @@ object ImageCodecIO {
     * on round-trip. */
   private[graft] val TsJpegLs = "1.2.840.10008.1.2.4.80"
 
+  /** JPEG-LS Lossy (Near-Lossless) — NEAR > 0 in the T.87 SOS: every
+    * coded residual quantizes to a multiple of 2·NEAR+1, giving the
+    * HARD per-sample guarantee |decoded − original| ≤ NEAR (this
+    * codec writes NEAR = 2). Like .50/.51 it stays out of the
+    * value-exact gate; img22's census gates its metadata and
+    * PropertySpec asserts the error bound exactly. */
+  private[graft] val TsJpegLsNear = "1.2.840.10008.1.2.4.81"
+
   /** JPEG 2000 Image Compression (Lossless Only) — ITU-T T.800 with
     * the reversible 5/3 wavelet, implemented natively in
     * [[Jpeg2000Codec]] (MQ coder, EBCOT Tier-1/Tier-2, raw
@@ -535,7 +543,7 @@ object ImageCodecIO {
       case TsExplicitLE => (true, false, false)
       case TsExplicitBE => (true, true, false)
       case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline | TsJpegExtended |
-           TsJpegLs | TsJpeg2000Lossless =>
+           TsJpegLs | TsJpegLsNear | TsJpeg2000Lossless =>
         (true, false, true)
       case other => throw new IllegalArgumentException(
         s"unsupported DICOM transfer syntax $other in $path " +
@@ -639,7 +647,7 @@ object ImageCodecIO {
           var j = 0
           while (j < n) { px(j) = (samples(j) & 0xff).toByte; j += 1 }
         }
-      } else if (ts == TsJpegLs) {
+      } else if (ts == TsJpegLs || ts == TsJpegLsNear) {
         val (jw, jh, prec, samples) = JpegLsCodec.decode(encapFragment, path)
         require(jw == cols && jh == rows,
           s"JPEG-LS frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
@@ -703,14 +711,16 @@ object ImageCodecIO {
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
         transferSyntax == TsJpegBaseline || transferSyntax == TsJpegExtended ||
-        transferSyntax == TsJpegLs || transferSyntax == TsJpeg2000Lossless,
+        transferSyntax == TsJpegLs || transferSyntax == TsJpegLsNear ||
+        transferSyntax == TsJpeg2000Lossless,
       s"unsupported DICOM transfer syntax $transferSyntax")
     val explicitVr = transferSyntax != TsImplicitLE
     val bigEndian = transferSyntax == TsExplicitBE
     val encapsulated = transferSyntax == TsRle ||
       transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
       transferSyntax == TsJpegBaseline || transferSyntax == TsJpegExtended ||
-      transferSyntax == TsJpegLs || transferSyntax == TsJpeg2000Lossless
+      transferSyntax == TsJpegLs || transferSyntax == TsJpegLsNear ||
+      transferSyntax == TsJpeg2000Lossless
     // Baseline is the one 8-bit (and lossy) profile; Extended (.51)
     // is the 12-bit lossy profile (BitsAllocated 16 / BitsStored 12,
     // values clamp to the 12-bit range — a documented lossy clamp
@@ -786,6 +796,7 @@ object ImageCodecIO {
             math.min(v, 4095) // 12-bit profile: documented lossy clamp
           }, w, h, 12)
         else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals, w, h, 16)
+        else if (transferSyntax == TsJpegLsNear) JpegLsCodec.encode(vals, w, h, 16, near = 2)
         else if (transferSyntax == TsJpeg2000Lossless) Jpeg2000Codec.encode(vals, w, h, 16)
         else jpegLosslessEncode(vals, w, h)
       val frag = if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte

@@ -35,32 +35,40 @@ private[graft] object JpegLsCodec {
   private val MinC = -128
   private val MaxC = 127
 
-  /** Default preset thresholds (T.87 C.2.4.1.1.1) for NEAR = 0. */
-  private def defaultThresholds(maxval: Int): (Int, Int, Int) = {
-    def clamp(v: Int, lo: Int): Int = math.min(math.max(v, lo), maxval)
+  /** Default preset thresholds (T.87 C.2.4.1.1.1), NEAR-dependent:
+    * the CLAMP_i lower bounds chain NEAR+1 → T1 → T2 so gradients
+    * inside the quantization dead zone can never cross a threshold. */
+  private def defaultThresholds(maxval: Int, near: Int): (Int, Int, Int) = {
+    def clamp(v: Int, lo: Int): Int =
+      if (v > maxval || v < lo) lo else v
     if (maxval >= 128) {
       val f = (math.min(maxval, 4095) + 128) / 256
-      val t1 = clamp(f * (3 - 2) + 2, 1)
-      val t2 = clamp(f * (7 - 3) + 3, t1)
-      (t1, t2, clamp(f * (21 - 4) + 4, t2))
+      val t1 = clamp(f * (3 - 2) + 2 + 3 * near, near + 1)
+      val t2 = clamp(f * (7 - 3) + 3 + 5 * near, t1)
+      (t1, t2, clamp(f * (21 - 4) + 4 + 7 * near, t2))
     } else {
       val f = 256 / (maxval + 1)
-      val t1 = clamp(math.max(2, 3 / f), 1)
-      val t2 = clamp(math.max(3, 7 / f), t1)
-      (t1, t2, clamp(math.max(4, 21 / f), t2))
+      val t1 = clamp(math.max(2, 3 / f + 3 * near), near + 1)
+      val t2 = clamp(math.max(3, 7 / f + 5 * near), t1)
+      (t1, t2, clamp(math.max(4, 21 / f + 7 * near), t2))
     }
   }
 
   /** Per-scan modeling state (shared by encoder and decoder — both
     * sides run the identical update recurrences, which is what makes
-    * the code a bijection). */
-  private final class State(val precision: Int) {
+    * the code a bijection at NEAR = 0 and an error-bounded map at
+    * NEAR > 0: every coded residual is quantized to a multiple of
+    * 2·NEAR+1, so |decoded − original| ≤ NEAR per sample, EXACTLY). */
+  private final class State(val precision: Int, val near: Int = 0) {
     val maxval: Int = (1 << precision) - 1
-    val range: Int = maxval + 1
-    val qbpp: Int = precision
+    require(near >= 0 && near <= math.min(255, maxval / 2),
+      s"NEAR must be in [0, min(255, MAXVAL/2)], got $near at precision $precision")
+    val range: Int =
+      if (near == 0) maxval + 1 else (maxval + 2 * near) / (2 * near + 1) + 1
+    val qbpp: Int = math.max(1, 32 - Integer.numberOfLeadingZeros(range - 1))
     val bpp: Int = math.max(2, precision)
     val limit: Int = 2 * (bpp + math.max(8, bpp))
-    val (t1, t2, t3) = defaultThresholds(maxval)
+    val (t1, t2, t3) = defaultThresholds(maxval, near)
 
     // regular contexts 0..364 (0 unused), run-interruption contexts 365/366
     val a = Array.fill(367)(math.max(2, (range + 32) / 64))
@@ -74,12 +82,32 @@ private[graft] object JpegLsCodec {
       if (d <= -t3) -4
       else if (d <= -t2) -3
       else if (d <= -t1) -2
-      else if (d < 0) -1
-      else if (d == 0) 0
+      else if (d < -near) -1
+      else if (d <= near) 0
       else if (d < t1) 1
       else if (d < t2) 2
       else if (d < t3) 3
       else 4
+
+    /** A.4.4: quantize a prediction residual to its 2·NEAR+1 bin
+      * (identity at NEAR = 0). */
+    def quantizeErr(e: Int): Int =
+      if (near == 0) e
+      else if (e > 0) (e + near) / (2 * near + 1)
+      else -((near - e) / (2 * near + 1))
+
+    /** A.4.5/A.8.2: reconstruct from a (signed, dequantized) residual
+      * with modulo wraparound, then clamp to the sample range. The
+      * pre-clamp bound check preserves loud corruption detection —
+      * a legal stream always lands in [-NEAR, MAXVAL+NEAR]. */
+    def reconstruct(px: Int, signedQErr: Int, path: String): Int = {
+      var rx = px + signedQErr * (2 * near + 1)
+      if (rx < -near) rx += range * (2 * near + 1)
+      else if (rx > maxval + near) rx -= range * (2 * near + 1)
+      require(rx >= -near && rx <= maxval + near,
+        s"JPEG-LS sample out of range in $path")
+      if (rx < 0) 0 else if (rx > maxval) maxval else rx
+    }
 
     def predict(ra: Int, rb: Int, rc: Int): Int =
       if (rc >= math.max(ra, rb)) math.min(ra, rb)
@@ -209,11 +237,16 @@ private[graft] object JpegLsCodec {
 
   /** Encode one P-bit single-component frame as a complete JPEG-LS
     * interchange stream (SOI, SOF55, SOS, entropy data, EOI). Values
-    * must lie in [0, 2^precision). */
-  private[graft] def encode(vals: Array[Int], w: Int, h: Int, precision: Int): Array[Byte] = {
+    * must lie in [0, 2^precision). `near` = 0 is lossless (bit-exact
+    * round trip); `near` > 0 is T.87 near-lossless with the HARD
+    * per-sample guarantee |decoded − original| ≤ near — the encoder
+    * propagates RECONSTRUCTED values through its own contexts, so it
+    * sees exactly what the decoder will. */
+  private[graft] def encode(vals: Array[Int], w: Int, h: Int, precision: Int,
+                            near: Int = 0): Array[Byte] = {
     require(precision >= 2 && precision <= 16, s"bad JPEG-LS precision $precision")
     require(vals.length == w * h, "sample count mismatch")
-    val st = new State(precision)
+    val st = new State(precision, near)
     val bos = new ByteArrayOutputStream()
     def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
     def u16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
@@ -221,9 +254,9 @@ private[graft] object JpegLsCodec {
     marker(0xf7) // SOF55
     u16(11); bos.write(precision); u16(h); u16(w); bos.write(1)
     bos.write(1); bos.write(0x11); bos.write(0)
-    marker(0xda) // SOS: 1 component, NEAR=0, ILV=0 (plane), Al=0
+    marker(0xda) // SOS: 1 component, NEAR, ILV=0 (plane), Al=0
     u16(8); bos.write(1); bos.write(1); bos.write(0)
-    bos.write(0); bos.write(0); bos.write(0)
+    bos.write(near); bos.write(0); bos.write(0)
 
     val bw = new BitWriter(bos)
     // prev/cur with 2 phantom cells: [0] = x-1 edge, [w+1] = x=w edge
@@ -239,9 +272,12 @@ private[graft] object JpegLsCodec {
         val ix = vals(y * w + x)
         val q1 = st.quantize(rd - rb); val q2 = st.quantize(rb - rc); val q3 = st.quantize(rc - ra)
         if (q1 == 0 && q2 == 0 && q3 == 0) {
-          // ---- run mode (A.7) ----
+          // ---- run mode (A.7): at NEAR > 0 a sample continues the
+          // run when it is within NEAR of the run value, and the
+          // RECONSTRUCTION is the run value itself (the error bound) --
           var runLen = 0
-          while (x + runLen < w && vals(y * w + x + runLen) == ra) runLen += 1
+          while (x + runLen < w &&
+              math.abs(vals(y * w + x + runLen) - ra) <= st.near) runLen += 1
           var i = 0
           while (i < runLen) { cur(x + 1 + i) = ra; i += 1 }
           val eol = x + runLen == w
@@ -260,10 +296,15 @@ private[graft] object JpegLsCodec {
             val xi = x + runLen
             val rbI = prev(xi + 1)
             val ixI = vals(y * w + xi)
-            val riType = if (ra == rbI) 1 else 0
+            val riType = if (math.abs(ra - rbI) <= st.near) 1 else 0
             val px = if (riType == 1) ra else rbI
             var errval = ixI - px
-            if (riType == 0 && ra > rbI) errval = -errval
+            val flip = riType == 0 && ra > rbI
+            if (flip) errval = -errval
+            errval = st.quantizeErr(errval)
+            // the decoder's view of this sample — context propagation
+            // must see it too
+            val rx = st.reconstruct(px, if (flip) -errval else errval, "encode")
             // modulo reduction (A.4.5)
             if (errval < 0) errval += st.range
             if (errval >= (st.range + 1) / 2) errval -= st.range
@@ -277,7 +318,7 @@ private[graft] object JpegLsCodec {
             encodeMapped(bw, eMapped, k, st.limit - J(st.runIndex) - 1, st.qbpp)
             st.updateRun(riType, errval, eMapped)
             if (st.runIndex > 0) st.runIndex -= 1
-            cur(xi + 1) = ixI
+            cur(xi + 1) = rx
             x = xi + 1
           }
         } else {
@@ -289,6 +330,9 @@ private[graft] object JpegLsCodec {
           if (px < 0) px = 0 else if (px > st.maxval) px = st.maxval
           var errval = ix - px
           if (sign < 0) errval = -errval
+          errval = st.quantizeErr(errval)
+          // propagate the decoder's reconstruction through the contexts
+          val rx = st.reconstruct(px, if (sign < 0) -errval else errval, "encode")
           if (errval < 0) errval += st.range
           if (errval >= (st.range + 1) / 2) errval -= st.range
           val k = st.golombK(q)
@@ -300,7 +344,7 @@ private[graft] object JpegLsCodec {
             }
           encodeMapped(bw, mapped, k, st.limit, st.qbpp)
           st.updateRegular(q, errval)
-          cur(x + 1) = ix
+          cur(x + 1) = rx
           x += 1
         }
       }
@@ -323,6 +367,9 @@ private[graft] object JpegLsCodec {
     def u16(p: Int): Int = ((frag(p) & 0xff) << 8) | (frag(p + 1) & 0xff)
     var pos = 2
     var w = 0; var h = 0; var precision = 0
+    var near = 0
+    // LSE may precede SOS (where NEAR lives); validated after SOS
+    var declaredLse: Option[(Int, Int, Int, Int, Int)] = None
     var scanStart = -1
     while (scanStart < 0) {
       require(pos + 4 <= frag.length && (frag(pos) & 0xff) == 0xff,
@@ -345,10 +392,10 @@ private[graft] object JpegLsCodec {
           require((frag(pos + 4) & 0xff) == 1,
             s"non-preset JPEG-LS LSE segment unsupported in $path")
           require(precision > 0, s"JPEG-LS LSE before SOF55 in $path")
-          val st0 = new State(precision)
-          val declared = (u16(pos + 5), u16(pos + 7), u16(pos + 9), u16(pos + 11), u16(pos + 13))
-          require(declared == ((st0.maxval, st0.t1, st0.t2, st0.t3, Reset)),
-            s"non-default JPEG-LS preset parameters $declared unsupported in $path")
+          // the default thresholds depend on NEAR, which the SOS has
+          // not declared yet — record and validate after the SOS
+          declaredLse = Some((u16(pos + 5), u16(pos + 7), u16(pos + 9),
+            u16(pos + 11), u16(pos + 13)))
         case sof if sof >= 0xc0 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
           throw new IllegalArgumentException(
             f"non-JPEG-LS frame (SOF marker 0xFF$sof%02X) in $path — SOF55 only")
@@ -357,8 +404,9 @@ private[graft] object JpegLsCodec {
         case 0xda => // SOS
           require((frag(pos + 4) & 0xff) == 1,
             s"multi-component JPEG-LS scan unsupported in $path")
-          require((frag(pos + 7) & 0xff) == 0,
-            s"near-lossless JPEG-LS (NEAR > 0) unsupported in $path")
+          near = frag(pos + 7) & 0xff
+          require(near <= math.min(255, ((1 << precision) - 1) / 2),
+            s"JPEG-LS NEAR $near out of range at precision $precision in $path")
           require((frag(pos + 8) & 0xff) == 0,
             s"interleaved JPEG-LS scan unsupported in $path")
           require((frag(pos + 9) & 0x0f) == 0,
@@ -370,7 +418,11 @@ private[graft] object JpegLsCodec {
     }
     require(w > 0 && h > 0, s"missing JPEG-LS SOF55 frame header in $path")
 
-    val st = new State(precision)
+    val st = new State(precision, near)
+    declaredLse.foreach { d =>
+      require(d == ((st.maxval, st.t1, st.t2, st.t3, Reset)),
+        s"non-default JPEG-LS preset parameters $d unsupported in $path")
+    }
     val br = new BitReader(frag, scanStart, path)
     val out = new Array[Int](w * h)
     var prev = new Array[Int](w + 2)
@@ -403,7 +455,7 @@ private[graft] object JpegLsCodec {
           else {
             val xi = x + runLen
             val rbI = prev(xi + 1)
-            val riType = if (ra == rbI) 1 else 0
+            val riType = if (math.abs(ra - rbI) <= st.near) 1 else 0
             val q = 365 + riType
             val k = st.golombKRun(riType)
             val eMapped = decodeMapped(br, k, st.limit - J(st.runIndex) - 1, st.qbpp, path)
@@ -416,9 +468,7 @@ private[graft] object JpegLsCodec {
             if (st.runIndex > 0) st.runIndex -= 1
             val px = if (riType == 1) ra else rbI
             val signedErr = if (riType == 0 && ra > rbI) -errval else errval
-            var rx = px + signedErr
-            if (rx < 0) rx += st.range else if (rx > st.maxval) rx -= st.range
-            require(rx >= 0 && rx <= st.maxval, s"JPEG-LS sample out of range in $path")
+            val rx = st.reconstruct(px, signedErr, path)
             out(y * w + xi) = rx
             cur(xi + 1) = rx
             x = xi + 1
@@ -439,9 +489,7 @@ private[graft] object JpegLsCodec {
               if ((mapped & 1) == 0) mapped / 2 else -((mapped + 1) / 2)
             }
           st.updateRegular(q, errval)
-          var rx = px + (if (sign < 0) -errval else errval)
-          if (rx < 0) rx += st.range else if (rx > st.maxval) rx -= st.range
-          require(rx >= 0 && rx <= st.maxval, s"JPEG-LS sample out of range in $path")
+          val rx = st.reconstruct(px, if (sign < 0) -errval else errval, path)
           out(y * w + x) = rx
           cur(x + 1) = rx
           x += 1

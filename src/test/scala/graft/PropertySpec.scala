@@ -352,6 +352,35 @@ class PropertySpec extends AnyFunSuite with Matchers {
     assert(sw == 1 && sh == 1 && sout.sameElements(single))
   }
 
+  test("JPEG-LS near-lossless: |decoded - original| <= NEAR exactly, for every sample") {
+    import graft.sources.JpegLsCodec
+    val rnd = new scala.util.Random(23)
+    // T.87 NEAR > 0 is not "approximately close" — the residual
+    // quantization gives a HARD per-sample bound, so assert equality
+    // of the bound, not a tolerance on an average
+    for ((w, h, prec, near) <- Seq((48, 32, 16, 2), (31, 17, 12, 1),
+        (24, 24, 8, 3), (1, 9, 16, 5), (40, 1, 10, 2))) {
+      val maxV = (1 << prec) - 1
+      // mix of smooth rows (run mode) and noise (regular mode)
+      val px = Array.tabulate(w * h) { i =>
+        if ((i / w) % 2 == 0) (i % w) * (maxV / math.max(1, w))
+        else rnd.nextInt(maxV + 1)
+      }
+      val enc = JpegLsCodec.encode(px, w, h, prec, near)
+      val (gw, gh, gp, out) = JpegLsCodec.decode(enc, s"n$near.jls")
+      assert(gw == w && gh == h && gp == prec)
+      val maxErr = px.zip(out).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= near, s"${w}x$h p$prec NEAR=$near: max error $maxErr > $near")
+      // NEAR buys real compression: the stream must be smaller than
+      // the lossless encoding of the same data
+      assert(enc.length <= JpegLsCodec.encode(px, w, h, prec).length)
+    }
+    // NEAR = 0 remains bit-exact (the lossless contract is untouched)
+    val px0 = Array.tabulate(64)(i => (i * 997) % 4096)
+    val (_, _, _, out0) = JpegLsCodec.decode(JpegLsCodec.encode(px0, 8, 8, 12), "l.jls")
+    assert(out0.sameElements(px0))
+  }
+
   test("JPEG DCT codec: bounded-error round trips at 8/12-bit, any geometry") {
     import graft.sources.JpegDctCodec
     val rnd = new scala.util.Random(11)
