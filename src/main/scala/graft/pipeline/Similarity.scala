@@ -768,8 +768,8 @@ object Similarity {
     * the q114b machinery, and queries score candidates by asymmetric
     * distance (exact query residual vs the code's reconstruction).
     *
-    * Scale shape: both fits are corpus-size-free (content-hash
-    * samples, driver-side Lloyd); the corpus pass is ONE scan of
+    * Scale shape: both fits are corpus-size-free (ONE shared
+    * content-hash sample collected once, driver-side Lloyd); the corpus pass is ONE scan of
     * per-row map work against broadcast centroids+codebooks (no
     * join); the search join is the q46 cluster equi-join with the
     * probe table broadcast — per-query work ~N·nProbe/nClusters, and
@@ -782,8 +782,7 @@ object Similarity {
                 maxFitSample: Int = 65536): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centers = ivfFitCenters(embeddings, nClusters, seed, maxFitSample)
-    val books = ivfPqFitResidualBooks(embeddings, centers, m, dim, codes, seed, maxFitSample)
+    val (centers, books) = ivfPqFit(embeddings, nClusters, m, dim, codes, seed, maxFitSample)
     val bcC = spark.sparkContext.broadcast(centers)
     val bcB = spark.sparkContext.broadcast(books)
     val sub = dim / m
@@ -851,16 +850,18 @@ object Similarity {
     topKPerKey(sims, "qid", k)
   }
 
-  /** The PQ-on-residuals fit for [[ivfPqTopK]]: the same content-hash
-    * sample discipline as [[ivfFitCenters]]/[[pqFitCodebooks]] (lowest
-    * md5("ivfpq-fit-seed", vec_id) rows), each sample vector reduced
-    * to its residual from the given coarse centroids, then m seeded
-    * driver-side Lloyd runs on the residual sub-slices. */
-  private[graft] def ivfPqFitResidualBooks(embeddings: DataFrame,
-                                           centers: Array[Array[Double]],
-                                           m: Int, dim: Int, codes: Int,
-                                           seed: Long,
-                                           maxFitSample: Int): Array[Array[Array[Double]]] = {
+  /** Both IVF-PQ fits from ONE content-hash sample (lowest
+    * md5("ivfpq-fit-seed", vec_id) rows, collected once): the coarse
+    * centroids via the seeded driver-side Lloyd, then each sample's
+    * residual from its assigned centroid sliced per subspace for the
+    * m residual-codebook Lloyd runs (seed offset per subspace). One
+    * corpus-scale TakeOrdered pass pays for both fits — shared with
+    * the oracle builder so centroids AND codebooks match it
+    * bit-for-bit. */
+  private[graft] def ivfPqFit(embeddings: DataFrame, nClusters: Int,
+                              m: Int, dim: Int, codes: Int, seed: Long,
+                              maxFitSample: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -871,14 +872,16 @@ object Similarity {
       .orderBy(col("fk"))
       .limit(maxFitSample)
       .select(col("v")).as[Array[Double]].collect()
+    val centers = lloydKMeans(fit, nClusters, iters = 10, seed = seed)
     val residuals = fit.map { v =>
       val cv = centers(nearestCenter(centers, v))
       Array.tabulate(dim)(kk => v(kk) - cv(kk))
     }
-    Array.tabulate(m) { j =>
+    val books = Array.tabulate(m) { j =>
       val pts = residuals.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
       lloydKMeans(pts, codes, iters = 10, seed = seed + 1000 + j)
     }
+    (centers, books)
   }
 
   /** DuckDB oracle for [[ivfPqTopK]]: coarse centroids AND residual

@@ -1222,10 +1222,8 @@ object TextPipeline {
     "q114b_pq_kmeans" -> ((s, dir) => Similarity.pqEncodeKmeansOracleSql(
       Similarity.pqFitCodebooks(t(s, dir, "embeddings")))),
     "q151_ann_ivfpq" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val centers = Similarity.ivfFitCenters(e, nClusters = 8)
-      val books = Similarity.ivfPqFitResidualBooks(e, centers,
-        m = 4, dim = 64, codes = 16, seed = 42L, maxFitSample = 65536)
+      val (centers, books) = Similarity.ivfPqFit(t(s, dir, "embeddings"),
+        nClusters = 8, m = 4, dim = 64, codes = 16, seed = 42L, maxFitSample = 65536)
       Similarity.ivfPqTopKOracleSql(centers, books, queryCond = "vec_id < 20", k = 5)
     })
   )

@@ -549,7 +549,7 @@ object ImageCodecIO {
         s"unsupported DICOM transfer syntax $other in $path " +
           "(implicit-VR LE / explicit-VR LE / explicit-VR BE / RLE Lossless / " +
           "JPEG Lossless (.57/.70) / JPEG Baseline / JPEG Extended (.51) / " +
-          "JPEG-LS Lossless / JPEG 2000 Lossless only)")
+          "JPEG-LS (.80/.81) / JPEG 2000 Lossless only)")
     }
     if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     // ---- dataset: element encoding + byte order per transfer syntax ----

@@ -2,8 +2,11 @@ package graft.sources
 
 import java.io.ByteArrayOutputStream
 
-/** JPEG-LS (ITU-T T.87 / ISO 14495-1) codec — lossless (NEAR = 0),
-  * single component, default preset parameters, 2..16-bit precision.
+/** JPEG-LS (ITU-T T.87 / ISO 14495-1) codec — lossless (NEAR = 0,
+  * bit-exact round trips) AND near-lossless (NEAR > 0: residuals
+  * quantize to 2·NEAR+1 bins with the HARD per-sample guarantee
+  * |decoded − original| ≤ NEAR), single component, default preset
+  * parameters, 2..16-bit precision.
   * This is the LOCO-I algorithm: gradient-quantized context modeling
   * with bias cancellation, limited-length Golomb coding of mapped
   * prediction residuals, and run mode with run-interruption sample
@@ -120,9 +123,13 @@ private[graft] object JpegLsCodec {
       k
     }
 
-    /** A.6: context update after coding a regular-mode sample. */
+    /** A.6: context update after coding a regular-mode sample. In
+      * near-lossless mode the bias accumulator takes the DEQUANTIZED
+      * error (T.87 A.6.1: B[Q] += Errval·(2·NEAR+1)) while A keeps
+      * the quantized magnitude — getting this wrong desynchronizes
+      * C[q] against conformant codecs. */
     def updateRegular(q: Int, errval: Int): Unit = {
-      b(q) += errval
+      b(q) += errval * (2 * near + 1)
       a(q) += math.abs(errval)
       if (n(q) == Reset) { a(q) >>= 1; b(q) >>= 1; n(q) >>= 1 }
       n(q) += 1
@@ -336,8 +343,11 @@ private[graft] object JpegLsCodec {
           if (errval < 0) errval += st.range
           if (errval >= (st.range + 1) / 2) errval -= st.range
           val k = st.golombK(q)
+          // T.87 code segment A.11 gates the inverted mapping on
+          // NEAR == 0 — applying it in near-lossless mode is a
+          // bitstream conformance break
           val mapped =
-            if (k == 0 && 2 * st.b(q) <= -st.n(q)) {
+            if (st.near == 0 && k == 0 && 2 * st.b(q) <= -st.n(q)) {
               if (errval >= 0) 2 * errval + 1 else -2 * (errval + 1)
             } else {
               if (errval >= 0) 2 * errval else -2 * errval - 1
@@ -357,10 +367,12 @@ private[graft] object JpegLsCodec {
   }
 
   /** Decode a single-component JPEG-LS stream. Accepts any declared
-    * precision 2..16 and both coding modes; rejects loudly what this
-    * profile does not cover (multi-component scans, interleaving,
-    * NEAR > 0, point transforms, non-default LSE presets, restart
-    * intervals). Returns (width, height, precision, samples). */
+    * precision 2..16, both coding modes, and any legal NEAR (0 =
+    * lossless; > 0 = near-lossless with samples |err| ≤ NEAR from
+    * the encoder's originals); rejects loudly what this profile does
+    * not cover (multi-component scans, interleaving, point
+    * transforms, non-default LSE presets, restart intervals).
+    * Returns (width, height, precision, samples). */
   private[graft] def decode(frag: Array[Byte], path: String): (Int, Int, Int, Array[Int]) = {
     require(frag.length >= 4 && (frag(0) & 0xff) == 0xff && (frag(1) & 0xff) == 0xd8,
       s"missing JPEG-LS SOI marker in $path")
@@ -483,7 +495,7 @@ private[graft] object JpegLsCodec {
           val k = st.golombK(q)
           val mapped = decodeMapped(br, k, st.limit, st.qbpp, path)
           val errval =
-            if (k == 0 && 2 * st.b(q) <= -st.n(q)) {
+            if (st.near == 0 && k == 0 && 2 * st.b(q) <= -st.n(q)) {
               if ((mapped & 1) == 1) (mapped - 1) / 2 else -(mapped / 2) - 1
             } else {
               if ((mapped & 1) == 0) mapped / 2 else -((mapped + 1) / 2)

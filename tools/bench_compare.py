@@ -44,8 +44,12 @@ def main() -> int:
     if not common:
         raise SystemExit("no common queries")
     ratios = {k: new[k] / old[k] for k in common if old[k] > 0}
+    if len(ratios) < 2:
+        raise SystemExit(f"only {len(ratios)} comparable queries — "
+                         "too few for a distribution verdict")
     med = statistics.median(ratios.values())
-    p10, p90 = (statistics.quantiles(ratios.values(), n=10)[i] for i in (0, 8))
+    qs = statistics.quantiles(ratios.values(), n=10)
+    p10, p90 = qs[0], qs[8]
     print(f"common={len(common)} median_ratio={med:.2f} p10={p10:.2f} p90={p90:.2f}")
     print(f"box factor (median) {med:.2f} -- ratios are judged RELATIVE to it")
     # flag only when BOTH the relative ratio exceeds the box-adjusted
