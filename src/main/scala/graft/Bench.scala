@@ -57,7 +57,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val t1 = pass1.map(_._2).sum; val t2 = pass2.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[$t1,$t2],"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[$t1,$t2],"sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact keeps only a 2000-char stdout TAIL, which
+    // truncates the per-query map (~60 of 175+ queries survive), so
+    // also persist the complete line to a committed file — the
+    // cross-round per-query history tools/bench_compare.py reads.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -128,7 +128,10 @@ object ScaleProbe {
       probe("bloom_prejoin",
         graft.pipeline.PartitionUtil.bloomSemiJoin(li, dim, "l_suppkey", "s_suppkey").count(),
         graft.pipeline.PartitionUtil.bloomSemiJoin(liN, dim, "l_suppkey", "s_suppkey").count())
-      if (only.nonEmpty) {
+      // prune stats print UNCONDITIONALLY (full sweep included): the
+      // rows-dropped-before-the-exchange line IS the operator's
+      // measurement, and three counts over one sf table are cheap
+      locally {
         val bf = graft.pipeline.PartitionUtil.bloomFilterArray(
           dim.select(col("s_suppkey").as("k")), "k")
         val total = li.count()

@@ -221,12 +221,18 @@ object PartitionUtil {
     require(ft == dt,
       s"bloomSemiJoin: key types must match exactly ($factKey: $ft vs $dimKey: $dt) — " +
         "hash equality is stricter than join equality; cast one side first")
-    // internal name kept collision-free with any fact column
+    // internal names kept collision-free with any fact column; the
+    // exact join resolves BY NAME against a renamed projection of dim
+    // (never via fact(..)/dim(..) attribute references) so fact and
+    // dim may share lineage — e.g. semi-joining a table against a
+    // filtered view of itself — without tripping Spark's
+    // ambiguous-self-join detection
     val bf = bloomFilterArray(dim.select(col(dimKey).as("k")), "k", bits, k)
       .select(col("bf").as("__graft_bf"))
+    val dimKeys = dim.select(col(dimKey).as("__graft_bk"))
     fact.crossJoin(broadcast(bf))
       .filter(bloomMightContain(col("__graft_bf"), col(factKey), bits, k))
       .drop("__graft_bf")
-      .join(dim, fact(factKey) === dim(dimKey), "left_semi")
+      .join(dimKeys, col(factKey) === col("__graft_bk"), "left_semi")
   }
 }

@@ -267,6 +267,21 @@ class ScaleTechniquesSpec extends AnyFunSuite with Matchers {
     survivors should be < fact.count()         // … that still prunes hard
   }
 
+  test("bloomSemiJoin survives shared lineage (semi-joining a table against a view of itself)") {
+    import spark.implicits._
+    import graft.pipeline.PartitionUtil
+    // fact and dim derive from the SAME DataFrame — the case where a
+    // fact(k) === dim(k) join condition trips Spark's ambiguous-self-
+    // join detection; the name-based internal alias must not
+    val base = (0L until 5000L).map(i => (i % 200L, i)).toDF("fk", "payload")
+    val dim = base.filter(col("payload") % 7L === 0L).select(col("fk").as("dk"))
+    val got = PartitionUtil.bloomSemiJoin(base, dim, "fk", "dk", bits = 1 << 12)
+      .as[(Long, Long)].collect().sorted
+    val want = base.join(dim.distinct(), col("fk") === col("dk"), "left_semi")
+      .as[(Long, Long)].collect().sorted
+    got shouldBe want
+  }
+
   test("observe(): the q150 constraint sweep rides a production job for FREE (zero extra scans)") {
     // at 100 TB the cheapest DQ audit is no audit job at all: attach
     // the conditional-agg metrics to a query the pipeline already

@@ -31,7 +31,11 @@ def load_queries(path: str) -> dict:
     if "queries" in d and isinstance(d["queries"], dict):
         return d["queries"]
     if "tail" in d:  # driver artifact: truncated fragment, regex-recover
-        pairs = re.findall(r'"((?:q|img)[^"]+)":([0-9.]+)', d["tail"])
+        # demand a trailing delimiter after the number: a match that
+        # abuts the end of the tail may have had its digits cut at the
+        # truncation boundary ("3.47" -> "3.4"), silently skewing that
+        # query's ratio
+        pairs = re.findall(r'"((?:q|img)[^"]+)":([0-9.]+)(?=[,}\]])', d["tail"])
         return {k: float(v) for k, v in pairs}
     raise SystemExit(f"{path}: no queries found")
 
