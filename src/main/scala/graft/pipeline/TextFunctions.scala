@@ -659,10 +659,10 @@ object TextFunctions {
     * occurrence of every pattern in one pass over each document —
     * P patterns cost ONE scan, not P scans, and the text column is
     * never shuffled: the only exchange is the final |P|-row
-    * aggregation, map-side combined. Patterns are border-free by
-    * [[graft.functions.AhoCorasick]]'s build contract, which is what
-    * makes the occurrence counts replayable with `replace()`
-    * arithmetic in the oracle. */
+    * aggregation, map-side combined. Counts are leftmost
+    * NON-OVERLAPPING per pattern ([[graft.functions.AhoCorasick]]),
+    * which is what makes them replayable with `replace()` arithmetic
+    * in the oracle even for self-overlapping (bordered) patterns. */
   def blocklistStats(docs: DataFrame, patterns: Seq[String]): DataFrame = {
     val ac = graft.functions.AhoCorasick.build(patterns)
     val bc = docs.sparkSession.sparkContext.broadcast(ac)
@@ -678,8 +678,9 @@ object TextFunctions {
   }
 
   /** DuckDB oracle for [[blocklistStats]]: replace()-based
-    * non-overlapping occurrence counts — equal to the automaton's
-    * all-occurrence counts because patterns are border-free. */
+    * non-overlapping occurrence counts — the automaton counts with
+    * the same leftmost non-overlapping greedy rule, so bordered
+    * patterns agree too. */
   private[graft] def blocklistOracleSql(patterns: Seq[String]): String = {
     val vals = patterns.map(p => s"('${p.replace("'", "''")}')").mkString(", ")
     s"""WITH pats(pat) AS (VALUES $vals),

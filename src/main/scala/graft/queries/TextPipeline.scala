@@ -15,11 +15,15 @@ import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Snapshot, TextFu
   */
 object TextPipeline {
 
-  /** q146's banned phrases: all border-free (the AhoCorasick build
-    * contract), nested ("table" ⊂ "fast table"), and one absent from
-    * the corpus ("flink") so the zero row is exercised. */
+  /** q146's banned phrases: nested ("table" ⊂ "fast table"), one
+    * absent from the corpus ("flink") so the zero row is exercised,
+    * and two SELF-OVERLAPPING bordered patterns ("a a", "table table")
+    * that the corpus genuinely triple-repeats ("a a a" appears 3×,
+    * "table table table" 2× at sf0.01) — exercising the automaton's
+    * leftmost non-overlapping counting against the replace() oracle. */
   val blocklistPatterns: Seq[String] =
-    Seq("spark", "table", "fast table", "scan query", "merge batch", "the line", "flink")
+    Seq("spark", "table", "fast table", "scan query", "merge batch",
+      "the line", "flink", "a a", "table table")
 
   val entries: List[(String, Q, Option[String])] = List(
 

@@ -311,23 +311,30 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
-  test("Aho–Corasick counts equal naive scanning on random texts; bordered patterns reject") {
+  test("Aho–Corasick counts equal naive leftmost non-overlapping scanning, bordered patterns included") {
     import graft.functions.AhoCorasick
-    val patterns = Seq("ab", "abc", "bca", "cb", "aabb")
+    // mix of border-free and self-overlapping (bordered) patterns:
+    // "aa" (border "a"), "abab" (border "ab"), "aba" (border "a")
+    val patterns = Seq("ab", "abc", "bca", "cb", "aabb", "aa", "abab", "aba")
     val ac = AhoCorasick.build(patterns)
+    // the replace()-equivalent greedy walk: take the leftmost match,
+    // resume scanning after its end
     def naive(text: String): Array[Long] =
-      patterns.map(p => (0 to text.length - p.length)
-        .count(i => text.regionMatches(i, p, 0, p.length)).toLong).toArray
+      patterns.map { p =>
+        var n = 0L; var from = 0
+        var i = text.indexOf(p, from)
+        while (i >= 0) { n += 1; from = i + p.length; i = text.indexOf(p, from) }
+        n
+      }.toArray
     val genText = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
     check("aho-corasick", Prop.forAll(genText) { text =>
       ac.countMatches(text).sameElements(naive(text))
     })
-    // self-overlapping patterns (proper border) reject loudly: their
-    // all-occurrence counts would diverge from the oracle's
-    // non-overlapping replace() counts
-    intercept[IllegalArgumentException](AhoCorasick.build(Seq("aa")))
-    intercept[IllegalArgumentException](AhoCorasick.build(Seq("abab")))
-    intercept[IllegalArgumentException](AhoCorasick.build(Seq("window")))
+    // pinned overlap cases: non-overlapping counting, not all-occurrence
+    val pin = AhoCorasick.build(Seq("aa", "abab", "a a"))
+    assert(pin.countMatches("aaaa").toSeq == Seq(2L, 0L, 0L))   // not 3
+    assert(pin.countMatches("ababab").toSeq == Seq(0L, 1L, 0L)) // not 2
+    assert(pin.countMatches("a a a").toSeq == Seq(0L, 0L, 1L))  // not 2
   }
 
   test("JPEG 2000 codec: multi-code-block subbands, flat and extreme images, degenerate shapes") {
