@@ -234,6 +234,63 @@ object ScaleProbe {
     probe("ann_ivfpq",
       Similarity.ivfPqTopK(emb, col("vec_id") < 20, 5).count(),
       Similarity.ivfPqTopK(embN, col("vec_id") < 20, 5).count())
+    // ANN QUALITY, not timing: recall@10 of each approximate retrieval
+    // family against the brute-force ground truth, per knob setting —
+    // the gate only proves each index is DETERMINISTIC (hash-equal to
+    // an oracle replaying the same approximation); this measures that
+    // the neighbors are also the RIGHT ones, and names the knob that
+    // recovers recall when they aren't. Results recorded in
+    // docs/SCALE.md §ANN recall.
+    if (only.isEmpty || only("ann_recall")) {
+      val kR = 10
+      val qf = col("vec_id") < 100
+      val truth = Similarity.bruteForceTopK(emb, qf, kR).cache()
+      truth.count()
+      def rec(label: String)(approx: DataFrame): Unit =
+        println(f"SCALE ann_recall $label: recall@$kR = " +
+          f"${Similarity.recallAtK(truth, approx)}%.3f")
+      rec("brute_force (sanity)")(Similarity.bruteForceTopK(emb, qf, kR))
+      // IVF: nProbe/nClusters is the recall knob; nProbe = nClusters
+      // probes every inverted list with exact scoring = brute force
+      for (np <- Seq(1, 2, 4, 8, 16))
+        rec(s"ivf nClusters=16 nProbe=$np${if (np == 4) " (q46 default)" else ""}")(
+          Similarity.ivfTopK(emb, qf, kR, nClusters = 16, nProbe = np))
+      // LSH: fewer planes = bigger buckets = higher per-table recall;
+      // numTables is the OR-amplification knob — miss probability
+      // falls exponentially in L, candidate volume grows linearly
+      for (p <- Seq(10, 8, 6, 4))
+        rec(s"lsh numPlanes=$p${if (p == 8) " (q54 default)" else ""}")(
+          Similarity.lshTopK(emb, qf, kR, numPlanes = p))
+      for (l <- Seq(4, 8, 16, 32))
+        rec(s"lsh numPlanes=8 numTables=$l")(
+          Similarity.lshTopK(emb, qf, kR, numPlanes = 8, numTables = l))
+      rec("lsh numPlanes=6 numTables=16")(
+        Similarity.lshTopK(emb, qf, kR, numPlanes = 6, numTables = 16))
+      rec("lsh numPlanes=4 numTables=32")(
+        Similarity.lshTopK(emb, qf, kR, numPlanes = 4, numTables = 32))
+      // IVF-PQ: nProbe recovers list-miss recall; the exact-refine
+      // shortlist (rerank) recovers quantization-error recall — its
+      // ceiling is the ADC shortlist's recall@rerank, so rerank is
+      // the second knob, bytes-per-vector (m) the third
+      rec("ivfpq nProbe=2 (q151 default)")(Similarity.ivfPqTopK(emb, qf, kR))
+      rec("ivfpq nProbe=4")(Similarity.ivfPqTopK(emb, qf, kR, nProbe = 4))
+      rec("ivfpq nProbe=8 (all lists)")(Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8))
+      rec("ivfpq nProbe=8 m=8 (4B codes)")(
+        Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, m = 8))
+      rec("ivfpq nProbe=8 m=16 (8B codes)")(
+        Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, m = 16))
+      rec("ivfpq nProbe=8 rerank=50")(
+        Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, rerank = 50))
+      rec("ivfpq nProbe=8 rerank=200")(
+        Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, rerank = 200))
+      rec("ivfpq nProbe=8 m=8 rerank=50")(
+        Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, m = 8, rerank = 50))
+      rec("ivfpq nProbe=8 m=16 rerank=50")(
+        Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, m = 16, rerank = 50))
+      rec("ivfpq nProbe=8 m=16 rerank=200")(
+        Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, m = 16, rerank = 200))
+      truth.unpersist(false)
+    }
     // copy-prefixed query terms ("c0_…") keep the BM25 hit set inside
     // copy 0, so output stays ≤ k rows and the ratio measures the
     // corpus-side df/stats aggregations + the dense scoring scan

@@ -192,28 +192,46 @@ object Similarity {
     *
     * Scale shape: bucketing replaces the |Q|·N cross product with a
     * per-bucket join; `numPlanes` tunes bucket count (2^numPlanes) vs
-    * recall. This is the 100 TB path; `bruteForceTopK` is the oracle.
+    * recall, and `numTables` is the OR-amplification knob — L
+    * independent hyperplane tables, a pair is a candidate if it
+    * collides in ANY table, so miss probability falls exponentially
+    * in L ((1 - p^b)^L) at the cost of an L× candidate volume and L
+    * bucket ids per vector. Measured recall@10 per (planes, tables)
+    * is in docs/SCALE.md (ScaleProbe `ann_recall`). This is the
+    * 100 TB path; `bruteForceTopK` is the oracle.
     */
   def lshTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
-              numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = deterministicPlanes(numPlanes, dim, seed)
-    def bucketOf(v: Column): Column = {
+              numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+              numTables: Int = 1): DataFrame = {
+    require(numTables >= 1, "numTables must be >= 1")
+    // table t's planes use a seed offset so tables are independent;
+    // t = 0 reproduces the single-table (q54 gate) signature exactly
+    def bucketOf(planes: Seq[Array[Double]])(v: Column): Column = {
       // sign bit per hyperplane, packed into an int
       planes.zipWithIndex.map { case (p, i) =>
         val proj = aggregate(zip_with(v, typedLit(p), (x, w) => x * w), lit(0.0), (a, x) => a + x)
         when(proj >= 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
     }
-    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", bucketOf(col("v")))
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2Norm(col("v")))
-    val queries = emb.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
+    // one (table, bucket) pair per vector per table — the inverted
+    // index a production multi-table LSH stores, L ints per vector
+    val tabled = (0 until numTables).map { t =>
+      val planes = deterministicPlanes(numPlanes, dim, seed + t * 7919L)
+      base.withColumn("tbl", lit(t)).withColumn("bucket", bucketOf(planes)(col("v")))
+    }.reduce(_ union _)
+    val queries = tabled.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl").as("qtbl"),
               col("bucket").as("qbucket"), col("norm").as("qnorm"))
-    val sims = emb.join(broadcast(queries),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+    val sims0 = tabled.join(broadcast(queries),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
       .select(col("qid"), col("vec_id").as("nid"), col("sim"))
+    // a pair colliding in several tables yields bit-identical rows
+    // (same fold order); distinct collapses them before the top-k
+    val sims = if (numTables == 1) sims0 else sims0.distinct()
     topKPerKey(sims, "qid", k)
   }
 
@@ -775,11 +793,14 @@ object Similarity {
     * probe table broadcast — per-query work ~N·nProbe/nClusters, and
     * at 100 TB the serving index stores m·log₂(codes) BITS per vector
     * (2 bytes here) instead of the 512-byte raw embedding: the memory
-    * math that makes billion-vector ANN fit a cluster at all. */
+    * math that makes billion-vector ANN fit a cluster at all.
+    * `rerank > 0` adds the exact-refine stage (shortlist of `rerank`
+    * ADC candidates re-scored with true cosine) — measured recall@10
+    * per knob is recorded in docs/SCALE.md (ScaleProbe `ann_recall`). */
   def ivfPqTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
                 nClusters: Int = 8, nProbe: Int = 2, m: Int = 4,
                 dim: Int = 64, codes: Int = 16, seed: Long = 42L,
-                maxFitSample: Int = 65536): DataFrame = {
+                maxFitSample: Int = 65536, rerank: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (centers, books) = ivfPqFit(embeddings, nClusters, m, dim, codes, seed, maxFitSample)
@@ -847,7 +868,43 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", -adcUdf(col("qres"), col("code"))) // negate: top-k keeps LARGEST
       .select(col("qid"), col("nid"), col("sim"))
-    topKPerKey(sims, "qid", k)
+    if (rerank <= 0) topKPerKey(sims, "qid", k)
+    else {
+      // exact re-rank stage (the FAISS "refine" pattern — the knob that
+      // recovers recall lost to 2-byte quantization): take a shortlist
+      // of `rerank` ≥ k candidates per query by ADC, then re-score ONLY
+      // those with the exact cosine and keep the true top k. Scale
+      // shape: the shortlist is |Q|·rerank rows — KB-sized — so it
+      // broadcasts; the exact vectors come from one more corpus scan
+      // through a broadcast hash join (no shuffle of the corpus), and
+      // the final ranking runs over ≤ rerank rows per query.
+      val shortlist = topKPerKey(sims, "qid", math.max(rerank, k))
+        .select(col("qid"), col("nid"))
+      val nvecs = base.select(col("vec_id").as("nid"),
+        normalizeUdf(col("v")).as("nv"))
+      val qvecs = base.filter(queryFilter).select(col("vec_id").as("qid"),
+        normalizeUdf(col("v")).as("qv"))
+      val exact = nvecs.join(broadcast(shortlist), Seq("nid"))
+        .join(broadcast(qvecs), Seq("qid"))
+        .withColumn("sim", nativeDot(spark)(col("qv"), col("nv")))
+        .select(col("qid"), col("nid"), col("sim"))
+      topKPerKey(exact, "qid", k)
+    }
+  }
+
+  /** recall@k of an approximate ANN result against exact ground truth
+    * — both in the (qid, rank, nid) shape every retrieval operator
+    * here emits. recall = |approx ∩ truth| / |truth| over (qid, nid)
+    * pairs; with both sides cut at the same k this is the standard
+    * recall@k. The intersection is a broadcast semi join on two
+    * |Q|·k-row relations — the corpus is never touched. */
+  def recallAtK(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select(col("qid"), col("nid"))
+    val hits = t.join(broadcast(approx.select(col("qid"), col("nid"))),
+      Seq("qid", "nid"), "left_semi").count()
+    val total = t.count()
+    require(total > 0, "recallAtK: empty ground truth")
+    hits.toDouble / total
   }
 
   /** Both IVF-PQ fits from ONE content-hash sample (lowest

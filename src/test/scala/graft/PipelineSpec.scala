@@ -295,6 +295,52 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (recall.sum / recall.size) should be > 0.4
   }
 
+  test("recallAtK: exhaustive probes = 1.0, rerank and multi-table LSH recover recall") {
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d * 0.9).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qf = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(df, qf, k = 5)
+    // the metric itself: self-recall 1.0, disjoint 0.0
+    Similarity.recallAtK(truth, truth) shouldBe 1.0
+    Similarity.recallAtK(truth,
+      truth.withColumn("nid", col("nid") + 10000L)) shouldBe 0.0
+    // IVF probing EVERY inverted list scores every candidate exactly
+    // — it IS brute force, so recall must be exactly 1.0
+    Similarity.recallAtK(truth,
+      Similarity.ivfTopK(df, qf, k = 5, nClusters = 8, nProbe = 8)) shouldBe 1.0
+    // IVF-PQ: the exact-refine shortlist can only add back true
+    // neighbors the ADC ranking demoted — never lose them
+    def pq(rr: Int) = Similarity.recallAtK(truth,
+      Similarity.ivfPqTopK(df, qf, k = 5, nClusters = 8, nProbe = 8,
+        m = 4, dim = 8, codes = 8, maxFitSample = 64, rerank = rr))
+    pq(64) should be >= pq(0)
+    // with all lists probed and a corpus-sized shortlist the refine
+    // stage re-scores every candidate exactly = brute force
+    pq(300) shouldBe 1.0
+    // multi-table LSH: OR-amplification can only grow each query's
+    // candidate set, so recall is monotone in numTables
+    def lsh(l: Int) = Similarity.recallAtK(truth,
+      Similarity.lshTopK(df, qf, k = 5, numPlanes = 6, dim = 8, numTables = l))
+    val (l1, l4, l16) = (lsh(1), lsh(4), lsh(16))
+    l4 should be >= l1
+    l16 should be >= l4
+    l16 should be > 0.5
+    // rerank + multi-table paths stay partition-order-free
+    def rr(parts: Int) =
+      Similarity.ivfPqTopK(df.repartition(parts), qf, k = 5, nClusters = 8,
+          nProbe = 3, m = 4, dim = 8, codes = 8, maxFitSample = 64, rerank = 20)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    rr(3) shouldBe rr(17)
+    def mt(parts: Int) =
+      Similarity.lshTopK(df.repartition(parts), qf, k = 5, numPlanes = 6,
+          dim = 8, numTables = 4)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    mt(3) shouldBe mt(17)
+  }
+
   test("language ID picks the stopword-matching profile") {
     TextFunctions.detectLang("the quick fox and the dog".split(" ")) shouldBe "en"
     TextFunctions.detectLang("el zorro y el perro de la casa".split(" ")) shouldBe "es"
