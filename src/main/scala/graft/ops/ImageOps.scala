@@ -150,6 +150,51 @@ object ImageOps {
       .toDF("series", "image")
   }
 
+  /** Multi-frame DICOM sink: each (sample, image, ts, planar) row
+    * writes ONE file `<safeName(sample)>.dcm` holding the whole stack
+    * as frames (NumberOfFrames = slices; native syntaxes store frames
+    * contiguously, encapsulated ones one fragment per frame with a
+    * populated Basic Offset Table) — the other real archive shape
+    * (ultrasound / XA / secondary capture) next to
+    * [[saveDicomSeries]]' file-per-slice CT shape. `planar` picks the
+    * RGB byte layout (0 interleaved / 1 planes) and is ignored for
+    * grayscale. Executor-side Hadoop FS writes like every sink here. */
+  def saveDicomMultiFrame(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    df.select(col("sample"), col("image"), col("ts"), col("planar"))
+      .as[(String, SparkImage, String, Int)]
+      .foreachPartition { it: Iterator[(String, SparkImage, String, Int)] =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(serConf.value)
+        it.foreach { case (sample, img, ts, planar) =>
+          val out = new org.apache.hadoop.fs.Path(base, s"${safeName(sample)}.dcm")
+          val os = fs.create(out, true)
+          try os.write(ImageCodecIO.encodeDicom(img, instance = 1, slice = 0,
+            transferSyntax = ts, frames = img.slices, planarConfig = planar))
+          finally os.close()
+        }
+      }
+  }
+
+  /** Multi-frame DICOM load: each FILE is a whole stack (frames →
+    * slices in frame order), so — unlike [[loadDicomSeries]] — there
+    * is NO regroup shuffle at all: decode is pure per-file map work on
+    * the distributed binaryFile scan, and a 100 TB archive of
+    * multi-frame objects parallelizes file-per-task end to end. */
+  def loadDicomMultiFrame(spark: SparkSession, pathGlob: String): DataFrame = {
+    val decode = udf { (path: String, content: Array[Byte]) =>
+      ImageCodecIO.decodeDicomWithInstance(path, content)._1
+    }
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1), "\\.dcm$", "")
+          .as("name"),
+        decode(col("path"), col("content")).as("image"))
+  }
+
   /** Archive inventory over a DICOM file glob — the cheap first pass
     * a PACS ingest runs before committing to a decode plan: per
     * transfer syntax, how many files / series / instances and what

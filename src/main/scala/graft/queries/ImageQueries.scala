@@ -817,6 +817,104 @@ object ImageQueries {
         SELECT ts, CAST(4 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_series,
           CAST(i + 1 AS BIGINT) AS min_inst, CAST(i + 4 AS BIGINT) AS max_inst,
           CAST(4 * 32 AS BIGINT) AS sum_w, CAST(4 * 16 AS BIGINT) AS sum_h
-        FROM m ORDER BY ts"""))
+        FROM m ORDER BY ts""")),
+
+    // ---- MULTI-FRAME DICOM round trip: the other real archive shape
+    // (ultrasound / XA / secondary capture store a whole stack as
+    // NumberOfFrames in ONE file — native syntaxes contiguous,
+    // encapsulated ones fragment-per-frame with a populated Basic
+    // Offset Table). 2 series × all 8 lossless syntaxes, 12 frames
+    // each; frame k of (series i, syntax s) fills a closed form, so a
+    // mis-ordered fragment, bad BOT offset, or dropped frame flips a
+    // row. Unlike img20's file-per-slice series there is NO regroup
+    // shuffle: each file IS the stack. -------------------------------
+    ("img23_dicom_multiframe",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_multiframe"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val syntaxes = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+          ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle,
+          ImageCodecIO.TsJpegLossless, ImageCodecIO.TsJpegLossless14,
+          ImageCodecIO.TsJpegLs, ImageCodecIO.TsJpeg2000Lossless)
+        val stacks = s.range(2L).flatMap { i =>
+          syntaxes.indices.map { sx =>
+            val slices = (0 until 12).map(k =>
+              Kernels.constantImage(32, 16, 1,
+                i * 2000.0 + sx * 100.0 + k * 7.0 + 13.0, PixelCodec.Short16))
+            (s"/mf/${i}_$sx", slices.reduce(Kernels.appendStack), syntaxes(sx), 0)
+          }
+        }.toDF("sample", "image", "ts", "planar")
+        ImageOps.saveDicomMultiFrame(stacks, dir)
+        val sm = ImageFunctions.sliceMeansUdf(col("image"))
+        ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            element_at(sm, 1).as("s0"), element_at(sm, 6).as("s5"),
+            element_at(sm, 12).as("s11"))
+          .orderBy(col("name"))
+      },
+      // frame k of (series i, syntax sx) fills i*2000 + sx*100 + 7k + 13
+      Some("""SELECT 'mf_' || CAST(i AS VARCHAR) || '_' || CAST(sx AS VARCHAR) AS name,
+        CAST(12 AS BIGINT) AS nslices,
+        CAST(i * 2000 + sx * 100 + 13 AS DOUBLE) AS s0,
+        CAST(i * 2000 + sx * 100 + 48 AS DOUBLE) AS s5,
+        CAST(i * 2000 + sx * 100 + 90 AS DOUBLE) AS s11
+        FROM range(2) t(i) CROSS JOIN range(8) u(sx) ORDER BY name""")),
+
+    // ---- COLOR (RGB) DICOM round trip: 8-bit secondary capture with
+    // SamplesPerPixel 3 in both PlanarConfigurations (0 interleaved /
+    // 1 per-frame planes) across the 4 RGB-capable syntaxes (the three
+    // native ones + RLE's 3 PackBits planes), 2 frames per file. Each
+    // channel fills a distinct closed-form constant, read back through
+    // the 8-strategy RGB→scalar kernels (img19's surface): a swapped
+    // plane, mis-interleave, or signed-byte slip flips a channel mean. -
+    ("img24_dicom_rgb",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        import graft.core.{ImageMeta, SparkImage}
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_rgb"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val syntaxes = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+          ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle)
+        val rows = s.range(4L).flatMap { sxL =>
+          val sx = sxL.toInt
+          Seq(0, 1).map { p =>
+            val data = Array.tabulate(2 * 16 * 8 * 3) { idx =>
+              val f = idx / (16 * 8 * 3); val c = idx % 3
+              (sx * 20 + p * 10 + f * 2 + 5 + c * 40).toByte
+            }
+            (s"/rgbsc/${sx}_$p",
+              SparkImage(ImageMeta(), "[]", 16, 8, 2, PixelCodec.Rgb, data),
+              syntaxes(sx), p)
+          }
+        }.toDF("sample", "image", "ts", "planar")
+        ImageOps.saveDicomMultiFrame(rows, dir)
+        def chan(st: String) = ImageFunctions.statsUdf(
+          ImageFunctions.run2Udf(col("image"), lit("32-bit"), lit(s"rgb=$st")))
+          .getField("mean")
+        ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            chan("red").as("m_red"), chan("green").as("m_green"),
+            chan("blue").as("m_blue"))
+          .orderBy(col("name"))
+      },
+      // frame f of (syntax sx, planar p): r = 20sx + 10p + 2f + 5,
+      // g = r + 40, b = r + 80; the 2-frame mean adds 1 to the base
+      Some("""SELECT 'rgbsc_' || CAST(sx AS VARCHAR) || '_' || CAST(p AS VARCHAR) AS name,
+        CAST(2 AS BIGINT) AS nslices,
+        CAST(sx * 20 + p * 10 + 6 AS DOUBLE) AS m_red,
+        CAST(sx * 20 + p * 10 + 46 AS DOUBLE) AS m_green,
+        CAST(sx * 20 + p * 10 + 86 AS DOUBLE) AS m_blue
+        FROM range(4) t(sx) CROSS JOIN range(2) u(p) ORDER BY name"""))
   )
 }

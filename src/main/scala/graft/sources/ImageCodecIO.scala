@@ -143,39 +143,64 @@ object ImageCodecIO {
     out.toByteArray
   }
 
-  /** Read ONE encapsulated fragment (empty Basic Offset Table item,
-    * one fragment item, sequence delimiter) from an undefined-length
-    * PixelData element. Single-frame only — a second fragment fails
-    * the delimiter check loudly. */
-  private def readEncapsulatedFragment(bb: java.nio.ByteBuffer,
-                                       path: String, minLen: Int): Array[Byte] = {
+  /** Read ALL encapsulated fragments (Basic Offset Table item — empty
+    * or populated — then fragment items up to the sequence delimiter)
+    * from an undefined-length PixelData element. A populated BOT's
+    * offsets are validated against the actual fragment positions:
+    * this profile stores one fragment per frame, so BOT entry k must
+    * point at fragment k (PS3.5 A.4's frame-boundary contract). */
+  private def readEncapsulatedFragments(bb: java.nio.ByteBuffer,
+                                        path: String, minLen: Int): Seq[Array[Byte]] = {
     def item(): (Int, Int, Int) =
       ((bb.getShort & 0xffff), (bb.getShort & 0xffff), bb.getInt)
     val (g1, e1, l1) = item()
-    require(g1 == 0xfffe && e1 == 0xe000 && l1 >= 0 && l1 <= bb.remaining,
+    require(g1 == 0xfffe && e1 == 0xe000 && l1 >= 0 && l1 % 4 == 0 && l1 <= bb.remaining,
       s"missing Basic Offset Table item in $path")
-    bb.position(bb.position() + l1)
-    val (g2, e2, l2) = item()
-    require(g2 == 0xfffe && e2 == 0xe000 && l2 >= minLen && l2 <= bb.remaining,
-      s"missing pixel fragment item in $path")
-    val frag = new Array[Byte](l2); bb.get(frag)
-    val (g3, e3, l3) = item()
-    require(g3 == 0xfffe && e3 == 0xe0dd && l3 == 0,
-      s"expected sequence delimiter after the single pixel fragment in $path")
-    frag
+    val bot = Array.fill(l1 / 4)(bb.getInt)
+    val fragStart = bb.position() // offsets in the BOT are relative to here
+    val frags = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var done = false
+    while (!done) {
+      require(bb.remaining >= 8, s"unterminated encapsulated PixelData in $path")
+      offsets += bb.position() - fragStart
+      val (g, e, l) = item()
+      if (g == 0xfffe && e == 0xe0dd) {
+        require(l == 0, s"non-empty sequence delimiter in $path")
+        offsets.remove(offsets.length - 1)
+        done = true
+      } else {
+        require(g == 0xfffe && e == 0xe000 && l >= minLen && l <= bb.remaining,
+          s"malformed pixel fragment item in $path")
+        val frag = new Array[Byte](l); bb.get(frag)
+        frags += frag
+      }
+    }
+    require(frags.nonEmpty, s"encapsulated PixelData with no fragments in $path")
+    if (bot.nonEmpty) {
+      require(bot.length == frags.length,
+        s"Basic Offset Table has ${bot.length} entries for ${frags.length} " +
+          s"fragments in $path (this profile stores one fragment per frame)")
+      require(bot.toSeq == offsets.toSeq,
+        s"Basic Offset Table entries do not match fragment positions in $path")
+    }
+    frags.toSeq
   }
 
   /** Decode one RLE Lossless fragment (PS3.5 annex G): 64-byte header
     * (number of segments + 15 offsets from fragment start), then one
-    * PackBits segment per byte plane, most significant first. Returns
-    * little-endian interleaved pixel bytes (the layout the shared
-    * pixel loop reads). */
+    * PackBits segment per byte plane of each sample — mono 8-bit has
+    * one segment, mono 16-bit two (MSB then LSB), 8-bit RGB three
+    * (R, G, B planes). Returns little-endian interleaved pixel bytes
+    * (the layout the shared pixel loop reads: lo,hi per 16-bit sample;
+    * r,g,b per RGB pixel). */
   private def rleDecodeFragment(frag: Array[Byte], nPix: Int, bits: Int,
-                                path: String): Array[Byte] = {
+                                samples: Int, path: String): Array[Byte] = {
     val hb = java.nio.ByteBuffer.wrap(frag).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val nSeg = hb.getInt
-    require(nSeg == bits / 8,
-      s"RLE segment count $nSeg does not match BitsAllocated $bits in $path")
+    require(nSeg == samples * (bits / 8),
+      s"RLE segment count $nSeg does not match SamplesPerPixel $samples × " +
+        s"BitsAllocated $bits in $path")
     val offsets = Array.fill(15)(hb.getInt)
     val segs = (0 until nSeg).map { s =>
       val start = offsets(s)
@@ -184,7 +209,15 @@ object ImageCodecIO {
         s"corrupt RLE segment offsets in $path")
       unpackBits(frag, start, end, nPix, path)
     }
-    if (bits == 8) segs(0)
+    if (samples == 3) {
+      val px = new Array[Byte](nPix * 3)
+      var i = 0
+      while (i < nPix) {
+        px(3 * i) = segs(0)(i); px(3 * i + 1) = segs(1)(i); px(3 * i + 2) = segs(2)(i)
+        i += 1
+      }
+      px
+    } else if (bits == 8) segs(0)
     else {
       val px = new Array[Byte](nPix * 2)
       var i = 0
@@ -193,23 +226,32 @@ object ImageCodecIO {
     }
   }
 
-  /** Encode 16-bit pixels as an RLE Lossless fragment: header + the
-    * MSB then LSB PackBits segments, each even-padded. */
-  private def rleEncodeFragment(vals: Array[Int]): Array[Byte] = {
-    val msb = Array.tabulate(vals.length)(i => ((vals(i) >> 8) & 0xff).toByte)
-    val lsb = Array.tabulate(vals.length)(i => (vals(i) & 0xff).toByte)
+  /** Encode byte planes as an RLE Lossless fragment: header + one
+    * even-padded PackBits segment per plane (mono 16-bit: MSB, LSB;
+    * RGB: R, G, B). */
+  private def rleEncodePlanes(planes: Seq[Array[Byte]]): Array[Byte] = {
+    require(planes.nonEmpty && planes.length <= 15, "1..15 RLE segments")
     def pad(a: Array[Byte]): Array[Byte] = if (a.length % 2 == 0) a else a :+ 0.toByte
-    val s0 = pad(packBits(msb)); val s1 = pad(packBits(lsb))
+    val segs = planes.map(p => pad(packBits(p)))
     val bos = new ByteArrayOutputStream()
     def u32(v: Int): Unit = {
       bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
       bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
     }
-    u32(2); u32(64); u32(64 + s0.length)
-    (0 until 13).foreach(_ => u32(0))
-    bos.write(s0); bos.write(s1)
+    u32(segs.length)
+    var off = 64
+    segs.foreach { s => u32(off); off += s.length }
+    (segs.length until 15).foreach(_ => u32(0))
+    segs.foreach(bos.write)
     bos.toByteArray
   }
+
+  /** Encode 16-bit pixels as an RLE Lossless fragment: header + the
+    * MSB then LSB PackBits segments, each even-padded. */
+  private def rleEncodeFragment(vals: Array[Int]): Array[Byte] =
+    rleEncodePlanes(Seq(
+      Array.tabulate(vals.length)(i => ((vals(i) >> 8) & 0xff).toByte),
+      Array.tabulate(vals.length)(i => (vals(i) & 0xff).toByte)))
 
   // ======================= JPEG Lossless (process 14, SV1) ==========
   // ITU-T T.81 annex H: lossless sequential Huffman coding of
@@ -499,28 +541,35 @@ object ImageCodecIO {
     ts
   }
 
-  /** Minimal DICOM decode — single-frame unsigned MONOCHROME2, 8 or
-    * 16 bits, in any of the ten supported transfer syntaxes
+  /** Minimal DICOM decode — unsigned MONOCHROME2 (8/16-bit) or 8-bit
+    * RGB (SamplesPerPixel 3, PlanarConfiguration 0/1), single- OR
+    * multi-frame (NumberOfFrames (0028,0008): native syntaxes store
+    * frames contiguously in one PixelData, encapsulated syntaxes one
+    * fragment per frame with the BOT marking frame starts), in any of
+    * the ten supported transfer syntaxes
     * ([[TsImplicitLE]]/[[TsExplicitLE]]/[[TsExplicitBE]]/[[TsRle]]/
     * [[TsJpegLossless]]/[[TsJpegLossless14]]/[[TsJpegBaseline]]/
     * [[TsJpegExtended]]/[[TsJpegLs]]/[[TsJpeg2000Lossless]]) —
-    * the shape of the reference's flagship IO case (a CT series of
-    * single-frame files stacked into a volume, IjRDDTests.scala:30-99,
-    * where spark-scifio does the decode). The file-meta group
-    * (0002,xxxx) is always explicit-VR little-endian per Part 10; its
+    * the shape of the reference's flagship IO case (a CT series
+    * stacked into a volume, IjRDDTests.scala:30-99, where spark-scifio
+    * does the decode — SCIFIO also reads multi-frame and color
+    * objects, which is why both shapes live here). RGB rides the
+    * native syntaxes + RLE (3 PackBits planes); the JPEG-family
+    * syntaxes stay single-component and reject color loudly. Frames
+    * become slices in frame order. The file-meta group (0002,xxxx) is
+    * always explicit-VR little-endian per Part 10; its
     * TransferSyntaxUID then selects the element encoding, byte order,
-    * and (for RLE Lossless) the encapsulated-fragment pixel path.
-    * Walks the element stream for Rows/Columns/BitsAllocated/
-    * InstanceNumber and stops at PixelData; any OTHER compressed
-    * syntax, signed data, or multi-frame file is rejected loudly
-    * rather than mis-decoded. Returns the image plus the
-    * InstanceNumber (slice position for series stacking; 1 when
-    * absent). */
+    * and the encapsulated-fragment pixel path. Any OTHER compressed
+    * syntax, signed data, or unsupported photometric interpretation
+    * is rejected loudly rather than mis-decoded. Returns the image
+    * plus the InstanceNumber (slice position for series stacking; 1
+    * when absent). */
   private[graft] def decodeDicomWithInstance(path: String, bytes: Array[Byte]): (SparkImage, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.position(132)
     val longVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
     var rows = 0; var cols = 0; var bits = 16; var pixelRep = 0; var instance = 1
+    var samples = 1; var photometric = "MONOCHROME2"; var planar = 0; var frames = 1
     var ts = TsExplicitLE
     var px: Array[Byte] = null
     // ---- file-meta group: ALWAYS explicit-VR little-endian ----
@@ -553,7 +602,7 @@ object ImageCodecIO {
     }
     if (bigEndian) bb.order(java.nio.ByteOrder.BIG_ENDIAN)
     // ---- dataset: element encoding + byte order per transfer syntax ----
-    var encapFragment: Array[Byte] = null
+    var encapFragments: Seq[Array[Byte]] = null
     var done = false
     while (!done && bb.remaining >= 8) {
       val group = bb.getShort & 0xffff; val elem = bb.getShort & 0xffff
@@ -567,8 +616,8 @@ object ImageCodecIO {
         // encapsulated PixelData: undefined length, fragment items
         require(encapsulated,
           s"undefined-length PixelData outside an encapsulated syntax in $path")
-        encapFragment =
-          readEncapsulatedFragment(bb, path, minLen = if (ts == TsRle) 64 else 4)
+        encapFragments =
+          readEncapsulatedFragments(bb, path, minLen = if (ts == TsRle) 64 else 4)
         done = true
       } else {
         require(len >= 0 && len <= bb.remaining,
@@ -580,6 +629,10 @@ object ImageCodecIO {
         def str: String = new String(value, "US-ASCII").trim
         (group, elem) match {
           case (0x0020, 0x0013) => instance = str.toInt
+          case (0x0028, 0x0002) => samples = u16
+          case (0x0028, 0x0004) => photometric = str
+          case (0x0028, 0x0006) => planar = u16
+          case (0x0028, 0x0008) => frames = str.toInt
           case (0x0028, 0x0010) => rows = u16
           case (0x0028, 0x0011) => cols = u16
           case (0x0028, 0x0100) => bits = u16
@@ -592,121 +645,146 @@ object ImageCodecIO {
     require(pixelRep == 0, s"signed DICOM pixel data unsupported: $path")
     require(rows > 0 && cols > 0, s"missing DICOM dims: $path")
     require(bits == 8 || bits == 16, s"unsupported DICOM BitsAllocated $bits: $path")
+    require(frames >= 1, s"bad DICOM NumberOfFrames $frames: $path")
+    val isRgb = samples == 3
+    if (isRgb) {
+      require(photometric == "RGB",
+        s"SamplesPerPixel 3 with PhotometricInterpretation '$photometric' unsupported (RGB only): $path")
+      require(bits == 8, s"RGB DICOM with BitsAllocated $bits unsupported (8 only): $path")
+      require(!encapsulated || ts == TsRle,
+        s"RGB pixel data in transfer syntax $ts unsupported " +
+          s"(native syntaxes + RLE Lossless only): $path")
+      require(planar == 0 || planar == 1, s"bad PlanarConfiguration $planar: $path")
+    } else {
+      require(samples == 1, s"SamplesPerPixel $samples unsupported (1 or 3): $path")
+      require(photometric == "MONOCHROME2",
+        s"PhotometricInterpretation '$photometric' unsupported for 1-sample data " +
+          s"(MONOCHROME2 only): $path")
+    }
     val n = rows * cols
-    if (encapFragment != null) {
-      if (ts == TsRle) px = rleDecodeFragment(encapFragment, n, bits, path)
+    // decode ONE frame's fragment to little-endian interleaved bytes
+    // (lo,hi per 16-bit sample; r,g,b per RGB pixel)
+    def fragToBytes(frag: Array[Byte]): Array[Byte] = {
+      if (ts == TsRle) rleDecodeFragment(frag, n, bits, samples, path)
       else if (ts == TsJpegBaseline) {
         // lossy 8-bit baseline: the JDK's JPEG codec decodes the
         // fragment (a complete JFIF stream)
-        val bi = ImageIO.read(new ByteArrayInputStream(encapFragment))
+        val bi = ImageIO.read(new ByteArrayInputStream(frag))
         require(bi != null, s"undecodable JPEG Baseline fragment in $path")
         require(bi.getWidth == cols && bi.getHeight == rows,
           s"JPEG frame ${bi.getWidth}x${bi.getHeight} does not match DICOM " +
             s"Rows/Columns ${cols}x$rows in $path")
         require(bits == 8, s"JPEG Baseline with BitsAllocated $bits unsupported: $path")
         val raster = bi.getRaster
-        px = new Array[Byte](n)
+        val out = new Array[Byte](n)
         var j = 0
-        while (j < n) { px(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
-      } else if (ts == TsJpegExtended) {
-        // lossy 12-bit extended sequential DCT: native decoder
-        val (jw, jh, prec, samples) = JpegDctCodec.decode(encapFragment, path)
-        require(jw == cols && jh == rows,
-          s"JPEG Extended frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
-        require(prec <= bits,
-          s"JPEG Extended precision $prec exceeds DICOM BitsAllocated $bits in $path")
-        if (bits == 16) {
-          px = new Array[Byte](n * 2)
-          var j = 0
-          while (j < n) {
-            px(2 * j) = (samples(j) & 0xff).toByte
-            px(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
-            j += 1
-          }
-        } else {
-          px = new Array[Byte](n)
-          var j = 0
-          while (j < n) { px(j) = (samples(j) & 0xff).toByte; j += 1 }
-        }
-      } else if (ts == TsJpeg2000Lossless) {
-        val (jw, jh, prec, samples) = Jpeg2000Codec.decode(encapFragment, path)
-        require(jw == cols && jh == rows,
-          s"JPEG 2000 frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
-        require(prec <= bits,
-          s"JPEG 2000 precision $prec exceeds DICOM BitsAllocated $bits in $path")
-        if (bits == 16) {
-          px = new Array[Byte](n * 2)
-          var j = 0
-          while (j < n) {
-            px(2 * j) = (samples(j) & 0xff).toByte
-            px(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
-            j += 1
-          }
-        } else {
-          px = new Array[Byte](n)
-          var j = 0
-          while (j < n) { px(j) = (samples(j) & 0xff).toByte; j += 1 }
-        }
-      } else if (ts == TsJpegLs || ts == TsJpegLsNear) {
-        val (jw, jh, prec, samples) = JpegLsCodec.decode(encapFragment, path)
-        require(jw == cols && jh == rows,
-          s"JPEG-LS frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
-        require(prec <= bits,
-          s"JPEG-LS precision $prec exceeds DICOM BitsAllocated $bits in $path")
-        if (bits == 16) {
-          px = new Array[Byte](n * 2)
-          var j = 0
-          while (j < n) {
-            px(2 * j) = (samples(j) & 0xff).toByte
-            px(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
-            j += 1
-          }
-        } else {
-          px = new Array[Byte](n)
-          var j = 0
-          while (j < n) { px(j) = (samples(j) & 0xff).toByte; j += 1 }
-        }
+        while (j < n) { out(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
+        out
       } else {
-        val (jw, jh, samples) = jpegLosslessDecode(encapFragment, path)
+        // the three native-codec syntaxes share the (w, h, precision,
+        // samples) contract; JPEG lossless reports no precision
+        val (jw, jh, prec, vals) =
+          if (ts == TsJpegExtended) JpegDctCodec.decode(frag, path)
+          else if (ts == TsJpeg2000Lossless) Jpeg2000Codec.decode(frag, path)
+          else if (ts == TsJpegLs || ts == TsJpegLsNear) JpegLsCodec.decode(frag, path)
+          else {
+            val (w0, h0, v0) = jpegLosslessDecode(frag, path)
+            require(bits == 16, s"JPEG lossless with BitsAllocated $bits unsupported: $path")
+            (w0, h0, 16, v0)
+          }
         require(jw == cols && jh == rows,
-          s"JPEG frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
-        require(bits == 16, s"JPEG lossless with BitsAllocated $bits unsupported: $path")
-        px = new Array[Byte](n * 2)
-        var j = 0
-        while (j < n) {
-          px(2 * j) = (samples(j) & 0xff).toByte
-          px(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
-          j += 1
+          s"compressed frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
+        require(prec <= bits,
+          s"compressed frame precision $prec exceeds DICOM BitsAllocated $bits in $path")
+        if (bits == 16) {
+          val out = new Array[Byte](n * 2)
+          var j = 0
+          while (j < n) {
+            out(2 * j) = (vals(j) & 0xff).toByte
+            out(2 * j + 1) = ((vals(j) >> 8) & 0xff).toByte
+            j += 1
+          }
+          out
+        } else {
+          val out = new Array[Byte](n)
+          var j = 0
+          while (j < n) { out(j) = (vals(j) & 0xff).toByte; j += 1 }
+          out
         }
       }
     }
+    if (encapFragments != null) {
+      // one fragment per frame (the BOT-validated profile shape)
+      require(encapFragments.length == frames,
+        s"${encapFragments.length} pixel fragments for NumberOfFrames $frames " +
+          s"in $path (this profile stores one fragment per frame)")
+      px = encapFragments.map(fragToBytes).reduce(_ ++ _)
+    }
     require(px != null, s"missing DICOM pixel data: $path")
-    require(px.length >= n * (bits / 8), s"short DICOM pixel payload: $path")
-    val doubles = new Array[Double](n)
-    var i = 0
-    if (bits == 16 && bigEndian)
-      while (i < n) { doubles(i) = ((px(2 * i) & 0xff) << 8) | (px(2 * i + 1) & 0xff); i += 1 }
-    else if (bits == 16)
-      while (i < n) { doubles(i) = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8); i += 1 }
-    else
-      while (i < n) { doubles(i) = px(i) & 0xff; i += 1 }
-    val tpe = if (bits == 16) PixelCodec.Short16 else PixelCodec.Byte8
+    val frameBytes = n * samples * (bits / 8)
+    require(px.length >= frames * frameBytes, s"short DICOM pixel payload: $path")
     val log = ImageLog.append(ImageLog.empty, LogEntry("LOAD", "SPARK", path, ""))
-    (SparkImage(ImageMeta(info = path), log, cols, rows, 1, tpe,
-      PixelCodec.encode(doubles, tpe)), instance)
+    if (isRgb) {
+      // planar configuration 1 stores each frame as R/G/B planes —
+      // interleave to the SparkImage Rgb layout; encapsulated RLE
+      // already interleaved in rleDecodeFragment (its segments ARE the
+      // planes, whatever the declared PlanarConfiguration)
+      val data =
+        if (planar == 1 && encapFragments == null) {
+          val out = new Array[Byte](frames * n * 3)
+          var f = 0
+          while (f < frames) {
+            val fo = f * n * 3
+            var j = 0
+            while (j < n) {
+              out(fo + 3 * j) = px(fo + j)
+              out(fo + 3 * j + 1) = px(fo + n + j)
+              out(fo + 3 * j + 2) = px(fo + 2 * n + j)
+              j += 1
+            }
+            f += 1
+          }
+          out
+        } else if (px.length == frames * n * 3) px
+        else java.util.Arrays.copyOf(px, frames * n * 3)
+      (SparkImage(ImageMeta(info = path), log, cols, rows, frames,
+        PixelCodec.Rgb, data), instance)
+    } else {
+      val total = frames * n
+      val doubles = new Array[Double](total)
+      var i = 0
+      if (bits == 16 && bigEndian)
+        while (i < total) { doubles(i) = ((px(2 * i) & 0xff) << 8) | (px(2 * i + 1) & 0xff); i += 1 }
+      else if (bits == 16)
+        while (i < total) { doubles(i) = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8); i += 1 }
+      else
+        while (i < total) { doubles(i) = px(i) & 0xff; i += 1 }
+      val tpe = if (bits == 16) PixelCodec.Short16 else PixelCodec.Byte8
+      (SparkImage(ImageMeta(info = path), log, cols, rows, frames, tpe,
+        PixelCodec.encode(doubles, tpe)), instance)
+    }
   }
 
-  /** Encode ONE slice as a minimal conformant DICOM file in any of
-    * the ten supported transfer syntaxes (the profiles
-    * [[decodeDicomWithInstance]] reads): preamble + DICM, file-meta
-    * group (always explicit-VR little-endian per Part 10, carrying
-    * the transfer-syntax UID), then InstanceNumber / MONOCHROME2
-    * geometry / 16-bit pixel module / PixelData in the chosen
-    * dataset encoding and byte order. Values clamp through the
+  /** Encode `frames` slices (default: one, starting at `slice`) as a
+    * minimal conformant DICOM file in any of the ten supported
+    * transfer syntaxes (the profiles [[decodeDicomWithInstance]]
+    * reads): preamble + DICM, file-meta group (always explicit-VR
+    * little-endian per Part 10, carrying the transfer-syntax UID),
+    * then InstanceNumber / photometric geometry / pixel module /
+    * PixelData in the chosen dataset encoding and byte order.
+    * `frames > 1` writes a MULTI-FRAME file (NumberOfFrames
+    * (0028,0008); native syntaxes store the frames contiguously,
+    * encapsulated syntaxes one fragment per frame with a POPULATED
+    * Basic Offset Table marking every frame start). An
+    * [[graft.core.PixelCodec.Rgb]] image writes 8-bit RGB
+    * (SamplesPerPixel 3, `planarConfig` 0 = interleaved / 1 = planes)
+    * in the native syntaxes + RLE; grayscale values clamp through the
     * 16-bit unsigned range like every other fixed-width sink here. */
   private[graft] def encodeDicom(img: SparkImage, instance: Int = 1,
                                  slice: Int = 0,
-                                 transferSyntax: String = TsExplicitLE): Array[Byte] = {
+                                 transferSyntax: String = TsExplicitLE,
+                                 frames: Int = 1,
+                                 planarConfig: Int = 0): Array[Byte] = {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
@@ -728,8 +806,15 @@ object ImageCodecIO {
     // full 16-bit pixel module
     val bits8 = transferSyntax == TsJpegBaseline
     val bits12 = transferSyntax == TsJpegExtended
+    val isRgb = img.pixelType == PixelCodec.Rgb
+    require(!isRgb || transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
+        transferSyntax == TsExplicitBE || transferSyntax == TsRle,
+      s"RGB DICOM rides the native syntaxes + RLE Lossless only, not $transferSyntax")
+    require(planarConfig == 0 || planarConfig == 1, s"bad planarConfig $planarConfig")
     val w = img.width; val h = img.height
-    val px = img.toDoubles
+    require(frames >= 1 && slice + frames <= img.slices,
+      s"frames [$slice, ${slice + frames}) out of range for ${img.slices} slices")
+    val px = if (isRgb) null else img.toDoubles
     val off = slice * w * h
     val bos = new ByteArrayOutputStream()
     // file-meta writers: always little-endian explicit VR (Part 10)
@@ -771,46 +856,79 @@ object ImageCodecIO {
       (metaLen & 0xff).toByte, ((metaLen >> 8) & 0xff).toByte, 0, 0))
     metaElem(0x0002, 0x0010, "UI", tsPadded.getBytes("US-ASCII"))
     str(0x0020, 0x0013, "IS", instance.toString, ' ')
-    us(0x0028, 0x0002, 1)
-    str(0x0028, 0x0004, "CS", "MONOCHROME2", ' ')
+    us(0x0028, 0x0002, if (isRgb) 3 else 1)
+    str(0x0028, 0x0004, "CS", if (isRgb) "RGB" else "MONOCHROME2", ' ')
+    if (isRgb) us(0x0028, 0x0006, planarConfig)
+    if (frames > 1) str(0x0028, 0x0008, "IS", frames.toString, ' ')
     us(0x0028, 0x0010, h)
     us(0x0028, 0x0011, w)
-    if (bits8) { us(0x0028, 0x0100, 8); us(0x0028, 0x0101, 8); us(0x0028, 0x0102, 7) }
+    if (isRgb || bits8) { us(0x0028, 0x0100, 8); us(0x0028, 0x0101, 8); us(0x0028, 0x0102, 7) }
     else if (bits12) { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 12); us(0x0028, 0x0102, 11) }
     else { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15) }
     us(0x0028, 0x0103, 0)
+    val n = w * h
+    // RGB frame accessors over the raw interleaved Rgb image bytes
+    def rgbPlane(f: Int, c: Int): Array[Byte] =
+      Array.tabulate(n)(i => img.data(((slice + f) * n + i) * 3 + c))
+    def rgbInterleaved(f: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(img.data, (slice + f) * n * 3, (slice + f + 1) * n * 3)
     if (encapsulated) {
-      // RLE / JPEG family: OB PixelData with UNDEFINED length, empty
-      // Basic Offset Table item, ONE fragment item (even-padded),
-      // sequence delimiter
-      // the 16-bit clamp pass is only needed by the lossless encoders;
+      // RLE / JPEG family: OB PixelData with UNDEFINED length, Basic
+      // Offset Table item (empty for one frame; POPULATED with every
+      // frame's item offset for multi-frame), one even-padded fragment
+      // item per frame, sequence delimiter.
+      // The 16-bit clamp pass is only needed by the lossless encoders;
       // the Baseline path re-reads px itself with a Byte8 clamp
-      def vals: Array[Int] = Array.tabulate(w * h)(i =>
-        PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt)
-      val frag0 =
-        if (transferSyntax == TsRle) rleEncodeFragment(vals)
-        else if (bits8) jpegBaselineEncode(img, px, slice)
-        else if (bits12) JpegDctCodec.encode(
-          Array.tabulate(w * h) { i =>
-            val v = PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt
-            math.min(v, 4095) // 12-bit profile: documented lossy clamp
-          }, w, h, 12)
-        else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals, w, h, 16)
-        else if (transferSyntax == TsJpegLsNear) JpegLsCodec.encode(vals, w, h, 16, near = 2)
-        else if (transferSyntax == TsJpeg2000Lossless) Jpeg2000Codec.encode(vals, w, h, 16)
-        else jpegLosslessEncode(vals, w, h)
-      val frag = if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
+      def vals(f: Int): Array[Int] = Array.tabulate(n)(i =>
+        PixelCodec.clamp(px((slice + f) * n + i), PixelCodec.Short16).toInt)
+      def oneFrag(f: Int): Array[Byte] = {
+        val frag0 =
+          if (isRgb) rleEncodePlanes(Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2)))
+          else if (transferSyntax == TsRle) rleEncodeFragment(vals(f))
+          else if (bits8) jpegBaselineEncode(img, px, slice + f)
+          else if (bits12) JpegDctCodec.encode(
+            Array.tabulate(n) { i =>
+              val v = PixelCodec.clamp(px((slice + f) * n + i), PixelCodec.Short16).toInt
+              math.min(v, 4095) // 12-bit profile: documented lossy clamp
+            }, w, h, 12)
+          else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals(f), w, h, 16)
+          else if (transferSyntax == TsJpegLsNear) JpegLsCodec.encode(vals(f), w, h, 16, near = 2)
+          else if (transferSyntax == TsJpeg2000Lossless) Jpeg2000Codec.encode(vals(f), w, h, 16)
+          else jpegLosslessEncode(vals(f), w, h)
+        if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
+      }
+      val frags = (0 until frames).map(oneFrag)
       u16x(0x7fe0); u16x(0x0010); bos.write('O'); bos.write('B'); u16x(0); u32x(-1)
-      u16x(0xfffe); u16x(0xe000); u32x(0)
-      u16x(0xfffe); u16x(0xe000); u32x(frag.length)
-      bos.write(frag)
+      if (frames > 1) {
+        // populated BOT: offset of each frame's item tag from the
+        // first byte after the BOT value (encapsulated data is always
+        // little-endian, so u32x writes LE here)
+        u16x(0xfffe); u16x(0xe000); u32x(4 * frames)
+        var o = 0
+        frags.foreach { fr => u32x(o); o += 8 + fr.length }
+      } else { u16x(0xfffe); u16x(0xe000); u32x(0) }
+      frags.foreach { fr =>
+        u16x(0xfffe); u16x(0xe000); u32x(fr.length); bos.write(fr)
+      }
       u16x(0xfffe); u16x(0xe0dd); u32x(0)
+    } else if (isRgb) {
+      // native RGB: OB byte stream (8-bit samples, no word swap even
+      // in the big-endian syntax), interleaved or planar per frame
+      val data = (0 until frames).map { f =>
+        if (planarConfig == 1) rgbPlane(f, 0) ++ rgbPlane(f, 1) ++ rgbPlane(f, 2)
+        else rgbInterleaved(f)
+      }.reduce(_ ++ _)
+      val padded = if (data.length % 2 == 0) data else data :+ 0.toByte
+      u16x(0x7fe0); u16x(0x0010)
+      if (explicitVr) { bos.write('O'); bos.write('B'); u16x(0); u32x(padded.length) }
+      else u32x(padded.length)
+      bos.write(padded)
     } else {
       u16x(0x7fe0); u16x(0x0010)
-      if (explicitVr) { bos.write('O'); bos.write('W'); u16x(0); u32x(w * h * 2) }
-      else u32x(w * h * 2)
+      if (explicitVr) { bos.write('O'); bos.write('W'); u16x(0); u32x(frames * n * 2) }
+      else u32x(frames * n * 2)
       var i = 0
-      while (i < w * h) { u16x(PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt); i += 1 }
+      while (i < frames * n) { u16x(PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt); i += 1 }
     }
     bos.toByteArray
   }

@@ -282,6 +282,71 @@ class KernelSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("multi-frame DICOM round-trips a whole stack in every lossless syntax") {
+    import graft.sources.ImageCodecIO
+    // 3 frames, 4x3, values distinct per frame AND hostile per syntax
+    // (65535/0 steps stress RLE + the JPEG-family predictors)
+    val w = 4; val h = 3; val nf = 3
+    val vals = Array.tabulate(nf * w * h) { i =>
+      val f = i / (w * h)
+      if (i % 7 == 0) 65535.0 else (f * 1000 + (i % (w * h)) * 13).toDouble
+    }
+    val stack = SparkImage(ImageMeta(), "[]", w, h, nf, PixelCodec.Short16,
+      PixelCodec.encode(vals, PixelCodec.Short16))
+    Seq(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+        ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle,
+        ImageCodecIO.TsJpegLossless, ImageCodecIO.TsJpegLossless14,
+        ImageCodecIO.TsJpegLs, ImageCodecIO.TsJpeg2000Lossless).foreach { ts =>
+      withClue(s"$ts: ") {
+        val bytes = ImageCodecIO.encodeDicom(stack, instance = 5,
+          transferSyntax = ts, frames = nf)
+        val (back, inst) = ImageCodecIO.decodeDicomWithInstance("mf.dcm", bytes)
+        inst shouldBe 5
+        back.slices shouldBe nf
+        back.width shouldBe w
+        back.height shouldBe h
+        back.toDoubles shouldBe vals
+      }
+    }
+    // a frame subrange: frames [1, 3) of the stack
+    val sub = ImageCodecIO.decodeDicomWithInstance("sub.dcm",
+      ImageCodecIO.encodeDicom(stack, slice = 1, transferSyntax = ImageCodecIO.TsRle,
+        frames = 2))._1
+    sub.slices shouldBe 2
+    sub.toDoubles shouldBe vals.slice(w * h, 3 * w * h)
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(stack, slice = 2, frames = 2) // past the stack
+  }
+
+  test("RGB DICOM round-trips both planar configurations in the native syntaxes and RLE") {
+    import graft.sources.ImageCodecIO
+    // 2 frames of 3x2 RGB with all-distinct channel bytes (and values
+    // >= 128 to catch any signed-byte mishap)
+    val w = 3; val h = 2; val nf = 2
+    val data = Array.tabulate(nf * w * h * 3)(i => ((i * 41 + 7) % 256).toByte)
+    val rgb = SparkImage(ImageMeta(), "[]", w, h, nf, PixelCodec.Rgb, data)
+    for {
+      ts <- Seq(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+                ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle)
+      planar <- Seq(0, 1)
+    } withClue(s"$ts planar=$planar: ") {
+      val bytes = ImageCodecIO.encodeDicom(rgb, instance = 2, transferSyntax = ts,
+        frames = nf, planarConfig = planar)
+      val (back, inst) = ImageCodecIO.decodeDicomWithInstance("rgb.dcm", bytes)
+      inst shouldBe 2
+      back.pixelType shouldBe PixelCodec.Rgb
+      back.slices shouldBe nf
+      back.data shouldBe data
+      // channel strategies see the true channels, not a gray replica
+      back.toDoubles("RED").head shouldBe (data(0) & 0xff).toDouble
+      back.toDoubles("BLUE").head shouldBe (data(2) & 0xff).toDouble
+    }
+    // RGB is a native/RLE profile: the single-component JPEG-family
+    // syntaxes must reject, not mis-encode
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpegLs)
+  }
+
   test("dicomTransferSyntax sniffs the meta group for every syntax; rejects non-DICOM bytes") {
     import graft.sources.ImageCodecIO
     val img = SparkImage(ImageMeta(), "[]", 2, 2, 1, PixelCodec.Short16,
