@@ -892,6 +892,68 @@ object Similarity {
     }
   }
 
+  /** GATE-CHECKED retrieval-quality audit (q152): per query, how many
+    * of the exact top-k the IVF and LSH indexes each recovered —
+    * recall@k numerators as plain BIGINTs, next to the k denominator
+    * every row shares. This puts measured QUALITY inside the hash
+    * gate: q46/q54 prove the indexes are deterministic, this row
+    * proves the oracle agrees on how many of the TRUE neighbors they
+    * find (the DuckDB side replays brute force, IVF and LSH
+    * independently and intersects). The continuous recall curve per
+    * knob lives in docs/SCALE.md (ScaleProbe `ann_recall`).
+    *
+    * Scale shape: three broadcast-query corpus scans (one per
+    * retrieval method — each already individually bounded) followed
+    * by joins over |Q|·k-row rank relations. */
+  def annRecallAudit(embeddings: DataFrame, queryFilter: Column, k: Int,
+                     nClusters: Int = 16, nProbe: Int = 4,
+                     numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryFilter, k)
+    val ivf = ivfTopK(embeddings, queryFilter, k, nClusters, nProbe, seed)
+    val lsh = lshTopK(embeddings, queryFilter, k, numPlanes, seed = seed)
+    val im = ivf.select(col("qid"), col("nid"), lit(1L).as("im"))
+    val lm = lsh.select(col("qid"), col("nid"), lit(1L).as("lm"))
+    truth.select(col("qid"), col("nid"))
+      .join(broadcast(im), Seq("qid", "nid"), "left")
+      .join(broadcast(lm), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("im"), lit(0L))).as("ivf_hits"),
+           sum(coalesce(col("lm"), lit(0L))).as("lsh_hits"),
+           count(lit(1)).as("k_total"))
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB oracle for [[annRecallAudit]]: replays brute force (the
+    * q29 normalized-dot folds), IVF (inlined centroids) and LSH
+    * (inlined planes) independently, then intersects each against the
+    * exact top-k — the full quality measurement recomputed from
+    * scratch in another engine. */
+  private[graft] def annRecallAuditOracleSql(centers: Array[Array[Double]],
+      queryCond: String, k: Int, nProbe: Int = 4,
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): String = {
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    s"""WITH ivfr AS (${ivfTopKOracleSql(centers, queryCond, k, nProbe, dim)}),
+    lshr AS (${lshTopKOracleSql(queryCond, k, numPlanes, dim, seed)}),
+    e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nv2 AS (SELECT vec_id, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+      FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS nrm FROM e2)),
+    q2 AS (SELECT vec_id AS qid, nv AS qnv FROM nv2 WHERE $queryCond),
+    tsims AS (SELECT q2.qid, b.vec_id AS nid, ${fold("q2.qnv[k] * b.nv[k]")} AS sim
+      FROM q2 JOIN nv2 b ON b.vec_id <> q2.qid),
+    truth AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM tsims) WHERE rnk <= $k)
+    SELECT t.qid,
+      CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
+      CAST(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+      CAST(COUNT(*) AS BIGINT) AS k_total
+    FROM truth t
+    LEFT JOIN ivfr i ON i.qid = t.qid AND i.nid = t.nid
+    LEFT JOIN lshr l ON l.qid = t.qid AND l.nid = t.nid
+    GROUP BY t.qid ORDER BY t.qid"""
+  }
+
   /** recall@k of an approximate ANN result against exact ground truth
     * — both in the (qid, rank, nid) shape every retrieval operator
     * here emits. recall = |approx ∩ truth| / |truth| over (qid, nid)

@@ -104,6 +104,17 @@ object TextPipeline {
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
       None),
 
+    // ---- ANN recall AUDIT: measured retrieval quality inside the
+    // hash gate — per query, how many of the exact top-10 the IVF and
+    // LSH indexes recover (recall numerators as BIGINTs). The oracle
+    // ([[dataOracles]]) replays brute force + both indexes from
+    // scratch and intersects, so a wrong-but-deterministic index can
+    // no longer ride the gate. Knob curves: docs/SCALE.md §ANN recall -
+    ("q152_ann_recall",
+      (s, dir) => Similarity.annRecallAudit(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 10),
+      None),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and
@@ -1229,7 +1240,10 @@ object TextPipeline {
       val (centers, books) = Similarity.ivfPqFit(t(s, dir, "embeddings"),
         nClusters = 8, m = 4, dim = 64, codes = 16, seed = 42L, maxFitSample = 65536)
       Similarity.ivfPqTopKOracleSql(centers, books, queryCond = "vec_id < 20", k = 5)
-    })
+    }),
+    "q152_ann_recall" -> ((s, dir) => Similarity.annRecallAuditOracleSql(
+      Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+      queryCond = "vec_id < 20", k = 10))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf
