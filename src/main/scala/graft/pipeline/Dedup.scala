@@ -139,6 +139,41 @@ object Dedup {
     ORDER BY id_a, id_b"""
   }
 
+  /** GATE-CHECKED dedup-quality audit (q153): how many of the exact
+    * Jaccard-≥-t pairs (q31's ground truth) the MinHash-LSH banding
+    * (q32's candidate generator) actually surfaces, plus the
+    * candidate-set size — recall numerator/denominator and the
+    * precision denominator as one BIGINT row. q31/q32 prove each side
+    * is deterministic; this row proves the oracle agrees on the
+    * banding's MEASURED recall (the (1-(1-s^r)^b curve made concrete
+    * on this corpus), so a wrong-but-deterministic banding cannot
+    * ride the gate. Scale shape: both inputs are the pair relations
+    * (output-bounded, never corpus²); the intersection joins on the
+    * pair key. */
+  def dedupRecallAudit(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val exact = ngramJaccardPairs(docs, n, threshold).select(col("id_a"), col("id_b"))
+    val cand = minhashLshPairs(docs, n, numHashes, bands)
+      .select(col("id_a"), col("id_b"))
+    exact.join(cand.withColumn("m", lit(1L)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("exact_pairs"),
+           sum(coalesce(col("m"), lit(0L))).as("pairs_found"))
+      .crossJoin(cand.agg(count(lit(1)).as("candidate_pairs")))
+  }
+
+  /** DuckDB oracle for [[dedupRecallAudit]]: the exact inverted-index
+    * formulation and the full HashSql MinHash+banding replay composed
+    * as CTEs, then intersected — the whole quality measurement
+    * recomputed from scratch. */
+  private[graft] def dedupRecallAuditOracleSql(n: Int, threshold: Double,
+      numHashes: Int, bands: Int): String =
+    s"""WITH exactp AS (SELECT id_a, id_b FROM (${ngramJaccardOracleSql(n, threshold)}) x),
+    candp AS (SELECT id_a, id_b FROM (${minhashLshOracleSqlBody(n, numHashes, bands)}) y)
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+      CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pairs_found,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM candp) AS candidate_pairs
+    FROM exactp e LEFT JOIN candp c ON c.id_a = e.id_a AND c.id_b = e.id_b"""
+
   // ---- MinHash + LSH -------------------------------------------------
 
   /** splitmix64 finalizer — the per-shingle base hash. */

@@ -245,6 +245,15 @@ object TextPipeline {
         .orderBy(col("id_a"), col("id_b")),
       Some(Dedup.minhashLshOracleSql(shingleN = 3, numHashes = 64, bands = 16))),
 
+    // ---- dedup recall AUDIT: how many exact Jaccard-≥-0.8 pairs the
+    // MinHash banding surfaces + the candidate volume, as one BIGINT
+    // row — measured dedup quality inside the hash gate (q31/q32 only
+    // pin determinism). Oracle composes both replays and intersects. --
+    ("q153_dedup_recall",
+      (s, dir) => Dedup.dedupRecallAudit(t(s, dir, "documents")),
+      Some(Dedup.dedupRecallAuditOracleSql(n = 3, threshold = 0.8,
+        numHashes = 64, bands = 16))),
+
     // ---- SimHash near-dup buckets — also hash-checked via HashSql ------
     ("q33_simhash",
       (s, dir) => Dedup.simhashBuckets(t(s, dir, "documents")),
