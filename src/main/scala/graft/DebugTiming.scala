@@ -37,6 +37,9 @@ object DebugTiming {
     time("q59-dedup-groups")(Dedup.dedupGroups(
       Dedup.embeddingNearDupLsh(emb, 0.25, 8, 4, 64, 42L))
       .groupBy(col("rep")).agg(count(lit(1)).as("n")).count())
+    (1 to 3).foreach { i =>
+      time(s"q92-gram-$i")(graft.pipeline.Similarity.gramMatrix(emb).count())
+    }
     spark.stop()
   }
 }
