@@ -152,13 +152,18 @@ object Dedup {
     * pair key. */
   def dedupRecallAudit(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val exact = ngramJaccardPairs(docs, n, threshold).select(col("id_a"), col("id_b"))
+    val exact = ngramJaccardPairs(docs, n, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("e"))
     val cand = minhashLshPairs(docs, n, numHashes, bands)
-      .select(col("id_a"), col("id_b"))
-    exact.join(cand.withColumn("m", lit(1L)), Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("exact_pairs"),
-           sum(coalesce(col("m"), lit(0L))).as("pairs_found"))
-      .crossJoin(cand.agg(count(lit(1)).as("candidate_pairs")))
+      .select(col("id_a"), col("id_b"), lit(1L).as("c"))
+    // ONE full outer join feeds all three counts, so each side's
+    // pipeline (the exact inverted index, the banding self-join)
+    // evaluates exactly once under the single action
+    exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("e"), lit(0L))).as("exact_pairs"),
+           sum(when(col("e").isNotNull && col("c").isNotNull, 1L)
+             .otherwise(0L)).as("pairs_found"),
+           sum(coalesce(col("c"), lit(0L))).as("candidate_pairs"))
   }
 
   /** DuckDB oracle for [[dedupRecallAudit]]: the exact inverted-index

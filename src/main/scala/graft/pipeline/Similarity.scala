@@ -215,12 +215,16 @@ object Similarity {
     }
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2Norm(col("v")))
-    // one (table, bucket) pair per vector per table — the inverted
-    // index a production multi-table LSH stores, L ints per vector
-    val tabled = (0 until numTables).map { t =>
-      val planes = deterministicPlanes(numPlanes, dim, seed + t * 7919L)
-      base.withColumn("tbl", lit(t)).withColumn("bucket", bucketOf(planes)(col("v")))
-    }.reduce(_ union _)
+    // ONE corpus scan computes every table's bucket (an array of L
+    // ints per vector — the inverted index a production multi-table
+    // LSH stores), then posexplode emits the (table, bucket) pairs; a
+    // union of L per-table scans would multiply corpus I/O and the
+    // norm computation by the knob
+    val allPlanes = (0 until numTables)
+      .map(t => deterministicPlanes(numPlanes, dim, seed + t * 7919L))
+    val tabled = base.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(array(allPlanes.map(p => bucketOf(p)(col("v"))): _*))
+        .as(Seq("tbl", "bucket")))
     val queries = tabled.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl").as("qtbl"),
               col("bucket").as("qbucket"), col("norm").as("qnorm"))
@@ -683,10 +687,15 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
+    // NOT cached: the corpus branch scans once for assignment and the
+    // query branch is a pushed-filter scan of |Q| rows — pinning a
+    // full-corpus projection in executor memory is exactly what a
+    // 100 TB deployment cannot do, and repeated ivfTopK calls in one
+    // session (q152's audit, the ScaleProbe recall sweep) would each
+    // leak another never-unpersisted copy
     val base = PartitionUtil.spread(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nv", normalizeUdf(col("v")))
-      .cache()
     val centers = ivfFitCenters(embeddings, nClusters, seed, maxFitSample)
     val bcCenters = spark.sparkContext.broadcast(centers)
 

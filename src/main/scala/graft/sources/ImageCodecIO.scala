@@ -718,7 +718,9 @@ object ImageCodecIO {
       require(encapFragments.length == frames,
         s"${encapFragments.length} pixel fragments for NumberOfFrames $frames " +
           s"in $path (this profile stores one fragment per frame)")
-      px = encapFragments.map(fragToBytes).reduce(_ ++ _)
+      // single-allocation concat: reduce(_ ++ _) would copy frame k's
+      // prefix k times — quadratic on real 1000-frame objects
+      px = Array.concat(encapFragments.map(fragToBytes): _*)
     }
     require(px != null, s"missing DICOM pixel data: $path")
     val frameBytes = n * samples * (bits / 8)
@@ -858,7 +860,11 @@ object ImageCodecIO {
     str(0x0020, 0x0013, "IS", instance.toString, ' ')
     us(0x0028, 0x0002, if (isRgb) 3 else 1)
     str(0x0028, 0x0004, "CS", if (isRgb) "RGB" else "MONOCHROME2", ' ')
-    if (isRgb) us(0x0028, 0x0006, planarConfig)
+    // PS3.5 (CP-1692): PlanarConfiguration shall be 0 for encapsulated
+    // pixel data — the RLE segments are inherently planar regardless,
+    // so a planar=1 REQUEST on the RLE syntax clamps to a conformant 0
+    // tag (byte layout unaffected)
+    if (isRgb) us(0x0028, 0x0006, if (encapsulated) 0 else planarConfig)
     if (frames > 1) str(0x0028, 0x0008, "IS", frames.toString, ' ')
     us(0x0028, 0x0010, h)
     us(0x0028, 0x0011, w)
@@ -914,10 +920,10 @@ object ImageCodecIO {
     } else if (isRgb) {
       // native RGB: OB byte stream (8-bit samples, no word swap even
       // in the big-endian syntax), interleaved or planar per frame
-      val data = (0 until frames).map { f =>
-        if (planarConfig == 1) rgbPlane(f, 0) ++ rgbPlane(f, 1) ++ rgbPlane(f, 2)
-        else rgbInterleaved(f)
-      }.reduce(_ ++ _)
+      val data = Array.concat((0 until frames).flatMap { f =>
+        if (planarConfig == 1) Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2))
+        else Seq(rgbInterleaved(f))
+      }: _*)
       val padded = if (data.length % 2 == 0) data else data :+ 0.toByte
       u16x(0x7fe0); u16x(0x0010)
       if (explicitVr) { bos.write('O'); bos.write('B'); u16x(0); u32x(padded.length) }
