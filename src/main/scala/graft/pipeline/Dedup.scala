@@ -179,6 +179,59 @@ object Dedup {
       (SELECT CAST(COUNT(*) AS BIGINT) FROM candp) AS candidate_pairs
     FROM exactp e LEFT JOIN candp c ON c.id_a = e.id_a AND c.id_b = e.id_b"""
 
+  /** GATE-CHECKED embedding near-dup quality audit (q154): how many of
+    * the exact cosine-> t pairs the banded random-hyperplane LSH (q36's
+    * generator) surfaces. The LSH re-scores its candidates exactly
+    * with the same threshold, so its output is a SUBSET of the exact
+    * pair set by construction — candidate_pairs = pairs_found and the
+    * measurement is pure recall (bucket misses). One BIGINT row.
+    *
+    * Scale note: the exact side is the deliberate N² ground truth —
+    * the same role q29's brute force plays for the ANN audits; at
+    * corpus scale one runs the audit on a sampled slice, the LSH
+    * itself (q36) stays the production path. */
+  def neardupRecallAudit(embeddings: DataFrame, threshold: Double = 0.25,
+                         bands: Int = 8, rowsPerBand: Int = 4,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val nv = embeddings.select(col("vec_id"),
+      Similarity.normalizeUdf(Similarity.asDouble(col("embedding"))).as("nv"))
+    val a = nv.select(col("vec_id").as("id_a"), col("nv").as("va"))
+    val b = nv.select(col("vec_id").as("id_b"), col("nv").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .filter(Similarity.nativeDot(spark)(col("va"), col("vb")) > threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("e"))
+    val cand = embeddingNearDupLsh(embeddings, threshold, bands, rowsPerBand, dim, seed)
+      .select(col("id_a"), col("id_b"), lit(1L).as("c"))
+    exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("e"), lit(0L))).as("exact_pairs"),
+           sum(when(col("e").isNotNull && col("c").isNotNull, 1L)
+             .otherwise(0L)).as("pairs_found"),
+           sum(coalesce(col("c"), lit(0L))).as("candidate_pairs"))
+  }
+
+  /** DuckDB oracle for [[neardupRecallAudit]]: the exact side replays
+    * the Spark normalize + sequential-dot folds (the q29/q152
+    * pattern — structural agreement, not float luck); the candidate
+    * side is the full [[embeddingLshOracleSqlBody]] replay. */
+  private[graft] def neardupRecallAuditOracleSql(threshold: Double,
+      bands: Int, rowsPerBand: Int, dim: Int, seed: Long): String = {
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    s"""WITH candp AS (${embeddingLshOracleSqlBody(threshold, bands, rowsPerBand, dim, seed)}),
+    e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nv3 AS (SELECT vec_id, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+      FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS nrm FROM e3)),
+    exactp AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM nv3 a JOIN nv3 c ON a.vec_id < c.vec_id
+      WHERE ${fold("a.nv[k] * c.nv[k]")} > $threshold)
+    SELECT CAST(SUM(CASE WHEN x.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_pairs,
+      CAST(SUM(CASE WHEN x.id_a IS NOT NULL AND y.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pairs_found,
+      CAST(SUM(CASE WHEN y.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS candidate_pairs
+    FROM exactp x FULL OUTER JOIN candp y
+      ON y.id_a = x.id_a AND y.id_b = x.id_b"""
+  }
+
   // ---- MinHash + LSH -------------------------------------------------
 
   /** splitmix64 finalizer — the per-shingle base hash. */

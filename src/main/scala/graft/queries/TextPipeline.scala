@@ -537,6 +537,17 @@ object TextPipeline {
       Some(Dedup.embeddingLshOracleSql(threshold = 0.25,
         bands = 8, rowsPerBand = 4, dim = 64, seed = 42L))),
 
+    // ---- embedding near-dup recall AUDIT: how many exact cosine->0.25
+    // pairs q36's banded hyperplane LSH surfaces (its re-score makes
+    // candidates a subset of exact, so this measures pure bucket-miss
+    // recall). Exact side replays the normalize+dot folds; candidate
+    // side is the full LSH replay — measured dedup-family quality in
+    // the gate, embedding edition of q153. --------------------------
+    ("q154_neardup_recall",
+      (s, dir) => Dedup.neardupRecallAudit(t(s, dir, "embeddings")),
+      Some(Dedup.neardupRecallAuditOracleSql(threshold = 0.25,
+        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L))),
+
     // ---- Bloom-prefiltered benchmark decontamination: benchmark
     // shingles fold into a broadcast Bloom bit array that drops ~all
     // clean train shingles AT THE SCAN; survivors re-verify exactly, so
