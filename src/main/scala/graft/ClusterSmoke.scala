@@ -43,6 +43,9 @@ object ClusterSmoke {
     "q146_blocklist", // the Aho-Corasick automaton program broadcasts into executor-side scans
     "q149_bloom_prejoin", // ONE-row packed-word Bloom array broadcast + xxhash64 probe cross-JVM
     "q151_ann_ivfpq", // nested centroid+codebook arrays broadcast into executor-side encode/ADC UDFs
+    "q152_ann_recall", // three retrieval legs + two broadcast rank-relation joins cross-JVM
+    "q154_neardup_recall", // full-outer pair intersection over BNLJ ground truth + banded LSH cross-JVM
+    "img23_dicom_multiframe", // multi-frame encode/decode + populated-BOT fragments through executor-side FS
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {
