@@ -152,13 +152,18 @@ object Dedup {
     * pair key. */
   def dedupRecallAudit(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val exact = ngramJaccardPairs(docs, n, threshold)
-      .select(col("id_a"), col("id_b"), lit(1L).as("e"))
-    val cand = minhashLshPairs(docs, n, numHashes, bands)
-      .select(col("id_a"), col("id_b"), lit(1L).as("c"))
-    // ONE full outer join feeds all three counts, so each side's
-    // pipeline (the exact inverted index, the banding self-join)
-    // evaluates exactly once under the single action
+    recallCounts(
+      ngramJaccardPairs(docs, n, threshold).select(col("id_a"), col("id_b")),
+      minhashLshPairs(docs, n, numHashes, bands).select(col("id_a"), col("id_b")))
+  }
+
+  /** Shared (exact, candidate) pair-set intersection for the recall
+    * audits: ONE full outer join feeds all three counts, so each
+    * side's pipeline evaluates exactly once under the single action.
+    * Both inputs must be distinct (id_a, id_b) relations. */
+  private def recallCounts(exactPairs: DataFrame, candPairs: DataFrame): DataFrame = {
+    val exact = exactPairs.withColumn("e", lit(1L))
+    val cand = candPairs.withColumn("c", lit(1L))
     exact.join(cand, Seq("id_a", "id_b"), "full_outer")
       .agg(sum(coalesce(col("e"), lit(0L))).as("exact_pairs"),
            sum(when(col("e").isNotNull && col("c").isNotNull, 1L)
@@ -168,16 +173,19 @@ object Dedup {
 
   /** DuckDB oracle for [[dedupRecallAudit]]: the exact inverted-index
     * formulation and the full HashSql MinHash+banding replay composed
-    * as CTEs, then intersected — the whole quality measurement
-    * recomputed from scratch. */
+    * as CTEs, then intersected with the SAME full-outer shape as the
+    * impl (a LEFT join would diverge when the banding emits a
+    * false-positive candidate outside the exact set, or on an empty
+    * exact set — pairs_found must count matches from BOTH sides'
+    * perspective). */
   private[graft] def dedupRecallAuditOracleSql(n: Int, threshold: Double,
       numHashes: Int, bands: Int): String =
     s"""WITH exactp AS (SELECT id_a, id_b FROM (${ngramJaccardOracleSql(n, threshold)}) x),
     candp AS (SELECT id_a, id_b FROM (${minhashLshOracleSqlBody(n, numHashes, bands)}) y)
-    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
-      CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pairs_found,
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM candp) AS candidate_pairs
-    FROM exactp e LEFT JOIN candp c ON c.id_a = e.id_a AND c.id_b = e.id_b"""
+    SELECT CAST(SUM(CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_pairs,
+      CAST(SUM(CASE WHEN e.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pairs_found,
+      CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS candidate_pairs
+    FROM exactp e FULL OUTER JOIN candp c ON c.id_a = e.id_a AND c.id_b = e.id_b"""
 
   /** GATE-CHECKED embedding near-dup quality audit (q154): how many of
     * the exact cosine-> t pairs the banded random-hyperplane LSH (q36's
@@ -200,14 +208,10 @@ object Dedup {
     val b = nv.select(col("vec_id").as("id_b"), col("nv").as("vb"))
     val exact = a.join(b, col("id_a") < col("id_b"))
       .filter(Similarity.nativeDot(spark)(col("va"), col("vb")) > threshold)
-      .select(col("id_a"), col("id_b"), lit(1L).as("e"))
+      .select(col("id_a"), col("id_b"))
     val cand = embeddingNearDupLsh(embeddings, threshold, bands, rowsPerBand, dim, seed)
-      .select(col("id_a"), col("id_b"), lit(1L).as("c"))
-    exact.join(cand, Seq("id_a", "id_b"), "full_outer")
-      .agg(sum(coalesce(col("e"), lit(0L))).as("exact_pairs"),
-           sum(when(col("e").isNotNull && col("c").isNotNull, 1L)
-             .otherwise(0L)).as("pairs_found"),
-           sum(coalesce(col("c"), lit(0L))).as("candidate_pairs"))
+      .select(col("id_a"), col("id_b"))
+    recallCounts(exact, cand)
   }
 
   /** DuckDB oracle for [[neardupRecallAudit]]: the exact side replays
