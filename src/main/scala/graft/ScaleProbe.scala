@@ -164,6 +164,19 @@ object ScaleProbe {
     probe("dedup_groups_cc",
       Dedup.dedupGroups(Dedup.embeddingNearDupLsh(emb, 0.8, 8, 8, 64, 42L)).count(),
       Dedup.dedupGroups(Dedup.embeddingNearDupLsh(embN, 0.8, 8, 8, 64, 42L)).count())
+    // quality-audit cost: the FULL audit's exact side is the
+    // deliberate N² ground truth, so its 10× ratio is ~quadratic
+    // (~100× work). The sampled variant holds the ANCHOR BUDGET fixed
+    // (fraction scaled 1/copies: ~1000 anchors on both sides), so the
+    // exact side costs anchors·N — the ratio collapses to ~linear.
+    // This pair of rows is the measured 'the audit itself is 100 TB-
+    // shaped' claim behind q156's gate entry.
+    probe("neardup_audit_full",
+      Dedup.neardupRecallAudit(emb, 0.8, 8, 8, 64, 42L).count(),
+      Dedup.neardupRecallAudit(embN, 0.8, 8, 8, 64, 42L).count())
+    probe("neardup_audit_sampled",
+      Dedup.neardupRecallAudit(emb, 0.8, 8, 8, 64, 42L, anchorFraction = 0.5).count(),
+      Dedup.neardupRecallAudit(embN, 0.8, 8, 8, 64, 42L, anchorFraction = 0.05).count())
     probe("ann_topk",
       Similarity.bruteForceTopK(emb, col("vec_id") < 20, 5).count(),
       Similarity.bruteForceTopK(embN, col("vec_id") < 20, 5).count())

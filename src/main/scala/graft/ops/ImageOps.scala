@@ -158,10 +158,25 @@ object ImageOps {
     * (ultrasound / XA / secondary capture) next to
     * [[saveDicomSeries]]' file-per-slice CT shape. `planar` picks the
     * RGB byte layout (0 interleaved / 1 planes) and is ignored for
-    * grayscale. Executor-side Hadoop FS writes like every sink here. */
+    * grayscale. Executor-side Hadoop FS writes like every sink here.
+    *
+    * Samples whose SANITIZED names collide (e.g. "a b" and "a_b")
+    * would silently overwrite each other's file — and here a collision
+    * loses a whole stack, not one slice — so the sink fails loudly
+    * first. The check is one distributed count over the name column
+    * (bounded output: at most one example row reaches the driver),
+    * never a collect of the sample list. */
   def saveDicomMultiFrame(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val safeUdf = udf { s: String => safeName(s) }
+    val dup = df.select(safeUdf(col("sample")).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"saveDicomMultiFrame: ${dup.headOption.map(_.getString(0)).getOrElse("")} — " +
+        "two samples sanitize to the same file name; disambiguate samples " +
+        "before writing (each collision silently drops a whole stack)")
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     df.select(col("sample"), col("image"), col("ts"), col("planar"))

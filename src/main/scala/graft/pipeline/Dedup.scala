@@ -28,6 +28,32 @@ object Dedup {
   /** Distinct word n-gram shingles per document. */
   def shingles(text: Column, n: Int): Column = shingleUdf(n)(tokens(text))
 
+  // ---- anchor sampling (shared by the quality audits) -----------------
+
+  /** Deterministic content-hash anchor sample: a row is an anchor iff
+    * the first 4 hex chars of md5("anchor-<seed>-<id>") fall below
+    * fraction·0x10000. A pure function of row content — the same rows
+    * are anchors across partition counts, engines and reruns — and the
+    * hash is independent of WHETHER a pair is a hit, so recall
+    * estimated on anchored pairs is unbiased. Used by the audit
+    * functions' `anchorFraction` knob: truth restricted to pairs whose
+    * id_a (resp. queries whose qid) is an anchor costs s·(full cost)
+    * instead of the quadratic full audit — the 100 TB audit shape. */
+  private[graft] def anchorThresholdHex(fraction: Double): String = {
+    require(fraction > 0.0 && fraction < 1.0,
+      s"anchorFraction must be in (0,1), got $fraction (1.0 = don't sample)")
+    f"${math.round(fraction * 65536).toInt}%04x"
+  }
+
+  private[graft] def anchorPred(idCol: Column, seed: Long, fraction: Double): Column =
+    substring(md5(concat_ws("-", lit(s"anchor-$seed"), idCol)), 1, 4) <
+      lit(anchorThresholdHex(fraction))
+
+  /** The DuckDB replay of [[anchorPred]] — byte-identical input string
+    * and the same lowercase-hex md5 prefix compare. */
+  private[graft] def anchorCondSql(idExpr: String, seed: Long, fraction: Double): String =
+    s"substring(md5('anchor-$seed-' || CAST($idExpr AS VARCHAR)), 1, 4) < '${anchorThresholdHex(fraction)}'"
+
   // ---- exact ---------------------------------------------------------
 
   /** Exact dedup: keep the lowest doc_id per identical text. */
@@ -60,7 +86,20 @@ object Dedup {
     * size filter (min/max ≥ t) prunes candidates before the distinct;
     * the re-score joins full shingle arrays only for surviving pairs.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsImpl(docs, n, threshold, anchorA = None)
+
+  /** [[ngramJaccardPairs]] with the id_a side of the candidate join
+    * optionally restricted to an anchor sample (a predicate on
+    * `doc_id`): only pairs whose SMALLER id is an anchor are emitted,
+    * and the restriction is pushed into the a-side posting relation —
+    * so the join work (and the re-score) scales with the sample, not
+    * the corpus. The prefix filter's no-false-negative property is
+    * untouched: an anchored pair's shared rarest shingle still sits in
+    * both prefixes; dropping non-anchored a-rows only drops pairs
+    * outside the sample. */
+  private[graft] def ngramJaccardPairsImpl(docs: DataFrame, n: Int,
+      threshold: Double, anchorA: Option[Column]): DataFrame = {
     val den = 10000L
     // floor, not round: num/den ≤ threshold must hold or the prefix
     // comes out one short and the size filter over-prunes (false
@@ -89,7 +128,8 @@ object Dedup {
           .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= expr(s"sz - (sz * $num + ${den - 1}) DIV $den + 1"))
       .select(xxhash64(col("s")).as("h"), col("doc_id"), col("sz"))
-    val cand = prefix.select(col("h"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val prefixA = anchorA.map(p => prefix.filter(p)).getOrElse(prefix)
+    val cand = prefixA.select(col("h"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
       .join(prefix.select(col("h"), col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       // size filter: J ≥ t ⟹ min(szA,szB)/max(szA,szB) ≥ t
@@ -151,24 +191,41 @@ object Dedup {
     * (output-bounded, never corpus²); the intersection joins on the
     * pair key. */
   def dedupRecallAudit(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    recallCounts(
-      ngramJaccardPairs(docs, n, threshold).select(col("id_a"), col("id_b")),
-      minhashLshPairs(docs, n, numHashes, bands).select(col("id_a"), col("id_b")))
+                       numHashes: Int = 64, bands: Int = 16,
+                       anchorFraction: Double = 1.0,
+                       anchorSeed: Long = 7L): DataFrame = {
+    // anchorFraction < 1: both sides restricted to pairs whose id_a is
+    // a content-hash anchor ([[anchorPred]]) — the exact side's join
+    // work scales with the sample (the restriction is pushed into the
+    // a-side posting relation), the recall estimate stays unbiased,
+    // and the gate oracle replays the identical sample (q157)
+    val anchored = anchorFraction < 1.0
+    val exact =
+      ngramJaccardPairsImpl(docs, n, threshold,
+        anchorA = if (anchored)
+          Some(anchorPred(col("doc_id"), anchorSeed, anchorFraction)) else None)
+        .select(col("id_a"), col("id_b"))
+    val cand0 = minhashLshPairs(docs, n, numHashes, bands)
+      .select(col("id_a"), col("id_b"))
+    val cand = if (anchored)
+      cand0.filter(anchorPred(col("id_a"), anchorSeed, anchorFraction)) else cand0
+    recallCounts(exact, cand)
   }
 
   /** Shared (exact, candidate) pair-set intersection for the recall
     * audits: ONE full outer join feeds all three counts, so each
     * side's pipeline evaluates exactly once under the single action.
-    * Both inputs must be distinct (id_a, id_b) relations. */
+    * Both inputs must be distinct (id_a, id_b) relations. The outer
+    * coalesce keeps the row well-defined BIGINT zeros on a clean
+    * corpus (sum over the empty join is NULL otherwise). */
   private def recallCounts(exactPairs: DataFrame, candPairs: DataFrame): DataFrame = {
     val exact = exactPairs.withColumn("e", lit(1L))
     val cand = candPairs.withColumn("c", lit(1L))
     exact.join(cand, Seq("id_a", "id_b"), "full_outer")
-      .agg(sum(coalesce(col("e"), lit(0L))).as("exact_pairs"),
-           sum(when(col("e").isNotNull && col("c").isNotNull, 1L)
-             .otherwise(0L)).as("pairs_found"),
-           sum(coalesce(col("c"), lit(0L))).as("candidate_pairs"))
+      .agg(coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L)).as("exact_pairs"),
+           coalesce(sum(when(col("e").isNotNull && col("c").isNotNull, 1L)
+             .otherwise(0L)), lit(0L)).as("pairs_found"),
+           coalesce(sum(coalesce(col("c"), lit(0L))), lit(0L)).as("candidate_pairs"))
   }
 
   /** DuckDB oracle for [[dedupRecallAudit]]: the exact inverted-index
@@ -179,13 +236,20 @@ object Dedup {
     * exact set — pairs_found must count matches from BOTH sides'
     * perspective). */
   private[graft] def dedupRecallAuditOracleSql(n: Int, threshold: Double,
-      numHashes: Int, bands: Int): String =
-    s"""WITH exactp AS (SELECT id_a, id_b FROM (${ngramJaccardOracleSql(n, threshold)}) x),
-    candp AS (SELECT id_a, id_b FROM (${minhashLshOracleSqlBody(n, numHashes, bands)}) y)
-    SELECT CAST(SUM(CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_pairs,
-      CAST(SUM(CASE WHEN e.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pairs_found,
-      CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS candidate_pairs
+      numHashes: Int, bands: Int,
+      anchorFraction: Double = 1.0, anchorSeed: Long = 7L): String = {
+    // the oracle replays the SAME anchor sample by filtering each full
+    // formulation's output on the identical content-hash predicate —
+    // semantics, not the impl's pushed-down cost optimization
+    val aw = if (anchorFraction < 1.0)
+      s" WHERE ${anchorCondSql("id_a", anchorSeed, anchorFraction)}" else ""
+    s"""WITH exactp AS (SELECT id_a, id_b FROM (${ngramJaccardOracleSql(n, threshold)}) x$aw),
+    candp AS (SELECT id_a, id_b FROM (${minhashLshOracleSqlBody(n, numHashes, bands)}) y$aw)
+    SELECT CAST(COALESCE(SUM(CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact_pairs,
+      CAST(COALESCE(SUM(CASE WHEN e.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS pairs_found,
+      CAST(COALESCE(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS candidate_pairs
     FROM exactp e FULL OUTER JOIN candp c ON c.id_a = e.id_a AND c.id_b = e.id_b"""
+  }
 
   /** GATE-CHECKED embedding near-dup quality audit (q154): how many of
     * the exact cosine-> t pairs the banded random-hyperplane LSH (q36's
@@ -195,22 +259,35 @@ object Dedup {
     * measurement is pure recall (bucket misses). One BIGINT row.
     *
     * Scale note: the exact side is the deliberate N² ground truth —
-    * the same role q29's brute force plays for the ANN audits; at
-    * corpus scale one runs the audit on a sampled slice, the LSH
+    * the same role q29's brute force plays for the ANN audits. At
+    * corpus scale set `anchorFraction`: the truth is then computed
+    * exactly but only for pairs whose id_a is a deterministic
+    * content-hash anchor ([[anchorPred]]) — the exact join's a-side
+    * shrinks to s·N rows (cost s·N², the 1/s reduction that makes the
+    * audit itself deployable), candidates are filtered to the same
+    * anchors on both sides, and the recall estimate is unbiased
+    * because anchor membership is independent of hit status. The LSH
     * itself (q36) stays the production path. */
   def neardupRecallAudit(embeddings: DataFrame, threshold: Double = 0.25,
                          bands: Int = 8, rowsPerBand: Int = 4,
-                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+                         dim: Int = 64, seed: Long = 42L,
+                         anchorFraction: Double = 1.0,
+                         anchorSeed: Long = 7L): DataFrame = {
     val spark = embeddings.sparkSession
+    val anchored = anchorFraction < 1.0
     val nv = embeddings.select(col("vec_id"),
       Similarity.normalizeUdf(Similarity.asDouble(col("embedding"))).as("nv"))
-    val a = nv.select(col("vec_id").as("id_a"), col("nv").as("va"))
+    val aAll = nv.select(col("vec_id").as("id_a"), col("nv").as("va"))
+    val a = if (anchored)
+      aAll.filter(anchorPred(col("id_a"), anchorSeed, anchorFraction)) else aAll
     val b = nv.select(col("vec_id").as("id_b"), col("nv").as("vb"))
     val exact = a.join(b, col("id_a") < col("id_b"))
       .filter(Similarity.nativeDot(spark)(col("va"), col("vb")) > threshold)
       .select(col("id_a"), col("id_b"))
-    val cand = embeddingNearDupLsh(embeddings, threshold, bands, rowsPerBand, dim, seed)
+    val cand0 = embeddingNearDupLsh(embeddings, threshold, bands, rowsPerBand, dim, seed)
       .select(col("id_a"), col("id_b"))
+    val cand = if (anchored)
+      cand0.filter(anchorPred(col("id_a"), anchorSeed, anchorFraction)) else cand0
     recallCounts(exact, cand)
   }
 
@@ -219,19 +296,25 @@ object Dedup {
     * pattern — structural agreement, not float luck); the candidate
     * side is the full [[embeddingLshOracleSqlBody]] replay. */
   private[graft] def neardupRecallAuditOracleSql(threshold: Double,
-      bands: Int, rowsPerBand: Int, dim: Int, seed: Long): String = {
+      bands: Int, rowsPerBand: Int, dim: Int, seed: Long,
+      anchorFraction: Double = 1.0, anchorSeed: Long = 7L): String = {
     def fold(prod: String) =
       s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
-    s"""WITH candp AS (${embeddingLshOracleSqlBody(threshold, bands, rowsPerBand, dim, seed)}),
+    val exAnchor = if (anchorFraction < 1.0)
+      s" AND ${anchorCondSql("a.vec_id", anchorSeed, anchorFraction)}" else ""
+    val candAnchor = if (anchorFraction < 1.0)
+      s" WHERE ${anchorCondSql("id_a", anchorSeed, anchorFraction)}" else ""
+    s"""WITH candp0 AS (${embeddingLshOracleSqlBody(threshold, bands, rowsPerBand, dim, seed)}),
+    candp AS (SELECT id_a, id_b FROM candp0$candAnchor),
     e3 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     nv3 AS (SELECT vec_id, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
       FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS nrm FROM e3)),
     exactp AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
       FROM nv3 a JOIN nv3 c ON a.vec_id < c.vec_id
-      WHERE ${fold("a.nv[k] * c.nv[k]")} > $threshold)
-    SELECT CAST(SUM(CASE WHEN x.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_pairs,
-      CAST(SUM(CASE WHEN x.id_a IS NOT NULL AND y.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pairs_found,
-      CAST(SUM(CASE WHEN y.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS candidate_pairs
+      WHERE ${fold("a.nv[k] * c.nv[k]")} > $threshold$exAnchor)
+    SELECT CAST(COALESCE(SUM(CASE WHEN x.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact_pairs,
+      CAST(COALESCE(SUM(CASE WHEN x.id_a IS NOT NULL AND y.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS pairs_found,
+      CAST(COALESCE(SUM(CASE WHEN y.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS candidate_pairs
     FROM exactp x FULL OUTER JOIN candp y
       ON y.id_a = x.id_a AND y.id_b = x.id_b"""
   }

@@ -233,9 +233,14 @@ object Similarity {
           col("vec_id") =!= col("qid"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
       .select(col("qid"), col("vec_id").as("nid"), col("sim"))
-    // a pair colliding in several tables yields bit-identical rows
-    // (same fold order); distinct collapses them before the top-k
-    val sims = if (numTables == 1) sims0 else sims0.distinct()
+    // a pair colliding in several tables yields the same similarity
+    // (same fold order today) — but dedup on the PAIR KEY, not the
+    // full row, so correctness never depends on the double being
+    // bit-identical across tables (any future per-table perturbation
+    // of v/norm would otherwise silently duplicate a neighbor and
+    // displace a true top-k entry)
+    val sims = if (numTables == 1) sims0
+      else sims0.groupBy(col("qid"), col("nid")).agg(max(col("sim")).as("sim"))
     topKPerKey(sims, "qid", k)
   }
 
@@ -265,6 +270,48 @@ object Similarity {
     sims AS (SELECT q.qid, b.vec_id AS nid,
       ${fold("q.qv[k] * b.v[k]")} / (q.qnorm * b.norm) AS sim
       FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid)
+    SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+      SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM sims)
+    WHERE rnk <= $k ORDER BY qid, rank"""
+  }
+
+  /** DuckDB oracle for multi-table [[lshTopK]] (numTables > 1 — the
+    * production OR-amplified recipe): every table's plane set is
+    * inlined (seed + t·7919, the impl's offsets), each vector gets one
+    * bucket column per table, and a pair is a candidate when it
+    * collides in ANY table (the OR join), deduplicated on the pair key
+    * exactly like the impl's groupBy(qid, nid) — the similarity is
+    * then computed once per distinct pair from the same raw-dot /
+    * norm-product folds. Output is ranks. */
+  private[graft] def lshTopKMultiOracleSql(queryCond: String, k: Int,
+                                           numPlanes: Int, dim: Int,
+                                           seed: Long, numTables: Int): String = {
+    require(numTables >= 2, "use lshTopKOracleSql for a single table")
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    def bucketExpr(planes: Seq[Array[Double]]): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val w = dlitArr(p)
+        s"(CASE WHEN ${fold(s"v[k] * ($w)[k]")} >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketCols = (0 until numTables).map { t =>
+      val planes = deterministicPlanes(numPlanes, dim, seed + t * 7919L)
+      s"${bucketExpr(planes)} AS b$t"
+    }.mkString(",\n      ")
+    val qBucketCols = (0 until numTables).map(t => s"b$t AS qb$t").mkString(", ")
+    val orJoin = (0 until numTables).map(t => s"b.b$t = q.qb$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS norm,
+      $bucketCols
+      FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, $qBucketCols
+      FROM b WHERE $queryCond),
+    cand AS (SELECT DISTINCT q.qid, b.vec_id AS nid
+      FROM b JOIN q ON b.vec_id <> q.qid AND ($orJoin)),
+    sims AS (SELECT c.qid, c.nid,
+      ${fold("q.qv[k] * b.v[k]")} / (q.qnorm * b.norm) AS sim
+      FROM cand c JOIN q ON q.qid = c.qid JOIN b ON b.vec_id = c.nid)
     SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
       SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
       FROM sims)
@@ -916,10 +963,21 @@ object Similarity {
     * by joins over |Q|·k-row rank relations. */
   def annRecallAudit(embeddings: DataFrame, queryFilter: Column, k: Int,
                      nClusters: Int = 16, nProbe: Int = 4,
-                     numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val truth = bruteForceTopK(embeddings, queryFilter, k)
-    val ivf = ivfTopK(embeddings, queryFilter, k, nClusters, nProbe, seed)
-    val lsh = lshTopK(embeddings, queryFilter, k, numPlanes, seed = seed)
+                     numPlanes: Int = 8, seed: Long = 42L,
+                     anchorFraction: Double = 1.0,
+                     anchorSeed: Long = 7L): DataFrame = {
+    // anchorFraction < 1: audit only a deterministic content-hash
+    // sample of the queries ([[Dedup.anchorPred]] on qid) — the truth
+    // cost drops from |Q|·N to s·|Q|·N while staying exact per anchor,
+    // and the estimate is unbiased (anchor membership is independent
+    // of hit status). The 100 TB audit shape; oracle replays the same
+    // sample via the same md5-prefix predicate.
+    val qf = if (anchorFraction < 1.0)
+      queryFilter && Dedup.anchorPred(col("vec_id"), anchorSeed, anchorFraction)
+    else queryFilter
+    val truth = bruteForceTopK(embeddings, qf, k)
+    val ivf = ivfTopK(embeddings, qf, k, nClusters, nProbe, seed)
+    val lsh = lshTopK(embeddings, qf, k, numPlanes, seed = seed)
     val im = ivf.select(col("qid"), col("nid"), lit(1L).as("im"))
     val lm = lsh.select(col("qid"), col("nid"), lit(1L).as("lm"))
     truth.select(col("qid"), col("nid"))
@@ -960,6 +1018,85 @@ object Similarity {
     FROM truth t
     LEFT JOIN ivfr i ON i.qid = t.qid AND i.nid = t.nid
     LEFT JOIN lshr l ON l.qid = t.qid AND l.nid = t.nid
+    GROUP BY t.qid ORDER BY t.qid"""
+  }
+
+  /** GATE-CHECKED production-recipe retrieval-quality audit (q155):
+    * the [[annRecallAudit]] measurement re-run at the knob settings a
+    * deployment would actually use (docs/SCALE.md §ANN recall@10 —
+    * IVF nProbe=16 → 1.000, LSH 4 planes × 32 tables → 0.993, IVF-PQ
+    * m=16 rerank=200 → 0.948 on sf0.1), not the cheap gate defaults
+    * q152 pins (LSH 0.021, IVF-PQ 0.097). Per query: how many of the
+    * exact top-k each production index recovers, as BIGINTs — so the
+    * DEPLOYABLE config is hash-pinned for determinism AND its recall
+    * floor is spec-asserted (PipelineSpec: ≥ 0.9·k·|Q| per family).
+    *
+    * Scale shape: four broadcast-query corpus scans (truth + three
+    * indexes, each individually bounded — the multi-table LSH computes
+    * all 32 buckets in its ONE scan, the PQ rerank adds one
+    * broadcast-join lookup) feeding joins over |Q|·k-row relations. */
+  def annRecallAuditProd(embeddings: DataFrame, queryFilter: Column, k: Int,
+                         nClusters: Int = 16, ivfProbe: Int = 16,
+                         lshPlanes: Int = 4, lshTables: Int = 32,
+                         pqClusters: Int = 8, pqProbe: Int = 8,
+                         pqM: Int = 16, pqCodes: Int = 16, pqRerank: Int = 200,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryFilter, k)
+    val ivf = ivfTopK(embeddings, queryFilter, k, nClusters, ivfProbe, seed)
+    val lsh = lshTopK(embeddings, queryFilter, k, lshPlanes, dim, seed, lshTables)
+    val pq = ivfPqTopK(embeddings, queryFilter, k, pqClusters, pqProbe, pqM,
+      dim, pqCodes, seed, rerank = pqRerank)
+    val im = ivf.select(col("qid"), col("nid"), lit(1L).as("im"))
+    val lm = lsh.select(col("qid"), col("nid"), lit(1L).as("lm"))
+    val pm = pq.select(col("qid"), col("nid"), lit(1L).as("pm"))
+    truth.select(col("qid"), col("nid"))
+      .join(broadcast(im), Seq("qid", "nid"), "left")
+      .join(broadcast(lm), Seq("qid", "nid"), "left")
+      .join(broadcast(pm), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("im"), lit(0L))).as("ivf_hits"),
+           sum(coalesce(col("lm"), lit(0L))).as("lsh_hits"),
+           sum(coalesce(col("pm"), lit(0L))).as("pq_hits"),
+           count(lit(1)).as("k_total"))
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB oracle for [[annRecallAuditProd]]: brute force, IVF at the
+    * production probe count, the 32-table OR-amplified LSH and the
+    * rerank-refined IVF-PQ all replayed from scratch (fitted centroids
+    * and codebooks inlined), then each intersected with the exact
+    * top-k — the full production-recipe quality measurement recomputed
+    * in another engine. */
+  private[graft] def annRecallAuditProdOracleSql(
+      ivfCenters: Array[Array[Double]],
+      pqCenters: Array[Array[Double]], pqBooks: Array[Array[Array[Double]]],
+      queryCond: String, k: Int,
+      ivfProbe: Int = 16, lshPlanes: Int = 4, lshTables: Int = 32,
+      pqProbe: Int = 8, pqRerank: Int = 200,
+      dim: Int = 64, seed: Long = 42L): String = {
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    s"""WITH ivfr AS (${ivfTopKOracleSql(ivfCenters, queryCond, k, ivfProbe, dim)}),
+    lshr AS (${lshTopKMultiOracleSql(queryCond, k, lshPlanes, dim, seed, lshTables)}),
+    pqr AS (${ivfPqTopKOracleSql(pqCenters, pqBooks, queryCond, k, pqProbe, dim, pqRerank)}),
+    e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nv2 AS (SELECT vec_id, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+      FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS nrm FROM e2)),
+    q2 AS (SELECT vec_id AS qid, nv AS qnv FROM nv2 WHERE $queryCond),
+    tsims AS (SELECT q2.qid, b.vec_id AS nid, ${fold("q2.qnv[k] * b.nv[k]")} AS sim
+      FROM q2 JOIN nv2 b ON b.vec_id <> q2.qid),
+    truth AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM tsims) WHERE rnk <= $k)
+    SELECT t.qid,
+      CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
+      CAST(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+      CAST(SUM(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits,
+      CAST(COUNT(*) AS BIGINT) AS k_total
+    FROM truth t
+    LEFT JOIN ivfr i ON i.qid = t.qid AND i.nid = t.nid
+    LEFT JOIN lshr l ON l.qid = t.qid AND l.nid = t.nid
+    LEFT JOIN pqr p ON p.qid = t.qid AND p.nid = t.nid
     GROUP BY t.qid ORDER BY t.qid"""
   }
 
@@ -1017,11 +1154,15 @@ object Similarity {
     * time — the q46/q114b pattern composed); assignment, probe
     * selection, residual encode, and the j-ascending ADC sum all
     * replay the impl's sequential folds; ranking is (distance ASC,
-    * nid), the mirror of the negated-sim top-k. */
+    * nid), the mirror of the negated-sim top-k. `rerank > 0` replays
+    * the exact-refine stage: the ADC shortlist cut at the same
+    * (dist ASC, nid) order the TopKAggregator uses, then the true
+    * normalized-dot re-score with the zero-guarded normalize fold. */
   private[graft] def ivfPqTopKOracleSql(centers: Array[Array[Double]],
                                         books: Array[Array[Array[Double]]],
                                         queryCond: String, k: Int,
-                                        nProbe: Int = 2, dim: Int = 64): String = {
+                                        nProbe: Int = 2, dim: Int = 64,
+                                        rerank: Int = 0): String = {
     val m = books.length
     val sub = dim / m
     def fold(prod: String, n: Int) =
@@ -1032,6 +1173,7 @@ object Similarity {
     val bookRows = (for { j <- books.indices; c <- books(j).indices } yield
       s"($j, $c, ${dlitArr(books(j)(c))})").mkString(",\n      ")
     val adcSum = (0 until m).map(j => s"MAX(CASE WHEN j = $j THEN d END)").mkString(" + ")
+    val finalSelect = ivfPqFinalSelect(k, dim, rerank)
     s"""WITH cent AS (SELECT * FROM (VALUES $centRows) t(cid, cv)),
     cb AS (SELECT * FROM (VALUES $bookRows) t(j, code, bv)),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1062,10 +1204,34 @@ object Similarity {
       JOIN cb bv ON bv.j = en.j AND bv.code = en.code
       WHERE a.vec_id <> q.qid),
     dists AS (SELECT qid, nid, ($adcSum) AS dist FROM terms GROUP BY qid, nid)
-    SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+    $finalSelect"""
+  }
+
+  /** The final SELECT of [[ivfPqTopKOracleSql]]: plain ADC ranking, or
+    * the rerank refine when the knob is set (shortlist by ADC at the
+    * impl's (dist ASC, nid) order, exact normalized-dot re-score). */
+  private def ivfPqFinalSelect(k: Int, dim: Int, rerank: Int): String = {
+    def fold(prod: String, n: Int) =
+      s"list_reduce(list_transform(range(1, ${n + 1}), k -> $prod), (x, y) -> x + y)"
+    if (rerank <= 0)
+      s"""SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
       SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
       FROM dists)
     WHERE rnk <= $k ORDER BY qid, rank"""
+    else {
+      val short = math.max(rerank, k)
+      s""", short AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
+        FROM dists) WHERE rnk <= $short),
+    nvx AS (SELECT vec_id, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+      FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]", dim)}) AS nrm FROM e)),
+    ex AS (SELECT s.qid, s.nid, ${fold("q.nv[k] * b2.nv[k]", dim)} AS sim
+      FROM short s JOIN nvx q ON q.vec_id = s.qid JOIN nvx b2 ON b2.vec_id = s.nid)
+    SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+      SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM ex)
+    WHERE rnk <= $k ORDER BY qid, rank"""
+    }
   }
 
   private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {

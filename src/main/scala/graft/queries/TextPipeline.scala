@@ -115,6 +115,26 @@ object TextPipeline {
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 10),
       None),
 
+    // ---- production-recipe ANN recall AUDIT: q152 pins the CHEAP
+    // gate defaults (LSH 1 table → recall 0.02, IVF-PQ 2 B codes →
+    // 0.10); this row pins the knobs a deployment would actually use
+    // (IVF nProbe=16, LSH 4 planes × 32 tables, IVF-PQ m=16
+    // rerank=200 — docs/SCALE.md §ANN recall@10), hash-checked for
+    // determinism AND floor-asserted (≥ 0.9·k·|Q|) in PipelineSpec ----
+    ("q155_ann_recall_prod",
+      (s, dir) => Similarity.annRecallAuditProd(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 10),
+      None),
+
+    // ---- q152 at a sampled anchor fraction: truth computed only for a
+    // content-hash sample of the queries (cost s·|Q|·N, exact per
+    // anchor, unbiased) — the audit's own 100 TB shape ------------------
+    ("q158_ann_recall_sampled",
+      (s, dir) => Similarity.annRecallAudit(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 40, k = 10,
+        anchorFraction = 0.5),
+      None),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and
@@ -253,6 +273,16 @@ object TextPipeline {
       (s, dir) => Dedup.dedupRecallAudit(t(s, dir, "documents")),
       Some(Dedup.dedupRecallAuditOracleSql(n = 3, threshold = 0.8,
         numHashes = 64, bands = 16))),
+
+    // ---- q153 at a sampled anchor fraction: truth restricted to pairs
+    // whose id_a is a content-hash anchor (cost s·full, unbiased — the
+    // deployable 100 TB audit shape); the oracle replays the identical
+    // md5-prefix sample --------------------------------------------------
+    ("q157_dedup_recall_sampled",
+      (s, dir) => Dedup.dedupRecallAudit(t(s, dir, "documents"),
+        anchorFraction = 0.25),
+      Some(Dedup.dedupRecallAuditOracleSql(n = 3, threshold = 0.8,
+        numHashes = 64, bands = 16, anchorFraction = 0.25))),
 
     // ---- SimHash near-dup buckets — also hash-checked via HashSql ------
     ("q33_simhash",
@@ -547,6 +577,16 @@ object TextPipeline {
       (s, dir) => Dedup.neardupRecallAudit(t(s, dir, "embeddings")),
       Some(Dedup.neardupRecallAuditOracleSql(threshold = 0.25,
         bands = 8, rowsPerBand = 4, dim = 64, seed = 42L))),
+
+    // ---- q154 at a sampled anchor fraction: the deliberately-N² exact
+    // side shrinks to s·N² (a-side anchored), recall stays unbiased —
+    // the audit itself becomes corpus-scale-deployable -------------------
+    ("q156_neardup_recall_sampled",
+      (s, dir) => Dedup.neardupRecallAudit(t(s, dir, "embeddings"),
+        anchorFraction = 0.25),
+      Some(Dedup.neardupRecallAuditOracleSql(threshold = 0.25,
+        bands = 8, rowsPerBand = 4, dim = 64, seed = 42L,
+        anchorFraction = 0.25))),
 
     // ---- Bloom-prefiltered benchmark decontamination: benchmark
     // shingles fold into a broadcast Bloom bit array that drops ~all
@@ -1263,7 +1303,19 @@ object TextPipeline {
     }),
     "q152_ann_recall" -> ((s, dir) => Similarity.annRecallAuditOracleSql(
       Similarity.ivfFitCenters(t(s, dir, "embeddings")),
-      queryCond = "vec_id < 20", k = 10))
+      queryCond = "vec_id < 20", k = 10)),
+    "q155_ann_recall_prod" -> ((s, dir) => {
+      val (pqCenters, pqBooks) = Similarity.ivfPqFit(t(s, dir, "embeddings"),
+        nClusters = 8, m = 16, dim = 64, codes = 16, seed = 42L,
+        maxFitSample = 65536)
+      Similarity.annRecallAuditProdOracleSql(
+        Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+        pqCenters, pqBooks, queryCond = "vec_id < 20", k = 10)
+    }),
+    "q158_ann_recall_sampled" -> ((s, dir) => Similarity.annRecallAuditOracleSql(
+      Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+      queryCond = s"(vec_id < 40) AND ${Dedup.anchorCondSql("vec_id", 7L, 0.5)}",
+      k = 10))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

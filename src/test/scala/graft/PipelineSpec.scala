@@ -341,6 +341,69 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     mt(3) shouldBe mt(17)
   }
 
+  test("q155 production-recipe ANN audit: every family clears the 0.9 recall floor") {
+    import spark.implicits._
+    // the gate (q155) hash-pins these counts; this spec pins the FLOOR
+    // the production recipes were chosen for (docs/SCALE.md §ANN
+    // recall@10) — a knob regression that stayed deterministic would
+    // still fail here
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val rows = Similarity.annRecallAuditProd(emb, col("vec_id") < 20, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.length shouldBe 20
+    val kTotal = rows.map(_._5).sum
+    kTotal shouldBe 200L
+    // IVF at nProbe = nClusters probes every list = brute force exactly
+    rows.map(_._2).sum shouldBe kTotal
+    // LSH 4 planes x 32 tables and IVF-PQ m=16 rerank=200: >= 0.9·k·|Q|
+    rows.map(_._3).sum.toDouble should be >= 0.9 * kTotal
+    rows.map(_._4).sum.toDouble should be >= 0.9 * kTotal
+  }
+
+  test("sampled-anchor audits: exact restriction of the full audit, partition-invariant") {
+    import spark.implicits._
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // ann audit: the index structures are query-independent, so the
+    // sampled audit's rows must EQUAL the full audit's rows restricted
+    // to the anchored qids — sampling changes cost, never a result
+    val full = Similarity.annRecallAudit(emb, col("vec_id") < 40, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val samp = Similarity.annRecallAudit(emb, col("vec_id") < 40, k = 10,
+        anchorFraction = 0.5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    samp.nonEmpty shouldBe true
+    samp.size should be < full.size
+    samp.foreach { case (qid, hits) => full(qid) shouldBe hits }
+    // neardup audit: anchored counts are a (strict, at this fraction)
+    // subset of the full counts and the estimate stays in range
+    val nfull = graft.pipeline.Dedup.neardupRecallAudit(emb)
+      .as[(Long, Long, Long)].head()
+    val nsamp = graft.pipeline.Dedup.neardupRecallAudit(emb, anchorFraction = 0.25)
+      .as[(Long, Long, Long)].head()
+    nsamp._1 should be > 0L
+    nsamp._1 should be < nfull._1
+    nsamp._2 should be <= nsamp._1
+    nsamp._3 shouldBe nsamp._2 // LSH re-scores exactly: candidates ⊆ truth
+    // partition-invariant (content-hash anchors, not row order)
+    val nsamp2 = graft.pipeline.Dedup.neardupRecallAudit(emb.repartition(7),
+        anchorFraction = 0.25)
+      .as[(Long, Long, Long)].head()
+    nsamp2 shouldBe nsamp
+    // minhash audit: same subset law on the documents table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dfull = graft.pipeline.Dedup.dedupRecallAudit(docs)
+      .as[(Long, Long, Long)].head()
+    val dsamp = graft.pipeline.Dedup.dedupRecallAudit(docs, anchorFraction = 0.25)
+      .as[(Long, Long, Long)].head()
+    dsamp._1 should be <= dfull._1
+    dsamp._2 should be <= dsamp._1
+    // fraction outside (0,1) is a loud error, not a silent no-op
+    an[IllegalArgumentException] should be thrownBy
+      graft.pipeline.Dedup.neardupRecallAudit(emb, anchorFraction = 0.0).head()
+  }
+
   test("language ID picks the stopword-matching profile") {
     TextFunctions.detectLang("the quick fox and the dog".split(" ")) shouldBe "en"
     TextFunctions.detectLang("el zorro y el perro de la casa".split(" ")) shouldBe "es"
