@@ -179,16 +179,22 @@ object ImageOps {
         "before writing (each collision silently drops a whole stack)")
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    df.select(col("sample"), col("image"), col("ts"), col("planar"))
-      .as[(String, SparkImage, String, Int)]
-      .foreachPartition { it: Iterator[(String, SparkImage, String, Int)] =>
+    // optional `photometric` column (RGB / YBR_FULL / YBR_FULL_422)
+    // selects the color encoding; absent = plain RGB
+    val photo = if (df.columns.contains("photometric")) col("photometric")
+                else lit("RGB")
+    df.select(col("sample"), col("image"), col("ts"), col("planar"),
+        photo.as("photometric"))
+      .as[(String, SparkImage, String, Int, String)]
+      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String)] =>
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(serConf.value)
-        it.foreach { case (sample, img, ts, planar) =>
+        it.foreach { case (sample, img, ts, planar, pm) =>
           val out = new org.apache.hadoop.fs.Path(base, s"${safeName(sample)}.dcm")
           val os = fs.create(out, true)
           try os.write(ImageCodecIO.encodeDicom(img, instance = 1, slice = 0,
-            transferSyntax = ts, frames = img.slices, planarConfig = planar))
+            transferSyntax = ts, frames = img.slices, planarConfig = planar,
+            photometric = pm))
           finally os.close()
         }
       }

@@ -915,6 +915,91 @@ object ImageQueries {
         CAST(sx * 20 + p * 10 + 6 AS DOUBLE) AS m_red,
         CAST(sx * 20 + p * 10 + 46 AS DOUBLE) AS m_green,
         CAST(sx * 20 + p * 10 + 86 AS DOUBLE) AS m_blue
-        FROM range(4) t(sx) CROSS JOIN range(2) u(p) ORDER BY name"""))
+        FROM range(4) t(sx) CROSS JOIN range(2) u(p) ORDER BY name""")),
+
+    // ---- YBR COLOR DICOM: what real .50 ultrasound / endoscopy
+    // archives actually contain — PhotometricInterpretation YBR_FULL
+    // (full-range YCbCr, 4 syntaxes × both planar configs) and
+    // YBR_FULL_422 (chroma subsampled 2:1 in Y1 Y2 Cb Cr pixel-pair
+    // groups, native syntaxes). Channel-constant frames: the decoded
+    // RGB is the PS3.3 C.7.6.3.1.2 round trip of the closed-form
+    // constants, and the ORACLE replays that round trip term for term
+    // in SQL (floor(x+0.5) + clamp, same association order), so a
+    // wrong matrix coefficient, swapped chroma byte, or missed 422
+    // upsample flips a channel mean. --------------------------------
+    ("img25_dicom_ybr",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        import graft.core.{ImageMeta, SparkImage}
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_ybr"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val syntaxes = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+          ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle)
+        val full = s.range(4L).flatMap { sxL =>
+          val sx = sxL.toInt
+          Seq(0, 1).map { p =>
+            val data = Array.tabulate(2 * 16 * 8 * 3) { idx =>
+              val f = idx / (16 * 8 * 3); val c = idx % 3
+              (20 * sx + 10 * p + 2 * f + 30 + Array(0, 60, 110)(c)).toByte
+            }
+            (s"/ybrf/${sx}_$p",
+              SparkImage(ImageMeta(), "[]", 16, 8, 2, PixelCodec.Rgb, data),
+              syntaxes(sx), p, "YBR_FULL")
+          }
+        }
+        val sub = s.range(3L).map { sxL =>
+          val sx = sxL.toInt
+          val data = Array.tabulate(2 * 16 * 8 * 3) { idx =>
+            val f = idx / (16 * 8 * 3); val c = idx % 3
+            (14 * sx + 3 * f + 33 + Array(0, 50, 95)(c)).toByte
+          }
+          (s"/ybr422/$sx",
+            SparkImage(ImageMeta(), "[]", 16, 8, 2, PixelCodec.Rgb, data),
+            syntaxes(sx), 0, "YBR_FULL_422")
+        }
+        val rows = full.union(sub)
+          .toDF("sample", "image", "ts", "planar", "photometric")
+        ImageOps.saveDicomMultiFrame(rows, dir)
+        def chan(st: String) = ImageFunctions.statsUdf(
+          ImageFunctions.run2Udf(col("image"), lit("32-bit"), lit(s"rgb=$st")))
+          .getField("mean")
+        ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            chan("red").as("m_red"), chan("green").as("m_green"),
+            chan("blue").as("m_blue"))
+          .orderBy(col("name"))
+      },
+      // the full-range RGB→YCbCr→RGB round trip of the closed-form
+      // constants, replayed with the impl's exact expression shape
+      Some("""WITH base AS (
+          SELECT 'ybrf_' || CAST(sx AS VARCHAR) || '_' || CAST(p AS VARCHAR) AS name, f,
+            CAST(20 * sx + 10 * p + 2 * f + 30 AS DOUBLE) AS r,
+            CAST(20 * sx + 10 * p + 2 * f + 90 AS DOUBLE) AS g,
+            CAST(20 * sx + 10 * p + 2 * f + 140 AS DOUBLE) AS b
+          FROM range(4) t(sx) CROSS JOIN range(2) u(p) CROSS JOIN range(2) v(f)
+          UNION ALL
+          SELECT 'ybr422_' || CAST(sx AS VARCHAR) AS name, f,
+            CAST(14 * sx + 3 * f + 33 AS DOUBLE),
+            CAST(14 * sx + 3 * f + 83 AS DOUBLE),
+            CAST(14 * sx + 3 * f + 128 AS DOUBLE)
+          FROM range(3) t(sx) CROSS JOIN range(2) v(f)),
+        ybr AS (SELECT name, f,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(0.299E0 * r + 0.587E0 * g + 0.114E0 * b + 0.5E0))) AS y,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(-0.168736E0 * r - 0.331264E0 * g + 0.5E0 * b + 128 + 0.5E0))) AS cb,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(0.5E0 * r - 0.418688E0 * g - 0.081312E0 * b + 128 + 0.5E0))) AS cr
+          FROM base),
+        back AS (SELECT name,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(y + 1.402E0 * (cr - 128) + 0.5E0))) AS r2,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(y - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128) + 0.5E0))) AS g2,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(y + 1.772E0 * (cb - 128) + 0.5E0))) AS b2
+          FROM ybr)
+        SELECT name, CAST(2 AS BIGINT) AS nslices,
+          AVG(r2) AS m_red, AVG(g2) AS m_green, AVG(b2) AS m_blue
+        FROM back GROUP BY name ORDER BY name"""))
   )
 }

@@ -647,14 +647,26 @@ object ImageCodecIO {
     require(bits == 8 || bits == 16, s"unsupported DICOM BitsAllocated $bits: $path")
     require(frames >= 1, s"bad DICOM NumberOfFrames $frames: $path")
     val isRgb = samples == 3
+    val is422 = photometric == "YBR_FULL_422"
     if (isRgb) {
-      require(photometric == "RGB",
-        s"SamplesPerPixel 3 with PhotometricInterpretation '$photometric' unsupported (RGB only): $path")
-      require(bits == 8, s"RGB DICOM with BitsAllocated $bits unsupported (8 only): $path")
+      require(photometric == "RGB" || photometric == "YBR_FULL" || is422,
+        s"SamplesPerPixel 3 with PhotometricInterpretation '$photometric' unsupported " +
+          s"(RGB / YBR_FULL / YBR_FULL_422 only): $path")
+      require(bits == 8, s"color DICOM with BitsAllocated $bits unsupported (8 only): $path")
       require(!encapsulated || ts == TsRle,
-        s"RGB pixel data in transfer syntax $ts unsupported " +
+        s"color pixel data in transfer syntax $ts unsupported " +
           s"(native syntaxes + RLE Lossless only): $path")
       require(planar == 0 || planar == 1, s"bad PlanarConfiguration $planar: $path")
+      if (is422) {
+        // PS3.3 C.7.6.3.1.2: 422 chroma is subsampled 2:1 horizontally
+        // (Y1 Y2 Cb Cr groups) — column count must pair up, the layout
+        // is inherently interleaved (PlanarConfiguration 0), and the
+        // RLE plane form doesn't apply (real RLE color is YBR_FULL)
+        require(cols % 2 == 0, s"YBR_FULL_422 with odd Columns $cols: $path")
+        require(planar == 0, s"YBR_FULL_422 requires PlanarConfiguration 0: $path")
+        require(!encapsulated,
+          s"YBR_FULL_422 pixel data in transfer syntax $ts unsupported (native only): $path")
+      }
     } else {
       require(samples == 1, s"SamplesPerPixel $samples unsupported (1 or 3): $path")
       require(photometric == "MONOCHROME2",
@@ -723,16 +735,34 @@ object ImageCodecIO {
       px = Array.concat(encapFragments.map(fragToBytes): _*)
     }
     require(px != null, s"missing DICOM pixel data: $path")
-    val frameBytes = n * samples * (bits / 8)
+    val frameBytes = if (is422) n * 2 else n * samples * (bits / 8)
     require(px.length >= frames * frameBytes, s"short DICOM pixel payload: $path")
     val log = ImageLog.append(ImageLog.empty, LogEntry("LOAD", "SPARK", path, ""))
     if (isRgb) {
-      // planar configuration 1 stores each frame as R/G/B planes —
+      // planar configuration 1 stores each frame as component planes —
       // interleave to the SparkImage Rgb layout; encapsulated RLE
       // already interleaved in rleDecodeFragment (its segments ARE the
-      // planes, whatever the declared PlanarConfiguration)
+      // planes, whatever the declared PlanarConfiguration); 422 stores
+      // Y1 Y2 Cb Cr groups — upsample chroma by replication across the
+      // pixel pair (PS3.3 C.7.6.3.1.2)
       val data =
-        if (planar == 1 && encapFragments == null) {
+        if (is422) {
+          val out = new Array[Byte](frames * n * 3)
+          var f = 0
+          while (f < frames) {
+            val fi = f * n * 2; val fo = f * n * 3
+            var j = 0
+            while (j < n) {
+              val g = fi + (j >> 1) * 4
+              out(fo + 3 * j) = px(g + (j & 1))
+              out(fo + 3 * j + 1) = px(g + 2)
+              out(fo + 3 * j + 2) = px(g + 3)
+              j += 1
+            }
+            f += 1
+          }
+          out
+        } else if (planar == 1 && encapFragments == null) {
           val out = new Array[Byte](frames * n * 3)
           var f = 0
           while (f < frames) {
@@ -749,8 +779,11 @@ object ImageCodecIO {
           out
         } else if (px.length == frames * n * 3) px
         else java.util.Arrays.copyOf(px, frames * n * 3)
+      // YBR photometrics: data now holds interleaved Y Cb Cr — convert
+      // to the SparkImage RGB layout (full-range PS3.3 C.7.6.3.1.2)
+      val rgb = if (photometric == "RGB") data else ybrToRgbInPlace(data)
       (SparkImage(ImageMeta(info = path), log, cols, rows, frames,
-        PixelCodec.Rgb, data), instance)
+        PixelCodec.Rgb, rgb), instance)
     } else {
       val total = frames * n
       val doubles = new Array[Double](total)
@@ -765,6 +798,43 @@ object ImageCodecIO {
       (SparkImage(ImageMeta(info = path), log, cols, rows, frames, tpe,
         PixelCodec.encode(doubles, tpe)), instance)
     }
+  }
+
+  /** Full-range YCbCr↔RGB (PS3.3 C.7.6.3.1.2, the JFIF constants),
+    * with floor(x + 0.5) rounding and a 0..255 clamp. The expression
+    * SHAPE (term order, the trailing +0.5, the greatest/least clamp)
+    * is what the img25 oracle replays in DuckDB SQL term for term, so
+    * decoded values hash-match across engines. */
+  private def clamp255(x: Double): Int = {
+    val v = math.floor(x + 0.5).toInt
+    if (v < 0) 0 else if (v > 255) 255 else v
+  }
+
+  /** Interleaved Y Cb Cr bytes → interleaved R G B bytes, in place. */
+  private[graft] def ybrToRgbInPlace(d: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < d.length) {
+      val y = d(i) & 0xff; val cb = d(i + 1) & 0xff; val cr = d(i + 2) & 0xff
+      d(i) = clamp255(y + 1.402 * (cr - 128)).toByte
+      d(i + 1) = clamp255(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)).toByte
+      d(i + 2) = clamp255(y + 1.772 * (cb - 128)).toByte
+      i += 3
+    }
+    d
+  }
+
+  /** Interleaved R G B bytes → a fresh interleaved Y Cb Cr array. */
+  private[graft] def rgbToYbrInterleaved(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](d.length)
+    var i = 0
+    while (i < d.length) {
+      val r = d(i) & 0xff; val g = d(i + 1) & 0xff; val b = d(i + 2) & 0xff
+      out(i) = clamp255(0.299 * r + 0.587 * g + 0.114 * b).toByte
+      out(i + 1) = clamp255(-0.168736 * r - 0.331264 * g + 0.5 * b + 128).toByte
+      out(i + 2) = clamp255(0.5 * r - 0.418688 * g - 0.081312 * b + 128).toByte
+      i += 3
+    }
+    out
   }
 
   /** Encode `frames` slices (default: one, starting at `slice`) as a
@@ -786,7 +856,8 @@ object ImageCodecIO {
                                  slice: Int = 0,
                                  transferSyntax: String = TsExplicitLE,
                                  frames: Int = 1,
-                                 planarConfig: Int = 0): Array[Byte] = {
+                                 planarConfig: Int = 0,
+                                 photometric: String = "RGB"): Array[Byte] = {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
@@ -811,8 +882,18 @@ object ImageCodecIO {
     val isRgb = img.pixelType == PixelCodec.Rgb
     require(!isRgb || transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle,
-      s"RGB DICOM rides the native syntaxes + RLE Lossless only, not $transferSyntax")
+      s"color DICOM rides the native syntaxes + RLE Lossless only, not $transferSyntax")
     require(planarConfig == 0 || planarConfig == 1, s"bad planarConfig $planarConfig")
+    require(photometric == "RGB" || photometric == "YBR_FULL" ||
+        photometric == "YBR_FULL_422",
+      s"unsupported color photometric $photometric (RGB / YBR_FULL / YBR_FULL_422)")
+    val is422 = isRgb && photometric == "YBR_FULL_422"
+    if (is422) {
+      require(transferSyntax != TsRle,
+        "YBR_FULL_422 writes native syntaxes only (RLE color is YBR_FULL/RGB)")
+      require(planarConfig == 0, "YBR_FULL_422 is inherently interleaved (planar 0)")
+      require(img.width % 2 == 0, s"YBR_FULL_422 needs even Columns, got ${img.width}")
+    }
     val w = img.width; val h = img.height
     require(frames >= 1 && slice + frames <= img.slices,
       s"frames [$slice, ${slice + frames}) out of range for ${img.slices} slices")
@@ -859,7 +940,7 @@ object ImageCodecIO {
     metaElem(0x0002, 0x0010, "UI", tsPadded.getBytes("US-ASCII"))
     str(0x0020, 0x0013, "IS", instance.toString, ' ')
     us(0x0028, 0x0002, if (isRgb) 3 else 1)
-    str(0x0028, 0x0004, "CS", if (isRgb) "RGB" else "MONOCHROME2", ' ')
+    str(0x0028, 0x0004, "CS", if (isRgb) photometric else "MONOCHROME2", ' ')
     // PS3.5 (CP-1692): PlanarConfiguration shall be 0 for encapsulated
     // pixel data — the RLE segments are inherently planar regardless,
     // so a planar=1 REQUEST on the RLE syntax clamps to a conformant 0
@@ -873,11 +954,31 @@ object ImageCodecIO {
     else { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15) }
     us(0x0028, 0x0103, 0)
     val n = w * h
-    // RGB frame accessors over the raw interleaved Rgb image bytes
+    // component frame accessors over interleaved color bytes — the
+    // YBR photometrics convert the image's RGB bytes to full-range
+    // YCbCr first, then ride the same plane/interleave/RLE writers
+    val cdata = if (isRgb && photometric != "RGB") rgbToYbrInterleaved(img.data)
+                else img.data
     def rgbPlane(f: Int, c: Int): Array[Byte] =
-      Array.tabulate(n)(i => img.data(((slice + f) * n + i) * 3 + c))
+      Array.tabulate(n)(i => cdata(((slice + f) * n + i) * 3 + c))
     def rgbInterleaved(f: Int): Array[Byte] =
-      java.util.Arrays.copyOfRange(img.data, (slice + f) * n * 3, (slice + f + 1) * n * 3)
+      java.util.Arrays.copyOfRange(cdata, (slice + f) * n * 3, (slice + f + 1) * n * 3)
+    // 422: Y1 Y2 Cb Cr per pixel pair, chroma from the pair's first
+    // pixel (a legal encoder choice; lossless wherever the pair shares
+    // chroma — which a decode-side replication round-trips exactly)
+    def ybr422Frame(f: Int): Array[Byte] = {
+      val out = new Array[Byte](n * 2)
+      var j = 0
+      while (j < n / 2) {
+        val base = ((slice + f) * n + 2 * j) * 3
+        out(4 * j) = cdata(base)
+        out(4 * j + 1) = cdata(base + 3)
+        out(4 * j + 2) = cdata(base + 1)
+        out(4 * j + 3) = cdata(base + 2)
+        j += 1
+      }
+      out
+    }
     if (encapsulated) {
       // RLE / JPEG family: OB PixelData with UNDEFINED length, Basic
       // Offset Table item (empty for one frame; POPULATED with every
@@ -918,10 +1019,12 @@ object ImageCodecIO {
       }
       u16x(0xfffe); u16x(0xe0dd); u32x(0)
     } else if (isRgb) {
-      // native RGB: OB byte stream (8-bit samples, no word swap even
-      // in the big-endian syntax), interleaved or planar per frame
+      // native color: OB byte stream (8-bit samples, no word swap even
+      // in the big-endian syntax) — interleaved or planar per frame;
+      // 422 packs the chroma-subsampled pixel-pair groups
       val data = Array.concat((0 until frames).flatMap { f =>
-        if (planarConfig == 1) Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2))
+        if (is422) Seq(ybr422Frame(f))
+        else if (planarConfig == 1) Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2))
         else Seq(rgbInterleaved(f))
       }: _*)
       val padded = if (data.length % 2 == 0) data else data :+ 0.toByte
