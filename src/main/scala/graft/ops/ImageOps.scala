@@ -180,21 +180,26 @@ object ImageOps {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // optional `photometric` column (RGB / YBR_FULL / YBR_FULL_422)
-    // selects the color encoding; absent = plain RGB
+    // selects the color encoding; optional `frag_bytes` column splits
+    // each encapsulated frame's codec stream into even fragments of at
+    // most that many bytes (real encoders fragment large frames);
+    // absent = plain RGB, one fragment per frame
     val photo = if (df.columns.contains("photometric")) col("photometric")
                 else lit("RGB")
+    val fragB = if (df.columns.contains("frag_bytes")) col("frag_bytes")
+                else lit(0)
     df.select(col("sample"), col("image"), col("ts"), col("planar"),
-        photo.as("photometric"))
-      .as[(String, SparkImage, String, Int, String)]
-      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String)] =>
+        photo.as("photometric"), fragB.cast("int").as("frag_bytes"))
+      .as[(String, SparkImage, String, Int, String, Int)]
+      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String, Int)] =>
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(serConf.value)
-        it.foreach { case (sample, img, ts, planar, pm) =>
+        it.foreach { case (sample, img, ts, planar, pm, fb) =>
           val out = new org.apache.hadoop.fs.Path(base, s"${safeName(sample)}.dcm")
           val os = fs.create(out, true)
           try os.write(ImageCodecIO.encodeDicom(img, instance = 1, slice = 0,
             transferSyntax = ts, frames = img.slices, planarConfig = planar,
-            photometric = pm))
+            photometric = pm, fragmentBytes = fb))
           finally os.close()
         }
       }

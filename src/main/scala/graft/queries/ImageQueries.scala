@@ -846,10 +846,26 @@ object ImageQueries {
             val slices = (0 until 12).map(k =>
               Kernels.constantImage(32, 16, 1,
                 i * 2000.0 + sx * 100.0 + k * 7.0 + 13.0, PixelCodec.Short16))
-            (s"/mf/${i}_$sx", slices.reduce(Kernels.appendStack), syntaxes(sx), 0)
+            (s"/mf/${i}_$sx", slices.reduce(Kernels.appendStack), syntaxes(sx), 0, 0)
           }
-        }.toDF("sample", "image", "ts", "planar")
-        ImageOps.saveDicomMultiFrame(stacks, dir)
+        }.toDF("sample", "image", "ts", "planar", "frag_bytes")
+        // MULTI-FRAGMENT-PER-FRAME fixtures: the four JPEG-family
+        // syntaxes with each frame's codec stream split into ≤64-byte
+        // fragments and a populated BOT marking the frame starts —
+        // the shape real encoders emit for large frames. RLE is
+        // excluded by PS3.5 Annex G (one fragment per frame).
+        val multiFragSx = Array(ImageCodecIO.TsJpegLossless,
+          ImageCodecIO.TsJpegLossless14, ImageCodecIO.TsJpegLs,
+          ImageCodecIO.TsJpeg2000Lossless)
+        val mff = s.range(2L).flatMap { i =>
+          multiFragSx.indices.map { sx =>
+            val slices = (0 until 12).map(k =>
+              Kernels.constantImage(32, 16, 1,
+                i * 2000.0 + sx * 100.0 + k * 7.0 + 17.0, PixelCodec.Short16))
+            (s"/mff/${i}_$sx", slices.reduce(Kernels.appendStack), multiFragSx(sx), 0, 64)
+          }
+        }.toDF("sample", "image", "ts", "planar", "frag_bytes")
+        ImageOps.saveDicomMultiFrame(stacks.union(mff), dir)
         val sm = ImageFunctions.sliceMeansUdf(col("image"))
         ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
           .select(col("name"),
@@ -859,12 +875,20 @@ object ImageQueries {
           .orderBy(col("name"))
       },
       // frame k of (series i, syntax sx) fills i*2000 + sx*100 + 7k + 13
+      // (one fragment per frame) or + 17 (frames split into ≤64-byte
+      // fragments, reassembled through the populated BOT)
       Some("""SELECT 'mf_' || CAST(i AS VARCHAR) || '_' || CAST(sx AS VARCHAR) AS name,
         CAST(12 AS BIGINT) AS nslices,
         CAST(i * 2000 + sx * 100 + 13 AS DOUBLE) AS s0,
         CAST(i * 2000 + sx * 100 + 48 AS DOUBLE) AS s5,
         CAST(i * 2000 + sx * 100 + 90 AS DOUBLE) AS s11
-        FROM range(2) t(i) CROSS JOIN range(8) u(sx) ORDER BY name""")),
+        FROM range(2) t(i) CROSS JOIN range(8) u(sx)
+        UNION ALL
+        SELECT 'mff_' || CAST(i AS VARCHAR) || '_' || CAST(sx AS VARCHAR) AS name,
+        CAST(12 AS BIGINT), CAST(i * 2000 + sx * 100 + 17 AS DOUBLE),
+        CAST(i * 2000 + sx * 100 + 52 AS DOUBLE),
+        CAST(i * 2000 + sx * 100 + 94 AS DOUBLE)
+        FROM range(2) t(i) CROSS JOIN range(4) u(sx) ORDER BY name""")),
 
     // ---- COLOR (RGB) DICOM round trip: 8-bit secondary capture with
     // SamplesPerPixel 3 in both PlanarConfigurations (0 interleaved /

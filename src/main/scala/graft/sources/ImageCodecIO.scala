@@ -143,14 +143,28 @@ object ImageCodecIO {
     out.toByteArray
   }
 
-  /** Read ALL encapsulated fragments (Basic Offset Table item — empty
-    * or populated — then fragment items up to the sequence delimiter)
-    * from an undefined-length PixelData element. A populated BOT's
-    * offsets are validated against the actual fragment positions:
-    * this profile stores one fragment per frame, so BOT entry k must
-    * point at fragment k (PS3.5 A.4's frame-boundary contract). */
-  private def readEncapsulatedFragments(bb: java.nio.ByteBuffer,
-                                        path: String, minLen: Int): Seq[Array[Byte]] = {
+  /** Read an undefined-length PixelData element's encapsulated
+    * fragments (Basic Offset Table item — empty or populated — then
+    * fragment items up to the sequence delimiter) and assemble ONE
+    * complete codec payload per FRAME (PS3.5 A.4):
+    *
+    *  - populated BOT: entry k is the offset of frame k's FIRST
+    *    fragment item; a frame split across ≤64 KB fragments (what
+    *    real encoders emit for large frames) reassembles by
+    *    concatenating the fragment contents between consecutive BOT
+    *    entries. Every entry must land exactly on a fragment item and
+    *    be strictly increasing from 0 — anything else is corrupt, not
+    *    guessable.
+    *  - empty BOT: unambiguous only when fragments = frames (one
+    *    each), or for a single-frame object (all fragments are that
+    *    frame). A fragment-less frame count mismatch rejects loudly.
+    *  - RLE (`allowMultiFragment = false`): PS3.5 Annex G requires
+    *    each frame in one and only one fragment — multi-fragment RLE
+    *    is a conformance error, rejected.
+    */
+  private def readEncapsulatedFrames(bb: java.nio.ByteBuffer,
+                                     path: String, minLen: Int, frames: Int,
+                                     allowMultiFragment: Boolean): Seq[Array[Byte]] = {
     def item(): (Int, Int, Int) =
       ((bb.getShort & 0xffff), (bb.getShort & 0xffff), bb.getInt)
     val (g1, e1, l1) = item()
@@ -170,21 +184,49 @@ object ImageCodecIO {
         offsets.remove(offsets.length - 1)
         done = true
       } else {
-        require(g == 0xfffe && e == 0xe000 && l >= minLen && l <= bb.remaining,
+        require(g == 0xfffe && e == 0xe000 && l >= 0 && l % 2 == 0 && l <= bb.remaining,
           s"malformed pixel fragment item in $path")
         val frag = new Array[Byte](l); bb.get(frag)
         frags += frag
       }
     }
     require(frags.nonEmpty, s"encapsulated PixelData with no fragments in $path")
-    if (bot.nonEmpty) {
-      require(bot.length == frags.length,
-        s"Basic Offset Table has ${bot.length} entries for ${frags.length} " +
-          s"fragments in $path (this profile stores one fragment per frame)")
-      require(bot.toSeq == offsets.toSeq,
-        s"Basic Offset Table entries do not match fragment positions in $path")
-    }
-    frags.toSeq
+    val assembled: Seq[Array[Byte]] =
+      if (bot.isEmpty) {
+        if (frags.length == frames) frags.toSeq
+        else if (frames == 1) Seq(Array.concat(frags.toSeq: _*))
+        else throw new IllegalArgumentException(
+          s"${frags.length} pixel fragments for NumberOfFrames $frames with an " +
+            s"empty Basic Offset Table in $path (frame boundaries are ambiguous — " +
+            "a conformant multi-frame encoder populates the BOT)")
+      } else {
+        require(bot.length == frames,
+          s"Basic Offset Table has ${bot.length} entries for NumberOfFrames " +
+            s"$frames in $path")
+        require(bot(0) == 0,
+          s"Basic Offset Table does not start at offset 0 in $path")
+        val offsetIdx = offsets.zipWithIndex.toMap
+        val starts = bot.map { o =>
+          offsetIdx.getOrElse(o, throw new IllegalArgumentException(
+            s"Basic Offset Table entry $o does not land on a fragment item in $path"))
+        }
+        require(starts.zip(starts.tail).forall { case (a, b) => a < b },
+          s"Basic Offset Table entries not strictly increasing in $path")
+        (0 until frames).map { k =>
+          val from = starts(k)
+          val until = if (k + 1 < frames) starts(k + 1) else frags.length
+          if (until - from == 1) frags(from)
+          else {
+            require(allowMultiFragment,
+              s"frame $k spans ${until - from} fragments in $path, but this " +
+                "transfer syntax requires one fragment per frame (PS3.5 Annex G)")
+            Array.concat(frags.slice(from, until).toSeq: _*)
+          }
+        }
+      }
+    assembled.foreach(f => require(f.length >= minLen,
+      s"assembled frame payload shorter than $minLen bytes in $path"))
+    assembled
   }
 
   /** Decode one RLE Lossless fragment (PS3.5 annex G): 64-byte header
@@ -614,10 +656,13 @@ object ImageCodecIO {
         }
       if (group == 0x7fe0 && elem == 0x0010 && len == -1) {
         // encapsulated PixelData: undefined length, fragment items
+        // grouped into one payload per frame via the BOT (frames is
+        // known here: (0028,0008) precedes (7fe0,0010) in tag order)
         require(encapsulated,
           s"undefined-length PixelData outside an encapsulated syntax in $path")
-        encapFragments =
-          readEncapsulatedFragments(bb, path, minLen = if (ts == TsRle) 64 else 4)
+        encapFragments = readEncapsulatedFrames(bb, path,
+          minLen = if (ts == TsRle) 64 else 4, frames = frames,
+          allowMultiFragment = ts != TsRle)
         done = true
       } else {
         require(len >= 0 && len <= bb.remaining,
@@ -726,12 +771,11 @@ object ImageCodecIO {
       }
     }
     if (encapFragments != null) {
-      // one fragment per frame (the BOT-validated profile shape)
-      require(encapFragments.length == frames,
-        s"${encapFragments.length} pixel fragments for NumberOfFrames $frames " +
-          s"in $path (this profile stores one fragment per frame)")
-      // single-allocation concat: reduce(_ ++ _) would copy frame k's
-      // prefix k times — quadratic on real 1000-frame objects
+      // readEncapsulatedFrames already assembled exactly one complete
+      // codec payload per frame (BOT-grouped when frames span
+      // fragments). Single-allocation concat: reduce(_ ++ _) would
+      // copy frame k's prefix k times — quadratic on real
+      // 1000-frame objects
       px = Array.concat(encapFragments.map(fragToBytes): _*)
     }
     require(px != null, s"missing DICOM pixel data: $path")
@@ -857,7 +901,8 @@ object ImageCodecIO {
                                  transferSyntax: String = TsExplicitLE,
                                  frames: Int = 1,
                                  planarConfig: Int = 0,
-                                 photometric: String = "RGB"): Array[Byte] = {
+                                 photometric: String = "RGB",
+                                 fragmentBytes: Int = 0): Array[Byte] = {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
@@ -988,35 +1033,54 @@ object ImageCodecIO {
       // the Baseline path re-reads px itself with a Byte8 clamp
       def vals(f: Int): Array[Int] = Array.tabulate(n)(i =>
         PixelCodec.clamp(px((slice + f) * n + i), PixelCodec.Short16).toInt)
-      def oneFrag(f: Int): Array[Byte] = {
-        val frag0 =
-          if (isRgb) rleEncodePlanes(Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2)))
-          else if (transferSyntax == TsRle) rleEncodeFragment(vals(f))
-          else if (bits8) jpegBaselineEncode(img, px, slice + f)
-          else if (bits12) JpegDctCodec.encode(
-            Array.tabulate(n) { i =>
-              val v = PixelCodec.clamp(px((slice + f) * n + i), PixelCodec.Short16).toInt
-              math.min(v, 4095) // 12-bit profile: documented lossy clamp
-            }, w, h, 12)
-          else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals(f), w, h, 16)
-          else if (transferSyntax == TsJpegLsNear) JpegLsCodec.encode(vals(f), w, h, 16, near = 2)
-          else if (transferSyntax == TsJpeg2000Lossless) Jpeg2000Codec.encode(vals(f), w, h, 16)
-          else jpegLosslessEncode(vals(f), w, h)
-        if (frag0.length % 2 == 0) frag0 else frag0 :+ 0.toByte
+      def framePayload(f: Int): Array[Byte] =
+        if (isRgb) rleEncodePlanes(Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2)))
+        else if (transferSyntax == TsRle) rleEncodeFragment(vals(f))
+        else if (bits8) jpegBaselineEncode(img, px, slice + f)
+        else if (bits12) JpegDctCodec.encode(
+          Array.tabulate(n) { i =>
+            val v = PixelCodec.clamp(px((slice + f) * n + i), PixelCodec.Short16).toInt
+            math.min(v, 4095) // 12-bit profile: documented lossy clamp
+          }, w, h, 12)
+        else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals(f), w, h, 16)
+        else if (transferSyntax == TsJpegLsNear) JpegLsCodec.encode(vals(f), w, h, 16, near = 2)
+        else if (transferSyntax == TsJpeg2000Lossless) Jpeg2000Codec.encode(vals(f), w, h, 16)
+        else jpegLosslessEncode(vals(f), w, h)
+      def evenPad(a: Array[Byte]): Array[Byte] =
+        if (a.length % 2 == 0) a else a :+ 0.toByte
+      // fragmentBytes > 0 splits each frame's codec stream into even
+      // ≤fragmentBytes fragments (what real encoders do to big frames;
+      // only a frame's LAST fragment may carry the odd-length pad, so
+      // the reassembled stream is the single-fragment stream). RLE
+      // frames may not span fragments (PS3.5 Annex G).
+      if (fragmentBytes > 0) {
+        require(fragmentBytes % 2 == 0, s"fragmentBytes must be even: $fragmentBytes")
+        require(transferSyntax != TsRle,
+          "RLE Lossless stores each frame in exactly one fragment (PS3.5 Annex G)")
       }
-      val frags = (0 until frames).map(oneFrag)
+      val frameFrags: Seq[Seq[Array[Byte]]] = (0 until frames).map { f =>
+        val whole = framePayload(f)
+        if (fragmentBytes <= 0 || whole.length <= fragmentBytes) Seq(evenPad(whole))
+        else {
+          val chunks = whole.grouped(fragmentBytes).toSeq
+          chunks.init :+ evenPad(chunks.last)
+        }
+      }
       u16x(0x7fe0); u16x(0x0010); bos.write('O'); bos.write('B'); u16x(0); u32x(-1)
       if (frames > 1) {
-        // populated BOT: offset of each frame's item tag from the
-        // first byte after the BOT value (encapsulated data is always
-        // little-endian, so u32x writes LE here)
+        // populated BOT: offset of each FRAME's first fragment item
+        // tag from the first byte after the BOT value (encapsulated
+        // data is always little-endian, so u32x writes LE here)
         u16x(0xfffe); u16x(0xe000); u32x(4 * frames)
         var o = 0
-        frags.foreach { fr => u32x(o); o += 8 + fr.length }
+        frameFrags.foreach { ffs =>
+          u32x(o)
+          ffs.foreach(fr => o += 8 + fr.length)
+        }
       } else { u16x(0xfffe); u16x(0xe000); u32x(0) }
-      frags.foreach { fr =>
+      frameFrags.foreach(_.foreach { fr =>
         u16x(0xfffe); u16x(0xe000); u32x(fr.length); bos.write(fr)
-      }
+      })
       u16x(0xfffe); u16x(0xe0dd); u32x(0)
     } else if (isRgb) {
       // native color: OB byte stream (8-bit samples, no word swap even

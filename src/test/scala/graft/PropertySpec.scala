@@ -293,6 +293,92 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("DICOM multi-fragment frames: BOT-grouped reassembly equals the one-fragment decode") {
+    import graft.core.{ImageLog, ImageMeta, SparkImage}
+    import graft.sources.ImageCodecIO
+    val genCase = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 16)
+      frames <- Gen.choose(2, 4)
+      ts <- Gen.oneOf(ImageCodecIO.TsJpegLossless, ImageCodecIO.TsJpegLossless14,
+        ImageCodecIO.TsJpegLs, ImageCodecIO.TsJpeg2000Lossless)
+      fragBytes <- Gen.oneOf(16, 64, 202)
+      px <- Gen.listOfN(w * h * frames, Gen.choose(0, 65535).map(_.toDouble))
+    } yield (w, h, frames, ts, fragBytes, px.toArray)
+    check("dicom-multifrag", Prop.forAll(genCase) { case (w, h, frames, ts, fragBytes, px) =>
+      val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), w, h, frames,
+        PixelCodec.Short16, PixelCodec.encode(px, PixelCodec.Short16))
+      val whole = ImageCodecIO.encodeDicom(img, frames = frames, transferSyntax = ts)
+      val split = ImageCodecIO.encodeDicom(img, frames = frames, transferSyntax = ts,
+        fragmentBytes = fragBytes)
+      val (d1, _) = ImageCodecIO.decodeDicomWithInstance("whole.dcm", whole)
+      val (d2, _) = ImageCodecIO.decodeDicomWithInstance("split.dcm", split)
+      d2.slices == frames && d2.toDoubles.sameElements(px) &&
+        d2.toDoubles.sameElements(d1.toDoubles)
+    })
+    // RLE frames may not span fragments (PS3.5 Annex G) — both the
+    // writer knob and a hand-built multi-fragment RLE file reject
+    val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), 8, 4, 2,
+      PixelCodec.Short16, PixelCodec.encode(Array.fill(64)(7.0), PixelCodec.Short16))
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(img, frames = 2, transferSyntax = ImageCodecIO.TsRle,
+        fragmentBytes = 64)
+  }
+
+  test("DICOM YBR color: round-trip error <= 2 per channel; 422 exact on chroma-constant pairs") {
+    import graft.core.{ImageLog, ImageMeta, SparkImage}
+    import graft.sources.ImageCodecIO
+    val genCase = for {
+      w <- Gen.choose(1, 12).map(_ * 2) // even for the 422 variant
+      h <- Gen.choose(1, 12)
+      planar <- Gen.oneOf(0, 1)
+      ts <- Gen.oneOf(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+        ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, planar, ts, px.map(_.toByte).toArray)
+    check("dicom-ybr-full", Prop.forAll(genCase) { case (w, h, planar, ts, data) =>
+      val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), w, h, 1,
+        PixelCodec.Rgb, data)
+      val bytes = ImageCodecIO.encodeDicom(img, transferSyntax = ts,
+        planarConfig = if (ts == ImageCodecIO.TsRle) 0 else planar,
+        photometric = "YBR_FULL")
+      val (dec, _) = ImageCodecIO.decodeDicomWithInstance("ybr.dcm", bytes)
+      dec.pixelType == PixelCodec.Rgb &&
+        dec.data.zip(data).forall { case (a, b) =>
+          math.abs((a & 0xff) - (b & 0xff)) <= 2
+        }
+    })
+    // 422 drops the second pixel's chroma — with pair-constant pixels
+    // the subsample is information-free, so the round trip hits the
+    // same values as YBR_FULL on the equivalent image
+    val genPair = for {
+      w <- Gen.choose(1, 12).map(_ * 2)
+      h <- Gen.choose(1, 12)
+      ts <- Gen.oneOf(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+        ImageCodecIO.TsExplicitBE)
+      base <- Gen.listOfN(w * h / 2 * 3, Gen.choose(0, 255))
+    } yield (w, h, ts, base.map(_.toByte).toArray)
+    check("dicom-ybr-422", Prop.forAll(genPair) { case (w, h, ts, base) =>
+      val data = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < w * h) { // duplicate each pair's first pixel
+        val src = (j / 2) * 3
+        data(3 * j) = base(src); data(3 * j + 1) = base(src + 1)
+        data(3 * j + 2) = base(src + 2)
+        j += 1
+      }
+      val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), w, h, 1,
+        PixelCodec.Rgb, data)
+      val full = ImageCodecIO.decodeDicomWithInstance("f.dcm",
+        ImageCodecIO.encodeDicom(img, transferSyntax = ts,
+          photometric = "YBR_FULL"))._1
+      val sub = ImageCodecIO.decodeDicomWithInstance("s.dcm",
+        ImageCodecIO.encodeDicom(img, transferSyntax = ts,
+          photometric = "YBR_FULL_422"))._1
+      sub.data.sameElements(full.data)
+    })
+  }
+
   test("JPEG 2000 codec: lossless round trip across geometry, precision, levels, code-block size") {
     import graft.sources.Jpeg2000Codec
     val genCase = for {
