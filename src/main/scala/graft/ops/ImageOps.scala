@@ -205,6 +205,43 @@ object ImageOps {
       }
   }
 
+  /** PALETTE COLOR DICOM sink: each (sample, image, ts) row writes one
+    * multi-frame file whose grayscale pixel values are LUT INDICES —
+    * the Red/Green/Blue Palette Color Lookup Tables (16-bit entries,
+    * shared `firstMapped`) ride in the header, the pixel stream stays
+    * the raw index data, so any grayscale-capable transfer syntax
+    * works. The loader expands indices through the LUTs to RGB.
+    * Same name-collision guard rationale as [[saveDicomMultiFrame]]. */
+  def saveDicomPalette(df: DataFrame, dir: String,
+                       lutR: Array[Int], lutG: Array[Int], lutB: Array[Int],
+                       firstMapped: Int = 0): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val safeUdf = udf { s: String => safeName(s) }
+    val dup = df.select(safeUdf(col("sample")).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"saveDicomPalette: ${dup.headOption.map(_.getString(0)).getOrElse("")} — " +
+        "two samples sanitize to the same file name")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    df.select(col("sample"), col("image"), col("ts"))
+      .as[(String, SparkImage, String)]
+      .foreachPartition { it: Iterator[(String, SparkImage, String)] =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(serConf.value)
+        it.foreach { case (sample, img, ts) =>
+          val out = new org.apache.hadoop.fs.Path(base, s"${safeName(sample)}.dcm")
+          val os = fs.create(out, true)
+          try os.write(ImageCodecIO.encodeDicom(img, instance = 1, slice = 0,
+            transferSyntax = ts, frames = img.slices,
+            palette = Some((lutR, lutG, lutB, firstMapped))))
+          finally os.close()
+        }
+      }
+  }
+
   /** Multi-frame DICOM load: each FILE is a whole stack (frames →
     * slices in frame order), so — unlike [[loadDicomSeries]] — there
     * is NO regroup shuffle at all: decode is pure per-file map work on

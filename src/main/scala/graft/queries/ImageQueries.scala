@@ -1024,6 +1024,58 @@ object ImageQueries {
           FROM ybr)
         SELECT name, CAST(2 AS BIGINT) AS nslices,
           AVG(r2) AS m_red, AVG(g2) AS m_green, AVG(b2) AS m_blue
-        FROM back GROUP BY name ORDER BY name"""))
+        FROM back GROUP BY name ORDER BY name""")),
+
+    // ---- PALETTE COLOR DICOM: grayscale pixel values are LUT
+    // indices; Red/Green/Blue Palette Color Lookup Tables (16-bit
+    // entries, firstMapped=4) expand to RGB at load. The pixel stream
+    // is untouched index data, so palette rides EVERY grayscale
+    // syntax — exercised here on the three native ones, RLE, and one
+    // encapsulated JPEG-family syntax. Index-constant frames + a
+    // closed-form LUT make every decoded channel a closed form: a
+    // swapped LUT, off-by-one firstMapped, or missed expansion flips
+    // a mean. ---------------------------------------------------------
+    ("img26_dicom_palette",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_palette"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val syntaxes = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+          ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle, ImageCodecIO.TsJpegLossless)
+        val rows = s.range(5L).map { sxL =>
+          val sx = sxL.toInt
+          val slices = (0 until 2).map(f =>
+            Kernels.constantImage(32, 16, 1, 20.0 * sx + 3.0 * f + 9.0, PixelCodec.Short16))
+          (s"/pal/$sx", slices.reduce(Kernels.appendStack), syntaxes(sx))
+        }.toDF("sample", "image", "ts")
+        ImageOps.saveDicomPalette(rows, dir,
+          lutR = Array.tabulate(256)(i => ((i * 5 + 11) % 256) << 8),
+          lutG = Array.tabulate(256)(i => ((i * 7 + 23) % 256) << 8),
+          lutB = Array.tabulate(256)(i => ((i * 11 + 37) % 256) << 8),
+          firstMapped = 4)
+        def chan(st: String) = ImageFunctions.statsUdf(
+          ImageFunctions.run2Udf(col("image"), lit("32-bit"), lit(s"rgb=$st")))
+          .getField("mean")
+        ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            chan("red").as("m_red"), chan("green").as("m_green"),
+            chan("blue").as("m_blue"))
+          .orderBy(col("name"))
+      },
+      // frame f of syntax sx holds index value 20sx + 3f + 9; the LUT
+      // maps idx = value - 4 through (5i+11, 7i+23, 11i+37) mod 256
+      Some("""WITH base AS (
+          SELECT sx, f, 20 * sx + 3 * f + 9 - 4 AS idx
+          FROM range(5) t(sx) CROSS JOIN range(2) v(f))
+        SELECT 'pal_' || CAST(sx AS VARCHAR) AS name, CAST(2 AS BIGINT) AS nslices,
+          AVG(CAST((idx * 5 + 11) % 256 AS DOUBLE)) AS m_red,
+          AVG(CAST((idx * 7 + 23) % 256 AS DOUBLE)) AS m_green,
+          AVG(CAST((idx * 11 + 37) % 256 AS DOUBLE)) AS m_blue
+        FROM base GROUP BY sx ORDER BY name"""))
   )
 }

@@ -614,6 +614,11 @@ object ImageCodecIO {
     var samples = 1; var photometric = "MONOCHROME2"; var planar = 0; var frames = 1
     var ts = TsExplicitLE
     var px: Array[Byte] = null
+    // PALETTE COLOR state: Red/Green/Blue Palette Color Lookup Table
+    // Descriptor (0028,1101-1103, three US values each) and Data
+    // (0028,1201-1203, OW words in the dataset byte order)
+    val lutDesc = new Array[Array[Int]](3)
+    val lutRaw = new Array[Array[Byte]](3)
     // ---- file-meta group: ALWAYS explicit-VR little-endian ----
     var inMeta = true
     while (inMeta && bb.remaining >= 8) {
@@ -668,10 +673,16 @@ object ImageCodecIO {
         require(len >= 0 && len <= bb.remaining,
           s"corrupt or undefined DICOM element length in $path")
         val value = new Array[Byte](len); bb.get(value)
-        def u16: Int =
-          if (bigEndian) ((value(0) & 0xff) << 8) | (value(1) & 0xff)
-          else (value(0) & 0xff) | ((value(1) & 0xff) << 8)
+        def u16At(i: Int): Int =
+          if (bigEndian) ((value(2 * i) & 0xff) << 8) | (value(2 * i + 1) & 0xff)
+          else (value(2 * i) & 0xff) | ((value(2 * i + 1) & 0xff) << 8)
+        def u16: Int = u16At(0)
         def str: String = new String(value, "US-ASCII").trim
+        def desc: Array[Int] = {
+          require(value.length == 6,
+            s"palette LUT descriptor must hold 3 US values in $path")
+          Array(u16At(0), u16At(1), u16At(2))
+        }
         (group, elem) match {
           case (0x0020, 0x0013) => instance = str.toInt
           case (0x0028, 0x0002) => samples = u16
@@ -682,6 +693,12 @@ object ImageCodecIO {
           case (0x0028, 0x0011) => cols = u16
           case (0x0028, 0x0100) => bits = u16
           case (0x0028, 0x0103) => pixelRep = u16
+          case (0x0028, 0x1101) => lutDesc(0) = desc
+          case (0x0028, 0x1102) => lutDesc(1) = desc
+          case (0x0028, 0x1103) => lutDesc(2) = desc
+          case (0x0028, 0x1201) => lutRaw(0) = value
+          case (0x0028, 0x1202) => lutRaw(1) = value
+          case (0x0028, 0x1203) => lutRaw(2) = value
           case (0x7fe0, 0x0010) => px = value; done = true
           case _ => ()
         }
@@ -714,9 +731,12 @@ object ImageCodecIO {
       }
     } else {
       require(samples == 1, s"SamplesPerPixel $samples unsupported (1 or 3): $path")
-      require(photometric == "MONOCHROME2",
+      require(photometric == "MONOCHROME2" || photometric == "PALETTE COLOR",
         s"PhotometricInterpretation '$photometric' unsupported for 1-sample data " +
-          s"(MONOCHROME2 only): $path")
+          s"(MONOCHROME2 / PALETTE COLOR): $path")
+      if (photometric == "PALETTE COLOR")
+        require(lutDesc.forall(_ != null) && lutRaw.forall(_ != null),
+          s"PALETTE COLOR without all three LUT descriptor+data pairs: $path")
     }
     val n = rows * cols
     // decode ONE frame's fragment to little-endian interleaved bytes
@@ -828,6 +848,48 @@ object ImageCodecIO {
       val rgb = if (photometric == "RGB") data else ybrToRgbInPlace(data)
       (SparkImage(ImageMeta(info = path), log, cols, rows, frames,
         PixelCodec.Rgb, rgb), instance)
+    } else if (photometric == "PALETTE COLOR") {
+      // LUT-expand indices to RGB (PS3.3 C.7.6.3.1.5-6): descriptor =
+      // (entries [0 ⇒ 65536], first index mapped, bits per entry);
+      // index values below/above the mapped range clamp to the
+      // first/last entry. 16-bit entries represent the full intensity
+      // range — the 8-bit RGB pipeline takes their high byte.
+      val total = frames * n
+      val chans: IndexedSeq[(Int, Array[Int])] = (0 to 2).map { c =>
+        val d = lutDesc(c); val raw = lutRaw(c)
+        val entries = if (d(0) == 0) 65536 else d(0)
+        val first = d(1); val lbits = d(2)
+        require(lbits == 8 || lbits == 16,
+          s"palette LUT bits $lbits unsupported (8/16): $path")
+        require(raw.length >= entries * (lbits / 8), s"short palette LUT data: $path")
+        val arr = new Array[Int](entries)
+        var i = 0
+        if (lbits == 16 && bigEndian)
+          while (i < entries) { arr(i) = (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)) >> 8; i += 1 }
+        else if (lbits == 16)
+          while (i < entries) { arr(i) = ((raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)) >> 8; i += 1 }
+        else
+          while (i < entries) { arr(i) = raw(i) & 0xff; i += 1 }
+        (first, arr)
+      }
+      val out = new Array[Byte](total * 3)
+      var i = 0
+      while (i < total) {
+        val v =
+          if (bits == 16 && bigEndian) ((px(2 * i) & 0xff) << 8) | (px(2 * i + 1) & 0xff)
+          else if (bits == 16) (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8)
+          else px(i) & 0xff
+        var c = 0
+        while (c < 3) {
+          val (first, arr) = chans(c)
+          val idx = math.min(math.max(v - first, 0), arr.length - 1)
+          out(3 * i + c) = arr(idx).toByte
+          c += 1
+        }
+        i += 1
+      }
+      (SparkImage(ImageMeta(info = path), log, cols, rows, frames,
+        PixelCodec.Rgb, out), instance)
     } else {
       val total = frames * n
       val doubles = new Array[Double](total)
@@ -902,7 +964,9 @@ object ImageCodecIO {
                                  frames: Int = 1,
                                  planarConfig: Int = 0,
                                  photometric: String = "RGB",
-                                 fragmentBytes: Int = 0): Array[Byte] = {
+                                 fragmentBytes: Int = 0,
+                                 palette: Option[(Array[Int], Array[Int], Array[Int], Int)] = None)
+      : Array[Byte] = {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
@@ -985,7 +1049,12 @@ object ImageCodecIO {
     metaElem(0x0002, 0x0010, "UI", tsPadded.getBytes("US-ASCII"))
     str(0x0020, 0x0013, "IS", instance.toString, ' ')
     us(0x0028, 0x0002, if (isRgb) 3 else 1)
-    str(0x0028, 0x0004, "CS", if (isRgb) photometric else "MONOCHROME2", ' ')
+    require(palette.isEmpty || !isRgb,
+      "palette applies to single-sample index images, not RGB data")
+    str(0x0028, 0x0004, "CS",
+      if (isRgb) photometric
+      else if (palette.nonEmpty) "PALETTE COLOR"
+      else "MONOCHROME2", ' ')
     // PS3.5 (CP-1692): PlanarConfiguration shall be 0 for encapsulated
     // pixel data — the RLE segments are inherently planar regardless,
     // so a planar=1 REQUEST on the RLE syntax clamps to a conformant 0
@@ -998,6 +1067,37 @@ object ImageCodecIO {
     else if (bits12) { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 12); us(0x0028, 0x0102, 11) }
     else { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15) }
     us(0x0028, 0x0103, 0)
+    // PALETTE COLOR LUTs (0028,1101-1103 descriptors as three US
+    // values; 0028,1201-1203 data as OW words in the dataset byte
+    // order — a long-form VR, unlike the short-form elements above).
+    // Pixel data itself stays the untouched index stream, so palette
+    // rides every grayscale-capable transfer syntax.
+    palette.foreach { case (lr, lg, lb, first) =>
+      def u16bytes(vals: Seq[Int]): Array[Byte] = {
+        val out = new Array[Byte](vals.length * 2)
+        vals.zipWithIndex.foreach { case (v, i) =>
+          if (bigEndian) { out(2 * i) = ((v >> 8) & 0xff).toByte; out(2 * i + 1) = (v & 0xff).toByte }
+          else { out(2 * i) = (v & 0xff).toByte; out(2 * i + 1) = ((v >> 8) & 0xff).toByte }
+        }
+        out
+      }
+      def elemOW(group: Int, el: Int, value: Array[Byte]): Unit = {
+        u16x(group); u16x(el)
+        if (explicitVr) { bos.write('O'); bos.write('W'); u16x(0); u32x(value.length) }
+        else u32x(value.length)
+        bos.write(value)
+      }
+      val luts = Seq(lr, lg, lb)
+      luts.foreach(l => require(l.nonEmpty && l.length <= 65536 &&
+        l.forall(v => v >= 0 && v <= 65535), "palette LUT: 1..65536 16-bit entries"))
+      luts.zipWithIndex.foreach { case (lut, c) =>
+        elem(0x0028, 0x1101 + c, "US",
+          u16bytes(Seq(if (lut.length == 65536) 0 else lut.length, first, 16)))
+      }
+      luts.zipWithIndex.foreach { case (lut, c) =>
+        elemOW(0x0028, 0x1201 + c, u16bytes(lut.toSeq))
+      }
+    }
     val n = w * h
     // component frame accessors over interleaved color bytes — the
     // YBR photometrics convert the image's RGB bytes to full-range
