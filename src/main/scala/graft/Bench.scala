@@ -14,8 +14,22 @@ import org.apache.spark.sql.SparkSession
   * because transient load only ever ADDS time. Both raw pass totals
   * are emitted alongside so a polluted pass is visible, not hidden.
   * Output is the contract's single JSON line.
+  *
+  * The line also carries an ENVIRONMENT FINGERPRINT — 1/5/15-minute
+  * loadavg before and after the run, the pass spread (slower/faster
+  * total), and the query count — so the artifact alone classifies
+  * itself quiet-or-loaded (the round-12 lesson: three different
+  * "round bench" numbers existed and only a method doc explained
+  * which to trust). Reading rule: loadavg_before[0] ≲ the bench's own
+  * parallelism and pass_spread ≲ 1.15 ⇒ quiet box; a large spread or
+  * high pre-run load marks the number as contended.
   */
 object Bench {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString("[", ",", "]")
+    catch { case _: Throwable => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -48,8 +62,10 @@ object Bench {
       try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val loadBefore = loadavg()
     val pass1 = timedPass()
     val pass2 = timedPass()
+    val loadAfter = loadavg()
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       name -> math.min(a, b)
     }
@@ -57,8 +73,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val t1 = pass1.map(_._2).sum; val t2 = pass2.map(_._2).sum
+    val spread = if (math.min(t1, t2) > 0) math.max(t1, t2) / math.min(t1, t2) else 1.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[$t1,$t2],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[$t1,$t2],""" +
+        s""""pass_spread":$spread,"n_queries":${results.length},""" +
+        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only a 2000-char stdout TAIL, which
     // truncates the per-query map (~60 of 175+ queries survive), so

@@ -638,7 +638,63 @@ object PlanAudit {
           "(broadcast here; SMJ on a 100 TB orders side — either way " +
           "one exchange); the final union moves 9 scalar rows",
         Seq("HashAggregate", "LeftAnti"),
-        Seq("CartesianProduct", "Window")))
+        Seq("CartesianProduct", "Window")),
+      ("q152_ann_recall",
+        "ANN recall audit: three broadcast-query corpus scans (exact " +
+          "truth via the q29 BNLJ, IVF and LSH via their cluster/bucket " +
+          "equi-joins with broadcast probe tables), each top-k'd by the " +
+          "map-side-combining TopKAggregator; the intersection is then " +
+          "broadcast joins over |Q|·k-row rank relations — the hit " +
+          "counting never touches the corpus again",
+        Seq("TopKAggregator", "BroadcastNestedLoopJoin", "BroadcastHashJoin"),
+        Seq("CartesianProduct")),
+      ("q155_ann_recall_prod",
+        "production-recipe ANN audit: the same four-scan shape as q152 " +
+          "plus IVF-PQ — the 32-table LSH computes all bucket ids in ONE " +
+          "corpus scan (posexplode of the per-vector bucket array, then " +
+          "the (table,bucket) equi-join), pair-key dedup is a hash " +
+          "aggregation, and the PQ rerank stage re-scores its KB-sized " +
+          "broadcast shortlist through one more broadcast hash join — " +
+          "knobs multiply candidate volume, never corpus scans",
+        Seq("TopKAggregator", "BroadcastHashJoin"),
+        Seq("CartesianProduct")),
+      ("q153_dedup_recall",
+        "MinHash banding recall audit: runs BOTH the exact prefix-" +
+          "filtered q31 join (xxhash64 posting keys, no cross join) and " +
+          "the q32 banding by definition; the recall counts come from ONE " +
+          "full-outer join on the pair key feeding a single aggregation, " +
+          "so each side's pipeline evaluates exactly once",
+        Seq("xxhash64", "FullOuter"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q154_neardup_recall",
+        "embedding near-dup recall audit: the exact side is the " +
+          "DELIBERATE N² ground truth (broadcast nested-loop cosine — the " +
+          "measurement's definition, documented as sample-at-scale); the " +
+          "candidate side stays the banded equi-join; ONE full-outer " +
+          "join + aggregation produces the counts",
+        Seq("BroadcastNestedLoopJoin", "FullOuter"),
+        Seq("CartesianProduct")),
+      ("q156_neardup_recall_sampled",
+        "q154 at anchorFraction=0.25: the content-hash anchor predicate " +
+          "lands on the exact join's a-side BEFORE the nested-loop " +
+          "product (s·N² work, not a post-filter on N² rows) and on the " +
+          "candidate relation — same one-full-outer-join shape",
+        Seq("BroadcastNestedLoopJoin", "FullOuter", "md5"),
+        Seq("CartesianProduct")),
+      ("q157_dedup_recall_sampled",
+        "q153 at anchorFraction=0.25: the anchor predicate restricts the " +
+          "a-side POSTING relation inside the prefix join (the join work " +
+          "scales with the sample) and filters the banding candidates — " +
+          "the oracle replays the identical md5-prefix sample",
+        Seq("xxhash64", "FullOuter", "md5"),
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      ("q158_ann_recall_sampled",
+        "q152 with the query set itself anchor-sampled: the md5-prefix " +
+          "predicate rides every branch's query filter, so truth cost is " +
+          "s·|Q|·N while the per-anchor rows stay exactly the full " +
+          "audit's (asserted in PipelineSpec)",
+        Seq("TopKAggregator", "BroadcastNestedLoopJoin", "md5"),
+        Seq("CartesianProduct")))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.PlanAudit)\n\n")
