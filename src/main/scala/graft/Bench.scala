@@ -26,9 +26,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private def loadavg(): String =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-      .split(" ").take(3).mkString("[", ",", "]")
-    catch { case _: Throwable => "[]" }
+    try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg")) {
+      _.mkString.trim.split(" ").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

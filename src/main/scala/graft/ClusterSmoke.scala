@@ -45,7 +45,11 @@ object ClusterSmoke {
     "q151_ann_ivfpq", // nested centroid+codebook arrays broadcast into executor-side encode/ADC UDFs
     "q152_ann_recall", // three retrieval legs + two broadcast rank-relation joins cross-JVM
     "q154_neardup_recall", // full-outer pair intersection over BNLJ ground truth + banded LSH cross-JVM
-    "img23_dicom_multiframe", // multi-frame encode/decode + populated-BOT fragments through executor-side FS
+    "q155_ann_recall_prod", // 32-table LSH bucket arrays + PQ rerank broadcast shortlist cross-JVM
+    "q156_neardup_recall_sampled", // md5-anchor predicates on both audit sides across worker JVMs
+    "img23_dicom_multiframe", // multi-frame encode/decode + populated-BOT and multi-fragment frames through executor-side FS
+    "img25_dicom_ybr", // YCbCr color conversion + 422 packing in executor-side encode/decode UDFs
+    "img26_dicom_palette", // LUT arrays serialize into executor-side palette encode; OW elements cross-JVM
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {

@@ -69,6 +69,25 @@ object ImageOps {
       case s => s
     }
 
+  /** Loud reject when two samples sanitize to the same file name —
+    * one-file-per-row sinks would silently overwrite a whole stack per
+    * collision. One distributed count over the name column (at most
+    * one example row reaches the driver, never a sample-list collect);
+    * the column-pruned plan avoids materializing images where the
+    * lineage allows it. */
+  private def requireUniqueSafeNames(df: DataFrame, sink: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val safeUdf = udf { s: String => safeName(s) }
+    val dup = df.select(safeUdf(col("sample")).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$sink: ${dup.headOption.map(_.getString(0)).getOrElse("")} — two samples " +
+        "sanitize to the same file name; disambiguate samples before writing " +
+        "(each collision silently drops a whole stack)")
+  }
+
   /** Distributed DICOM series sink: each row's stack writes as one
     * single-frame file PER SLICE, named `<sample>_<instance>.dcm`
     * with InstanceNumber = slice index + 1 — the on-disk layout of
@@ -169,14 +188,7 @@ object ImageOps {
   def saveDicomMultiFrame(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val safeUdf = udf { s: String => safeName(s) }
-    val dup = df.select(safeUdf(col("sample")).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"saveDicomMultiFrame: ${dup.headOption.map(_.getString(0)).getOrElse("")} — " +
-        "two samples sanitize to the same file name; disambiguate samples " +
-        "before writing (each collision silently drops a whole stack)")
+    requireUniqueSafeNames(df, "saveDicomMultiFrame")
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // optional `photometric` column (RGB / YBR_FULL / YBR_FULL_422)
@@ -217,13 +229,7 @@ object ImageOps {
                        firstMapped: Int = 0): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val safeUdf = udf { s: String => safeName(s) }
-    val dup = df.select(safeUdf(col("sample")).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"saveDicomPalette: ${dup.headOption.map(_.getString(0)).getOrElse("")} — " +
-        "two samples sanitize to the same file name")
+    requireUniqueSafeNames(df, "saveDicomPalette")
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     df.select(col("sample"), col("image"), col("ts"))

@@ -42,8 +42,21 @@ object Dedup {
   private[graft] def anchorThresholdHex(fraction: Double): String = {
     require(fraction > 0.0 && fraction < 1.0,
       s"anchorFraction must be in (0,1), got $fraction (1.0 = don't sample)")
-    f"${math.round(fraction * 65536).toInt}%04x"
+    val t = math.round(fraction * 65536).toInt
+    // a threshold of 0 would silently sample NOTHING; 65536 would
+    // format as the 5-char '10000' and corrupt the 4-char compare —
+    // both ends stay loud/clamped at the 16-bit hash granularity
+    require(t >= 1,
+      s"anchorFraction $fraction samples nothing at the 16-bit hash granularity")
+    f"${math.min(t, 65535)}%04x"
   }
+
+  /** Audit-entry guard: 1.0 means "don't sample" exactly; anything
+    * else must be a real (0,1) fraction — a typo'd 1.5 silently
+    * running the full quadratic audit would defeat the knob. */
+  private[graft] def validateAnchorFraction(fraction: Double): Unit =
+    require(fraction == 1.0 || (fraction > 0.0 && fraction < 1.0),
+      s"anchorFraction must be 1.0 (no sampling) or in (0,1), got $fraction")
 
   private[graft] def anchorPred(idCol: Column, seed: Long, fraction: Double): Column =
     substring(md5(concat_ws("-", lit(s"anchor-$seed"), idCol)), 1, 4) <
@@ -199,6 +212,7 @@ object Dedup {
     // work scales with the sample (the restriction is pushed into the
     // a-side posting relation), the recall estimate stays unbiased,
     // and the gate oracle replays the identical sample (q157)
+    validateAnchorFraction(anchorFraction)
     val anchored = anchorFraction < 1.0
     val exact =
       ngramJaccardPairsImpl(docs, n, threshold,
@@ -274,6 +288,7 @@ object Dedup {
                          anchorFraction: Double = 1.0,
                          anchorSeed: Long = 7L): DataFrame = {
     val spark = embeddings.sparkSession
+    validateAnchorFraction(anchorFraction)
     val anchored = anchorFraction < 1.0
     val nv = embeddings.select(col("vec_id"),
       Similarity.normalizeUdf(Similarity.asDouble(col("embedding"))).as("nv"))

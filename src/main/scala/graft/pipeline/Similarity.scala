@@ -972,6 +972,7 @@ object Similarity {
     // and the estimate is unbiased (anchor membership is independent
     // of hit status). The 100 TB audit shape; oracle replays the same
     // sample via the same md5-prefix predicate.
+    Dedup.validateAnchorFraction(anchorFraction)
     val qf = if (anchorFraction < 1.0)
       queryFilter && Dedup.anchorPred(col("vec_id"), anchorSeed, anchorFraction)
     else queryFilter

@@ -194,7 +194,15 @@ object ImageCodecIO {
     val assembled: Seq[Array[Byte]] =
       if (bot.isEmpty) {
         if (frags.length == frames) frags.toSeq
-        else if (frames == 1) Seq(Array.concat(frags.toSeq: _*))
+        else if (frames == 1) {
+          // multi-fragment single-frame is legal for the JPEG family
+          // but a PS3.5 Annex G violation for RLE — same reject as the
+          // BOT-grouped path
+          require(allowMultiFragment,
+            s"single frame spans ${frags.length} fragments in $path, but this " +
+              "transfer syntax requires one fragment per frame (PS3.5 Annex G)")
+          Seq(Array.concat(frags.toSeq: _*))
+        }
         else throw new IllegalArgumentException(
           s"${frags.length} pixel fragments for NumberOfFrames $frames with an " +
             s"empty Basic Offset Table in $path (frame boundaries are ambiguous — " +
@@ -734,9 +742,16 @@ object ImageCodecIO {
       require(photometric == "MONOCHROME2" || photometric == "PALETTE COLOR",
         s"PhotometricInterpretation '$photometric' unsupported for 1-sample data " +
           s"(MONOCHROME2 / PALETTE COLOR): $path")
-      if (photometric == "PALETTE COLOR")
+      if (photometric == "PALETTE COLOR") {
         require(lutDesc.forall(_ != null) && lutRaw.forall(_ != null),
           s"PALETTE COLOR without all three LUT descriptor+data pairs: $path")
+        // LUT indices are categorical: a lossy codec's ±1 index error
+        // maps to an arbitrary unrelated color (PS3.5 8.2.1 prohibits
+        // lossy JPEG with PALETTE COLOR) — reject, never mis-decode
+        require(ts != TsJpegBaseline && ts != TsJpegExtended && ts != TsJpegLsNear,
+          s"PALETTE COLOR with the lossy transfer syntax $ts is non-conformant " +
+            s"(PS3.5 8.2.1 — index errors become arbitrary colors): $path")
+      }
     }
     val n = rows * cols
     // decode ONE frame's fragment to little-endian interleaved bytes
@@ -1051,6 +1066,10 @@ object ImageCodecIO {
     us(0x0028, 0x0002, if (isRgb) 3 else 1)
     require(palette.isEmpty || !isRgb,
       "palette applies to single-sample index images, not RGB data")
+    require(palette.isEmpty || (transferSyntax != TsJpegBaseline &&
+        transferSyntax != TsJpegExtended && transferSyntax != TsJpegLsNear),
+      s"PALETTE COLOR may not ride the lossy syntax $transferSyntax " +
+        "(PS3.5 8.2.1 — LUT indices are categorical)")
     str(0x0028, 0x0004, "CS",
       if (isRgb) photometric
       else if (palette.nonEmpty) "PALETTE COLOR"
@@ -1100,14 +1119,21 @@ object ImageCodecIO {
     }
     val n = w * h
     // component frame accessors over interleaved color bytes — the
-    // YBR photometrics convert the image's RGB bytes to full-range
-    // YCbCr first, then ride the same plane/interleave/RLE writers
-    val cdata = if (isRgb && photometric != "RGB") rgbToYbrInterleaved(img.data)
-                else img.data
+    // YBR photometrics convert ONLY the encoded [slice, slice+frames)
+    // window to full-range YCbCr (a per-slice series loop over a big
+    // stack would otherwise pay a full-stack conversion per file),
+    // then ride the same plane/interleave/RLE writers. cOff maps a
+    // frame index to its position in cdata.
+    val ybrConvert = isRgb && photometric != "RGB"
+    val cdata =
+      if (ybrConvert) rgbToYbrInterleaved(java.util.Arrays.copyOfRange(
+        img.data, slice * n * 3, (slice + frames) * n * 3))
+      else img.data
+    val cOff = if (ybrConvert) 0 else slice
     def rgbPlane(f: Int, c: Int): Array[Byte] =
-      Array.tabulate(n)(i => cdata(((slice + f) * n + i) * 3 + c))
+      Array.tabulate(n)(i => cdata(((cOff + f) * n + i) * 3 + c))
     def rgbInterleaved(f: Int): Array[Byte] =
-      java.util.Arrays.copyOfRange(cdata, (slice + f) * n * 3, (slice + f + 1) * n * 3)
+      java.util.Arrays.copyOfRange(cdata, (cOff + f) * n * 3, (cOff + f + 1) * n * 3)
     // 422: Y1 Y2 Cb Cr per pixel pair, chroma from the pair's first
     // pixel (a legal encoder choice; lossless wherever the pair shares
     // chroma — which a decode-side replication round-trips exactly)
@@ -1115,7 +1141,7 @@ object ImageCodecIO {
       val out = new Array[Byte](n * 2)
       var j = 0
       while (j < n / 2) {
-        val base = ((slice + f) * n + 2 * j) * 3
+        val base = ((cOff + f) * n + 2 * j) * 3
         out(4 * j) = cdata(base)
         out(4 * j + 1) = cdata(base + 3)
         out(4 * j + 2) = cdata(base + 1)
