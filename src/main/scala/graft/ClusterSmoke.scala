@@ -50,6 +50,7 @@ object ClusterSmoke {
     "img23_dicom_multiframe", // multi-frame encode/decode + populated-BOT and multi-fragment frames through executor-side FS
     "img25_dicom_ybr", // YCbCr color conversion + 422 packing in executor-side encode/decode UDFs
     "img26_dicom_palette", // LUT arrays serialize into executor-side palette encode; OW elements cross-JVM
+    "img27_dicom_mono1_signed", // MONOCHROME1 inversion + signed two's-complement + DS rescale parse cross-JVM
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {

@@ -191,27 +191,32 @@ object ImageOps {
     requireUniqueSafeNames(df, "saveDicomMultiFrame")
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // optional `photometric` column (RGB / YBR_FULL / YBR_FULL_422)
-    // selects the color encoding; optional `frag_bytes` column splits
-    // each encapsulated frame's codec stream into even fragments of at
-    // most that many bytes (real encoders fragment large frames);
-    // absent = plain RGB, one fragment per frame
-    val photo = if (df.columns.contains("photometric")) col("photometric")
-                else lit("RGB")
-    val fragB = if (df.columns.contains("frag_bytes")) col("frag_bytes")
-                else lit(0)
+    // optional columns, all defaulted when absent:
+    //   photometric  — RGB / YBR_FULL / YBR_FULL_422 / MONOCHROME1
+    //   frag_bytes   — split each encapsulated frame's codec stream
+    //                  into even fragments of at most that many bytes
+    //   pixel_rep    — 1 writes signed (two's-complement) grayscale
+    //   slope, intercept — modality-LUT Rescale tags (NaN = absent)
+    def opt(name: String, default: Column): Column =
+      if (df.columns.contains(name)) col(name) else default
     df.select(col("sample"), col("image"), col("ts"), col("planar"),
-        photo.as("photometric"), fragB.cast("int").as("frag_bytes"))
-      .as[(String, SparkImage, String, Int, String, Int)]
-      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String, Int)] =>
+        opt("photometric", lit("RGB")).as("photometric"),
+        opt("frag_bytes", lit(0)).cast("int").as("frag_bytes"),
+        opt("pixel_rep", lit(0)).cast("int").as("pixel_rep"),
+        opt("slope", lit(Double.NaN)).cast("double").as("slope"),
+        opt("intercept", lit(Double.NaN)).cast("double").as("intercept"))
+      .as[(String, SparkImage, String, Int, String, Int, Int, Double, Double)]
+      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String, Int, Int, Double, Double)] =>
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(serConf.value)
-        it.foreach { case (sample, img, ts, planar, pm, fb) =>
+        it.foreach { case (sample, img, ts, planar, pm, fb, pr, sl, ic) =>
           val out = new org.apache.hadoop.fs.Path(base, s"${safeName(sample)}.dcm")
           val os = fs.create(out, true)
+          val rescale = if (sl.isNaN) None else Some((sl, ic))
           try os.write(ImageCodecIO.encodeDicom(img, instance = 1, slice = 0,
             transferSyntax = ts, frames = img.slices, planarConfig = planar,
-            photometric = pm, fragmentBytes = fb))
+            photometric = pm, fragmentBytes = fb, pixelRep = pr,
+            rescale = rescale))
           finally os.close()
         }
       }

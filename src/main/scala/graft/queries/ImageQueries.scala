@@ -1076,6 +1076,119 @@ object ImageQueries {
           AVG(CAST((idx * 5 + 11) % 256 AS DOUBLE)) AS m_red,
           AVG(CAST((idx * 7 + 23) % 256 AS DOUBLE)) AS m_green,
           AVG(CAST((idx * 11 + 37) % 256 AS DOUBLE)) AS m_blue
-        FROM base GROUP BY sx ORDER BY name"""))
+        FROM base GROUP BY sx ORDER BY name""")),
+
+    // ---- MONOCHROME1 + signed CT DICOM: the two remaining grayscale
+    // real-archive shapes. MONOCHROME1 (lowest value = white, the
+    // plain-film convention) round-trips through the decode-side
+    // inversion into intensity semantics across all 8 lossless
+    // syntaxes; signed PixelRepresentation=1 data with the modality
+    // LUT (RescaleSlope/Intercept — Hounsfield units, including
+    // NEGATIVE stored values that exercise two's-complement sign
+    // extension) decodes to Float32 real values. Frame-constant fills
+    // make every slice mean a closed form. ----------------------------
+    ("img27_dicom_mono1_signed",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_mono1"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val lossless = Array(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+          ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle,
+          ImageCodecIO.TsJpegLossless, ImageCodecIO.TsJpegLossless14,
+          ImageCodecIO.TsJpegLs, ImageCodecIO.TsJpeg2000Lossless)
+        val native = lossless.take(3)
+        val m1 = s.range(8L).map { sxL =>
+          val sx = sxL.toInt
+          val slices = (0 until 2).map(f =>
+            Kernels.constantImage(32, 16, 1, 100.0 * sx + 17.0 * f + 500.0,
+              PixelCodec.Short16))
+          (s"/m1/$sx", slices.reduce(Kernels.appendStack), lossless(sx), 0,
+            "MONOCHROME1", 0, Double.NaN, Double.NaN)
+        }
+        // cfg 0: the CT shape (slope 1, intercept -1024); cfg 1 has
+        // NEGATIVE stored values ((v+50)/2 = 40sx+9f-60 < 0 at sx=0)
+        val hu = s.range(2L).flatMap { cL =>
+          val c = cL.toInt
+          native.indices.map { sx =>
+            def v(f: Int) = if (c == 0) 50.0 * sx + 31.0 * f - 800.0
+                            else 80.0 * sx + 18.0 * f - 170.0
+            val slices = (0 until 2).map(f =>
+              Kernels.constantImage(32, 16, 1, v(f), PixelCodec.Float32))
+            (s"/hu/${c}_$sx", slices.reduce(Kernels.appendStack), native(sx), 0,
+              "MONOCHROME2", 1,
+              if (c == 0) 1.0 else 2.0, if (c == 0) -1024.0 else -50.0)
+          }
+        }
+        val rows = m1.union(hu).toDF("sample", "image", "ts", "planar",
+          "photometric", "pixel_rep", "slope", "intercept")
+        ImageOps.saveDicomMultiFrame(rows, dir)
+        val sm = ImageFunctions.sliceMeansUdf(col("image"))
+        ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            element_at(sm, 1).as("s0"), element_at(sm, 2).as("s1"))
+          .orderBy(col("name"))
+      },
+      // MONOCHROME1 slice means round-trip to the original intensity;
+      // signed frames read slope·stored + intercept = the closed form
+      Some("""SELECT 'm1_' || CAST(sx AS VARCHAR) AS name,
+          CAST(2 AS BIGINT) AS nslices,
+          CAST(100 * sx + 500 AS DOUBLE) AS s0,
+          CAST(100 * sx + 517 AS DOUBLE) AS s1
+        FROM range(8) t(sx)
+        UNION ALL
+        SELECT 'hu_0_' || CAST(sx AS VARCHAR), CAST(2 AS BIGINT),
+          CAST(50 * sx - 800 AS DOUBLE), CAST(50 * sx - 769 AS DOUBLE)
+        FROM range(3) t(sx)
+        UNION ALL
+        SELECT 'hu_1_' || CAST(sx AS VARCHAR), CAST(2 AS BIGINT),
+          CAST(80 * sx - 170 AS DOUBLE), CAST(80 * sx - 152 AS DOUBLE)
+        FROM range(3) t(sx)
+        ORDER BY name""")),
+
+    // ---- LOSSY COLOR (.50 JPEG Baseline) DICOM: what a real color
+    // ultrasound / endoscopy archive carries — YBR_FULL_422 JFIF
+    // streams, decoded by the JDK codec (which owns the YCbCr→RGB
+    // conversion and chroma upsampling). Pixels are lossy by design,
+    // so the gate hash-checks the DETERMINISTIC surface (file, frame
+    // count, geometry — a broken fragment parse, frame drop, or SOF
+    // mismatch flips a row), and PropertySpec bounds the pixel error
+    // on frame-constant fills. ----------------------------------------
+    ("img28_dicom_color_lossy",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_color50"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val rows = s.range(4L).map { iL =>
+          val i = iL.toInt
+          val data = Array.tabulate(3 * 16 * 8 * 3) { idx =>
+            val f = idx / (16 * 8 * 3); val c = idx % 3
+            (25 * i + 6 * f + 40 + c * 45).toByte
+          }
+          (s"/c50/$i",
+            graft.core.SparkImage(graft.core.ImageMeta(), "[]", 16, 8, 3,
+              PixelCodec.Rgb, data),
+            ImageCodecIO.TsJpegBaseline, 0, "YBR_FULL_422")
+        }.toDF("sample", "image", "ts", "planar", "photometric")
+        ImageOps.saveDicomMultiFrame(rows, dir)
+        ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            col("image.width").cast("long").as("w"),
+            col("image.height").cast("long").as("h"))
+          .orderBy(col("name"))
+      },
+      Some("""SELECT 'c50_' || CAST(i AS VARCHAR) AS name,
+          CAST(3 AS BIGINT) AS nslices, CAST(16 AS BIGINT) AS w,
+          CAST(8 AS BIGINT) AS h
+        FROM range(4) t(i) ORDER BY name"""))
   )
 }

@@ -441,6 +441,34 @@ object ImageCodecIO {
     bos.toByteArray
   }
 
+  /** Color JPEG Baseline frame via the JDK writer: interleaved RGB
+    * image bytes → TYPE_INT_RGB page → JFIF stream (the writer owns
+    * the RGB→YCbCr conversion and chroma subsampling — the stream a
+    * real .50 color ultrasound/endoscopy file carries). */
+  private def jpegBaselineEncodeColor(img: SparkImage, frame: Int): Array[Byte] = {
+    val w = img.width; val h = img.height; val n = w * h
+    val page = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < n) {
+      val b = (frame * n + i) * 3
+      page.setRGB(i % w, i / w,
+        ((img.data(b) & 0xff) << 16) | ((img.data(b + 1) & 0xff) << 8) |
+          (img.data(b + 2) & 0xff))
+      i += 1
+    }
+    val writers = ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "no JPEG writer registered (the JDK ships one)")
+    val writer = writers.next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try { writer.setOutput(ios); writer.write(null, new IIOImage(page, null, null), p) }
+    finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Canonical Huffman decode tables per T.81 F.2.2.3: for each code
     * length, the smallest/largest code and the HUFFVAL index of the
     * smallest. */
@@ -627,6 +655,10 @@ object ImageCodecIO {
     // (0028,1201-1203, OW words in the dataset byte order)
     val lutDesc = new Array[Array[Int]](3)
     val lutRaw = new Array[Array[Byte]](3)
+    // Rescale Intercept/Slope (0028,1052/1053, DS) — the modality LUT
+    // that turns stored CT values into Hounsfield units
+    var rescaleIntercept: Option[Double] = None
+    var rescaleSlope: Option[Double] = None
     // ---- file-meta group: ALWAYS explicit-VR little-endian ----
     var inMeta = true
     while (inMeta && bb.remaining >= 8) {
@@ -701,6 +733,8 @@ object ImageCodecIO {
           case (0x0028, 0x0011) => cols = u16
           case (0x0028, 0x0100) => bits = u16
           case (0x0028, 0x0103) => pixelRep = u16
+          case (0x0028, 0x1052) => rescaleIntercept = Some(str.toDouble)
+          case (0x0028, 0x1053) => rescaleSlope = Some(str.toDouble)
           case (0x0028, 0x1101) => lutDesc(0) = desc
           case (0x0028, 0x1102) => lutDesc(1) = desc
           case (0x0028, 0x1103) => lutDesc(2) = desc
@@ -712,37 +746,61 @@ object ImageCodecIO {
         }
       }
     }
-    require(pixelRep == 0, s"signed DICOM pixel data unsupported: $path")
     require(rows > 0 && cols > 0, s"missing DICOM dims: $path")
     require(bits == 8 || bits == 16, s"unsupported DICOM BitsAllocated $bits: $path")
     require(frames >= 1, s"bad DICOM NumberOfFrames $frames: $path")
     val isRgb = samples == 3
     val is422 = photometric == "YBR_FULL_422"
+    val signed = pixelRep == 1
+    val hasRescale = rescaleSlope.nonEmpty || rescaleIntercept.nonEmpty
+    // signed (PixelRepresentation 1) — the real CT shape (Hounsfield
+    // units are signed): two's-complement grayscale, native syntaxes
+    require(pixelRep == 0 || pixelRep == 1, s"bad PixelRepresentation $pixelRep: $path")
+    if (signed) {
+      require(samples == 1 && photometric == "MONOCHROME2",
+        s"signed pixel data supported for MONOCHROME2 grayscale only: $path")
+      require(!encapsulated,
+        s"signed pixel data in transfer syntax $ts unsupported (native only): $path")
+    }
     if (isRgb) {
       require(photometric == "RGB" || photometric == "YBR_FULL" || is422,
         s"SamplesPerPixel 3 with PhotometricInterpretation '$photometric' unsupported " +
           s"(RGB / YBR_FULL / YBR_FULL_422 only): $path")
       require(bits == 8, s"color DICOM with BitsAllocated $bits unsupported (8 only): $path")
-      require(!encapsulated || ts == TsRle,
+      require(!hasRescale, s"Rescale on color pixel data unsupported: $path")
+      require(!encapsulated || ts == TsRle || ts == TsJpegBaseline,
         s"color pixel data in transfer syntax $ts unsupported " +
-          s"(native syntaxes + RLE Lossless only): $path")
+          s"(native syntaxes + RLE Lossless + JPEG Baseline only): $path")
       require(planar == 0 || planar == 1, s"bad PlanarConfiguration $planar: $path")
-      if (is422) {
+      if (is422 && ts != TsJpegBaseline) {
         // PS3.3 C.7.6.3.1.2: 422 chroma is subsampled 2:1 horizontally
         // (Y1 Y2 Cb Cr groups) — column count must pair up, the layout
         // is inherently interleaved (PlanarConfiguration 0), and the
-        // RLE plane form doesn't apply (real RLE color is YBR_FULL)
+        // RLE plane form doesn't apply (real RLE color is YBR_FULL).
+        // Under JPEG Baseline (.50 — where YBR_FULL_422 is what real
+        // color ultrasound/endoscopy declares) the JFIF codec owns the
+        // subsampling, so none of the native-layout rules apply.
         require(cols % 2 == 0, s"YBR_FULL_422 with odd Columns $cols: $path")
         require(planar == 0, s"YBR_FULL_422 requires PlanarConfiguration 0: $path")
         require(!encapsulated,
-          s"YBR_FULL_422 pixel data in transfer syntax $ts unsupported (native only): $path")
+          s"YBR_FULL_422 pixel data in transfer syntax $ts unsupported " +
+            s"(native or JPEG Baseline): $path")
       }
     } else {
       require(samples == 1, s"SamplesPerPixel $samples unsupported (1 or 3): $path")
-      require(photometric == "MONOCHROME2" || photometric == "PALETTE COLOR",
+      require(photometric == "MONOCHROME2" || photometric == "MONOCHROME1" ||
+          photometric == "PALETTE COLOR",
         s"PhotometricInterpretation '$photometric' unsupported for 1-sample data " +
-          s"(MONOCHROME2 / PALETTE COLOR): $path")
+          s"(MONOCHROME2 / MONOCHROME1 / PALETTE COLOR): $path")
+      if (photometric == "MONOCHROME1")
+        // inversion into intensity semantics is only well-defined on
+        // the raw unsigned range — signed or modality-rescaled
+        // MONOCHROME1 has no fixed "white" value to invert around
+        require(!signed && !hasRescale,
+          s"MONOCHROME1 supported for unsigned, unrescaled data only: $path")
       if (photometric == "PALETTE COLOR") {
+        require(!signed && !hasRescale,
+          s"PALETTE COLOR indices must be unsigned and unrescaled: $path")
         require(lutDesc.forall(_ != null) && lutRaw.forall(_ != null),
           s"PALETTE COLOR without all three LUT descriptor+data pairs: $path")
         // LUT indices are categorical: a lossy codec's ±1 index error
@@ -760,18 +818,33 @@ object ImageCodecIO {
       if (ts == TsRle) rleDecodeFragment(frag, n, bits, samples, path)
       else if (ts == TsJpegBaseline) {
         // lossy 8-bit baseline: the JDK's JPEG codec decodes the
-        // fragment (a complete JFIF stream)
+        // fragment (a complete JFIF stream); for color streams the
+        // codec also owns the YCbCr→RGB conversion and any chroma
+        // upsampling, so the output here is ALREADY interleaved RGB
         val bi = ImageIO.read(new ByteArrayInputStream(frag))
         require(bi != null, s"undecodable JPEG Baseline fragment in $path")
         require(bi.getWidth == cols && bi.getHeight == rows,
           s"JPEG frame ${bi.getWidth}x${bi.getHeight} does not match DICOM " +
             s"Rows/Columns ${cols}x$rows in $path")
         require(bits == 8, s"JPEG Baseline with BitsAllocated $bits unsupported: $path")
-        val raster = bi.getRaster
-        val out = new Array[Byte](n)
-        var j = 0
-        while (j < n) { out(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
-        out
+        if (samples == 3) {
+          val out = new Array[Byte](n * 3)
+          var j = 0
+          while (j < n) {
+            val rgb = bi.getRGB(j % cols, j / cols)
+            out(3 * j) = ((rgb >> 16) & 0xff).toByte
+            out(3 * j + 1) = ((rgb >> 8) & 0xff).toByte
+            out(3 * j + 2) = (rgb & 0xff).toByte
+            j += 1
+          }
+          out
+        } else {
+          val raster = bi.getRaster
+          val out = new Array[Byte](n)
+          var j = 0
+          while (j < n) { out(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
+          out
+        }
       } else {
         // the three native-codec syntaxes share the (w, h, precision,
         // samples) contract; JPEG lossless reports no precision
@@ -814,7 +887,10 @@ object ImageCodecIO {
       px = Array.concat(encapFragments.map(fragToBytes): _*)
     }
     require(px != null, s"missing DICOM pixel data: $path")
-    val frameBytes = if (is422) n * 2 else n * samples * (bits / 8)
+    // native 422 packs 2 bytes/pixel; baseline-422 frames were already
+    // expanded to interleaved RGB by the JFIF decode
+    val frameBytes = if (is422 && encapFragments == null) n * 2
+                     else n * samples * (bits / 8)
     require(px.length >= frames * frameBytes, s"short DICOM pixel payload: $path")
     val log = ImageLog.append(ImageLog.empty, LogEntry("LOAD", "SPARK", path, ""))
     if (isRgb) {
@@ -825,7 +901,7 @@ object ImageCodecIO {
       // Y1 Y2 Cb Cr groups — upsample chroma by replication across the
       // pixel pair (PS3.3 C.7.6.3.1.2)
       val data =
-        if (is422) {
+        if (is422 && encapFragments == null) {
           val out = new Array[Byte](frames * n * 3)
           var f = 0
           while (f < frames) {
@@ -859,8 +935,11 @@ object ImageCodecIO {
         } else if (px.length == frames * n * 3) px
         else java.util.Arrays.copyOf(px, frames * n * 3)
       // YBR photometrics: data now holds interleaved Y Cb Cr — convert
-      // to the SparkImage RGB layout (full-range PS3.3 C.7.6.3.1.2)
-      val rgb = if (photometric == "RGB") data else ybrToRgbInPlace(data)
+      // to the SparkImage RGB layout (full-range PS3.3 C.7.6.3.1.2).
+      // JPEG Baseline is exempt: its photometric describes the ENCODED
+      // stream, which the JFIF codec already converted to RGB.
+      val rgb = if (photometric == "RGB" || ts == TsJpegBaseline) data
+                else ybrToRgbInPlace(data)
       (SparkImage(ImageMeta(info = path), log, cols, rows, frames,
         PixelCodec.Rgb, rgb), instance)
     } else if (photometric == "PALETTE COLOR") {
@@ -909,15 +988,46 @@ object ImageCodecIO {
       val total = frames * n
       val doubles = new Array[Double](total)
       var i = 0
+      // signed data sign-extends the stored two's-complement words
       if (bits == 16 && bigEndian)
-        while (i < total) { doubles(i) = ((px(2 * i) & 0xff) << 8) | (px(2 * i + 1) & 0xff); i += 1 }
+        while (i < total) {
+          val raw = ((px(2 * i) & 0xff) << 8) | (px(2 * i + 1) & 0xff)
+          doubles(i) = if (signed) raw.toShort.toDouble else raw.toDouble; i += 1
+        }
       else if (bits == 16)
-        while (i < total) { doubles(i) = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8); i += 1 }
+        while (i < total) {
+          val raw = (px(2 * i) & 0xff) | ((px(2 * i + 1) & 0xff) << 8)
+          doubles(i) = if (signed) raw.toShort.toDouble else raw.toDouble; i += 1
+        }
       else
-        while (i < total) { doubles(i) = px(i) & 0xff; i += 1 }
-      val tpe = if (bits == 16) PixelCodec.Short16 else PixelCodec.Byte8
-      (SparkImage(ImageMeta(info = path), log, cols, rows, frames, tpe,
-        PixelCodec.encode(doubles, tpe)), instance)
+        while (i < total) {
+          doubles(i) = if (signed) px(i).toDouble else (px(i) & 0xff).toDouble; i += 1
+        }
+      // MONOCHROME1 (lowest value = white — the plain-film X-ray
+      // convention): invert into MONOCHROME2 intensity semantics so
+      // every downstream kernel sees consistent "bright = high"
+      if (photometric == "MONOCHROME1") {
+        val maxv = ((1 << bits) - 1).toDouble
+        i = 0
+        while (i < total) { doubles(i) = maxv - doubles(i); i += 1 }
+      }
+      if (signed || hasRescale) {
+        // modality LUT (PS3.3 C.11.1): real value = slope·stored +
+        // intercept — the Hounsfield mapping; output rides Float32
+        // (signed/rescaled values leave the unsigned fixed-width range)
+        val slope = rescaleSlope.getOrElse(1.0)
+        val inter = rescaleIntercept.getOrElse(0.0)
+        if (slope != 1.0 || inter != 0.0) {
+          i = 0
+          while (i < total) { doubles(i) = slope * doubles(i) + inter; i += 1 }
+        }
+        (SparkImage(ImageMeta(info = path), log, cols, rows, frames,
+          PixelCodec.Float32, PixelCodec.encode(doubles, PixelCodec.Float32)), instance)
+      } else {
+        val tpe = if (bits == 16) PixelCodec.Short16 else PixelCodec.Byte8
+        (SparkImage(ImageMeta(info = path), log, cols, rows, frames, tpe,
+          PixelCodec.encode(doubles, tpe)), instance)
+      }
     }
   }
 
@@ -980,7 +1090,9 @@ object ImageCodecIO {
                                  planarConfig: Int = 0,
                                  photometric: String = "RGB",
                                  fragmentBytes: Int = 0,
-                                 palette: Option[(Array[Int], Array[Int], Array[Int], Int)] = None)
+                                 palette: Option[(Array[Int], Array[Int], Array[Int], Int)] = None,
+                                 pixelRep: Int = 0,
+                                 rescale: Option[(Double, Double)] = None)
       : Array[Byte] = {
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
@@ -1005,19 +1117,47 @@ object ImageCodecIO {
     val bits12 = transferSyntax == TsJpegExtended
     val isRgb = img.pixelType == PixelCodec.Rgb
     require(!isRgb || transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
-        transferSyntax == TsExplicitBE || transferSyntax == TsRle,
-      s"color DICOM rides the native syntaxes + RLE Lossless only, not $transferSyntax")
+        transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
+        transferSyntax == TsJpegBaseline,
+      s"color DICOM rides the native syntaxes + RLE Lossless + JPEG Baseline, not $transferSyntax")
     require(planarConfig == 0 || planarConfig == 1, s"bad planarConfig $planarConfig")
     require(photometric == "RGB" || photometric == "YBR_FULL" ||
-        photometric == "YBR_FULL_422",
-      s"unsupported color photometric $photometric (RGB / YBR_FULL / YBR_FULL_422)")
-    val is422 = isRgb && photometric == "YBR_FULL_422"
+        photometric == "YBR_FULL_422" || photometric == "MONOCHROME1" ||
+        photometric == "MONOCHROME2",
+      s"unsupported photometric $photometric")
+    require(!isRgb || photometric != "MONOCHROME1",
+      "MONOCHROME1 is a grayscale photometric")
+    // JPEG Baseline color: the JFIF codec owns the YCbCr conversion
+    // and subsampling, so the native 422 layout rules don't apply and
+    // the tag is forced to what the stream actually is (YBR_FULL_422)
+    val baselineColor = isRgb && transferSyntax == TsJpegBaseline
+    val is422 = isRgb && photometric == "YBR_FULL_422" && !baselineColor
     if (is422) {
       require(transferSyntax != TsRle,
         "YBR_FULL_422 writes native syntaxes only (RLE color is YBR_FULL/RGB)")
       require(planarConfig == 0, "YBR_FULL_422 is inherently interleaved (planar 0)")
       require(img.width % 2 == 0, s"YBR_FULL_422 needs even Columns, got ${img.width}")
     }
+    // signed (PixelRepresentation 1) and modality-rescaled data: the
+    // real CT shape; grayscale, native syntaxes (signed), no palette,
+    // never MONOCHROME1 (inversion is undefined off the unsigned range)
+    require(pixelRep == 0 || pixelRep == 1, s"bad pixelRep $pixelRep")
+    val mono1 = !isRgb && palette.isEmpty && photometric == "MONOCHROME1"
+    if (pixelRep == 1) {
+      require(!isRgb && palette.isEmpty && !mono1,
+        "signed pixel data is plain-grayscale only")
+      require(!encapsulated, "signed pixel data writes native syntaxes only")
+    }
+    if (rescale.nonEmpty) {
+      require(!isRgb && palette.isEmpty && !mono1,
+        "Rescale applies to plain grayscale only")
+      require(rescale.get._1 != 0.0, "RescaleSlope must be nonzero")
+    }
+    if (mono1)
+      require(!bits8 && !bits12 && transferSyntax != TsJpegLsNear,
+        "MONOCHROME1 writes the lossless syntaxes only")
+    require(rescale.isEmpty || (!bits8 && !bits12 && transferSyntax != TsJpegLsNear),
+      "Rescale writes the lossless syntaxes only")
     val w = img.width; val h = img.height
     require(frames >= 1 && slice + frames <= img.slices,
       s"frames [$slice, ${slice + frames}) out of range for ${img.slices} slices")
@@ -1071,8 +1211,10 @@ object ImageCodecIO {
       s"PALETTE COLOR may not ride the lossy syntax $transferSyntax " +
         "(PS3.5 8.2.1 — LUT indices are categorical)")
     str(0x0028, 0x0004, "CS",
-      if (isRgb) photometric
+      if (baselineColor) "YBR_FULL_422" // what a JFIF color stream IS
+      else if (isRgb) photometric
       else if (palette.nonEmpty) "PALETTE COLOR"
+      else if (mono1) "MONOCHROME1"
       else "MONOCHROME2", ' ')
     // PS3.5 (CP-1692): PlanarConfiguration shall be 0 for encapsulated
     // pixel data — the RLE segments are inherently planar regardless,
@@ -1085,7 +1227,14 @@ object ImageCodecIO {
     if (isRgb || bits8) { us(0x0028, 0x0100, 8); us(0x0028, 0x0101, 8); us(0x0028, 0x0102, 7) }
     else if (bits12) { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 12); us(0x0028, 0x0102, 11) }
     else { us(0x0028, 0x0100, 16); us(0x0028, 0x0101, 16); us(0x0028, 0x0102, 15) }
-    us(0x0028, 0x0103, 0)
+    us(0x0028, 0x0103, pixelRep)
+    // modality LUT (0028,1052/1053, DS): real value = slope·stored +
+    // intercept; plain toString round-trips through the decoder's
+    // toDouble
+    rescale.foreach { case (slope, inter) =>
+      str(0x0028, 0x1052, "DS", inter.toString, ' ')
+      str(0x0028, 0x1053, "DS", slope.toString, ' ')
+    }
     // PALETTE COLOR LUTs (0028,1101-1103 descriptors as three US
     // values; 0028,1201-1203 data as OW words in the dataset byte
     // order — a long-form VR, unlike the short-form elements above).
@@ -1118,13 +1267,30 @@ object ImageCodecIO {
       }
     }
     val n = w * h
+    // grayscale stored value: undo the modality LUT (stored =
+    // (real − intercept) / slope, rounded), then either the signed
+    // two's-complement clamp or the unsigned clamp with the
+    // MONOCHROME1 inversion — the exact inverse of the decode path
+    def storedVal(v0: Double): Int = {
+      val real = rescale match {
+        case Some((s, b)) => (v0 - b) / s
+        case None => v0
+      }
+      if (pixelRep == 1) {
+        val r = math.max(-32768.0, math.min(32767.0, math.rint(real))).toInt
+        r & 0xffff
+      } else {
+        val c = PixelCodec.clamp(real, PixelCodec.Short16).toInt
+        if (mono1) 65535 - c else c
+      }
+    }
     // component frame accessors over interleaved color bytes — the
     // YBR photometrics convert ONLY the encoded [slice, slice+frames)
     // window to full-range YCbCr (a per-slice series loop over a big
     // stack would otherwise pay a full-stack conversion per file),
     // then ride the same plane/interleave/RLE writers. cOff maps a
     // frame index to its position in cdata.
-    val ybrConvert = isRgb && photometric != "RGB"
+    val ybrConvert = isRgb && photometric != "RGB" && !baselineColor
     val cdata =
       if (ybrConvert) rgbToYbrInterleaved(java.util.Arrays.copyOfRange(
         img.data, slice * n * 3, (slice + frames) * n * 3))
@@ -1158,9 +1324,10 @@ object ImageCodecIO {
       // The 16-bit clamp pass is only needed by the lossless encoders;
       // the Baseline path re-reads px itself with a Byte8 clamp
       def vals(f: Int): Array[Int] = Array.tabulate(n)(i =>
-        PixelCodec.clamp(px((slice + f) * n + i), PixelCodec.Short16).toInt)
+        storedVal(px((slice + f) * n + i)))
       def framePayload(f: Int): Array[Byte] =
-        if (isRgb) rleEncodePlanes(Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2)))
+        if (baselineColor) jpegBaselineEncodeColor(img, slice + f)
+        else if (isRgb) rleEncodePlanes(Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2)))
         else if (transferSyntax == TsRle) rleEncodeFragment(vals(f))
         else if (bits8) jpegBaselineEncode(img, px, slice + f)
         else if (bits12) JpegDctCodec.encode(
@@ -1227,7 +1394,7 @@ object ImageCodecIO {
       if (explicitVr) { bos.write('O'); bos.write('W'); u16x(0); u32x(frames * n * 2) }
       else u32x(frames * n * 2)
       var i = 0
-      while (i < frames * n) { u16x(PixelCodec.clamp(px(off + i), PixelCodec.Short16).toInt); i += 1 }
+      while (i < frames * n) { u16x(storedVal(px(off + i))); i += 1 }
     }
     bos.toByteArray
   }

@@ -379,6 +379,78 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("DICOM MONOCHROME1 and signed+rescale: exact round trips; lossy color bounded") {
+    import graft.core.{ImageLog, ImageMeta, SparkImage}
+    import graft.sources.ImageCodecIO
+    // MONOCHROME1: inversion into intensity semantics is its own
+    // inverse — any 16-bit content round-trips exactly on every
+    // lossless syntax
+    val genM1 = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 16)
+      ts <- Gen.oneOf(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+        ImageCodecIO.TsExplicitBE, ImageCodecIO.TsRle, ImageCodecIO.TsJpegLossless,
+        ImageCodecIO.TsJpegLossless14, ImageCodecIO.TsJpegLs,
+        ImageCodecIO.TsJpeg2000Lossless)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 65535).map(_.toDouble))
+    } yield (w, h, ts, px.toArray)
+    check("dicom-mono1", Prop.forAll(genM1) { case (w, h, ts, px) =>
+      val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), w, h, 1,
+        PixelCodec.Short16, PixelCodec.encode(px, PixelCodec.Short16))
+      val (dec, _) = ImageCodecIO.decodeDicomWithInstance("m1.dcm",
+        ImageCodecIO.encodeDicom(img, transferSyntax = ts, photometric = "MONOCHROME1"))
+      dec.pixelType == PixelCodec.Short16 && dec.toDoubles.sameElements(px)
+    })
+    // signed + modality LUT: stored values chosen on the grid (real =
+    // slope·stored + intercept), so the round trip is EXACT including
+    // negative stored values through every native byte order
+    val genHu = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 16)
+      ts <- Gen.oneOf(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+        ImageCodecIO.TsExplicitBE)
+      slope <- Gen.oneOf(1.0, 2.0, 0.5)
+      inter <- Gen.oneOf(0.0, -1024.0, 100.0)
+      stored <- Gen.listOfN(w * h, Gen.choose(-32768, 32767))
+    } yield (w, h, ts, slope, inter, stored.toArray)
+    check("dicom-signed-rescale", Prop.forAll(genHu) { case (w, h, ts, slope, inter, stored) =>
+      val real = stored.map(s => slope * s + inter)
+      val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), w, h, 1,
+        PixelCodec.Float32, PixelCodec.encode(real, PixelCodec.Float32))
+      val (dec, _) = ImageCodecIO.decodeDicomWithInstance("hu.dcm",
+        ImageCodecIO.encodeDicom(img, transferSyntax = ts, pixelRep = 1,
+          rescale = Some((slope, inter))))
+      dec.pixelType == PixelCodec.Float32 && dec.toDoubles.sameElements(real)
+    })
+    // color JPEG Baseline (.50): frame-constant fills survive the
+    // JFIF encode/decode within a tight bound (DC-only blocks)
+    val genC = for {
+      w <- Gen.choose(1, 12).map(_ * 2); h <- Gen.choose(1, 12)
+      r <- Gen.choose(20, 235); g <- Gen.choose(20, 235); b <- Gen.choose(20, 235)
+    } yield (w, h, r, g, b)
+    check("dicom-color50", Prop.forAll(genC) { case (w, h, r, g, b) =>
+      val data = Array.tabulate(w * h * 3)(i =>
+        (Seq(r, g, b)(i % 3)).toByte)
+      val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), w, h, 1,
+        PixelCodec.Rgb, data)
+      val (dec, _) = ImageCodecIO.decodeDicomWithInstance("c50.dcm",
+        ImageCodecIO.encodeDicom(img, transferSyntax = ImageCodecIO.TsJpegBaseline,
+          photometric = "YBR_FULL_422"))
+      dec.pixelType == PixelCodec.Rgb && dec.width == w && dec.height == h &&
+        dec.data.zip(data).forall { case (a, e) =>
+          math.abs((a & 0xff) - (e & 0xff)) <= 4
+        }
+    })
+    // the ill-defined combinations reject loudly
+    val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), 4, 4, 1,
+      PixelCodec.Short16, PixelCodec.encode(Array.fill(16)(9.0), PixelCodec.Short16))
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(img, pixelRep = 1, photometric = "MONOCHROME1")
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(img, transferSyntax = ImageCodecIO.TsRle, pixelRep = 1)
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(img, transferSyntax = ImageCodecIO.TsJpegBaseline,
+        photometric = "MONOCHROME1")
+  }
+
   test("JPEG 2000 codec: lossless round trip across geometry, precision, levels, code-block size") {
     import graft.sources.Jpeg2000Codec
     val genCase = for {
