@@ -84,6 +84,13 @@ object Similarity {
     call_function("vec_dot", a, b)
   }
 
+  /** Native-expression L2 norm: the identical sqrt(Σx²) ascending fold
+    * as [[l2Norm]] (bit-identical results) inside whole-stage codegen. */
+  private[graft] def nativeNorm(spark: org.apache.spark.sql.SparkSession)(a: Column): Column = {
+    graft.functions.VectorExpressions.register(spark)
+    call_function("vec_norm", a)
+  }
+
   /** Brute-force exact cosine top-k: every query row (matching
     * `queryFilter`) against the whole corpus.
     *
@@ -204,34 +211,57 @@ object Similarity {
               numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
               numTables: Int = 1): DataFrame = {
     require(numTables >= 1, "numTables must be >= 1")
+    val spark = embeddings.sparkSession
     // table t's planes use a seed offset so tables are independent;
-    // t = 0 reproduces the single-table (q54 gate) signature exactly
-    def bucketOf(planes: Seq[Array[Double]])(v: Column): Column = {
-      // sign bit per hyperplane, packed into an int
-      planes.zipWithIndex.map { case (p, i) =>
-        val proj = aggregate(zip_with(v, typedLit(p), (x, w) => x * w), lit(0.0), (a, x) => a + x)
-        when(proj >= 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
+    // t = 0 reproduces the single-table (q54 gate) signature exactly.
+    // ALL tables' signatures come from ONE broadcast tight-loop kernel
+    // (the hot-path pattern this file documents at the top): the
+    // per-plane Column formulation built numTables·numPlanes
+    // interpreted ArrayAggregate/ZipWith trees per row — the
+    // production recipe (32 tables × 4 planes) paid 128 CodegenFallback
+    // folds per vector. The kernel runs the identical left-to-right
+    // projection sums (bit-equal sign bits), one array pass per plane.
+    val allPlanes: Array[Array[Array[Double]]] = (0 until numTables)
+      .map(t => deterministicPlanes(numPlanes, dim, seed + t * 7919L).toArray)
+      .toArray
+    val bcPlanes = spark.sparkContext.broadcast(allPlanes)
+    val bucketsUdf = udf { v: Array[Double] =>
+      val tables = bcPlanes.value
+      val out = new Array[Int](tables.length)
+      var t = 0
+      while (t < tables.length) {
+        val planes = tables(t)
+        var bucket = 0
+        var p = 0
+        while (p < planes.length) {
+          val w = planes(p)
+          val n = math.min(v.length, w.length)
+          var s = 0.0; var i = 0
+          while (i < n) { s += v(i) * w(i); i += 1 }
+          if (s >= 0) bucket |= 1 << p
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      out
     }
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", l2Norm(col("v")))
+      .withColumn("norm", nativeNorm(spark)(col("v")))
     // ONE corpus scan computes every table's bucket (an array of L
     // ints per vector — the inverted index a production multi-table
     // LSH stores), then posexplode emits the (table, bucket) pairs; a
     // union of L per-table scans would multiply corpus I/O and the
     // norm computation by the knob
-    val allPlanes = (0 until numTables)
-      .map(t => deterministicPlanes(numPlanes, dim, seed + t * 7919L))
     val tabled = base.select(col("vec_id"), col("v"), col("norm"),
-      posexplode(array(allPlanes.map(p => bucketOf(p)(col("v"))): _*))
-        .as(Seq("tbl", "bucket")))
+      posexplode(bucketsUdf(col("v"))).as(Seq("tbl", "bucket")))
     val queries = tabled.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl").as("qtbl"),
               col("bucket").as("qbucket"), col("norm").as("qnorm"))
     val sims0 = tabled.join(broadcast(queries),
         col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
           col("vec_id") =!= col("qid"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("sim", nativeDot(spark)(col("qv"), col("v")) / (col("qnorm") * col("norm")))
       .select(col("qid"), col("vec_id").as("nid"), col("sim"))
     // a pair colliding in several tables yields the same similarity
     // (same fold order today) — but dedup on the PAIR KEY, not the
