@@ -51,6 +51,7 @@ object ClusterSmoke {
     "img25_dicom_ybr", // YCbCr color conversion + 422 packing in executor-side encode/decode UDFs
     "img26_dicom_palette", // LUT arrays serialize into executor-side palette encode; OW elements cross-JVM
     "img27_dicom_mono1_signed", // MONOCHROME1 inversion + signed two's-complement + DS rescale parse cross-JVM
+    "img28_dicom_color_lossy", // executor-side JDK ImageIO color JPEG write+decode (plugin registry per JVM)
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {

@@ -197,8 +197,10 @@ object ImageOps {
     //                  into even fragments of at most that many bytes
     //   pixel_rep    — 1 writes signed (two's-complement) grayscale
     //   slope, intercept — modality-LUT Rescale tags (NaN = absent)
+    // coalesce covers BOTH an absent column and SQL nulls inside a
+    // present one (a bare null would fail the primitive-tuple encoder)
     def opt(name: String, default: Column): Column =
-      if (df.columns.contains(name)) col(name) else default
+      if (df.columns.contains(name)) coalesce(col(name), default) else default
     df.select(col("sample"), col("image"), col("ts"), col("planar"),
         opt("photometric", lit("RGB")).as("photometric"),
         opt("frag_bytes", lit(0)).cast("int").as("frag_bytes"),
@@ -210,9 +212,15 @@ object ImageOps {
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(serConf.value)
         it.foreach { case (sample, img, ts, planar, pm, fb, pr, sl, ic) =>
+          // the modality LUT is a PAIR: exactly one of slope/intercept
+          // set would silently drop the LUT (or write a NaN tag) —
+          // reject loudly instead
+          require(sl.isNaN == ic.isNaN,
+            s"saveDicomMultiFrame($sample): slope and intercept must be " +
+              "set together (one without the other has no defined LUT)")
+          val rescale = if (sl.isNaN) None else Some((sl, ic))
           val out = new org.apache.hadoop.fs.Path(base, s"${safeName(sample)}.dcm")
           val os = fs.create(out, true)
-          val rescale = if (sl.isNaN) None else Some((sl, ic))
           try os.write(ImageCodecIO.encodeDicom(img, instance = 1, slice = 0,
             transferSyntax = ts, frames = img.slices, planarConfig = planar,
             photometric = pm, fragmentBytes = fb, pixelRep = pr,

@@ -226,6 +226,13 @@ object Similarity {
       .toArray
     val bcPlanes = spark.sparkContext.broadcast(allPlanes)
     val bucketsUdf = udf { v: Array[Double] =>
+      // null or off-dimension embeddings fail LOUDLY: the replaced
+      // Column formulation silently folded them to bucket 0 in every
+      // table (all malformed vectors colliding into one hot bucket),
+      // and the DuckDB oracle's fold assumes exactly `dim` components
+      require(v != null && v.length == dim,
+        s"lshTopK: embedding must be a non-null $dim-dim vector, got " +
+          (if (v == null) "null" else s"length ${v.length}"))
       val tables = bcPlanes.value
       val out = new Array[Int](tables.length)
       var t = 0
@@ -235,9 +242,8 @@ object Similarity {
         var p = 0
         while (p < planes.length) {
           val w = planes(p)
-          val n = math.min(v.length, w.length)
           var s = 0.0; var i = 0
-          while (i < n) { s += v(i) * w(i); i += 1 }
+          while (i < dim) { s += v(i) * w(i); i += 1 }
           if (s >= 0) bucket |= 1 << p
           p += 1
         }

@@ -428,6 +428,12 @@ object ImageCodecIO {
         PixelCodec.clamp(px(off + i), PixelCodec.Byte8).toInt)
       i += 1
     }
+    writeJpeg(page)
+  }
+
+  /** Shared JDK JPEG writer (quality 0.95) for the grayscale and color
+    * baseline encoders — one place for writer selection and params. */
+  private def writeJpeg(page: BufferedImage): Array[Byte] = {
     val writers = ImageIO.getImageWritersByFormatName("jpeg")
     require(writers.hasNext, "no JPEG writer registered (the JDK ships one)")
     val writer = writers.next()
@@ -448,25 +454,18 @@ object ImageCodecIO {
   private def jpegBaselineEncodeColor(img: SparkImage, frame: Int): Array[Byte] = {
     val w = img.width; val h = img.height; val n = w * h
     val page = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB: one array pass instead of a per-pixel color-model
+    // conversion call
+    val packed = new Array[Int](n)
     var i = 0
     while (i < n) {
       val b = (frame * n + i) * 3
-      page.setRGB(i % w, i / w,
-        ((img.data(b) & 0xff) << 16) | ((img.data(b + 1) & 0xff) << 8) |
-          (img.data(b + 2) & 0xff))
+      packed(i) = ((img.data(b) & 0xff) << 16) | ((img.data(b + 1) & 0xff) << 8) |
+        (img.data(b + 2) & 0xff)
       i += 1
     }
-    val writers = ImageIO.getImageWritersByFormatName("jpeg")
-    require(writers.hasNext, "no JPEG writer registered (the JDK ships one)")
-    val writer = writers.next()
-    val p = writer.getDefaultWriteParam
-    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(0.95f)
-    val bos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
-    try { writer.setOutput(ios); writer.write(null, new IIOImage(page, null, null), p) }
-    finally { writer.dispose(); ios.close() }
-    bos.toByteArray
+    page.setRGB(0, 0, w, h, packed, 0, w)
+    writeJpeg(page)
   }
 
   /** Canonical Huffman decode tables per T.81 F.2.2.3: for each code
@@ -648,6 +647,7 @@ object ImageCodecIO {
     val longVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
     var rows = 0; var cols = 0; var bits = 16; var pixelRep = 0; var instance = 1
     var samples = 1; var photometric = "MONOCHROME2"; var planar = 0; var frames = 1
+    var bitsStored = 0 // (0028,0101); 0 = absent, defaults to BitsAllocated
     var ts = TsExplicitLE
     var px: Array[Byte] = null
     // PALETTE COLOR state: Red/Green/Blue Palette Color Lookup Table
@@ -656,9 +656,17 @@ object ImageCodecIO {
     val lutDesc = new Array[Array[Int]](3)
     val lutRaw = new Array[Array[Byte]](3)
     // Rescale Intercept/Slope (0028,1052/1053, DS) — the modality LUT
-    // that turns stored CT values into Hounsfield units
+    // that turns stored CT values into Hounsfield units. DS values
+    // parse through a loud, path-naming reject (anonymizers emit
+    // zero-length DS elements; a bare NumberFormatException would be
+    // undiagnosable in a distributed decode)
     var rescaleIntercept: Option[Double] = None
     var rescaleSlope: Option[Double] = None
+    def parseDs(s: String, what: String): Double =
+      try s.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"unparseable $what DS value '$s' in $path")
+      }
     // ---- file-meta group: ALWAYS explicit-VR little-endian ----
     var inMeta = true
     while (inMeta && bb.remaining >= 8) {
@@ -732,9 +740,10 @@ object ImageCodecIO {
           case (0x0028, 0x0010) => rows = u16
           case (0x0028, 0x0011) => cols = u16
           case (0x0028, 0x0100) => bits = u16
+          case (0x0028, 0x0101) => bitsStored = u16
           case (0x0028, 0x0103) => pixelRep = u16
-          case (0x0028, 0x1052) => rescaleIntercept = Some(str.toDouble)
-          case (0x0028, 0x1053) => rescaleSlope = Some(str.toDouble)
+          case (0x0028, 0x1052) => rescaleIntercept = Some(parseDs(str, "RescaleIntercept"))
+          case (0x0028, 0x1053) => rescaleSlope = Some(parseDs(str, "RescaleSlope"))
           case (0x0028, 0x1101) => lutDesc(0) = desc
           case (0x0028, 0x1102) => lutDesc(1) = desc
           case (0x0028, 0x1103) => lutDesc(2) = desc
@@ -828,10 +837,12 @@ object ImageCodecIO {
             s"Rows/Columns ${cols}x$rows in $path")
         require(bits == 8, s"JPEG Baseline with BitsAllocated $bits unsupported: $path")
         if (samples == 3) {
+          // bulk getRGB: one array pass, not n color-model calls
+          val packed = bi.getRGB(0, 0, cols, rows, null, 0, cols)
           val out = new Array[Byte](n * 3)
           var j = 0
           while (j < n) {
-            val rgb = bi.getRGB(j % cols, j / cols)
+            val rgb = packed(j)
             out(3 * j) = ((rgb >> 16) & 0xff).toByte
             out(3 * j + 1) = ((rgb >> 8) & 0xff).toByte
             out(3 * j + 2) = (rgb & 0xff).toByte
@@ -1005,9 +1016,14 @@ object ImageCodecIO {
         }
       // MONOCHROME1 (lowest value = white — the plain-film X-ray
       // convention): invert into MONOCHROME2 intensity semantics so
-      // every downstream kernel sees consistent "bright = high"
+      // every downstream kernel sees consistent "bright = high". The
+      // white point is 2^BitsSTORED − 1 — real CR/DX files are
+      // BitsAllocated 16 / BitsStored 12, and inverting around the
+      // allocated width would shift every pixel by 61440
       if (photometric == "MONOCHROME1") {
-        val maxv = ((1 << bits) - 1).toDouble
+        val sb = if (bitsStored > 0) bitsStored else bits
+        require(sb <= bits, s"BitsStored $sb exceeds BitsAllocated $bits: $path")
+        val maxv = ((1 << sb) - 1).toDouble
         i = 0
         while (i < total) { doubles(i) = maxv - doubles(i); i += 1 }
       }
@@ -1125,8 +1141,13 @@ object ImageCodecIO {
         photometric == "YBR_FULL_422" || photometric == "MONOCHROME1" ||
         photometric == "MONOCHROME2",
       s"unsupported photometric $photometric")
-    require(!isRgb || photometric != "MONOCHROME1",
-      "MONOCHROME1 is a grayscale photometric")
+    // a color image with a grayscale photometric would silently write
+    // YCbCr-converted bytes under a MONOCHROME header (a file our own
+    // decoder rejects) — a mixed grayscale+color frame leaking its
+    // MONOCHROME2 value onto an RGB row must fail loudly
+    require(!isRgb || photometric == "RGB" || photometric == "YBR_FULL" ||
+        photometric == "YBR_FULL_422",
+      s"color images take a color photometric, not $photometric")
     // JPEG Baseline color: the JFIF codec owns the YCbCr conversion
     // and subsampling, so the native 422 layout rules don't apply and
     // the tag is forced to what the stream actually is (YBR_FULL_422)
