@@ -180,6 +180,15 @@ object ScaleProbe {
     probe("ann_topk",
       Similarity.bruteForceTopK(emb, col("vec_id") < 20, 5).count(),
       Similarity.bruteForceTopK(embN, col("vec_id") < 20, 5).count())
+    // the production LSH recipe (4 planes × 32 tables, docs/SCALE.md
+    // §ANN recall@10): all 32 signatures come from ONE kernel pass per
+    // vector, so the ratio tracks the single corpus scan + per-query
+    // candidate volume — the knob multiplies candidates, never scans
+    probe("lsh_multitable",
+      Similarity.lshTopK(emb, col("vec_id") < 20, 10,
+        numPlanes = 4, numTables = 32).count(),
+      Similarity.lshTopK(embN, col("vec_id") < 20, 10,
+        numPlanes = 4, numTables = 32).count())
     probe("cdc_chunks",
       TextFunctions.cdcChunkDedup(docs).count(),
       TextFunctions.cdcChunkDedup(docsN).count())

@@ -1077,11 +1077,19 @@ object Similarity {
                          lshPlanes: Int = 4, lshTables: Int = 32,
                          pqClusters: Int = 8, pqProbe: Int = 8,
                          pqM: Int = 16, pqCodes: Int = 16, pqRerank: Int = 200,
-                         dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val truth = bruteForceTopK(embeddings, queryFilter, k)
-    val ivf = ivfTopK(embeddings, queryFilter, k, nClusters, ivfProbe, seed)
-    val lsh = lshTopK(embeddings, queryFilter, k, lshPlanes, dim, seed, lshTables)
-    val pq = ivfPqTopK(embeddings, queryFilter, k, pqClusters, pqProbe, pqM,
+                         dim: Int = 64, seed: Long = 42L,
+                         anchorFraction: Double = 1.0,
+                         anchorSeed: Long = 7L): DataFrame = {
+    // same anchor-sampling law as [[annRecallAudit]]: truth cost
+    // scales with the sampled query set, per-anchor rows stay exact
+    Dedup.validateAnchorFraction(anchorFraction)
+    val qf = if (anchorFraction < 1.0)
+      queryFilter && Dedup.anchorPred(col("vec_id"), anchorSeed, anchorFraction)
+    else queryFilter
+    val truth = bruteForceTopK(embeddings, qf, k)
+    val ivf = ivfTopK(embeddings, qf, k, nClusters, ivfProbe, seed)
+    val lsh = lshTopK(embeddings, qf, k, lshPlanes, dim, seed, lshTables)
+    val pq = ivfPqTopK(embeddings, qf, k, pqClusters, pqProbe, pqM,
       dim, pqCodes, seed, rerank = pqRerank)
     val im = ivf.select(col("qid"), col("nid"), lit(1L).as("im"))
     val lm = lsh.select(col("qid"), col("nid"), lit(1L).as("lm"))

@@ -358,6 +358,16 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // LSH 4 planes x 32 tables and IVF-PQ m=16 rerank=200: >= 0.9·k·|Q|
     rows.map(_._3).sum.toDouble should be >= 0.9 * kTotal
     rows.map(_._4).sum.toDouble should be >= 0.9 * kTotal
+    // anchor sampling: the sampled audit's rows EQUAL the full audit's
+    // rows restricted to the anchored qids (indexes are
+    // query-independent — sampling changes cost, never a result)
+    val full = rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val samp = Similarity.annRecallAuditProd(emb, col("vec_id") < 20, k = 10,
+        anchorFraction = 0.5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    samp.nonEmpty shouldBe true
+    samp.length should be < rows.length
+    samp.foreach { case (qid, i, l, p, kt) => full(qid) shouldBe ((i, l, p, kt)) }
   }
 
   test("sampled-anchor audits: exact restriction of the full audit, partition-invariant") {
