@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import QueryDsl._
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, Snapshot, TextFunctions}
+import graft.pipeline.{Dedup, Multimodal, QualityClassifier, Sampling, Similarity, Snapshot, TextFunctions}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: exact + near dedup, similarity search, text quality metrics.
@@ -133,6 +133,21 @@ object TextPipeline {
       (s, dir) => Similarity.annRecallAudit(
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 40, k = 10,
         anchorFraction = 0.5),
+      None),
+
+    // ---- TRAINED quality classifier: hashed-unigram logistic
+    // regression distilled from a deterministic weak rule (length +
+    // type-token ratio) — the fastText-style quality filter every
+    // production corpus pipeline runs. Fit is a bit-deterministic
+    // driver GD on a hash-ordered bounded sample (the q46 quantizer
+    // pattern); scoring is ONE shuffle-free scan whose margins are
+    // grid BIGINTs, so the Verify-time oracle ([[dataOracles]])
+    // inlines the learned weights and matches bit-for-bit ------------
+    ("q159_quality_classifier",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        QualityClassifier.score(docs, QualityClassifier.fit(docs))
+      },
       None),
 
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
@@ -1315,7 +1330,9 @@ object TextPipeline {
     "q158_ann_recall_sampled" -> ((s, dir) => Similarity.annRecallAuditOracleSql(
       Similarity.ivfFitCenters(t(s, dir, "embeddings")),
       queryCond = s"(vec_id < 40) AND ${Dedup.anchorCondSql("vec_id", 7L, 0.5)}",
-      k = 10))
+      k = 10)),
+    "q159_quality_classifier" -> ((s, dir) =>
+      QualityClassifier.oracleSql(QualityClassifier.fit(t(s, dir, "documents"))))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

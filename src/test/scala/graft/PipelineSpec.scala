@@ -1451,4 +1451,48 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     byDoc(10L)._1 should be < byDoc(11L)._1   // rank
     run(df.repartition(9)) shouldBe sel
   }
+
+  test("quality classifier: deterministic fit, monotone loss, learned rule, partition-invariant scoring") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m1 = QualityClassifier.fit(real)
+    val m2 = QualityClassifier.fit(real.repartition(7))
+    // bit-deterministic fit: the inlined-oracle property
+    m1.wGrid.toSeq shouldBe m2.wGrid.toSeq
+    m1.wLen shouldBe m2.wLen
+    m1.wDist shouldBe m2.wDist
+    m1.wRatio shouldBe m2.wRatio
+    m1.bias shouldBe m2.bias
+    m1.trace.toSeq shouldBe m2.trace.toSeq
+    // full-batch adagrad descends: sampled trace non-increasing, real drop
+    val sampled = m1.trace.indices.by(100).map(m1.trace)
+    sampled.sliding(2).foreach { case Seq(a, b) => b should be <= a }
+    m1.trace.last should be < m1.trace.head * 0.8
+    // the distilled rule is actually learned (linear ceiling ~0.82 here)
+    m1.accuracy should be >= 0.70
+    // scoring matches a hand-computed grid margin for one doc
+    val scored = QualityClassifier.score(real, m1)
+    val r = scored.filter($"doc_id" === 0L)
+      .select($"n_toks", $"n_dist", $"margin_grid", $"pred", $"label")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nt, nd) = (r._1, r._2)
+    val engineered = math.floor(m1.bias * 10000.0).toLong +
+      math.floor(m1.wLen * (nt / 100.0) * 10000.0).toLong +
+      math.floor(m1.wDist * (nd / 100.0) * 10000.0).toLong +
+      math.floor(m1.wRatio * ((3 * nd - nt) / 100.0) * 10000.0).toLong
+    // hashed part recomputed from the raw text through the same bucketer
+    val text = real.filter($"doc_id" === 0L).select($"text").as[String].head()
+    val buckets = text.split(" ").filter(_.nonEmpty)
+      .map(t => java.lang.Math.floorMod(Dedup.mix64(Dedup.fnv64(t)), m1.nFeatures.toLong).toInt)
+      .distinct
+    val expected = engineered + buckets.map(m1.wGrid(_)).sum
+    r._3 shouldBe expected
+    (r._4 > 0L) shouldBe (r._3 > 0L)
+    // scoring is partition-invariant
+    QualityClassifier.score(real.repartition(13), m1).collect().toSeq shouldBe
+      scored.collect().toSeq
+    // loud contract: nFeatures must be a power of two
+    an[IllegalArgumentException] should be thrownBy
+      QualityClassifier.fit(real, nFeatures = 100)
+  }
 }
