@@ -459,6 +459,43 @@ object Dedup {
       GROUP BY 1, 2"""
   }
 
+  /** First-seen-wins near-dup verdict per document — the BATCH twin
+    * of [[graft.streaming.EventStreams.streamingNearDup]] (same
+    * signatures, same band folds): a document is a near-dup iff an
+    * EARLIER document (smaller doc_id = earlier arrival) shares at
+    * least one MinHash band bucket, and its representative is the
+    * earliest such document. One row per input doc: (doc_id, dup_of
+    * = earliest collider or -1, is_dup).
+    *
+    * Scale shape: inherits [[minhashLshPairs]]' bucketed self-join
+    * (shuffle O(N·bands), no cross join); the verdict adds one
+    * |pairs|-sized min-aggregation and a left join back to the doc
+    * ids — nothing corpus-quadratic. */
+  def firstSeenNearDup(docs: DataFrame, shingleN: Int = 3,
+                       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rep = minhashLshPairs(docs, shingleN, numHashes, bands)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("rep"))
+    docs.select(col("doc_id")).join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), lit(-1L)).as("dup_of"),
+        when(col("rep").isNotNull, 1L).otherwise(0L).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[firstSeenNearDup]] — the q32 banding replay
+    * reduced to the per-doc first-seen verdict. */
+  private[graft] def firstSeenNearDupOracleSql(shingleN: Int, numHashes: Int,
+                                               bands: Int): String =
+    s"""SELECT d.doc_id,
+        COALESCE(r.rep, -1) AS dup_of,
+        CAST(CASE WHEN r.rep IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+      FROM documents d LEFT JOIN (
+        SELECT id_b AS doc_id, MIN(id_a) AS rep
+        FROM (${minhashLshOracleSqlBody(shingleN, numHashes, bands)}) cand
+        GROUP BY id_b) r USING (doc_id)
+      ORDER BY d.doc_id"""
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over token features (token hash weighted +1/-1 per

@@ -280,6 +280,16 @@ object TextPipeline {
         .orderBy(col("id_a"), col("id_b")),
       Some(Dedup.minhashLshOracleSql(shingleN = 3, numHashes = 64, bands = 16))),
 
+    // ---- first-seen near-dup verdict: q32's banding reduced to the
+    // per-doc ingest decision (dup of the earliest band collider or
+    // clean) — the BATCH twin of streamingNearDup, whose incremental
+    // per-bucket state is asserted row-for-row equal in StreamingSpec -
+    ("q160_firstseen_neardup",
+      (s, dir) => Dedup.firstSeenNearDup(
+        t(s, dir, "documents"), shingleN = 3, numHashes = 16, bands = 4),
+      Some(Dedup.firstSeenNearDupOracleSql(shingleN = 3, numHashes = 16,
+        bands = 4))),
+
     // ---- dedup recall AUDIT: how many exact Jaccard-≥-0.8 pairs the
     // MinHash banding surfaces + the candidate volume, as one BIGINT
     // row — measured dedup quality inside the hash gate (q31/q32 only

@@ -295,6 +295,86 @@ object EventStreams {
 
   case class StreamDoc(doc_id: Long, text: String)
 
+  /** One (band, bucket) occupancy row for an arriving document. */
+  case class BandRow(band_idx: Int, band_hash: Long, doc_id: Long)
+
+  /** A near-dup candidate: `doc_id` collided with the earlier `rep`
+    * in at least one MinHash band. */
+  case class NearDupCand(doc_id: Long, rep: Long)
+
+  /** Per-(band, bucket) first-occupant state: the FIRST doc_id ever
+    * seen in this bucket. Later arrivals in the bucket emit a
+    * candidate pointing at that first occupant. Rows within a batch
+    * are processed in doc_id order, so output is deterministic under
+    * task reordering, and — because the bucket keeps its MINIMUM
+    * occupant — for in-order arrival the emitted rep is exactly the
+    * bucket's earliest doc. */
+  class BandFirstProcessor
+      extends StatefulProcessor[(Int, Long), BandRow, NearDupCand] {
+    @transient private var first: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[Long]("first", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
+                                 tv: TimerValues): Iterator[NearDupCand] = {
+      val sorted = rows.toArray.sortBy(_.doc_id)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCand]
+      sorted.foreach { r =>
+        if (!first.exists()) first.update(r.doc_id)
+        else {
+          val f = first.get()
+          if (f < r.doc_id) out += NearDupCand(r.doc_id, f)
+          else if (f > r.doc_id) { // late-arriving smaller id takes over
+            out += NearDupCand(f, r.doc_id)
+            first.update(r.doc_id)
+          } // f == r.doc_id: redelivery, drop silently (exactly-once)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming near-duplicate detection — the streaming face of
+    * MinHash+LSH dedup (q32): documents arrive continuously; each is
+    * checked against every document EVER seen by colliding its
+    * `bands` LSH band buckets against per-bucket first-occupant state
+    * (one long per distinct (band, bucket) — the inverted index a
+    * batch LSH materializes per run, kept incrementally).
+    *
+    * Emits one [[NearDupCand]] per band collision (append mode);
+    * consumers take `min(rep)` per doc — for arrival in doc_id order
+    * that is exactly the batch contract of
+    * [[graft.pipeline.Dedup.firstSeenNearDup]]: the EARLIEST document
+    * sharing any band bucket (proof: the bucket's first occupant is ≤
+    * any other collider in that bucket, and is itself a collider).
+    * Signatures and band folds are bit-identical to the batch
+    * operator, so the equivalence is testable row-for-row.
+    *
+    * Scale shape: state is one long per distinct band bucket
+    * (RocksDB-backed, shuffle-partitioned by bucket — hot buckets
+    * don't hot-spot a single key's memory because state is per
+    * BUCKET, not per doc); each arriving doc costs `bands` state
+    * lookups, independent of corpus size. */
+  def streamingNearDup(docs: Dataset[StreamDoc], shingleN: Int = 3,
+                       numHashes: Int = 16, bands: Int = 4): Dataset[NearDupCand] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val sig = graft.pipeline.Dedup.minhashSignature(
+        shingleSet(d.text, shingleN).toSeq, numHashes)
+      sig.grouped(r).zipWithIndex.map { case (slice, i) =>
+        BandRow(i, slice.foldLeft(0xcbf29ce484222325L)((h, v) =>
+          graft.pipeline.Dedup.mix64(h ^ v)), d.doc_id)
+      }
+    }
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .transformWithState(new BandFirstProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Pure shingle core — bit-identical to the column-side
     * [[graft.pipeline.Dedup.shingles]] (tokenize on single spaces,
     * drop empties, distinct n-token windows joined by a space). */

@@ -613,4 +613,73 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       streamed shouldBe batchCells
     } finally q.stop()
   }
+
+  test("streaming near-dup: min-rep per doc equals the batch first-seen verdict across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // real corpus slice: word-soup docs collide plentifully at r=4
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 60)
+      .as[EventStreams.StreamDoc].collect().sortBy(_.doc_id).toSeq
+    val batch = graft.pipeline.Dedup
+      .firstSeenNearDup(rows.toDF(), shingleN = 3, numHashes = 16, bands = 4)
+      .as[(Long, Long, Long)].collect().toList
+    batch.count(_._3 == 1L) should be > 0 // fixture really exercises dups
+    batch.count(_._3 == 0L) should be > 0
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingNearDup(mem.toDS(),
+        shingleN = 3, numHashes = 16, bands = 4)
+      .writeStream.format("memory").queryName("neardup_cands")
+      .outputMode("append").start()
+    try {
+      // in-order arrival over three batches, with batch 2 REDELIVERING
+      // part of batch 1 (at-least-once upstream)
+      mem.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(rows.slice(10, 40): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(40): _*)
+      q.processAllAvailable()
+      val verdicts = spark.table("neardup_cands")
+        .groupBy($"doc_id").agg(min($"rep").as("rep"))
+        .as[(Long, Long)].collect().toMap
+      val streamed = rows.map(d => (d.doc_id,
+        verdicts.getOrElse(d.doc_id, -1L),
+        if (verdicts.contains(d.doc_id)) 1L else 0L)).toList
+      streamed shouldBe batch
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming near-dup: a late-arriving smaller id takes over the bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val a = EventStreams.StreamDoc(1L, "the quick brown fox jumps over the lazy dog tonight")
+    val b = EventStreams.StreamDoc(2L, "the quick brown fox jumps over the lazy dog tonight")
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingNearDup(mem.toDS())
+      .writeStream.format("memory").queryName("neardup_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(b) // LATER doc arrives first
+      q.processAllAvailable()
+      mem.addData(a)
+      q.processAllAvailable()
+      val verdicts = spark.table("neardup_ooo")
+        .groupBy($"doc_id").agg(min($"rep").as("rep"))
+        .as[(Long, Long)].collect().toMap
+      // the takeover retro-flags doc 2 against the smaller newcomer,
+      // matching the batch verdict despite out-of-order arrival
+      verdicts shouldBe Map(2L -> 1L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
