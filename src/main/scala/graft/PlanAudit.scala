@@ -694,7 +694,26 @@ object PlanAudit {
           "s·|Q|·N while the per-anchor rows stay exactly the full " +
           "audit's (asserted in PipelineSpec)",
         Seq("TopKAggregator", "BroadcastNestedLoopJoin", "md5"),
-        Seq("CartesianProduct")))
+        Seq("CartesianProduct")),
+      ("q159_quality_classifier",
+        "trained quality classifier scoring: the fit never appears in " +
+          "this plan (a bounded driver-side sample problem, the q46 " +
+          "quantizer pattern); scoring is ONE corpus scan — tokenize, " +
+          "hash-bucket (codegen'd content_hash64 inside a transform " +
+          "lambda), margin as an aggregate over the literal weight " +
+          "array — with NO join, NO aggregation, NO window; the only " +
+          "exchange is the presentation sort's range partitioning",
+        Seq("content_hash64", "Sort"),
+        Seq("HashAggregate", "Window", "CartesianProduct", "SortMergeJoin",
+          "BroadcastNestedLoopJoin")),
+      ("q160_firstseen_neardup",
+        "first-seen near-dup verdict: the q32 banded self-join (shuffle " +
+          "O(N·bands) narrow rows, equi-join on (band, bucket) — never a " +
+          "cross product) reduced by a map-side-combined min aggregation " +
+          "to one representative per later doc, then joined back to the " +
+          "doc ids; no window, no corpus-quadratic stage",
+        Seq("HashAggregate"),
+        Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")))
 
     val sb = new StringBuilder
     sb.append("# Physical plan audit (generated by graft.PlanAudit)\n\n")

@@ -189,6 +189,21 @@ object ScaleProbe {
         numPlanes = 4, numTables = 32).count(),
       Similarity.lshTopK(embN, col("vec_id") < 20, 10,
         numPlanes = 4, numTables = 32).count())
+    // batch twin of the streaming near-dup ingest verdict: inherits
+    // the minhash_lsh shuffle shape plus one min-agg + one join back
+    probe("firstseen_neardup",
+      Dedup.firstSeenNearDup(docs, 3, 16, 4).count(),
+      Dedup.firstSeenNearDup(docsN, 3, 16, 4).count())
+    // classifier SCORING is the corpus-touching half (the fit is a
+    // bounded driver-side sample problem, computed once here outside
+    // the timers); one shuffle-free scan, so the ratio is the pure
+    // map cost of tokenize+hash+margin
+    if (only.isEmpty || only("quality_classifier_score")) {
+      val qcModel = graft.pipeline.QualityClassifier.fit(docs)
+      probe("quality_classifier_score",
+        graft.pipeline.QualityClassifier.score(docs, qcModel).count(),
+        graft.pipeline.QualityClassifier.score(docsN, qcModel).count())
+    }
     probe("cdc_chunks",
       TextFunctions.cdcChunkDedup(docs).count(),
       TextFunctions.cdcChunkDedup(docsN).count())
