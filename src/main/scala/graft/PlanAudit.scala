@@ -706,6 +706,15 @@ object PlanAudit {
         Seq("content_hash64", "Sort"),
         Seq("HashAggregate", "Window", "CartesianProduct", "SortMergeJoin",
           "BroadcastNestedLoopJoin")),
+      ("q161_ann_sq8",
+        "SQ8 quantized ANN: the range fit is ONE map-side-combined " +
+          "posexplode aggregation (dim-bounded output, driver pull of " +
+          "64 rows); encode+dequantize is per-row map work in one " +
+          "corpus scan; scoring is the q29 broadcast-query single-scan " +
+          "plan with the map-side-combining TopKAggregator — no " +
+          "window, no global sort, no corpus shuffle of raw vectors",
+        Seq("BroadcastNestedLoopJoin", "TopKAggregator", "HashAggregate"),
+        Seq("CartesianProduct", "Window", "SortMergeJoin")),
       ("q160_firstseen_neardup",
         "first-seen near-dup verdict: the q32 banded self-join (shuffle " +
           "O(N·bands) narrow rows, equi-join on (band, bucket) — never a " +

@@ -180,6 +180,12 @@ object ScaleProbe {
     probe("ann_topk",
       Similarity.bruteForceTopK(emb, col("vec_id") < 20, 5).count(),
       Similarity.bruteForceTopK(embN, col("vec_id") < 20, 5).count())
+    // SQ8: range fit (one dim-bounded agg) + encode scan + the q29
+    // scoring shape — the ratio tracks the same |Q|·N scoring volume
+    // as ann_topk plus a linear encode pass
+    probe("ann_sq8",
+      Similarity.sq8TopK(emb, col("vec_id") < 20, 5).count(),
+      Similarity.sq8TopK(embN, col("vec_id") < 20, 5).count())
     // the production LSH recipe (4 planes × 32 tables, docs/SCALE.md
     // §ANN recall@10): all 32 signatures come from ONE kernel pass per
     // vector, so the ratio tracks the single corpus scan + per-query

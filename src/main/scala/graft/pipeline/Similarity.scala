@@ -889,6 +889,107 @@ object Similarity {
     * `rerank > 0` adds the exact-refine stage (shortlist of `rerank`
     * ADC candidates re-scored with true cosine) — measured recall@10
     * per knob is recorded in docs/SCALE.md (ScaleProbe `ann_recall`). */
+  /** SQ8 scalar-quantized ANN — the third member of the quantization
+    * family next to PQ (q114b) and IVF-PQ (q151), and the one
+    * production serving tiers reach for first (FAISS SQ8 / Lucene
+    * int8 HNSW): each dimension is uniformly quantized to an 8-bit
+    * code over the corpus's exact per-dimension [min, max] range
+    * (1 byte/dim = 8× smaller than float64, 4× smaller than float32,
+    * with near-exact recall — unlike PQ there is no codebook to fit).
+    * Queries stay full-precision; corpus vectors are scored through
+    * their DEQUANTIZED form (code cell centers), cosine ranked.
+    *
+    * The "fit" is exact per-dimension min/max — ONE posexplode
+    * aggregation (map-side combined into dim cells, corpus-size-free
+    * output) pulled to the driver (dim-bounded, the |groups| pull
+    * pattern). Encoding+dequantizing is per-row map work in one
+    * corpus scan; scoring is the q29 broadcast-query single-scan
+    * plan. Every arithmetic step (floor-clamp code, cell-center
+    * dequantize, ascending-fold dot/norm) is a fixed chain of
+    * correctly-rounded IEEE ops, so the static DuckDB oracle replays
+    * ranks bit-for-bit — no Verify-time literal inlining needed.
+    * Output is (qid, rank, nid) ranks like q29. */
+  def sq8TopK(embeddings: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val rng = base.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("d")).collect()
+    val mns = rng.map(_.getDouble(1)); val mxs = rng.map(_.getDouble(2))
+    val bMn = spark.sparkContext.broadcast(mns)
+    val bMx = spark.sparkContext.broadcast(mxs)
+    // encode → cell-center dequantize, fused per row (the serving
+    // index would store the byte codes; the scorer sees their exact
+    // dequantized doubles, which is what the oracle replays)
+    val reconUdf = udf { v: Array[Double] =>
+      val mn = bMn.value; val mx = bMx.value
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) {
+        out(i) = sq8ReconElem(v(i), mn(i), mx(i))
+        i += 1
+      }
+      out
+    }
+    val corpus = PartitionUtil.spread(base)
+      .select(col("vec_id").as("nid"), reconUdf(col("v")).as("rv"))
+      .withColumn("rnorm", nativeNorm(spark)(col("rv")))
+    val queries = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", nativeNorm(spark)(col("qv")))
+    val sims = corpus.join(broadcast(queries), col("nid") =!= col("qid"))
+      .withColumn("sim",
+        nativeDot(spark)(col("qv"), col("rv")) / (col("qnorm") * col("rnorm")))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** Pure SQ8 kernel: floor-clamp 8-bit code over [lo, hi], then the
+    * code cell's CENTER — so |recon − x| ≤ (hi−lo)/512 for in-range x
+    * (asserted in PipelineSpec). Exactly the arithmetic the oracle
+    * replays, one expression per step. */
+  private[graft] def sq8ReconElem(x: Double, lo: Double, hi: Double): Double = {
+    val code =
+      if (hi > lo) {
+        val c = math.floor((x - lo) / (hi - lo) * 256.0)
+        if (c > 255.0) 255 else if (c < 0.0) 0 else c.toInt
+      } else 0
+    lo + ((code + 0.5) * (hi - lo)) / 256.0
+  }
+
+  /** Static DuckDB oracle for [[sq8TopK]]: exact per-dimension ranges
+    * recomputed in SQL (min/max are order-free — no float-sum
+    * hazard), the identical floor-clamp/cell-center arithmetic, the
+    * identical ascending folds. */
+  private[graft] def sq8TopKOracleSql(queryCond: String, k: Int,
+                                      dim: Int = 64): String = {
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      rngrows AS (SELECT d, MIN(v[d]) AS mn, MAX(v[d]) AS mx
+        FROM e CROSS JOIN range(1, ${dim + 1}) t(d) GROUP BY d),
+      rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        FROM rngrows),
+      r AS (SELECT vec_id, list_transform(range(1, ${dim + 1}), d ->
+          CASE WHEN mxs[d] > mns[d] THEN
+            mns[d] + ((LEAST(255.0, GREATEST(0.0,
+              FLOOR((v[d] - mns[d]) / (mxs[d] - mns[d]) * 256.0))) + 0.5)
+              * (mxs[d] - mns[d])) / 256.0
+          ELSE mns[d] + ((0.0 + 0.5) * (mxs[d] - mns[d])) / 256.0 END) AS rv
+        FROM e CROSS JOIN rng),
+      b AS (SELECT vec_id, rv, sqrt(${fold("rv[k] * rv[k]")}) AS rnorm FROM r),
+      q AS (SELECT vec_id AS qid, v AS qv, sqrt(${fold("v[k] * v[k]")}) AS qnorm
+        FROM e WHERE $queryCond),
+      sims AS (SELECT q.qid, b.vec_id AS nid,
+          ${fold("q.qv[k] * b.rv[k]")} / (q.qnorm * b.rnorm) AS sim
+        FROM b JOIN q ON b.vec_id <> q.qid)
+      SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM sims)
+      WHERE rnk <= $k ORDER BY qid, rank"""
+  }
+
   def ivfPqTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
                 nClusters: Int = 8, nProbe: Int = 2, m: Int = 4,
                 dim: Int = 64, codes: Int = 16, seed: Long = 42L,

@@ -150,6 +150,17 @@ object TextPipeline {
       },
       None),
 
+    // ---- SQ8 scalar-quantized ANN: the third quantization-family
+    // member (PQ q114b, IVF-PQ q151) — 1 byte/dim uniform codes over
+    // exact per-dim ranges, full-precision queries scored against the
+    // dequantized corpus. The "fit" (per-dim min/max) is exact and
+    // order-free, so the oracle is fully STATIC: DuckDB recomputes the
+    // ranges and replays the floor/cell-center arithmetic bit-for-bit -
+    ("q161_ann_sq8",
+      (s, dir) => Similarity.sq8TopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      Some(Similarity.sq8TopKOracleSql(queryCond = "vec_id < 20", k = 5))),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and

@@ -1452,6 +1452,34 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     run(df.repartition(9)) shouldBe sel
   }
 
+  test("SQ8 quantization: cell-center error bound, near-exact recall, partition invariance") {
+    import spark.implicits._
+    // pure-kernel bound: |recon - x| <= (hi-lo)/512 for in-range x,
+    // over a seeded sweep including the endpoints and a degenerate range
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val lo = rnd.nextDouble() * 10 - 5
+      val hi = lo + rnd.nextDouble() * 10
+      val x = lo + rnd.nextDouble() * (hi - lo)
+      val r = Similarity.sq8ReconElem(x, lo, hi)
+      math.abs(r - x) should be <= (hi - lo) / 512.0 + 1e-12
+    }
+    Similarity.sq8ReconElem(3.25, 3.25, 3.25) shouldBe 3.25 // degenerate range
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    val sq = Similarity.sq8TopK(emb, col("vec_id") < 10, 5)
+      .as[(Long, Long, Long)].collect()
+    val sqBy = sq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // 8 bits/dim is near-exact: mean top-5 overlap vs brute force stays high
+    val overlaps = exact.keys.toSeq.map(q => (sqBy(q) intersect exact(q)).size.toDouble / 5)
+    (overlaps.sum / overlaps.size) should be >= 0.8
+    // partition invariance
+    Similarity.sq8TopK(emb.repartition(9), col("vec_id") < 10, 5)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe sq.toSeq
+  }
+
   test("quality classifier: deterministic fit, monotone loss, learned rule, partition-invariant scoring") {
     import spark.implicits._
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
