@@ -182,9 +182,11 @@ object QualityClassifier {
     floor(lit(weight) * (cnt.cast("double") / lit(100.0)) * lit(10000.0))
       .cast("long")
 
-  /** Score every document: ONE scan, margin via codegen'd aggregate
-    * over the literal weight array — no join, no shuffle, no UDF. */
-  def score(docs: DataFrame, model: Model): DataFrame = {
+  /** Unsorted scoring core: ONE scan, margin via codegen'd aggregate
+    * over the literal weight array — no join, no shuffle, no UDF, and
+    * STATELESS per row, so the same plan runs unchanged over a
+    * stream (see [[graft.streaming.EventStreams.streamingQualityScore]]). */
+  def scoreUnsorted(docs: DataFrame, model: Model): DataFrame = {
     val f = featurized(docs, model.nFeatures, model.minToks)
     val wLit = typedLit(model.wGrid.toSeq)
     val mg = aggregate(col("feats"), lit(0L),
@@ -194,10 +196,13 @@ object QualityClassifier {
       gridTerm(model.wRatio, col("n_dist") * 3 - col("n_toks")) +
       lit(math.floor(model.bias * 10000.0).toLong)
     f.select(col("doc_id"), col("n_toks"), col("n_dist"), col("label"),
-        mg.as("margin_grid"),
-        when(mg > 0L, 1L).otherwise(0L).as("pred"))
-      .orderBy(col("doc_id"))
+      mg.as("margin_grid"),
+      when(mg > 0L, 1L).otherwise(0L).as("pred"))
   }
+
+  /** Score every document, presented in doc_id order (the gate shape). */
+  def score(docs: DataFrame, model: Model): DataFrame =
+    scoreUnsorted(docs, model).orderBy(col("doc_id"))
 
   /** DuckDB replay with the fitted weights inlined (the q46/q93
     * Verify-time dataOracle pattern): same tokenization, same

@@ -295,6 +295,21 @@ object EventStreams {
 
   case class StreamDoc(doc_id: Long, text: String)
 
+  /** Streaming face of the q159 trained quality classifier: score
+    * each arriving document with a broadcast fitted model — the
+    * online ingest filter that decides keep/drop at arrival time.
+    * Completely STATELESS (the scoring core is per-row expressions:
+    * tokenize, hash-bucket, literal-array margin), so it rides any
+    * output mode with no state store, no watermark, no shuffle —
+    * the strongest possible scale shape for a streaming stage. The
+    * model is fitted OFFLINE on a bounded batch sample
+    * ([[graft.pipeline.QualityClassifier.fit]]); scores are the same
+    * grid BIGINTs the batch gate (q159) hash-checks, so streaming
+    * and batch verdicts are identical row-for-row (StreamingSpec). */
+  def streamingQualityScore(docs: Dataset[StreamDoc],
+                            model: graft.pipeline.QualityClassifier.Model): DataFrame =
+    graft.pipeline.QualityClassifier.scoreUnsorted(docs.toDF(), model)
+
   /** One (band, bucket) occupancy row for an arriving document. */
   case class BandRow(band_idx: Int, band_hash: Long, doc_id: Long)
 

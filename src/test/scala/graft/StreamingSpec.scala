@@ -655,6 +655,31 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming quality scoring equals the batch gate scores, stateless across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.pipeline.QualityClassifier.fit(docs)
+    val rows = docs.select($"doc_id", $"text")
+      .as[EventStreams.StreamDoc].collect().sortBy(_.doc_id).take(80).toSeq
+    val batch = graft.pipeline.QualityClassifier.score(rows.toDF(), model)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingQualityScore(mem.toDS(), model)
+      .writeStream.format("memory").queryName("quality_scores")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quality_scores")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .sortBy(_._1).toList
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("streaming near-dup: a late-arriving smaller id takes over the bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
