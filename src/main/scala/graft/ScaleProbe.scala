@@ -205,7 +205,7 @@ object ScaleProbe {
     // the timers); one shuffle-free scan, so the ratio is the pure
     // map cost of tokenize+hash+margin
     if (only.isEmpty || only("quality_classifier_score")) {
-      val qcModel = graft.pipeline.QualityClassifier.fit(docs)
+      val qcModel = graft.pipeline.QualityClassifier.fitCached(docs)
       probe("quality_classifier_score",
         graft.pipeline.QualityClassifier.score(docs, qcModel).count(),
         graft.pipeline.QualityClassifier.score(docsN, qcModel).count())

@@ -378,15 +378,22 @@ object Dedup {
     * Scale shape: explode to (bandIndex, bandHash) keys and self-join
     * per bucket — shuffle is O(N · bands) narrow rows; no cross join.
     */
+  /** The ONE band-fold definition: signature slices of r slots, each
+    * folded `h = mix64(h ^ v)` from the FNV offset basis. Shared by
+    * [[minhashLshPairs]] and the streaming twin
+    * ([[graft.streaming.EventStreams.streamingNearDup]]) so their
+    * claimed bit-identity is structural, not a copy-paste invariant;
+    * the DuckDB oracle unrolls the same fold. */
+  private[graft] def bandHashes(sig: Seq[Long], r: Int): Seq[(Int, Long)] =
+    sig.grouped(r).zipWithIndex.map { case (slice, i) =>
+      (i, slice.foldLeft(0xcbf29ce484222325L)((h, v) => mix64(h ^ v)))
+    }.toSeq
+
   def minhashLshPairs(docs: DataFrame, shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigUdf = udf { sh: Seq[String] => minhashSignature(sh, numHashes) }
-    val bandUdf = udf { sig: Seq[Long] =>
-      sig.grouped(r).zipWithIndex.map { case (slice, i) =>
-        (i, slice.foldLeft(0xcbf29ce484222325L)((h, v) => mix64(h ^ v)))
-      }.toSeq
-    }
+    val bandUdf = udf { sig: Seq[Long] => bandHashes(sig, r) }
     val banded = PartitionUtil.spread(docs)
       .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
       .withColumn("sig", sigUdf(col("sh")))

@@ -146,7 +146,7 @@ object TextPipeline {
     ("q159_quality_classifier",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        QualityClassifier.score(docs, QualityClassifier.fit(docs))
+        QualityClassifier.score(docs, QualityClassifier.fitCached(docs))
       },
       None),
 
@@ -1353,7 +1353,7 @@ object TextPipeline {
       queryCond = s"(vec_id < 40) AND ${Dedup.anchorCondSql("vec_id", 7L, 0.5)}",
       k = 10)),
     "q159_quality_classifier" -> ((s, dir) =>
-      QualityClassifier.oracleSql(QualityClassifier.fit(t(s, dir, "documents"))))
+      QualityClassifier.oracleSql(QualityClassifier.fitCached(t(s, dir, "documents"))))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf

@@ -364,8 +364,20 @@ object EventStreams {
     * [[graft.pipeline.Dedup.firstSeenNearDup]]: the EARLIEST document
     * sharing any band bucket (proof: the bucket's first occupant is ≤
     * any other collider in that bucket, and is itself a collider).
-    * Signatures and band folds are bit-identical to the batch
-    * operator, so the equivalence is testable row-for-row.
+    * Signatures and band folds are shared code with the batch
+    * operator ([[graft.pipeline.Dedup.bandHashes]]), so the
+    * equivalence is structural and testable row-for-row.
+    *
+    * OUT-OF-ORDER arrival contract (precise): every colliding pair is
+    * still detected — a newcomer either finds the bucket occupied or,
+    * if it carries a SMALLER id than the occupant, takes the bucket
+    * over and retro-flags the old occupant — so `is_dup` matches the
+    * batch verdict under ANY arrival order. `dup_of` = min(rep) is
+    * guaranteed to be SOME earlier collider, but only in-order
+    * arrival guarantees it is the MINIMUM one: a candidate emitted
+    * against a since-superseded occupant is not retro-corrected
+    * (bucket gets 5 then 15 → emits (15,5); late 3 takes over and
+    * flags 5, but 15's verdict stays 5 where batch says 3).
     *
     * Scale shape: state is one long per distinct band bucket
     * (RocksDB-backed, shuffle-partitioned by bucket — hot buckets
@@ -380,10 +392,8 @@ object EventStreams {
     docs.flatMap { d =>
       val sig = graft.pipeline.Dedup.minhashSignature(
         shingleSet(d.text, shingleN).toSeq, numHashes)
-      sig.grouped(r).zipWithIndex.map { case (slice, i) =>
-        BandRow(i, slice.foldLeft(0xcbf29ce484222325L)((h, v) =>
-          graft.pipeline.Dedup.mix64(h ^ v)), d.doc_id)
-      }
+      graft.pipeline.Dedup.bandHashes(sig.toSeq, r)
+        .map { case (i, h) => BandRow(i, h, d.doc_id) }
     }
       .groupByKey(b => (b.band_idx, b.band_hash))
       .transformWithState(new BandFirstProcessor,
