@@ -715,6 +715,14 @@ object PlanAudit {
           "window, no global sort, no corpus shuffle of raw vectors",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator", "HashAggregate"),
         Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q162_sq8_index_roundtrip",
+        "SQ8 serving from the PERSISTED index: the corpus side scans " +
+          "the 1-byte/dim parquet codes (a relation 8× narrower than " +
+          "the raw embeddings — the scan-bytes win is the point of the " +
+          "index), dequantizes per row, and runs the same broadcast-" +
+          "query TopKAggregator plan; no window, no corpus shuffle",
+        Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
+        Seq("CartesianProduct", "Window", "SortMergeJoin")),
       ("q160_firstseen_neardup",
         "first-seen near-dup verdict: the q32 banded self-join (shuffle " +
           "O(N·bands) narrow rows, equi-join on (band, bucket) — never a " +

@@ -910,52 +910,97 @@ object Similarity {
     * ranks bit-for-bit — no Verify-time literal inlining needed.
     * Output is (qid, rank, nid) ranks like q29. */
   def sq8TopK(embeddings: DataFrame, queryFilter: Column, k: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val rng = base.select(posexplode(col("v")).as(Seq("d", "x")))
+    val (mns, mxs) = sq8FitRanges(embeddings)
+    sq8Serve(sq8Encode(embeddings, mns, mxs), mns, mxs,
+      embeddings.filter(queryFilter), k)
+  }
+
+  /** Exact per-dimension [min, max] ranges — the SQ8 "fit": ONE
+    * map-side-combined posexplode aggregation, driver pull bounded by
+    * dim. Order-free exact statistics, so any engine recomputes the
+    * identical doubles. */
+  def sq8FitRanges(embeddings: DataFrame): (Array[Double], Array[Double]) = {
+    val rng = embeddings
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("d")).collect()
-    val mns = rng.map(_.getDouble(1)); val mxs = rng.map(_.getDouble(2))
+    (rng.map(_.getDouble(1)), rng.map(_.getDouble(2)))
+  }
+
+  /** The SERVING INDEX: one byte per dimension per vector (stored as
+    * a binary column — 8× smaller than the float64 embedding), built
+    * in one corpus scan. Persist with plain `write.parquet` and the
+    * byte codes round-trip exactly (q162 gates this); append new
+    * vectors later by calling this again with the SAME ranges — codes
+    * depend only on (x, range), never on the rest of the corpus, so
+    * incremental extension is exact (asserted in PipelineSpec). */
+  def sq8Encode(embeddings: DataFrame, mns: Array[Double],
+                mxs: Array[Double]): DataFrame = {
+    val spark = embeddings.sparkSession
     val bMn = spark.sparkContext.broadcast(mns)
     val bMx = spark.sparkContext.broadcast(mxs)
-    // encode → cell-center dequantize, fused per row (the serving
-    // index would store the byte codes; the scorer sees their exact
-    // dequantized doubles, which is what the oracle replays)
-    val reconUdf = udf { v: Array[Double] =>
+    val encodeUdf = udf { v: Array[Double] =>
       val mn = bMn.value; val mx = bMx.value
-      val out = new Array[Double](v.length)
+      val out = new Array[Byte](v.length)
       var i = 0
       while (i < v.length) {
-        out(i) = sq8ReconElem(v(i), mn(i), mx(i))
+        out(i) = sq8CodeElem(v(i), mn(i), mx(i)).toByte
         i += 1
       }
       out
     }
-    val corpus = PartitionUtil.spread(base)
-      .select(col("vec_id").as("nid"), reconUdf(col("v")).as("rv"))
+    embeddings.select(col("vec_id"),
+      encodeUdf(asDouble(col("embedding"))).as("codes"))
+  }
+
+  /** Serve cosine top-k from a (vec_id, codes binary) index built by
+    * [[sq8Encode]]: dequantize each byte to its cell center and run
+    * the q29 broadcast-query single-scan plan. Queries stay
+    * full-precision. */
+  def sq8Serve(index: DataFrame, mns: Array[Double], mxs: Array[Double],
+               queries: DataFrame, k: Int): DataFrame = {
+    val spark = index.sparkSession
+    val bMn = spark.sparkContext.broadcast(mns)
+    val bMx = spark.sparkContext.broadcast(mxs)
+    val reconUdf = udf { codes: Array[Byte] =>
+      val mn = bMn.value; val mx = bMx.value
+      val out = new Array[Double](codes.length)
+      var i = 0
+      while (i < codes.length) {
+        out(i) = sq8ReconFromCode(codes(i) & 0xFF, mn(i), mx(i))
+        i += 1
+      }
+      out
+    }
+    val corpus = PartitionUtil.spread(index)
+      .select(col("vec_id").as("nid"), reconUdf(col("codes")).as("rv"))
       .withColumn("rnorm", nativeNorm(spark)(col("rv")))
-    val queries = embeddings.filter(queryFilter)
+    val q = queries
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .withColumn("qnorm", nativeNorm(spark)(col("qv")))
-    val sims = corpus.join(broadcast(queries), col("nid") =!= col("qid"))
+    val sims = corpus.join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("sim",
         nativeDot(spark)(col("qv"), col("rv")) / (col("qnorm") * col("rnorm")))
       .select(col("qid"), col("nid"), col("sim"))
     topKPerKey(sims, "qid", k)
   }
 
-  /** Pure SQ8 kernel: floor-clamp 8-bit code over [lo, hi], then the
-    * code cell's CENTER — so |recon − x| ≤ (hi−lo)/512 for in-range x
+  /** Pure SQ8 code kernel: floor-clamp 8-bit code over [lo, hi]. */
+  private[graft] def sq8CodeElem(x: Double, lo: Double, hi: Double): Int =
+    if (hi > lo) {
+      val c = math.floor((x - lo) / (hi - lo) * 256.0)
+      if (c > 255.0) 255 else if (c < 0.0) 0 else c.toInt
+    } else 0
+
+  /** Cell CENTER of an 8-bit code over [lo, hi]. */
+  private[graft] def sq8ReconFromCode(code: Int, lo: Double, hi: Double): Double =
+    lo + ((code + 0.5) * (hi - lo)) / 256.0
+
+  /** Encode then dequantize: |recon − x| ≤ (hi−lo)/512 for in-range x
     * (asserted in PipelineSpec). Exactly the arithmetic the oracle
     * replays, one expression per step. */
-  private[graft] def sq8ReconElem(x: Double, lo: Double, hi: Double): Double = {
-    val code =
-      if (hi > lo) {
-        val c = math.floor((x - lo) / (hi - lo) * 256.0)
-        if (c > 255.0) 255 else if (c < 0.0) 0 else c.toInt
-      } else 0
-    lo + ((code + 0.5) * (hi - lo)) / 256.0
-  }
+  private[graft] def sq8ReconElem(x: Double, lo: Double, hi: Double): Double =
+    sq8ReconFromCode(sq8CodeElem(x, lo, hi), lo, hi)
 
   /** Static DuckDB oracle for [[sq8TopK]]: exact per-dimension ranges
     * recomputed in SQL (min/max are order-free — no float-sum

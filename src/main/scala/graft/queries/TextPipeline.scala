@@ -161,6 +161,26 @@ object TextPipeline {
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
       Some(Similarity.sq8TopKOracleSql(queryCond = "vec_id < 20", k = 5))),
 
+    // ---- SQ8 index persistence lifecycle: build the 1-byte/dim
+    // serving index, WRITE it to parquet, read it back, serve top-k
+    // from the loaded codes. The oracle is q161's static SQL — equal
+    // results prove the persisted binary codes round-tripped exactly
+    // (and that serving from the stored index is bit-identical to
+    // serving fresh). Incremental extension (same-ranges append ==
+    // whole-corpus encode) is asserted in PipelineSpec. -------------
+    ("q162_sq8_index_roundtrip",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (mns, mxs) = Similarity.sq8FitRanges(emb)
+        val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
+        val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_sq8_index_$sfBase"
+        Similarity.sq8Encode(emb, mns, mxs)
+          .write.mode("overwrite").parquet(ixDir)
+        Similarity.sq8Serve(s.read.parquet(ixDir), mns, mxs,
+          emb.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(Similarity.sq8TopKOracleSql(queryCond = "vec_id < 20", k = 5))),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and

@@ -1478,6 +1478,16 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // partition invariance
     Similarity.sq8TopK(emb.repartition(9), col("vec_id") < 10, 5)
       .as[(Long, Long, Long)].collect().toSeq shouldBe sq.toSeq
+    // incremental extension: codes depend only on (x, range), so
+    // same-ranges append equals the whole-corpus encode slice-for-slice
+    val (mns, mxs) = Similarity.sq8FitRanges(emb)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      Similarity.sq8Encode(df, mns, mxs).as[(Long, Array[Byte])]
+        .collect().sortBy(_._1).map { case (id, c) => (id, c.toSeq) }.toSeq
+    val whole = codes(emb)
+    val pieced = codes(emb.filter($"vec_id" < 100)) ++
+      codes(emb.filter($"vec_id" >= 100))
+    pieced.sortBy(_._1) shouldBe whole
   }
 
   test("quality classifier: deterministic fit, monotone loss, learned rule, partition-invariant scoring") {
