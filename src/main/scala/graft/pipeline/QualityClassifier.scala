@@ -223,6 +223,28 @@ object QualityClassifier {
   def score(docs: DataFrame, model: Model): DataFrame =
     scoreUnsorted(docs, model).orderBy(col("doc_id"))
 
+  /** Measured classifier quality INSIDE the hash gate (the q152/q153
+    * audit pattern applied to the classifier): the (pred, label)
+    * confusion counts as exact BIGINTs — accuracy, precision, recall
+    * are all derivable, and a wrong-but-deterministic model can no
+    * longer ride the gate unnoticed. One aggregation over the
+    * shuffle-free scoring scan; output is ≤ 4 rows. */
+  def confusion(docs: DataFrame, model: Model): DataFrame =
+    scoreUnsorted(docs, model)
+      .groupBy(col("pred"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pred"), col("label"))
+
+  /** DuckDB replay of [[confusion]] — [[oracleSql]]'s scoring CTEs
+    * reduced to the (pred, label) counts. */
+  def confusionOracleSql(model: Model): String = {
+    val scored = oracleSql(model)
+    // reuse the full scoring replay as a subquery; it ends in an
+    // ORDER BY that DuckDB allows inside a FROM (...) subselect
+    s"""SELECT pred, label, COUNT(*) AS n FROM ($scored) s
+      GROUP BY pred, label ORDER BY pred, label"""
+  }
+
   /** DuckDB replay with the fitted weights inlined (the q46/q93
     * Verify-time dataOracle pattern): same tokenization, same
     * mix64∘fnv64 bucket, same BIGINT grid arithmetic. Distinct tokens

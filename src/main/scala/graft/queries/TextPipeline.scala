@@ -150,6 +150,16 @@ object TextPipeline {
       },
       None),
 
+    // ---- measured classifier quality inside the gate (the q152/q153
+    // audit pattern): (pred, label) confusion counts as BIGINTs, so
+    // accuracy/precision/recall are pinned, not just determinism ------
+    ("q163_classifier_confusion",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        QualityClassifier.confusion(docs, QualityClassifier.fitCached(docs))
+      },
+      None),
+
     // ---- SQ8 scalar-quantized ANN: the third quantization-family
     // member (PQ q114b, IVF-PQ q151) — 1 byte/dim uniform codes over
     // exact per-dim ranges, full-precision queries scored against the
@@ -1373,7 +1383,10 @@ object TextPipeline {
       queryCond = s"(vec_id < 40) AND ${Dedup.anchorCondSql("vec_id", 7L, 0.5)}",
       k = 10)),
     "q159_quality_classifier" -> ((s, dir) =>
-      QualityClassifier.oracleSql(QualityClassifier.fitCached(t(s, dir, "documents"))))
+      QualityClassifier.oracleSql(QualityClassifier.fitCached(t(s, dir, "documents")))),
+    "q163_classifier_confusion" -> ((s, dir) =>
+      QualityClassifier.confusionOracleSql(
+        QualityClassifier.fitCached(t(s, dir, "documents"))))
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf
