@@ -52,6 +52,10 @@ object ClusterSmoke {
     "img26_dicom_palette", // LUT arrays serialize into executor-side palette encode; OW elements cross-JVM
     "img27_dicom_mono1_signed", // MONOCHROME1 inversion + signed two's-complement + DS rescale parse cross-JVM
     "img28_dicom_color_lossy", // executor-side JDK ImageIO color JPEG write+decode (plugin registry per JVM)
+    "q159_quality_classifier", // fit-sample TakeOrdered + literal weight-array margins across worker JVMs
+    "q160_firstseen_neardup", // banded self-join + min-rep reduction across worker JVMs
+    "q162_sq8_index_roundtrip", // executor-side binary-code parquet write + dequantize-serve cross-JVM
+    "q163_classifier_confusion", // the memoized fit broadcast into executor-side scoring, count agg cross-JVM
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {
