@@ -715,6 +715,13 @@ object PlanAudit {
           "window, no global sort, no corpus shuffle of raw vectors",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator", "HashAggregate"),
         Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q164_rag_chunks",
+        "RAG chunking: ONE corpus scan — sequence/transform/slice/" +
+          "posexplode are per-row array work, no join, no aggregation, " +
+          "no window; the only exchange is the presentation sort",
+        Seq("Generate", "Sort"),
+        Seq("HashAggregate", "Window", "CartesianProduct", "SortMergeJoin",
+          "BroadcastNestedLoopJoin")),
       ("q162_sq8_index_roundtrip",
         "SQ8 serving from the PERSISTED index: the corpus side scans " +
           "the 1-byte/dim parquet codes (a relation 8× narrower than " +

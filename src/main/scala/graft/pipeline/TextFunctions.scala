@@ -147,6 +147,55 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** RAG-ingestion chunking: fixed token windows with overlap — the
+    * standard retrieval-corpus preparation (LangChain/LlamaIndex-style
+    * sliding windows, re-expressed as pure Catalyst array functions).
+    * Chunk i covers tokens [i·stride, i·stride + chunkToks) with
+    * stride = chunkToks − overlap; nChunks = max(1,
+    * ⌈(n − overlap)/stride⌉), so every token lands in ≥ 1 chunk, the
+    * last chunk may run short, and no chunk is fully contained in its
+    * predecessor. Output: (doc_id, chunk_id, chunk_toks, chunk_text).
+    *
+    * Scale shape: ONE corpus scan — sequence/transform/slice/
+    * posexplode are per-row array work, no shuffle, no UDF; output
+    * grows ~n/stride per doc (the presentation ORDER BY is the gate's).
+    */
+  def ragChunks(docs: DataFrame, chunkToks: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && chunkToks > overlap,
+      "ragChunks: need chunkToks > overlap >= 0 (stride must be positive)")
+    val stride = chunkToks - overlap
+    val toks = Dedup.tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("n_chunks", // DIV: `/` on longs is DOUBLE division in Spark
+        greatest(lit(1L), expr(s"(n - $overlap + ${stride - 1}) DIV $stride")))
+      .select(col("doc_id"), col("t"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+          i => slice(col("t"), (i * stride + 1).cast("int"), lit(chunkToks)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("chunk_toks"),
+        array_join(col("col"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** DuckDB oracle for [[ragChunks]] — the same integer window math
+    * over list_slice. */
+  private[graft] def ragChunksOracleSql(chunkToks: Int = 32, overlap: Int = 8): String = {
+    val stride = chunkToks - overlap
+    s"""WITH tk AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      n AS (SELECT doc_id, t, len(t) AS n FROM tk),
+      ch AS (SELECT doc_id, unnest(list_transform(
+          range(0, GREATEST(1, (n - $overlap + ${stride - 1}) // $stride)),
+          i -> struct_pack(cid := i,
+            sl := list_slice(t, i * $stride + 1, i * $stride + $chunkToks)))) AS c
+        FROM n)
+      SELECT doc_id, CAST(c.cid AS BIGINT) AS chunk_id,
+        CAST(len(c.sl) AS BIGINT) AS chunk_toks,
+        array_to_string(c.sl, ' ') AS chunk_text
+      FROM ch ORDER BY doc_id, chunk_id"""
+  }
+
   /** DuckDB oracle for [[sequencePacking]] — all-integer window math. */
   private[graft] def sequencePackingOracleSql(seqLen: Int): String =
     s"""WITH tk AS (SELECT doc_id, lang,

@@ -150,6 +150,13 @@ object TextPipeline {
       },
       None),
 
+    // ---- RAG-ingestion chunking: overlapping fixed token windows,
+    // pure Catalyst array work in one scan (no shuffle, no UDF) -------
+    ("q164_rag_chunks",
+      (s, dir) => TextFunctions.ragChunks(
+        t(s, dir, "documents"), chunkToks = 32, overlap = 8),
+      Some(TextFunctions.ragChunksOracleSql(chunkToks = 32, overlap = 8))),
+
     // ---- measured classifier quality inside the gate (the q152/q153
     // audit pattern): (pred, label) confusion counts as BIGINTs, so
     // accuracy/precision/recall are pinned, not just determinism ------

@@ -1452,6 +1452,32 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     run(df.repartition(9)) shouldBe sel
   }
 
+  test("RAG chunking: overlap window semantics, full coverage, partition invariance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 65).map(i => s"t$i").mkString(" ")), // 65 toks -> 2 chunks at C=64,O=16
+      (2L, (1 to 64).map(i => s"t$i").mkString(" ")), // exactly one chunk
+      (3L, "a b c"),                                  // short -> one short chunk
+      (4L, "")                                        // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.ragChunks(df, chunkToks = 64, overlap = 16)
+      .as[(Long, Long, Long, String)].collect().toList
+    out.count(_._1 == 1L) shouldBe 2
+    out.count(_._1 == 2L) shouldBe 1
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    c1(0)._4 shouldBe (1 to 64).map(i => s"t$i").mkString(" ")   // [0,64)
+    c1(1)._4 shouldBe (49 to 65).map(i => s"t$i").mkString(" ")  // starts at stride=48
+    c1(1)._3 shouldBe 17L
+    out.filter(_._1 == 3L).head._4 shouldBe "a b c"
+    out.filter(_._1 == 4L).head._3 shouldBe 0L
+    // every token position lands in >= 1 chunk (coverage)
+    val covered = c1.flatMap { case (_, cid, n, _) =>
+      (cid * 48 until cid * 48 + n).map(_.toInt) }.toSet
+    covered shouldBe (0 until 65).toSet
+    TextFunctions.ragChunks(df.repartition(5), 64, 16)
+      .as[(Long, Long, Long, String)].collect().toList shouldBe out
+  }
+
   test("SQ8 quantization: cell-center error bound, near-exact recall, partition invariance") {
     import spark.implicits._
     // pure-kernel bound: |recon - x| <= (hi-lo)/512 for in-range x,
