@@ -715,6 +715,14 @@ object PlanAudit {
           "window, no global sort, no corpus shuffle of raw vectors",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator", "HashAggregate"),
         Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q165_curation_pipeline",
+        "end-to-end curation: the shuffle-free classifier scoring scan " +
+          "feeds the kept set; the near-dup verdict contributes its " +
+          "banded equi-join + min-agg; the composition is equi-joins on " +
+          "doc_id plus ONE final per-source aggregation — no window, no " +
+          "cross product, nothing corpus-quadratic",
+        Seq("HashAggregate", "content_hash64"),
+        Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")),
       ("q164_rag_chunks",
         "RAG chunking: ONE corpus scan — sequence/transform/slice/" +
           "posexplode are per-row array work, no join, no aggregation, " +

@@ -150,6 +150,32 @@ object TextPipeline {
       },
       None),
 
+    // ---- END-TO-END curation pipeline, gate-checked as a whole:
+    // trained quality filter (q159's model, pred=1) ∘ first-seen
+    // near-dup removal (q160's verdict, is_dup=0) → per-source kept
+    // counts + token totals. Each stage is individually hash-exact;
+    // this row pins their COMPOSITION (filter-then-dedup order, join
+    // key semantics) — the shape a real corpus build runs nightly.
+    // Oracle composed at Verify time ([[dataOracles]]): the classifier
+    // replay and the banding replay nest as subqueries. ---------------
+    ("q165_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = QualityClassifier
+          .scoreUnsorted(docs, QualityClassifier.fitCached(docs))
+          .filter(col("pred") === 1L)
+          .select(col("doc_id"), col("n_toks"))
+        val clean = Dedup.firstSeenNearDup(docs, 3, 16, 4)
+          .filter(col("is_dup") === 0L)
+          .select(col("doc_id"))
+        kept.join(clean, Seq("doc_id"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("toks_kept"))
+          .orderBy(col("source"))
+      },
+      None),
+
     // ---- RAG-ingestion chunking: overlapping fixed token windows,
     // pure Catalyst array work in one scan (no shuffle, no UDF) -------
     ("q164_rag_chunks",
@@ -1393,7 +1419,19 @@ object TextPipeline {
       QualityClassifier.oracleSql(QualityClassifier.fitCached(t(s, dir, "documents")))),
     "q163_classifier_confusion" -> ((s, dir) =>
       QualityClassifier.confusionOracleSql(
-        QualityClassifier.fitCached(t(s, dir, "documents"))))
+        QualityClassifier.fitCached(t(s, dir, "documents")))),
+    "q165_curation_pipeline" -> ((s, dir) => {
+      val scored = QualityClassifier.oracleSql(
+        QualityClassifier.fitCached(t(s, dir, "documents")))
+      val verdict = Dedup.firstSeenNearDupOracleSql(3, 16, 4)
+      s"""SELECT d.source, COUNT(*) AS n_kept,
+          CAST(SUM(s.n_toks) AS BIGINT) AS toks_kept
+        FROM ($scored) s
+        JOIN ($verdict) v USING (doc_id)
+        JOIN documents d USING (doc_id)
+        WHERE s.pred = 1 AND v.is_dup = 0
+        GROUP BY d.source ORDER BY d.source"""
+    })
   )
 
   /** Scratch dir for the interchange round trips, keyed by the sf
