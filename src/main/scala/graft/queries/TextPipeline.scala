@@ -151,13 +151,16 @@ object TextPipeline {
       None),
 
     // ---- END-TO-END curation pipeline, gate-checked as a whole:
-    // trained quality filter (q159's model, pred=1) ∘ first-seen
-    // near-dup removal (q160's verdict, is_dup=0) → per-source kept
-    // counts + token totals. Each stage is individually hash-exact;
-    // this row pins their COMPOSITION (filter-then-dedup order, join
-    // key semantics) — the shape a real corpus build runs nightly.
-    // Oracle composed at Verify time ([[dataOracles]]): the classifier
-    // replay and the banding replay nest as subqueries. ---------------
+    // DEDUP-THEN-FILTER — first-seen near-dup removal over the FULL
+    // corpus (q160's verdict, is_dup=0), then the trained quality
+    // filter (q159's model, pred=1) — the CCNet/Dolma stage order
+    // (dedup sees every document, so a high-quality doc shadowed by a
+    // low-quality earlier near-dup is still dropped; the intersection
+    // of the two full-corpus verdicts implements exactly this order,
+    // NOT filter-then-dedup). Output: per-source kept counts + token
+    // totals. Each stage is individually hash-exact; this row pins
+    // their composition. Oracle composed at Verify time
+    // ([[dataOracles]]): both replays nest as subqueries. -------------
     ("q165_curation_pipeline",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -215,8 +218,7 @@ object TextPipeline {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val (mns, mxs) = Similarity.sq8FitRanges(emb)
-        val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
-        val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_sq8_index_$sfBase"
+        val ixDir = scratchDir("sq8_index", dir)
         Similarity.sq8Encode(emb, mns, mxs)
           .write.mode("overwrite").parquet(ixDir)
         Similarity.sq8Serve(s.read.parquet(ixDir), mns, mxs,
@@ -1434,17 +1436,22 @@ object TextPipeline {
     })
   )
 
-  /** Scratch dir for the interchange round trips, keyed by the sf
-    * basename so concurrent/interleaved runs at different scale
-    * factors (the ScalaTest smoke runs every query at sf0.001) never
-    * overwrite the files the gate's oracle is about to re-read. The
-    * oracle-side twin uses the literal `@SF@` token, which
-    * [[graft.Verify]] substitutes with the run's actual sf basename
-    * when dumping oracle_sql.json. */
-  private def interchangeDir(fmt: String, dir: String): String = {
+  /** Scratch dir keyed by the sf basename so concurrent/interleaved
+    * runs at different scale factors (the ScalaTest smoke runs every
+    * query at sf0.001) never overwrite the files a gate query is
+    * about to re-read — the ONE place the tmp-path convention lives
+    * (q162's index dir and the interchange round trips share it). */
+  private def scratchDir(tag: String, dir: String): String = {
     val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
-    s"${System.getProperty("java.io.tmpdir")}/graft_interchange_${sfBase}_$fmt"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$sfBase"
   }
+
+  /** Interchange round-trip dirs ride [[scratchDir]]; the oracle-side
+    * twin uses the literal `@SF@` token, which [[graft.Verify]]
+    * substitutes with the run's actual sf basename when dumping
+    * oracle_sql.json. */
+  private def interchangeDir(fmt: String, dir: String): String =
+    scratchDir("interchange", dir) + s"_$fmt"
 
   private def interchangeOracleDir(fmt: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_interchange_@SF@_$fmt"
