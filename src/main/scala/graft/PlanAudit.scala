@@ -730,6 +730,15 @@ object PlanAudit {
         Seq("Generate", "Sort"),
         Seq("HashAggregate", "Window", "CartesianProduct", "SortMergeJoin",
           "BroadcastNestedLoopJoin")),
+      ("q166_ann_ivfsq8",
+        "IVF-SQ8: both fits corpus-size-free (content-hash centroid " +
+          "sample + one dim-bounded range agg); the corpus pass is ONE " +
+          "scan of per-row assign+dequantize against broadcast state; " +
+          "the search is the q46 cluster equi-join with the probe table " +
+          "broadcast and the map-side-combining TopKAggregator — " +
+          "per-query work ~N·nProbe/nClusters, no window, no cartesian",
+        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("CartesianProduct", "Window", "SortMergeJoin")),
       ("q162_sq8_index_roundtrip",
         "SQ8 serving from the PERSISTED index: the corpus side scans " +
           "the 1-byte/dim parquet codes (a relation 8× narrower than " +

@@ -889,6 +889,113 @@ object Similarity {
     * `rerank > 0` adds the exact-refine stage (shortlist of `rerank`
     * ADC candidates re-scored with true cosine) — measured recall@10
     * per knob is recorded in docs/SCALE.md (ScaleProbe `ann_recall`). */
+  /** IVF-SQ8 approximate NN — the FAISS `IVFScalarQuantizer`
+    * composition: the q46 coarse quantizer bounds per-query work
+    * (score only nProbe inverted lists, ~N·nProbe/nClusters
+    * candidates) while SQ8 codes bound MEMORY (1 byte/dim in the
+    * serving index, near-exact recall — see docs/SCALE.md). The two
+    * knobs are orthogonal: nProbe trades recall for latency exactly
+    * as in q46 (the SQ8 leg costs ≈ nothing in recall), which is why
+    * this — not IVF-PQ — is the first composition a production tier
+    * deploys when vectors still fit at 1 byte/dim.
+    *
+    * Scale shape: both fits are corpus-size-free (the q46 content-hash
+    * centroid sample; one dim-bounded range aggregation); the corpus
+    * pass is ONE scan (assign + encode+dequantize per row against
+    * broadcast centroids/ranges); the search join is the q46 cluster
+    * equi-join with the KB-sized probe table broadcast. */
+  def ivfSq8TopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+                 nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+                 maxFitSample: Int = 65536): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (mns, mxs) = sq8FitRanges(embeddings)
+    val centers = ivfFitCenters(embeddings, nClusters, seed, maxFitSample)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val bMn = spark.sparkContext.broadcast(mns)
+    val bMx = spark.sparkContext.broadcast(mxs)
+    // assign on the RAW vector (the coarse quantizer sees full
+    // precision, like FAISS); store the dequantized codes for scoring
+    val assignReconUdf = udf { v: Array[Double] =>
+      val mn = bMn.value; val mx = bMx.value
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = sq8ReconElem(v(i), mn(i), mx(i)); i += 1 }
+      (Similarity.nearestCenter(bcCenters.value, v), out)
+    }
+    val base = PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val assigned = base
+      .select(col("vec_id").as("nid"), assignReconUdf(col("v")).as("ar"))
+      .select(col("nid"), col("ar._1").as("cluster"), col("ar._2").as("rv"))
+      .withColumn("rnorm", nativeNorm(spark)(col("rv")))
+    def nearestClusters(v: Array[Double]): Seq[Int] =
+      centers.zipWithIndex.map { case (c, i) => (sqDist(c, v), i) }
+        .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2).toSeq
+    val probes = base.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, v) => nearestClusters(v).map(c => (qid, c, v)) }
+      .toDF("qid", "cluster", "qv")
+      .withColumn("qnorm", nativeNorm(spark)(col("qv")))
+    val sims = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim",
+        nativeDot(spark)(col("qv"), col("rv")) / (col("qnorm") * col("rnorm")))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** DuckDB oracle for [[ivfSq8TopK]]: the fitted centroids inline as
+    * literals (the q46 pattern); the SQ8 ranges recompute statically
+    * (exact min/max, order-free); assignment/probe selection replay
+    * the (dist, cid) tie-break and the scoring fold divides by both
+    * norms exactly like the impl. */
+  private[graft] def ivfSq8TopKOracleSql(centers: Array[Array[Double]],
+                                         queryCond: String, k: Int,
+                                         nProbe: Int = 4, dim: Int = 64): String = {
+    def fold(prod: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    val centRows = centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${dlitArr(c)})"
+    }.mkString(",\n      ")
+    s"""WITH cent AS (SELECT * FROM (VALUES $centRows) t(cid, cv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      rngrows AS (SELECT d, MIN(v[d]) AS mn, MAX(v[d]) AS mx
+        FROM e CROSS JOIN range(1, ${dim + 1}) t(d) GROUP BY d),
+      rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        FROM rngrows),
+      r AS (SELECT vec_id, list_transform(range(1, ${dim + 1}), d ->
+          CASE WHEN mxs[d] > mns[d] THEN
+            mns[d] + ((LEAST(255.0, GREATEST(0.0,
+              FLOOR((v[d] - mns[d]) / (mxs[d] - mns[d]) * 256.0))) + 0.5)
+              * (mxs[d] - mns[d])) / 256.0
+          ELSE mns[d] + ((0.0 + 0.5) * (mxs[d] - mns[d])) / 256.0 END) AS rv
+        FROM e CROSS JOIN rng),
+      b AS (SELECT vec_id, rv, sqrt(${fold("rv[k] * rv[k]")}) AS rnorm FROM r),
+      q AS (SELECT vec_id AS qid, v AS qv, sqrt(${fold("v[k] * v[k]")}) AS qnorm
+        FROM e WHERE $queryCond),
+      d AS (SELECT vec_id, cid, ${fold("(v[k] - cv[k]) * (v[k] - cv[k])")} AS dist
+        FROM e CROSS JOIN cent),
+      asg AS (SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS cluster FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d WHERE $queryCond) WHERE rn <= $nProbe),
+      sims AS (SELECT p.qid, a.vec_id AS nid,
+          ${fold("q.qv[k] * b.rv[k]")} / (q.qnorm * b.rnorm) AS sim
+        FROM probes p JOIN asg a ON a.cluster = p.cluster
+        JOIN q ON q.qid = p.qid
+        JOIN b ON b.vec_id = a.vec_id
+        WHERE a.vec_id <> p.qid)
+      SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM sims)
+      WHERE rnk <= $k ORDER BY qid, rank"""
+  }
+
   /** SQ8 scalar-quantized ANN — the third member of the quantization
     * family next to PQ (q114b) and IVF-PQ (q151), and the one
     * production serving tiers reach for first (FAISS SQ8 / Lucene

@@ -207,6 +207,15 @@ object TextPipeline {
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
       Some(Similarity.sq8TopKOracleSql(queryCond = "vec_id < 20", k = 5))),
 
+    // ---- IVF-SQ8: the FAISS IVFScalarQuantizer composition — q46's
+    // coarse lists bound LATENCY, q161's byte codes bound MEMORY;
+    // oracle ([[dataOracles]]) inlines the fitted centroids and
+    // recomputes the exact ranges statically ---------------------------
+    ("q166_ann_ivfsq8",
+      (s, dir) => Similarity.ivfSq8TopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      None),
+
     // ---- SQ8 index persistence lifecycle: build the 1-byte/dim
     // serving index, WRITE it to parquet, read it back, serve top-k
     // from the loaded codes. The oracle is q161's static SQL — equal
@@ -1422,6 +1431,9 @@ object TextPipeline {
     "q163_classifier_confusion" -> ((s, dir) =>
       QualityClassifier.confusionOracleSql(
         QualityClassifier.fitCached(t(s, dir, "documents")))),
+    "q166_ann_ivfsq8" -> ((s, dir) => Similarity.ivfSq8TopKOracleSql(
+      Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+      queryCond = "vec_id < 20", k = 5)),
     "q165_curation_pipeline" -> ((s, dir) => {
       val scored = QualityClassifier.oracleSql(
         QualityClassifier.fitCached(t(s, dir, "documents")))

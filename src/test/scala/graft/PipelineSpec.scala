@@ -1504,6 +1504,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // partition invariance
     Similarity.sq8TopK(emb.repartition(9), col("vec_id") < 10, 5)
       .as[(Long, Long, Long)].collect().toSeq shouldBe sq.toSeq
+    // IVF-SQ8 with exhaustive probing scores every vector through the
+    // same dequantized form — structurally identical to flat SQ8
+    Similarity.ivfSq8TopK(emb, col("vec_id") < 10, 5,
+        nClusters = 8, nProbe = 8)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe sq.toSeq
+    // and is partition-invariant at a partial probe
+    val ivfsq = Similarity.ivfSq8TopK(emb, col("vec_id") < 10, 5,
+      nClusters = 8, nProbe = 2).as[(Long, Long, Long)].collect().toSeq
+    Similarity.ivfSq8TopK(emb.repartition(7), col("vec_id") < 10, 5,
+        nClusters = 8, nProbe = 2)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe ivfsq
     // incremental extension: codes depend only on (x, range), so
     // same-ranges append equals the whole-corpus encode slice-for-slice
     val (mns, mxs) = Similarity.sq8FitRanges(emb)
