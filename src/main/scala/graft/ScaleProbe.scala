@@ -186,6 +186,11 @@ object ScaleProbe {
     probe("ann_sq8",
       Similarity.sq8TopK(emb, col("vec_id") < 20, 5).count(),
       Similarity.sq8TopK(embN, col("vec_id") < 20, 5).count())
+    // the inverted lists cap per-query candidates at ~N·nProbe/nClusters,
+    // so the 10× ratio tracks the single assign+encode scan
+    probe("ann_ivfsq8",
+      Similarity.ivfSq8TopK(emb, col("vec_id") < 20, 5).count(),
+      Similarity.ivfSq8TopK(embN, col("vec_id") < 20, 5).count())
     // the production LSH recipe (4 planes × 32 tables, docs/SCALE.md
     // §ANN recall@10): all 32 signatures come from ONE kernel pass per
     // vector, so the ratio tracks the single corpus scan + per-query
@@ -332,6 +337,13 @@ object ScaleProbe {
         Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, m = 16, rerank = 50))
       rec("ivfpq nProbe=8 m=16 rerank=200")(
         Similarity.ivfPqTopK(emb, qf, kR, nProbe = 8, m = 16, rerank = 200))
+      // SQ8 has no recall knob (near-exact by construction); IVF-SQ8
+      // demonstrates the composition law recall = min(IVF list
+      // recall, SQ8's ceiling)
+      rec("sq8 (flat, q161)")(Similarity.sq8TopK(emb, qf, kR))
+      rec("ivfsq8 nProbe=4 (q166 default)")(Similarity.ivfSq8TopK(emb, qf, kR))
+      rec("ivfsq8 nProbe=16 (all lists)")(
+        Similarity.ivfSq8TopK(emb, qf, kR, nProbe = 16))
       truth.unpersist(false)
     }
     // copy-prefixed query terms ("c0_…") keep the BM25 hit set inside
