@@ -55,6 +55,7 @@ object ClusterSmoke {
     "q159_quality_classifier", // fit-sample TakeOrdered + literal weight-array margins across worker JVMs
     "q160_firstseen_neardup", // banded self-join + min-rep reduction across worker JVMs
     "q162_sq8_index_roundtrip", // executor-side binary-code parquet write + dequantize-serve cross-JVM
+    "q166_ann_ivfsq8", // broadcast centroids+ranges into the executor-side assign+dequantize UDF
     "q163_classifier_confusion", // the memoized fit broadcast into executor-side scoring, count agg cross-JVM
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
