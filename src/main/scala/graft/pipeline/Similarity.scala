@@ -786,14 +786,12 @@ object Similarity {
     val assigned = base.select(col("vec_id").as("nid"),
       assignUdf(col("v")).as("cluster"), col("nv"))
 
-    def nearestClusters(v: Array[Double]): Seq[Int] =
-      centers.zipWithIndex.map { case (c, i) => (sqDist(c, v), i) }
-        .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2).toSeq
-
     val probes = base.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("v"), col("nv").as("qv"))
       .as[(Long, Array[Double], Array[Double])]
-      .flatMap { case (qid, v, qv) => nearestClusters(v).map(c => (qid, c, qv)) }
+      .flatMap { case (qid, v, qv) =>
+        Similarity.nearestClusters(bcCenters.value, v, nProbe)
+          .map(c => (qid, c, qv)) }
       .toDF("qid", "cluster", "qv")
 
     val sims = assigned.join(broadcast(probes), Seq("cluster"))
@@ -842,8 +840,7 @@ object Similarity {
     * zero-guarded x/‖v‖, and the normalized dot. Output is ranks. */
   private[graft] def ivfTopKOracleSql(centers: Array[Array[Double]], queryCond: String,
                                       k: Int, nProbe: Int = 4, dim: Int = 64): String = {
-    def fold(prod: String) =
-      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    val fold = sqlFold(dim) _
     val centRows = centers.zipWithIndex.map { case (c, i) =>
       s"($i, ${dlitArr(c)})"
     }.mkString(",\n      ")
@@ -851,14 +848,7 @@ object Similarity {
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     nv AS (SELECT vec_id, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
       FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS nrm FROM e)),
-    d AS (SELECT vec_id, cid, ${fold("(v[k] - cv[k]) * (v[k] - cv[k])")} AS dist
-      FROM e CROSS JOIN cent),
-    asg AS (SELECT vec_id, cid AS cluster FROM (
-        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM d) WHERE rn = 1),
-    probes AS (SELECT vec_id AS qid, cid AS cluster FROM (
-        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM d WHERE $queryCond) WHERE rn <= $nProbe),
+    ${ivfAssignProbeCtes(dim, nProbe, queryCond)},
     sims AS (SELECT p.qid, a.vec_id AS nid, ${fold("q.nv[k] * b.nv[k]")} AS sim
       FROM probes p JOIN asg a ON a.cluster = p.cluster
       JOIN nv q ON q.vec_id = p.qid
@@ -929,13 +919,12 @@ object Similarity {
       .select(col("vec_id").as("nid"), assignReconUdf(col("v")).as("ar"))
       .select(col("nid"), col("ar._1").as("cluster"), col("ar._2").as("rv"))
       .withColumn("rnorm", nativeNorm(spark)(col("rv")))
-    def nearestClusters(v: Array[Double]): Seq[Int] =
-      centers.zipWithIndex.map { case (c, i) => (sqDist(c, v), i) }
-        .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2).toSeq
     val probes = base.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("v"))
       .as[(Long, Array[Double])]
-      .flatMap { case (qid, v) => nearestClusters(v).map(c => (qid, c, v)) }
+      .flatMap { case (qid, v) =>
+        Similarity.nearestClusters(bcCenters.value, v, nProbe)
+          .map(c => (qid, c, v)) }
       .toDF("qid", "cluster", "qv")
       .withColumn("qnorm", nativeNorm(spark)(col("qv")))
     val sims = assigned.join(broadcast(probes), Seq("cluster"))
@@ -954,35 +943,16 @@ object Similarity {
   private[graft] def ivfSq8TopKOracleSql(centers: Array[Array[Double]],
                                          queryCond: String, k: Int,
                                          nProbe: Int = 4, dim: Int = 64): String = {
-    def fold(prod: String) =
-      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+    val fold = sqlFold(dim) _
     val centRows = centers.zipWithIndex.map { case (c, i) =>
       s"($i, ${dlitArr(c)})"
     }.mkString(",\n      ")
     s"""WITH cent AS (SELECT * FROM (VALUES $centRows) t(cid, cv)),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      rngrows AS (SELECT d, MIN(v[d]) AS mn, MAX(v[d]) AS mx
-        FROM e CROSS JOIN range(1, ${dim + 1}) t(d) GROUP BY d),
-      rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
-        FROM rngrows),
-      r AS (SELECT vec_id, list_transform(range(1, ${dim + 1}), d ->
-          CASE WHEN mxs[d] > mns[d] THEN
-            mns[d] + ((LEAST(255.0, GREATEST(0.0,
-              FLOOR((v[d] - mns[d]) / (mxs[d] - mns[d]) * 256.0))) + 0.5)
-              * (mxs[d] - mns[d])) / 256.0
-          ELSE mns[d] + ((0.0 + 0.5) * (mxs[d] - mns[d])) / 256.0 END) AS rv
-        FROM e CROSS JOIN rng),
-      b AS (SELECT vec_id, rv, sqrt(${fold("rv[k] * rv[k]")}) AS rnorm FROM r),
+      ${sq8ReconCtes(dim)},
       q AS (SELECT vec_id AS qid, v AS qv, sqrt(${fold("v[k] * v[k]")}) AS qnorm
         FROM e WHERE $queryCond),
-      d AS (SELECT vec_id, cid, ${fold("(v[k] - cv[k]) * (v[k] - cv[k])")} AS dist
-        FROM e CROSS JOIN cent),
-      asg AS (SELECT vec_id, cid AS cluster FROM (
-          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          FROM d) WHERE rn = 1),
-      probes AS (SELECT vec_id AS qid, cid AS cluster FROM (
-          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          FROM d WHERE $queryCond) WHERE rn <= $nProbe),
+      ${ivfAssignProbeCtes(dim, nProbe, queryCond)},
       sims AS (SELECT p.qid, a.vec_id AS nid,
           ${fold("q.qv[k] * b.rv[k]")} / (q.qnorm * b.rnorm) AS sim
         FROM probes p JOIN asg a ON a.cluster = p.cluster
@@ -1109,16 +1079,19 @@ object Similarity {
   private[graft] def sq8ReconElem(x: Double, lo: Double, hi: Double): Double =
     sq8ReconFromCode(sq8CodeElem(x, lo, hi), lo, hi)
 
-  /** Static DuckDB oracle for [[sq8TopK]]: exact per-dimension ranges
-    * recomputed in SQL (min/max are order-free — no float-sum
-    * hazard), the identical floor-clamp/cell-center arithmetic, the
-    * identical ascending folds. */
-  private[graft] def sq8TopKOracleSql(queryCond: String, k: Int,
-                                      dim: Int = 64): String = {
-    def fold(prod: String) =
-      s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      rngrows AS (SELECT d, MIN(v[d]) AS mn, MAX(v[d]) AS mx
+  /** Ascending left-fold over dims — the shared DuckDB fragment every
+    * vector oracle mirrors (same order as the Scala while-loops). */
+  private def sqlFold(dim: Int)(prod: String): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), k -> $prod), (x, y) -> x + y)"
+
+  /** The SQ8 dequantize CTE block (rngrows/rng/r/b over a CTE `e` of
+    * (vec_id, v)) — ONE copy of the floor-clamp/cell-center
+    * arithmetic shared by the q161 and q166 oracles, so a change to
+    * [[sq8CodeElem]]/[[sq8ReconFromCode]] has exactly one SQL mirror
+    * to update. */
+  private def sq8ReconCtes(dim: Int): String = {
+    val fold = sqlFold(dim) _
+    s"""rngrows AS (SELECT d, MIN(v[d]) AS mn, MAX(v[d]) AS mx
         FROM e CROSS JOIN range(1, ${dim + 1}) t(d) GROUP BY d),
       rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
         FROM rngrows),
@@ -1129,7 +1102,34 @@ object Similarity {
               * (mxs[d] - mns[d])) / 256.0
           ELSE mns[d] + ((0.0 + 0.5) * (mxs[d] - mns[d])) / 256.0 END) AS rv
         FROM e CROSS JOIN rng),
-      b AS (SELECT vec_id, rv, sqrt(${fold("rv[k] * rv[k]")}) AS rnorm FROM r),
+      b AS (SELECT vec_id, rv, sqrt(${fold("rv[k] * rv[k]")}) AS rnorm FROM r)"""
+  }
+
+  /** The IVF assignment + probe-selection CTE block (d/asg/probes
+    * over CTEs `e` and `cent`) — ONE copy of the (dist, cid)
+    * tie-break shared by the q46 and q166 oracles, mirroring
+    * [[nearestCenter]]/[[nearestClusters]]. */
+  private def ivfAssignProbeCtes(dim: Int, nProbe: Int, queryCond: String): String = {
+    val fold = sqlFold(dim) _
+    s"""d AS (SELECT vec_id, cid, ${fold("(v[k] - cv[k]) * (v[k] - cv[k])")} AS dist
+        FROM e CROSS JOIN cent),
+      asg AS (SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS cluster FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d WHERE $queryCond) WHERE rn <= $nProbe)"""
+  }
+
+  /** Static DuckDB oracle for [[sq8TopK]]: exact per-dimension ranges
+    * recomputed in SQL (min/max are order-free — no float-sum
+    * hazard), the identical floor-clamp/cell-center arithmetic, the
+    * identical ascending folds. */
+  private[graft] def sq8TopKOracleSql(queryCond: String, k: Int,
+                                      dim: Int = 64): String = {
+    val fold = sqlFold(dim) _
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${sq8ReconCtes(dim)},
       q AS (SELECT vec_id AS qid, v AS qv, sqrt(${fold("v[k] * v[k]")}) AS qnorm
         FROM e WHERE $queryCond),
       sims AS (SELECT q.qid, b.vec_id AS nid,
@@ -1187,11 +1187,8 @@ object Similarity {
       .as[(Long, Array[Double])]
       .flatMap { case (qid, v) =>
         val cs = bcC.value
-        cs.zipWithIndex.map { case (c, i) => (sqDist(c, v), i) }
-          .sortBy(x => (x._1, x._2)).take(nProbe)
-          .map { case (_, c) =>
-            (qid, c, Array.tabulate(dim)(kk => v(kk) - cs(c)(kk)).toSeq)
-          }
+        Similarity.nearestClusters(cs, v, nProbe)
+          .map(c => (qid, c, Array.tabulate(dim)(kk => v(kk) - cs(c)(kk)).toSeq))
       }
       .toDF("qid", "cluster", "qres")
     // asymmetric distance: exact query residual vs code reconstruction,
@@ -1548,6 +1545,16 @@ object Similarity {
     }
     best
   }
+
+  /** The nProbe nearest centroids by (sqDist, index) — the ONE probe
+    * selector every IVF variant shares (ivfTopK / ivfPqTopK /
+    * ivfSq8TopK); the tie-break must stay bit-identical to the
+    * oracles' `ROW_NUMBER ... ORDER BY dist, cid`, so it lives in one
+    * place. */
+  private[graft] def nearestClusters(centers: Array[Array[Double]],
+                                     v: Array[Double], nProbe: Int): Seq[Int] =
+    centers.zipWithIndex.map { case (c, i) => (sqDist(c, v), i) }
+      .sortBy(x => (x._1, x._2)).take(nProbe).map(_._2).toSeq
 
   /** Plain seeded Lloyd's k-means on a driver-side sample — all the
     * IVF coarse quantizer needs (deterministic: splitmix64 picks the
