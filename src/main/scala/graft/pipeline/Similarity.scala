@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -767,39 +767,98 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
               nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               maxFitSample: Int = 65536): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-
-    // NOT cached: the corpus branch scans once for assignment and the
-    // query branch is a pushed-filter scan of |Q| rows — pinning a
-    // full-corpus projection in executor memory is exactly what a
-    // 100 TB deployment cannot do, and repeated ivfTopK calls in one
-    // session (q152's audit, the ScaleProbe recall sweep) would each
-    // leak another never-unpersisted copy
-    val base = PartitionUtil.spread(embeddings)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nv", normalizeUdf(col("v")))
     val centers = ivfFitCenters(embeddings, nClusters, seed, maxFitSample)
+    ivfServe(ivfEncode(embeddings, centers), centers,
+      embeddings.filter(queryFilter), k, nProbe)
+  }
+
+  /** The IVF serving INDEX: (nid, cluster, nv) — coarse assignment +
+    * the normalized vector, built in ONE corpus scan against broadcast
+    * centroids. Persist with plain `write.parquet` (doubles round-trip
+    * exactly — q167 gates this) and serve later with [[ivfServe]]
+    * without refitting; append new vectors by calling this again with
+    * the SAME (frozen) centroids — assignment depends only on
+    * (v, centers), never on the rest of the corpus, so incremental
+    * extension is exact (asserted in PipelineSpec).
+    *
+    * NOT cached: the corpus branch scans once for assignment — pinning
+    * a full-corpus projection in executor memory is exactly what a
+    * 100 TB deployment cannot do, and repeated calls in one session
+    * (q152's audit, the ScaleProbe recall sweep) would each leak
+    * another never-unpersisted copy. */
+  def ivfEncode(embeddings: DataFrame, centers: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
     val bcCenters = spark.sparkContext.broadcast(centers)
-
     val assignUdf = udf { v: Array[Double] => Similarity.nearestCenter(bcCenters.value, v) }
-    val assigned = base.select(col("vec_id").as("nid"),
-      assignUdf(col("v")).as("cluster"), col("nv"))
+    PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id").as("nid"),
+        assignUdf(col("v")).as("cluster"), normalizeUdf(col("v")).as("nv"))
+  }
 
-    val probes = base.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("v"), col("nv").as("qv"))
+  /** Serve cosine top-k from a (nid, cluster, nv) index built by
+    * [[ivfEncode]] — fresh or reloaded from parquet: each query
+    * (embeddings-shaped rows) probes its `nProbe` nearest centroids
+    * and scores only those inverted lists through the cluster
+    * equi-join, with the KB-sized probe table broadcast. Shared code
+    * path with [[ivfTopK]], so serving from a persisted index is
+    * bit-identical to serving fresh by construction. */
+  def ivfServe(index: DataFrame, centers: Array[Array[Double]],
+               queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val probes = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
+      .withColumn("qv", normalizeUdf(col("v")))
       .as[(Long, Array[Double], Array[Double])]
       .flatMap { case (qid, v, qv) =>
         Similarity.nearestClusters(bcCenters.value, v, nProbe)
           .map(c => (qid, c, qv)) }
       .toDF("qid", "cluster", "qv")
-
-    val sims = assigned.join(broadcast(probes), Seq("cluster"))
+    val sims = index.join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", nativeDot(spark)(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
-    val out = topKPerKey(sims, "qid", k)
-    out
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** Persist driver-side fitted centroids as a tiny (cid, cv) parquet
+    * — the index-metadata half of the q167/q168 persistence lifecycle
+    * (the corpus-sized half is the [[ivfEncode]]/[[ivfPqEncode]]
+    * output). Doubles round-trip parquet exactly. */
+  def writeCenters(spark: SparkSession, centers: Array[Array[Double]],
+                   path: String): Unit = {
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "cv").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload [[writeCenters]] output, cid-ordered. The pull is
+    * nClusters·dim doubles — KB-sized index metadata, never corpus. */
+  def readCenters(spark: SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path).orderBy(col("cid"))
+      .select(col("cv")).as[Seq[Double]].collect().map(_.toArray)
+  }
+
+  /** Persist PQ codebooks as a tiny (j, code, cv) parquet. */
+  def writeCodebooks(spark: SparkSession, books: Array[Array[Array[Double]]],
+                     path: String): Unit = {
+    import spark.implicits._
+    (for { j <- books.indices; c <- books(j).indices }
+      yield (j, c, books(j)(c).toSeq)).toDF("j", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload [[writeCodebooks]] output, (j, code)-ordered. */
+  def readCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path).orderBy(col("j"), col("code"))
+      .select(col("j"), col("code"), col("cv"))
+      .as[(Int, Int, Seq[Double])].collect()
+    rows.groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray))
   }
 
   /** The IVF coarse-quantizer fit, shared between [[ivfTopK]] and its
@@ -1146,14 +1205,28 @@ object Similarity {
                 nClusters: Int = 8, nProbe: Int = 2, m: Int = 4,
                 dim: Int = 64, codes: Int = 16, seed: Long = 42L,
                 maxFitSample: Int = 65536, rerank: Int = 0): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val (centers, books) = ivfPqFit(embeddings, nClusters, m, dim, codes, seed, maxFitSample)
+    ivfPqServe(ivfPqEncode(embeddings, centers, books, dim), centers, books,
+      embeddings.filter(queryFilter), k, nProbe, dim, rerank,
+      if (rerank > 0) Some(embeddings) else None)
+  }
+
+  /** The IVF-PQ serving INDEX: (nid, cluster, code) — coarse
+    * assignment + the m-subspace residual PQ code (m·log₂(codes) bits
+    * of payload per vector — the memory math that makes
+    * billion-vector ANN fit a cluster), built in ONE corpus scan of
+    * pure map work against broadcast centroids+codebooks. Persist
+    * with plain `write.parquet` (q168 gates the round trip) and serve
+    * with [[ivfPqServe]] without refitting; append new vectors with
+    * the SAME frozen (centers, books) — the code depends only on
+    * (v, centers, books), so incremental extension is exact
+    * (asserted in PipelineSpec). */
+  def ivfPqEncode(embeddings: DataFrame, centers: Array[Array[Double]],
+                  books: Array[Array[Array[Double]]], dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
     val bcC = spark.sparkContext.broadcast(centers)
     val bcB = spark.sparkContext.broadcast(books)
-    val sub = dim / m
-    val base = PartitionUtil.spread(embeddings)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sub = dim / books.length
     // corpus pass: coarse-assign, residual-encode — pure map work
     val encodeUdf = udf { v: Array[Double] =>
       val cs = bcC.value; val bks = bcB.value
@@ -1180,10 +1253,35 @@ object Similarity {
       }
       (c, code.toSeq)
     }
-    val assigned = base.select(col("vec_id").as("nid"), encodeUdf(col("v")).as("e"))
+    PartitionUtil.spread(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id").as("nid"), encodeUdf(col("v")).as("e"))
       .select(col("nid"), col("e._1").as("cluster"), col("e._2").as("code"))
+  }
+
+  /** Serve top-k from a (nid, cluster, code) index built by
+    * [[ivfPqEncode]] — fresh or reloaded from parquet: each query
+    * probes `nProbe` inverted lists with one exact residual per
+    * probed list, candidates score by asymmetric distance (exact
+    * query residual vs code reconstruction, summed j-ascending — the
+    * oracle replays the same order) through the cluster equi-join
+    * with the probe table broadcast. `rerank > 0` adds the exact
+    * refine stage and needs `exactCorpus` (the raw embeddings) for
+    * the shortlist's true vectors. Shared code path with
+    * [[ivfPqTopK]], so serving from a persisted index is
+    * bit-identical to serving fresh by construction. */
+  def ivfPqServe(index: DataFrame, centers: Array[Array[Double]],
+                 books: Array[Array[Array[Double]]], queries: DataFrame,
+                 k: Int, nProbe: Int = 2, dim: Int = 64, rerank: Int = 0,
+                 exactCorpus: Option[DataFrame] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcB = spark.sparkContext.broadcast(books)
+    val sub = dim / books.length
     // query side: nProbe nearest lists, one residual per probed list
-    val probes = base.filter(queryFilter)
+    val probes = queries
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .as[(Long, Array[Double])]
       .flatMap { case (qid, v) =>
         val cs = bcC.value
@@ -1191,8 +1289,6 @@ object Similarity {
           .map(c => (qid, c, Array.tabulate(dim)(kk => v(kk) - cs(c)(kk)).toSeq))
       }
       .toDF("qid", "cluster", "qres")
-    // asymmetric distance: exact query residual vs code reconstruction,
-    // summed j-ascending (the oracle replays the same order)
     val adcUdf = udf { (qres: Seq[Double], code: Seq[Long]) =>
       val bks = bcB.value
       var tot = 0.0
@@ -1206,7 +1302,7 @@ object Similarity {
       }
       tot
     }
-    val sims = assigned.join(broadcast(probes), Seq("cluster"))
+    val sims = index.join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", -adcUdf(col("qres"), col("code"))) // negate: top-k keeps LARGEST
       .select(col("qid"), col("nid"), col("sim"))
@@ -1220,12 +1316,15 @@ object Similarity {
       // broadcasts; the exact vectors come from one more corpus scan
       // through a broadcast hash join (no shuffle of the corpus), and
       // the final ranking runs over ≤ rerank rows per query.
+      val corpus = exactCorpus.getOrElse(throw new IllegalArgumentException(
+        "rerank > 0 needs exactCorpus (raw embeddings) for the refine stage"))
       val shortlist = topKPerKey(sims, "qid", math.max(rerank, k))
         .select(col("qid"), col("nid"))
-      val nvecs = base.select(col("vec_id").as("nid"),
-        normalizeUdf(col("v")).as("nv"))
-      val qvecs = base.filter(queryFilter).select(col("vec_id").as("qid"),
-        normalizeUdf(col("v")).as("qv"))
+      val nvecs = PartitionUtil.spread(corpus)
+        .select(col("vec_id").as("nid"),
+          normalizeUdf(asDouble(col("embedding"))).as("nv"))
+      val qvecs = queries.select(col("vec_id").as("qid"),
+        normalizeUdf(asDouble(col("embedding"))).as("qv"))
       val exact = nvecs.join(broadcast(shortlist), Seq("nid"))
         .join(broadcast(qvecs), Seq("qid"))
         .withColumn("sim", nativeDot(spark)(col("qv"), col("nv")))

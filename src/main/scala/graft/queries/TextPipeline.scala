@@ -235,6 +235,53 @@ object TextPipeline {
       },
       Some(Similarity.sq8TopKOracleSql(queryCond = "vec_id < 20", k = 5))),
 
+    // ---- IVF index persistence lifecycle (the q162 pattern for the
+    // coarse-quantizer family): fit centroids once, WRITE the serving
+    // index (assignments + normalized vectors) AND the centroid
+    // metadata to parquet, read BOTH back, serve top-k from the loaded
+    // state without refitting — the build-once/serve-many split a
+    // production tier runs. Oracle is q46's Verify-time
+    // centroid-inlined SQL ([[dataOracles]]) — equal results prove the
+    // doubles and assignments round-tripped exactly and that serving
+    // from the store is bit-identical to serving fresh. -------------
+    ("q167_ivf_index_roundtrip",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centers = Similarity.ivfFitCenters(emb)
+        val ixDir = scratchDir("ivf_index", dir)
+        Similarity.writeCenters(s, centers, ixDir + "_centroids")
+        Similarity.ivfEncode(emb, centers)
+          .write.mode("overwrite").parquet(ixDir)
+        Similarity.ivfServe(s.read.parquet(ixDir),
+          Similarity.readCenters(s, ixDir + "_centroids"),
+          emb.filter(col("vec_id") < 20), k = 5)
+      },
+      None),
+
+    // ---- IVF-PQ index persistence lifecycle: the q167 split for the
+    // full production composition — persist the 2-byte/vector code
+    // index plus BOTH fitted artifacts (coarse centroids, residual
+    // codebooks), reload all three, serve by asymmetric distance
+    // without refitting. Oracle is q151's Verify-time inlined SQL
+    // ([[dataOracles]]). Frozen-codebook append is asserted in
+    // PipelineSpec. --------------------------------------------------
+    ("q168_ivfpq_index_roundtrip",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (centers, books) = Similarity.ivfPqFit(emb, nClusters = 8,
+          m = 4, dim = 64, codes = 16, seed = 42L, maxFitSample = 65536)
+        val ixDir = scratchDir("ivfpq_index", dir)
+        Similarity.writeCenters(s, centers, ixDir + "_centroids")
+        Similarity.writeCodebooks(s, books, ixDir + "_codebooks")
+        Similarity.ivfPqEncode(emb, centers, books)
+          .write.mode("overwrite").parquet(ixDir)
+        Similarity.ivfPqServe(s.read.parquet(ixDir),
+          Similarity.readCenters(s, ixDir + "_centroids"),
+          Similarity.readCodebooks(s, ixDir + "_codebooks"),
+          emb.filter(col("vec_id") < 20), k = 5)
+      },
+      None),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and
@@ -1431,6 +1478,14 @@ object TextPipeline {
     "q163_classifier_confusion" -> ((s, dir) =>
       QualityClassifier.confusionOracleSql(
         QualityClassifier.fitCached(t(s, dir, "documents")))),
+    "q167_ivf_index_roundtrip" -> ((s, dir) => Similarity.ivfTopKOracleSql(
+      Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+      queryCond = "vec_id < 20", k = 5)),
+    "q168_ivfpq_index_roundtrip" -> ((s, dir) => {
+      val (centers, books) = Similarity.ivfPqFit(t(s, dir, "embeddings"),
+        nClusters = 8, m = 4, dim = 64, codes = 16, seed = 42L, maxFitSample = 65536)
+      Similarity.ivfPqTopKOracleSql(centers, books, queryCond = "vec_id < 20", k = 5)
+    }),
     "q166_ann_ivfsq8" -> ((s, dir) => Similarity.ivfSq8TopKOracleSql(
       Similarity.ivfFitCenters(t(s, dir, "embeddings")),
       queryCond = "vec_id < 20", k = 5)),

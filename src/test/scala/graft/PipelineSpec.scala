@@ -1527,6 +1527,60 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     pieced.sortBy(_._1) shouldBe whole
   }
 
+  test("IVF/IVF-PQ index persistence: serve-from-store is bit-identical, frozen-artifact append is exact") {
+    import spark.implicits._
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val queries = emb.filter($"vec_id" < 10)
+
+    // --- IVF: build -> write (index + centroids) -> reload -> serve
+    val centers = Similarity.ivfFitCenters(emb)
+    val fresh = Similarity.ivfServe(
+      Similarity.ivfEncode(emb, centers), centers, queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    Similarity.writeCenters(spark, centers, s"$tmp/ivf_centroids")
+    Similarity.ivfEncode(emb, centers).write.parquet(s"$tmp/ivf_index")
+    val loadedCenters = Similarity.readCenters(spark, s"$tmp/ivf_centroids")
+    loadedCenters.map(_.toSeq).toSeq shouldBe centers.map(_.toSeq).toSeq // exact double round trip
+    Similarity.ivfServe(spark.read.parquet(s"$tmp/ivf_index"),
+        loadedCenters, queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe fresh
+    // frozen-centroid append: assignment depends only on (v, centers),
+    // so encoding a later slice separately equals the whole-corpus
+    // encode slice-for-slice
+    def ivfRows(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfEncode(df, centers).as[(Long, Int, Array[Double])]
+        .collect().map { case (id, c, nv) => (id, c, nv.toSeq) }.toSeq
+    (ivfRows(emb.filter($"vec_id" < 100)) ++ ivfRows(emb.filter($"vec_id" >= 100)))
+      .sortBy(_._1) shouldBe ivfRows(emb).sortBy(_._1)
+
+    // --- IVF-PQ: build -> write (index + centroids + codebooks) -> reload -> serve
+    val (pqCenters, books) = Similarity.ivfPqFit(emb, nClusters = 8,
+      m = 4, dim = 64, codes = 16, seed = 42L, maxFitSample = 65536)
+    val pqFresh = Similarity.ivfPqServe(
+      Similarity.ivfPqEncode(emb, pqCenters, books), pqCenters, books,
+      queries, k = 5).as[(Long, Long, Long)].collect().toSeq
+    Similarity.writeCenters(spark, pqCenters, s"$tmp/pq_centroids")
+    Similarity.writeCodebooks(spark, books, s"$tmp/pq_codebooks")
+    Similarity.ivfPqEncode(emb, pqCenters, books).write.parquet(s"$tmp/pq_index")
+    val loadedBooks = Similarity.readCodebooks(spark, s"$tmp/pq_codebooks")
+    loadedBooks.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      books.map(_.map(_.toSeq).toSeq).toSeq
+    Similarity.ivfPqServe(spark.read.parquet(s"$tmp/pq_index"),
+        Similarity.readCenters(spark, s"$tmp/pq_centroids"), loadedBooks,
+        queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe pqFresh
+    // frozen-codebook append
+    def pqRows(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqEncode(df, pqCenters, books).as[(Long, Int, Seq[Long])]
+        .collect().toSeq
+    (pqRows(emb.filter($"vec_id" < 100)) ++ pqRows(emb.filter($"vec_id" >= 100)))
+      .sortBy(_._1) shouldBe pqRows(emb).sortBy(_._1)
+    // the reloaded serve also still matches the one-call operator
+    Similarity.ivfPqTopK(emb, $"vec_id" < 10, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe pqFresh
+  }
+
   test("quality classifier: deterministic fit, monotone loss, learned rule, partition-invariant scoring") {
     import spark.implicits._
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
