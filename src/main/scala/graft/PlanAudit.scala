@@ -747,6 +747,37 @@ object PlanAudit {
           "query TopKAggregator plan; no window, no corpus shuffle",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
         Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q163_classifier_confusion",
+        "classifier confusion audit: the q159 shuffle-free scoring scan " +
+          "(tokenize, hash-bucket via codegen'd content_hash64, margin " +
+          "over the literal weight array) feeds ONE map-side-combined " +
+          "(pred, label) aggregation whose output is <= 4 rows — the " +
+          "only exchange carries those partial cells; no join, no " +
+          "window, nothing corpus-quadratic",
+        Seq("content_hash64", "HashAggregate"),
+        Seq("Window", "CartesianProduct", "SortMergeJoin",
+          "BroadcastNestedLoopJoin")),
+      ("q167_ivf_index_roundtrip",
+        "IVF serving from the PERSISTED index: the corpus side scans the " +
+          "precomputed (cluster, nv) parquet — NO assignment UDF and no " +
+          "refit appear in the serve plan, the point of build-once/" +
+          "serve-many — and probing is the same cluster equi-join with " +
+          "the KB-sized probe table broadcast into the map-side-combined " +
+          "TopK aggregator; no window, no cartesian",
+        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+          "SortMergeJoin")),
+      ("q168_ivfpq_index_roundtrip",
+        "IVF-PQ serving from the PERSISTED index: the corpus side scans " +
+          "the 2-byte-code (cluster, code) parquet — a relation ~64x " +
+          "narrower than the raw embeddings, the scan-bytes win that " +
+          "makes billion-vector serving fit — with no encode UDF and no " +
+          "refit in the plan; candidates come from the cluster equi-join " +
+          "with the broadcast probe residuals, scored by ADC into the " +
+          "TopK aggregator; no window, no cartesian",
+        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+          "SortMergeJoin")),
       ("q160_firstseen_neardup",
         "first-seen near-dup verdict: the q32 banded self-join (shuffle " +
           "O(N·bands) narrow rows, equi-join on (band, bucket) — never a " +

@@ -69,6 +69,39 @@ object StreamingProbe {
         .writeStream.format("memory").queryName("tws_probe")
         .outputMode("append").start()
     }
+
+    // the q165 streaming composition: TWO chained transformWithState
+    // stages (band-keyed occupancy -> doc-keyed verdict assembly) in
+    // ONE query — the multi-stateful-operator shape this build's
+    // planner has to support for streamingCuration
+    try {
+      val docs = (0 until 40).map(i => EventStreams.StreamDoc(i.toLong,
+        if (i % 3 == 0) s"short text $i"
+        else s"the quick brown fox number ${i % 7} jumps over the lazy dog " * 5))
+      val model = graft.pipeline.QualityClassifier.fit(
+        docs.toDF("doc_id", "text"))
+      val mem = MemoryStream[EventStreams.StreamDoc]
+      val q = EventStreams.streamingCuration(mem.toDS(), model)
+        .writeStream.format("memory").queryName("curation_probe")
+        .outputMode("append").start()
+      val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = new Thread(() => {
+        Thread.sleep(45000)
+        if (!stopped.get()) { println(s"curation_probe: WATCHDOG STOP (hang)"); q.stop() }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+      docs.grouped(15).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      stopped.set(true)
+      val n = spark.table("curation_probe").count()
+      q.stop()
+      println(s"curation_probe: OK, $n verdicts for ${docs.size} docs" +
+        (if (n == docs.size) " (exactly-once per doc)" else " MISMATCH"))
+    } catch {
+      case e: Throwable =>
+        println(s"curation_probe: FAILED ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(500))
+    }
     spark.stop()
   }
 }

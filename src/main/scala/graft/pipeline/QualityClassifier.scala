@@ -223,6 +223,30 @@ object QualityClassifier {
   def score(docs: DataFrame, model: Model): DataFrame =
     scoreUnsorted(docs, model).orderBy(col("doc_id"))
 
+  /** Pure per-row scoring core — the row twin of [[scoreUnsorted]]'s
+    * column arithmetic (same tokenization, same mix64∘fnv64 bucket
+    * as `content_hash64`, same left-associated grid chain the fit's
+    * accuracy loop runs), for call sites that score one document at
+    * a time outside a DataFrame plan — the streaming curation
+    * flatMap ([[graft.streaming.EventStreams.streamingCuration]]).
+    * Row-for-row equality with the column path is asserted in
+    * StreamingSpec. Returns (n_toks, n_dist, label, margin_grid,
+    * pred). */
+  def scoreRow(text: String, model: Model): (Long, Long, Long, Long, Long) = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val nt = toks.length.toLong
+    val nd = toks.distinct.length.toLong
+    val label = if (nt >= model.minToks && 3 * nd >= nt) 1L else 0L
+    var mg = math.floor(model.bias * 10000.0).toLong +
+      math.floor(model.wLen * (nt / 100.0) * 10000.0).toLong +
+      math.floor(model.wDist * (nd / 100.0) * 10000.0).toLong +
+      math.floor(model.wRatio * ((3 * nd - nt) / 100.0) * 10000.0).toLong
+    toks.map(t => java.lang.Math.floorMod(
+        Dedup.mix64(Dedup.fnv64(t)), model.nFeatures.toLong).toInt)
+      .distinct.foreach(f => mg += model.wGrid(f))
+    (nt, nd, label, mg, if (mg > 0L) 1L else 0L)
+  }
+
   /** Measured classifier quality INSIDE the hash gate (the q152/q153
     * audit pattern applied to the classifier): the (pred, label)
     * confusion counts as exact BIGINTs — accuracy, precision, recall

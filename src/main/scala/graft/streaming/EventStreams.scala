@@ -400,6 +400,154 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One scored band-occupancy row for an arriving document: the
+    * quality verdict rides the near-dup band rows so one flatMap
+    * feeds both curation stages. */
+  case class ScoredBandRow(band_idx: Int, band_hash: Long, doc_id: Long,
+                           pred: Long, n_toks: Long)
+
+  /** Per-band evidence for one doc: `rep >= 0` = collided with the
+    * earlier `rep` in this band; `rep = -1` = clean in this band.
+    * pred/n_toks are -1 on retro-flag evidence rows (the flagged
+    * doc's own rows carried the real score when it arrived). */
+  case class DocBandEvidence(doc_id: Long, rep: Long, pred: Long, n_toks: Long)
+
+  /** Per-doc curation verdict: keep = pred==1 AND is_dup==0 — the
+    * q165 dedup-then-filter composition decided at arrival time. */
+  case class CurationVerdict(doc_id: Long, is_dup: Long, pred: Long,
+                             keep: Long, n_toks: Long)
+
+  /** [[BandFirstProcessor]]'s occupancy logic re-emitting ONE evidence
+    * row per arriving (doc, band) — clean bands included — so a
+    * downstream per-doc stage can reassemble a complete verdict.
+    * Same one-long-per-bucket state, same takeover rule. */
+  class BandOccupantProcessor
+      extends StatefulProcessor[(Int, Long), ScoredBandRow, DocBandEvidence] {
+    @transient private var first: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[Long]("first", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[ScoredBandRow],
+                                 tv: TimerValues): Iterator[DocBandEvidence] = {
+      val sorted = rows.toArray.sortBy(_.doc_id)
+      val out = scala.collection.mutable.ArrayBuffer.empty[DocBandEvidence]
+      sorted.foreach { r =>
+        if (!first.exists()) {
+          first.update(r.doc_id)
+          out += DocBandEvidence(r.doc_id, -1L, r.pred, r.n_toks)
+        } else {
+          val f = first.get()
+          if (f < r.doc_id) out += DocBandEvidence(r.doc_id, f, r.pred, r.n_toks)
+          else if (f > r.doc_id) { // late-arriving smaller id takes over
+            out += DocBandEvidence(f, r.doc_id, -1L, -1L) // retro-flag the old occupant
+            out += DocBandEvidence(r.doc_id, -1L, r.pred, r.n_toks)
+            first.update(r.doc_id)
+          } else // redelivery: re-emit clean evidence; the per-doc
+            // stage's emitted flag keeps the verdict exactly-once
+            out += DocBandEvidence(r.doc_id, -1L, r.pred, r.n_toks)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Per-doc verdict assembly state: band evidence seen so far plus
+    * the exactly-once emitted flag (the [[DecontamProcessor]]
+    * per-doc-guard pattern; TTL bounds it for unbounded ingestion). */
+  case class CurationState(seen: Int, anyDup: Boolean, pred: Long,
+                           nToks: Long, emitted: Boolean)
+
+  /** Reassembles a doc's `bands` evidence rows into ONE
+    * [[CurationVerdict]], emitted exactly once when the last band
+    * reports (always within the doc's own arrival batch — the
+    * upstream flatMap emits all `bands` rows together). Late
+    * retro-flag evidence for an already-emitted doc is dropped: a
+    * keep verdict is never retracted (see [[streamingCuration]]'s
+    * out-of-order contract). */
+  class CurationVerdictProcessor(bands: Int, ttl: java.time.Duration = null)
+      extends StatefulProcessor[Long, DocBandEvidence, CurationVerdict] {
+    @transient private var st: ValueState[CurationState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CurationState]("cur",
+        Encoders.product[CurationState],
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[DocBandEvidence],
+                                 tv: TimerValues): Iterator[CurationVerdict] = {
+      var s = if (st.exists()) st.get() else CurationState(0, false, -1L, -1L, false)
+      rows.foreach { r =>
+        s = s.copy(seen = s.seen + 1, anyDup = s.anyDup || r.rep >= 0L,
+          pred = if (r.pred >= 0L) r.pred else s.pred,
+          nToks = if (r.pred >= 0L) r.n_toks else s.nToks)
+      }
+      val fire = !s.emitted && s.seen >= bands && s.pred >= 0L
+      if (fire) s = s.copy(emitted = true)
+      st.update(s)
+      if (fire) Iterator.single(CurationVerdict(key,
+        if (s.anyDup) 1L else 0L, s.pred,
+        if (s.pred == 1L && !s.anyDup) 1L else 0L, s.nToks))
+      else Iterator.empty
+    }
+  }
+
+  /** Streaming curation — the streaming face of the q165 end-to-end
+    * pipeline: ONE keep/drop verdict stream composing the
+    * [[streamingNearDup]] first-occupant dedup with the
+    * [[streamingQualityScore]] trained filter, in the same
+    * DEDUP-THEN-FILTER stage order (the near-dup check sees every
+    * document, high- or low-quality, so a good doc shadowed by a bad
+    * earlier near-dup is still dropped — exactly q165's composition
+    * of the two full-corpus verdicts).
+    *
+    * Shape: one flatMap computes the stateless quality score
+    * ([[graft.pipeline.QualityClassifier.scoreRow]] — the row twin of
+    * the q159 column scan, same grid BIGINTs) and the `bands` LSH
+    * band rows per doc; the band-keyed [[BandOccupantProcessor]]
+    * turns them into per-band evidence against the incremental
+    * inverted index (one long per bucket); the doc-keyed
+    * [[CurationVerdictProcessor]] reassembles them into one verdict
+    * per doc, exactly once, within the doc's arrival batch — two
+    * chained `transformWithState` stages in a single query.
+    *
+    * Contract: for in-order (doc_id-ascending) arrival the verdicts
+    * equal the batch q165 composition row-for-row — is_dup matches
+    * [[graft.pipeline.Dedup.firstSeenNearDup]], pred matches the
+    * q159 gate, keep = pred==1 && is_dup==0 (StreamingSpec). Under
+    * out-of-order arrival, is_dup of a NEW arrival is still exact
+    * (the takeover rule), but an already-emitted keep verdict is not
+    * retracted when a smaller near-dup arrives later — the verdict
+    * stream is append-only, the [[streamingNearDup]] deviation
+    * surface restated at verdict granularity.
+    *
+    * Scale shape: per doc — one stateless score, `bands` state
+    * lookups, one per-doc exactly-once record (TTL-bounded like
+    * [[DecontamProcessor]]); nothing scans or shuffles the history. */
+  def streamingCuration(docs: Dataset[StreamDoc],
+                        model: graft.pipeline.QualityClassifier.Model,
+                        shingleN: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4,
+                        ttl: java.time.Duration = null): Dataset[CurationVerdict] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val sc = graft.pipeline.QualityClassifier.scoreRow(d.text, model)
+      val sig = graft.pipeline.Dedup.minhashSignature(
+        shingleSet(d.text, shingleN).toSeq, numHashes)
+      graft.pipeline.Dedup.bandHashes(sig.toSeq, r)
+        .map { case (i, h) => ScoredBandRow(i, h, d.doc_id, sc._5, sc._1) }
+    }
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .transformWithState(new BandOccupantProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .groupByKey(_.doc_id)
+      .transformWithState(new CurationVerdictProcessor(bands, ttl),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Pure shingle core — bit-identical to the column-side
     * [[graft.pipeline.Dedup.shingles]] (tokenize on single spaces,
     * drop empties, distinct n-token windows joined by a space). */

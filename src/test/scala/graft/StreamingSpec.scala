@@ -680,6 +680,105 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming curation: keep/drop verdicts equal the batch q165 composition on in-order replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.pipeline.QualityClassifier.fit(docs)
+    val rows = docs.select($"doc_id", $"text").filter($"doc_id" < 60)
+      .as[EventStreams.StreamDoc].collect().sortBy(_.doc_id).toSeq
+    // the pure row scorer is the column scan bit-for-bit
+    val colScores = graft.pipeline.QualityClassifier.score(rows.toDF(), model)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    rows.map { d =>
+      val (nt, nd, label, mg, pred) =
+        graft.pipeline.QualityClassifier.scoreRow(d.text, model)
+      (d.doc_id, nt, nd, label, mg, pred)
+    }.toList shouldBe colScores
+    // batch q165 composition on the same slice: per-doc (is_dup, pred, keep)
+    val preds = colScores.map(r => r._1 -> r._6).toMap
+    val nToks = colScores.map(r => r._1 -> r._2).toMap
+    val dupOf = graft.pipeline.Dedup
+      .firstSeenNearDup(rows.toDF(), shingleN = 3, numHashes = 16, bands = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val batch = rows.map { d =>
+      val isDup = dupOf(d.doc_id)
+      val p = preds(d.doc_id)
+      (d.doc_id, isDup, p, if (p == 1L && isDup == 0L) 1L else 0L, nToks(d.doc_id))
+    }.toList
+    batch.count(_._4 == 1L) should be > 0 // both verdict kinds exercised
+    batch.count(_._4 == 0L) should be > 0
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingCuration(mem.toDS(), model)
+      .writeStream.format("memory").queryName("curation_verdicts")
+      .outputMode("append").start()
+    try {
+      // in-order arrival over three batches, with batch 2 REDELIVERING
+      // part of batch 1 (at-least-once upstream)
+      mem.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(rows.slice(10, 40): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(40): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_verdicts")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      streamed shouldBe batch
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming near-dup out-of-order: is_dup set equality with batch, every rep a true earlier collider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 60)
+      .as[EventStreams.StreamDoc].collect().sortBy(_.doc_id).toSeq
+    val batchDups = graft.pipeline.Dedup
+      .firstSeenNearDup(rows.toDF(), shingleN = 3, numHashes = 16, bands = 4)
+      .as[(Long, Long, Long)].collect().filter(_._3 == 1L).map(_._1).toSet
+    // band buckets per doc from the SHARED fold — ground truth for
+    // "rep actually collides with doc"
+    val bandsOf: Map[Long, Set[(Int, Long)]] = rows.map { d =>
+      d.doc_id -> graft.pipeline.Dedup.bandHashes(
+        graft.pipeline.Dedup.minhashSignature(
+          EventStreams.shingleSet(d.text, 3).toSeq, 16).toSeq, 4).toSet
+    }.toMap
+    Seq(11L, 23L, 47L).foreach { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      val mem = MemoryStream[EventStreams.StreamDoc]
+      val q = EventStreams.streamingNearDup(mem.toDS(),
+          shingleN = 3, numHashes = 16, bands = 4)
+        .writeStream.format("memory").queryName(s"neardup_shuf_$seed")
+        .outputMode("append").start()
+      try {
+        shuffled.grouped(13).foreach { b =>
+          mem.addData(b: _*); q.processAllAvailable()
+        }
+        val cands = spark.table(s"neardup_shuf_$seed")
+          .as[(Long, Long)].collect().toList
+        // (a) the flagged-doc set equals the batch verdict exactly,
+        // under ANY arrival order
+        cands.map(_._1).toSet shouldBe batchDups
+        // (b) every emitted rep is a TRUE earlier collider: smaller id,
+        // shares >= 1 band bucket with the flagged doc
+        cands.foreach { case (doc, rep) =>
+          rep should be < doc
+          (bandsOf(doc) intersect bandsOf(rep)) should not be empty
+        }
+      } finally {
+        q.stop()
+      }
+    }
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming near-dup: a late-arriving smaller id takes over the bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
