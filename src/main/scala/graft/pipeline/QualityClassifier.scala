@@ -87,7 +87,12 @@ object QualityClassifier {
     * plan audit — refitting each time would repeat a corpus featurize
     * plus the full driver GD. DEFAULT hyperparameters only (the key
     * is the docs plan's input files; empty for non-file relations →
-    * no caching). */
+    * no caching). Deliberately signature-free: if an overload taking
+    * hyperparameters is ever added, the hyperparameters MUST fold
+    * into the cache key, or callers would silently receive the
+    * default-hyperparameter model. Rewriting the same paths within
+    * one JVM also serves the memoized model — call [[fit]] directly
+    * when the files may have changed. */
   private val fitCache =
     scala.collection.concurrent.TrieMap.empty[String, Model]
 
@@ -279,6 +284,13 @@ object QualityClassifier {
     val wRows = model.wGrid.zipWithIndex
       .map { case (wg, f) => s"($f, $wg)" }.mkString(", ")
     val bGrid = math.floor(model.bias * 10000.0).toLong
+    // engineered weights render through the Similarity.dlit E-notation
+    // pattern: a bare decimal literal parses as DECIMAL in DuckDB and
+    // the widening DECIMAL→DOUBLE conversion is not correctly rounded
+    // for ~0.4% of shortest-repr doubles — an exponent forces DOUBLE
+    // parsing, which round-trips Java's shortest repr bit-for-bit
+    val (wLenL, wDistL, wRatioL) = (Similarity.dlit(model.wLen),
+      Similarity.dlit(model.wDist), Similarity.dlit(model.wRatio))
     s"""WITH n AS (SELECT doc_id,
         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
         len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_dist
@@ -300,9 +312,9 @@ object QualityClassifier {
           CAST(n.n_toks AS BIGINT) AS n_toks, CAST(n.n_dist AS BIGINT) AS n_dist,
           CAST(${labelSqlExpr(model.minToks, "n.n_toks", "n.n_dist")} AS BIGINT) AS label,
           CAST(COALESCE(m.mg, 0) AS BIGINT) +
-            CAST(FLOOR(${model.wLen} * (n.n_toks / 100.0) * 10000.0) AS BIGINT) +
-            CAST(FLOOR(${model.wDist} * (n.n_dist / 100.0) * 10000.0) AS BIGINT) +
-            CAST(FLOOR(${model.wRatio} * ((3 * n.n_dist - n.n_toks) / 100.0) * 10000.0) AS BIGINT) +
+            CAST(FLOOR($wLenL * (n.n_toks / 100.0) * 10000.0) AS BIGINT) +
+            CAST(FLOOR($wDistL * (n.n_dist / 100.0) * 10000.0) AS BIGINT) +
+            CAST(FLOOR($wRatioL * ((3 * n.n_dist - n.n_toks) / 100.0) * 10000.0) AS BIGINT) +
             $bGrid AS margin_grid
         FROM n LEFT JOIN m USING (doc_id))
       SELECT doc_id, n_toks, n_dist, label, margin_grid,

@@ -1078,15 +1078,18 @@ object ImageQueries {
           AVG(CAST((idx * 11 + 37) % 256 AS DOUBLE)) AS m_blue
         FROM base GROUP BY sx ORDER BY name""")),
 
-    // ---- MONOCHROME1 + signed CT DICOM: the two remaining grayscale
+    // ---- MONOCHROME1 + signed CT DICOM: the remaining grayscale
     // real-archive shapes. MONOCHROME1 (lowest value = white, the
     // plain-film convention) round-trips through the decode-side
-    // inversion into intensity semantics across all 8 lossless
+    // range-reflection into intensity semantics across all 8 lossless
     // syntaxes; signed PixelRepresentation=1 data with the modality
     // LUT (RescaleSlope/Intercept — Hounsfield units, including
     // NEGATIVE stored values that exercise two's-complement sign
-    // extension) decodes to Float32 real values. Frame-constant fills
-    // make every slice mean a closed form. ----------------------------
+    // extension) decodes to Float32 real values; and the COMPOSED
+    // forms — MONOCHROME1+rescale (m1r) and MONOCHROME1+signed+
+    // rescale (m1s, inverted CT) — reflect across the representable
+    // stored range, which commutes with the affine LUT. Frame-constant
+    // fills make every slice mean a closed form. ----------------------
     ("img27_dicom_mono1_signed",
       (s, _) => {
         import s.implicits._
@@ -1123,7 +1126,29 @@ object ImageQueries {
               if (c == 0) 1.0 else 2.0, if (c == 0) -1024.0 else -50.0)
           }
         }
-        val rows = m1.union(hu).toDF("sample", "image", "ts", "planar",
+        // m1r: MONOCHROME1 + modality LUT, unsigned (slope 0.5 exact
+        // in binary; stored = 2·real − 50, inverted across [0, 65535])
+        val m1r = s.range(3L).map { sxL =>
+          val sx = sxL.toInt
+          val slices = (0 until 2).map(f =>
+            Kernels.constantImage(32, 16, 1, 100.0 * sx + 7.0 * f + 50.0,
+              PixelCodec.Float32))
+          (s"/m1r/$sx", slices.reduce(Kernels.appendStack), native(sx), 0,
+            "MONOCHROME1", 0, 0.5, 25.0)
+        }
+        // m1s: inverted CT — MONOCHROME1 + signed + modality LUT;
+        // stored = −1 − (real − i)/s goes NEGATIVE, exercising sign
+        // extension under the reflection
+        val m1s = s.range(3L).map { sxL =>
+          val sx = sxL.toInt
+          val slices = (0 until 2).map(f =>
+            Kernels.constantImage(32, 16, 1, 60.0 * sx + 26.0 * f - 300.0,
+              PixelCodec.Float32))
+          (s"/m1s/$sx", slices.reduce(Kernels.appendStack), native(sx), 0,
+            "MONOCHROME1", 1, 2.0, -100.0)
+        }
+        val rows = m1.union(hu).union(m1r).union(m1s)
+          .toDF("sample", "image", "ts", "planar",
           "photometric", "pixel_rep", "slope", "intercept")
         ImageOps.saveDicomMultiFrame(rows, dir)
         val sm = ImageFunctions.sliceMeansUdf(col("image"))
@@ -1147,6 +1172,14 @@ object ImageQueries {
         UNION ALL
         SELECT 'hu_1_' || CAST(sx AS VARCHAR), CAST(2 AS BIGINT),
           CAST(80 * sx - 170 AS DOUBLE), CAST(80 * sx - 152 AS DOUBLE)
+        FROM range(3) t(sx)
+        UNION ALL
+        SELECT 'm1r_' || CAST(sx AS VARCHAR), CAST(2 AS BIGINT),
+          CAST(100 * sx + 50 AS DOUBLE), CAST(100 * sx + 57 AS DOUBLE)
+        FROM range(3) t(sx)
+        UNION ALL
+        SELECT 'm1s_' || CAST(sx AS VARCHAR), CAST(2 AS BIGINT),
+          CAST(60 * sx - 300 AS DOUBLE), CAST(60 * sx - 274 AS DOUBLE)
         FROM range(3) t(sx)
         ORDER BY name""")),
 

@@ -1507,7 +1507,11 @@ object TextPipeline {
     * runs at different scale factors (the ScalaTest smoke runs every
     * query at sf0.001) never overwrite the files a gate query is
     * about to re-read — the ONE place the tmp-path convention lives
-    * (q162's index dir and the interchange round trips share it). */
+    * (the q162/q167/q168 index dirs and the interchange round trips
+    * share it). Two concurrent runs at the SAME scale factor would
+    * race on these paths (overwrite-while-read) — same-sf concurrency
+    * is unsupported by design; a per-run token would silently defeat
+    * the cross-process determinism the gate relies on. */
   private def scratchDir(tag: String, dir: String): String = {
     val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$sfBase"

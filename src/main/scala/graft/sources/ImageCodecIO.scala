@@ -766,8 +766,9 @@ object ImageCodecIO {
     // units are signed): two's-complement grayscale, native syntaxes
     require(pixelRep == 0 || pixelRep == 1, s"bad PixelRepresentation $pixelRep: $path")
     if (signed) {
-      require(samples == 1 && photometric == "MONOCHROME2",
-        s"signed pixel data supported for MONOCHROME2 grayscale only: $path")
+      require(samples == 1 &&
+          (photometric == "MONOCHROME2" || photometric == "MONOCHROME1"),
+        s"signed pixel data supported for MONOCHROME2/MONOCHROME1 grayscale only: $path")
       require(!encapsulated,
         s"signed pixel data in transfer syntax $ts unsupported (native only): $path")
     }
@@ -801,12 +802,6 @@ object ImageCodecIO {
           photometric == "PALETTE COLOR",
         s"PhotometricInterpretation '$photometric' unsupported for 1-sample data " +
           s"(MONOCHROME2 / MONOCHROME1 / PALETTE COLOR): $path")
-      if (photometric == "MONOCHROME1")
-        // inversion into intensity semantics is only well-defined on
-        // the raw unsigned range — signed or modality-rescaled
-        // MONOCHROME1 has no fixed "white" value to invert around
-        require(!signed && !hasRescale,
-          s"MONOCHROME1 supported for unsigned, unrescaled data only: $path")
       if (photometric == "PALETTE COLOR") {
         require(!signed && !hasRescale,
           s"PALETTE COLOR indices must be unsigned and unrescaled: $path")
@@ -1016,16 +1011,23 @@ object ImageCodecIO {
         }
       // MONOCHROME1 (lowest value = white — the plain-film X-ray
       // convention): invert into MONOCHROME2 intensity semantics so
-      // every downstream kernel sees consistent "bright = high". The
-      // white point is 2^BitsSTORED − 1 — real CR/DX files are
-      // BitsAllocated 16 / BitsStored 12, and inverting around the
-      // allocated width would shift every pixel by 61440
+      // every downstream kernel sees consistent "bright = high".
+      // The inversion REFLECTS across the representable stored range:
+      // [0, 2^BitsStored−1] unsigned (endpoint sum 2^sb−1 — real
+      // CR/DX files are BitsAllocated 16 / BitsStored 12, and
+      // inverting around the allocated width would shift every pixel
+      // by 61440), [−2^(sb−1), 2^(sb−1)−1] signed (endpoint sum −1,
+      // independent of sb — the two's-complement NOT). Reflection
+      // commutes with the affine modality LUT below, so this equals
+      // inverting the RESCALED values across the rescaled range
+      // endpoints — the well-defined white point signed/rescaled
+      // MONOCHROME1 (inverted CT) needs.
       if (photometric == "MONOCHROME1") {
         val sb = if (bitsStored > 0) bitsStored else bits
         require(sb <= bits, s"BitsStored $sb exceeds BitsAllocated $bits: $path")
-        val maxv = ((1 << sb) - 1).toDouble
+        val endpointSum = if (signed) -1.0 else ((1 << sb) - 1).toDouble
         i = 0
-        while (i < total) { doubles(i) = maxv - doubles(i); i += 1 }
+        while (i < total) { doubles(i) = endpointSum - doubles(i); i += 1 }
       }
       if (signed || hasRescale) {
         // modality LUT (PS3.3 C.11.1): real value = slope·stored +
@@ -1160,17 +1162,19 @@ object ImageCodecIO {
       require(img.width % 2 == 0, s"YBR_FULL_422 needs even Columns, got ${img.width}")
     }
     // signed (PixelRepresentation 1) and modality-rescaled data: the
-    // real CT shape; grayscale, native syntaxes (signed), no palette,
-    // never MONOCHROME1 (inversion is undefined off the unsigned range)
+    // real CT shape; grayscale, native syntaxes (signed), no palette.
+    // MONOCHROME1 composes with both (inverted CT): the writer
+    // reflects stored values across the representable range — the
+    // exact inverse of the decode-side reflection
     require(pixelRep == 0 || pixelRep == 1, s"bad pixelRep $pixelRep")
     val mono1 = !isRgb && palette.isEmpty && photometric == "MONOCHROME1"
     if (pixelRep == 1) {
-      require(!isRgb && palette.isEmpty && !mono1,
+      require(!isRgb && palette.isEmpty,
         "signed pixel data is plain-grayscale only")
       require(!encapsulated, "signed pixel data writes native syntaxes only")
     }
     if (rescale.nonEmpty) {
-      require(!isRgb && palette.isEmpty && !mono1,
+      require(!isRgb && palette.isEmpty,
         "Rescale applies to plain grayscale only")
       require(rescale.get._1 != 0.0, "RescaleSlope must be nonzero")
     }
@@ -1298,7 +1302,10 @@ object ImageCodecIO {
         case None => v0
       }
       if (pixelRep == 1) {
-        val r = math.max(-32768.0, math.min(32767.0, math.rint(real))).toInt
+        // MONOCHROME1: reflect across the signed range (endpoint sum
+        // −1) BEFORE the clamp — the decode inversion's exact inverse
+        val iv = if (mono1) -1.0 - math.rint(real) else math.rint(real)
+        val r = math.max(-32768.0, math.min(32767.0, iv)).toInt
         r & 0xffff
       } else {
         val c = PixelCodec.clamp(real, PixelCodec.Short16).toInt

@@ -439,11 +439,32 @@ class PropertySpec extends AnyFunSuite with Matchers {
           math.abs((a & 0xff) - (e & 0xff)) <= 4
         }
     })
+    // MONOCHROME1 composed with signed + modality LUT (inverted CT):
+    // stored values on the grid, reflected across the SIGNED range
+    // (endpoint sum −1) — reflection commutes with the affine LUT, so
+    // the round trip is exact including negative stored values
+    val genM1s = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 16)
+      ts <- Gen.oneOf(ImageCodecIO.TsImplicitLE, ImageCodecIO.TsExplicitLE,
+        ImageCodecIO.TsExplicitBE)
+      slope <- Gen.oneOf(1.0, 2.0, 0.5)
+      inter <- Gen.oneOf(0.0, -1024.0, 100.0)
+      // reflected stored value −1−s must stay in the signed range
+      stored <- Gen.listOfN(w * h, Gen.choose(-32767, 32767))
+    } yield (w, h, ts, slope, inter, stored.toArray)
+    check("dicom-mono1-signed-rescale", Prop.forAll(genM1s) {
+      case (w, h, ts, slope, inter, stored) =>
+        val real = stored.map(s => slope * s + inter)
+        val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), w, h, 1,
+          PixelCodec.Float32, PixelCodec.encode(real, PixelCodec.Float32))
+        val (dec, _) = ImageCodecIO.decodeDicomWithInstance("m1s.dcm",
+          ImageCodecIO.encodeDicom(img, transferSyntax = ts, pixelRep = 1,
+            photometric = "MONOCHROME1", rescale = Some((slope, inter))))
+        dec.pixelType == PixelCodec.Float32 && dec.toDoubles.sameElements(real)
+    })
     // the ill-defined combinations reject loudly
     val img = SparkImage(ImageMeta(), ImageLog.create("gen", ""), 4, 4, 1,
       PixelCodec.Short16, PixelCodec.encode(Array.fill(16)(9.0), PixelCodec.Short16))
-    an[IllegalArgumentException] should be thrownBy
-      ImageCodecIO.encodeDicom(img, pixelRep = 1, photometric = "MONOCHROME1")
     an[IllegalArgumentException] should be thrownBy
       ImageCodecIO.encodeDicom(img, transferSyntax = ImageCodecIO.TsRle, pixelRep = 1)
     an[IllegalArgumentException] should be thrownBy
