@@ -778,6 +778,16 @@ object PlanAudit {
         Seq("BroadcastHashJoin", "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
+      ("q169_ivfsq8_index_roundtrip",
+        "IVF-SQ8 serving from the PERSISTED index: the corpus side " +
+          "scans the (cluster, 1-byte/dim codes) parquet — 8x narrower " +
+          "than the raw embeddings — dequantizes per row, and runs the " +
+          "q46 cluster equi-join with the broadcast probe table into " +
+          "the map-side-combined TopK aggregator; no refit, no window, " +
+          "no cartesian",
+        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+          "SortMergeJoin")),
       ("q160_firstseen_neardup",
         "first-seen near-dup verdict: the q32 banded self-join (shuffle " +
           "O(N·bands) narrow rows, equi-join on (band, bucket) — never a " +

@@ -191,6 +191,25 @@ object ScaleProbe {
     probe("ann_ivfsq8",
       Similarity.ivfSq8TopK(emb, col("vec_id") < 20, 5).count(),
       Similarity.ivfSq8TopK(embN, col("vec_id") < 20, 5).count())
+    // SERVING-ONLY cost against the persisted IVF index (the q167
+    // build-once/serve-many split): the fit + encode + parquet write
+    // happen OUTSIDE the timers, so the ratio isolates what a serving
+    // tier actually pays per query wave — the narrow index scan +
+    // cluster equi-join — with no refit anywhere in the timed plan
+    if (only.isEmpty || only("ann_ivf_serve")) {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val c1 = Similarity.ivfFitCenters(emb)
+      val cN = Similarity.ivfFitCenters(embN)
+      Similarity.ivfEncode(emb, c1)
+        .write.mode("overwrite").parquet(s"$tmp/graft_scaleprobe_ivfix1")
+      Similarity.ivfEncode(embN, cN)
+        .write.mode("overwrite").parquet(s"$tmp/graft_scaleprobe_ivfixN")
+      probe("ann_ivf_serve",
+        Similarity.ivfServe(spark.read.parquet(s"$tmp/graft_scaleprobe_ivfix1"),
+          c1, emb.filter(col("vec_id") < 20), 5).count(),
+        Similarity.ivfServe(spark.read.parquet(s"$tmp/graft_scaleprobe_ivfixN"),
+          cN, embN.filter(col("vec_id") < 20), 5).count())
+    }
     // the production LSH recipe (4 planes × 32 tables, docs/SCALE.md
     // §ANN recall@10): all 32 signatures come from ONE kernel pass per
     // vector, so the ratio tracks the single corpus scan + per-query

@@ -956,42 +956,99 @@ object Similarity {
   def ivfSq8TopK(embeddings: DataFrame, queryFilter: Column, k: Int,
                  nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L,
                  maxFitSample: Int = 65536): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val (mns, mxs) = sq8FitRanges(embeddings)
     val centers = ivfFitCenters(embeddings, nClusters, seed, maxFitSample)
+    ivfSq8Serve(ivfSq8Encode(embeddings, centers, mns, mxs), centers, mns, mxs,
+      embeddings.filter(queryFilter), k, nProbe)
+  }
+
+  /** The IVF-SQ8 serving INDEX: (nid, cluster, codes) — coarse
+    * assignment on the RAW vector (the coarse quantizer sees full
+    * precision, like FAISS) plus the 1-byte/dim SQ8 codes, built in
+    * ONE corpus scan. Persist with plain `write.parquet` (q169 gates
+    * the round trip) and serve with [[ivfSq8Serve]] without
+    * refitting; append new vectors with the SAME frozen
+    * (centers, ranges) — both the assignment and the codes depend
+    * only on the vector and the frozen artifacts (asserted in
+    * PipelineSpec). */
+  def ivfSq8Encode(embeddings: DataFrame, centers: Array[Array[Double]],
+                   mns: Array[Double], mxs: Array[Double]): DataFrame = {
+    val spark = embeddings.sparkSession
     val bcCenters = spark.sparkContext.broadcast(centers)
     val bMn = spark.sparkContext.broadcast(mns)
     val bMx = spark.sparkContext.broadcast(mxs)
-    // assign on the RAW vector (the coarse quantizer sees full
-    // precision, like FAISS); store the dequantized codes for scoring
-    val assignReconUdf = udf { v: Array[Double] =>
+    val assignEncodeUdf = udf { v: Array[Double] =>
       val mn = bMn.value; val mx = bMx.value
-      val out = new Array[Double](v.length)
+      val out = new Array[Byte](v.length)
       var i = 0
-      while (i < v.length) { out(i) = sq8ReconElem(v(i), mn(i), mx(i)); i += 1 }
+      while (i < v.length) { out(i) = sq8CodeElem(v(i), mn(i), mx(i)).toByte; i += 1 }
       (Similarity.nearestCenter(bcCenters.value, v), out)
     }
-    val base = PartitionUtil.spread(embeddings)
+    PartitionUtil.spread(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val assigned = base
-      .select(col("vec_id").as("nid"), assignReconUdf(col("v")).as("ar"))
-      .select(col("nid"), col("ar._1").as("cluster"), col("ar._2").as("rv"))
+      .select(col("vec_id").as("nid"), assignEncodeUdf(col("v")).as("ae"))
+      .select(col("nid"), col("ae._1").as("cluster"), col("ae._2").as("codes"))
+  }
+
+  /** Serve cosine top-k from a (nid, cluster, codes) index built by
+    * [[ivfSq8Encode]] — fresh or reloaded from parquet: dequantize
+    * each byte to its cell center ([[sq8ReconFromCode]] — exactly the
+    * arithmetic the direct recon ran, so serving from codes is
+    * bit-identical by construction) and run the q46 cluster equi-join
+    * with the broadcast probe table. Queries stay full-precision. */
+  def ivfSq8Serve(index: DataFrame, centers: Array[Array[Double]],
+                  mns: Array[Double], mxs: Array[Double],
+                  queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val bMn = spark.sparkContext.broadcast(mns)
+    val bMx = spark.sparkContext.broadcast(mxs)
+    val reconUdf = udf { codes: Array[Byte] =>
+      val mn = bMn.value; val mx = bMx.value
+      val out = new Array[Double](codes.length)
+      var i = 0
+      while (i < codes.length) {
+        out(i) = sq8ReconFromCode(codes(i) & 0xFF, mn(i), mx(i))
+        i += 1
+      }
+      out
+    }
+    val corpus = index
+      .select(col("nid"), col("cluster"), reconUdf(col("codes")).as("rv"))
       .withColumn("rnorm", nativeNorm(spark)(col("rv")))
-    val probes = base.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("v"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
       .as[(Long, Array[Double])]
       .flatMap { case (qid, v) =>
         Similarity.nearestClusters(bcCenters.value, v, nProbe)
           .map(c => (qid, c, v)) }
       .toDF("qid", "cluster", "qv")
       .withColumn("qnorm", nativeNorm(spark)(col("qv")))
-    val sims = assigned.join(broadcast(probes), Seq("cluster"))
+    val sims = corpus.join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim",
         nativeDot(spark)(col("qv"), col("rv")) / (col("qnorm") * col("rnorm")))
       .select(col("qid"), col("nid"), col("sim"))
     topKPerKey(sims, "qid", k)
+  }
+
+  /** Persist SQ8 per-dimension [min, max] ranges as a tiny
+    * (d, mn, mx) parquet — the third index-metadata artifact next to
+    * centroids and codebooks. */
+  def writeRanges(spark: SparkSession, mns: Array[Double], mxs: Array[Double],
+                  path: String): Unit = {
+    import spark.implicits._
+    mns.indices.map(d => (d, mns(d), mxs(d))).toDF("d", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload [[writeRanges]] output, dimension-ordered. */
+  def readRanges(spark: SparkSession, path: String): (Array[Double], Array[Double]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path).orderBy(col("d"))
+      .select(col("mn"), col("mx")).as[(Double, Double)].collect()
+    (rows.map(_._1), rows.map(_._2))
   }
 
   /** DuckDB oracle for [[ivfSq8TopK]]: the fitted centroids inline as

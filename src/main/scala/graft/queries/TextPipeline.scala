@@ -282,6 +282,29 @@ object TextPipeline {
       },
       None),
 
+    // ---- IVF-SQ8 index persistence lifecycle — completes the
+    // build-once/serve-many split across ALL FOUR quantization-family
+    // members (SQ8 q162, IVF q167, IVF-PQ q168): persist the
+    // (cluster, 1-byte/dim codes) index plus centroids AND ranges,
+    // reload all three, serve without refitting. Oracle is q166's
+    // Verify-time centroid-inlined SQL ([[dataOracles]]). -----------
+    ("q169_ivfsq8_index_roundtrip",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (mns, mxs) = Similarity.sq8FitRanges(emb)
+        val centers = Similarity.ivfFitCenters(emb)
+        val ixDir = scratchDir("ivfsq8_index", dir)
+        Similarity.writeCenters(s, centers, ixDir + "_centroids")
+        Similarity.writeRanges(s, mns, mxs, ixDir + "_ranges")
+        Similarity.ivfSq8Encode(emb, centers, mns, mxs)
+          .write.mode("overwrite").parquet(ixDir)
+        val (lmns, lmxs) = Similarity.readRanges(s, ixDir + "_ranges")
+        Similarity.ivfSq8Serve(s.read.parquet(ixDir),
+          Similarity.readCenters(s, ixDir + "_centroids"), lmns, lmxs,
+          emb.filter(col("vec_id") < 20), k = 5)
+      },
+      None),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and
@@ -1486,6 +1509,9 @@ object TextPipeline {
         nClusters = 8, m = 4, dim = 64, codes = 16, seed = 42L, maxFitSample = 65536)
       Similarity.ivfPqTopKOracleSql(centers, books, queryCond = "vec_id < 20", k = 5)
     }),
+    "q169_ivfsq8_index_roundtrip" -> ((s, dir) => Similarity.ivfSq8TopKOracleSql(
+      Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+      queryCond = "vec_id < 20", k = 5)),
     "q166_ann_ivfsq8" -> ((s, dir) => Similarity.ivfSq8TopKOracleSql(
       Similarity.ivfFitCenters(t(s, dir, "embeddings")),
       queryCond = "vec_id < 20", k = 5)),

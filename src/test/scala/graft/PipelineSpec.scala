@@ -1579,6 +1579,33 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // the reloaded serve also still matches the one-call operator
     Similarity.ivfPqTopK(emb, $"vec_id" < 10, k = 5)
       .as[(Long, Long, Long)].collect().toSeq shouldBe pqFresh
+
+    // --- IVF-SQ8: build -> write (index + centroids + ranges) -> reload -> serve
+    val (mns, mxs) = Similarity.sq8FitRanges(emb)
+    val sqCenters = Similarity.ivfFitCenters(emb)
+    val sqFresh = Similarity.ivfSq8Serve(
+      Similarity.ivfSq8Encode(emb, sqCenters, mns, mxs), sqCenters, mns, mxs,
+      queries, k = 5).as[(Long, Long, Long)].collect().toSeq
+    Similarity.writeCenters(spark, sqCenters, s"$tmp/sq_centroids")
+    Similarity.writeRanges(spark, mns, mxs, s"$tmp/sq_ranges")
+    Similarity.ivfSq8Encode(emb, sqCenters, mns, mxs).write.parquet(s"$tmp/sq_index")
+    val (lmns, lmxs) = Similarity.readRanges(spark, s"$tmp/sq_ranges")
+    lmns.toSeq shouldBe mns.toSeq
+    lmxs.toSeq shouldBe mxs.toSeq
+    Similarity.ivfSq8Serve(spark.read.parquet(s"$tmp/sq_index"),
+        Similarity.readCenters(spark, s"$tmp/sq_centroids"), lmns, lmxs,
+        queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe sqFresh
+    // frozen centers+ranges append
+    def sqRows(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSq8Encode(df, sqCenters, mns, mxs)
+        .as[(Long, Int, Array[Byte])]
+        .collect().map { case (id, c, b) => (id, c, b.toSeq) }.toSeq
+    (sqRows(emb.filter($"vec_id" < 100)) ++ sqRows(emb.filter($"vec_id" >= 100)))
+      .sortBy(_._1) shouldBe sqRows(emb).sortBy(_._1)
+    // and the one-call operator is unchanged by the encode/serve split
+    Similarity.ivfSq8TopK(emb, $"vec_id" < 10, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq shouldBe sqFresh
   }
 
   test("quality classifier: deterministic fit, monotone loss, learned rule, partition-invariant scoring") {
