@@ -851,10 +851,11 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Reload [[writeCodebooks]] output, (j, code)-ordered. */
+  /** Reload [[writeCodebooks]] output; the client-side regroup
+    * establishes the (j, code) order, so no Spark-side sort. */
   def readCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
     import spark.implicits._
-    val rows = spark.read.parquet(path).orderBy(col("j"), col("code"))
+    val rows = spark.read.parquet(path)
       .select(col("j"), col("code"), col("cv"))
       .as[(Int, Int, Seq[Double])].collect()
     rows.groupBy(_._1).toArray.sortBy(_._1)

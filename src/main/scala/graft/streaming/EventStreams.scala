@@ -310,46 +310,9 @@ object EventStreams {
                             model: graft.pipeline.QualityClassifier.Model): DataFrame =
     graft.pipeline.QualityClassifier.scoreUnsorted(docs.toDF(), model)
 
-  /** One (band, bucket) occupancy row for an arriving document. */
-  case class BandRow(band_idx: Int, band_hash: Long, doc_id: Long)
-
   /** A near-dup candidate: `doc_id` collided with the earlier `rep`
     * in at least one MinHash band. */
   case class NearDupCand(doc_id: Long, rep: Long)
-
-  /** Per-(band, bucket) first-occupant state: the FIRST doc_id ever
-    * seen in this bucket. Later arrivals in the bucket emit a
-    * candidate pointing at that first occupant. Rows within a batch
-    * are processed in doc_id order, so output is deterministic under
-    * task reordering, and — because the bucket keeps its MINIMUM
-    * occupant — for in-order arrival the emitted rep is exactly the
-    * bucket's earliest doc. */
-  class BandFirstProcessor
-      extends StatefulProcessor[(Int, Long), BandRow, NearDupCand] {
-    @transient private var first: ValueState[Long] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      first = getHandle.getValueState[Long]("first", Encoders.scalaLong,
-        TTLConfig.NONE)
-
-    override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
-                                 tv: TimerValues): Iterator[NearDupCand] = {
-      val sorted = rows.toArray.sortBy(_.doc_id)
-      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCand]
-      sorted.foreach { r =>
-        if (!first.exists()) first.update(r.doc_id)
-        else {
-          val f = first.get()
-          if (f < r.doc_id) out += NearDupCand(r.doc_id, f)
-          else if (f > r.doc_id) { // late-arriving smaller id takes over
-            out += NearDupCand(f, r.doc_id)
-            first.update(r.doc_id)
-          } // f == r.doc_id: redelivery, drop silently (exactly-once)
-        }
-      }
-      out.iterator
-    }
-  }
 
   /** Streaming near-duplicate detection — the streaming face of
     * MinHash+LSH dedup (q32): documents arrive continuously; each is
@@ -389,15 +352,21 @@ object EventStreams {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     import docs.sparkSession.implicits._
+    // ONE occupancy state machine serves both this operator and
+    // streamingCuration: the evidence stream filtered to collisions
+    // (rep >= 0) IS the candidate stream — clean-band evidence rows
+    // and the carried score fields are simply unused here
     docs.flatMap { d =>
       val sig = graft.pipeline.Dedup.minhashSignature(
         shingleSet(d.text, shingleN).toSeq, numHashes)
       graft.pipeline.Dedup.bandHashes(sig.toSeq, r)
-        .map { case (i, h) => BandRow(i, h, d.doc_id) }
+        .map { case (i, h) => ScoredBandRow(i, h, d.doc_id, -1L, -1L) }
     }
       .groupByKey(b => (b.band_idx, b.band_hash))
-      .transformWithState(new BandFirstProcessor,
+      .transformWithState(new BandOccupantProcessor,
         TimeMode.None(), OutputMode.Append())
+      .filter(_.rep >= 0L)
+      .map(e => NearDupCand(e.doc_id, e.rep))
   }
 
   /** One scored band-occupancy row for an arriving document: the
@@ -417,10 +386,16 @@ object EventStreams {
   case class CurationVerdict(doc_id: Long, is_dup: Long, pred: Long,
                              keep: Long, n_toks: Long)
 
-  /** [[BandFirstProcessor]]'s occupancy logic re-emitting ONE evidence
-    * row per arriving (doc, band) — clean bands included — so a
-    * downstream per-doc stage can reassemble a complete verdict.
-    * Same one-long-per-bucket state, same takeover rule. */
+  /** THE per-(band, bucket) first-occupant state machine (one long of
+    * state per distinct bucket — the LSH inverted index kept
+    * incrementally), emitting ONE evidence row per arriving
+    * (doc, band) — clean bands included — so a downstream per-doc
+    * stage can reassemble a complete verdict. Rows within a batch are
+    * processed in doc_id order, so output is deterministic under task
+    * reordering, and — because the bucket keeps its MINIMUM occupant —
+    * for in-order arrival the emitted rep is exactly the bucket's
+    * earliest doc. Serves BOTH [[streamingNearDup]] (evidence filtered
+    * to collisions) and [[streamingCuration]] (full evidence). */
   class BandOccupantProcessor
       extends StatefulProcessor[(Int, Long), ScoredBandRow, DocBandEvidence] {
     @transient private var first: ValueState[Long] = _

@@ -750,33 +750,36 @@ class StreamingSpec extends AnyFunSuite with Matchers {
         graft.pipeline.Dedup.minhashSignature(
           EventStreams.shingleSet(d.text, 3).toSeq, 16).toSeq, 4).toSet
     }.toMap
-    Seq(11L, 23L, 47L).foreach { seed =>
-      val shuffled = new scala.util.Random(seed).shuffle(rows)
-      val mem = MemoryStream[EventStreams.StreamDoc]
-      val q = EventStreams.streamingNearDup(mem.toDS(),
-          shingleN = 3, numHashes = 16, bands = 4)
-        .writeStream.format("memory").queryName(s"neardup_shuf_$seed")
-        .outputMode("append").start()
-      try {
-        shuffled.grouped(13).foreach { b =>
-          mem.addData(b: _*); q.processAllAvailable()
+    try {
+      Seq(11L, 23L, 47L).foreach { seed =>
+        val shuffled = new scala.util.Random(seed).shuffle(rows)
+        val mem = MemoryStream[EventStreams.StreamDoc]
+        val q = EventStreams.streamingNearDup(mem.toDS(),
+            shingleN = 3, numHashes = 16, bands = 4)
+          .writeStream.format("memory").queryName(s"neardup_shuf_$seed")
+          .outputMode("append").start()
+        try {
+          shuffled.grouped(13).foreach { b =>
+            mem.addData(b: _*); q.processAllAvailable()
+          }
+          val cands = spark.table(s"neardup_shuf_$seed")
+            .as[(Long, Long)].collect().toList
+          // (a) the flagged-doc set equals the batch verdict exactly,
+          // under ANY arrival order
+          cands.map(_._1).toSet shouldBe batchDups
+          // (b) every emitted rep is a TRUE earlier collider: smaller id,
+          // shares >= 1 band bucket with the flagged doc
+          cands.foreach { case (doc, rep) =>
+            rep should be < doc
+            (bandsOf(doc) intersect bandsOf(rep)) should not be empty
+          }
+        } finally {
+          q.stop()
         }
-        val cands = spark.table(s"neardup_shuf_$seed")
-          .as[(Long, Long)].collect().toList
-        // (a) the flagged-doc set equals the batch verdict exactly,
-        // under ANY arrival order
-        cands.map(_._1).toSet shouldBe batchDups
-        // (b) every emitted rep is a TRUE earlier collider: smaller id,
-        // shares >= 1 band bucket with the flagged doc
-        cands.foreach { case (doc, rep) =>
-          rep should be < doc
-          (bandsOf(doc) intersect bandsOf(rep)) should not be empty
-        }
-      } finally {
-        q.stop()
       }
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("streaming near-dup: a late-arriving smaller id takes over the bucket") {
