@@ -57,6 +57,8 @@ object ClusterSmoke {
     "q162_sq8_index_roundtrip", // executor-side binary-code parquet write + dequantize-serve cross-JVM
     "q166_ann_ivfsq8", // broadcast centroids+ranges into the executor-side assign+dequantize UDF
     "q163_classifier_confusion", // the memoized fit broadcast into executor-side scoring, count agg cross-JVM
+    "q167_ivf_index_roundtrip", // persisted (cluster, nv) index + reloaded centroid broadcast serve cross-JVM
+    "q169_ivfsq8_index_roundtrip", // byte-code index parquet + reloaded centers/ranges dequantize-serve cross-JVM
     "img01_stats", "img10_stack_build", "img13_hist_aggregate")
 
   def main(args: Array[String]): Unit = {
