@@ -778,6 +778,17 @@ object PlanAudit {
         Seq("BroadcastHashJoin", "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
+      ("q170_ivf_index_append",
+        "incremental IVF index append: two frozen-centroid encode " +
+          "scans write disjoint file sets into ONE parquet index dir " +
+          "(parquet append touches no existing file); the serve plan " +
+          "is q167's — the combined scan, the broadcast probe " +
+          "equi-join, the map-side-combined TopK aggregator — with no " +
+          "refit and nothing distinguishing appended files from " +
+          "original ones",
+        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+          "SortMergeJoin")),
       ("q169_ivfsq8_index_roundtrip",
         "IVF-SQ8 serving from the PERSISTED index: the corpus side " +
           "scans the (cluster, 1-byte/dim codes) parquet — 8x narrower " +

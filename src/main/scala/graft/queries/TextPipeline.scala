@@ -305,6 +305,29 @@ object TextPipeline {
       },
       None),
 
+    // ---- INCREMENTAL index append — the live-index maintenance path
+    // q167 only implies: build the IVF index over the first half of
+    // the corpus, parquet-APPEND the second half encoded separately
+    // with the same frozen centroids (no rebuild, no touch of the
+    // existing files), serve from the combined store. Hash-equal to
+    // the q46 whole-corpus oracle proves appended serving ==
+    // fresh-build serving — assignment depends only on (v, centers),
+    // so extension is exact, and a serving tier can grow its index
+    // one increment at a time. ---------------------------------------
+    ("q170_ivf_index_append",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centers = Similarity.ivfFitCenters(emb)
+        val ixDir = scratchDir("ivf_append", dir)
+        Similarity.ivfEncode(emb.filter(col("vec_id") % 2 === 0), centers)
+          .write.mode("overwrite").parquet(ixDir)
+        Similarity.ivfEncode(emb.filter(col("vec_id") % 2 =!= 0), centers)
+          .write.mode("append").parquet(ixDir)
+        Similarity.ivfServe(s.read.parquet(ixDir), centers,
+          emb.filter(col("vec_id") < 20), k = 5)
+      },
+      None),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and
@@ -1502,6 +1525,9 @@ object TextPipeline {
       QualityClassifier.confusionOracleSql(
         QualityClassifier.fitCached(t(s, dir, "documents")))),
     "q167_ivf_index_roundtrip" -> ((s, dir) => Similarity.ivfTopKOracleSql(
+      Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+      queryCond = "vec_id < 20", k = 5)),
+    "q170_ivf_index_append" -> ((s, dir) => Similarity.ivfTopKOracleSql(
       Similarity.ivfFitCenters(t(s, dir, "embeddings")),
       queryCond = "vec_id < 20", k = 5)),
     "q168_ivfpq_index_roundtrip" -> ((s, dir) => {

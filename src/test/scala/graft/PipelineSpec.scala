@@ -1579,6 +1579,15 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // the reloaded serve also still matches the one-call operator
     Similarity.ivfPqTopK(emb, $"vec_id" < 10, k = 5)
       .as[(Long, Long, Long)].collect().toSeq shouldBe pqFresh
+    // the production rerank config (q155's recipe) also serves from
+    // the store bit-identically — the exact-refine stage reads its
+    // true vectors from the passed corpus, not the code index
+    Similarity.ivfPqServe(spark.read.parquet(s"$tmp/pq_index"),
+        Similarity.readCenters(spark, s"$tmp/pq_centroids"), loadedBooks,
+        queries, k = 5, rerank = 50, exactCorpus = Some(emb))
+      .as[(Long, Long, Long)].collect().toSeq shouldBe
+      Similarity.ivfPqTopK(emb, $"vec_id" < 10, k = 5, rerank = 50)
+        .as[(Long, Long, Long)].collect().toSeq
 
     // --- IVF-SQ8: build -> write (index + centroids + ranges) -> reload -> serve
     val (mns, mxs) = Similarity.sq8FitRanges(emb)

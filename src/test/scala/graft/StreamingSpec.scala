@@ -782,6 +782,58 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming curation out-of-order: verdicts are append-only (no retraction), newcomers exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // two near-dup docs long enough to pass the quality rule; the
+    // LATER one arrives first
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    val a = EventStreams.StreamDoc(1L, base)
+    val b = EventStreams.StreamDoc(2L, base)
+    val docs = spark.createDataFrame(Seq((1L, base), (2L, base)))
+      .toDF("doc_id", "text")
+    val model = graft.pipeline.QualityClassifier.fit(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingCuration(mem.toDS(), model)
+      .writeStream.format("memory").queryName("curation_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(b) // LATER doc arrives first
+      q.processAllAvailable()
+      mem.addData(a)
+      q.processAllAvailable()
+      val verdicts = spark.table("curation_ooo")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      verdicts.map(_._1) shouldBe List(1L, 2L)
+      val byDoc = verdicts.map(v => v._1 -> v).toMap
+      // the newcomer's verdict is exact: doc 1 is clean (no EARLIER
+      // collider exists) and its is_dup matches batch
+      byDoc(1L)._2 shouldBe 0L
+      // doc 2's verdict EMITTED FIRST said clean — batch says dup
+      // (is_dup=1). The documented deviation: an already-emitted keep
+      // verdict is not retracted; the takeover evidence for doc 2
+      // arrives after its verdict fired and is dropped
+      byDoc(2L)._2 shouldBe 0L
+      val batchDup = graft.pipeline.Dedup
+        .firstSeenNearDup(docs, 3, 16, 4)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      batchDup(2L) shouldBe 1L // the deviation is real, and pinned
+      // pred matches the row scorer on both docs, and keep composes
+      // pred with the (non-retracted) dup verdict
+      val expPred = graft.pipeline.QualityClassifier.scoreRow(base, model)._5
+      verdicts.foreach { v =>
+        v._3 shouldBe expPred
+        v._4 shouldBe (if (v._3 == 1L && v._2 == 0L) 1L else 0L)
+      }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming near-dup: a late-arriving smaller id takes over the bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
