@@ -706,6 +706,16 @@ object PlanAudit {
         Seq("content_hash64", "Sort"),
         Seq("HashAggregate", "Window", "CartesianProduct", "SortMergeJoin",
           "BroadcastNestedLoopJoin")),
+      ("q171_classifier_model_roundtrip",
+        "scoring from the SHIPPED model artifact: the fit and the " +
+          "parquet write/reload happen before the plan exists (the " +
+          "artifact is a one-row table of weights), so the plan IS " +
+          "q159's — ONE shuffle-free corpus scan with the literal " +
+          "weight array, no join, no aggregation, no window; nothing " +
+          "in the scoring plan references the training corpus",
+        Seq("content_hash64", "Sort"),
+        Seq("HashAggregate", "Window", "CartesianProduct", "SortMergeJoin",
+          "BroadcastNestedLoopJoin")),
       ("q161_ann_sq8",
         "SQ8 quantized ANN: the range fit is ONE map-side-combined " +
           "posexplode aggregation (dim-bounded output, driver pull of " +

@@ -228,6 +228,35 @@ object QualityClassifier {
   def score(docs: DataFrame, model: Model): DataFrame =
     scoreUnsorted(docs, model).orderBy(col("doc_id"))
 
+  /** Persist a fitted [[Model]] as a one-row parquet — the model
+    * artifact a production pipeline trains once and ships to every
+    * scoring job (the q167 build-once/serve-many split applied to the
+    * classifier). Grid weights are exact longs and the engineered
+    * weights are doubles, both of which parquet round-trips
+    * bit-for-bit, so scoring from a reloaded model is bit-identical
+    * to scoring from the fresh fit (q171 gates this). */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                 path: String): Unit = {
+    import spark.implicits._
+    Seq((model.wGrid.toSeq, model.wLen, model.wDist, model.wRatio, model.bias,
+        model.nFeatures, model.minToks, model.trace.toSeq, model.accuracy))
+      .toDF("w_grid", "w_len", "w_dist", "w_ratio", "bias",
+        "n_features", "min_toks", "trace", "accuracy")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[writeModel]] artifact. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val r = spark.read.parquet(path)
+      .select(col("w_grid"), col("w_len"), col("w_dist"), col("w_ratio"),
+        col("bias"), col("n_features"), col("min_toks"), col("trace"),
+        col("accuracy"))
+      .as[(Seq[Long], Double, Double, Double, Double, Int, Int, Seq[Double], Double)]
+      .head()
+    Model(r._1.toArray, r._2, r._3, r._4, r._5, r._6, r._7, r._8.toArray, r._9)
+  }
+
   /** Pure per-row scoring core — the row twin of [[scoreUnsorted]]'s
     * column arithmetic (same tokenization, same mix64∘fnv64 bucket
     * as `content_hash64`, same left-associated grid chain the fit's

@@ -196,6 +196,22 @@ object TextPipeline {
       },
       None),
 
+    // ---- classifier MODEL artifact lifecycle: the q167 split applied
+    // to the trained filter — fit once, WRITE the model to parquet,
+    // reload, score the corpus from the loaded artifact. Oracle is
+    // q159's Verify-time weight-inlined SQL — hash-equal proves the
+    // grid longs and engineered doubles round-tripped bit-for-bit,
+    // i.e. a scoring job can consume a shipped model artifact without
+    // ever seeing the training corpus. --------------------------------
+    ("q171_classifier_model_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mDir = scratchDir("quality_model", dir)
+        QualityClassifier.writeModel(s, QualityClassifier.fitCached(docs), mDir)
+        QualityClassifier.score(docs, QualityClassifier.readModel(s, mDir))
+      },
+      None),
+
     // ---- SQ8 scalar-quantized ANN: the third quantization-family
     // member (PQ q114b, IVF-PQ q151) — 1 byte/dim uniform codes over
     // exact per-dim ranges, full-precision queries scored against the
@@ -1520,6 +1536,8 @@ object TextPipeline {
       queryCond = s"(vec_id < 40) AND ${Dedup.anchorCondSql("vec_id", 7L, 0.5)}",
       k = 10)),
     "q159_quality_classifier" -> ((s, dir) =>
+      QualityClassifier.oracleSql(QualityClassifier.fitCached(t(s, dir, "documents")))),
+    "q171_classifier_model_roundtrip" -> ((s, dir) =>
       QualityClassifier.oracleSql(QualityClassifier.fitCached(t(s, dir, "documents")))),
     "q163_classifier_confusion" -> ((s, dir) =>
       QualityClassifier.confusionOracleSql(

@@ -1659,5 +1659,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // loud contract: nFeatures must be a power of two
     an[IllegalArgumentException] should be thrownBy
       QualityClassifier.fit(real, nFeatures = 100)
+    // model artifact lifecycle: write -> read round-trips every field
+    // bit-for-bit, and scoring from the loaded artifact is identical
+    val mDir = java.nio.file.Files.createTempDirectory("graft_qc_model")
+      .toString + "/model"
+    QualityClassifier.writeModel(spark, m1, mDir)
+    val loaded = QualityClassifier.readModel(spark, mDir)
+    loaded.wGrid.toSeq shouldBe m1.wGrid.toSeq
+    loaded.wLen shouldBe m1.wLen
+    loaded.wDist shouldBe m1.wDist
+    loaded.wRatio shouldBe m1.wRatio
+    loaded.bias shouldBe m1.bias
+    loaded.nFeatures shouldBe m1.nFeatures
+    loaded.minToks shouldBe m1.minToks
+    loaded.trace.toSeq shouldBe m1.trace.toSeq
+    loaded.accuracy shouldBe m1.accuracy
+    QualityClassifier.score(real, loaded).collect().toSeq shouldBe
+      scored.collect().toSeq
   }
 }
