@@ -102,6 +102,42 @@ object StreamingProbe {
         println(s"curation_probe: FAILED ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).take(500))
     }
+    // transformWithState DOWNSTREAM of a stream-static join — the
+    // online-retrieval shape streamingAnnServe plans (probe flatMap →
+    // static index equi-join → per-query top-k assembly)
+    try {
+      val dim = 8
+      val vecs = (0 until 50).map(i =>
+        (i.toLong, Seq.tabulate(dim)(d => ((i * 7 + d * 3) % 13).toDouble)))
+      val emb = vecs.toDF("vec_id", "embedding")
+      val centers = graft.pipeline.Similarity.ivfFitCenters(emb, nClusters = 4)
+      val ixDir = java.nio.file.Files.createTempDirectory("graft_probe_ivf")
+        .toString + "/ix"
+      graft.pipeline.Similarity.ivfEncode(emb, centers).write.parquet(ixDir)
+      val index = spark.read.parquet(ixDir)
+      val mem = MemoryStream[EventStreams.QueryVec]
+      val q = EventStreams.streamingAnnServe(mem.toDS(), index, centers, k = 3)
+        .writeStream.format("memory").queryName("ann_serve_probe")
+        .outputMode("append").start()
+      val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = new Thread(() => {
+        Thread.sleep(45000)
+        if (!stopped.get()) { println(s"ann_serve_probe: WATCHDOG STOP (hang)"); q.stop() }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+      val qs = vecs.take(10).map { case (id, v) => EventStreams.QueryVec(id, v) }
+      qs.grouped(4).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      stopped.set(true)
+      val n = spark.table("ann_serve_probe").count()
+      q.stop()
+      println(s"ann_serve_probe: OK, $n hits for ${qs.size} queries" +
+        (if (n == qs.size * 3) " (k per query, exactly-once)" else ""))
+    } catch {
+      case e: Throwable =>
+        println(s"ann_serve_probe: FAILED ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(500))
+    }
     spark.stop()
   }
 }

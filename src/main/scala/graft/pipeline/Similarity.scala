@@ -58,7 +58,11 @@ object Similarity {
   // loop. These UDFs receive unboxed Array[Double] (fast path for
   // array<double>) and run a tight while loop; at 100 TB the same
   // kernels apply unchanged since they're per-row.
-  private[graft] val normalizeUdf = udf { v: Array[Double] =>
+  /** Pure zero-guarded x/‖v‖ core — shared by [[normalizeUdf]] and
+    * row-at-a-time call sites (the streaming online-serve probe
+    * flatMap), so streaming and batch normalization are the same
+    * bits structurally. */
+  private[graft] def normalize(v: Array[Double]): Array[Double] = {
     var i = 0; var ss = 0.0
     while (i < v.length) { ss += v(i) * v(i); i += 1 }
     val n = math.sqrt(ss)
@@ -67,6 +71,8 @@ object Similarity {
     while (i < v.length) { out(i) = if (n == 0) 0.0 else v(i) / n; i += 1 }
     out
   }
+
+  private[graft] val normalizeUdf = udf { v: Array[Double] => normalize(v) }
 
   private[graft] val dotUdf = udf { (a: Array[Double], b: Array[Double]) =>
     var i = 0; var s = 0.0

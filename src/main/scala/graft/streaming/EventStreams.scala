@@ -523,6 +523,108 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** An arriving query vector for online retrieval. */
+  case class QueryVec(qid: Long, vec: Seq[Double])
+
+  /** One retrieved neighbor: rank 1..k by descending cosine. */
+  case class AnnHit(qid: Long, rank: Long, nid: Long)
+
+  /** A scored candidate flowing from the stream-static probe join
+    * into the per-query top-k assembly. */
+  case class AnnCand(qid: Long, nid: Long, sim: Double)
+
+  /** Assembles each query's candidates into its top-k [[AnnHit]]
+    * rows, exactly once. All of a query's candidates arrive in its
+    * own micro-batch (the stream-static join emits them with the
+    * probe rows), so the verdict fires immediately; the per-qid
+    * emitted flag is the redelivery guard (the [[DecontamProcessor]]
+    * pattern — TTL bounds it for unbounded query streams). Ranking
+    * replays [[graft.pipeline.Similarity.topKPerKey]]'s order
+    * exactly: sim descending, nid ascending on ties. */
+  class AnnTopKProcessor(k: Int, ttl: java.time.Duration = null)
+      extends StatefulProcessor[Long, AnnCand, AnnHit] {
+    @transient private var emitted: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      emitted = getHandle.getValueState[Boolean]("emitted", Encoders.scalaBoolean,
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[AnnCand],
+                                 tv: TimerValues): Iterator[AnnHit] = {
+      if (emitted.exists()) Iterator.empty // redelivered query
+      else {
+        // bounded state: a k-sized selection over the streamed-in
+        // candidates, never the full candidate set at once beyond
+        // this batch's iterator
+        // dequeue() removes the GREATEST per this ordering = the
+        // WORST kept candidate (lowest sim; tie -> larger nid),
+        // mirroring TopKAggregator's (score desc, id asc) rule
+        val top = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] {
+            case (s, n) => (-s, n) })
+        rows.foreach { c =>
+          top.enqueue((c.sim, c.nid))
+          if (top.size > k) top.dequeue()
+        }
+        if (top.isEmpty) Iterator.empty // no candidate reached any probed list
+        else {
+          emitted.update(true)
+          val bestFirst: Seq[(Double, Long)] = top.dequeueAll.reverse
+          bestFirst.zipWithIndex.map { case ((_, nid), i) =>
+            AnnHit(key, (i + 1).toLong, nid)
+          }.iterator
+        }
+      }
+    }
+  }
+
+  /** ONLINE retrieval over the PERSISTED IVF index — the streaming
+    * face of [[graft.pipeline.Similarity.ivfServe]] and the last leg
+    * of the build-once/serve-many story (q167 builds and persists,
+    * this serves arriving queries continuously): each query vector
+    * probes its `nProbe` nearest centroids (stateless flatMap against
+    * the broadcast centroid array), candidates come from a
+    * STREAM-STATIC equi-join on cluster id against the loaded
+    * (nid, cluster, nv) index — the static side never shuffles per
+    * batch and Spark plans the probe side broadcast-ish small — and
+    * each query's top-k assembles exactly once in
+    * [[AnnTopKProcessor]].
+    *
+    * Equivalence: identical normalize/dot arithmetic and the same
+    * (sim desc, nid asc) ranking as the batch serve, so results match
+    * [[graft.pipeline.Similarity.ivfServe]] row-for-row on the same
+    * queries (StreamingSpec), self-matches excluded the same way
+    * (nid =!= qid).
+    *
+    * Scale shape: per arriving query — one centroid scan (KB), one
+    * partition-pruned... rather list-pruned candidate join of
+    * ~N·nProbe/nClusters rows, one k-bounded heap; state is one
+    * boolean per served query id (TTL-bounded). The 100 TB corpus
+    * sits in the static index relation, scanned per batch only on
+    * the joined clusters' row groups. */
+  def streamingAnnServe(queries: Dataset[QueryVec], index: DataFrame,
+                        centers: Array[Array[Double]], k: Int,
+                        nProbe: Int = 4,
+                        ttl: java.time.Duration = null): Dataset[AnnHit] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val probes = queries.flatMap { q =>
+      val v = q.vec.toArray
+      val qv = graft.pipeline.Similarity.normalize(v)
+      graft.pipeline.Similarity.nearestClusters(bcCenters.value, v, nProbe)
+        .map(c => (q.qid, c, qv.toSeq))
+    }.toDF("qid", "cluster", "qv")
+    probes.join(index, Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", graft.pipeline.Similarity.nativeDot(spark)(col("qv"), col("nv")))
+      .select(col("qid"), col("nid"), col("sim"))
+      .as[AnnCand]
+      .groupByKey(_.qid)
+      .transformWithState(new AnnTopKProcessor(k, ttl),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Pure shingle core — bit-identical to the column-side
     * [[graft.pipeline.Dedup.shingles]] (tokenize on single spaces,
     * drop empties, distinct n-token windows joined by a space). */

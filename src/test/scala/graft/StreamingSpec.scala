@@ -834,6 +834,45 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming ANN serve over the persisted index equals the batch serve row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val centers = graft.pipeline.Similarity.ivfFitCenters(emb)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft_stream_ivf")
+      .toString + "/index"
+    graft.pipeline.Similarity.ivfEncode(emb, centers).write.parquet(ixDir)
+    val index = spark.read.parquet(ixDir)
+    val queries = emb.filter($"vec_id" < 12)
+    val batch = graft.pipeline.Similarity.ivfServe(index, centers, queries, k = 5)
+      .as[(Long, Long, Long)].collect().toList
+    val qvecs = queries
+      .select($"vec_id", graft.pipeline.Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => EventStreams.QueryVec(id, v) }
+    val mem = MemoryStream[EventStreams.QueryVec]
+    val q = EventStreams.streamingAnnServe(mem.toDS(), index, centers, k = 5)
+      .writeStream.format("memory").queryName("ann_serve")
+      .outputMode("append").start()
+    try {
+      // queries arrive across three batches, batch 2 REDELIVERING one
+      mem.addData(qvecs.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(qvecs.slice(4, 9): _*)
+      q.processAllAvailable()
+      mem.addData(qvecs.drop(9): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ann_serve")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+      streamed shouldBe batch
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming near-dup: a late-arriving smaller id takes over the bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
