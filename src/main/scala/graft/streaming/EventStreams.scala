@@ -430,7 +430,13 @@ object EventStreams {
 
   /** Per-doc verdict assembly state: band evidence seen so far plus
     * the exactly-once emitted flag (the [[DecontamProcessor]]
-    * per-doc-guard pattern; TTL bounds it for unbounded ingestion). */
+    * per-doc-guard pattern). NOT TTL-bounded: the chained two-stage
+    * query must run in TimeMode.None — this build hangs on
+    * processing-time chained transformWithState (the StreamingProbe
+    * watchdog class) and Spark rejects TTLConfig outside
+    * processing-time mode — so the guard is one compact record per
+    * served doc, the same unbounded class as the per-bucket occupancy
+    * state the dedup index keeps by design. */
   case class CurationState(seen: Int, anyDup: Boolean, pred: Long,
                            nToks: Long, emitted: Boolean)
 
@@ -441,14 +447,13 @@ object EventStreams {
     * retro-flag evidence for an already-emitted doc is dropped: a
     * keep verdict is never retracted (see [[streamingCuration]]'s
     * out-of-order contract). */
-  class CurationVerdictProcessor(bands: Int, ttl: java.time.Duration = null)
+  class CurationVerdictProcessor(bands: Int)
       extends StatefulProcessor[Long, DocBandEvidence, CurationVerdict] {
     @transient private var st: ValueState[CurationState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[CurationState]("cur",
-        Encoders.product[CurationState],
-        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+        Encoders.product[CurationState], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[DocBandEvidence],
                                  tv: TimerValues): Iterator[CurationVerdict] = {
@@ -498,13 +503,12 @@ object EventStreams {
     * surface restated at verdict granularity.
     *
     * Scale shape: per doc — one stateless score, `bands` state
-    * lookups, one per-doc exactly-once record (TTL-bounded like
-    * [[DecontamProcessor]]); nothing scans or shuffles the history. */
+    * lookups, one per-doc exactly-once record (unbounded — see
+    * [[CurationState]]); nothing scans or shuffles the history. */
   def streamingCuration(docs: Dataset[StreamDoc],
                         model: graft.pipeline.QualityClassifier.Model,
                         shingleN: Int = 3, numHashes: Int = 16,
-                        bands: Int = 4,
-                        ttl: java.time.Duration = null): Dataset[CurationVerdict] = {
+                        bands: Int = 4): Dataset[CurationVerdict] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     import docs.sparkSession.implicits._
@@ -519,7 +523,10 @@ object EventStreams {
       .transformWithState(new BandOccupantProcessor,
         TimeMode.None(), OutputMode.Append())
       .groupByKey(_.doc_id)
-      .transformWithState(new CurationVerdictProcessor(bands, ttl),
+      // TimeMode.None ONLY: processing-time chained transformWithState
+      // hangs in this build (the StreamingProbe watchdog class), which
+      // also rules out TTL state here — see CurationState's doc
+      .transformWithState(new CurationVerdictProcessor(bands),
         TimeMode.None(), OutputMode.Append())
   }
 
@@ -537,40 +544,44 @@ object EventStreams {
     * rows, exactly once. All of a query's candidates arrive in its
     * own micro-batch (the stream-static join emits them with the
     * probe rows), so the verdict fires immediately; the per-qid
-    * emitted flag is the redelivery guard (the [[DecontamProcessor]]
-    * pattern — TTL bounds it for unbounded query streams). Ranking
+    * emitted flag is the cross-batch redelivery guard (the
+    * [[DecontamProcessor]] pattern). NOT TTL-bounded: this build
+    * hangs on processing-time transformWithState in this query shape
+    * and Spark rejects TTLConfig under TimeMode.None, so the guard is
+    * one boolean per served query id — bound it operationally by
+    * restarting the serve query on a cadence if the query-id space is
+    * truly unbounded. Ranking
     * replays [[graft.pipeline.Similarity.topKPerKey]]'s order
     * exactly: sim descending, nid ascending on ties. */
-  class AnnTopKProcessor(k: Int, ttl: java.time.Duration = null)
+  class AnnTopKProcessor(k: Int)
       extends StatefulProcessor[Long, AnnCand, AnnHit] {
     @transient private var emitted: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       emitted = getHandle.getValueState[Boolean]("emitted", Encoders.scalaBoolean,
-        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+        TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[AnnCand],
                                  tv: TimerValues): Iterator[AnnHit] = {
-      if (emitted.exists()) Iterator.empty // redelivered query
+      if (emitted.exists()) Iterator.empty // cross-batch redelivered query
       else {
-        // bounded state: a k-sized selection over the streamed-in
-        // candidates, never the full candidate set at once beyond
-        // this batch's iterator
-        // dequeue() removes the GREATEST per this ordering = the
-        // WORST kept candidate (lowest sim; tie -> larger nid),
-        // mirroring TopKAggregator's (score desc, id asc) rule
-        val top = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.by[(Double, Long), (Double, Long)] {
-            case (s, n) => (-s, n) })
+        // THE batch top-k rule, not a hand mirror of it: fold through
+        // TopKAggregator.reduce (score desc, id asc, k-bounded
+        // buffer), so a future tweak to the batch ordering cannot
+        // silently diverge the streaming face. An at-least-once
+        // source duplicating a query WITHIN one batch duplicates
+        // every candidate with an identical sim — the nid set
+        // collapses them before the fold.
+        val agg = new graft.functions.TopKAggregator(k)
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        var buf: Seq[(Double, Long)] = Vector.empty
         rows.foreach { c =>
-          top.enqueue((c.sim, c.nid))
-          if (top.size > k) top.dequeue()
+          if (seen.add(c.nid)) buf = agg.reduce(buf, (c.sim, c.nid))
         }
-        if (top.isEmpty) Iterator.empty // no candidate reached any probed list
+        if (buf.isEmpty) Iterator.empty // no candidate reached any probed list
         else {
           emitted.update(true)
-          val bestFirst: Seq[(Double, Long)] = top.dequeueAll.reverse
-          bestFirst.zipWithIndex.map { case ((_, nid), i) =>
+          buf.zipWithIndex.map { case ((_, nid), i) =>
             AnnHit(key, (i + 1).toLong, nid)
           }.iterator
         }
@@ -585,10 +596,10 @@ object EventStreams {
     * probes its `nProbe` nearest centroids (stateless flatMap against
     * the broadcast centroid array), candidates come from a
     * STREAM-STATIC equi-join on cluster id against the loaded
-    * (nid, cluster, nv) index — the static side never shuffles per
-    * batch and Spark plans the probe side broadcast-ish small — and
-    * each query's top-k assembles exactly once in
-    * [[AnnTopKProcessor]].
+    * (nid, cluster, nv) index — the batch serve's exact join shape:
+    * the KB-sized per-batch probe rows BROADCAST and the static index
+    * is scanned, never shuffled — and each query's top-k assembles
+    * exactly once in [[AnnTopKProcessor]].
     *
     * Equivalence: identical normalize/dot arithmetic and the same
     * (sim desc, nid asc) ranking as the batch serve, so results match
@@ -596,16 +607,17 @@ object EventStreams {
     * queries (StreamingSpec), self-matches excluded the same way
     * (nid =!= qid).
     *
-    * Scale shape: per arriving query — one centroid scan (KB), one
-    * partition-pruned... rather list-pruned candidate join of
-    * ~N·nProbe/nClusters rows, one k-bounded heap; state is one
-    * boolean per served query id (TTL-bounded). The 100 TB corpus
-    * sits in the static index relation, scanned per batch only on
-    * the joined clusters' row groups. */
+    * Scale shape: per arriving query — one centroid scan (KB), a
+    * candidate join that keeps ~N·nProbe/nClusters rows, one
+    * k-bounded fold; state is one boolean per served query id (see
+    * [[AnnTopKProcessor]] on why it is not TTL-bounded in this
+    * build). The 100 TB corpus sits in the static index relation; the
+    * join discards non-probed lists at the broadcast hash probe, and
+    * writing the index `partitionBy("cluster")` is the layout lever
+    * that turns that discard into partition pruning at the scan. */
   def streamingAnnServe(queries: Dataset[QueryVec], index: DataFrame,
                         centers: Array[Array[Double]], k: Int,
-                        nProbe: Int = 4,
-                        ttl: java.time.Duration = null): Dataset[AnnHit] = {
+                        nProbe: Int = 4): Dataset[AnnHit] = {
     val spark = index.sparkSession
     import spark.implicits._
     val bcCenters = spark.sparkContext.broadcast(centers)
@@ -615,13 +627,22 @@ object EventStreams {
       graft.pipeline.Similarity.nearestClusters(bcCenters.value, v, nProbe)
         .map(c => (q.qid, c, qv.toSeq))
     }.toDF("qid", "cluster", "qv")
-    probes.join(index, Seq("cluster"))
+    // the BATCH serve's join shape: the static index is the scan side
+    // and the per-batch probe rows BROADCAST (without the hint the
+    // streaming side's unknown stats push Spark to shuffle the whole
+    // index every micro-batch once it outgrows the broadcast
+    // threshold — exactly backwards at scale)
+    index.join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", graft.pipeline.Similarity.nativeDot(spark)(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
       .as[AnnCand]
       .groupByKey(_.qid)
-      .transformWithState(new AnnTopKProcessor(k, ttl),
+      // TimeMode.None ONLY: this build hangs on processing-time
+      // transformWithState downstream of the stream-static join
+      // (measured — the StreamingProbe watchdog class), which also
+      // rules out TTL state here; see AnnTopKProcessor's doc
+      .transformWithState(new AnnTopKProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -857,8 +857,10 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       .writeStream.format("memory").queryName("ann_serve")
       .outputMode("append").start()
     try {
-      // queries arrive across three batches, batch 2 REDELIVERING one
-      mem.addData(qvecs.take(5): _*)
+      // queries arrive across three batches; batch 1 duplicates a
+      // query WITHIN the batch (at-least-once delivery), batch 2
+      // REDELIVERS one across batches
+      mem.addData(qvecs.take(5) :+ qvecs(2): _*)
       q.processAllAvailable()
       mem.addData(qvecs.slice(4, 9): _*)
       q.processAllAvailable()
