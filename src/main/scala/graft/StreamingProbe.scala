@@ -138,6 +138,76 @@ object StreamingProbe {
         println(s"ann_serve_probe: FAILED ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).take(500))
     }
+    // TTL-bounded variants of the two shapes above (round 15): with a
+    // non-null ttl the queries run in TimeMode.ProcessingTime + TTL
+    // state. Measured: the exec nodes run and emit correctly batch
+    // after batch, but `processAllAvailable` never returns (the engine
+    // always sees potential timer work — the twsSessions quirk), so
+    // these probes DRIVE BY POLLING the sink with a deadline. A hang
+    // here would mean batches stopped processing, not just the await.
+    def pollUntil(table: String, n: Long): Boolean = {
+      val dl = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table(table).count() < n && System.nanoTime() < dl)
+        Thread.sleep(250)
+      spark.table(table).count() >= n
+    }
+    try {
+      val docs = (0 until 24).map(i => EventStreams.StreamDoc(i.toLong,
+        if (i % 3 == 0) s"short text $i"
+        else s"the quick brown fox number ${i % 5} jumps over the lazy dog " * 5))
+      val model = graft.pipeline.QualityClassifier.fit(docs.toDF("doc_id", "text"))
+      val mem = MemoryStream[EventStreams.StreamDoc]
+      val q = EventStreams.streamingCuration(mem.toDS(), model,
+          ttl = java.time.Duration.ofMinutes(10))
+        .writeStream.format("memory").queryName("curation_ttl_probe")
+        .outputMode("append").start()
+      try {
+        var ok = true
+        docs.grouped(8).zipWithIndex.foreach { case (b, i) =>
+          mem.addData(b: _*)
+          ok = ok && pollUntil("curation_ttl_probe", (i + 1) * 8L)
+        }
+        val n = spark.table("curation_ttl_probe").count()
+        println(s"curation_ttl_probe: ${if (ok) "OK" else "TIMED OUT"}, " +
+          s"$n verdicts for ${docs.size} docs")
+      } finally q.stop()
+    } catch {
+      case e: Throwable =>
+        println(s"curation_ttl_probe: FAILED ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(500))
+    }
+    try {
+      val dim = 8
+      val vecs = (0 until 50).map(i =>
+        (i.toLong, Seq.tabulate(dim)(d => ((i * 7 + d * 3) % 13).toDouble)))
+      val emb = vecs.toDF("vec_id", "embedding")
+      val centers = graft.pipeline.Similarity.ivfFitCenters(emb, nClusters = 4)
+      val ixDir = java.nio.file.Files.createTempDirectory("graft_probe_ivf_ttl")
+        .toString + "/ix"
+      graft.pipeline.Similarity.ivfEncode(emb, centers).write.parquet(ixDir)
+      val index = spark.read.parquet(ixDir)
+      val mem = MemoryStream[EventStreams.QueryVec]
+      val q = EventStreams.streamingAnnServe(mem.toDS(), index, centers, k = 3,
+          ttl = java.time.Duration.ofMinutes(10))
+        .writeStream.format("memory").queryName("ann_serve_ttl_probe")
+        .outputMode("append").start()
+      try {
+        val qs = vecs.take(8).map { case (id, v) => EventStreams.QueryVec(id, v) }
+        var ok = true
+        qs.grouped(4).zipWithIndex.foreach { case (b, i) =>
+          mem.addData(b: _*)
+          ok = ok && pollUntil("ann_serve_ttl_probe", (i + 1) * 4L * 3)
+        }
+        val n = spark.table("ann_serve_ttl_probe").count()
+        println(s"ann_serve_ttl_probe: ${if (ok) "OK" else "TIMED OUT"}, " +
+          s"$n hits for ${qs.size} queries" +
+          (if (n == qs.size * 3) " (k per query, exactly-once)" else ""))
+      } finally q.stop()
+    } catch {
+      case e: Throwable =>
+        println(s"ann_serve_ttl_probe: FAILED ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(500))
+    }
     spark.stop()
   }
 }

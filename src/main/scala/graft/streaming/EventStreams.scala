@@ -430,13 +430,14 @@ object EventStreams {
 
   /** Per-doc verdict assembly state: band evidence seen so far plus
     * the exactly-once emitted flag (the [[DecontamProcessor]]
-    * per-doc-guard pattern). NOT TTL-bounded: the chained two-stage
-    * query must run in TimeMode.None — this build hangs on
-    * processing-time chained transformWithState (the StreamingProbe
-    * watchdog class) and Spark rejects TTLConfig outside
-    * processing-time mode — so the guard is one compact record per
-    * served doc, the same unbounded class as the per-bucket occupancy
-    * state the dedup index keeps by design. */
+    * per-doc-guard pattern). TTL-boundable: with a non-null `ttl` the
+    * query runs in TimeMode.ProcessingTime and this record expires
+    * `ttl` after the doc's verdict — the verdict always fires within
+    * the doc's own arrival batch, so expiry only relaxes the
+    * cross-batch redelivery guard to a window (a redelivery later
+    * than `ttl` re-emits), never the verdict itself. The per-bucket
+    * occupancy state ([[BandOccupantProcessor]]) stays unbounded BY
+    * DESIGN — it IS the incremental dedup inverted index. */
   case class CurationState(seen: Int, anyDup: Boolean, pred: Long,
                            nToks: Long, emitted: Boolean)
 
@@ -447,13 +448,14 @@ object EventStreams {
     * retro-flag evidence for an already-emitted doc is dropped: a
     * keep verdict is never retracted (see [[streamingCuration]]'s
     * out-of-order contract). */
-  class CurationVerdictProcessor(bands: Int)
+  class CurationVerdictProcessor(bands: Int, ttl: java.time.Duration = null)
       extends StatefulProcessor[Long, DocBandEvidence, CurationVerdict] {
     @transient private var st: ValueState[CurationState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[CurationState]("cur",
-        Encoders.product[CurationState], TTLConfig.NONE)
+        Encoders.product[CurationState],
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
 
     override def handleInputRows(key: Long, rows: Iterator[DocBandEvidence],
                                  tv: TimerValues): Iterator[CurationVerdict] = {
@@ -503,14 +505,27 @@ object EventStreams {
     * surface restated at verdict granularity.
     *
     * Scale shape: per doc — one stateless score, `bands` state
-    * lookups, one per-doc exactly-once record (unbounded — see
-    * [[CurationState]]); nothing scans or shuffles the history. */
+    * lookups, one per-doc exactly-once record; nothing scans or
+    * shuffles the history. A non-null `ttl` bounds the per-doc
+    * verdict-guard state (TimeMode.ProcessingTime + TTL — a
+    * redelivery later than `ttl` after the verdict re-emits it; the
+    * per-bucket occupancy state is the dedup index and stays
+    * unbounded by design). CAVEAT under non-null `ttl`: in this build
+    * a processing-time transformWithState query never quiesces under
+    * `processAllAvailable` (the engine always sees potential timer
+    * work — the [[SessionProcessor]] note), so drive it by polling
+    * the sink with a deadline (StreamingSpec/StreamingProbe show the
+    * pattern); correctness is unaffected. With `ttl = null` the query
+    * runs in TimeMode.None, `processAllAvailable` returns normally,
+    * and the guard state is unbounded. */
   def streamingCuration(docs: Dataset[StreamDoc],
                         model: graft.pipeline.QualityClassifier.Model,
                         shingleN: Int = 3, numHashes: Int = 16,
-                        bands: Int = 4): Dataset[CurationVerdict] = {
+                        bands: Int = 4,
+                        ttl: java.time.Duration = null): Dataset[CurationVerdict] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    val timeMode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
       val sc = graft.pipeline.QualityClassifier.scoreRow(d.text, model)
@@ -521,13 +536,10 @@ object EventStreams {
     }
       .groupByKey(b => (b.band_idx, b.band_hash))
       .transformWithState(new BandOccupantProcessor,
-        TimeMode.None(), OutputMode.Append())
+        timeMode, OutputMode.Append())
       .groupByKey(_.doc_id)
-      // TimeMode.None ONLY: processing-time chained transformWithState
-      // hangs in this build (the StreamingProbe watchdog class), which
-      // also rules out TTL state here — see CurationState's doc
-      .transformWithState(new CurationVerdictProcessor(bands),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CurationVerdictProcessor(bands, ttl),
+        timeMode, OutputMode.Append())
   }
 
   /** An arriving query vector for online retrieval. */
@@ -545,21 +557,20 @@ object EventStreams {
     * own micro-batch (the stream-static join emits them with the
     * probe rows), so the verdict fires immediately; the per-qid
     * emitted flag is the cross-batch redelivery guard (the
-    * [[DecontamProcessor]] pattern). NOT TTL-bounded: this build
-    * hangs on processing-time transformWithState in this query shape
-    * and Spark rejects TTLConfig under TimeMode.None, so the guard is
-    * one boolean per served query id — bound it operationally by
-    * restarting the serve query on a cadence if the query-id space is
-    * truly unbounded. Ranking
-    * replays [[graft.pipeline.Similarity.topKPerKey]]'s order
+    * [[DecontamProcessor]] pattern). With a non-null `ttl` the flag
+    * expires `ttl` after the query was served (TimeMode.ProcessingTime
+    * + TTL state), bounding state for an unbounded query-id space at
+    * the cost of re-serving a redelivery later than `ttl`; with
+    * `ttl = null` the guard is one boolean per served qid forever.
+    * Ranking replays [[graft.pipeline.Similarity.topKPerKey]]'s order
     * exactly: sim descending, nid ascending on ties. */
-  class AnnTopKProcessor(k: Int)
+  class AnnTopKProcessor(k: Int, ttl: java.time.Duration = null)
       extends StatefulProcessor[Long, AnnCand, AnnHit] {
     @transient private var emitted: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       emitted = getHandle.getValueState[Boolean]("emitted", Encoders.scalaBoolean,
-        TTLConfig.NONE)
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
 
     override def handleInputRows(key: Long, rows: Iterator[AnnCand],
                                  tv: TimerValues): Iterator[AnnHit] = {
@@ -570,13 +581,24 @@ object EventStreams {
         // buffer), so a future tweak to the batch ordering cannot
         // silently diverge the streaming face. An at-least-once
         // source duplicating a query WITHIN one batch duplicates
-        // every candidate with an identical sim — the nid set
-        // collapses them before the fold.
+        // every candidate with an identical sim — the nid→sim map
+        // collapses them before the fold, and a qid REUSED with a
+        // DIFFERENT vector in one batch (a contract violation — see
+        // [[streamingAnnServe]]) surfaces as the same nid scoring two
+        // different sims, which fails loudly instead of silently
+        // blending candidates from both vectors.
         val agg = new graft.functions.TopKAggregator(k)
-        val seen = scala.collection.mutable.HashSet.empty[Long]
+        val seen = scala.collection.mutable.HashMap.empty[Long, Double]
         var buf: Seq[(Double, Long)] = Vector.empty
         rows.foreach { c =>
-          if (seen.add(c.nid)) buf = agg.reduce(buf, (c.sim, c.nid))
+          seen.get(c.nid) match {
+            case None => seen.update(c.nid, c.sim); buf = agg.reduce(buf, (c.sim, c.nid))
+            case Some(prev) =>
+              require(prev == c.sim,
+                s"query id $key arrived with two different vectors in one batch " +
+                s"(neighbor ${c.nid} scored $prev and ${c.sim}); qids must be " +
+                "unique per vector — see streamingAnnServe's contract")
+          }
         }
         if (buf.isEmpty) Iterator.empty // no candidate reached any probed list
         else {
@@ -607,17 +629,31 @@ object EventStreams {
     * queries (StreamingSpec), self-matches excluded the same way
     * (nid =!= qid).
     *
+    * Contract: a query id identifies ONE vector — reuse a qid only to
+    * REDELIVER the same vector (at-least-once sources), never to ask
+    * a new question. A qid reused with a different vector in one
+    * batch fails loudly in [[AnnTopKProcessor]] when the candidate
+    * sets overlap; a cross-batch reuse inside the guard window is
+    * dropped as a redelivery.
+    *
     * Scale shape: per arriving query — one centroid scan (KB), a
     * candidate join that keeps ~N·nProbe/nClusters rows, one
-    * k-bounded fold; state is one boolean per served query id (see
-    * [[AnnTopKProcessor]] on why it is not TTL-bounded in this
-    * build). The 100 TB corpus sits in the static index relation; the
+    * k-bounded fold; state is one boolean per served query id,
+    * TTL-bounded when `ttl` is non-null (expiry `ttl` after serving —
+    * the redelivery guard becomes a window, so an unbounded query-id
+    * space no longer grows state without bound). CAVEAT under
+    * non-null `ttl`: the query runs in TimeMode.ProcessingTime, and
+    * in this build such queries never quiesce under
+    * `processAllAvailable` — drive them by polling the sink with a
+    * deadline (StreamingSpec/StreamingProbe show the pattern). The
+    * 100 TB corpus sits in the static index relation; the
     * join discards non-probed lists at the broadcast hash probe, and
     * writing the index `partitionBy("cluster")` is the layout lever
     * that turns that discard into partition pruning at the scan. */
   def streamingAnnServe(queries: Dataset[QueryVec], index: DataFrame,
                         centers: Array[Array[Double]], k: Int,
-                        nProbe: Int = 4): Dataset[AnnHit] = {
+                        nProbe: Int = 4,
+                        ttl: java.time.Duration = null): Dataset[AnnHit] = {
     val spark = index.sparkSession
     import spark.implicits._
     val bcCenters = spark.sparkContext.broadcast(centers)
@@ -638,12 +674,9 @@ object EventStreams {
       .select(col("qid"), col("nid"), col("sim"))
       .as[AnnCand]
       .groupByKey(_.qid)
-      // TimeMode.None ONLY: this build hangs on processing-time
-      // transformWithState downstream of the stream-static join
-      // (measured — the StreamingProbe watchdog class), which also
-      // rules out TTL state here; see AnnTopKProcessor's doc
-      .transformWithState(new AnnTopKProcessor(k),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new AnnTopKProcessor(k, ttl),
+        if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   /** Pure shingle core — bit-identical to the column-side

@@ -875,6 +875,163 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming ANN serve with TTL-bounded guard: equals batch, holds in-window, re-serves after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val centers = graft.pipeline.Similarity.ivfFitCenters(emb)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft_stream_ivf_ttl")
+      .toString + "/index"
+    graft.pipeline.Similarity.ivfEncode(emb, centers).write.parquet(ixDir)
+    val index = spark.read.parquet(ixDir)
+    val queries = emb.filter($"vec_id" < 8)
+    val batch = graft.pipeline.Similarity.ivfServe(index, centers, queries, k = 5)
+      .as[(Long, Long, Long)].collect().toList
+    val qvecs = queries
+      .select($"vec_id", graft.pipeline.Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => EventStreams.QueryVec(id, v) }
+    val ttl = java.time.Duration.ofSeconds(10)
+    val mem = MemoryStream[EventStreams.QueryVec]
+    // a processing-time TWS query never quiesces under
+    // processAllAvailable in this build — poll the sink instead
+    val q = EventStreams.streamingAnnServe(mem.toDS(), index, centers,
+        k = 5, ttl = ttl)
+      .writeStream.format("memory").queryName("ann_serve_ttl")
+      .outputMode("append").start()
+    def hits() = spark.table("ann_serve_ttl")
+      .as[(Long, Long, Long)].collect().toList
+    def awaitHits(n: Int): Unit = {
+      val dl = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (hits().size < n && System.nanoTime() < dl) Thread.sleep(200)
+      hits().size should be >= n
+    }
+    try {
+      // phase 1: serve all 8 queries (one, redelivered IN-batch)
+      mem.addData(qvecs :+ qvecs(0): _*)
+      awaitHits(batch.size)
+      val servedAt = System.nanoTime()
+      hits().sortBy(r => (r._1, r._2)) shouldBe batch
+      // phase 2: IN-WINDOW cross-batch redelivery of qid 0 rides with a
+      // fresh probe vector (vec 8, unseen qid) whose hits prove the
+      // batch processed — the guard must still hold for qid 0
+      val extra = emb.filter($"vec_id" === 8)
+        .select($"vec_id", graft.pipeline.Similarity.asDouble($"embedding"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, v) => EventStreams.QueryVec(id, v) }
+      val extraBatch = graft.pipeline.Similarity
+        .ivfServe(index, centers, emb.filter($"vec_id" === 8), k = 5)
+        .as[(Long, Long, Long)].collect().toList
+      mem.addData((extra :+ qvecs(0)): _*)
+      awaitHits(batch.size + extraBatch.size)
+      // in-window, provably (1s slack covers the poll granularity gap
+      // between the guard write and servedAt)
+      (System.nanoTime() - servedAt) should be < (ttl.toNanos - 1000000000L)
+      hits().count(_._1 == 0L) shouldBe 5 // guard held: no re-serve
+      // phase 3: redeliver qid 0 AFTER the window — the guard expired,
+      // the query re-serves it with the identical rows: the state
+      // bound is real and costs only a re-emit
+      Thread.sleep(ttl.toMillis + 1500)
+      mem.addData(qvecs(0))
+      awaitHits(batch.size + extraBatch.size + 5)
+      val q0 = hits().filter(_._1 == 0L)
+      q0.size shouldBe 10
+      q0.sortBy(r => (r._2, r._3)).grouped(2).foreach { pair =>
+        pair.head shouldBe pair.last // re-serve == original serve
+      }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming ANN serve fails loudly when one qid carries two different vectors in a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val centers = graft.pipeline.Similarity.ivfFitCenters(emb)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft_stream_ivf_dup")
+      .toString + "/index"
+    graft.pipeline.Similarity.ivfEncode(emb, centers).write.parquet(ixDir)
+    val index = spark.read.parquet(ixDir)
+    val v = emb.filter($"vec_id" === 0)
+      .select(graft.pipeline.Similarity.asDouble($"embedding"))
+      .as[Seq[Double]].head()
+    // same qid, nearly identical vector: probes the same clusters, so
+    // the candidate sets overlap, and every shared nid scores two
+    // different sims — the contract-violation detector must fire
+    val v2 = v.updated(0, v.head + 0.001)
+    val mem = MemoryStream[EventStreams.QueryVec]
+    val q = EventStreams.streamingAnnServe(mem.toDS(), index, centers, k = 5)
+      .writeStream.format("memory").queryName("ann_serve_conflict")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventStreams.QueryVec(0L, v), EventStreams.QueryVec(0L, v2))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      chain(e).exists(c => String.valueOf(c.getMessage)
+        .contains("two different vectors")) shouldBe true
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming curation with TTL-bounded verdict guard equals the batch composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.pipeline.QualityClassifier.fit(docs)
+    val rows = docs.select($"doc_id", $"text").filter($"doc_id" < 40)
+      .as[EventStreams.StreamDoc].collect().sortBy(_.doc_id).toSeq
+    val colScores = graft.pipeline.QualityClassifier.score(rows.toDF(), model)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    val preds = colScores.map(r => r._1 -> r._6).toMap
+    val nToks = colScores.map(r => r._1 -> r._2).toMap
+    val dupOf = graft.pipeline.Dedup
+      .firstSeenNearDup(rows.toDF(), shingleN = 3, numHashes = 16, bands = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val batch = rows.map { d =>
+      val isDup = dupOf(d.doc_id)
+      val p = preds(d.doc_id)
+      (d.doc_id, isDup, p, if (p == 1L && isDup == 0L) 1L else 0L, nToks(d.doc_id))
+    }.toList
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingCuration(mem.toDS(), model,
+        ttl = java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("curation_ttl")
+      .outputMode("append").start()
+    def awaitVerdicts(n: Int): Unit = {
+      val dl = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("curation_ttl").count() < n && System.nanoTime() < dl)
+        Thread.sleep(200)
+      spark.table("curation_ttl").count() shouldBe n
+    }
+    try {
+      // in-order arrival, batch 2 redelivers part of batch 1 inside
+      // the TTL window — still exactly-once per doc
+      mem.addData(rows.take(20): _*)
+      awaitVerdicts(20)
+      mem.addData(rows.slice(10, 40): _*)
+      awaitVerdicts(40)
+      val streamed = spark.table("curation_ttl")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      streamed shouldBe batch
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming near-dup: a late-arriving smaller id takes over the bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
