@@ -799,6 +799,17 @@ object PlanAudit {
         Seq("BroadcastHashJoin", "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
+      ("q172_ivf_half_fit_append",
+        "half-fit incremental append: the coarse quantizer fits on " +
+          "increment 1 only (a bounded driver-side sample problem), " +
+          "increment 2 encodes against the RELOADED frozen centers " +
+          "and parquet-appends disjoint files; the serve plan is " +
+          "q167's — combined scan, broadcast probe equi-join, " +
+          "map-side-combined TopK aggregator — with no refit and no " +
+          "scan of increment 1 during the append",
+        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+          "SortMergeJoin")),
       ("q169_ivfsq8_index_roundtrip",
         "IVF-SQ8 serving from the PERSISTED index: the corpus side " +
           "scans the (cluster, 1-byte/dim codes) parquet — 8x narrower " +

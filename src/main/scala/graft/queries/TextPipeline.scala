@@ -344,6 +344,36 @@ object TextPipeline {
       },
       None),
 
+    // ---- HALF-FIT incremental append — the live-maintenance path a
+    // production tier actually runs (q170 proves append==rebuild under
+    // SHARED centroids but fits them on the full corpus; here nothing
+    // ever sees more than its own increment): fit the coarse quantizer
+    // on increment 1 ONLY, encode+persist increment 1 AND the centroid
+    // artifact, then append increment 2 encoded against the RELOADED
+    // frozen centers, and serve the combined store with them. The
+    // oracle ([[dataOracles]]) inlines the same half-fit centroids —
+    // hash-equal proves a grown index serves exactly like a fresh
+    // build over the union WITH THOSE CENTERS (recall drifts as the
+    // unseen increment's distribution diverges from the fit sample;
+    // q152's audit is the measuring stick for when to refit). --------
+    ("q172_ivf_half_fit_append",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val inc1 = emb.filter(col("vec_id") % 2 === 0)
+        val inc2 = emb.filter(col("vec_id") % 2 =!= 0)
+        val ixDir = scratchDir("ivf_halffit", dir)
+        Similarity.writeCenters(s, Similarity.ivfFitCenters(inc1),
+          ixDir + "_centroids")
+        val frozen = Similarity.readCenters(s, ixDir + "_centroids")
+        Similarity.ivfEncode(inc1, frozen)
+          .write.mode("overwrite").parquet(ixDir)
+        Similarity.ivfEncode(inc2, frozen)
+          .write.mode("append").parquet(ixDir)
+        Similarity.ivfServe(s.read.parquet(ixDir), frozen,
+          emb.filter(col("vec_id") < 20), k = 5)
+      },
+      None),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and
@@ -1547,6 +1577,10 @@ object TextPipeline {
       queryCond = "vec_id < 20", k = 5)),
     "q170_ivf_index_append" -> ((s, dir) => Similarity.ivfTopKOracleSql(
       Similarity.ivfFitCenters(t(s, dir, "embeddings")),
+      queryCond = "vec_id < 20", k = 5)),
+    "q172_ivf_half_fit_append" -> ((s, dir) => Similarity.ivfTopKOracleSql(
+      Similarity.ivfFitCenters(
+        t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)),
       queryCond = "vec_id < 20", k = 5)),
     "q168_ivfpq_index_roundtrip" -> ((s, dir) => {
       val (centers, books) = Similarity.ivfPqFit(t(s, dir, "embeddings"),

@@ -636,6 +636,17 @@ object EventStreams {
     * sets overlap; a cross-batch reuse inside the guard window is
     * dropped as a redelivery.
     *
+    * GROWING the index while serving: a running query snapshots the
+    * static side's parquet file listing at start — appends (and
+    * `refreshByPath`) are invisible to it (measured; StreamingSpec
+    * pins this). To serve a grown index, restart from the checkpoint
+    * with a fresh `spark.read.parquet(ixDir)`: the restarted plan
+    * lists the appended files, queries arriving after the restart see
+    * appended neighbors, and the RocksDB guard state plus the file
+    * sink's metadata log carry exactly-once across — which makes the
+    * periodic restart double as the state-bounding cadence when `ttl`
+    * is not used.
+    *
     * Scale shape: per arriving query — one centroid scan (KB), a
     * candidate join that keeps ~N·nProbe/nClusters rows, one
     * k-bounded fold; state is one boolean per served query id,

@@ -947,6 +947,89 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming ANN serve over a GROWING index: checkpoint restart picks up appends, guard state survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val centers = graft.pipeline.Similarity.ivfFitCenters(emb)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_ivf_grow").toString
+    val ixDir = base + "/index"
+    val ckpt = base + "/ckpt"
+    val outDir = base + "/out"
+    val inc1 = emb.filter($"vec_id" % 2 === 0)
+    val inc2 = emb.filter($"vec_id" % 2 =!= 0)
+    graft.pipeline.Similarity.ivfEncode(inc1, centers)
+      .write.mode("overwrite").parquet(ixDir)
+    // batch references, for ODD query ids (odd qids are never in inc1,
+    // so self-exclusion can't mask growth)
+    def batchServe(ix: org.apache.spark.sql.DataFrame, qid: Long) =
+      graft.pipeline.Similarity.ivfServe(ix, centers,
+        emb.filter($"vec_id" === qid), k = 5)
+        .as[(Long, Long, Long)].collect().sortBy(_._2).toList
+    val inc1Index = spark.read.parquet(ixDir)
+    val beforeA = batchServe(inc1Index, 1L)
+    val qv = emb
+      .select($"vec_id", graft.pipeline.Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().map(r => r._1 -> r._2).toMap
+    val mem = MemoryStream[EventStreams.QueryVec]
+    // a running query SNAPSHOTS the static side's file listing at
+    // start (measured: appends + refreshByPath are invisible to it) —
+    // growing the index is a checkpoint-RESTART, which is also the
+    // state-bounding restart cadence: the fault-tolerant file sink +
+    // RocksDB state carry the exactly-once guards across
+    def start() = EventStreams.streamingAnnServe(mem.toDS(),
+        spark.read.parquet(ixDir), centers, k = 5)
+      .toDF().writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def emitted() = spark.read
+      .schema("qid LONG, rank LONG, nid LONG").parquet(outDir)
+    def awaitRows(cond: => Boolean): Unit = {
+      val dl = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < dl) Thread.sleep(200)
+      cond shouldBe true
+    }
+    // phase 1: serve qid 1 against the inc1-only index, then stop
+    val q1 = start()
+    try {
+      mem.addData(EventStreams.QueryVec(1L, qv(1L)))
+      awaitRows(emitted().count() == 5)
+      emitted().as[(Long, Long, Long)].collect()
+        .sortBy(_._2).toList shouldBe beforeA
+    } finally q1.stop()
+    // phase 2: GROW the index — append increment 2 (frozen centers,
+    // disjoint files), exactly the q170/q172 maintenance path
+    graft.pipeline.Similarity.ivfEncode(inc2, centers)
+      .write.mode("append").parquet(ixDir)
+    // an odd qid whose combined top-5 provably differs from inc1-only
+    val combined = spark.read.parquet(ixDir)
+    val qidB = (3L to 99L by 2).find { id =>
+      batchServe(combined, id) != batchServe(inc1Index, id)
+    }.get
+    val afterB = batchServe(combined, qidB)
+    afterB.exists(_._3 % 2 == 1) shouldBe true // an appended (odd) nid ranks
+    // phase 3: restart from the checkpoint — the re-read static side
+    // lists the grown index; a query arriving now sees appended
+    // neighbors, and qid 1's redelivery still hits the surviving guard
+    val q2 = start()
+    try {
+      mem.addData(EventStreams.QueryVec(qidB, qv(qidB)),
+        EventStreams.QueryVec(1L, qv(1L))) // redelivery across restart
+      awaitRows(emitted().filter($"qid" === qidB).count() == 5)
+      emitted().filter($"qid" === qidB)
+        .as[(Long, Long, Long)].collect().sortBy(_._2).toList shouldBe afterB
+      // guard state survived the restart: qid 1 was NOT re-served, and
+      // its pre-restart verdict is untouched by the growth
+      emitted().filter($"qid" === 1L)
+        .as[(Long, Long, Long)].collect().sortBy(_._2).toList shouldBe beforeA
+    } finally {
+      q2.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming ANN serve fails loudly when one qid carries two different vectors in a batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
