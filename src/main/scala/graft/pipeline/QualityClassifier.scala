@@ -245,16 +245,39 @@ object QualityClassifier {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Reload a [[writeModel]] artifact. */
+  /** Reload a [[writeModel]] artifact, VALIDATED: a stale, truncated,
+    * or foreign parquet (missing column, extra rows, weight vector
+    * shorter than n_features, non-power-of-two n_features) fails
+    * loudly here instead of scoring garbage downstream — the schema
+    * guard a shipped artifact needs because the scoring job has no
+    * other way to know the file it was handed is really a model. */
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     import spark.implicits._
-    val r = spark.read.parquet(path)
-      .select(col("w_grid"), col("w_len"), col("w_dist"), col("w_ratio"),
-        col("bias"), col("n_features"), col("min_toks"), col("trace"),
-        col("accuracy"))
+    val df = spark.read.parquet(path)
+    val required = Seq("w_grid", "w_len", "w_dist", "w_ratio", "bias",
+      "n_features", "min_toks", "trace", "accuracy")
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"qualityClassifier model artifact at $path is missing column(s) " +
+        s"${missing.mkString(", ")} — not a writeModel output " +
+        s"(found: ${df.columns.mkString(", ")})")
+    val rows = df
+      .select(required.map(col): _*)
       .as[(Seq[Long], Double, Double, Double, Double, Int, Int, Seq[Double], Double)]
-      .head()
-    Model(r._1.toArray, r._2, r._3, r._4, r._5, r._6, r._7, r._8.toArray, r._9)
+      .take(2)
+    require(rows.length == 1,
+      s"qualityClassifier model artifact at $path has ${rows.length} rows " +
+        "(expected exactly 1) — truncated or not a writeModel output")
+    val r = rows.head
+    require(r._1 != null && r._6 > 0 && (r._6 & (r._6 - 1)) == 0,
+      s"qualityClassifier model artifact at $path: n_features ${r._6} " +
+        "must be a positive power of two")
+    require(r._1.length == r._6,
+      s"qualityClassifier model artifact at $path: weight vector has " +
+        s"${r._1.length} entries but n_features is ${r._6} — truncated " +
+        "or mismatched artifact")
+    Model(r._1.toArray, r._2, r._3, r._4, r._5, r._6, r._7,
+      Option(r._8).map(_.toArray).getOrElse(Array.empty), r._9)
   }
 
   /** Pure per-row scoring core — the row twin of [[scoreUnsorted]]'s

@@ -1676,5 +1676,45 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     loaded.accuracy shouldBe m1.accuracy
     QualityClassifier.score(real, loaded).collect().toSeq shouldBe
       scored.collect().toSeq
+    // artifact validation: a stale/truncated/foreign parquet fails
+    // loudly instead of scoring garbage
+    val badBase = java.nio.file.Files.createTempDirectory("graft_qc_bad").toString
+    // (a) missing column — some other table handed to the scorer
+    real.limit(1).write.parquet(badBase + "/foreign")
+    val eMissing = intercept[IllegalArgumentException] {
+      QualityClassifier.readModel(spark, badBase + "/foreign")
+    }
+    eMissing.getMessage should include("missing column")
+    // (b) weight vector shorter than n_features — truncated artifact
+    Seq((m1.wGrid.take(10).toSeq, m1.wLen, m1.wDist, m1.wRatio, m1.bias,
+        m1.nFeatures, m1.minToks, m1.trace.toSeq, m1.accuracy))
+      .toDF("w_grid", "w_len", "w_dist", "w_ratio", "bias",
+        "n_features", "min_toks", "trace", "accuracy")
+      .write.parquet(badBase + "/truncated")
+    val eTrunc = intercept[IllegalArgumentException] {
+      QualityClassifier.readModel(spark, badBase + "/truncated")
+    }
+    eTrunc.getMessage should include("truncated")
+    // (c) more than one row — concatenated/corrupt store
+    QualityClassifier.writeModel(spark, m1, badBase + "/dup")
+    Seq((m1.wGrid.toSeq, m1.wLen, m1.wDist, m1.wRatio, m1.bias,
+        m1.nFeatures, m1.minToks, m1.trace.toSeq, m1.accuracy))
+      .toDF("w_grid", "w_len", "w_dist", "w_ratio", "bias",
+        "n_features", "min_toks", "trace", "accuracy")
+      .write.mode("append").parquet(badBase + "/dup")
+    val eDup = intercept[IllegalArgumentException] {
+      QualityClassifier.readModel(spark, badBase + "/dup")
+    }
+    eDup.getMessage should include("expected exactly 1")
+    // (d) non-power-of-two n_features — foreign/corrupt metadata
+    Seq((Seq.fill(100)(0L), m1.wLen, m1.wDist, m1.wRatio, m1.bias,
+        100, m1.minToks, m1.trace.toSeq, m1.accuracy))
+      .toDF("w_grid", "w_len", "w_dist", "w_ratio", "bias",
+        "n_features", "min_toks", "trace", "accuracy")
+      .write.parquet(badBase + "/npow2")
+    val ePow = intercept[IllegalArgumentException] {
+      QualityClassifier.readModel(spark, badBase + "/npow2")
+    }
+    ePow.getMessage should include("power of two")
   }
 }
