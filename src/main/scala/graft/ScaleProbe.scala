@@ -197,17 +197,21 @@ object ScaleProbe {
     // tier actually pays per query wave — the narrow index scan +
     // cluster equi-join — with no refit anywhere in the timed plan
     if (only.isEmpty || only("ann_ivf_serve")) {
-      val tmp = System.getProperty("java.io.tmpdir")
+      // per-run temp dir (the StreamingProbe pattern): concurrent
+      // probe runs can't race on overwrite-while-read, and nothing
+      // stale persists at a fixed path across runs
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scaleprobe_ivf")
+        .toString
       val c1 = Similarity.ivfFitCenters(emb)
       val cN = Similarity.ivfFitCenters(embN)
       Similarity.ivfEncode(emb, c1)
-        .write.mode("overwrite").parquet(s"$tmp/graft_scaleprobe_ivfix1")
+        .write.mode("overwrite").parquet(s"$tmp/ivfix1")
       Similarity.ivfEncode(embN, cN)
-        .write.mode("overwrite").parquet(s"$tmp/graft_scaleprobe_ivfixN")
+        .write.mode("overwrite").parquet(s"$tmp/ivfixN")
       probe("ann_ivf_serve",
-        Similarity.ivfServe(spark.read.parquet(s"$tmp/graft_scaleprobe_ivfix1"),
+        Similarity.ivfServe(spark.read.parquet(s"$tmp/ivfix1"),
           c1, emb.filter(col("vec_id") < 20), 5).count(),
-        Similarity.ivfServe(spark.read.parquet(s"$tmp/graft_scaleprobe_ivfixN"),
+        Similarity.ivfServe(spark.read.parquet(s"$tmp/ivfixN"),
           cN, embN.filter(col("vec_id") < 20), 5).count())
     }
     // the production LSH recipe (4 planes × 32 tables, docs/SCALE.md

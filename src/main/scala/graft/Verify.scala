@@ -40,14 +40,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // @SF@ marks sf-keyed scratch paths (interchange round-trip files
-    // are written under .../graft_interchange_<sfbase>_<fmt> so runs at
-    // different scale factors — e.g. the ScalaTest smoke at sf0.001 —
-    // can never clobber the gate's files): substitute the actual sf
-    // basename so the dumped SQL reads exactly the files THIS run wrote.
+    // @SF@/@RUN@ mark scratch paths (interchange round-trip files are
+    // written under .../graft_interchange_<sfbase>_r<pid>_<fmt> so
+    // neither runs at other scale factors nor CONCURRENT runs at the
+    // same one can clobber the gate's files): substitute the actual sf
+    // basename and this JVM's run token so the dumped SQL reads
+    // exactly the files THIS run wrote.
     val sfBase = Paths.get(sfDir).getFileName.toString
     val json = (SparkEntry.oracleSql ++ SparkEntry.dataOracleSql(spark, sfDir))
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("@SF@", sfBase))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("@SF@", sfBase)
+        .replace("@RUN@", graft.queries.TextPipeline.runToken))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1607,29 +1607,38 @@ object TextPipeline {
     })
   )
 
-  /** Scratch dir keyed by the sf basename so concurrent/interleaved
-    * runs at different scale factors (the ScalaTest smoke runs every
-    * query at sf0.001) never overwrite the files a gate query is
-    * about to re-read — the ONE place the tmp-path convention lives
-    * (the q162/q167/q168 index dirs and the interchange round trips
-    * share it). Two concurrent runs at the SAME scale factor would
-    * race on these paths (overwrite-while-read) — same-sf concurrency
-    * is unsupported by design; a per-run token would silently defeat
-    * the cross-process determinism the gate relies on. */
+  /** Per-JVM run token: scratch paths carry it so two CONCURRENT runs
+    * (same or different scale factor) can never collide on
+    * overwrite-while-read — the pid is unique among live processes.
+    * The only cross-process consumers of these paths are the
+    * interchange oracles, whose SQL is dumped BY THIS JVM at Verify
+    * time with the literal `@RUN@` token substituted for this value
+    * (the `@SF@` pattern), so the dumped SQL always reads exactly the
+    * files this run wrote. */
+  private[graft] val runToken: String =
+    java.lang.ProcessHandle.current().pid().toString
+
+  /** Scratch dir keyed by the sf basename AND the per-JVM [[runToken]]
+    * — the ONE place the tmp-path convention lives (the
+    * q162/q167/q168/q172 index dirs and the interchange round trips
+    * share it). The sf key keeps interleaved same-JVM runs at
+    * different scale factors (the ScalaTest smoke runs every query at
+    * sf0.001) from overwriting files a gate query is about to
+    * re-read; the run token extends that guarantee across processes. */
   private def scratchDir(tag: String, dir: String): String = {
     val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$sfBase"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${sfBase}_r$runToken"
   }
 
   /** Interchange round-trip dirs ride [[scratchDir]]; the oracle-side
-    * twin uses the literal `@SF@` token, which [[graft.Verify]]
-    * substitutes with the run's actual sf basename when dumping
-    * oracle_sql.json. */
+    * twin uses the literal `@SF@` and `@RUN@` tokens, which
+    * [[graft.Verify]] substitutes with the run's actual sf basename
+    * and this JVM's [[runToken]] when dumping oracle_sql.json. */
   private def interchangeDir(fmt: String, dir: String): String =
     scratchDir("interchange", dir) + s"_$fmt"
 
   private def interchangeOracleDir(fmt: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_interchange_@SF@_$fmt"
+    s"${System.getProperty("java.io.tmpdir")}/graft_interchange_@SF@_r@RUN@_$fmt"
 
   /** CSV options making the interchange round-trip BYTE-EXACT for
     * hostile content, not just the benign synthetic corpus (the r9
