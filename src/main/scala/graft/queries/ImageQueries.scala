@@ -985,7 +985,23 @@ object ImageQueries {
             SparkImage(ImageMeta(), "[]", 16, 8, 2, PixelCodec.Rgb, data),
             syntaxes(sx), 0, "YBR_FULL_422")
         }
-        val rows = full.union(sub)
+        // ODD Columns (15): each row ends in a half group whose Y2 is
+        // padding. Values vary PER ROW (pairs still share chroma, so
+        // the round trip stays exact), which makes any mis-paired
+        // group indexing — e.g. pairing across a row boundary — flip
+        // a channel mean
+        val subOdd = s.range(3L).map { sxL =>
+          val sx = sxL.toInt
+          val data = Array.tabulate(2 * 15 * 8 * 3) { idx =>
+            val f = idx / (15 * 8 * 3); val r = idx % (15 * 8 * 3) / (15 * 3)
+            val c = idx % 3
+            (14 * sx + 3 * f + 2 * r + 26 + Array(0, 50, 95)(c)).toByte
+          }
+          (s"/ybr422odd/$sx",
+            SparkImage(ImageMeta(), "[]", 15, 8, 2, PixelCodec.Rgb, data),
+            syntaxes(sx), 0, "YBR_FULL_422")
+        }
+        val rows = full.union(sub).union(subOdd)
           .toDF("sample", "image", "ts", "planar", "photometric")
         ImageOps.saveDicomMultiFrame(rows, dir)
         def chan(st: String) = ImageFunctions.statsUdf(
@@ -1011,7 +1027,13 @@ object ImageQueries {
             CAST(14 * sx + 3 * f + 33 AS DOUBLE),
             CAST(14 * sx + 3 * f + 83 AS DOUBLE),
             CAST(14 * sx + 3 * f + 128 AS DOUBLE)
-          FROM range(3) t(sx) CROSS JOIN range(2) v(f)),
+          FROM range(3) t(sx) CROSS JOIN range(2) v(f)
+          UNION ALL
+          SELECT 'ybr422odd_' || CAST(sx AS VARCHAR) AS name, f,
+            CAST(14 * sx + 3 * f + 2 * rr + 26 AS DOUBLE),
+            CAST(14 * sx + 3 * f + 2 * rr + 76 AS DOUBLE),
+            CAST(14 * sx + 3 * f + 2 * rr + 121 AS DOUBLE)
+          FROM range(3) t(sx) CROSS JOIN range(2) v(f) CROSS JOIN range(8) w(rr)),
         ybr AS (SELECT name, f,
           GREATEST(0.0E0, LEAST(255.0E0, FLOOR(0.299E0 * r + 0.587E0 * g + 0.114E0 * b + 0.5E0))) AS y,
           GREATEST(0.0E0, LEAST(255.0E0, FLOOR(-0.168736E0 * r - 0.331264E0 * g + 0.5E0 * b + 128 + 0.5E0))) AS cb,

@@ -784,13 +784,14 @@ object ImageCodecIO {
       require(planar == 0 || planar == 1, s"bad PlanarConfiguration $planar: $path")
       if (is422 && ts != TsJpegBaseline) {
         // PS3.3 C.7.6.3.1.2: 422 chroma is subsampled 2:1 horizontally
-        // (Y1 Y2 Cb Cr groups) — column count must pair up, the layout
-        // is inherently interleaved (PlanarConfiguration 0), and the
-        // RLE plane form doesn't apply (real RLE color is YBR_FULL).
-        // Under JPEG Baseline (.50 — where YBR_FULL_422 is what real
-        // color ultrasound/endoscopy declares) the JFIF codec owns the
-        // subsampling, so none of the native-layout rules apply.
-        require(cols % 2 == 0, s"YBR_FULL_422 with odd Columns $cols: $path")
+        // (Y1 Y2 Cb Cr groups per ROW — odd Columns pad the last
+        // group's Y2, the tolerant layout real toolkits read and the
+        // one our writer emits), the layout is inherently interleaved
+        // (PlanarConfiguration 0), and the RLE plane form doesn't
+        // apply (real RLE color is YBR_FULL). Under JPEG Baseline
+        // (.50 — where YBR_FULL_422 is what real color ultrasound/
+        // endoscopy declares) the JFIF codec owns the subsampling, so
+        // none of the native-layout rules apply.
         require(planar == 0, s"YBR_FULL_422 requires PlanarConfiguration 0: $path")
         require(!encapsulated,
           s"YBR_FULL_422 pixel data in transfer syntax $ts unsupported " +
@@ -893,9 +894,12 @@ object ImageCodecIO {
       px = Array.concat(encapFragments.map(fragToBytes): _*)
     }
     require(px != null, s"missing DICOM pixel data: $path")
-    // native 422 packs 2 bytes/pixel; baseline-422 frames were already
-    // expanded to interleaved RGB by the JFIF decode
-    val frameBytes = if (is422 && encapFragments == null) n * 2
+    // native 422 packs rows of ceil(cols/2) 4-byte Y1Y2CbCr groups
+    // (2 bytes/pixel for even cols; odd cols pad the last group);
+    // baseline-422 frames were already expanded to interleaved RGB by
+    // the JFIF decode
+    val gpr422 = (cols + 1) / 2
+    val frameBytes = if (is422 && encapFragments == null) rows * gpr422 * 4
                      else n * samples * (bits / 8)
     require(px.length >= frames * frameBytes, s"short DICOM pixel payload: $path")
     val log = ImageLog.append(ImageLog.empty, LogEntry("LOAD", "SPARK", path, ""))
@@ -904,21 +908,27 @@ object ImageCodecIO {
       // interleave to the SparkImage Rgb layout; encapsulated RLE
       // already interleaved in rleDecodeFragment (its segments ARE the
       // planes, whatever the declared PlanarConfiguration); 422 stores
-      // Y1 Y2 Cb Cr groups — upsample chroma by replication across the
-      // pixel pair (PS3.3 C.7.6.3.1.2)
+      // per-row Y1 Y2 Cb Cr groups — upsample chroma by replication
+      // across the pixel pair (PS3.3 C.7.6.3.1.2); an odd-column row's
+      // last group carries a padding Y2, skipped here
       val data =
         if (is422 && encapFragments == null) {
           val out = new Array[Byte](frames * n * 3)
           var f = 0
           while (f < frames) {
-            val fi = f * n * 2; val fo = f * n * 3
-            var j = 0
-            while (j < n) {
-              val g = fi + (j >> 1) * 4
-              out(fo + 3 * j) = px(g + (j & 1))
-              out(fo + 3 * j + 1) = px(g + 2)
-              out(fo + 3 * j + 2) = px(g + 3)
-              j += 1
+            val fi = f * rows * gpr422 * 4; val fo = f * n * 3
+            var r = 0
+            while (r < rows) {
+              val ri = fi + r * gpr422 * 4; val ro = fo + r * cols * 3
+              var c = 0
+              while (c < cols) {
+                val g = ri + (c >> 1) * 4
+                out(ro + 3 * c) = px(g + (c & 1))
+                out(ro + 3 * c + 1) = px(g + 2)
+                out(ro + 3 * c + 2) = px(g + 3)
+                c += 1
+              }
+              r += 1
             }
             f += 1
           }
@@ -1159,7 +1169,6 @@ object ImageCodecIO {
       require(transferSyntax != TsRle,
         "YBR_FULL_422 writes native syntaxes only (RLE color is YBR_FULL/RGB)")
       require(planarConfig == 0, "YBR_FULL_422 is inherently interleaved (planar 0)")
-      require(img.width % 2 == 0, s"YBR_FULL_422 needs even Columns, got ${img.width}")
     }
     // signed (PixelRepresentation 1) and modality-rescaled data: the
     // real CT shape; grayscale, native syntaxes (signed), no palette.
@@ -1328,19 +1337,30 @@ object ImageCodecIO {
       Array.tabulate(n)(i => cdata(((cOff + f) * n + i) * 3 + c))
     def rgbInterleaved(f: Int): Array[Byte] =
       java.util.Arrays.copyOfRange(cdata, (cOff + f) * n * 3, (cOff + f + 1) * n * 3)
-    // 422: Y1 Y2 Cb Cr per pixel pair, chroma from the pair's first
+    // 422: per-ROW Y1 Y2 Cb Cr groups, chroma from the pair's first
     // pixel (a legal encoder choice; lossless wherever the pair shares
-    // chroma — which a decode-side replication round-trips exactly)
+    // chroma — which a decode-side replication round-trips exactly).
+    // Odd Columns: the row's last group holds one real pixel — its Y2
+    // replicates Y1 as padding (what tolerant decoders, ours included,
+    // skip on read), so odd-width frames round-trip exactly too.
     def ybr422Frame(f: Int): Array[Byte] = {
-      val out = new Array[Byte](n * 2)
-      var j = 0
-      while (j < n / 2) {
-        val base = ((cOff + f) * n + 2 * j) * 3
-        out(4 * j) = cdata(base)
-        out(4 * j + 1) = cdata(base + 3)
-        out(4 * j + 2) = cdata(base + 1)
-        out(4 * j + 3) = cdata(base + 2)
-        j += 1
+      val gpr = (w + 1) / 2
+      val out = new Array[Byte](h * gpr * 4)
+      var r = 0
+      while (r < h) {
+        val ri = r * gpr * 4
+        var gi = 0
+        while (gi < gpr) {
+          val c1 = 2 * gi
+          val base = ((cOff + f) * n + r * w + c1) * 3
+          val y2 = if (c1 + 1 < w) cdata(base + 3) else cdata(base)
+          out(ri + 4 * gi) = cdata(base)
+          out(ri + 4 * gi + 1) = y2
+          out(ri + 4 * gi + 2) = cdata(base + 1)
+          out(ri + 4 * gi + 3) = cdata(base + 2)
+          gi += 1
+        }
+        r += 1
       }
       out
     }
