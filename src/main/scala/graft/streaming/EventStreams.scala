@@ -386,6 +386,17 @@ object EventStreams {
   case class CurationVerdict(doc_id: Long, is_dup: Long, pred: Long,
                              keep: Long, n_toks: Long)
 
+  /** A curation output row for the corrections-enabled face:
+    * `is_correction = 0` rows are the arrival-time verdicts (exactly
+    * once per doc, identical to [[CurationVerdict]]); an
+    * `is_correction = 1` row is a LATE is_dup UPGRADE — emitted at
+    * most once per doc when takeover evidence (an out-of-order
+    * smaller near-dup) arrives AFTER the doc's clean verdict already
+    * fired. Consumers needing batch-exact composition reconcile by
+    * taking, per doc, the correction if one exists else the verdict. */
+  case class CurationEvent(doc_id: Long, is_dup: Long, pred: Long,
+                           keep: Long, n_toks: Long, is_correction: Long)
+
   /** THE per-(band, bucket) first-occupant state machine (one long of
     * state per distinct bucket — the LSH inverted index kept
     * incrementally), emitting ONE evidence row per arriving
@@ -441,15 +452,19 @@ object EventStreams {
   case class CurationState(seen: Int, anyDup: Boolean, pred: Long,
                            nToks: Long, emitted: Boolean)
 
-  /** Reassembles a doc's `bands` evidence rows into ONE
-    * [[CurationVerdict]], emitted exactly once when the last band
+  /** Reassembles a doc's `bands` evidence rows into ONE verdict
+    * [[CurationEvent]], emitted exactly once when the last band
     * reports (always within the doc's own arrival batch — the
     * upstream flatMap emits all `bands` rows together). Late
-    * retro-flag evidence for an already-emitted doc is dropped: a
-    * keep verdict is never retracted (see [[streamingCuration]]'s
-    * out-of-order contract). */
-  class CurationVerdictProcessor(bands: Int, ttl: java.time.Duration = null)
-      extends StatefulProcessor[Long, DocBandEvidence, CurationVerdict] {
+    * retro-flag evidence for an already-emitted doc is dropped by
+    * default (a keep verdict is never retracted — see
+    * [[streamingCuration]]'s out-of-order contract); with
+    * `corrections = true` it instead produces AT MOST ONE
+    * `is_correction = 1` upgrade row per doc, so downstream consumers
+    * can reconcile to the batch-exact verdict. */
+  class CurationVerdictProcessor(bands: Int, ttl: java.time.Duration = null,
+                                 corrections: Boolean = false)
+      extends StatefulProcessor[Long, DocBandEvidence, CurationEvent] {
     @transient private var st: ValueState[CurationState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -458,20 +473,31 @@ object EventStreams {
         if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
 
     override def handleInputRows(key: Long, rows: Iterator[DocBandEvidence],
-                                 tv: TimerValues): Iterator[CurationVerdict] = {
+                                 tv: TimerValues): Iterator[CurationEvent] = {
       var s = if (st.exists()) st.get() else CurationState(0, false, -1L, -1L, false)
+      // late = FIRST dup evidence after a clean verdict already fired
+      // (anyDup flips on that row, so later batches can't re-correct)
+      var late = false
       rows.foreach { r =>
-        s = s.copy(seen = s.seen + 1, anyDup = s.anyDup || r.rep >= 0L,
+        val dup = r.rep >= 0L
+        if (s.emitted && dup && !s.anyDup) late = true
+        s = s.copy(seen = s.seen + 1, anyDup = s.anyDup || dup,
           pred = if (r.pred >= 0L) r.pred else s.pred,
           nToks = if (r.pred >= 0L) r.n_toks else s.nToks)
       }
       val fire = !s.emitted && s.seen >= bands && s.pred >= 0L
       if (fire) s = s.copy(emitted = true)
       st.update(s)
-      if (fire) Iterator.single(CurationVerdict(key,
-        if (s.anyDup) 1L else 0L, s.pred,
-        if (s.pred == 1L && !s.anyDup) 1L else 0L, s.nToks))
-      else Iterator.empty
+      val verdict =
+        if (fire) Iterator.single(CurationEvent(key,
+          if (s.anyDup) 1L else 0L, s.pred,
+          if (s.pred == 1L && !s.anyDup) 1L else 0L, s.nToks, 0L))
+        else Iterator.empty
+      val upgrade =
+        if (corrections && late) Iterator.single(
+          CurationEvent(key, 1L, s.pred, 0L, s.nToks, 1L))
+        else Iterator.empty
+      verdict ++ upgrade
     }
   }
 
@@ -502,7 +528,10 @@ object EventStreams {
     * (the takeover rule), but an already-emitted keep verdict is not
     * retracted when a smaller near-dup arrives later — the verdict
     * stream is append-only, the [[streamingNearDup]] deviation
-    * surface restated at verdict granularity.
+    * surface restated at verdict granularity. Consumers that need
+    * batch-exact composition under out-of-order arrival use
+    * [[streamingCurationWithCorrections]], whose is_dup-upgrade rows
+    * close exactly this gap.
     *
     * Scale shape: per doc — one stateless score, `bands` state
     * lookups, one per-doc exactly-once record; nothing scans or
@@ -523,6 +552,35 @@ object EventStreams {
                         shingleN: Int = 3, numHashes: Int = 16,
                         bands: Int = 4,
                         ttl: java.time.Duration = null): Dataset[CurationVerdict] = {
+    import docs.sparkSession.implicits._
+    curationEvents(docs, model, shingleN, numHashes, bands, ttl,
+      corrections = false)
+      .map(e => CurationVerdict(e.doc_id, e.is_dup, e.pred, e.keep, e.n_toks))
+  }
+
+  /** [[streamingCuration]] plus a RETRACTION surface: the same
+    * exactly-once arrival-time verdicts (`is_correction = 0`), and —
+    * when an out-of-order smaller near-dup arrives AFTER a doc's
+    * clean verdict already fired — at most one `is_correction = 1`
+    * is_dup-upgrade row for that doc. Reconciling per doc (take the
+    * correction if present, else the verdict) recovers the batch q165
+    * composition under ANY arrival order, which the append-only
+    * default can't promise (its documented deviation). Same scale and
+    * TTL shape as [[streamingCuration]]; corrections ride the
+    * existing takeover evidence, costing no extra state. */
+  def streamingCurationWithCorrections(docs: Dataset[StreamDoc],
+                                       model: graft.pipeline.QualityClassifier.Model,
+                                       shingleN: Int = 3, numHashes: Int = 16,
+                                       bands: Int = 4,
+                                       ttl: java.time.Duration = null): Dataset[CurationEvent] =
+    curationEvents(docs, model, shingleN, numHashes, bands, ttl,
+      corrections = true)
+
+  private def curationEvents(docs: Dataset[StreamDoc],
+                             model: graft.pipeline.QualityClassifier.Model,
+                             shingleN: Int, numHashes: Int, bands: Int,
+                             ttl: java.time.Duration,
+                             corrections: Boolean): Dataset[CurationEvent] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val timeMode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
@@ -538,7 +596,7 @@ object EventStreams {
       .transformWithState(new BandOccupantProcessor,
         timeMode, OutputMode.Append())
       .groupByKey(_.doc_id)
-      .transformWithState(new CurationVerdictProcessor(bands, ttl),
+      .transformWithState(new CurationVerdictProcessor(bands, ttl, corrections),
         timeMode, OutputMode.Append())
   }
 

@@ -834,6 +834,62 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming curation corrections: a late is_dup upgrade reconciles to the batch verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the exact append-only-deviation scenario: the LATER near-dup doc
+    // arrives first, its clean verdict fires, then the smaller doc
+    // takes the buckets over
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    val a = EventStreams.StreamDoc(1L, base)
+    val b = EventStreams.StreamDoc(2L, base)
+    val docs = spark.createDataFrame(Seq((1L, base), (2L, base)))
+      .toDF("doc_id", "text")
+    val model = graft.pipeline.QualityClassifier.fit(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingCurationWithCorrections(mem.toDS(), model)
+      .writeStream.format("memory").queryName("curation_corr")
+      .outputMode("append").start()
+    try {
+      mem.addData(b) // LATER doc arrives first
+      q.processAllAvailable()
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b) // redelivery after the takeover: no SECOND correction
+      q.processAllAvailable()
+      val events = spark.table("curation_corr")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+      // verdicts are the append-only face unchanged: one per doc,
+      // doc 2's still says clean (emitted before the takeover)
+      val verdicts = events.filter(_._6 == 0L).sortBy(_._1)
+      verdicts.map(_._1) shouldBe List(1L, 2L)
+      verdicts.find(_._1 == 2L).get._2 shouldBe 0L
+      // exactly ONE correction: doc 2 upgraded to is_dup=1, keep=0
+      val corrections = events.filter(_._6 == 1L)
+      corrections.map(e => (e._1, e._2, e._4)) shouldBe List((2L, 1L, 0L))
+      // reconciling (correction wins over verdict) recovers the batch
+      // q165 composition per doc
+      val batchDup = graft.pipeline.Dedup.firstSeenNearDup(docs, 3, 16, 4)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      val expPred = graft.pipeline.QualityClassifier.scoreRow(base, model)._5
+      val reconciled = events.groupBy(_._1).map { case (id, evs) =>
+        id -> evs.maxBy(_._6)
+      }
+      Seq(1L, 2L).foreach { id =>
+        val e = reconciled(id)
+        e._2 shouldBe batchDup(id)
+        e._3 shouldBe expPred
+        e._4 shouldBe (if (expPred == 1L && batchDup(id) == 0L) 1L else 0L)
+      }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming ANN serve over the persisted index equals the batch serve row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
