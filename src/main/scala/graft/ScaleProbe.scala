@@ -213,6 +213,12 @@ object ScaleProbe {
           c1, emb.filter(col("vec_id") < 20), 5).count(),
         Similarity.ivfServe(spark.read.parquet(s"$tmp/ivfixN"),
           cN, embN.filter(col("vec_id") < 20), 5).count())
+      // both probes have fully consumed the indexes — reclaim the disk
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+        f.delete(): Unit
+      }
+      rmr(new java.io.File(tmp))
     }
     // the production LSH recipe (4 planes × 32 tables, docs/SCALE.md
     // §ANN recall@10): all 32 signatures come from ONE kernel pass per

@@ -31,12 +31,16 @@ object SparkEntry {
   /** Oracles whose SQL inlines deterministic fitted parameters
     * recomputed from the given sf directory (IVF centroids, PCA μ/W)
     * — generated at Verify time so the literals match the data the
-    * gate actually ran on. Disjoint from [[oracleSql]] keys. */
-  def dataOracleSql(spark: SparkSession, dir: String): Map[String, String] =
-    TextPipeline.dataOracles.flatMap { case (name, build) =>
-      try Some(name -> build(spark, dir))
-      catch { case e: Throwable =>
-        System.err.println(s"[oracle] $name fit failed: ${e.getMessage}"); None
+    * gate actually ran on. Disjoint from [[oracleSql]] keys. A
+    * non-empty `only` restricts building (each entry costs a fit). */
+  def dataOracleSql(spark: SparkSession, dir: String,
+                    only: Set[String] = Set.empty): Map[String, String] =
+    TextPipeline.dataOracles
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, build) =>
+        try Some(name -> build(spark, dir))
+        catch { case e: Throwable =>
+          System.err.println(s"[oracle] $name fit failed: ${e.getMessage}"); None
+        }
       }
-    }
 }

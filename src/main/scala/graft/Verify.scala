@@ -46,8 +46,14 @@ object Verify {
     // same one can clobber the gate's files): substitute the actual sf
     // basename and this JVM's run token so the dumped SQL reads
     // exactly the files THIS run wrote.
+    // a restricted run dumps only the selected queries' oracles: with
+    // per-run-token scratch paths, an unselected interchange oracle
+    // would point at files this run never wrote (and unselected
+    // data-oracle fits would burn time for entries nobody compares)
     val sfBase = Paths.get(sfDir).getFileName.toString
-    val json = (SparkEntry.oracleSql ++ SparkEntry.dataOracleSql(spark, sfDir))
+    val json = (SparkEntry.oracleSql.filter { case (k, _) =>
+        only.isEmpty || only(k) } ++
+      SparkEntry.dataOracleSql(spark, sfDir, only))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("@SF@", sfBase)
         .replace("@RUN@", graft.queries.TextPipeline.runToken))}" }
       .mkString("{", ",", "}")

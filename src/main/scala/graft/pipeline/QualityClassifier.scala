@@ -269,7 +269,10 @@ object QualityClassifier {
       s"qualityClassifier model artifact at $path has ${rows.length} rows " +
         "(expected exactly 1) — truncated or not a writeModel output")
     val r = rows.head
-    require(r._1 != null && r._6 > 0 && (r._6 & (r._6 - 1)) == 0,
+    require(r._1 != null,
+      s"qualityClassifier model artifact at $path: null weight vector " +
+        "(w_grid) — corrupt or foreign artifact")
+    require(r._6 > 0 && (r._6 & (r._6 - 1)) == 0,
       s"qualityClassifier model artifact at $path: n_features ${r._6} " +
         "must be a positive power of two")
     require(r._1.length == r._6,

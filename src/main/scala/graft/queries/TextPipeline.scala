@@ -1609,14 +1609,39 @@ object TextPipeline {
 
   /** Per-JVM run token: scratch paths carry it so two CONCURRENT runs
     * (same or different scale factor) can never collide on
-    * overwrite-while-read — the pid is unique among live processes.
-    * The only cross-process consumers of these paths are the
-    * interchange oracles, whose SQL is dumped BY THIS JVM at Verify
-    * time with the literal `@RUN@` token substituted for this value
-    * (the `@SF@` pattern), so the dumped SQL always reads exactly the
-    * files this run wrote. */
-  private[graft] val runToken: String =
-    java.lang.ProcessHandle.current().pid().toString
+    * overwrite-while-read. pid alone is not enough — the DuckDB
+    * oracle reads the interchange files AFTER the Verify JVM exits,
+    * so a recycled pid could overwrite them inside that window; the
+    * JVM start-instant suffix makes the token unique across pid
+    * reuse too. The only cross-process consumers of these paths are
+    * the interchange oracles, whose SQL is dumped BY THIS JVM at
+    * Verify time with the literal `@RUN@` token substituted for this
+    * value (the `@SF@` pattern), so the dumped SQL always reads
+    * exactly the files this run wrote. */
+  private[graft] val runToken: String = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val start = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    s"${pid}t$start"
+  }
+
+  /** One-shot stale-scratch GC, run on first scratch use per JVM:
+    * per-run tokens mean no run ever overwrites another's dirs, so
+    * without collection /tmp would accumulate one full set of index +
+    * interchange copies per run. Deleting only `graft_*` dirs older
+    * than a DAY can never race a live gate (a round's Verify → DuckDB
+    * compare completes in minutes) while bounding growth to one day's
+    * runs. */
+  private lazy val scratchGc: Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_") && f.lastModified() < cutoff)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+      f.delete(): Unit
+    }
+    stale.foreach(rmr)
+  }
 
   /** Scratch dir keyed by the sf basename AND the per-JVM [[runToken]]
     * — the ONE place the tmp-path convention lives (the
@@ -1626,6 +1651,7 @@ object TextPipeline {
     * sf0.001) from overwriting files a gate query is about to
     * re-read; the run token extends that guarantee across processes. */
   private def scratchDir(tag: String, dir: String): String = {
+    scratchGc
     val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${sfBase}_r$runToken"
   }

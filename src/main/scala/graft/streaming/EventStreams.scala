@@ -565,9 +565,16 @@ object EventStreams {
     * is_dup-upgrade row for that doc. Reconciling per doc (take the
     * correction if present, else the verdict) recovers the batch q165
     * composition under ANY arrival order, which the append-only
-    * default can't promise (its documented deviation). Same scale and
-    * TTL shape as [[streamingCuration]]; corrections ride the
-    * existing takeover evidence, costing no extra state. */
+    * default can't promise (its documented deviation). Corrections
+    * ride the existing takeover evidence, costing no extra state.
+    *
+    * TTL caveat: the correction detector lives in the per-doc guard
+    * state, so a non-null `ttl` BOUNDS THE CORRECTION WINDOW too — a
+    * takeover arriving later than `ttl` after the doc's verdict finds
+    * the state expired and emits nothing (pinned in StreamingSpec).
+    * For batch-exact reconciliation under arbitrary lateness run with
+    * `ttl = null` (the default): full-history state, the same class
+    * the band occupancy index keeps by design. */
   def streamingCurationWithCorrections(docs: Dataset[StreamDoc],
                                        model: graft.pipeline.QualityClassifier.Model,
                                        shingleN: Int = 3, numHashes: Int = 16,

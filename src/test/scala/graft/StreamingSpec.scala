@@ -890,6 +890,48 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming curation corrections under TTL: the correction window is the TTL window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    val model = graft.pipeline.QualityClassifier.fit(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val ttl = java.time.Duration.ofSeconds(5)
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingCurationWithCorrections(mem.toDS(), model,
+        ttl = ttl)
+      .writeStream.format("memory").queryName("curation_corr_ttl")
+      .outputMode("append").start()
+    def events() = spark.table("curation_corr_ttl")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    def awaitEvents(n: Int): Unit = {
+      val dl = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (events().size < n && System.nanoTime() < dl) Thread.sleep(200)
+      events().size should be >= n
+    }
+    try {
+      mem.addData(EventStreams.StreamDoc(2L, base)) // LATER doc first
+      awaitEvents(1)
+      // let doc 2's guard state EXPIRE, then the smaller near-dup
+      // arrives and takes the buckets over
+      Thread.sleep(ttl.toMillis + 1500)
+      mem.addData(EventStreams.StreamDoc(1L, base))
+      awaitEvents(2)
+      val evs = events()
+      // both verdicts fired; the takeover found doc 2's state expired,
+      // so NO correction — the documented window contract: a takeover
+      // later than ttl after the verdict is not corrected (use
+      // ttl=null for batch-exact reconciliation under any lateness)
+      evs.count(_._6 == 0L) shouldBe 2
+      evs.count(_._6 == 1L) shouldBe 0
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming ANN serve over the persisted index equals the batch serve row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -949,7 +991,18 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       .select($"vec_id", graft.pipeline.Similarity.asDouble($"embedding"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
       .map { case (id, v) => EventStreams.QueryVec(id, v) }
-    val ttl = java.time.Duration.ofSeconds(10)
+    val ttl = java.time.Duration.ofSeconds(15)
+    // phase-2 references precomputed BEFORE the stream starts, so the
+    // in-window redelivery below only pays one addData + micro-batch
+    // against the 15s window (collect-heavy work inside the window
+    // would make the in-window assertion flaky on a loaded machine)
+    val extra = emb.filter($"vec_id" === 8)
+      .select($"vec_id", graft.pipeline.Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => EventStreams.QueryVec(id, v) }
+    val extraBatch = graft.pipeline.Similarity
+      .ivfServe(index, centers, emb.filter($"vec_id" === 8), k = 5)
+      .as[(Long, Long, Long)].collect().toList
     val mem = MemoryStream[EventStreams.QueryVec]
     // a processing-time TWS query never quiesces under
     // processAllAvailable in this build — poll the sink instead
@@ -973,13 +1026,6 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       // phase 2: IN-WINDOW cross-batch redelivery of qid 0 rides with a
       // fresh probe vector (vec 8, unseen qid) whose hits prove the
       // batch processed — the guard must still hold for qid 0
-      val extra = emb.filter($"vec_id" === 8)
-        .select($"vec_id", graft.pipeline.Similarity.asDouble($"embedding"))
-        .as[(Long, Seq[Double])].collect()
-        .map { case (id, v) => EventStreams.QueryVec(id, v) }
-      val extraBatch = graft.pipeline.Similarity
-        .ivfServe(index, centers, emb.filter($"vec_id" === 8), k = 5)
-        .as[(Long, Long, Long)].collect().toList
       mem.addData((extra :+ qvecs(0)): _*)
       awaitHits(batch.size + extraBatch.size)
       // in-window, provably (1s slack covers the poll granularity gap
