@@ -799,6 +799,33 @@ object PlanAudit {
         Seq("BroadcastHashJoin", "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
+      ("q173_ann_binary",
+        "binary (sign-bit) Hamming ANN: encoding is one corpus scan of " +
+          "codegen'd built-ins (transform/aggregate/shiftleft — no " +
+          "UDF); serving is the q29 broadcast-query single-scan plan " +
+          "over dim/32 packed words with xor+popcount per pair and the " +
+          "map-side-combining TopK aggregator — no float math, no " +
+          "window, no corpus shuffle",
+        Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
+        Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q174_ann_binary_rerank",
+        "binary shortlist + exact rerank: stage 1 is q173's integer " +
+          "Hamming plan; stage 2 joins the |Q|*shortlist candidate " +
+          "pairs BROADCAST against one corpus scan (only survivors " +
+          "pass the hash probe) and re-ranks by the exact normalized " +
+          "dot through the same TopK aggregator — float math touches " +
+          "only the shortlist, never the corpus",
+        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q175_bin_index_roundtrip",
+        "binary serving from the PERSISTED index: the corpus side " +
+          "scans the packed-word parquet (8 bytes/vector at dim 64 — " +
+          "64x narrower than the raw embeddings, the hardest " +
+          "scan-bytes lever in the family) with no encode expression " +
+          "and no fitted state anywhere in the serve plan; the " +
+          "xor+popcount scoring and TopK aggregation are q173's",
+        Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
+        Seq("CartesianProduct", "Window", "SortMergeJoin")),
       ("q172_ivf_half_fit_append",
         "half-fit incremental append: the coarse quantizer fits on " +
           "increment 1 only (a bounded driver-side sample problem), " +

@@ -191,6 +191,16 @@ object ScaleProbe {
     probe("ann_ivfsq8",
       Similarity.ivfSq8TopK(emb, col("vec_id") < 20, 5).count(),
       Similarity.ivfSq8TopK(embN, col("vec_id") < 20, 5).count())
+    // binary Hamming: pure integer xor+popcount over 8-byte words —
+    // the ratio tracks the packing scan plus the candidate fold
+    probe("ann_binary",
+      Similarity.binTopK(emb, col("vec_id") < 20, 5).count(),
+      Similarity.binTopK(embN, col("vec_id") < 20, 5).count())
+    // binary shortlist + exact rerank: float math only on the 32
+    // survivors per query, so the ratio tracks the two bounded scans
+    probe("ann_binary_rerank",
+      Similarity.binRerankTopK(emb, col("vec_id") < 20, 5).count(),
+      Similarity.binRerankTopK(embN, col("vec_id") < 20, 5).count())
     // SERVING-ONLY cost against the persisted IVF index (the q167
     // build-once/serve-many split): the fit + encode + parquet write
     // happen OUTSIDE the timers, so the ratio isolates what a serving
@@ -373,6 +383,16 @@ object ScaleProbe {
       rec("ivfsq8 nProbe=4 (q166 default)")(Similarity.ivfSq8TopK(emb, qf, kR))
       rec("ivfsq8 nProbe=16 (all lists)")(
         Similarity.ivfSq8TopK(emb, qf, kR, nProbe = 16))
+      // binary (1 bit/dim): the hardest quantization, so the rawest
+      // recall — the SHORTLIST SIZE is its recall knob: the exact
+      // rerank's recall@k equals the binary shortlist's recall@shortlist
+      rec("binary flat (q173)")(Similarity.binTopK(emb, qf, kR))
+      rec("binary rerank shortlist=32 (q174 default)")(
+        Similarity.binRerankTopK(emb, qf, kR))
+      rec("binary rerank shortlist=100")(
+        Similarity.binRerankTopK(emb, qf, kR, shortlist = 100))
+      rec("binary rerank shortlist=400")(
+        Similarity.binRerankTopK(emb, qf, kR, shortlist = 400))
       truth.unpersist(false)
     }
     // copy-prefixed query terms ("c0_…") keep the BM25 hit set inside

@@ -1265,6 +1265,151 @@ object Similarity {
       WHERE rnk <= $k ORDER BY qid, rank"""
   }
 
+  /** BINARY (sign-bit) quantization — the fourth quantization-family
+    * member and the most aggressive memory lever a serving tier runs
+    * (FAISS `IndexBinaryFlat` / the "binary embedding" deployments):
+    * each dimension keeps ONE bit (x > 0), packed 32 per BIGINT word,
+    * so a 64-dim float64 vector serves from 8 payload bytes — 64×
+    * smaller — and similarity is HAMMING distance, pure integer ops
+    * (xor + popcount) with no float math at all. PARAMETER-FREE by
+    * design: the threshold is 0, not a fitted mean — a float mean is
+    * an order-dependent sum that would break bit-determinism across
+    * partitionings, while the sign predicate is exact, so the oracle
+    * is fully static and appends need no frozen artifact (encoding
+    * depends only on the vector).
+    *
+    * 32 bits per word, not 64: bit 63 would force signed-overflow
+    * shift semantics both engines would have to agree on; bits 0..31
+    * keep every word positive and the packing arithmetic
+    * (shift-or-add) identical in Spark and DuckDB.
+    *
+    * Scale shape: encoding is one corpus scan of codegen'd built-ins
+    * (transform/aggregate/shiftleft — no UDF); serving is the q29
+    * broadcast-query single-scan plan over the 8-byte words with the
+    * map-side-combining TopK aggregator. Ranking: Hamming ascending,
+    * nid ascending on ties (sim = −hamming through the shared
+    * [[topKPerKey]] rule). */
+  def binTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+              dim: Int = 64): DataFrame =
+    binServe(binEncode(embeddings, dim), embeddings.filter(queryFilter), k, dim)
+
+  /** The binary serving INDEX: (nid, bw array<bigint>) — dim/32 words
+    * of packed sign bits per vector, built in ONE corpus scan of pure
+    * codegen'd expression work. Persist with plain `write.parquet`
+    * (longs round-trip exactly — q175 gates this) and serve with
+    * [[binServe]]; append new vectors by calling this again — there
+    * is NO fitted state, so incremental extension is trivially exact. */
+  def binEncode(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim % 32 == 0, s"binEncode packs 32 sign bits per word; dim $dim must be a multiple of 32")
+    PartitionUtil.spread(embeddings)
+      .select(col("vec_id").as("nid"), asDouble(col("embedding")).as("v"))
+      .select(col("nid"), expr(binPackSql(dim / 32)).as("bw"))
+  }
+
+  /** The sign-bit packing expression over a column `v` (array<double>):
+    * word w holds bits i=0..31 for dims w*32+i, bit set iff x > 0 —
+    * the ONE arithmetic the DuckDB oracle mirrors token for token. */
+  private def binPackSql(m: Int): String =
+    s"""transform(sequence(0, ${m - 1}), w ->
+        aggregate(sequence(0, 31), 0L, (acc, i) ->
+          acc + (CASE WHEN element_at(v, w * 32 + i + 1) > 0D
+                 THEN shiftleft(1L, i) ELSE 0L END)))"""
+
+  /** Serve Hamming top-k from a (nid, bw) index built by [[binEncode]]
+    * — fresh or reloaded from parquet: queries pack through the same
+    * expression, candidates score by summed per-word popcount of the
+    * xor, ranked ascending with nid tie-break. The corpus side scans
+    * 8 bytes/vector (dim 64) — the scan-bytes win that makes
+    * billion-vector candidate generation cheap enough to rerank. */
+  def binServe(index: DataFrame, queries: DataFrame, k: Int,
+               dim: Int = 64): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
+      .select(col("qid"), expr(binPackSql(dim / 32)).as("qw"))
+    val sims = index.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("ham",
+        expr("aggregate(zip_with(qw, bw, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"))
+      .select(col("qid"), col("nid"), (-col("ham").cast("double")).as("sim"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** Binary candidate generation + EXACT cosine rerank — the two-stage
+    * retrieval a production tier actually serves (cheap integer
+    * shortlist over the 8-byte index, float math only on the
+    * `shortlist` survivors per query): stage 1 is [[binServe]]'s
+    * Hamming top-`shortlist`, stage 2 fetches the survivors' full
+    * vectors through a broadcast equi-join on nid (the corpus scans
+    * once; only candidate rows survive the join probe) and re-ranks
+    * by the exact normalized dot. Both stages are deterministic
+    * (Hamming asc/nid asc, then sim desc/nid asc), so the static
+    * oracle replays the composition bit-for-bit. */
+  def binRerankTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+                    shortlist: Int = 32, dim: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = embeddings.sparkSession
+    val queries = embeddings.filter(queryFilter)
+    val cand = binServe(binEncode(embeddings, dim), queries, shortlist, dim)
+      .select(col("qid"), col("nid"))
+    val corpus = PartitionUtil.spread(embeddings)
+      .select(col("vec_id").as("nid"), normalizeUdf(asDouble(col("embedding"))).as("nv"))
+    val qv = queries
+      .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
+    val sims = corpus.join(broadcast(cand), Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("sim", nativeDot(spark)(col("qv"), col("nv")))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** The binary packing + Hamming CTE block (bw/q/ham over a CTE `e`
+    * of (vec_id, v)) — ONE copy of the shift-or-add packing and the
+    * xor-popcount fold shared by the q173 and q174 oracles. */
+  private def binHamCtes(m: Int, queryCond: String): String =
+    s"""bw AS (SELECT vec_id, list_transform(range(0, $m), w ->
+        list_reduce(list_transform(range(0, 32), i ->
+          CASE WHEN v[w * 32 + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+          (x, y) -> x + y)) AS w FROM e),
+      q AS (SELECT vec_id AS qid, w AS qw FROM bw WHERE $queryCond),
+      ham AS (SELECT q.qid, b.vec_id AS nid,
+          list_reduce(list_transform(range(1, ${m + 1}), t ->
+            bit_count(xor(q.qw[t], b.w[t]))), (x, y) -> x + y) AS hd
+        FROM bw b JOIN q ON b.vec_id <> q.qid)"""
+
+  /** Static DuckDB oracle for [[binTopK]]: the identical sign
+    * predicate, shift-or-add packing, and xor-popcount fold — all
+    * exact integer arithmetic, so no Verify-time inlining is needed. */
+  private[graft] def binTopKOracleSql(queryCond: String, k: Int,
+                                      dim: Int = 64): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${binHamCtes(dim / 32, queryCond)}
+      SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hd, nid) AS rnk
+        FROM ham)
+      WHERE rnk <= $k ORDER BY qid, rank"""
+
+  /** Static DuckDB oracle for [[binRerankTopK]]: the q173 Hamming
+    * shortlist feeds the q29-style zero-guarded normalized dot,
+    * re-ranked sim desc / nid asc. */
+  private[graft] def binRerankOracleSql(queryCond: String, k: Int,
+                                        shortlist: Int = 32, dim: Int = 64): String = {
+    val fold = sqlFold(dim) _
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${binHamCtes(dim / 32, queryCond)},
+      cand AS (SELECT qid, nid FROM (
+          SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hd, nid) AS rnk
+          FROM ham) WHERE rnk <= $shortlist),
+      nrmv AS (SELECT vec_id, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+        FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS nrm FROM e)),
+      rer AS (SELECT c.qid, c.nid, ${fold("qn.nv[k] * nn.nv[k]")} AS sim
+        FROM cand c
+        JOIN nrmv qn ON qn.vec_id = c.qid
+        JOIN nrmv nn ON nn.vec_id = c.nid)
+      SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM rer)
+      WHERE rnk <= $k ORDER BY qid, rank"""
+  }
+
   def ivfPqTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
                 nClusters: Int = 8, nProbe: Int = 2, m: Int = 4,
                 dim: Int = 64, codes: Int = 16, seed: Long = 42L,

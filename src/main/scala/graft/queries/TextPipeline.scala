@@ -374,6 +374,42 @@ object TextPipeline {
       },
       None),
 
+    // ---- BINARY (sign-bit) quantized ANN — the fifth quantization-
+    // family member and the hardest memory lever (1 bit/dim: a 64-dim
+    // vector serves from 8 bytes, 64x under float64): Hamming ranking
+    // by xor+popcount, pure integer ops end to end, so the oracle is
+    // fully STATIC (exact sign predicate, exact shift-or-add packing,
+    // exact popcount fold — nothing fitted, nothing float). ----------
+    ("q173_ann_binary",
+      (s, dir) => Similarity.binTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      Some(Similarity.binTopKOracleSql(queryCond = "vec_id < 20", k = 5))),
+
+    // ---- binary candidates + EXACT rerank — the two-stage retrieval
+    // a production tier actually serves: integer Hamming shortlist
+    // over the 8-byte index, float math only on the 32 survivors per
+    // query. Both stages deterministic, so the static oracle replays
+    // the composition bit-for-bit. ------------------------------------
+    ("q174_ann_binary_rerank",
+      (s, dir) => Similarity.binRerankTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      Some(Similarity.binRerankOracleSql(queryCond = "vec_id < 20", k = 5))),
+
+    // ---- binary index persistence lifecycle — the q162/q167 split
+    // for the binary family: encode, WRITE the packed words to
+    // parquet, read back, serve from the store. No fitted artifact to
+    // persist at all (the sign threshold is parameter-free), which is
+    // itself the point: appends never need a frozen-state handshake. -
+    ("q175_bin_index_roundtrip",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val ixDir = scratchDir("bin_index", dir)
+        Similarity.binEncode(emb).write.mode("overwrite").parquet(ixDir)
+        Similarity.binServe(s.read.parquet(ixDir),
+          emb.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(Similarity.binTopKOracleSql(queryCond = "vec_id < 20", k = 5))),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and

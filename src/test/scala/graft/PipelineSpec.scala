@@ -146,6 +146,58 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("binary ANN: exact packing, Hamming ranking, append exactness, full-shortlist rerank == brute force") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 0.7 + d * 1.3).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // packing: bit i of word w set iff v(w*32+i) > 0 — checked by hand
+    val packed = Similarity.binEncode(df, dim)
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+    vecs.foreach { case (id, v) =>
+      val exp = (0 until dim / 32).map { w =>
+        (0 until 32).foldLeft(0L)((acc, i) =>
+          acc + (if (v(w * 32 + i).toDouble > 0.0) 1L << i else 0L))
+      }
+      packed(id) shouldBe exp
+    }
+    // Hamming ranking equals a local popcount computation
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val got = Similarity.binTopK(df, col("vec_id") < 3, k = 5)
+      .as[(Long, Long, Long)].collect().toList
+    for (q <- 0 until 3) {
+      val expected = vecs.filter(_._1 != q)
+        .map { case (id, _) => (id, ham(packed(q.toLong), packed(id))) }
+        .sortBy { case (id, h) => (h, id) }.take(5).map(_._1)
+      got.filter(_._1 == q).sortBy(_._2).map(_._3) shouldBe expected
+    }
+    // partition invariance
+    Similarity.binTopK(df.repartition(13), col("vec_id") < 3, k = 5)
+      .as[(Long, Long, Long)].collect().toList shouldBe got
+    // append exactness: NO fitted state, so split-encode == whole-encode
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin_append")
+      .toString + "/ix"
+    Similarity.binEncode(df.filter($"vec_id" % 2 === 0), dim).write.parquet(dir)
+    Similarity.binEncode(df.filter($"vec_id" % 2 =!= 0), dim)
+      .write.mode("append").parquet(dir)
+    Similarity.binServe(spark.read.parquet(dir), df.filter($"vec_id" < 3),
+        k = 5, dim = dim)
+      .as[(Long, Long, Long)].collect().toList shouldBe got
+    // a full-corpus shortlist makes the rerank EXACTLY brute force —
+    // the composition's correctness argument in one assert
+    val brute = Similarity.bruteForceTopK(df, col("vec_id") < 3, k = 5)
+      .as[(Long, Long, Long)].collect().toList
+    Similarity.binRerankTopK(df, col("vec_id") < 3, k = 5,
+        shortlist = vecs.size, dim = dim)
+      .as[(Long, Long, Long)].collect().toList shouldBe brute
+    // loud contract: dim must pack whole words
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.binEncode(df, dim = 48)
+  }
+
   test("filtered ANN: top-k over the attribute-matching corpus only") {
     import spark.implicits._
     val vecs = (0 until 40).map { i =>
