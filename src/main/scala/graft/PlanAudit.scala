@@ -808,6 +808,15 @@ object PlanAudit {
           "window, no corpus shuffle",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
         Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q176_ann_binary_asym",
+        "asymmetric binary scoring: q173's broadcast-query single-scan " +
+          "plan over the same packed words, but the per-pair fold " +
+          "reads the full-precision normalized query against the " +
+          "corpus bits (codegen'd aggregate over shiftright/mask — " +
+          "no UDF, no unpacking materialized); same TopK aggregator, " +
+          "no window, no corpus shuffle",
+        Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
+        Seq("CartesianProduct", "Window", "SortMergeJoin")),
       ("q174_ann_binary_rerank",
         "binary shortlist + exact rerank: stage 1 is q173's integer " +
           "Hamming plan; stage 2 joins the |Q|*shortlist candidate " +

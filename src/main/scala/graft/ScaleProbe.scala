@@ -393,6 +393,13 @@ object ScaleProbe {
         Similarity.binRerankTopK(emb, qf, kR, shortlist = 100))
       rec("binary rerank shortlist=400")(
         Similarity.binRerankTopK(emb, qf, kR, shortlist = 400))
+      // asymmetric scoring: the same 8-byte index, full-precision
+      // queries — the no-extra-memory recall knob
+      rec("binary asym flat (q176)")(Similarity.binAsymTopK(emb, qf, kR))
+      rec("binary asym rerank shortlist=32")(
+        Similarity.binRerankTopK(emb, qf, kR, asymmetric = true))
+      rec("binary asym rerank shortlist=100")(
+        Similarity.binRerankTopK(emb, qf, kR, shortlist = 100, asymmetric = true))
       truth.unpersist(false)
     }
     // copy-prefixed query terms ("c0_…") keep the BM25 hit set inside

@@ -1333,6 +1333,41 @@ object Similarity {
     topKPerKey(sims, "qid", k)
   }
 
+  /** ASYMMETRIC binary scoring — the recall upgrade the same 8-byte
+    * index buys when queries keep full precision (the asymmetric-
+    * distance idea of Jégou et al.'s quantization search, applied to
+    * sign codes): score = Σ_d ±qv[d], sign chosen by the corpus bit,
+    * i.e. the exact dot of the normalized query against the
+    * {−1,+1}^dim reconstruction. Per-query magnitudes survive (unlike
+    * symmetric Hamming, which counts disagreements unweighted), so
+    * recall rises at IDENTICAL index memory; the corpus side still
+    * never stores floats. Deterministic: the fold is the ascending-d
+    * sequential add both engines replay bit-for-bit. */
+  def binAsymTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+                  dim: Int = 64): DataFrame =
+    binAsymServe(binEncode(embeddings, dim), embeddings.filter(queryFilter), k, dim)
+
+  /** Serve asymmetric top-k from a [[binEncode]] index: full-precision
+    * normalized queries against packed sign words, ranked sim desc /
+    * nid asc through the shared [[topKPerKey]] rule. */
+  def binAsymServe(index: DataFrame, queries: DataFrame, k: Int,
+                   dim: Int = 64): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
+    val sims = index.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("sim", expr(binAsymSql(dim)))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** The asymmetric scoring expression over columns `bw` (packed
+    * words) and `qv` (normalized query): ±qv[d] by corpus bit d,
+    * ascending-d left fold — the ONE arithmetic the oracle mirrors. */
+  private def binAsymSql(dim: Int): String =
+    s"""aggregate(sequence(0, ${dim - 1}), 0D, (acc, d) ->
+        acc + (CASE WHEN (shiftright(element_at(bw, CAST(d div 32 AS INT) + 1), d % 32) & 1L) = 1L
+               THEN element_at(qv, d + 1) ELSE -element_at(qv, d + 1) END))"""
+
   /** Binary candidate generation + EXACT cosine rerank — the two-stage
     * retrieval a production tier actually serves (cheap integer
     * shortlist over the 8-byte index, float math only on the
@@ -1344,11 +1379,14 @@ object Similarity {
     * (Hamming asc/nid asc, then sim desc/nid asc), so the static
     * oracle replays the composition bit-for-bit. */
   def binRerankTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
-                    shortlist: Int = 32, dim: Int = 64): DataFrame = {
+                    shortlist: Int = 32, dim: Int = 64,
+                    asymmetric: Boolean = false): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val spark = embeddings.sparkSession
     val queries = embeddings.filter(queryFilter)
-    val cand = binServe(binEncode(embeddings, dim), queries, shortlist, dim)
+    val index = binEncode(embeddings, dim)
+    val cand = (if (asymmetric) binAsymServe(index, queries, shortlist, dim)
+                else binServe(index, queries, shortlist, dim))
       .select(col("qid"), col("nid"))
     val corpus = PartitionUtil.spread(embeddings)
       .select(col("vec_id").as("nid"), normalizeUdf(asDouble(col("embedding"))).as("nv"))
@@ -1361,19 +1399,45 @@ object Similarity {
     topKPerKey(sims, "qid", k)
   }
 
+  /** The sign-bit packing CTE (`bw` over a CTE `e` of (vec_id, v)) —
+    * ONE SQL copy of [[binPackSql]]'s shift-or-add arithmetic. */
+  private def binPackCte(m: Int): String =
+    s"""bw AS (SELECT vec_id, list_transform(range(0, $m), w ->
+        list_reduce(list_transform(range(0, 32), i ->
+          CASE WHEN v[w * 32 + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+          (x, y) -> x + y)) AS w FROM e)"""
+
   /** The binary packing + Hamming CTE block (bw/q/ham over a CTE `e`
     * of (vec_id, v)) — ONE copy of the shift-or-add packing and the
     * xor-popcount fold shared by the q173 and q174 oracles. */
   private def binHamCtes(m: Int, queryCond: String): String =
-    s"""bw AS (SELECT vec_id, list_transform(range(0, $m), w ->
-        list_reduce(list_transform(range(0, 32), i ->
-          CASE WHEN v[w * 32 + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END),
-          (x, y) -> x + y)) AS w FROM e),
+    s"""${binPackCte(m)},
       q AS (SELECT vec_id AS qid, w AS qw FROM bw WHERE $queryCond),
       ham AS (SELECT q.qid, b.vec_id AS nid,
           list_reduce(list_transform(range(1, ${m + 1}), t ->
             bit_count(xor(q.qw[t], b.w[t]))), (x, y) -> x + y) AS hd
         FROM bw b JOIN q ON b.vec_id <> q.qid)"""
+
+  /** Static DuckDB oracle for [[binAsymTopK]]: the same packing CTE,
+    * the zero-guarded query normalization, and the ±qv[d]-by-bit
+    * ascending-d fold replayed token for token. */
+  private[graft] def binAsymOracleSql(queryCond: String, k: Int,
+                                      dim: Int = 64): String = {
+    val fold = sqlFold(dim) _
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${binPackCte(dim / 32)},
+      nq AS (SELECT vec_id AS qid, list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+        FROM (SELECT vec_id, v, sqrt(${fold("v[k] * v[k]")}) AS nrm FROM e WHERE $queryCond)),
+      asym AS (SELECT q.qid, b.vec_id AS nid,
+          list_reduce(list_transform(range(0, $dim), d ->
+            CASE WHEN ((b.w[(d // 32) + 1] >> (d % 32)) & 1) = 1
+            THEN q.nv[d + 1] ELSE -q.nv[d + 1] END), (x, y) -> x + y) AS sim
+        FROM bw b JOIN nq q ON b.vec_id <> q.qid)
+      SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM asym)
+      WHERE rnk <= $k ORDER BY qid, rank"""
+  }
 
   /** Static DuckDB oracle for [[binTopK]]: the identical sign
     * predicate, shift-or-add packing, and xor-popcount fold — all

@@ -385,6 +385,17 @@ object TextPipeline {
         t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
       Some(Similarity.binTopKOracleSql(queryCond = "vec_id < 20", k = 5))),
 
+    // ---- ASYMMETRIC binary scoring — the recall upgrade the SAME
+    // 8-byte index buys when queries keep full precision (Jégou-style
+    // asymmetric distance on sign codes): ±qv[d] by corpus bit,
+    // per-query magnitudes survive, corpus still stores no floats.
+    // Fully static oracle (packing + zero-guarded normalize + the
+    // ascending-d fold). --------------------------------------------
+    ("q176_ann_binary_asym",
+      (s, dir) => Similarity.binAsymTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      Some(Similarity.binAsymOracleSql(queryCond = "vec_id < 20", k = 5))),
+
     // ---- binary candidates + EXACT rerank — the two-stage retrieval
     // a production tier actually serves: integer Hamming shortlist
     // over the 8-byte index, float math only on the 32 survivors per

@@ -193,6 +193,35 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     Similarity.binRerankTopK(df, col("vec_id") < 3, k = 5,
         shortlist = vecs.size, dim = dim)
       .as[(Long, Long, Long)].collect().toList shouldBe brute
+    // asymmetric scoring equals a local ±qv[d]-by-bit fold over the
+    // SAME packed words (full-precision query, 8-byte corpus)
+    val asym = Similarity.binAsymTopK(df, col("vec_id") < 3, k = 5)
+      .as[(Long, Long, Long)].collect().toList
+    def nrm(v: Array[Float]): Array[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0) d.map(_ => 0.0) else d.map(_ / n)
+    }
+    def asymScore(qv: Array[Double], words: Seq[Long]): Double = {
+      var s = 0.0
+      for (d <- 0 until dim) {
+        val bit = (words(d / 32) >> (d % 32)) & 1L
+        s += (if (bit == 1L) qv(d) else -qv(d))
+      }
+      s
+    }
+    for (q <- 0 until 3) {
+      val qv = nrm(vecs(q)._2)
+      val expected = vecs.filter(_._1 != q)
+        .map { case (id, _) => (id, asymScore(qv, packed(id))) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      asym.filter(_._1 == q).sortBy(_._2).map(_._3) shouldBe expected
+    }
+    // asymmetric rerank with a full-corpus shortlist is ALSO exactly
+    // brute force (any stage-1 ordering is, once nothing is cut)
+    Similarity.binRerankTopK(df, col("vec_id") < 3, k = 5,
+        shortlist = vecs.size, dim = dim, asymmetric = true)
+      .as[(Long, Long, Long)].collect().toList shouldBe brute
     // loud contract: dim must pack whole words
     an[IllegalArgumentException] should be thrownBy
       Similarity.binEncode(df, dim = 48)
