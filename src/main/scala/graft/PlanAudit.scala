@@ -812,9 +812,10 @@ object PlanAudit {
         "asymmetric binary scoring: q173's broadcast-query single-scan " +
           "plan over the same packed words, but the per-pair fold " +
           "reads the full-precision normalized query against the " +
-          "corpus bits (codegen'd aggregate over shiftright/mask — " +
-          "no UDF, no unpacking materialized); same TopK aggregator, " +
-          "no window, no corpus shuffle",
+          "corpus bits (a codegen'd aggregate over shiftright/mask on " +
+          "the corpus-sized side; the one UDF is the |Q|-bounded " +
+          "query-side normalize); same TopK aggregator, no window, " +
+          "no corpus shuffle",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
         Seq("CartesianProduct", "Window", "SortMergeJoin")),
       ("q174_ann_binary_rerank",

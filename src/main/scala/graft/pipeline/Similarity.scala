@@ -1265,7 +1265,7 @@ object Similarity {
       WHERE rnk <= $k ORDER BY qid, rank"""
   }
 
-  /** BINARY (sign-bit) quantization — the fourth quantization-family
+  /** BINARY (sign-bit) quantization — the fifth quantization-family
     * member and the most aggressive memory lever a serving tier runs
     * (FAISS `IndexBinaryFlat` / the "binary embedding" deployments):
     * each dimension keeps ONE bit (x > 0), packed 32 per BIGINT word,
@@ -1326,7 +1326,10 @@ object Similarity {
     val q = queries
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
       .select(col("qid"), expr(binPackSql(dim / 32)).as("qw"))
-    val sims = index.join(broadcast(q), col("nid") =!= col("qid"))
+    // spread like sq8Serve: the packed index is ~8 bytes/vector, so a
+    // reloaded parquet store lands in a handful of splits — without a
+    // repartition the |Q|*N scoring would run on that few tasks
+    val sims = PartitionUtil.spread(index).join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("ham",
         expr("aggregate(zip_with(qw, bw, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"))
       .select(col("qid"), col("nid"), (-col("ham").cast("double")).as("sim"))
@@ -1354,7 +1357,7 @@ object Similarity {
                    dim: Int = 64): DataFrame = {
     val q = queries
       .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
-    val sims = index.join(broadcast(q), col("nid") =!= col("qid"))
+    val sims = PartitionUtil.spread(index).join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("sim", expr(binAsymSql(dim)))
       .select(col("qid"), col("nid"), col("sim"))
     topKPerKey(sims, "qid", k)
