@@ -836,25 +836,43 @@ object PlanAudit {
           "xor+popcount scoring and TopK aggregation are q173's",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
         Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q167_ivf_index_roundtrip",
+        "IVF serving from the PERSISTED partitionBy(cluster) store: " +
+          "the probed-cluster set (driver-computed, bounded by " +
+          "nClusters) lands as a STATIC filter in the scan's " +
+          "PartitionFilters, so the serve reads only the probed " +
+          "posting lists' FILES — the nProbe/nClusters scan reduction " +
+          "IVF exists to buy, enforced at the storage layer instead " +
+          "of discarded rows at the join probe; the broadcast probe " +
+          "equi-join and map-side-combined TopK aggregator are q46's",
+        Seq("PartitionFilters: [cluster", "BroadcastHashJoin",
+          "TopKAggregator"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+          "SortMergeJoin")),
       ("q172_ivf_half_fit_append",
         "half-fit incremental append: the coarse quantizer fits on " +
           "increment 1 only (a bounded driver-side sample problem), " +
           "increment 2 encodes against the RELOADED frozen centers " +
-          "and parquet-appends disjoint files; the serve plan is " +
-          "q167's — combined scan, broadcast probe equi-join, " +
+          "and parquet-appends disjoint files under the same " +
+          "partitionBy(cluster) layout; the serve plan is q167's — " +
+          "partition-pruned combined scan, broadcast probe equi-join, " +
           "map-side-combined TopK aggregator — with no refit and no " +
           "scan of increment 1 during the append",
-        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("PartitionFilters: [cluster", "BroadcastHashJoin",
+          "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
       ("q169_ivfsq8_index_roundtrip",
-        "IVF-SQ8 serving from the PERSISTED index: the corpus side " +
-          "scans the (cluster, 1-byte/dim codes) parquet — 8x narrower " +
-          "than the raw embeddings — dequantizes per row, and runs the " +
-          "q46 cluster equi-join with the broadcast probe table into " +
-          "the map-side-combined TopK aggregator; no refit, no window, " +
+        "IVF-SQ8 serving from the PERSISTED partitionBy(cluster) " +
+          "index: the corpus side scans only the probed posting " +
+          "lists' files (static PartitionFilters — the q167 layout) " +
+          "of the 1-byte/dim codes parquet — 8x narrower than the raw " +
+          "embeddings — dequantizes per row, and runs the q46 cluster " +
+          "equi-join with the broadcast probe table into the " +
+          "map-side-combined TopK aggregator; no refit, no window, " +
           "no cartesian",
-        Seq("BroadcastHashJoin", "TopKAggregator"),
+        Seq("PartitionFilters: [cluster", "BroadcastHashJoin",
+          "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
       ("q160_firstseen_neardup",

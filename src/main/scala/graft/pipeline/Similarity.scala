@@ -780,8 +780,10 @@ object Similarity {
 
   /** The IVF serving INDEX: (nid, cluster, nv) — coarse assignment +
     * the normalized vector, built in ONE corpus scan against broadcast
-    * centroids. Persist with plain `write.parquet` (doubles round-trip
-    * exactly — q167 gates this) and serve later with [[ivfServe]]
+    * centroids. Persist `partitionBy("cluster")` (doubles round-trip
+    * exactly — q167 gates this; the cluster layout is what lets
+    * [[ivfServe]]'s probed-cluster filter skip non-probed posting
+    * lists at the FILE level) and serve later with [[ivfServe]]
     * without refitting; append new vectors by calling this again with
     * the SAME (frozen) centroids — assignment depends only on
     * (v, centers), never on the rest of the corpus, so incremental
@@ -802,13 +804,35 @@ object Similarity {
         assignUdf(col("v")).as("cluster"), normalizeUdf(col("v")).as("nv"))
   }
 
+  /** Restrict a (…, cluster, …) serving index to the clusters the
+    * probe table will touch, with a STATIC `IN` filter: the probed
+    * cluster set is driver-computed (a `distinct().collect()` bounded
+    * by nClusters values — index metadata, never corpus), so when the
+    * index was persisted `partitionBy("cluster")` the filter lands in
+    * the scan's PartitionFilters and Spark skips the non-probed
+    * posting lists at the FILE level (PlanAudit asserts it). Without
+    * it the cluster equi-join still discards those rows — but only
+    * AFTER reading them: at 100 TB the nProbe/nClusters scan
+    * reduction is the whole point of IVF, and it has to happen at the
+    * storage layer to be real. The fresh (unpersisted) path goes
+    * through the same filter harmlessly — it removes rows the join
+    * would drop anyway. */
+  private def pruneToProbed(index: DataFrame, probes: DataFrame): DataFrame = {
+    val probed = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    index.filter(col("cluster").isin(probed.toIndexedSeq: _*))
+  }
+
   /** Serve cosine top-k from a (nid, cluster, nv) index built by
     * [[ivfEncode]] — fresh or reloaded from parquet: each query
     * (embeddings-shaped rows) probes its `nProbe` nearest centroids
     * and scores only those inverted lists through the cluster
-    * equi-join, with the KB-sized probe table broadcast. Shared code
-    * path with [[ivfTopK]], so serving from a persisted index is
-    * bit-identical to serving fresh by construction. */
+    * equi-join, with the KB-sized probe table broadcast and the index
+    * scan pre-pruned to the probed clusters ([[pruneToProbed]] — file
+    * skipping when the store is `partitionBy("cluster")`, the q167
+    * layout). Shared code path with [[ivfTopK]], so serving from a
+    * persisted index is bit-identical to serving fresh by
+    * construction. */
   def ivfServe(index: DataFrame, centers: Array[Array[Double]],
                queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = index.sparkSession
@@ -822,7 +846,7 @@ object Similarity {
         Similarity.nearestClusters(bcCenters.value, v, nProbe)
           .map(c => (qid, c, qv)) }
       .toDF("qid", "cluster", "qv")
-    val sims = index.join(broadcast(probes), Seq("cluster"))
+    val sims = pruneToProbed(index, probes).join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", nativeDot(spark)(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
@@ -1032,7 +1056,7 @@ object Similarity {
           .map(c => (qid, c, v)) }
       .toDF("qid", "cluster", "qv")
       .withColumn("qnorm", nativeNorm(spark)(col("qv")))
-    val sims = corpus.join(broadcast(probes), Seq("cluster"))
+    val sims = pruneToProbed(corpus, probes).join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim",
         nativeDot(spark)(col("qv"), col("rv")) / (col("qnorm") * col("rnorm")))
@@ -1303,8 +1327,20 @@ object Similarity {
     require(dim % 32 == 0, s"binEncode packs 32 sign bits per word; dim $dim must be a multiple of 32")
     PartitionUtil.spread(embeddings)
       .select(col("vec_id").as("nid"), asDouble(col("embedding")).as("v"))
-      .select(col("nid"), expr(binPackSql(dim / 32)).as("bw"))
+      .select(col("nid"), packGuarded(dim, "binEncode", col("nid")).as("bw"))
   }
+
+  /** [[binPackSql]] behind a LOUD dim guard: a vector shorter than
+    * `dim` would make `element_at` return NULL, which the packing
+    * CASE maps to a 0 bit — i.e. a wrong-dim call would silently pack
+    * zero words (and the static oracle replays the same NULL→0, so
+    * the hash gate could never catch the misconfiguration). Instead
+    * any row whose embedding size ≠ dim raises with the offending id. */
+  private def packGuarded(dim: Int, who: String, id: Column): Column =
+    when(size(col("v")) === dim, expr(binPackSql(dim / 32)))
+      .otherwise(raise_error(concat(
+        lit(s"$who: embedding size <> dim $dim for id "), id.cast("string"),
+        lit(" (size "), size(col("v")).cast("string"), lit(")"))))
 
   /** The sign-bit packing expression over a column `v` (array<double>):
     * word w holds bits i=0..31 for dims w*32+i, bit set iff x > 0 —
@@ -1325,13 +1361,17 @@ object Similarity {
                dim: Int = 64): DataFrame = {
     val q = queries
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
-      .select(col("qid"), expr(binPackSql(dim / 32)).as("qw"))
+      .select(col("qid"), packGuarded(dim, "binServe", col("qid")).as("qw"))
     // spread like sq8Serve: the packed index is ~8 bytes/vector, so a
     // reloaded parquet store lands in a handful of splits — without a
     // repartition the |Q|*N scoring would run on that few tasks
     val sims = PartitionUtil.spread(index).join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("ham",
-        expr("aggregate(zip_with(qw, bw, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"))
+        when(size(col("bw")) === dim / 32,
+          expr("aggregate(zip_with(qw, bw, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"))
+          .otherwise(raise_error(concat(
+            lit(s"binServe: index word count <> ${dim / 32} for nid "),
+            col("nid").cast("string")))))
       .select(col("qid"), col("nid"), (-col("ham").cast("double")).as("sim"))
     topKPerKey(sims, "qid", k)
   }
@@ -1356,9 +1396,18 @@ object Similarity {
   def binAsymServe(index: DataFrame, queries: DataFrame, k: Int,
                    dim: Int = 64): DataFrame = {
     val q = queries
-      .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
+      .select(col("qid"),
+        when(size(col("v")) === dim, normalizeUdf(col("v")))
+          .otherwise(raise_error(concat(
+            lit(s"binAsymServe: embedding size <> dim $dim for qid "),
+            col("qid").cast("string")))).as("qv"))
     val sims = PartitionUtil.spread(index).join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("sim", expr(binAsymSql(dim)))
+      .withColumn("sim",
+        when(size(col("bw")) === dim / 32, expr(binAsymSql(dim)))
+          .otherwise(raise_error(concat(
+            lit(s"binAsymServe: index word count <> ${dim / 32} for nid "),
+            col("nid").cast("string")))))
       .select(col("qid"), col("nid"), col("sim"))
     topKPerKey(sims, "qid", k)
   }
@@ -1383,19 +1432,33 @@ object Similarity {
     * oracle replays the composition bit-for-bit. */
   def binRerankTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
                     shortlist: Int = 32, dim: Int = 64,
-                    asymmetric: Boolean = false): DataFrame = {
+                    asymmetric: Boolean = false): DataFrame =
+    binRerankServe(binEncode(embeddings, dim), embeddings,
+      embeddings.filter(queryFilter), k, shortlist, dim, asymmetric)
+
+  /** The two-stage serve from PERSISTED state — [[binRerankTopK]]'s
+    * production face and the family's flagship path (q177): stage 1
+    * takes the Hamming (or asymmetric) shortlist from `index` — a
+    * [[binEncode]] store, fresh or RELOADED from parquet — and
+    * stage 2 re-ranks the survivors' exact vectors from `corpus` (the
+    * raw-embedding relation; at scale a separate fat store fetched
+    * only for the |Q|·shortlist candidate rows through the broadcast
+    * nid equi-join). [[binRerankTopK]] delegates here with a fresh
+    * encode, so store-vs-fresh serving is bit-identical by
+    * construction — q177 gates it against q174's oracle. */
+  def binRerankServe(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     k: Int, shortlist: Int = 32, dim: Int = 64,
+                     asymmetric: Boolean = false): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val spark = embeddings.sparkSession
-    val queries = embeddings.filter(queryFilter)
-    val index = binEncode(embeddings, dim)
+    val spark = corpus.sparkSession
     val cand = (if (asymmetric) binAsymServe(index, queries, shortlist, dim)
                 else binServe(index, queries, shortlist, dim))
       .select(col("qid"), col("nid"))
-    val corpus = PartitionUtil.spread(embeddings)
+    val nvecs = PartitionUtil.spread(corpus)
       .select(col("vec_id").as("nid"), normalizeUdf(asDouble(col("embedding"))).as("nv"))
     val qv = queries
       .select(col("vec_id").as("qid"), normalizeUdf(asDouble(col("embedding"))).as("qv"))
-    val sims = corpus.join(broadcast(cand), Seq("nid"))
+    val sims = nvecs.join(broadcast(cand), Seq("nid"))
       .join(broadcast(qv), Seq("qid"))
       .withColumn("sim", nativeDot(spark)(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
@@ -1578,7 +1641,7 @@ object Similarity {
       }
       tot
     }
-    val sims = index.join(broadcast(probes), Seq("cluster"))
+    val sims = pruneToProbed(index, probes).join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", -adcUdf(col("qres"), col("code"))) // negate: top-k keeps LARGEST
       .select(col("qid"), col("nid"), col("sim"))

@@ -267,7 +267,7 @@ object TextPipeline {
         val ixDir = scratchDir("ivf_index", dir)
         Similarity.writeCenters(s, centers, ixDir + "_centroids")
         Similarity.ivfEncode(emb, centers)
-          .write.mode("overwrite").parquet(ixDir)
+          .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
         Similarity.ivfServe(s.read.parquet(ixDir),
           Similarity.readCenters(s, ixDir + "_centroids"),
           emb.filter(col("vec_id") < 20), k = 5)
@@ -290,7 +290,7 @@ object TextPipeline {
         Similarity.writeCenters(s, centers, ixDir + "_centroids")
         Similarity.writeCodebooks(s, books, ixDir + "_codebooks")
         Similarity.ivfPqEncode(emb, centers, books)
-          .write.mode("overwrite").parquet(ixDir)
+          .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
         Similarity.ivfPqServe(s.read.parquet(ixDir),
           Similarity.readCenters(s, ixDir + "_centroids"),
           Similarity.readCodebooks(s, ixDir + "_codebooks"),
@@ -313,7 +313,7 @@ object TextPipeline {
         Similarity.writeCenters(s, centers, ixDir + "_centroids")
         Similarity.writeRanges(s, mns, mxs, ixDir + "_ranges")
         Similarity.ivfSq8Encode(emb, centers, mns, mxs)
-          .write.mode("overwrite").parquet(ixDir)
+          .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
         val (lmns, lmxs) = Similarity.readRanges(s, ixDir + "_ranges")
         Similarity.ivfSq8Serve(s.read.parquet(ixDir),
           Similarity.readCenters(s, ixDir + "_centroids"), lmns, lmxs,
@@ -336,9 +336,9 @@ object TextPipeline {
         val centers = Similarity.ivfFitCenters(emb)
         val ixDir = scratchDir("ivf_append", dir)
         Similarity.ivfEncode(emb.filter(col("vec_id") % 2 === 0), centers)
-          .write.mode("overwrite").parquet(ixDir)
+          .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
         Similarity.ivfEncode(emb.filter(col("vec_id") % 2 =!= 0), centers)
-          .write.mode("append").parquet(ixDir)
+          .write.partitionBy("cluster").mode("append").parquet(ixDir)
         Similarity.ivfServe(s.read.parquet(ixDir), centers,
           emb.filter(col("vec_id") < 20), k = 5)
       },
@@ -366,9 +366,9 @@ object TextPipeline {
           ixDir + "_centroids")
         val frozen = Similarity.readCenters(s, ixDir + "_centroids")
         Similarity.ivfEncode(inc1, frozen)
-          .write.mode("overwrite").parquet(ixDir)
+          .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
         Similarity.ivfEncode(inc2, frozen)
-          .write.mode("append").parquet(ixDir)
+          .write.partitionBy("cluster").mode("append").parquet(ixDir)
         Similarity.ivfServe(s.read.parquet(ixDir), frozen,
           emb.filter(col("vec_id") < 20), k = 5)
       },
@@ -420,6 +420,23 @@ object TextPipeline {
           emb.filter(col("vec_id") < 20), k = 5)
       },
       Some(Similarity.binTopKOracleSql(queryCond = "vec_id < 20", k = 5))),
+
+    // ---- binary TWO-STAGE serve from the PERSISTED store — the
+    // family's flagship production path (q174's composition, served
+    // the way a tier actually runs it): stage-1 Hamming shortlist
+    // from the RELOADED 8-byte/vector packed index, stage-2 exact
+    // rerank against the raw-vector relation. Hash-equal to q174's
+    // fresh-encode oracle proves store-vs-fresh bit-identity for the
+    // whole two-stage composition, not just the Hamming leg (q175). --
+    ("q177_bin_rerank_store",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val ixDir = scratchDir("bin_rerank_index", dir)
+        Similarity.binEncode(emb).write.mode("overwrite").parquet(ixDir)
+        Similarity.binRerankServe(s.read.parquet(ixDir), emb,
+          emb.filter(col("vec_id") < 20), k = 5)
+      },
+      Some(Similarity.binRerankOracleSql(queryCond = "vec_id < 20", k = 5))),
 
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
@@ -1674,15 +1691,32 @@ object TextPipeline {
   /** One-shot stale-scratch GC, run on first scratch use per JVM:
     * per-run tokens mean no run ever overwrites another's dirs, so
     * without collection /tmp would accumulate one full set of index +
-    * interchange copies per run. Deleting only `graft_*` dirs older
-    * than a DAY can never race a live gate (a round's Verify → DuckDB
-    * compare completes in minutes) while bounding growth to one day's
-    * runs. */
+    * interchange copies per run. Three guards keep it from ever
+    * racing a live consumer: (1) only dirs matching THIS convention's
+    * run-token name (`graft_*_r<pid>t<startMillis>*`) are candidates
+    * — a foreign `graft_*` entry another process happened to create
+    * in a shared /tmp is never touched; (2) a dir whose embedded pid
+    * is still a LIVE process is skipped regardless of age (a paused
+    * pipeline or a Verify whose DuckDB compare runs hours later keeps
+    * its inputs for as long as its JVM exists); (3) the 24 h age
+    * floor bounds growth to one day's dead runs while making a
+    * pid-recycling false-alive merely delay collection, never cause
+    * a premature one. */
   private lazy val scratchGc: Unit = {
+    val tokenRe = "^graft_.*_r(\\d+)t\\d+.*$".r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("graft_") && f.lastModified() < cutoff)
+      .filter(f => f.lastModified() < cutoff)
+      .filter { f =>
+        f.getName match {
+          case tokenRe(pid) =>
+            // skip dirs whose owning JVM is still alive
+            !java.lang.ProcessHandle.of(pid.toLong)
+              .map[Boolean](_.isAlive).orElse(false)
+          case _ => false
+        }
+      }
     def rmr(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
       f.delete(): Unit

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -408,12 +408,22 @@ object EventStreams {
     * earliest doc. Serves BOTH [[streamingNearDup]] (evidence filtered
     * to collisions) and [[streamingCuration]] (full evidence). */
   class BandOccupantProcessor
-      extends StatefulProcessor[(Int, Long), ScoredBandRow, DocBandEvidence] {
+      extends StatefulProcessorWithInitialState[(Int, Long), ScoredBandRow,
+        DocBandEvidence, Long] {
     @transient private var first: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       first = getHandle.getValueState[Long]("first", Encoders.scalaLong,
         TTLConfig.NONE)
+
+    /** Occupancy restore from a compacted snapshot
+      * ([[occupancySnapshot]] → [[streamingCuration]]'s
+      * `initialOccupancy`): seed the bucket's first-occupant long
+      * before the first batch, so a RESTARTED lineage (fresh
+      * checkpoint) dedups against everything the old lineage saw. */
+    override def handleInitialState(key: (Int, Long), initial: Long,
+                                    tv: TimerValues): Unit =
+      first.update(initial)
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[ScoredBandRow],
                                  tv: TimerValues): Iterator[DocBandEvidence] = {
@@ -474,7 +484,8 @@ object EventStreams {
 
     override def handleInputRows(key: Long, rows: Iterator[DocBandEvidence],
                                  tv: TimerValues): Iterator[CurationEvent] = {
-      var s = if (st.exists()) st.get() else CurationState(0, false, -1L, -1L, false)
+      val hadState = st.exists()
+      var s = if (hadState) st.get() else CurationState(0, false, -1L, -1L, false)
       // late = FIRST dup evidence after a clean verdict already fired
       // (anyDup flips on that row, so later batches can't re-correct)
       var late = false
@@ -486,7 +497,23 @@ object EventStreams {
           nToks = if (r.pred >= 0L) r.n_toks else s.nToks)
       }
       val fire = !s.emitted && s.seen >= bands && s.pred >= 0L
-      if (fire) s = s.copy(emitted = true)
+      // EXPIRED-guard takeover: dup evidence for a doc with NO guard
+      // state and no verdict firing this batch can only be a takeover
+      // arriving LATER than `ttl` after the doc's verdict (the
+      // occupant stage retro-flags only docs it recorded, and a
+      // verdict always fires within the doc's own arrival batch) — or
+      // a takeover of a doc served by a PREVIOUS checkpoint lineage
+      // when occupancy was restored from a compacted snapshot; either
+      // way a clean verdict exists downstream and the upgrade is the
+      // batch-exact is_dup. The expired state no longer remembers
+      // pred/n_toks, so the correction carries the -1 sentinels
+      // (consumers reconcile is_dup/keep from the correction and
+      // pred/n_toks from the verdict row). Re-arming emitted/anyDup
+      // below suppresses duplicates for `ttl` after each upgrade; a
+      // still-later takeover re-emits a CONTENT-IDENTICAL row, so
+      // reconciliation stays idempotent.
+      val lateExpired = corrections && !hadState && !fire && s.anyDup
+      if (fire || lateExpired) s = s.copy(emitted = true)
       st.update(s)
       val verdict =
         if (fire) Iterator.single(CurationEvent(key,
@@ -494,7 +521,7 @@ object EventStreams {
           if (s.pred == 1L && !s.anyDup) 1L else 0L, s.nToks, 0L))
         else Iterator.empty
       val upgrade =
-        if (corrections && late) Iterator.single(
+        if (corrections && (late || lateExpired)) Iterator.single(
           CurationEvent(key, 1L, s.pred, 0L, s.nToks, 1L))
         else Iterator.empty
       verdict ++ upgrade
@@ -551,10 +578,11 @@ object EventStreams {
                         model: graft.pipeline.QualityClassifier.Model,
                         shingleN: Int = 3, numHashes: Int = 16,
                         bands: Int = 4,
-                        ttl: java.time.Duration = null): Dataset[CurationVerdict] = {
+                        ttl: java.time.Duration = null,
+                        initialOccupancy: DataFrame = null): Dataset[CurationVerdict] = {
     import docs.sparkSession.implicits._
     curationEvents(docs, model, shingleN, numHashes, bands, ttl,
-      corrections = false)
+      corrections = false, initialOccupancy)
       .map(e => CurationVerdict(e.doc_id, e.is_dup, e.pred, e.keep, e.n_toks))
   }
 
@@ -568,31 +596,37 @@ object EventStreams {
     * default can't promise (its documented deviation). Corrections
     * ride the existing takeover evidence, costing no extra state.
     *
-    * TTL caveat: the correction detector lives in the per-doc guard
-    * state, so a non-null `ttl` BOUNDS THE CORRECTION WINDOW too — a
-    * takeover arriving later than `ttl` after the doc's verdict finds
-    * the state expired and emits nothing (pinned in StreamingSpec).
-    * For batch-exact reconciliation under arbitrary lateness run with
-    * `ttl = null` (the default): full-history state, the same class
-    * the band occupancy index keeps by design. */
+    * TTL composition: corrections stay batch-exact for is_dup/keep
+    * under ANY lateness even with a non-null `ttl` — a takeover
+    * arriving later than `ttl` after the doc's verdict finds the
+    * guard state expired, and the takeover evidence itself triggers
+    * the upgrade (the expired-guard path in
+    * [[CurationVerdictProcessor]]). The expired state no longer
+    * remembers pred/n_toks, so such a late correction carries -1
+    * sentinels for them — reconcile is_dup/keep from the correction
+    * and pred/n_toks from the verdict row (pinned in StreamingSpec).
+    * With `ttl = null` (the default) the guard lives forever and
+    * corrections carry the full remembered fields. */
   def streamingCurationWithCorrections(docs: Dataset[StreamDoc],
                                        model: graft.pipeline.QualityClassifier.Model,
                                        shingleN: Int = 3, numHashes: Int = 16,
                                        bands: Int = 4,
-                                       ttl: java.time.Duration = null): Dataset[CurationEvent] =
+                                       ttl: java.time.Duration = null,
+                                       initialOccupancy: DataFrame = null): Dataset[CurationEvent] =
     curationEvents(docs, model, shingleN, numHashes, bands, ttl,
-      corrections = true)
+      corrections = true, initialOccupancy)
 
   private def curationEvents(docs: Dataset[StreamDoc],
                              model: graft.pipeline.QualityClassifier.Model,
                              shingleN: Int, numHashes: Int, bands: Int,
                              ttl: java.time.Duration,
-                             corrections: Boolean): Dataset[CurationEvent] = {
+                             corrections: Boolean,
+                             initialOccupancy: DataFrame = null): Dataset[CurationEvent] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val timeMode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
     import docs.sparkSession.implicits._
-    docs.flatMap { d =>
+    val banded = docs.flatMap { d =>
       val sc = graft.pipeline.QualityClassifier.scoreRow(d.text, model)
       val sig = graft.pipeline.Dedup.minhashSignature(
         shingleSet(d.text, shingleN).toSeq, numHashes)
@@ -600,12 +634,50 @@ object EventStreams {
         .map { case (i, h) => ScoredBandRow(i, h, d.doc_id, sc._5, sc._1) }
     }
       .groupByKey(b => (b.band_idx, b.band_hash))
-      .transformWithState(new BandOccupantProcessor,
-        timeMode, OutputMode.Append())
+    val evidence =
+      if (initialOccupancy == null)
+        banded.transformWithState(new BandOccupantProcessor,
+          timeMode, OutputMode.Append())
+      else {
+        // restart-from-compacted-store: seed the occupancy index (the
+        // by-design-unbounded dedup state) from an [[occupancySnapshot]]
+        // parquet, so a FRESH checkpoint lineage keeps deduping against
+        // everything the old lineage saw without replaying its input
+        val init = initialOccupancy
+          .select(col("band_idx").cast("int"), col("band_hash").cast("long"),
+            col("first_doc").cast("long"))
+          .as[(Int, Long, Long)]
+          .groupByKey(r0 => (r0._1, r0._2)).mapValues(_._3)
+        banded.transformWithState(new BandOccupantProcessor,
+          timeMode, OutputMode.Append(), init)
+      }
+    evidence
       .groupByKey(_.doc_id)
       .transformWithState(new CurationVerdictProcessor(bands, ttl, corrections),
         timeMode, OutputMode.Append())
   }
+
+  /** COMPACT the curation occupancy index out of a (stopped) query's
+    * checkpoint into a (band_idx, band_hash, first_doc) DataFrame —
+    * the state-snapshot half of the restart-from-compacted-store
+    * lifecycle (write it to parquet, then restart
+    * [[streamingCuration]] on a FRESH checkpoint with
+    * `initialOccupancy` pointing at it). Reads the state store
+    * directly (Spark's `statestore` data source), so compaction costs
+    * O(|state|) — no replay of the corpus that built it. Operator ids
+    * are assigned sink-down, so the band-occupant stage (first in
+    * data flow, LAST from the sink) is `operatorId` 1 and the per-doc
+    * verdict guard is 0; the guards are deliberately NOT carried over
+    * — on a fresh lineage they only fence redeliveries, which the
+    * restart boundary already fences. */
+  def occupancySnapshot(spark: org.apache.spark.sql.SparkSession,
+                        checkpointDir: String): DataFrame =
+    spark.read.format("statestore")
+      .option("operatorId", 1)
+      .option("stateVarName", "first")
+      .load(checkpointDir)
+      .select(col("key._1").as("band_idx"), col("key._2").as("band_hash"),
+        col("value.value").as("first_doc"))
 
   /** An arriving query vector for online retrieval. */
   case class QueryVec(qid: Long, vec: Seq[Double])
@@ -614,8 +686,27 @@ object EventStreams {
   case class AnnHit(qid: Long, rank: Long, nid: Long)
 
   /** A scored candidate flowing from the stream-static probe join
-    * into the per-query top-k assembly. */
-  case class AnnCand(qid: Long, nid: Long, sim: Double)
+    * into the per-query top-k assembly. `qfp` is the query VECTOR's
+    * fingerprint ([[vecFingerprint]], stamped in
+    * [[streamingAnnServe]]'s probe flatMap), carried so the top-k
+    * stage can detect a qid reused with a different vector even when
+    * the two vectors' candidate sets are disjoint (a sim-mismatch
+    * check alone needs an overlapping nid to fire). */
+  case class AnnCand(qid: Long, nid: Long, sim: Double, qfp: Long)
+
+  /** Order-sensitive FNV-1a fold over the vector's raw double bits —
+    * a deterministic per-vector fingerprint (collision odds ~2^-64
+    * per reused qid; a collision merely downgrades the loud contract
+    * check to the old overlap-only detection, never corrupts data). */
+  private[graft] def vecFingerprint(v: Array[Double]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < v.length) {
+      h = (h ^ java.lang.Double.doubleToLongBits(v(i))) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
 
   /** Assembles each query's candidates into its top-k [[AnnHit]]
     * rows, exactly once. All of a query's candidates arrive in its
@@ -647,22 +738,25 @@ object EventStreams {
         // silently diverge the streaming face. An at-least-once
         // source duplicating a query WITHIN one batch duplicates
         // every candidate with an identical sim — the nid→sim map
-        // collapses them before the fold, and a qid REUSED with a
+        // collapses them before the fold. A qid REUSED with a
         // DIFFERENT vector in one batch (a contract violation — see
-        // [[streamingAnnServe]]) surfaces as the same nid scoring two
-        // different sims, which fails loudly instead of silently
-        // blending candidates from both vectors.
+        // [[streamingAnnServe]]) fails loudly on the carried query
+        // fingerprint — EVEN when the two vectors' probed candidate
+        // sets are disjoint, which a sim-mismatch check alone would
+        // silently blend into one top-k.
         val agg = new graft.functions.TopKAggregator(k)
         val seen = scala.collection.mutable.HashMap.empty[Long, Double]
+        var fp = 0L
+        var fpSet = false
         var buf: Seq[(Double, Long)] = Vector.empty
         rows.foreach { c =>
-          seen.get(c.nid) match {
-            case None => seen.update(c.nid, c.sim); buf = agg.reduce(buf, (c.sim, c.nid))
-            case Some(prev) =>
-              require(prev == c.sim,
-                s"query id $key arrived with two different vectors in one batch " +
-                s"(neighbor ${c.nid} scored $prev and ${c.sim}); qids must be " +
-                "unique per vector — see streamingAnnServe's contract")
+          if (!fpSet) { fp = c.qfp; fpSet = true }
+          else require(fp == c.qfp,
+            s"query id $key arrived with two different vectors in one batch " +
+            s"(fingerprints $fp and ${c.qfp}); qids must be unique per " +
+            "vector — see streamingAnnServe's contract")
+          if (!seen.contains(c.nid)) {
+            seen.update(c.nid, c.sim); buf = agg.reduce(buf, (c.sim, c.nid))
           }
         }
         if (buf.isEmpty) Iterator.empty // no candidate reached any probed list
@@ -697,9 +791,10 @@ object EventStreams {
     * Contract: a query id identifies ONE vector — reuse a qid only to
     * REDELIVER the same vector (at-least-once sources), never to ask
     * a new question. A qid reused with a different vector in one
-    * batch fails loudly in [[AnnTopKProcessor]] when the candidate
-    * sets overlap; a cross-batch reuse inside the guard window is
-    * dropped as a redelivery.
+    * batch fails loudly in [[AnnTopKProcessor]] on the per-vector
+    * fingerprint every candidate carries — even when the two vectors'
+    * probed candidate sets are disjoint; a cross-batch reuse inside
+    * the guard window is dropped as a redelivery.
     *
     * GROWING the index while serving: a running query snapshots the
     * static side's parquet file listing at start — appends (and
@@ -736,9 +831,10 @@ object EventStreams {
     val probes = queries.flatMap { q =>
       val v = q.vec.toArray
       val qv = graft.pipeline.Similarity.normalize(v)
+      val fp = vecFingerprint(v) // per-vector contract fingerprint
       graft.pipeline.Similarity.nearestClusters(bcCenters.value, v, nProbe)
-        .map(c => (q.qid, c, qv.toSeq))
-    }.toDF("qid", "cluster", "qv")
+        .map(c => (q.qid, c, qv.toSeq, fp))
+    }.toDF("qid", "cluster", "qv", "qfp")
     // the BATCH serve's join shape: the static index is the scan side
     // and the per-batch probe rows BROADCAST (without the hint the
     // streaming side's unknown stats push Spark to shuffle the whole
@@ -747,7 +843,7 @@ object EventStreams {
     index.join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", graft.pipeline.Similarity.nativeDot(spark)(col("qv"), col("nv")))
-      .select(col("qid"), col("nid"), col("sim"))
+      .select(col("qid"), col("nid"), col("sim"), col("qfp"))
       .as[AnnCand]
       .groupByKey(_.qid)
       .transformWithState(new AnnTopKProcessor(k, ttl),

@@ -222,9 +222,24 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     Similarity.binRerankTopK(df, col("vec_id") < 3, k = 5,
         shortlist = vecs.size, dim = dim, asymmetric = true)
       .as[(Long, Long, Long)].collect().toList shouldBe brute
+    // the TWO-STAGE serve from the persisted store (q177): stage-1
+    // shortlist from the reloaded packed index + stage-2 exact rerank
+    // against the raw relation == the fresh-encode composition
+    val fresh = Similarity.binRerankTopK(df, col("vec_id") < 3, k = 5,
+        dim = dim).as[(Long, Long, Long)].collect().toList
+    Similarity.binRerankServe(spark.read.parquet(dir), df,
+        df.filter($"vec_id" < 3), k = 5, dim = dim)
+      .as[(Long, Long, Long)].collect().toList shouldBe fresh
     // loud contract: dim must pack whole words
     an[IllegalArgumentException] should be thrownBy
       Similarity.binEncode(df, dim = 48)
+    // loud contract: a wrong-dim vector RAISES instead of silently
+    // packing zero bits (element_at's NULL would CASE to 0 otherwise
+    // — and the oracle would replay it, blinding the hash gate)
+    val short = df.withColumn("embedding",
+      org.apache.spark.sql.functions.slice(col("embedding"), 1, 48))
+    val ex = intercept[Exception] { Similarity.binEncode(short, dim).collect() }
+    ex.getMessage should include("embedding size <> dim")
   }
 
   test("filtered ANN: top-k over the attribute-matching corpus only") {

@@ -890,7 +890,7 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("streaming curation corrections under TTL: the correction window is the TTL window") {
+  test("streaming curation corrections under TTL: a post-expiry takeover still upgrades (sentinel pred)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -914,18 +914,33 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     try {
       mem.addData(EventStreams.StreamDoc(2L, base)) // LATER doc first
       awaitEvents(1)
+      val verdict2 = events().find(_._1 == 2L).get
+      verdict2._2 shouldBe 0L // clean at arrival time
       // let doc 2's guard state EXPIRE, then the smaller near-dup
       // arrives and takes the buckets over
       Thread.sleep(ttl.toMillis + 1500)
       mem.addData(EventStreams.StreamDoc(1L, base))
-      awaitEvents(2)
+      awaitEvents(3)
       val evs = events()
-      // both verdicts fired; the takeover found doc 2's state expired,
-      // so NO correction — the documented window contract: a takeover
-      // later than ttl after the verdict is not corrected (use
-      // ttl=null for batch-exact reconciliation under any lateness)
+      // both verdicts fired AND the takeover still upgraded doc 2 even
+      // though its guard state had expired: the takeover evidence
+      // itself triggers the correction, so TTL-bounded state and
+      // batch-exact is_dup/keep reconciliation compose. The expired
+      // state no longer remembers pred/n_toks, so the late correction
+      // carries the -1 sentinels — consumers take is_dup/keep from it
+      // and pred/n_toks from the verdict row.
       evs.count(_._6 == 0L) shouldBe 2
-      evs.count(_._6 == 1L) shouldBe 0
+      val corr = evs.filter(_._6 == 1L)
+      corr.map(e => (e._1, e._2, e._3, e._4, e._5)) shouldBe
+        List((2L, 1L, -1L, 0L, -1L))
+      // reconciled composition == the batch q165 composition
+      val batchDup = graft.pipeline.Dedup.firstSeenNearDup(
+          Seq((1L, base), (2L, base)).toDF("doc_id", "text"), 3, 16, 4)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      Seq(1L, 2L).foreach { id =>
+        val e = evs.filter(_._1 == id).maxBy(_._6)
+        e._2 shouldBe batchDup(id)
+      }
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1028,21 +1043,31 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       // batch processed — the guard must still hold for qid 0
       mem.addData((extra :+ qvecs(0)): _*)
       awaitHits(batch.size + extraBatch.size)
-      // in-window, provably (1s slack covers the poll granularity gap
-      // between the guard write and servedAt)
-      (System.nanoTime() - servedAt) should be < (ttl.toNanos - 1000000000L)
-      hits().count(_._1 == 0L) shouldBe 5 // guard held: no re-serve
+      // the in-window assertion is only MEANINGFUL when the redelivery
+      // provably landed inside the window (1s slack covers the poll
+      // granularity gap between the guard write and servedAt); on a
+      // loaded box where GC/scheduling pushed the micro-batch past the
+      // window, skip it instead of flaking — the expiry phase below
+      // still proves the TTL is real either way
+      val inWindow = (System.nanoTime() - servedAt) < (ttl.toNanos - 1000000000L)
+      if (inWindow)
+        hits().count(_._1 == 0L) shouldBe 5 // guard held: no re-serve
+      else info("machine too loaded to prove the in-window hold; skipping")
       // phase 3: redeliver qid 0 AFTER the window — the guard expired,
       // the query re-serves it with the identical rows: the state
-      // bound is real and costs only a re-emit
+      // bound is real and costs only a re-emit (counts are relative to
+      // whatever phase 2 left, so the loaded-box skip above can't
+      // cascade a flake into this phase)
+      val beforeTotal = hits().size
+      val q0Before = hits().count(_._1 == 0L)
       Thread.sleep(ttl.toMillis + 1500)
       mem.addData(qvecs(0))
-      awaitHits(batch.size + extraBatch.size + 5)
+      awaitHits(beforeTotal + 5)
       val q0 = hits().filter(_._1 == 0L)
-      q0.size shouldBe 10
-      q0.sortBy(r => (r._2, r._3)).grouped(2).foreach { pair =>
-        pair.head shouldBe pair.last // re-serve == original serve
-      }
+      q0.size shouldBe (q0Before + 5)
+      // every serve of qid 0 emitted the SAME 5 rows
+      q0.distinct.size shouldBe 5
+      q0.distinct.sortBy(_._2) shouldBe batch.filter(_._1 == 0L)
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1165,6 +1190,109 @@ class StreamingSpec extends AnyFunSuite with Matchers {
         .contains("two different vectors")) shouldBe true
     } finally {
       q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming ANN serve fails loudly on qid reuse even when the candidate sets are DISJOINT") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val emb = graft.queries.QueryDsl.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val centers = graft.pipeline.Similarity.ivfFitCenters(emb)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft_stream_ivf_disj")
+      .toString + "/index"
+    graft.pipeline.Similarity.ivfEncode(emb, centers).write.parquet(ixDir)
+    val index = spark.read.parquet(ixDir)
+    val vecs = emb.select($"vec_id",
+        graft.pipeline.Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect()
+    def probed(v: Seq[Double]) = graft.pipeline.Similarity
+      .nearestClusters(centers, v.toArray, 4).toSet
+    // find a pair whose nProbe=4 cluster sets are DISJOINT — the case
+    // the old sim-mismatch detector was blind to (no shared nid can
+    // score twice when no cluster is shared); the carried query
+    // fingerprint must fire anyway
+    val v1 = vecs.head._2
+    val p1 = probed(v1)
+    val v2 = vecs.find(v => (probed(v._2) & p1).isEmpty)
+      .getOrElse(fail("no disjoint-probe pair in the corpus"))._2
+    val mem = MemoryStream[EventStreams.QueryVec]
+    val q = EventStreams.streamingAnnServe(mem.toDS(), index, centers, k = 5)
+      .writeStream.format("memory").queryName("ann_serve_disjoint")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventStreams.QueryVec(0L, v1), EventStreams.QueryVec(0L, v2))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      chain(e).exists(c => String.valueOf(c.getMessage)
+        .contains("two different vectors")) shouldBe true
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("curation occupancy compaction: snapshot the band index, restart a FRESH lineage from it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val model = graft.pipeline.QualityClassifier.fit(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    val other = "totally different words here " * 8
+    val tmp = java.nio.file.Files.createTempDirectory("graft_occ_compact").toString
+    val docsA = Seq(EventStreams.StreamDoc(1L, base),
+      EventStreams.StreamDoc(5L, other))
+    val docsB = Seq(EventStreams.StreamDoc(2L, base), // near-dup of OLD-lineage 1
+      EventStreams.StreamDoc(7L, other)) // near-dup of OLD-lineage 5
+    try {
+      // lineage 1: process docsA, stop — its checkpoint holds the
+      // (by-design-unbounded) occupancy index
+      val mem1 = MemoryStream[EventStreams.StreamDoc]
+      val q1 = EventStreams.streamingCuration(mem1.toDS(), model)
+        .writeStream.format("memory").queryName("occ_l1")
+        .option("checkpointLocation", s"$tmp/ckpt1").outputMode("append").start()
+      mem1.addData(docsA: _*)
+      q1.processAllAvailable(); q1.stop()
+      // compact: O(|state|) read of the state store, no corpus replay
+      EventStreams.occupancySnapshot(spark, s"$tmp/ckpt1")
+        .write.parquet(s"$tmp/occ.parquet")
+      val snap = spark.read.parquet(s"$tmp/occ.parquet")
+      // one long per touched bucket: 2 unrelated docs x 4 bands
+      snap.count() shouldBe 8
+      snap.select($"first_doc").as[Long].collect().toSet shouldBe Set(1L, 5L)
+      // lineage 2: FRESH checkpoint seeded from the snapshot — new
+      // docs dedup against everything the old lineage saw
+      val mem2 = MemoryStream[EventStreams.StreamDoc]
+      val q2 = EventStreams.streamingCuration(mem2.toDS(), model,
+          initialOccupancy = snap)
+        .writeStream.format("memory").queryName("occ_l2")
+        .option("checkpointLocation", s"$tmp/ckpt2").outputMode("append").start()
+      mem2.addData(docsB: _*)
+      q2.processAllAvailable(); q2.stop()
+      val restarted = spark.table("occ_l2")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      // reference: ONE never-stopped lineage over docsA ++ docsB —
+      // the restarted lineage's verdicts for the new docs must match
+      val mem3 = MemoryStream[EventStreams.StreamDoc]
+      val q3 = EventStreams.streamingCuration(mem3.toDS(), model)
+        .writeStream.format("memory").queryName("occ_l3")
+        .option("checkpointLocation", s"$tmp/ckpt3").outputMode("append").start()
+      mem3.addData(docsA: _*); q3.processAllAvailable()
+      mem3.addData(docsB: _*); q3.processAllAvailable(); q3.stop()
+      val bIds = docsB.map(_.doc_id).toSet
+      val together = spark.table("occ_l3")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .filter(r => bIds(r._1)).sortBy(_._1).toList
+      restarted shouldBe together
+      restarted.map(_._2) shouldBe List(1L, 1L) // both flagged dup
+    } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
