@@ -767,36 +767,30 @@ object PlanAudit {
         Seq("content_hash64", "HashAggregate"),
         Seq("Window", "CartesianProduct", "SortMergeJoin",
           "BroadcastNestedLoopJoin")),
-      ("q167_ivf_index_roundtrip",
-        "IVF serving from the PERSISTED index: the corpus side scans the " +
-          "precomputed (cluster, nv) parquet — NO assignment UDF and no " +
-          "refit appear in the serve plan, the point of build-once/" +
-          "serve-many — and probing is the same cluster equi-join with " +
-          "the KB-sized probe table broadcast into the map-side-combined " +
-          "TopK aggregator; no window, no cartesian",
-        Seq("BroadcastHashJoin", "TopKAggregator"),
-        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
-          "SortMergeJoin")),
       ("q168_ivfpq_index_roundtrip",
-        "IVF-PQ serving from the PERSISTED index: the corpus side scans " +
-          "the 2-byte-code (cluster, code) parquet — a relation ~64x " +
-          "narrower than the raw embeddings, the scan-bytes win that " +
-          "makes billion-vector serving fit — with no encode UDF and no " +
-          "refit in the plan; candidates come from the cluster equi-join " +
-          "with the broadcast probe residuals, scored by ADC into the " +
-          "TopK aggregator; no window, no cartesian",
-        Seq("BroadcastHashJoin", "TopKAggregator"),
+        "IVF-PQ serving from the PERSISTED partitionBy(cluster) index: " +
+          "the corpus side scans only the probed posting lists' files " +
+          "(static PartitionFilters) of the 2-byte-code (cluster, code) " +
+          "parquet — a relation ~64x narrower than the raw embeddings, " +
+          "the scan-bytes win that makes billion-vector serving fit — " +
+          "with no encode UDF and no refit in the plan; candidates come " +
+          "from the cluster equi-join with the broadcast probe " +
+          "residuals, scored by ADC into the TopK aggregator; no " +
+          "window, no cartesian",
+        Seq("PartitionFilters: [cluster", "BroadcastHashJoin",
+          "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
       ("q170_ivf_index_append",
         "incremental IVF index append: two frozen-centroid encode " +
-          "scans write disjoint file sets into ONE parquet index dir " +
-          "(parquet append touches no existing file); the serve plan " +
-          "is q167's — the combined scan, the broadcast probe " +
-          "equi-join, the map-side-combined TopK aggregator — with no " +
-          "refit and nothing distinguishing appended files from " +
-          "original ones",
-        Seq("BroadcastHashJoin", "TopKAggregator"),
+          "scans write disjoint file sets into ONE partitionBy(cluster) " +
+          "parquet index dir (parquet append touches no existing file); " +
+          "the serve plan is q167's — the partition-pruned combined " +
+          "scan, the broadcast probe equi-join, the map-side-combined " +
+          "TopK aggregator — with no refit and nothing distinguishing " +
+          "appended files from original ones",
+        Seq("PartitionFilters: [cluster", "BroadcastHashJoin",
+          "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
       ("q173_ann_binary",
@@ -836,6 +830,19 @@ object PlanAudit {
           "xor+popcount scoring and TopK aggregation are q173's",
         Seq("BroadcastNestedLoopJoin", "TopKAggregator"),
         Seq("CartesianProduct", "Window", "SortMergeJoin")),
+      ("q178_ann_binary_mih",
+        "multi-index Hamming: stage-1 candidates come from a " +
+          "(slot, sub-word) EQUI-join of generated corpus postings " +
+          "against the broadcast |Q|*subs query sub-words — the " +
+          "pigeonhole bucket structure that replaces q173's " +
+          "BroadcastNestedLoopJoin full scan — so only colliding " +
+          "pairs pay the exact popcount, duplicate collisions " +
+          "collapse in a map-side-combined min aggregate, and the " +
+          "TopK aggregation is the family's shared rule",
+        Seq("Generate", "BroadcastHashJoin", "HashAggregate",
+          "TopKAggregator"),
+        Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+          "SortMergeJoin")),
       ("q167_ivf_index_roundtrip",
         "IVF serving from the PERSISTED partitionBy(cluster) store: " +
           "the probed-cluster set (driver-computed, bounded by " +
@@ -875,6 +882,15 @@ object PlanAudit {
           "TopKAggregator"),
         Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
           "SortMergeJoin")),
+      ("q179_simhash_neardup",
+        "simhash near-dup pairs: candidates come from the (slot, " +
+          "piece) self-EQUI-join over N*pieces narrow generated rows " +
+          "(the q32 banded-join class — pigeonhole, never an N^2 " +
+          "popcount scan), duplicate collisions collapse in a " +
+          "map-side-combined min aggregate, and only colliding pairs " +
+          "pay the exact popcount threshold",
+        Seq("Generate", "HashAggregate"),
+        Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")),
       ("q160_firstseen_neardup",
         "first-seen near-dup verdict: the q32 banded self-join (shuffle " +
           "O(N·bands) narrow rows, equi-join on (band, bucket) — never a " +

@@ -201,6 +201,20 @@ object ScaleProbe {
     probe("ann_binary_rerank",
       Similarity.binRerankTopK(emb, col("vec_id") < 20, 5).count(),
       Similarity.binRerankTopK(embN, col("vec_id") < 20, 5).count())
+    // multi-index Hamming: candidate generation is the (slot, sub)
+    // collision equi-join, so the 10x cost tracks collision volume
+    // (~subs*N/2^(dim/subs) pairs) instead of the |Q|*N flat scan
+    probe("ann_binary_mih",
+      Similarity.binMihTopK(emb, col("vec_id") < 20, 5).count(),
+      Similarity.binMihTopK(embN, col("vec_id") < 20, 5).count())
+    // simhash near-dup pairs: the (slot, piece) banded self-join over
+    // 4N narrow rows; with 2^16 buckets per slot the collision volume
+    // stays near the true within-radius pair volume, so the 10x cost
+    // tracks the simhash scan + the banded shuffle (copies never
+    // near-collide across the cK_ token salt)
+    probe("simhash_neardup",
+      Dedup.simhashNearDup(docs).count(),
+      Dedup.simhashNearDup(docsN).count())
     // SERVING-ONLY cost against the persisted IVF index (the q167
     // build-once/serve-many split): the fit + encode + parquet write
     // happen OUTSIDE the timers, so the ratio isolates what a serving
@@ -214,10 +228,12 @@ object ScaleProbe {
         .toString
       val c1 = Similarity.ivfFitCenters(emb)
       val cN = Similarity.ivfFitCenters(embN)
+      // the q167 production layout: partitionBy(cluster), so the serve
+      // timer includes the PartitionFilters file skipping it buys
       Similarity.ivfEncode(emb, c1)
-        .write.mode("overwrite").parquet(s"$tmp/ivfix1")
+        .write.partitionBy("cluster").mode("overwrite").parquet(s"$tmp/ivfix1")
       Similarity.ivfEncode(embN, cN)
-        .write.mode("overwrite").parquet(s"$tmp/ivfixN")
+        .write.partitionBy("cluster").mode("overwrite").parquet(s"$tmp/ivfixN")
       probe("ann_ivf_serve",
         Similarity.ivfServe(spark.read.parquet(s"$tmp/ivfix1"),
           c1, emb.filter(col("vec_id") < 20), 5).count(),
@@ -400,6 +416,19 @@ object ScaleProbe {
         Similarity.binRerankTopK(emb, qf, kR, asymmetric = true))
       rec("binary asym rerank shortlist=100")(
         Similarity.binRerankTopK(emb, qf, kR, shortlist = 100, asymmetric = true))
+      // multi-index Hamming: `subs` trades candidate volume for
+      // recall RELATIVE TO THE FLAT HAMMING SCAN (its stage-1 role);
+      // measured against both the cosine truth and the flat q173
+      // ranking it approximates
+      val hamTruth = Similarity.binTopK(emb, qf, kR).cache()
+      hamTruth.count()
+      for (s <- Seq(4, 8, 16)) {
+        rec(s"binary mih subs=$s vs cosine truth${if (s == 8) " (q178 default)" else ""}")(
+          Similarity.binMihTopK(emb, qf, kR, subs = s))
+        println(f"SCALE ann_recall binary mih subs=$s vs FLAT-HAMMING truth: recall@$kR = " +
+          f"${Similarity.recallAtK(hamTruth, Similarity.binMihTopK(emb, qf, kR, subs = s))}%.3f")
+      }
+      hamTruth.unpersist(false)
       truth.unpersist(false)
     }
     // copy-prefixed query terms ("c0_…") keep the BM25 hit set inside

@@ -532,13 +532,14 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB oracle for [[simhashBuckets]]: per-(token, bit) sign votes
-    * recomputed with the [[HashSql]] mix pipeline; the 64 majority
-    * bits reassemble via `1::UBIGINT << i` into the same signed word
-    * and 16-bit prefix bucket. */
-  private[graft] def simhashOracleSql: String = {
+  /** The simhash word CTE chain (… → `w` of (doc_id, u UBIGINT)):
+    * per-(token, bit) sign votes recomputed with the [[HashSql]] mix
+    * pipeline, the 64 majority bits reassembled via `1::UBIGINT << i`
+    * — ONE SQL copy of [[simhash64]] shared by the q33 and q179
+    * oracles. */
+  private def simhashWordCtes: String = {
     import HashSql._
-    s"""WITH toks AS (SELECT doc_id,
+    s"""toks AS (SELECT doc_id,
         list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
       tok AS (SELECT doc_id, unnest(t) AS s FROM toks),
       f AS (SELECT doc_id, ${HashSql.fnv64("s")} AS h FROM tok),
@@ -557,9 +558,90 @@ object Dedup {
       w AS (SELECT doc_id,
           CAST(SUM(CASE WHEN a > 0 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT)
                         ELSE 0 END) AS UBIGINT) AS u
-        FROM accf GROUP BY doc_id)
+        FROM accf GROUP BY doc_id)"""
+  }
+
+  /** DuckDB oracle for [[simhashBuckets]]: the shared word CTEs plus
+    * the signed-word/prefix-bucket projection. */
+  private[graft] def simhashOracleSql: String = {
+    import HashSql._
+    s"""WITH $simhashWordCtes
       SELECT doc_id, ${toSigned("u")} AS simhash, CAST(u >> 48 AS BIGINT) AS bucket
       FROM w ORDER BY doc_id"""
+  }
+
+  /** SimHash near-duplicate PAIRS, EXACT within `radius` bit flips —
+    * the pair-finding stage the q33 prefix bucket only hints at (a
+    * single 16-bit prefix misses any pair whose flipped bits land in
+    * the prefix), built as the multi-piece pigeonhole of Manku/Jain/
+    * Sarma's simhash dedup (WWW'07; the same structure as
+    * [[graft.pipeline.Similarity.binMihTopK]]'s multi-index Hamming,
+    * here with the radius < pieces guarantee doing the whole job):
+    * split the 64-bit simhash into `pieces` equal sub-words — a pair
+    * differing in fewer than `pieces` bits matches EXACTLY on at
+    * least one sub-word — so candidates come from a (slot, piece)
+    * self-equi-join over N·pieces narrow rows (the q32 banded-join
+    * class, never N²), duplicate collisions collapse in a map-side-
+    * combined min aggregate, and only colliding pairs pay the exact
+    * popcount that keeps dist ≤ radius. Integer arithmetic end to
+    * end: recall within the radius is EXACT (pigeonhole, not
+    * probability) and the oracle is fully static.
+    *
+    * Scale shape: candidate volume is Σ_bucket |bucket|² over
+    * 2^(64/pieces) buckets per slot — for near-uniform simhash words
+    * ~pieces·N²/2^(64/pieces), i.e. vanishing for pieces=4 (2^16
+    * buckets/slot); a pathological corpus (millions of IDENTICAL
+    * texts) degenerates to the true duplicate-pair volume, which is
+    * the answer's own size, not an artifact. */
+  def simhashNearDup(docs: DataFrame, radius: Int = 3, pieces: Int = 4): DataFrame = {
+    require(pieces > 0 && 64 % pieces == 0, s"pieces $pieces must divide 64")
+    require(radius < pieces,
+      s"pigeonhole needs radius < pieces (got radius=$radius, pieces=$pieces)")
+    val b = 64 / pieces
+    val mask = if (b == 64) -1L else (1L << b) - 1
+    val shUdf = udf { toks: Seq[String] => simhash64(toks) }
+    val pp = PartitionUtil.spread(docs)
+      .select(col("doc_id"), shUdf(tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        // arithmetic shift + mask reads the same bit window a logical
+        // shift would: the mask keeps only bits below the sign fill
+        posexplode(expr(s"""transform(sequence(0, ${pieces - 1}), j ->
+          shiftright(simhash, CAST(j * $b AS INT)) & ${mask}L)"""))
+          .as(Seq("slot", "piece")))
+    val aSide = pp.select(col("slot"), col("piece"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val bSide = pp.select(col("slot"), col("piece"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    aSide.join(bSide, Seq("slot", "piece"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .groupBy(col("doc_a"), col("doc_b")) // collapse multi-piece collisions
+      .agg(min(col("dist")).as("dist"))
+      .filter(col("dist") <= radius)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Static DuckDB oracle for [[simhashNearDup]]: the shared simhash
+    * word CTEs, the same unsigned shift+mask piece extraction, the
+    * same (slot, piece) collision self-join, min-collapse, popcount
+    * threshold, and (doc_a, doc_b) ordering. */
+  private[graft] def simhashNearDupOracleSql(radius: Int = 3,
+                                             pieces: Int = 4): String = {
+    val b = 64 / pieces
+    val mask = (1L << b) - 1
+    s"""WITH $simhashWordCtes,
+      pp AS (SELECT doc_id, u, CAST(j AS BIGINT) AS slot,
+          CAST((u >> CAST(j * $b AS INT)) & $mask::UBIGINT AS BIGINT) AS piece
+        FROM w CROSS JOIN range(0, $pieces) t(j)),
+      cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          bit_count(xor(a.u, b.u)) AS dist
+        FROM pp a JOIN pp b
+        ON a.slot = b.slot AND a.piece = b.piece AND a.doc_id < b.doc_id),
+      pairs AS (SELECT doc_a, doc_b, MIN(dist) AS dist
+        FROM cand GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist FROM pairs
+      WHERE dist <= $radius ORDER BY doc_a, doc_b"""
   }
 
   // ---- embedding cosine ----------------------------------------------

@@ -1465,6 +1465,100 @@ object Similarity {
     topKPerKey(sims, "qid", k)
   }
 
+  /** Multi-index Hamming top-k over the binary sign-bit codes — the
+    * stage-1 SCAN-REDUCTION lever for the binary family (the
+    * multi-index hashing idea of Norouzi/Punjani/Fleet's Hamming-space
+    * search; reference analog: the flat Hamming scan this replaces is
+    * [[binTopK]]): split each dim-bit code into `subs` disjoint
+    * sub-words; by pigeonhole any corpus code within Hamming distance
+    * < subs of the query matches it EXACTLY in at least one sub-word,
+    * so candidate generation becomes an equi-join on (slot, sub-word)
+    * postings instead of the |Q|·N full scan, and only the colliding
+    * pairs pay the exact xor+popcount. Expected candidates per query
+    * drop to ~subs·N/2^(dim/subs) (dim 64 / subs 8 → N/32, measured
+    * in ScaleProbe). Approximate as a TOP-K: a true neighbor at
+    * distance ≥ subs sharing no sub-word is missed — raise `subs` for
+    * recall, lower it for pruning (recall measured in ScaleProbe).
+    * Parameter-free like the rest of the family (no fitted state,
+    * integer-only), so results are DETERMINISTIC given the corpus and
+    * the DuckDB oracle is fully static. */
+  def binMihTopK(embeddings: DataFrame, queryFilter: Column, k: Int,
+                 dim: Int = 64, subs: Int = 8): DataFrame =
+    binMihServe(binEncode(embeddings, dim),
+      embeddings.filter(queryFilter), k, dim, subs)
+
+  /** Serve MIH top-k from a (nid, bw) index built by [[binEncode]] —
+    * fresh or RELOADED from parquet (the q175 store serves both the
+    * flat and the multi-index path; there is no separate artifact to
+    * build or freeze). Postings explode corpus-side (subs narrow rows
+    * per vector, generated — never persisted); the |Q|·subs query
+    * sub-words broadcast into the (slot, sub) equi-join; duplicate
+    * collisions collapse in a map-side-combined min aggregate (ham is
+    * identical across a pair's colliding slots); ranking replays
+    * [[binServe]]'s Hamming asc / nid asc rule. */
+  def binMihServe(index: DataFrame, queries: DataFrame, k: Int,
+                  dim: Int = 64, subs: Int = 8): DataFrame = {
+    require(dim % subs == 0, s"subs $subs must divide dim $dim")
+    val b = dim / subs
+    require(32 % b == 0,
+      s"sub-word width $b must pack whole 32-bit words (subs divides dim into 1/2/4/8/16/32-bit pieces)")
+    val post = PartitionUtil.spread(index)
+      .select(col("nid"), col("bw"),
+        posexplode(expr(mihSubsSql("bw", subs, b))).as(Seq("slot", "sub")))
+    val q = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
+      .select(col("qid"), packGuarded(dim, "binMihServe", col("qid")).as("qw"))
+      .select(col("qid"), col("qw"),
+        posexplode(expr(mihSubsSql("qw", subs, b))).as(Seq("slot", "sub")))
+    val sims = post.join(broadcast(q), Seq("slot", "sub"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("ham",
+        expr("aggregate(zip_with(qw, bw, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"))
+      .groupBy(col("qid"), col("nid")) // collapse multi-slot collisions
+      .agg(min(col("ham")).as("ham"))
+      .select(col("qid"), col("nid"), (-col("ham").cast("double")).as("sim"))
+    topKPerKey(sims, "qid", k)
+  }
+
+  /** The sub-word extraction expression over a packed-words column:
+    * sub-word j (ascending) = bits [j·b, (j+1)·b) of the code, read
+    * from its 32-bit word by shift+mask — the ONE arithmetic the
+    * oracle mirrors. */
+  private def mihSubsSql(wordsCol: String, subs: Int, b: Int): String =
+    s"""transform(sequence(0, ${subs - 1}), j ->
+        shiftright(element_at($wordsCol, CAST((j * $b) div 32 AS INT) + 1),
+          CAST((j * $b) % 32 AS INT)) & ${(1L << b) - 1}L)"""
+
+  /** Static DuckDB oracle for [[binMihTopK]]: the same packing CTE,
+    * the same shift+mask sub-word extraction, the same (slot, sub)
+    * collision join and distinct-pair collapse, the same xor-popcount
+    * fold and Hamming asc / nid asc ranking. */
+  private[graft] def binMihOracleSql(queryCond: String, k: Int,
+                                     dim: Int = 64, subs: Int = 8): String = {
+    val m = dim / 32
+    val b = dim / subs
+    val mask = (1L << b) - 1
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${binPackCte(m)},
+      posts AS (SELECT vec_id, w,
+          CAST(j AS BIGINT) AS slot,
+          (w[CAST((j * $b) // 32 AS INT) + 1] >> CAST((j * $b) % 32 AS INT)) & $mask AS sub
+        FROM bw CROSS JOIN range(0, $subs) t(j)),
+      qp AS (SELECT vec_id AS qid, w AS qw, slot, sub FROM posts WHERE $queryCond),
+      cand AS (SELECT DISTINCT q.qid, p.vec_id AS nid FROM posts p
+        JOIN qp q ON q.slot = p.slot AND q.sub = p.sub AND p.vec_id <> q.qid),
+      ham AS (SELECT c.qid, c.nid,
+          list_reduce(list_transform(range(1, ${m + 1}), t ->
+            bit_count(xor(qb.w[t], nb.w[t]))), (x, y) -> x + y) AS hd
+        FROM cand c
+        JOIN bw qb ON qb.vec_id = c.qid
+        JOIN bw nb ON nb.vec_id = c.nid)
+      SELECT qid, CAST(rnk AS BIGINT) AS rank, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hd, nid) AS rnk
+        FROM ham)
+      WHERE rnk <= $k ORDER BY qid, rank"""
+  }
+
   /** The sign-bit packing CTE (`bw` over a CTE `e` of (vec_id, v)) —
     * ONE SQL copy of [[binPackSql]]'s shift-or-add arithmetic. */
   private def binPackCte(m: Int): String =

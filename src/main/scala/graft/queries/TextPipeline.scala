@@ -438,6 +438,18 @@ object TextPipeline {
       },
       Some(Similarity.binRerankOracleSql(queryCond = "vec_id < 20", k = 5))),
 
+    // ---- MULTI-INDEX Hamming ANN — the stage-1 scan-reduction lever
+    // for the binary family (pigeonhole sub-word postings: candidates
+    // come from a (slot, sub-word) equi-join instead of the |Q|*N
+    // Hamming scan, and only colliding pairs pay the exact popcount).
+    // Integer-only and parameter-free like q173, so the oracle is
+    // fully STATIC: same packing, same shift+mask sub-word extraction,
+    // same collision join, same Hamming asc / nid asc ranking. -------
+    ("q178_ann_binary_mih",
+      (s, dir) => Similarity.binMihTopK(
+        t(s, dir, "embeddings"), queryFilter = col("vec_id") < 20, k = 5),
+      Some(Similarity.binMihOracleSql(queryCond = "vec_id < 20", k = 5))),
+
     // ---- LSH-bucketed ANN (hyperplane signatures). Approximate in
     // recall but DETERMINISTIC given the seed, so the oracle recomputes
     // the identical buckets from the same inlined plane literals and
@@ -601,6 +613,15 @@ object TextPipeline {
     ("q33_simhash",
       (s, dir) => Dedup.simhashBuckets(t(s, dir, "documents")),
       Some(Dedup.simhashOracleSql)),
+
+    // ---- simhash near-dup PAIRS — the pair-finding stage q33's
+    // single prefix bucket only hints at: multi-piece pigeonhole
+    // (radius < pieces => every within-radius pair collides on some
+    // piece), candidates from the (slot, piece) self-equi-join, exact
+    // popcount threshold. Integer end to end -> fully static oracle. -
+    ("q179_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDup(t(s, dir, "documents")),
+      Some(Dedup.simhashNearDupOracleSql())),
 
     // ---- language-ID heuristic vs labeled lang; the oracle recomputes
     // the stopword-profile argmax from the same profiles map ------------

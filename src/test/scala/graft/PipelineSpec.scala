@@ -125,6 +125,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     java.lang.Long.bitCount(m(1L) ^ m(4L)) should be > 12
   }
 
+  test("simhashNearDup equals brute-force popcount pairs: pigeonhole recall is EXACT within the radius") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.simhashBuckets(real).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2)
+    for (radius <- Seq(3, 5)) {
+      val pieces = if (radius < 4) 4 else 8
+      val brute = (for {
+        (a, ha) <- sh; (b, hb) <- sh if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= radius
+      } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2)).toList
+      brute should not be empty // the corpus must exercise the operator
+      Dedup.simhashNearDup(real, radius, pieces)
+        .as[(Long, Long, Long)].collect().toList shouldBe brute
+      // partition invariance of the banded self-join + min-collapse
+      Dedup.simhashNearDup(real.repartition(13), radius, pieces)
+        .as[(Long, Long, Long)].collect().toList shouldBe brute
+    }
+    // loud contracts: the pigeonhole guarantee requires radius < pieces
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDup(real, radius = 4, pieces = 4)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDup(real, radius = 3, pieces = 5)
+  }
+
   test("brute-force ANN matches a naive local computation") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>
@@ -240,6 +265,36 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       org.apache.spark.sql.functions.slice(col("embedding"), 1, 48))
     val ex = intercept[Exception] { Similarity.binEncode(short, dim).collect() }
     ex.getMessage should include("embedding size <> dim")
+
+    // ---- multi-index Hamming: candidates are the (slot, sub-word)
+    // collisions, ranking is exact Hamming over the collision set —
+    // checked against a full local replay of the algorithm
+    val subs = 8; val b = dim / subs
+    def subwords(words: Seq[Long]): Seq[Long] =
+      (0 until subs).map(j => (words((j * b) / 32) >> ((j * b) % 32)) & ((1L << b) - 1))
+    val mih = Similarity.binMihTopK(df, col("vec_id") < 3, k = 5)
+      .as[(Long, Long, Long)].collect().toList
+    for (qv <- 0 until 3) {
+      val qsubs = subwords(packed(qv.toLong))
+      val cands = vecs.map(_._1).filter(_ != qv.toLong).filter { id =>
+        subwords(packed(id)).zip(qsubs).exists { case (a, bb) => a == bb }
+      }
+      // pigeonhole: EVERY code within Hamming distance < subs collides
+      vecs.map(_._1).filter(id => id != qv.toLong &&
+          ham(packed(qv.toLong), packed(id)) < subs)
+        .foreach(id => cands should contain(id))
+      val expected = cands
+        .map(id => (id, ham(packed(qv.toLong), packed(id))))
+        .sortBy { case (id, h) => (h, id) }.take(5).map(_._1)
+      mih.filter(_._1 == qv).sortBy(_._2).map(_._3) shouldBe expected
+    }
+    // serving MIH from the PERSISTED q175-style store == fresh encode
+    Similarity.binMihServe(spark.read.parquet(dir), df.filter($"vec_id" < 3),
+        k = 5, dim = dim)
+      .as[(Long, Long, Long)].collect().toList shouldBe mih
+    // partition invariance of the collision join + min-collapse
+    Similarity.binMihTopK(df.repartition(13), col("vec_id") < 3, k = 5)
+      .as[(Long, Long, Long)].collect().toList shouldBe mih
   }
 
   test("filtered ANN: top-k over the attribute-matching corpus only") {
