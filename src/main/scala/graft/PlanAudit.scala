@@ -891,6 +891,14 @@ object PlanAudit {
           "pay the exact popcount threshold",
         Seq("Generate", "HashAggregate"),
         Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")),
+      ("q180_simhash_firstseen",
+        "first-seen simhash verdict: the q179 banded self-join " +
+          "reduced by a map-side-combined min to one rep per flagged " +
+          "doc, left-joined back to the doc ids — the q160 shape on " +
+          "the simhash metric, exact by pigeonhole (no recall audit " +
+          "needed); no window, no cartesian, no N^2 popcount",
+        Seq("Generate", "HashAggregate"),
+        Seq("CartesianProduct", "Window", "BroadcastNestedLoopJoin")),
       ("q160_firstseen_neardup",
         "first-seen near-dup verdict: the q32 banded self-join (shuffle " +
           "O(N·bands) narrow rows, equi-join on (band, bucket) — never a " +

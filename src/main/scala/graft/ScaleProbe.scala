@@ -215,6 +215,11 @@ object ScaleProbe {
     probe("simhash_neardup",
       Dedup.simhashNearDup(docs).count(),
       Dedup.simhashNearDup(docsN).count())
+    // the per-doc verdict adds one map-side-combined min + a left
+    // join back to doc ids on top of the q179 pair volume
+    probe("simhash_firstseen",
+      Dedup.firstSeenSimhashDup(docs).count(),
+      Dedup.firstSeenSimhashDup(docsN).count())
     // SERVING-ONLY cost against the persisted IVF index (the q167
     // build-once/serve-many split): the fit + encode + parquet write
     // happen OUTSIDE the timers, so the ratio isolates what a serving

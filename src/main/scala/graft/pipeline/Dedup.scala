@@ -644,6 +644,40 @@ object Dedup {
       WHERE dist <= $radius ORDER BY doc_a, doc_b"""
   }
 
+  /** First-seen simhash near-dup VERDICT — [[firstSeenNearDup]]'s twin
+    * on the simhash metric: one row per doc, `dup_of` = the SMALLEST
+    * earlier doc within `radius` bit flips (-1 if clean),
+    * `is_dup` 0/1. Because [[simhashNearDup]]'s pigeonhole recall is
+    * EXACT within the radius, the verdict is exact too — no
+    * probabilistic miss to audit. Scale shape: the q179 banded
+    * self-join plus one map-side-combined min per flagged doc and a
+    * left join back to the doc ids. */
+  def firstSeenSimhashDup(docs: DataFrame, radius: Int = 3,
+                          pieces: Int = 4): DataFrame = {
+    val rep = simhashNearDup(docs, radius, pieces)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("rep"))
+    docs.select(col("doc_id")).join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), lit(-1L)).as("dup_of"),
+        when(col("rep").isNotNull, 1L).otherwise(0L).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[firstSeenSimhashDup]] — the q179 pair replay
+    * reduced to the per-doc first-seen verdict (the
+    * [[firstSeenNearDupOracleSql]] shape on the simhash metric). */
+  private[graft] def firstSeenSimhashDupOracleSql(radius: Int = 3,
+                                                  pieces: Int = 4): String =
+    s"""SELECT d.doc_id,
+        COALESCE(r.rep, -1) AS dup_of,
+        CAST(CASE WHEN r.rep IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+      FROM documents d LEFT JOIN (
+        SELECT doc_b AS doc_id, MIN(doc_a) AS rep
+        FROM (${simhashNearDupOracleSql(radius, pieces)}) cand
+        GROUP BY doc_b) r USING (doc_id)
+      ORDER BY d.doc_id"""
+
   // ---- embedding cosine ----------------------------------------------
 
   /** Seeded ±1 (Rademacher) hyperplanes: plane j's component k is bit

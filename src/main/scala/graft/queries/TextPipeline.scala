@@ -623,6 +623,13 @@ object TextPipeline {
       (s, dir) => Dedup.simhashNearDup(t(s, dir, "documents")),
       Some(Dedup.simhashNearDupOracleSql())),
 
+    // ---- first-seen simhash verdict — q160's twin on the simhash
+    // metric, one row per doc with the smallest earlier within-radius
+    // rep; EXACT (pigeonhole), so no recall audit is needed. ---------
+    ("q180_simhash_firstseen",
+      (s, dir) => Dedup.firstSeenSimhashDup(t(s, dir, "documents")),
+      Some(Dedup.firstSeenSimhashDupOracleSql())),
+
     // ---- language-ID heuristic vs labeled lang; the oracle recomputes
     // the stopword-profile argmax from the same profiles map ------------
     ("q34_lang_id",

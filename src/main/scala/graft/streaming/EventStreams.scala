@@ -369,6 +369,145 @@ object EventStreams {
       .map(e => NearDupCand(e.doc_id, e.rep))
   }
 
+  /** One (slot, piece) occupancy row for an arriving document on the
+    * simhash metric — the q179 pigeonhole pieces, streamed. */
+  case class SimhashPieceRow(slot: Int, piece: Long, doc_id: Long,
+                             simhash: Long)
+
+  /** Per-(doc, slot) evidence: `rep >= 0` = the smallest EARLIER
+    * occupant of this (slot, piece) bucket within the radius;
+    * `rep = -1` = clean in this slot. One row per (doc, slot) always,
+    * so the per-doc stage can count to `pieces`. */
+  case class SimhashEvidence(doc_id: Long, rep: Long)
+
+  /** Per-doc simhash dedup verdict — the streaming face of
+    * [[graft.pipeline.Dedup.firstSeenSimhashDup]]'s row shape. */
+  case class SimhashVerdict(doc_id: Long, dup_of: Long, is_dup: Long)
+
+  /** The per-(slot, piece) simhash bucket state machine. Unlike the
+    * minhash [[BandOccupantProcessor]] (where collision = EQUALITY,
+    * so the minimum occupant is all the state a bucket needs), a
+    * radius match is not transitive — the bucket must remember EVERY
+    * occupant's (doc_id, simhash), because the within-radius earlier
+    * doc for a newcomer can be any of them. State is a ListState of
+    * 16-byte entries per bucket: pieces·N across the index — the
+    * streaming dedup index itself, unbounded by design exactly like
+    * the band occupancy (and like it, the index lives per BUCKET with
+    * 2^(64/pieces) buckets per slot, so hot keys don't concentrate).
+    * Rows process in doc_id order within a batch, so in-order arrival
+    * reproduces the batch verdict; a redelivered doc_id is matched
+    * (rep recomputed — deterministic) but never re-appended. */
+  class SimhashBucketProcessor(radius: Int)
+      extends StatefulProcessor[(Int, Long), SimhashPieceRow, SimhashEvidence] {
+    @transient private var occ: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      occ = getHandle.getListState[(Long, Long)]("occ",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[SimhashPieceRow],
+                                 tv: TimerValues): Iterator[SimhashEvidence] = {
+      val sorted = rows.toArray.sortBy(_.doc_id)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      occ.get().foreach(entries += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SimhashEvidence]
+      sorted.foreach { r =>
+        val known = entries.exists(_._1 == r.doc_id)
+        var rep = -1L
+        entries.foreach { case (id, sh) =>
+          if (id < r.doc_id && (rep < 0L || id < rep) &&
+            java.lang.Long.bitCount(sh ^ r.simhash) <= radius) rep = id
+        }
+        out += SimhashEvidence(r.doc_id, rep)
+        if (!known) {
+          entries += ((r.doc_id, r.simhash))
+          occ.appendValue((r.doc_id, r.simhash))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Per-doc verdict state for [[SimhashVerdictProcessor]]. */
+  case class SimhashVerdictState(seen: Int, rep: Long, emitted: Boolean)
+
+  /** Reassembles a doc's `pieces` evidence rows into ONE
+    * [[SimhashVerdict]], exactly once, within the doc's own arrival
+    * batch (the upstream flatMap emits all pieces together); dup_of
+    * is the MINIMUM within-radius earlier doc across slots — exactly
+    * [[graft.pipeline.Dedup.firstSeenSimhashDup]]'s reduction. The
+    * emitted flag is the cross-batch redelivery guard. */
+  class SimhashVerdictProcessor(pieces: Int)
+      extends StatefulProcessor[Long, SimhashEvidence, SimhashVerdict] {
+    @transient private var st: ValueState[SimhashVerdictState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SimhashVerdictState]("sv",
+        Encoders.product[SimhashVerdictState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SimhashEvidence],
+                                 tv: TimerValues): Iterator[SimhashVerdict] = {
+      var s = if (st.exists()) st.get() else SimhashVerdictState(0, -1L, false)
+      rows.foreach { r =>
+        val rep = if (r.rep >= 0L && (s.rep < 0L || r.rep < s.rep)) r.rep else s.rep
+        s = s.copy(seen = s.seen + 1, rep = rep)
+      }
+      val fire = !s.emitted && s.seen >= pieces
+      if (fire) s = s.copy(emitted = true)
+      st.update(s)
+      if (fire) Iterator.single(SimhashVerdict(key, s.rep,
+        if (s.rep >= 0L) 1L else 0L))
+      else Iterator.empty
+    }
+  }
+
+  /** Streaming first-seen simhash dedup — the streaming face of
+    * [[graft.pipeline.Dedup.firstSeenSimhashDup]] (and the
+    * small-radius Hamming retrieval the q178 multi-index structure
+    * exists for): one flatMap computes the doc's 64-bit simhash and
+    * its `pieces` pigeonhole sub-words; the (slot, piece)-keyed
+    * [[SimhashBucketProcessor]] matches each arrival against every
+    * earlier occupant of its buckets (EXACT within `radius` — the
+    * pigeonhole guarantee, not a probability); the doc-keyed
+    * [[SimhashVerdictProcessor]] reduces the evidence to one verdict
+    * per doc, exactly once, in the doc's own arrival batch.
+    *
+    * Contract: for in-order (doc_id-ascending) arrival the verdicts
+    * equal [[graft.pipeline.Dedup.firstSeenSimhashDup]] row-for-row
+    * (StreamingSpec). Under out-of-order arrival a NEW arrival's
+    * verdict is still exact against the docs that preceded it
+    * (bucket lists remember every occupant, so there is no
+    * minhash-style takeover approximation), but an already-emitted
+    * verdict is not retracted — the append-only deviation shared by
+    * every first-seen face.
+    *
+    * Scale shape: per doc — one stateless simhash, `pieces` bucket
+    * lookups each scanning only its own bucket's occupants
+    * (~N/2^(64/pieces) expected — the q179 collision volume), one
+    * exactly-once record; nothing scans or shuffles the history. */
+  def streamingSimhashNearDup(docs: Dataset[StreamDoc], radius: Int = 3,
+                              pieces: Int = 4): Dataset[SimhashVerdict] = {
+    require(pieces > 0 && 64 % pieces == 0, s"pieces $pieces must divide 64")
+    require(radius < pieces,
+      s"pigeonhole needs radius < pieces (got radius=$radius, pieces=$pieces)")
+    val b = 64 / pieces
+    val mask = if (b == 64) -1L else (1L << b) - 1
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val toks = if (d.text == null) Seq.empty[String]
+        else d.text.split(" ").toSeq.filter(_.nonEmpty)
+      val sh = graft.pipeline.Dedup.simhash64(toks)
+      (0 until pieces).map(j =>
+        SimhashPieceRow(j, (sh >> (j * b)) & mask, d.doc_id, sh))
+    }
+      .groupByKey(r => (r.slot, r.piece))
+      .transformWithState(new SimhashBucketProcessor(radius),
+        TimeMode.None(), OutputMode.Append())
+      .groupByKey(_.doc_id)
+      .transformWithState(new SimhashVerdictProcessor(pieces),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One scored band-occupancy row for an arriving document: the
     * quality verdict rides the near-dup band rows so one flatMap
     * feeds both curation stages. */

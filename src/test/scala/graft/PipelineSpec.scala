@@ -148,6 +148,19 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       Dedup.simhashNearDup(real, radius = 4, pieces = 4)
     an[IllegalArgumentException] should be thrownBy
       Dedup.simhashNearDup(real, radius = 3, pieces = 5)
+    // first-seen verdict: one row per doc, dup_of = min earlier
+    // within-radius doc — checked against the brute pair list
+    val bruteRep = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (b, a)).groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).min }
+    val verdicts = Dedup.firstSeenSimhashDup(real)
+      .as[(Long, Long, Long)].collect().toList
+    verdicts.map(_._1) shouldBe sh.map(_._1).sorted.toList // every doc, ordered
+    verdicts.foreach { case (id, dupOf, isDup) =>
+      dupOf shouldBe bruteRep.getOrElse(id, -1L)
+      isDup shouldBe (if (bruteRep.contains(id)) 1L else 0L)
+    }
   }
 
   test("brute-force ANN matches a naive local computation") {

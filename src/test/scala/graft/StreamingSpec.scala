@@ -655,6 +655,46 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streaming simhash dedup: verdicts equal the batch first-seen verdict across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .as[EventStreams.StreamDoc].collect().sortBy(_.doc_id).toSeq
+    // radius 5 / pieces 8 for collision density on the small slice;
+    // the pigeonhole guarantee makes BOTH faces exact, so equality is
+    // row-for-row, not recall-band
+    val batch = graft.pipeline.Dedup
+      .firstSeenSimhashDup(rows.toDF(), radius = 5, pieces = 8)
+      .as[(Long, Long, Long)].collect().toList
+    batch.count(_._3 == 1L) should be > 0 // fixture really exercises dups
+    batch.count(_._3 == 0L) should be > 0
+    val mem = MemoryStream[EventStreams.StreamDoc]
+    val q = EventStreams.streamingSimhashNearDup(mem.toDS(),
+        radius = 5, pieces = 8)
+      .writeStream.format("memory").queryName("simhash_verdicts")
+      .outputMode("append").start()
+    try {
+      // in-order arrival over three batches, batch 2 REDELIVERING part
+      // of batch 1 (at-least-once upstream): the bucket lists don't
+      // re-append known ids and the verdict guard keeps exactly-once
+      mem.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(rows.slice(10, 40): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(40): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("simhash_verdicts")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+      streamed shouldBe batch
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming quality scoring equals the batch gate scores, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
