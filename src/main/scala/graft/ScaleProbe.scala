@@ -428,10 +428,13 @@ object ScaleProbe {
       val hamTruth = Similarity.binTopK(emb, qf, kR).cache()
       hamTruth.count()
       for (s <- Seq(4, 8, 16)) {
+        // ONE materialized result feeds both recall reads
+        val mihRes = Similarity.binMihTopK(emb, qf, kR, subs = s).cache()
         rec(s"binary mih subs=$s vs cosine truth${if (s == 8) " (q178 default)" else ""}")(
-          Similarity.binMihTopK(emb, qf, kR, subs = s))
+          mihRes)
         println(f"SCALE ann_recall binary mih subs=$s vs FLAT-HAMMING truth: recall@$kR = " +
-          f"${Similarity.recallAtK(hamTruth, Similarity.binMihTopK(emb, qf, kR, subs = s))}%.3f")
+          f"${Similarity.recallAtK(hamTruth, mihRes)}%.3f")
+        mihRes.unpersist(false)
       }
       hamTruth.unpersist(false)
       truth.unpersist(false)

@@ -526,7 +526,10 @@ object Dedup {
   /** SimHash per doc plus a 16-bit prefix bucket for candidate
     * generation; deterministic ordered output (doc_id, simhash, bucket). */
   def simhashBuckets(docs: DataFrame): DataFrame = {
-    val shUdf = udf { toks: Seq[String] => simhash64(toks) }
+    // null text -> empty token list (split(NULL) is NULL): matches the
+    // oracle's no-vote rows -> all-zero word, instead of an executor NPE
+    val shUdf = udf { toks: Seq[String] =>
+      simhash64(if (toks == null) Seq.empty else toks) }
     docs.select(col("doc_id"), shUdf(tokens(col("text"))).as("simhash"))
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
       .orderBy(col("doc_id"))
@@ -599,7 +602,8 @@ object Dedup {
       s"pigeonhole needs radius < pieces (got radius=$radius, pieces=$pieces)")
     val b = 64 / pieces
     val mask = if (b == 64) -1L else (1L << b) - 1
-    val shUdf = udf { toks: Seq[String] => simhash64(toks) }
+    val shUdf = udf { toks: Seq[String] =>
+      simhash64(if (toks == null) Seq.empty else toks) } // null text = empty, the streaming face's rule
     val pp = PartitionUtil.spread(docs)
       .select(col("doc_id"), shUdf(tokens(col("text"))).as("simhash"))
       .select(col("doc_id"), col("simhash"),

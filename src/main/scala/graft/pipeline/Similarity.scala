@@ -804,49 +804,59 @@ object Similarity {
         assignUdf(col("v")).as("cluster"), normalizeUdf(col("v")).as("nv"))
   }
 
-  /** Restrict a (…, cluster, …) serving index to the clusters the
-    * probe table will touch, with a STATIC `IN` filter: the probed
-    * cluster set is driver-computed (a `distinct().collect()` bounded
-    * by nClusters values — index metadata, never corpus), so when the
-    * index was persisted `partitionBy("cluster")` the filter lands in
-    * the scan's PartitionFilters and Spark skips the non-probed
-    * posting lists at the FILE level (PlanAudit asserts it). Without
-    * it the cluster equi-join still discards those rows — but only
-    * AFTER reading them: at 100 TB the nProbe/nClusters scan
-    * reduction is the whole point of IVF, and it has to happen at the
-    * storage layer to be real. The fresh (unpersisted) path goes
-    * through the same filter harmlessly — it removes rows the join
-    * would drop anyway. */
-  private def pruneToProbed(index: DataFrame, probes: DataFrame): DataFrame = {
-    val probed = probes.select(col("cluster")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    index.filter(col("cluster").isin(probed.toIndexedSeq: _*))
+  /** Collect the query vectors and assign their probes DRIVER-side —
+    * one scan of the (|Q|-sized) query relation, nearestClusters
+    * against the already-driver-side centroids. The result feeds BOTH
+    * halves of the pruned serve from a single pass: the probe table
+    * (a local relation the join broadcasts — the same rows a
+    * distributed probe build would have materialized on the driver
+    * for the broadcast anyway) and the probed-cluster set for the
+    * static `IN` filter. That filter is the storage-layer lever: when
+    * the index was persisted `partitionBy("cluster")` (the q167
+    * layout) it lands in the scan's PartitionFilters and Spark skips
+    * the non-probed posting lists' FILES (PlanAudit asserts it) —
+    * without it the cluster equi-join still discards those rows, but
+    * only AFTER reading them, and at 100 TB the nProbe/nClusters scan
+    * reduction is the whole point of IVF. Note the serve DataFrame is
+    * therefore EAGER at construction (the query-side collect runs
+    * immediately) — inherent to static pruning, and bounded by |Q|. */
+  private def collectProbes(queries: DataFrame, centers: Array[Array[Double]],
+                            nProbe: Int): Array[(Long, Int, Array[Double])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .collect()
+      .flatMap { case (qid, v) =>
+        Similarity.nearestClusters(centers, v, nProbe).map(c => (qid, c, v)) }
   }
+
+  /** The static probed-cluster filter half of [[collectProbes]]. */
+  private def pruneToProbed(index: DataFrame, probed: Iterable[Int]): DataFrame =
+    index.filter(col("cluster")
+      .isin(probed.toArray.distinct.sorted.toIndexedSeq: _*))
 
   /** Serve cosine top-k from a (nid, cluster, nv) index built by
     * [[ivfEncode]] — fresh or reloaded from parquet: each query
     * (embeddings-shaped rows) probes its `nProbe` nearest centroids
     * and scores only those inverted lists through the cluster
     * equi-join, with the KB-sized probe table broadcast and the index
-    * scan pre-pruned to the probed clusters ([[pruneToProbed]] — file
+    * scan pre-pruned to the probed clusters ([[collectProbes]] — file
     * skipping when the store is `partitionBy("cluster")`, the q167
-    * layout). Shared code path with [[ivfTopK]], so serving from a
-    * persisted index is bit-identical to serving fresh by
-    * construction. */
+    * layout). The query normalization stays the SAME column
+    * expression as ever, evaluated over the local probe relation, so
+    * serving from a persisted index is bit-identical to serving fresh
+    * by construction ([[ivfTopK]] shares this path). */
   def ivfServe(index: DataFrame, centers: Array[Array[Double]],
                queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val bcCenters = spark.sparkContext.broadcast(centers)
-    val probes = queries
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
-      .withColumn("qv", normalizeUdf(col("v")))
-      .as[(Long, Array[Double], Array[Double])]
-      .flatMap { case (qid, v, qv) =>
-        Similarity.nearestClusters(bcCenters.value, v, nProbe)
-          .map(c => (qid, c, qv)) }
-      .toDF("qid", "cluster", "qv")
-    val sims = pruneToProbed(index, probes).join(broadcast(probes), Seq("cluster"))
+    val probeRows = collectProbes(queries, centers, nProbe)
+    val probes = probeRows.toIndexedSeq.toDF("qid", "cluster", "v")
+      .select(col("qid"), col("cluster"), normalizeUdf(col("v")).as("qv"))
+    val sims = pruneToProbed(index, probeRows.map(_._2).toSeq)
+      .join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", nativeDot(spark)(col("qv"), col("nv")))
       .select(col("qid"), col("nid"), col("sim"))
@@ -1032,7 +1042,6 @@ object Similarity {
                   queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val bcCenters = spark.sparkContext.broadcast(centers)
     val bMn = spark.sparkContext.broadcast(mns)
     val bMx = spark.sparkContext.broadcast(mxs)
     val reconUdf = udf { codes: Array[Byte] =>
@@ -1048,15 +1057,11 @@ object Similarity {
     val corpus = index
       .select(col("nid"), col("cluster"), reconUdf(col("codes")).as("rv"))
       .withColumn("rnorm", nativeNorm(spark)(col("rv")))
-    val probes = queries
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
-      .as[(Long, Array[Double])]
-      .flatMap { case (qid, v) =>
-        Similarity.nearestClusters(bcCenters.value, v, nProbe)
-          .map(c => (qid, c, v)) }
-      .toDF("qid", "cluster", "qv")
+    val probeRows = collectProbes(queries, centers, nProbe)
+    val probes = probeRows.toIndexedSeq.toDF("qid", "cluster", "qv")
       .withColumn("qnorm", nativeNorm(spark)(col("qv")))
-    val sims = pruneToProbed(corpus, probes).join(broadcast(probes), Seq("cluster"))
+    val sims = pruneToProbed(corpus, probeRows.map(_._2).toSeq)
+      .join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim",
         nativeDot(spark)(col("qv"), col("rv")) / (col("qnorm") * col("rnorm")))
@@ -1502,7 +1507,15 @@ object Similarity {
     val b = dim / subs
     require(32 % b == 0,
       s"sub-word width $b must pack whole 32-bit words (subs divides dim into 1/2/4/8/16/32-bit pieces)")
+    // the same loud wrong-store guard binServe carries: a word count
+    // <> dim/32 would otherwise null the zip_with fold (scoring every
+    // candidate 0) or silently drop postings — raise instead
     val post = PartitionUtil.spread(index)
+      .select(col("nid"),
+        when(size(col("bw")) === dim / 32, col("bw"))
+          .otherwise(raise_error(concat(
+            lit(s"binMihServe: index word count <> ${dim / 32} for nid "),
+            col("nid").cast("string")))).as("bw"))
       .select(col("nid"), col("bw"),
         posexplode(expr(mihSubsSql("bw", subs, b))).as(Seq("slot", "sub")))
     val q = queries
@@ -1709,19 +1722,15 @@ object Similarity {
                  exactCorpus: Option[DataFrame] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val bcC = spark.sparkContext.broadcast(centers)
     val bcB = spark.sparkContext.broadcast(books)
     val sub = dim / books.length
-    // query side: nProbe nearest lists, one residual per probed list
-    val probes = queries
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .as[(Long, Array[Double])]
-      .flatMap { case (qid, v) =>
-        val cs = bcC.value
-        Similarity.nearestClusters(cs, v, nProbe)
-          .map(c => (qid, c, Array.tabulate(dim)(kk => v(kk) - cs(c)(kk)).toSeq))
-      }
-      .toDF("qid", "cluster", "qres")
+    // query side: nProbe nearest lists, one residual per probed list —
+    // probes assigned driver-side ([[collectProbes]]), residuals the
+    // same per-element subtraction as ever (no fold, order-free)
+    val probeRows = collectProbes(queries, centers, nProbe)
+      .map { case (qid, c, v) =>
+        (qid, c, Array.tabulate(dim)(kk => v(kk) - centers(c)(kk)).toSeq) }
+    val probes = probeRows.toIndexedSeq.toDF("qid", "cluster", "qres")
     val adcUdf = udf { (qres: Seq[Double], code: Seq[Long]) =>
       val bks = bcB.value
       var tot = 0.0
@@ -1735,7 +1744,8 @@ object Similarity {
       }
       tot
     }
-    val sims = pruneToProbed(index, probes).join(broadcast(probes), Seq("cluster"))
+    val sims = pruneToProbed(index, probeRows.map(_._2).toSeq)
+      .join(broadcast(probes), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", -adcUdf(col("qres"), col("code"))) // negate: top-k keeps LARGEST
       .select(col("qid"), col("nid"), col("sim"))

@@ -1719,30 +1719,35 @@ object TextPipeline {
   /** One-shot stale-scratch GC, run on first scratch use per JVM:
     * per-run tokens mean no run ever overwrites another's dirs, so
     * without collection /tmp would accumulate one full set of index +
-    * interchange copies per run. Three guards keep it from ever
-    * racing a live consumer: (1) only dirs matching THIS convention's
-    * run-token name (`graft_*_r<pid>t<startMillis>*`) are candidates
-    * — a foreign `graft_*` entry another process happened to create
-    * in a shared /tmp is never touched; (2) a dir whose embedded pid
-    * is still a LIVE process is skipped regardless of age (a paused
-    * pipeline or a Verify whose DuckDB compare runs hours later keeps
-    * its inputs for as long as its JVM exists); (3) the 24 h age
-    * floor bounds growth to one day's dead runs while making a
-    * pid-recycling false-alive merely delay collection, never cause
-    * a premature one. */
+    * interchange copies per run. Two tiers:
+    *
+    * - `graft_*_r<pid>t<startMillis>*` (THIS convention's run-token
+    *   dirs — the ones a cross-process oracle might still read): only
+    *   collected when BOTH 24 h old AND the embedded pid is dead, so
+    *   a paused pipeline or a Verify whose DuckDB compare runs hours
+    *   later keeps its inputs for as long as its JVM exists, and a
+    *   pid-recycling false-alive merely delays collection.
+    * - other `graft_*` entries (probe/spec scratch from
+    *   Files.createTempDirectory — ~20 prefixes across the suites,
+    *   none with a cross-process consumer): the plain 24 h age sweep,
+    *   as before — without it repeated probe/test runs grow /tmp
+    *   without bound. A foreign same-prefix dir in a shared /tmp was
+    *   already inside this sweep's blast radius and an unowned entry
+    *   fails deletion on permissions rather than corrupting anything.
+    */
   private lazy val scratchGc: Unit = {
     val tokenRe = "^graft_.*_r(\\d+)t\\d+.*$".r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.lastModified() < cutoff)
+      .filter(f => f.getName.startsWith("graft_") && f.lastModified() < cutoff)
       .filter { f =>
         f.getName match {
           case tokenRe(pid) =>
-            // skip dirs whose owning JVM is still alive
+            // skip run-token dirs whose owning JVM is still alive
             !java.lang.ProcessHandle.of(pid.toLong)
               .map[Boolean](_.isAlive).orElse(false)
-          case _ => false
+          case _ => true // non-token scratch: age alone decides
         }
       }
     def rmr(f: java.io.File): Unit = {
