@@ -197,6 +197,7 @@ object ImageOps {
     //                  into even fragments of at most that many bytes
     //   pixel_rep    — 1 writes signed (two's-complement) grayscale
     //   slope, intercept — modality-LUT Rescale tags (NaN = absent)
+    //   j2k_tile     — JPEG 2000 frames write a tile grid of that edge
     // coalesce covers BOTH an absent column and SQL nulls inside a
     // present one (a bare null would fail the primitive-tuple encoder)
     def opt(name: String, default: Column): Column =
@@ -206,12 +207,13 @@ object ImageOps {
         opt("frag_bytes", lit(0)).cast("int").as("frag_bytes"),
         opt("pixel_rep", lit(0)).cast("int").as("pixel_rep"),
         opt("slope", lit(Double.NaN)).cast("double").as("slope"),
-        opt("intercept", lit(Double.NaN)).cast("double").as("intercept"))
-      .as[(String, SparkImage, String, Int, String, Int, Int, Double, Double)]
-      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String, Int, Int, Double, Double)] =>
+        opt("intercept", lit(Double.NaN)).cast("double").as("intercept"),
+        opt("j2k_tile", lit(0)).cast("int").as("j2k_tile"))
+      .as[(String, SparkImage, String, Int, String, Int, Int, Double, Double, Int)]
+      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String, Int, Int, Double, Double, Int)] =>
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(serConf.value)
-        it.foreach { case (sample, img, ts, planar, pm, fb, pr, sl, ic) =>
+        it.foreach { case (sample, img, ts, planar, pm, fb, pr, sl, ic, jt) =>
           // the modality LUT is a PAIR: exactly one of slope/intercept
           // set would silently drop the LUT (or write a NaN tag) —
           // reject loudly instead
@@ -224,7 +226,7 @@ object ImageOps {
           try os.write(ImageCodecIO.encodeDicom(img, instance = 1, slice = 0,
             transferSyntax = ts, frames = img.slices, planarConfig = planar,
             photometric = pm, fragmentBytes = fb, pixelRep = pr,
-            rescale = rescale))
+            rescale = rescale, j2kTile = jt))
           finally os.close()
         }
       }

@@ -1244,6 +1244,93 @@ object ImageQueries {
       Some("""SELECT 'c50_' || CAST(i AS VARCHAR) AS name,
           CAST(3 AS BIGINT) AS nslices, CAST(16 AS BIGINT) AS w,
           CAST(8 AS BIGINT) AS h
-        FROM range(4) t(i) ORDER BY name"""))
+        FROM range(4) t(i) ORDER BY name""")),
+
+    // ---- JPEG 2000 Lossless COLOR (YBR_RCT in-stream reversible
+    // color transform + plain RGB components) and TILE GRIDS: the
+    // region-decodable multi-tile layout real encoders emit for large
+    // frames, grayscale 16-bit and color, fragments included. Every
+    // variant is LOSSLESS, so channel means replay closed-form — and
+    // the gate adds a CROPPED mean (a rect spanning both tile
+    // boundaries): whole-image means are permutation-invariant, so a
+    // tile decoded into the wrong position would pass them; the
+    // position-sensitive crop flips instead. ------------------------
+    ("img29_dicom_j2k_color",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_j2k"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        // color: pixel (x,y) of frame f, channel c, variant v holds
+        // x + y + 10 + 3v + 5f + 25c (max 252); v0/v1 untiled 2-frame
+        // YBR_RCT/RGB, v2/v3 tiled-64 1-frame YBR_RCT/RGB (v3 also
+        // splits fragments)
+        val color = s.range(4L).map { vL =>
+          val v = vL.toInt
+          val nf = if (v < 2) 2 else 1
+          val data = Array.tabulate(nf * 100 * 80 * 3) { idx =>
+            val f = idx / (100 * 80 * 3); val p = idx % (100 * 80 * 3) / 3
+            val c = idx % 3
+            (p % 100 + p / 100 + 10 + 3 * v + 5 * f + 25 * c).toByte
+          }
+          (s"/j2k/c$v",
+            graft.core.SparkImage(graft.core.ImageMeta(), "[]", 100, 80, nf,
+              PixelCodec.Rgb, data),
+            ImageCodecIO.TsJpeg2000Lossless, 0,
+            if (v % 2 == 0) "YBR_RCT" else "RGB",
+            if (v == 3) 512 else 0,
+            if (v >= 2) 64 else 0)
+        }.toDF("sample", "image", "ts", "planar", "photometric",
+          "frag_bytes", "j2k_tile")
+        // grayscale 16-bit: pixel (x,y) of variant g holds
+        // 100(x+y) + 1000 + 500g over a 130x70 frame; g0 tiled 64
+        // (3x2 grid with partial edge tiles) + fragments, g1 tiled 128
+        val gray = s.range(2L).map { gL =>
+          val g = gL.toInt
+          val vals = Array.tabulate(130 * 70)(i =>
+            (100 * (i % 130 + i / 130) + 1000 + 500 * g).toDouble)
+          (s"/j2k/g$g",
+            graft.core.SparkImage(graft.core.ImageMeta(), "[]", 130, 70, 1,
+              PixelCodec.Short16, PixelCodec.encode(vals, PixelCodec.Short16)),
+            ImageCodecIO.TsJpeg2000Lossless, 0, "MONOCHROME2",
+            if (g == 0) 512 else 0,
+            if (g == 0) 64 else 128)
+        }.toDF("sample", "image", "ts", "planar", "photometric",
+          "frag_bytes", "j2k_tile")
+        ImageOps.saveDicomMultiFrame(color.union(gray), dir)
+        def chan(st: String) = ImageFunctions.statsUdf(
+          ImageFunctions.run2Udf(col("image"), lit("32-bit"), lit(s"rgb=$st")))
+          .getField("mean")
+        // crop [50,80) x [40,70): spans the x and y tile boundaries at
+        // 64 in every tiled variant
+        val cropRed = ImageFunctions.statsUdf(ImageFunctions.run2Udf(
+          ImageFunctions.run2Udf(col("image"), lit("32-bit"), lit("rgb=red")),
+          lit("Crop"), lit("x=50 y=40 width=30 height=30"))).getField("mean")
+        ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            chan("red").as("m_red"), chan("green").as("m_green"),
+            chan("blue").as("m_blue"), cropRed.as("c_red"))
+          .orderBy(col("name"))
+      },
+      // color variant v: whole mean = E[x]+E[y] + base = 49.5+39.5 +
+      // 10+3v+25c (+2.5 two-frame mean of 5f); crop mean = 64.5+54.5
+      // + base. gray g: 100*(64.5+34.5) + 1000 + 500g, crop
+      // 100*(64.5+54.5) + 1000 + 500g; red=green=blue on grayscale
+      Some("""SELECT 'j2k_c' || CAST(v AS VARCHAR) AS name,
+          CAST(CASE WHEN v < 2 THEN 2 ELSE 1 END AS BIGINT) AS nslices,
+          99 + 3 * v + CASE WHEN v < 2 THEN 2.5 ELSE 0 END AS m_red,
+          124 + 3 * v + CASE WHEN v < 2 THEN 2.5 ELSE 0 END AS m_green,
+          149 + 3 * v + CASE WHEN v < 2 THEN 2.5 ELSE 0 END AS m_blue,
+          129 + 3 * v + CASE WHEN v < 2 THEN 2.5 ELSE 0 END AS c_red
+        FROM range(4) t(v)
+        UNION ALL
+        SELECT 'j2k_g' || CAST(g AS VARCHAR), CAST(1 AS BIGINT),
+          CAST(10900 + 500 * g AS DOUBLE), CAST(10900 + 500 * g AS DOUBLE),
+          CAST(10900 + 500 * g AS DOUBLE), CAST(12900 + 500 * g AS DOUBLE)
+        FROM range(2) u(g) ORDER BY name"""))
   )
 }

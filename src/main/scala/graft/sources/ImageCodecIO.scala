@@ -773,14 +773,16 @@ object ImageCodecIO {
         s"signed pixel data in transfer syntax $ts unsupported (native only): $path")
     }
     if (isRgb) {
-      require(photometric == "RGB" || photometric == "YBR_FULL" || is422,
+      require(photometric == "RGB" || photometric == "YBR_FULL" || is422 ||
+          (photometric == "YBR_RCT" && ts == TsJpeg2000Lossless),
         s"SamplesPerPixel 3 with PhotometricInterpretation '$photometric' unsupported " +
-          s"(RGB / YBR_FULL / YBR_FULL_422 only): $path")
+          s"(RGB / YBR_FULL / YBR_FULL_422 / YBR_RCT-with-JPEG-2000 only): $path")
       require(bits == 8, s"color DICOM with BitsAllocated $bits unsupported (8 only): $path")
       require(!hasRescale, s"Rescale on color pixel data unsupported: $path")
-      require(!encapsulated || ts == TsRle || ts == TsJpegBaseline,
+      require(!encapsulated || ts == TsRle || ts == TsJpegBaseline ||
+          ts == TsJpeg2000Lossless,
         s"color pixel data in transfer syntax $ts unsupported " +
-          s"(native syntaxes + RLE Lossless + JPEG Baseline only): $path")
+          s"(native syntaxes + RLE Lossless + JPEG Baseline + JPEG 2000 Lossless only): $path")
       require(planar == 0 || planar == 1, s"bad PlanarConfiguration $planar: $path")
       if (is422 && ts != TsJpegBaseline) {
         // PS3.3 C.7.6.3.1.2: 422 chroma is subsampled 2:1 horizontally
@@ -852,6 +854,25 @@ object ImageCodecIO {
           while (j < n) { out(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
           out
         }
+      } else if (ts == TsJpeg2000Lossless && samples == 3) {
+        // color J2K: the codestream carries all three components (and
+        // the RCT, when the stream's COD flags it) — emit interleaved
+        // RGB like every other color path here
+        val (jw, jh, prec, planes) = Jpeg2000Codec.decodeFull(frag, path)
+        require(jw == cols && jh == rows,
+          s"compressed frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
+        require(planes.length == 3,
+          s"expected a 3-component JPEG 2000 color frame, got ${planes.length} in $path")
+        require(prec <= 8, s"JPEG 2000 color precision $prec exceeds 8 bits in $path")
+        val out = new Array[Byte](n * 3)
+        var j = 0
+        while (j < n) {
+          out(3 * j) = planes(0)(j).toByte
+          out(3 * j + 1) = planes(1)(j).toByte
+          out(3 * j + 2) = planes(2)(j).toByte
+          j += 1
+        }
+        out
       } else {
         // the three native-codec syntaxes share the (w, h, precision,
         // samples) contract; JPEG lossless reports no precision
@@ -953,8 +974,10 @@ object ImageCodecIO {
       // YBR photometrics: data now holds interleaved Y Cb Cr — convert
       // to the SparkImage RGB layout (full-range PS3.3 C.7.6.3.1.2).
       // JPEG Baseline is exempt: its photometric describes the ENCODED
-      // stream, which the JFIF codec already converted to RGB.
-      val rgb = if (photometric == "RGB" || ts == TsJpegBaseline) data
+      // stream, which the JFIF codec already converted to RGB. So is
+      // YBR_RCT: the J2K decoder inverted the in-stream RCT already.
+      val rgb = if (photometric == "RGB" || photometric == "YBR_RCT" ||
+                    ts == TsJpegBaseline) data
                 else ybrToRgbInPlace(data)
       (SparkImage(ImageMeta(info = path), log, cols, rows, frames,
         PixelCodec.Rgb, rgb), instance)
@@ -1120,8 +1143,16 @@ object ImageCodecIO {
                                  fragmentBytes: Int = 0,
                                  palette: Option[(Array[Int], Array[Int], Array[Int], Int)] = None,
                                  pixelRep: Int = 0,
-                                 rescale: Option[(Double, Double)] = None)
+                                 rescale: Option[(Double, Double)] = None,
+                                 j2kTile: Int = 0)
       : Array[Byte] = {
+    // j2kTile > 0: JPEG 2000 frames write a j2kTile x j2kTile tile
+    // grid (the region-decodable layout real encoders use for large
+    // frames) with 16x16 code blocks; 64 is the codec's alignment
+    // unit at that shape (cb 16 << 2 levels)
+    require(j2kTile == 0 ||
+        (transferSyntax == TsJpeg2000Lossless && j2kTile > 0 && j2kTile % 64 == 0),
+      s"j2kTile rides JPEG 2000 Lossless in multiples of 64, got $j2kTile with $transferSyntax")
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
@@ -1146,20 +1177,34 @@ object ImageCodecIO {
     val isRgb = img.pixelType == PixelCodec.Rgb
     require(!isRgb || transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
-        transferSyntax == TsJpegBaseline,
-      s"color DICOM rides the native syntaxes + RLE Lossless + JPEG Baseline, not $transferSyntax")
+        transferSyntax == TsJpegBaseline || transferSyntax == TsJpeg2000Lossless,
+      s"color DICOM rides the native syntaxes + RLE Lossless + JPEG Baseline + " +
+        s"JPEG 2000 Lossless, not $transferSyntax")
     require(planarConfig == 0 || planarConfig == 1, s"bad planarConfig $planarConfig")
     require(photometric == "RGB" || photometric == "YBR_FULL" ||
-        photometric == "YBR_FULL_422" || photometric == "MONOCHROME1" ||
-        photometric == "MONOCHROME2",
+        photometric == "YBR_FULL_422" || photometric == "YBR_RCT" ||
+        photometric == "MONOCHROME1" || photometric == "MONOCHROME2",
       s"unsupported photometric $photometric")
     // a color image with a grayscale photometric would silently write
     // YCbCr-converted bytes under a MONOCHROME header (a file our own
     // decoder rejects) — a mixed grayscale+color frame leaking its
     // MONOCHROME2 value onto an RGB row must fail loudly
     require(!isRgb || photometric == "RGB" || photometric == "YBR_FULL" ||
-        photometric == "YBR_FULL_422",
+        photometric == "YBR_FULL_422" || photometric == "YBR_RCT",
       s"color images take a color photometric, not $photometric")
+    // YBR_RCT is defined by the reversible color transform INSIDE the
+    // JPEG 2000 codestream (PS3.3 C.7.6.3.1.2) — it exists only with
+    // .90, and .90 color carries either the RCT (YBR_RCT) or raw RGB
+    // components; the interleaved-byte YBR photometrics don't apply
+    if (photometric == "YBR_RCT")
+      require(transferSyntax == TsJpeg2000Lossless,
+        s"YBR_RCT is a JPEG 2000 photometric, not valid with $transferSyntax")
+    if (isRgb && transferSyntax == TsJpeg2000Lossless) {
+      require(photometric == "YBR_RCT" || photometric == "RGB",
+        s"JPEG 2000 Lossless color takes YBR_RCT (RCT in-stream) or RGB, not $photometric")
+      require(planarConfig == 0,
+        "encapsulated color pixel data is PlanarConfiguration 0 (PS3.5 8.2)")
+    }
     // JPEG Baseline color: the JFIF codec owns the YCbCr conversion
     // and subsampling, so the native 422 layout rules don't apply and
     // the tag is forced to what the stream actually is (YBR_FULL_422)
@@ -1327,7 +1372,10 @@ object ImageCodecIO {
     // stack would otherwise pay a full-stack conversion per file),
     // then ride the same plane/interleave/RLE writers. cOff maps a
     // frame index to its position in cdata.
-    val ybrConvert = isRgb && photometric != "RGB" && !baselineColor
+    // YBR_RCT is excluded: its color transform lives INSIDE the JPEG
+    // 2000 codestream, so the codec takes raw RGB planes
+    val ybrConvert = isRgb && photometric != "RGB" && photometric != "YBR_RCT" &&
+      !baselineColor
     val cdata =
       if (ybrConvert) rgbToYbrInterleaved(java.util.Arrays.copyOfRange(
         img.data, slice * n * 3, (slice + frames) * n * 3))
@@ -1375,6 +1423,17 @@ object ImageCodecIO {
         storedVal(px((slice + f) * n + i)))
       def framePayload(f: Int): Array[Byte] =
         if (baselineColor) jpegBaselineEncodeColor(img, slice + f)
+        else if (isRgb && transferSyntax == TsJpeg2000Lossless) {
+          def plane(c: Int): Array[Int] = {
+            val p = rgbPlane(f, c)
+            Array.tabulate(n)(i => p(i) & 0xff)
+          }
+          val rct = photometric == "YBR_RCT"
+          if (j2kTile > 0)
+            Jpeg2000Codec.encodeRgb(plane(0), plane(1), plane(2), w, h, 8,
+              2, 4, 4, j2kTile, j2kTile, rct)
+          else Jpeg2000Codec.encodeRgb(plane(0), plane(1), plane(2), w, h, 8, rct = rct)
+        }
         else if (isRgb) rleEncodePlanes(Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2)))
         else if (transferSyntax == TsRle) rleEncodeFragment(vals(f))
         else if (bits8) jpegBaselineEncode(img, px, slice + f)
@@ -1385,7 +1444,10 @@ object ImageCodecIO {
           }, w, h, 12)
         else if (transferSyntax == TsJpegLs) JpegLsCodec.encode(vals(f), w, h, 16)
         else if (transferSyntax == TsJpegLsNear) JpegLsCodec.encode(vals(f), w, h, 16, near = 2)
-        else if (transferSyntax == TsJpeg2000Lossless) Jpeg2000Codec.encode(vals(f), w, h, 16)
+        else if (transferSyntax == TsJpeg2000Lossless) {
+          if (j2kTile > 0) Jpeg2000Codec.encode(vals(f), w, h, 16, 2, 4, 4, j2kTile, j2kTile)
+          else Jpeg2000Codec.encode(vals(f), w, h, 16)
+        }
         else jpegLosslessEncode(vals(f), w, h)
       def evenPad(a: Array[Byte]): Array[Byte] =
         if (a.length % 2 == 0) a else a :+ 0.toByte

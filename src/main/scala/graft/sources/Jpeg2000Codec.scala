@@ -12,8 +12,15 @@ import scala.collection.mutable.ArrayBuffer
   * Profile implemented, end to end and bit-exact:
   *   - raw JPEG 2000 codestream (SOC..EOC — DICOM encapsulates the
   *     codestream, not the JP2 container),
-  *   - single tile at origin (0,0), single component, unsigned
-  *     samples up to 16 bit, DC level shift per E.3,
+  *   - tile grids at origin (0,0) — one tile-part per tile, any
+  *     Isot order, interior tile dims a multiple of cb·2^levels so
+  *     lifting parity and code-block anchoring stay tile-local (the
+  *     power-of-two layouts real encoders emit); plus the
+  *     degenerate whole-image single tile,
+  *   - 1-component grayscale and 3-component color, unsigned
+  *     samples up to 16 bit, DC level shift per E.3; color with or
+  *     without the reversible color transform (G.2 RCT — the DICOM
+  *     YBR_RCT shape of .90 color),
   *   - REVERSIBLE 5/3 integer wavelet (Annex F lifting, symmetric
   *     extension), any number of decomposition levels incl. 0,
   *   - no quantization (Sqcd style 0, derived Mb = G + eps − 1),
@@ -28,10 +35,12 @@ import scala.collection.mutable.ArrayBuffer
   *     subbands and third-party stream shapes decode.
   *
   * Not implemented (rejected loudly at parse time, never
-  * mis-decoded): multiple tiles/components, precinct partitions,
-  * SOP/EPH, selective arithmetic bypass / vertically-causal /
-  * termination cblk styles, the 9/7 irreversible filter, ROI shifts,
-  * multiple layers and non-LRCP progressions.
+  * mis-decoded): unaligned tile grids, multiple tile-parts per
+  * tile, >4 components, subsampled/mixed-precision components,
+  * precinct partitions, SOP/EPH, selective arithmetic bypass /
+  * vertically-causal / termination cblk styles, the 9/7
+  * irreversible filter, ROI shifts, multiple layers, non-LRCP
+  * progressions, and per-tile COD/COC/QCD/QCC/POC/PPT overrides.
   */
 object Jpeg2000Codec {
 
@@ -722,100 +731,261 @@ object Jpeg2000Codec {
   private def log2floor(n: Int): Int = 31 - Integer.numberOfLeadingZeros(n)
 
   // ----------------------------------------------------------------
+  // Reversible multi-component transform (T.800 G.2): RCT, the
+  // integer YCbCr analog that pairs with the 5/3 filter. Forward maps
+  // level-shifted (R, G, B) planes in place to (Y, Cb, Cr); chroma
+  // gains one bit of dynamic range (the QCD base accounts for it).
+  // Both directions are exact integer maps, so RCT color streams
+  // round-trip bit-exactly like grayscale.
+  // ----------------------------------------------------------------
+  private def fwdRct(p0: Array[Int], p1: Array[Int], p2: Array[Int]): Unit = {
+    var i = 0
+    while (i < p0.length) {
+      val r = p0(i); val g = p1(i); val b = p2(i)
+      p0(i) = (r + 2 * g + b) >> 2 // Y (arithmetic shift = floor, G.2)
+      p1(i) = b - g // Cb
+      p2(i) = r - g // Cr
+      i += 1
+    }
+  }
+  private def invRct(p0: Array[Int], p1: Array[Int], p2: Array[Int]): Unit = {
+    var i = 0
+    while (i < p0.length) {
+      val y = p0(i); val cb = p1(i); val cr = p2(i)
+      val g = y - ((cb + cr) >> 2)
+      p0(i) = cr + g // R
+      p1(i) = g
+      p2(i) = cb + g // B
+      i += 1
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // Tier-2 packets over one tile-component.
+  // ----------------------------------------------------------------
+  /** Encode one LRCP packet: the `bands` of one resolution of a
+    * tile-component whose DWT coefficient plane is `plane`
+    * (`pw`-stride, canonical subband layout). `qBase` is the
+    * effective sample precision the QCD exponents were written for
+    * (original bits, +1 under RCT for the chroma head-room). */
+  private def encodePacket(plane: Array[Int], pw: Int, bands: Array[Band],
+                           cbw: Int, cbh: Int, qBase: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.bit(1) // non-empty packet
+    val bodies = new ArrayBuffer[Array[Byte]]
+    for (band <- bands; if band.w > 0 && band.h > 0) {
+      val mb = mbFor(qBase, band.gain)
+      val blocks = cblksFor(band, cbw, cbh)
+      val nx = (band.w + cbw - 1) / cbw; val ny = (band.h + cbh - 1) / cbh
+      val incl = new TagTree(nx, ny); val zbp = new TagTree(nx, ny)
+      val coded = blocks.map { cb =>
+        val t = new T1Block(cb.w, cb.h, band.orient)
+        var maxMag = 0
+        var y = 0
+        while (y < cb.h) {
+          var x = 0
+          while (x < cb.w) {
+            val v = plane((band.y0 + cb.y0 + y) * pw + (band.x0 + cb.x0 + x))
+            val m = math.abs(v)
+            t.mag(t.at(x, y)) = m
+            t.sgn(t.at(x, y)) = if (v < 0) 1 else 0
+            if (m > maxMag) maxMag = m
+            x += 1
+          }
+          y += 1
+        }
+        require(maxMag < (1 << mb), s"coefficient magnitude $maxMag overflows Mb=$mb")
+        if (maxMag == 0) None
+        else {
+          val planes = log2floor(maxMag) + 1
+          val nPasses = 3 * planes - 2
+          val enc = new MqEncoder
+          tier1(t, new EncIo(enc), planes, nPasses)
+          Some((enc.finish(), nPasses, mb - planes))
+        }
+      }
+      var j = 0
+      while (j < blocks.length) {
+        incl.value(j) = if (coded(j).isDefined) 0 else 1
+        zbp.value(j) = coded(j).map(_._3).getOrElse(mb)
+        j += 1
+      }
+      incl.build(); zbp.build()
+      j = 0
+      while (j < blocks.length) {
+        incl.encode(bw, j, 1)
+        coded(j) match {
+          case None => ()
+          case Some((data, nPasses, missing)) =>
+            zbp.encode(bw, j, missing + 1)
+            writeNumPasses(bw, nPasses)
+            // Lblock signalling: one codeword segment
+            var lblock = 3
+            val lenBitsAvail = () => lblock + log2floor(nPasses)
+            val need = if (data.length == 0) 1 else log2floor(data.length) + 1
+            var extra = 0
+            while (lenBitsAvail() < need) { lblock += 1; extra += 1 }
+            var k = 0
+            while (k < extra) { bw.bit(1); k += 1 }
+            bw.bit(0)
+            bw.bits(data.length, lenBitsAvail())
+            bodies += data
+        }
+        j += 1
+      }
+    }
+    val header = bw.finish()
+    val pk = new ByteArrayOutputStream()
+    pk.write(header, 0, header.length)
+    bodies.foreach(b => pk.write(b, 0, b.length))
+    pk.toByteArray
+  }
+
+  /** Decode one LRCP packet at `p0` into `plane` (`pw`-stride
+    * canonical subband layout); `mbAt` gives Mb per band index within
+    * the resolution. Returns the position after the packet's
+    * code-block bodies. */
+  private def decodePacket(data: Array[Byte], p0: Int, bands: Array[Band],
+                           plane: Array[Int], pw: Int, cbw: Int, cbh: Int,
+                           mbAt: Int => Int, path: String): Int = {
+    val br = new BitReader(data, p0)
+    val nonEmpty = br.bit()
+    if (nonEmpty == 0) return br.align()
+    val toDecode = new ArrayBuffer[(Band, Cblk, Int, Int, Int)] // band, cblk, planes, passes, length
+    for ((band, bandIdx) <- bands.zipWithIndex; if band.w > 0 && band.h > 0) {
+      val mb = mbAt(bandIdx)
+      val blocks = cblksFor(band, cbw, cbh)
+      val nx = (band.w + cbw - 1) / cbw; val ny = (band.h + cbh - 1) / cbh
+      val incl = new TagTree(nx, ny); val zbp = new TagTree(nx, ny)
+      var j = 0
+      while (j < blocks.length) {
+        val included = incl.decode(br, j, 1)
+        if (included) {
+          val missing = zbp.decodeValue(br, j)
+          require(missing <= mb, s"zero-bit-planes $missing exceeds Mb=$mb in $path")
+          val nPasses = readNumPasses(br)
+          var lblock = 3
+          while (br.bit() == 1) lblock += 1
+          val lenBits = lblock + log2floor(nPasses)
+          val dataLen = br.bits(lenBits)
+          toDecode += ((band, blocks(j), mb - missing, nPasses, dataLen))
+        }
+        j += 1
+      }
+    }
+    var p = br.align()
+    for ((band, cb, nPlanes, nPasses, dataLen) <- toDecode) {
+      require(p + dataLen <= data.length, s"truncated code-block data in $path")
+      val seg = java.util.Arrays.copyOfRange(data, p, p + dataLen)
+      p += dataLen
+      require(nPlanes >= 1 && nPasses <= 3 * nPlanes - 2,
+        s"inconsistent pass count $nPasses for $nPlanes planes in $path")
+      val t = new T1Block(cb.w, cb.h, band.orient)
+      tier1(t, new DecIo(new MqDecoder(seg)), nPlanes, nPasses)
+      var y = 0
+      while (y < cb.h) {
+        var x = 0
+        while (x < cb.w) {
+          val i = t.at(x, y)
+          val v = if (t.sgn(i) == 1) -t.mag(i) else t.mag(i)
+          plane((band.y0 + cb.y0 + y) * pw + (band.x0 + cb.x0 + x)) = v
+          x += 1
+        }
+        y += 1
+      }
+    }
+    p
+  }
+
+  // ----------------------------------------------------------------
   // Encoder
   // ----------------------------------------------------------------
   /** Encode unsigned `bits`-deep samples as a lossless JPEG 2000
     * codestream. `levels` decomposition levels (0 = no transform);
-    * code-block size 2^cbxExp x 2^cbyExp. */
+    * code-block size 2^cbxExp x 2^cbyExp. `tileW`/`tileH` > 0 split
+    * the image into a tile grid (each tile an independent codestream
+    * region — the layout real encoders use so a reader can decode a
+    * region without the whole image); 0 keeps one whole-image tile.
+    * Interior tile dims must be multiples of cb·2^levels so tile
+    * origins stay even at every lifting level and code-block-aligned
+    * (see the decoder's profile note). */
   def encode(vals: Array[Int], w: Int, h: Int, bits: Int,
-             levels: Int = 2, cbxExp: Int = 6, cbyExp: Int = 6): Array[Byte] = {
-    require(w > 0 && h > 0 && vals.length == w * h, "bad image geometry")
+             levels: Int = 2, cbxExp: Int = 6, cbyExp: Int = 6,
+             tileW: Int = 0, tileH: Int = 0): Array[Byte] =
+    encodeMulti(Array(vals), w, h, bits, levels, cbxExp, cbyExp, rct = false,
+      tileW, tileH)
+
+  /** Encode three equal-sized `bits`-deep unsigned R, G, B planes as
+    * one lossless 3-component codestream. `rct` (the default) applies
+    * the reversible color transform (G.2) — the YBR_RCT shape DICOM
+    * prescribes for color JPEG 2000 Lossless; `rct = false` writes
+    * the components untransformed (PhotometricInterpretation RGB).
+    * Either way the round trip is bit-exact. */
+  def encodeRgb(rp: Array[Int], gp: Array[Int], bp: Array[Int], w: Int, h: Int,
+                bits: Int = 8, levels: Int = 2, cbxExp: Int = 6, cbyExp: Int = 6,
+                tileW: Int = 0, tileH: Int = 0, rct: Boolean = true): Array[Byte] =
+    encodeMulti(Array(rp, gp, bp), w, h, bits, levels, cbxExp, cbyExp, rct,
+      tileW, tileH)
+
+  private def encodeMulti(comps: Array[Array[Int]], w: Int, h: Int, bits: Int,
+                          levels: Int, cbxExp: Int, cbyExp: Int, rct: Boolean,
+                          tileW0: Int, tileH0: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && comps.nonEmpty && comps.forall(_.length == w * h),
+      "bad image geometry")
     require(bits >= 1 && bits <= 16, s"unsupported precision $bits")
     require(levels >= 0 && levels <= 32, s"bad decomposition levels $levels")
     require(cbxExp >= 2 && cbyExp >= 2 && cbxExp + cbyExp <= 12,
       s"bad code-block size 2^$cbxExp x 2^$cbyExp")
-    val img = new Array[Int](w * h)
-    val shift = 1 << (bits - 1) // DC level shift (E.3)
-    var i = 0
-    while (i < img.length) {
-      require(vals(i) >= 0 && vals(i) < (1 << bits), s"sample out of $bits-bit range: ${vals(i)}")
-      img(i) = vals(i) - shift; i += 1
-    }
-    fdwt(img, w, h, levels)
-
+    require(!rct || comps.length == 3, "RCT requires exactly 3 components")
+    val tw0 = if (tileW0 <= 0) w else tileW0
+    val th0 = if (tileH0 <= 0) h else tileH0
+    require(tw0 > 0 && th0 > 0, s"bad tile size ${tw0}x$th0")
     val cbw = 1 << cbxExp; val cbh = 1 << cbyExp
-    val allBands = bandsFor(w, h, levels)
-    val packets = new ArrayBuffer[Array[Byte]]
-    for (r <- 0 to levels) {
-      val bw = new BitWriter
-      bw.bit(1) // non-empty packet
-      val bodies = new ArrayBuffer[Array[Byte]]
-      for (band <- allBands(r); if band.w > 0 && band.h > 0) {
-        val mb = mbFor(bits, band.gain)
-        val blocks = cblksFor(band, cbw, cbh)
-        val nx = (band.w + cbw - 1) / cbw; val ny = (band.h + cbh - 1) / cbh
-        val incl = new TagTree(nx, ny); val zbp = new TagTree(nx, ny)
-        val coded = blocks.map { cb =>
-          val t = new T1Block(cb.w, cb.h, band.orient)
-          var maxMag = 0
-          var y = 0
-          while (y < cb.h) {
-            var x = 0
-            while (x < cb.w) {
-              val v = img((band.y0 + cb.y0 + y) * w + (band.x0 + cb.x0 + x))
-              val m = math.abs(v)
-              t.mag(t.at(x, y)) = m
-              t.sgn(t.at(x, y)) = if (v < 0) 1 else 0
-              if (m > maxMag) maxMag = m
-              x += 1
-            }
-            y += 1
-          }
-          require(maxMag < (1 << mb), s"coefficient magnitude $maxMag overflows Mb=$mb")
-          if (maxMag == 0) None
-          else {
-            val planes = log2floor(maxMag) + 1
-            val nPasses = 3 * planes - 2
-            val enc = new MqEncoder
-            tier1(t, new EncIo(enc), planes, nPasses)
-            Some((enc.finish(), nPasses, mb - planes))
-          }
-        }
-        var j = 0
-        while (j < blocks.length) {
-          incl.value(j) = if (coded(j).isDefined) 0 else 1
-          zbp.value(j) = coded(j).map(_._3).getOrElse(mb)
-          j += 1
-        }
-        incl.build(); zbp.build()
-        j = 0
-        while (j < blocks.length) {
-          incl.encode(bw, j, 1)
-          coded(j) match {
-            case None => ()
-            case Some((data, nPasses, missing)) =>
-              zbp.encode(bw, j, missing + 1)
-              writeNumPasses(bw, nPasses)
-              // Lblock signalling: one codeword segment
-              var lblock = 3
-              val lenBitsAvail = () => lblock + log2floor(nPasses)
-              val need = if (data.length == 0) 1 else log2floor(data.length) + 1
-              var extra = 0
-              while (lenBitsAvail() < need) { lblock += 1; extra += 1 }
-              var k = 0
-              while (k < extra) { bw.bit(1); k += 1 }
-              bw.bit(0)
-              bw.bits(data.length, lenBitsAvail())
-              bodies += data
-          }
-          j += 1
-        }
+    val tilesX = (w + tw0 - 1) / tw0; val tilesY = (h + th0 - 1) / th0
+    if (tilesX > 1) require(tw0 % (cbw << levels) == 0,
+      s"tile width $tw0 must be a multiple of ${cbw << levels} " +
+        "(tile origins must stay even at every lifting level and code-block-aligned)")
+    if (tilesY > 1) require(th0 % (cbh << levels) == 0,
+      s"tile height $th0 must be a multiple of ${cbh << levels} " +
+        "(tile origins must stay even at every lifting level and code-block-aligned)")
+    val shift = 1 << (bits - 1) // DC level shift (E.3), before any MCT
+    val planes = comps.map { c =>
+      val a = new Array[Int](w * h)
+      var i = 0
+      while (i < a.length) {
+        require(c(i) >= 0 && c(i) < (1 << bits), s"sample out of $bits-bit range: ${c(i)}")
+        a(i) = c(i) - shift; i += 1
       }
-      val header = bw.finish()
+      a
+    }
+    if (rct) fwdRct(planes(0), planes(1), planes(2))
+    val qBase = if (rct) bits + 1 else bits // chroma head-room under RCT
+
+    val tileBytes = new Array[Array[Byte]](tilesX * tilesY)
+    var t = 0
+    while (t < tileBytes.length) {
+      val tx = t % tilesX; val ty = t / tilesX
+      val tw = math.min(tw0, w - tx * tw0); val th = math.min(th0, h - ty * th0)
+      val allBands = bandsFor(tw, th, levels)
+      val perComp = planes.map { pl =>
+        val tp = new Array[Int](tw * th)
+        var y = 0
+        while (y < th) {
+          System.arraycopy(pl, (ty * th0 + y) * w + tx * tw0, tp, y * tw, tw)
+          y += 1
+        }
+        fdwt(tp, tw, th, levels)
+        tp
+      }
+      // LRCP: layer (1), then resolution, then component, then
+      // position (1 precinct) — B.12.1.1
       val pk = new ByteArrayOutputStream()
-      pk.write(header, 0, header.length)
-      bodies.foreach(b => pk.write(b, 0, b.length))
-      packets += pk.toByteArray
+      for (r <- 0 to levels; c <- planes.indices) {
+        val bytes = encodePacket(perComp(c), tw, allBands(r), cbw, cbh, qBase)
+        pk.write(bytes, 0, bytes.length)
+      }
+      tileBytes(t) = pk.toByteArray
+      t += 1
     }
 
     // ---- codestream markers (Annex A) ----
@@ -824,27 +994,30 @@ object Jpeg2000Codec {
     def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
     def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
     u16(0xff4f) // SOC
-    u16(0xff51); u16(38 + 3) // SIZ, Lsiz for 1 component
+    u16(0xff51); u16(38 + 3 * comps.length) // SIZ
     u16(0) // Rsiz
     u32(w); u32(h); u32(0); u32(0) // Xsiz Ysiz XOsiz YOsiz
-    u32(w); u32(h); u32(0); u32(0) // XTsiz YTsiz XTOsiz YTOsiz
-    u16(1) // Csiz
-    u8(bits - 1); u8(1); u8(1) // Ssiz (unsigned), XRsiz, YRsiz
+    u32(tw0); u32(th0); u32(0); u32(0) // XTsiz YTsiz XTOsiz YTOsiz
+    u16(comps.length) // Csiz
+    for (_ <- comps.indices) { u8(bits - 1); u8(1); u8(1) } // Ssiz (unsigned), XRsiz, YRsiz
     u16(0xff52); u16(12) // COD, Lcod
     u8(0) // Scod: default precincts, no SOP/EPH
-    u8(0); u16(1); u8(0) // SGcod: LRCP, 1 layer, no MCT
+    u8(0); u16(1); u8(if (rct) 1 else 0) // SGcod: LRCP, 1 layer, MCT flag
     u8(levels); u8(cbxExp - 2); u8(cbyExp - 2); u8(0); u8(1) // SPcod: 5/3 reversible
     u16(0xff5c); u16(3 + (3 * levels + 1)) // QCD, Lqcd
     u8(GuardBits << 5) // Sqcd: style 0 (no quantization)
-    u8((bits + 0) << 3) // epsilon for LL
-    for (_ <- 1 to levels) { u8((bits + 1) << 3); u8((bits + 1) << 3); u8((bits + 2) << 3) }
-    val packetLen = packets.map(_.length).sum
-    u16(0xff90); u16(10) // SOT, Lsot
-    u16(0) // Isot
-    u32(12 + 2 + packetLen) // Psot: SOT segment (12) + SOD (2) + packet data
-    u8(0); u8(1) // TPsot, TNsot
-    u16(0xff93) // SOD
-    packets.foreach(p => out.write(p, 0, p.length))
+    u8(qBase << 3) // epsilon for LL
+    for (_ <- 1 to levels) { u8((qBase + 1) << 3); u8((qBase + 1) << 3); u8((qBase + 2) << 3) }
+    t = 0
+    while (t < tileBytes.length) {
+      u16(0xff90); u16(10) // SOT, Lsot
+      u16(t) // Isot (row-major tile order)
+      u32(12 + 2 + tileBytes(t).length) // Psot: SOT segment (12) + SOD (2) + packets
+      u8(0); u8(1) // TPsot, TNsot: one tile-part per tile
+      u16(0xff93) // SOD
+      out.write(tileBytes(t), 0, tileBytes(t).length)
+      t += 1
+    }
     u16(0xffd9) // EOC
     out.toByteArray
   }
@@ -852,16 +1025,34 @@ object Jpeg2000Codec {
   // ----------------------------------------------------------------
   // Decoder
   // ----------------------------------------------------------------
-  /** Decode a JPEG 2000 codestream produced by this profile:
-    * returns (width, height, precision, unsigned samples). */
+  /** Decode a single-component stream of this profile: returns
+    * (width, height, precision, unsigned samples). A color stream
+    * rejects here — use [[decodeFull]]. */
   def decode(data: Array[Byte], path: String): (Int, Int, Int, Array[Int]) = {
+    val (w, h, bits, planes) = decodeFull(data, path)
+    require(planes.length == 1,
+      s"expected single-component JPEG 2000, got ${planes.length} components in $path")
+    (w, h, bits, planes(0))
+  }
+
+  /** Decode any stream of this profile: returns (width, height,
+    * precision, component planes) — one plane for grayscale, three
+    * (R, G, B: the inverse RCT is applied when the stream's COD
+    * carries the MCT flag) for color. Multi-tile streams decode tile
+    * by tile; interior tile dims must be multiples of cb·2^levels
+    * (the power-of-two layouts real encoders emit) so every tile
+    * origin is even at every lifting level and code-block-aligned —
+    * unaligned tiles change lifting parity and code-block anchoring,
+    * so they reject loudly rather than mis-decode. */
+  def decodeFull(data: Array[Byte], path: String): (Int, Int, Int, Array[Array[Int]]) = {
     var p = 0
     def u8(): Int = { val v = data(p) & 0xff; p += 1; v }
     def u16(): Int = { val v = ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff); p += 2; v }
     def u32(): Int = { val v = u16(); (v << 16) | u16() }
     require(data.length >= 4 && u16() == 0xff4f, s"not a JPEG 2000 codestream: $path")
 
-    var w = 0; var h = 0; var bits = 0
+    var w = 0; var h = 0; var bits = 0; var ncomp = 0
+    var tileW = 0; var tileH = 0; var useRct = false
     var levels = -1; var cbxExp = 0; var cbyExp = 0
     var guard = GuardBits; var expBytes: Array[Int] = null
     var sawSiz = false; var sawCod = false; var sawQcd = false
@@ -879,16 +1070,23 @@ object Jpeg2000Codec {
           val xt = u32(); val yt = u32(); val xto = u32(); val yto = u32()
           require(xo == 0 && yo == 0 && xto == 0 && yto == 0,
             s"non-zero image/tile offsets unsupported in $path")
-          require(xt >= xs && yt >= ys, s"multiple tiles unsupported in $path")
+          require(xt > 0 && yt > 0, s"bad tile size ${xt}x$yt in $path")
           val csiz = u16()
-          require(csiz == 1, s"only single-component JPEG 2000 supported, got $csiz in $path")
-          val ssiz = u8()
-          require((ssiz & 0x80) == 0, s"signed JPEG 2000 samples unsupported in $path")
-          bits = (ssiz & 0x7f) + 1
+          require(csiz >= 1 && csiz <= 4, s"unsupported component count $csiz in $path")
+          ncomp = csiz
+          var c = 0
+          while (c < csiz) {
+            val ssiz = u8()
+            require((ssiz & 0x80) == 0, s"signed JPEG 2000 samples unsupported in $path")
+            val bc = (ssiz & 0x7f) + 1
+            if (c == 0) bits = bc
+            else require(bc == bits, s"mixed component precisions unsupported in $path")
+            val xr = u8(); val yr = u8()
+            require(xr == 1 && yr == 1, s"subsampled components unsupported in $path")
+            c += 1
+          }
           require(bits <= 16, s"JPEG 2000 precision $bits unsupported in $path")
-          val xr = u8(); val yr = u8()
-          require(xr == 1 && yr == 1, s"subsampled components unsupported in $path")
-          w = xs; h = ys
+          w = xs; h = ys; tileW = math.min(xt, w); tileH = math.min(yt, h)
           require(w > 0 && h > 0 && w.toLong * h <= (1L << 28), s"bad JPEG 2000 geometry in $path")
           sawSiz = true; p = end
         case 0xff52 => // COD
@@ -900,7 +1098,8 @@ object Jpeg2000Codec {
           val layers = u16()
           require(layers == 1, s"only single-layer streams supported, got $layers in $path")
           val mct = u8()
-          require(mct == 0, s"MCT unsupported in $path")
+          require(mct == 0 || mct == 1, s"bad MCT flag $mct in $path")
+          useRct = mct == 1
           levels = u8()
           require(levels <= 32, s"bad decomposition level count $levels in $path")
           cbxExp = u8() + 2; cbyExp = u8() + 2
@@ -917,12 +1116,7 @@ object Jpeg2000Codec {
           guard = (sqcd >>> 5) & 0x7
           expBytes = Array.fill(end - p)(u8() >>> 3)
           sawQcd = true; p = end
-        case 0xff90 => // SOT
-          val len = u16(); val end = p + len - 2
-          val isot = u16(); u32(); val tpsot = u8(); u8()
-          require(isot == 0 && tpsot == 0, s"multiple tiles/tile-parts unsupported in $path")
-          p = end
-        case 0xff93 => done = true // SOD: packet data follows
+        case 0xff90 => done = true // SOT: the tile loop takes over
         case 0xff64 | 0xff63 => // COM / CRG: informational, skip
           val len = u16(); p += len - 2
         case 0xff55 | 0xff57 | 0xff58 => // TLM / PLM / PLT: pointer info, skip
@@ -934,6 +1128,7 @@ object Jpeg2000Codec {
       }
     }
     require(sawSiz && sawCod && sawQcd, s"missing SIZ/COD/QCD in $path")
+    require(!useRct || ncomp == 3, s"MCT flag with $ncomp components in $path")
     require(expBytes.length >= 3 * levels + 1,
       s"QCD carries ${expBytes.length} exponents for $levels levels in $path")
     // Mb per subband from the stream's own QCD (E.1): Mb = G + eps - 1,
@@ -946,66 +1141,71 @@ object Jpeg2000Codec {
     }
 
     val cbw = 1 << cbxExp; val cbh = 1 << cbyExp
-    val img = new Array[Int](w * h)
-    val allBands = bandsFor(w, h, levels)
-    for (r <- 0 to levels) {
-      val br = new BitReader(data, p)
-      val nonEmpty = br.bit()
-      if (nonEmpty == 1) {
-        val toDecode = new ArrayBuffer[(Band, Cblk, Int, Int, Int)] // band, cblk, mb, passes, length
-        for ((band, bandIdx) <- allBands(r).zipWithIndex; if band.w > 0 && band.h > 0) {
-          val mb = mbAt(r, bandIdx)
-          val blocks = cblksFor(band, cbw, cbh)
-          val nx = (band.w + cbw - 1) / cbw; val ny = (band.h + cbh - 1) / cbh
-          val incl = new TagTree(nx, ny); val zbp = new TagTree(nx, ny)
-          var j = 0
-          while (j < blocks.length) {
-            val included = incl.decode(br, j, 1)
-            if (included) {
-              val missing = zbp.decodeValue(br, j)
-              require(missing <= mb, s"zero-bit-planes $missing exceeds Mb=$mb in $path")
-              val nPasses = readNumPasses(br)
-              var lblock = 3
-              while (br.bit() == 1) lblock += 1
-              val lenBits = lblock + log2floor(nPasses)
-              val dataLen = br.bits(lenBits)
-              toDecode += ((band, blocks(j), mb - missing, nPasses, dataLen))
-            }
-            j += 1
-          }
+    val tilesX = (w + tileW - 1) / tileW; val tilesY = (h + tileH - 1) / tileH
+    if (tilesX > 1) require(tileW % (cbw << levels) == 0,
+      s"tile width $tileW not a multiple of ${cbw << levels} in $path " +
+        "(unaligned tiles change lifting parity and code-block anchoring)")
+    if (tilesY > 1) require(tileH % (cbh << levels) == 0,
+      s"tile height $tileH not a multiple of ${cbh << levels} in $path " +
+        "(unaligned tiles change lifting parity and code-block anchoring)")
+    val nTiles = tilesX * tilesY
+    val seen = new Array[Boolean](nTiles)
+    val compPlanes = Array.fill(ncomp)(new Array[Int](w * h))
+
+    var more = true
+    while (more) {
+      // the SOT marker itself was already consumed (by the header
+      // loop for the first tile, by the tail of this loop after)
+      val sotStart = p - 2
+      val lsot = u16()
+      require(lsot == 10, s"bad Lsot $lsot in $path")
+      val isot = u16(); val psot = u32(); val tpsot = u8(); val tnsot = u8()
+      require(tpsot == 0 && (tnsot == 0 || tnsot == 1),
+        s"multiple tile-parts per tile unsupported in $path")
+      require(isot < nTiles && !seen(isot), s"bad tile index $isot (of $nTiles) in $path")
+      seen(isot) = true
+      require(psot > 12 + 2 && sotStart + psot <= data.length, s"bad Psot $psot in $path")
+      // tile-part header: pointer/comment markers skip; anything that
+      // would change decoding (COD/COC/QCD/QCC/POC/PPT) rejects
+      var m = u16()
+      while (m == 0xff58 || m == 0xff64) { val l = u16(); p += l - 2; m = u16() }
+      require(m == 0xff93, f"unsupported tile-part marker $m%04x in $path")
+      val tx = isot % tilesX; val ty = isot / tilesX
+      val tw = math.min(tileW, w - tx * tileW); val th = math.min(tileH, h - ty * tileH)
+      val allBands = bandsFor(tw, th, levels)
+      val tilePlanes = Array.fill(ncomp)(new Array[Int](tw * th))
+      for (r <- 0 to levels; c <- 0 until ncomp)
+        p = decodePacket(data, p, allBands(r), tilePlanes(c), tw, cbw, cbh,
+          bi => mbAt(r, bi), path)
+      require(p == sotStart + psot,
+        s"tile $isot data length does not match Psot $psot in $path")
+      var c = 0
+      while (c < ncomp) {
+        idwt(tilePlanes(c), tw, th, levels)
+        var y = 0
+        while (y < th) {
+          System.arraycopy(tilePlanes(c), y * tw,
+            compPlanes(c), (ty * tileH + y) * w + tx * tileW, tw)
+          y += 1
         }
-        p = br.align()
-        for ((band, cb, planes, nPasses, dataLen) <- toDecode) {
-          require(p + dataLen <= data.length, s"truncated code-block data in $path")
-          val seg = java.util.Arrays.copyOfRange(data, p, p + dataLen)
-          p += dataLen
-          require(planes >= 1 && nPasses <= 3 * planes - 2,
-            s"inconsistent pass count $nPasses for $planes planes in $path")
-          val t = new T1Block(cb.w, cb.h, band.orient)
-          tier1(t, new DecIo(new MqDecoder(seg)), planes, nPasses)
-          var y = 0
-          while (y < cb.h) {
-            var x = 0
-            while (x < cb.w) {
-              val i = t.at(x, y)
-              val v = if (t.sgn(i) == 1) -t.mag(i) else t.mag(i)
-              img((band.y0 + cb.y0 + y) * w + (band.x0 + cb.x0 + x)) = v
-              x += 1
-            }
-            y += 1
-          }
-        }
-      } else p = br.align()
+        c += 1
+      }
+      val nm = u16()
+      if (nm == 0xffd9) more = false // EOC
+      else require(nm == 0xff90, f"unexpected marker $nm%04x after tile data in $path")
     }
-    idwt(img, w, h, levels)
+    require(seen.forall(identity), s"codestream is missing tiles in $path")
+    if (useRct) invRct(compPlanes(0), compPlanes(1), compPlanes(2))
     val shift = 1 << (bits - 1)
     val maxV = (1 << bits) - 1
-    var i = 0
-    while (i < img.length) {
-      val v = img(i) + shift
-      require(v >= 0 && v <= maxV, s"decoded sample $v outside $bits-bit range in $path")
-      img(i) = v; i += 1
+    for (pl <- compPlanes) {
+      var i = 0
+      while (i < pl.length) {
+        val v = pl(i) + shift
+        require(v >= 0 && v <= maxV, s"decoded sample $v outside $bits-bit range in $path")
+        pl(i) = v; i += 1
+      }
     }
-    (w, h, bits, img)
+    (w, h, bits, compPlanes)
   }
 }

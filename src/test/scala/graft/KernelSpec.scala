@@ -347,6 +347,64 @@ class KernelSpec extends AnyFunSuite with Matchers {
       ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpegLs)
   }
 
+  test("DICOM JPEG 2000 color (YBR_RCT + RGB) and tile grids round-trip losslessly") {
+    import graft.sources.ImageCodecIO
+    val w = 21; val h = 10; val nf = 2
+    val data = Array.tabulate(nf * w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val rgb = SparkImage(ImageMeta(), "[]", w, h, nf, PixelCodec.Rgb, data)
+    for (pi <- Seq("YBR_RCT", "RGB")) withClue(s"$pi: ") {
+      val bytes = ImageCodecIO.encodeDicom(rgb, instance = 6,
+        transferSyntax = ImageCodecIO.TsJpeg2000Lossless, frames = nf, photometric = pi)
+      val (back, inst) = ImageCodecIO.decodeDicomWithInstance("j2kc.dcm", bytes)
+      inst shouldBe 6
+      back.pixelType shouldBe PixelCodec.Rgb
+      back.slices shouldBe nf
+      back.data shouldBe data // in-stream RCT (or none) inverts exactly
+    }
+    // RCT earns its keep on correlated color: smaller file, same pixels
+    val corr = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val c = i % 3
+      (40 + (p % w) * 3 + (p / w) * 2 + c * 25).toByte
+    }
+    val cImg = SparkImage(ImageMeta(), "[]", w, h, 1, PixelCodec.Rgb, corr)
+    val rctBytes = ImageCodecIO.encodeDicom(cImg,
+      transferSyntax = ImageCodecIO.TsJpeg2000Lossless, photometric = "YBR_RCT")
+    val rgbBytes = ImageCodecIO.encodeDicom(cImg,
+      transferSyntax = ImageCodecIO.TsJpeg2000Lossless, photometric = "RGB")
+    assert(rctBytes.length < rgbBytes.length)
+    // tiled grayscale: a 130x70 ramp over 64x64 tiles (2x2 grid with
+    // partial edge tiles) round-trips exactly, frames in fragments too
+    val gw = 130; val gh = 70
+    val gvals = Array.tabulate(gw * gh)(i => ((i * 13) % 60000).toDouble)
+    val gray = SparkImage(ImageMeta(), "[]", gw, gh, 1, PixelCodec.Short16,
+      PixelCodec.encode(gvals, PixelCodec.Short16))
+    for (frag <- Seq(0, 512)) withClue(s"fragmentBytes=$frag: ") {
+      val bytes = ImageCodecIO.encodeDicom(gray,
+        transferSyntax = ImageCodecIO.TsJpeg2000Lossless, j2kTile = 64,
+        fragmentBytes = frag)
+      val (back, _) = ImageCodecIO.decodeDicomWithInstance("j2kt.dcm", bytes)
+      back.toDoubles("") shouldBe gvals
+    }
+    // tiled color: both layouts compose
+    val tiledColor = ImageCodecIO.encodeDicom(
+      SparkImage(ImageMeta(), "[]", 100, 80, 1, PixelCodec.Rgb,
+        Array.tabulate(100 * 80 * 3)(i => ((i * 29 + 3) % 256).toByte)),
+      transferSyntax = ImageCodecIO.TsJpeg2000Lossless, photometric = "YBR_RCT",
+      j2kTile = 64)
+    ImageCodecIO.decodeDicomWithInstance("j2ktc.dcm", tiledColor)._1
+      .data.length shouldBe 100 * 80 * 3
+    // loud rejects: YBR_RCT outside .90; tiles outside .90; unaligned tile
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsExplicitLE,
+        photometric = "YBR_RCT")
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(gray, transferSyntax = ImageCodecIO.TsExplicitLE,
+        photometric = "MONOCHROME2", j2kTile = 64)
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(gray, transferSyntax = ImageCodecIO.TsJpeg2000Lossless,
+        j2kTile = 60)
+  }
+
   test("dicomTransferSyntax sniffs the meta group for every syntax; rejects non-DICOM bytes") {
     import graft.sources.ImageCodecIO
     val img = SparkImage(ImageMeta(), "[]", 2, 2, 1, PixelCodec.Short16,

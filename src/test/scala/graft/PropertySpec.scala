@@ -538,6 +538,74 @@ class PropertySpec extends AnyFunSuite with Matchers {
     assert(sw == 1 && sh == 1 && sout.sameElements(single))
   }
 
+  test("JPEG 2000 codec: multi-tile grids round-trip bit-exactly; unaligned tiles reject") {
+    import graft.sources.Jpeg2000Codec
+    val rnd = new scala.util.Random(41)
+    // tile 64x64 with 16x16 code blocks at 2 levels: alignment unit is
+    // 16<<2 = 64, so interior tiles are legal; last row/column tiles
+    // are partial (including 1-wide slivers)
+    for ((w, h) <- Seq((150, 100), (256, 96), (64, 64), (65, 129), (200, 30))) {
+      val px = Array.fill(w * h)(rnd.nextInt(65536))
+      val enc = Jpeg2000Codec.encode(px, w, h, 16, 2, 4, 4, tileW = 64, tileH = 64)
+      val (gw, gh, gb, out) = Jpeg2000Codec.decode(enc, s"tiled_${w}x$h.j2k")
+      assert(gw == w && gh == h && gb == 16)
+      assert(out.sameElements(px))
+      // a tiled stream is NOT byte-identical to the single-tile stream,
+      // but decodes to the same pixels as one
+      if (w > 64 || h > 64) {
+        val mono = Jpeg2000Codec.encode(px, w, h, 16, 2, 4, 4)
+        assert(!enc.sameElements(mono))
+        assert(Jpeg2000Codec.decode(mono, "mono.j2k")._4.sameElements(out))
+      }
+    }
+    // encoder: interior tile dims must be multiples of cb<<levels
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg2000Codec.encode(new Array[Int](200 * 50), 200, 50, 16, 2, 6, 6,
+        tileW = 100, tileH = 0) // 100 % (64<<2) != 0
+    // decoder: a surgically mis-aligned XTsiz rejects loudly (offset
+    // 24 = SOC + SIZ marker/len/Rsiz + Xsiz..YOsiz)
+    val good = Jpeg2000Codec.encode(Array.fill(128 * 64)(rnd.nextInt(65536)), 128, 64, 16, 2, 6, 6)
+    val bad = good.clone()
+    assert(((bad(24) & 0xff) << 24 | (bad(25) & 0xff) << 16 |
+      (bad(26) & 0xff) << 8 | (bad(27) & 0xff)) == 128) // XTsiz
+    bad(26) = 0; bad(27) = 96.toByte // XTsiz 96: 2 unaligned tiles
+    an[IllegalArgumentException] should be thrownBy Jpeg2000Codec.decodeFull(bad, "bad.j2k")
+  }
+
+  test("JPEG 2000 codec: 3-component color round trip, with and without RCT, tiled and not") {
+    import graft.sources.Jpeg2000Codec
+    val genCase = for {
+      w <- Gen.choose(1, 80)
+      h <- Gen.choose(1, 80)
+      rct <- Gen.oneOf(true, false)
+      tiled <- Gen.oneOf(true, false)
+      px <- Gen.listOfN(3 * w * h, Gen.choose(0, 255))
+    } yield (w, h, rct, tiled, px.toArray)
+    check("jpeg2000-rgb-roundtrip", Prop.forAll(genCase) { case (w, h, rct, tiled, px) =>
+      val n = w * h
+      val (rp, gp, bp) = (px.slice(0, n), px.slice(n, 2 * n), px.slice(2 * n, 3 * n))
+      val enc =
+        if (tiled) Jpeg2000Codec.encodeRgb(rp, gp, bp, w, h, 8, 2, 4, 4, 64, 64, rct)
+        else Jpeg2000Codec.encodeRgb(rp, gp, bp, w, h, 8, rct = rct)
+      val (gw, gh, gbits, planes) = Jpeg2000Codec.decodeFull(enc, "rgb.j2k")
+      gw == w && gh == h && gbits == 8 && planes.length == 3 &&
+        planes(0).sameElements(rp) && planes(1).sameElements(gp) &&
+        planes(2).sameElements(bp)
+    })
+    // RCT actually decorrelates: a color stream is smaller with it on
+    // a correlated image, and the single-component decode face rejects
+    // any color stream rather than returning one plane of three
+    val w = 48; val h = 40
+    val base = Array.tabulate(w * h)(i => 40 + (i % w) + (i / w))
+    val rp = base.map(v => math.min(255, v + 30))
+    val gp = base.clone(); val bp = base.map(v => math.max(0, v - 25))
+    val withRct = Jpeg2000Codec.encodeRgb(rp, gp, bp, w, h)
+    val noRct = Jpeg2000Codec.encodeRgb(rp, gp, bp, w, h, rct = false)
+    assert(withRct.length < noRct.length,
+      s"RCT stream ${withRct.length}B should beat no-RCT ${noRct.length}B on correlated color")
+    an[IllegalArgumentException] should be thrownBy Jpeg2000Codec.decode(withRct, "c.j2k")
+  }
+
   test("JPEG-LS near-lossless: |decoded - original| <= NEAR exactly, for every sample") {
     import graft.sources.JpegLsCodec
     val rnd = new scala.util.Random(23)
