@@ -198,6 +198,8 @@ object ImageOps {
     //   pixel_rep    — 1 writes signed (two's-complement) grayscale
     //   slope, intercept — modality-LUT Rescale tags (NaN = absent)
     //   j2k_tile     — JPEG 2000 frames write a tile grid of that edge
+    //   jls_ilv      — JPEG-LS color scan layout (1 line-interleaved,
+    //                  0 one scan per component plane)
     // coalesce covers BOTH an absent column and SQL nulls inside a
     // present one (a bare null would fail the primitive-tuple encoder)
     def opt(name: String, default: Column): Column =
@@ -208,12 +210,13 @@ object ImageOps {
         opt("pixel_rep", lit(0)).cast("int").as("pixel_rep"),
         opt("slope", lit(Double.NaN)).cast("double").as("slope"),
         opt("intercept", lit(Double.NaN)).cast("double").as("intercept"),
-        opt("j2k_tile", lit(0)).cast("int").as("j2k_tile"))
-      .as[(String, SparkImage, String, Int, String, Int, Int, Double, Double, Int)]
-      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String, Int, Int, Double, Double, Int)] =>
+        opt("j2k_tile", lit(0)).cast("int").as("j2k_tile"),
+        opt("jls_ilv", lit(1)).cast("int").as("jls_ilv"))
+      .as[(String, SparkImage, String, Int, String, Int, Int, Double, Double, Int, Int)]
+      .foreachPartition { it: Iterator[(String, SparkImage, String, Int, String, Int, Int, Double, Double, Int, Int)] =>
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(serConf.value)
-        it.foreach { case (sample, img, ts, planar, pm, fb, pr, sl, ic, jt) =>
+        it.foreach { case (sample, img, ts, planar, pm, fb, pr, sl, ic, jt, jlsIlv) =>
           // the modality LUT is a PAIR: exactly one of slope/intercept
           // set would silently drop the LUT (or write a NaN tag) —
           // reject loudly instead
@@ -226,7 +229,7 @@ object ImageOps {
           try os.write(ImageCodecIO.encodeDicom(img, instance = 1, slice = 0,
             transferSyntax = ts, frames = img.slices, planarConfig = planar,
             photometric = pm, fragmentBytes = fb, pixelRep = pr,
-            rescale = rescale, j2kTile = jt))
+            rescale = rescale, j2kTile = jt, jlsIlv = jlsIlv))
           finally os.close()
         }
       }

@@ -1331,6 +1331,82 @@ object ImageQueries {
         SELECT 'j2k_g' || CAST(g AS VARCHAR), CAST(1 AS BIGINT),
           CAST(10900 + 500 * g AS DOUBLE), CAST(10900 + 500 * g AS DOUBLE),
           CAST(10900 + 500 * g AS DOUBLE), CAST(12900 + 500 * g AS DOUBLE)
-        FROM range(2) u(g) ORDER BY name"""))
+        FROM range(2) u(g) ORDER BY name""")),
+
+    // ---- JPEG-LS COLOR (.80): 3-component T.87 streams in BOTH scan
+    // layouts — ILV=0 (one scan per component plane, fresh modeling
+    // state per scan) and ILV=1 (line-interleaved through one SHARED
+    // context set) — under PhotometricInterpretation RGB and YBR_FULL
+    // (components pre-converted, so the oracle replays the PS3.3
+    // round trip like img25). Per-row ramps drive both run and
+    // regular coding modes; everything is lossless, so channel means
+    // replay closed-form. A swapped component scan, a mis-ordered
+    // interleave line, or shared-vs-fresh context confusion flips a
+    // channel mean. ------------------------------------------------
+    ("img30_dicom_jls_color",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        import graft.core.{ImageMeta, SparkImage}
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_jls"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        // pixel (x,y) of frame f, channel c: 15*ilv + 5f + 2*row +
+        // K + off(c) over 16x8, 2 frames (rows drive regular mode,
+        // the flat in-row spans drive run mode)
+        def img(ilv: Int, k: Int, offs: Array[Int]): SparkImage = {
+          val data = Array.tabulate(2 * 16 * 8 * 3) { idx =>
+            val f = idx / (16 * 8 * 3); val r = idx % (16 * 8 * 3) / (16 * 3)
+            val c = idx % 3
+            (15 * ilv + 5 * f + 2 * r + k + offs(c)).toByte
+          }
+          SparkImage(ImageMeta(), "[]", 16, 8, 2, PixelCodec.Rgb, data)
+        }
+        val rows = s.range(2L).flatMap { ilvL =>
+          val ilv = ilvL.toInt
+          Seq(
+            (s"/jls/rgb$ilv", img(ilv, 40, Array(0, 55, 105)),
+              ImageCodecIO.TsJpegLs, 0, "RGB", ilv),
+            (s"/jls/ybr$ilv", img(ilv, 35, Array(0, 60, 115)),
+              ImageCodecIO.TsJpegLs, 0, "YBR_FULL", ilv))
+        }.toDF("sample", "image", "ts", "planar", "photometric", "jls_ilv")
+        ImageOps.saveDicomMultiFrame(rows, dir)
+        def chan(st: String) = ImageFunctions.statsUdf(
+          ImageFunctions.run2Udf(col("image"), lit("32-bit"), lit(s"rgb=$st")))
+          .getField("mean")
+        ImageOps.loadDicomMultiFrame(s, s"$dir/*.dcm")
+          .select(col("name"),
+            ImageFunctions.nslicesUdf(col("image")).cast("long").as("nslices"),
+            chan("red").as("m_red"), chan("green").as("m_green"),
+            chan("blue").as("m_blue"))
+          .orderBy(col("name"))
+      },
+      // RGB arm: E[5f] = 2.5, E[2*row] = 7 → mean = 15*ilv + 49.5 +
+      // off; YBR arm replays the full-range round trip per (f, row)
+      Some("""WITH base AS (
+          SELECT 'jls_ybr' || CAST(ilv AS VARCHAR) AS name, f,
+            CAST(15 * ilv + 5 * f + 2 * rr + 35 AS DOUBLE) AS r,
+            CAST(15 * ilv + 5 * f + 2 * rr + 95 AS DOUBLE) AS g,
+            CAST(15 * ilv + 5 * f + 2 * rr + 150 AS DOUBLE) AS b
+          FROM range(2) t(ilv) CROSS JOIN range(2) v(f) CROSS JOIN range(8) w(rr)),
+        ybr AS (SELECT name, f,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(0.299E0 * r + 0.587E0 * g + 0.114E0 * b + 0.5E0))) AS y,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(-0.168736E0 * r - 0.331264E0 * g + 0.5E0 * b + 128 + 0.5E0))) AS cb,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(0.5E0 * r - 0.418688E0 * g - 0.081312E0 * b + 128 + 0.5E0))) AS cr
+          FROM base),
+        back AS (SELECT name,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(y + 1.402E0 * (cr - 128) + 0.5E0))) AS r2,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(y - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128) + 0.5E0))) AS g2,
+          GREATEST(0.0E0, LEAST(255.0E0, FLOOR(y + 1.772E0 * (cb - 128) + 0.5E0))) AS b2
+          FROM ybr)
+        SELECT name, CAST(2 AS BIGINT) AS nslices,
+          AVG(r2) AS m_red, AVG(g2) AS m_green, AVG(b2) AS m_blue
+        FROM back GROUP BY name
+        UNION ALL
+        SELECT 'jls_rgb' || CAST(ilv AS VARCHAR), CAST(2 AS BIGINT),
+          15 * ilv + 49.5, 15 * ilv + 104.5, 15 * ilv + 154.5
+        FROM range(2) t(ilv) ORDER BY name"""))
   )
 }

@@ -780,9 +780,9 @@ object ImageCodecIO {
       require(bits == 8, s"color DICOM with BitsAllocated $bits unsupported (8 only): $path")
       require(!hasRescale, s"Rescale on color pixel data unsupported: $path")
       require(!encapsulated || ts == TsRle || ts == TsJpegBaseline ||
-          ts == TsJpeg2000Lossless,
-        s"color pixel data in transfer syntax $ts unsupported " +
-          s"(native syntaxes + RLE Lossless + JPEG Baseline + JPEG 2000 Lossless only): $path")
+          ts == TsJpeg2000Lossless || ts == TsJpegLs || ts == TsJpegLsNear,
+        s"color pixel data in transfer syntax $ts unsupported (native syntaxes + " +
+          s"RLE Lossless + JPEG Baseline + JPEG 2000 Lossless + JPEG-LS only): $path")
       require(planar == 0 || planar == 1, s"bad PlanarConfiguration $planar: $path")
       if (is422 && ts != TsJpegBaseline) {
         // PS3.3 C.7.6.3.1.2: 422 chroma is subsampled 2:1 horizontally
@@ -854,16 +854,20 @@ object ImageCodecIO {
           while (j < n) { out(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
           out
         }
-      } else if (ts == TsJpeg2000Lossless && samples == 3) {
-        // color J2K: the codestream carries all three components (and
-        // the RCT, when the stream's COD flags it) — emit interleaved
-        // RGB like every other color path here
-        val (jw, jh, prec, planes) = Jpeg2000Codec.decodeFull(frag, path)
+      } else if ((ts == TsJpeg2000Lossless || ts == TsJpegLs || ts == TsJpegLsNear)
+          && samples == 3) {
+        // color J2K / JPEG-LS: the codestream carries all three
+        // components (J2K also inverts its in-stream RCT when the COD
+        // flags it) — emit interleaved RGB/YBR bytes like every other
+        // color path here; a YBR_FULL photometric converts downstream
+        val (jw, jh, prec, planes) =
+          if (ts == TsJpeg2000Lossless) Jpeg2000Codec.decodeFull(frag, path)
+          else JpegLsCodec.decodeFull(frag, path)
         require(jw == cols && jh == rows,
           s"compressed frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
         require(planes.length == 3,
-          s"expected a 3-component JPEG 2000 color frame, got ${planes.length} in $path")
-        require(prec <= 8, s"JPEG 2000 color precision $prec exceeds 8 bits in $path")
+          s"expected a 3-component color frame, got ${planes.length} in $path")
+        require(prec <= 8, s"compressed color precision $prec exceeds 8 bits in $path")
         val out = new Array[Byte](n * 3)
         var j = 0
         while (j < n) {
@@ -1144,7 +1148,8 @@ object ImageCodecIO {
                                  palette: Option[(Array[Int], Array[Int], Array[Int], Int)] = None,
                                  pixelRep: Int = 0,
                                  rescale: Option[(Double, Double)] = None,
-                                 j2kTile: Int = 0)
+                                 j2kTile: Int = 0,
+                                 jlsIlv: Int = 1)
       : Array[Byte] = {
     // j2kTile > 0: JPEG 2000 frames write a j2kTile x j2kTile tile
     // grid (the region-decodable layout real encoders use for large
@@ -1153,6 +1158,9 @@ object ImageCodecIO {
     require(j2kTile == 0 ||
         (transferSyntax == TsJpeg2000Lossless && j2kTile > 0 && j2kTile % 64 == 0),
       s"j2kTile rides JPEG 2000 Lossless in multiples of 64, got $j2kTile with $transferSyntax")
+    // jlsIlv picks the JPEG-LS color scan layout: 1 = line interleaved
+    // (one scan, shared contexts), 0 = one scan per component plane
+    require(jlsIlv == 0 || jlsIlv == 1, s"jlsIlv must be 0 or 1, got $jlsIlv")
     require(transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
@@ -1177,9 +1185,10 @@ object ImageCodecIO {
     val isRgb = img.pixelType == PixelCodec.Rgb
     require(!isRgb || transferSyntax == TsImplicitLE || transferSyntax == TsExplicitLE ||
         transferSyntax == TsExplicitBE || transferSyntax == TsRle ||
-        transferSyntax == TsJpegBaseline || transferSyntax == TsJpeg2000Lossless,
+        transferSyntax == TsJpegBaseline || transferSyntax == TsJpeg2000Lossless ||
+        transferSyntax == TsJpegLs || transferSyntax == TsJpegLsNear,
       s"color DICOM rides the native syntaxes + RLE Lossless + JPEG Baseline + " +
-        s"JPEG 2000 Lossless, not $transferSyntax")
+        s"JPEG 2000 Lossless + JPEG-LS, not $transferSyntax")
     require(planarConfig == 0 || planarConfig == 1, s"bad planarConfig $planarConfig")
     require(photometric == "RGB" || photometric == "YBR_FULL" ||
         photometric == "YBR_FULL_422" || photometric == "YBR_RCT" ||
@@ -1202,6 +1211,16 @@ object ImageCodecIO {
     if (isRgb && transferSyntax == TsJpeg2000Lossless) {
       require(photometric == "YBR_RCT" || photometric == "RGB",
         s"JPEG 2000 Lossless color takes YBR_RCT (RCT in-stream) or RGB, not $photometric")
+      require(planarConfig == 0,
+        "encapsulated color pixel data is PlanarConfiguration 0 (PS3.5 8.2)")
+    }
+    if (isRgb && (transferSyntax == TsJpegLs || transferSyntax == TsJpegLsNear)) {
+      // JPEG-LS has no in-stream color transform: components carry RGB
+      // or pre-converted full-rate YBR_FULL bytes (the .81 NEAR bound
+      // then holds per YCbCr component); 422's subsampled pixel-pair
+      // layout has no component-plane form to compress
+      require(photometric == "RGB" || photometric == "YBR_FULL",
+        s"JPEG-LS color takes RGB or YBR_FULL (full-rate components), not $photometric")
       require(planarConfig == 0,
         "encapsulated color pixel data is PlanarConfiguration 0 (PS3.5 8.2)")
     }
@@ -1383,6 +1402,10 @@ object ImageCodecIO {
     val cOff = if (ybrConvert) 0 else slice
     def rgbPlane(f: Int, c: Int): Array[Byte] =
       Array.tabulate(n)(i => cdata(((cOff + f) * n + i) * 3 + c))
+    def rgbPlaneInts(f: Int, c: Int): Array[Int] = {
+      val p = rgbPlane(f, c)
+      Array.tabulate(n)(i => p(i) & 0xff)
+    }
     def rgbInterleaved(f: Int): Array[Byte] =
       java.util.Arrays.copyOfRange(cdata, (cOff + f) * n * 3, (cOff + f + 1) * n * 3)
     // 422: per-ROW Y1 Y2 Cb Cr groups, chroma from the pair's first
@@ -1424,16 +1447,18 @@ object ImageCodecIO {
       def framePayload(f: Int): Array[Byte] =
         if (baselineColor) jpegBaselineEncodeColor(img, slice + f)
         else if (isRgb && transferSyntax == TsJpeg2000Lossless) {
-          def plane(c: Int): Array[Int] = {
-            val p = rgbPlane(f, c)
-            Array.tabulate(n)(i => p(i) & 0xff)
-          }
           val rct = photometric == "YBR_RCT"
           if (j2kTile > 0)
-            Jpeg2000Codec.encodeRgb(plane(0), plane(1), plane(2), w, h, 8,
-              2, 4, 4, j2kTile, j2kTile, rct)
-          else Jpeg2000Codec.encodeRgb(plane(0), plane(1), plane(2), w, h, 8, rct = rct)
+            Jpeg2000Codec.encodeRgb(rgbPlaneInts(f, 0), rgbPlaneInts(f, 1),
+              rgbPlaneInts(f, 2), w, h, 8, 2, 4, 4, j2kTile, j2kTile, rct)
+          else Jpeg2000Codec.encodeRgb(rgbPlaneInts(f, 0), rgbPlaneInts(f, 1),
+            rgbPlaneInts(f, 2), w, h, 8, rct = rct)
         }
+        else if (isRgb && (transferSyntax == TsJpegLs || transferSyntax == TsJpegLsNear))
+          JpegLsCodec.encodeMulti(
+            Array(rgbPlaneInts(f, 0), rgbPlaneInts(f, 1), rgbPlaneInts(f, 2)),
+            w, h, 8, near = if (transferSyntax == TsJpegLsNear) 2 else 0,
+            ilv = jlsIlv)
         else if (isRgb) rleEncodePlanes(Seq(rgbPlane(f, 0), rgbPlane(f, 1), rgbPlane(f, 2)))
         else if (transferSyntax == TsRle) rleEncodeFragment(vals(f))
         else if (bits8) jpegBaselineEncode(img, px, slice + f)

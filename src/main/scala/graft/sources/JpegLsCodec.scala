@@ -5,17 +5,21 @@ import java.io.ByteArrayOutputStream
 /** JPEG-LS (ITU-T T.87 / ISO 14495-1) codec — lossless (NEAR = 0,
   * bit-exact round trips) AND near-lossless (NEAR > 0: residuals
   * quantize to 2·NEAR+1 bins with the HARD per-sample guarantee
-  * |decoded − original| ≤ NEAR), single component, default preset
+  * |decoded − original| ≤ NEAR), 1..4 components, default preset
   * parameters, 2..16-bit precision.
   * This is the LOCO-I algorithm: gradient-quantized context modeling
   * with bias cancellation, limited-length Golomb coding of mapped
   * prediction residuals, and run mode with run-interruption sample
-  * coding. The full baseline single-component decode path is
-  * implemented (any precision the frame header declares, both run and
-  * regular modes, the k=0 error-mapping special case), so third-party
-  * lossless streams decode too; non-default LSE preset parameters and
-  * multi-component/interleaved scans are rejected loudly, never
-  * mis-decoded.
+  * coding. The full baseline decode path is implemented (any
+  * precision the frame header declares, both coding modes, the k=0
+  * error-mapping special case), so third-party lossless streams
+  * decode too. Multi-component streams decode in both plane form
+  * (ILV=0: one scan per component, fresh modeling state per scan)
+  * and line-interleaved form (ILV=1: lines round-robin across
+  * components through ONE shared set of context counters — T.87
+  * A.2.1). Sample interleave (ILV=2), non-default LSE presets,
+  * subsampled components, and point transforms are rejected loudly,
+  * never mis-decoded.
   *
   * Serves the DICOM JPEG-LS Lossless transfer syntax
   * (1.2.840.10008.1.2.4.80) in [[ImageCodecIO]] — the reference reads
@@ -210,6 +214,10 @@ private[graft] object JpegLsCodec {
       while (i < count) { v = (v << 1) | bit(); i += 1 }
       v
     }
+    /** Byte position after the last consumed byte — any unread bits
+      * in it are the encoder's zero padding, so this is where the
+      * next marker (or next scan's entropy data) begins. */
+    def bytePos: Int = pos
   }
 
   // ======================= Golomb limited-length coding ============
@@ -242,6 +250,186 @@ private[graft] object JpegLsCodec {
 
   // ======================= scan coding =============================
 
+  /** Per-component line buffers: prev/cur with 2 phantom cells
+    * ([0] = x-1 edge, [w+1] = x=w edge), swapped after each of the
+    * component's lines. One instance per component so interleaved
+    * scans keep independent neighbourhoods while SHARING the
+    * statistical state (T.87 A.2.1: multi-component scans use one
+    * set of context counters). */
+  private final class LineBuf(w: Int) {
+    var prev = new Array[Int](w + 2)
+    var cur = new Array[Int](w + 2)
+    def startLine(): Unit = { prev(w + 1) = prev(w); cur(0) = prev(1) }
+    def endLine(): Unit = { val t = prev; prev = cur; cur = t }
+  }
+
+  /** Encode one line of one component plane through (shared or
+    * per-scan) state `st`. */
+  private def encodeLine(bw: BitWriter, st: State, vals: Array[Int], y: Int,
+                         w: Int, lb: LineBuf): Unit = {
+    lb.startLine()
+    val prev = lb.prev; val cur = lb.cur
+    var x = 0
+    while (x < w) {
+      val ra = cur(x); val rb = prev(x + 1); val rc = prev(x); val rd = prev(x + 2)
+      val ix = vals(y * w + x)
+      val q1 = st.quantize(rd - rb); val q2 = st.quantize(rb - rc); val q3 = st.quantize(rc - ra)
+      if (q1 == 0 && q2 == 0 && q3 == 0) {
+        // ---- run mode (A.7): at NEAR > 0 a sample continues the
+        // run when it is within NEAR of the run value, and the
+        // RECONSTRUCTION is the run value itself (the error bound) --
+        var runLen = 0
+        while (x + runLen < w &&
+            math.abs(vals(y * w + x + runLen) - ra) <= st.near) runLen += 1
+        var i = 0
+        while (i < runLen) { cur(x + 1 + i) = ra; i += 1 }
+        val eol = x + runLen == w
+        var rem = runLen
+        while (rem >= (1 << J(st.runIndex))) {
+          bw.put(1, 1)
+          rem -= 1 << J(st.runIndex)
+          if (st.runIndex < 31) st.runIndex += 1
+        }
+        if (eol) {
+          if (rem > 0) bw.put(1, 1)
+          x += runLen
+        } else {
+          bw.put(rem, J(st.runIndex) + 1) // leading 0 + J bits
+          // run-interruption sample (A.7.2)
+          val xi = x + runLen
+          val rbI = prev(xi + 1)
+          val ixI = vals(y * w + xi)
+          val riType = if (math.abs(ra - rbI) <= st.near) 1 else 0
+          val px = if (riType == 1) ra else rbI
+          var errval = ixI - px
+          val flip = riType == 0 && ra > rbI
+          if (flip) errval = -errval
+          errval = st.quantizeErr(errval)
+          // the decoder's view of this sample — context propagation
+          // must see it too
+          val rx = st.reconstruct(px, if (flip) -errval else errval, "encode")
+          // modulo reduction (A.4.5)
+          if (errval < 0) errval += st.range
+          if (errval >= (st.range + 1) / 2) errval -= st.range
+          val k = st.golombKRun(riType)
+          val q = 365 + riType
+          val map =
+            (k == 0 && errval > 0 && 2 * st.nn(q) < st.n(q)) ||
+            (errval < 0 && 2 * st.nn(q) >= st.n(q)) ||
+            (errval < 0 && k != 0)
+          val eMapped = 2 * math.abs(errval) - riType - (if (map) 1 else 0)
+          encodeMapped(bw, eMapped, k, st.limit - J(st.runIndex) - 1, st.qbpp)
+          st.updateRun(riType, errval, eMapped)
+          if (st.runIndex > 0) st.runIndex -= 1
+          cur(xi + 1) = rx
+          x = xi + 1
+        }
+      } else {
+        // ---- regular mode (A.4-A.6) ----
+        var sign = 1
+        var q = 81 * q1 + 9 * q2 + q3
+        if (q < 0) { sign = -1; q = -q }
+        var px = st.predict(ra, rb, rc) + sign * st.c(q)
+        if (px < 0) px = 0 else if (px > st.maxval) px = st.maxval
+        var errval = ix - px
+        if (sign < 0) errval = -errval
+        errval = st.quantizeErr(errval)
+        // propagate the decoder's reconstruction through the contexts
+        val rx = st.reconstruct(px, if (sign < 0) -errval else errval, "encode")
+        if (errval < 0) errval += st.range
+        if (errval >= (st.range + 1) / 2) errval -= st.range
+        val k = st.golombK(q)
+        // T.87 code segment A.11 gates the inverted mapping on
+        // NEAR == 0 — applying it in near-lossless mode is a
+        // bitstream conformance break
+        val mapped =
+          if (st.near == 0 && k == 0 && 2 * st.b(q) <= -st.n(q)) {
+            if (errval >= 0) 2 * errval + 1 else -2 * (errval + 1)
+          } else {
+            if (errval >= 0) 2 * errval else -2 * errval - 1
+          }
+        encodeMapped(bw, mapped, k, st.limit, st.qbpp)
+        st.updateRegular(q, errval)
+        cur(x + 1) = rx
+        x += 1
+      }
+    }
+    lb.endLine()
+  }
+
+  /** Decode one line of one component into `out`; mirror of
+    * [[encodeLine]]. */
+  private def decodeLine(br: BitReader, st: State, out: Array[Int], y: Int,
+                         w: Int, lb: LineBuf, path: String): Unit = {
+    lb.startLine()
+    val prev = lb.prev; val cur = lb.cur
+    var x = 0
+    while (x < w) {
+      val ra = cur(x); val rb = prev(x + 1); val rc = prev(x); val rd = prev(x + 2)
+      val q1 = st.quantize(rd - rb); val q2 = st.quantize(rb - rc); val q3 = st.quantize(rc - ra)
+      if (q1 == 0 && q2 == 0 && q3 == 0) {
+        // ---- run mode ----
+        var runLen = 0
+        var broken = false
+        while (!broken && br.bit() == 1) {
+          val step = math.min(1 << J(st.runIndex), w - x - runLen)
+          runLen += step
+          if (step == (1 << J(st.runIndex)) && st.runIndex < 31) st.runIndex += 1
+          if (x + runLen == w) broken = true
+        }
+        if (x + runLen < w) { // interrupted run: remainder then sample
+          if (J(st.runIndex) > 0) runLen += br.bits(J(st.runIndex))
+          require(x + runLen < w, s"JPEG-LS run overruns line in $path")
+        }
+        var i = 0
+        while (i < runLen) { out(y * w + x + i) = ra; cur(x + 1 + i) = ra; i += 1 }
+        if (x + runLen == w) x += runLen
+        else {
+          val xi = x + runLen
+          val rbI = prev(xi + 1)
+          val riType = if (math.abs(ra - rbI) <= st.near) 1 else 0
+          val q = 365 + riType
+          val k = st.golombKRun(riType)
+          val eMapped = decodeMapped(br, k, st.limit - J(st.runIndex) - 1, st.qbpp, path)
+          val temp = eMapped + riType
+          val map = (temp & 1) == 1
+          val errAbs = (temp + (if (map) 1 else 0)) / 2
+          val errval =
+            if ((k != 0 || 2 * st.nn(q) >= st.n(q)) == map) -errAbs else errAbs
+          st.updateRun(riType, errval, eMapped)
+          if (st.runIndex > 0) st.runIndex -= 1
+          val px = if (riType == 1) ra else rbI
+          val signedErr = if (riType == 0 && ra > rbI) -errval else errval
+          val rx = st.reconstruct(px, signedErr, path)
+          out(y * w + xi) = rx
+          cur(xi + 1) = rx
+          x = xi + 1
+        }
+      } else {
+        // ---- regular mode ----
+        var sign = 1
+        var q = 81 * q1 + 9 * q2 + q3
+        if (q < 0) { sign = -1; q = -q }
+        var px = st.predict(ra, rb, rc) + sign * st.c(q)
+        if (px < 0) px = 0 else if (px > st.maxval) px = st.maxval
+        val k = st.golombK(q)
+        val mapped = decodeMapped(br, k, st.limit, st.qbpp, path)
+        val errval =
+          if (st.near == 0 && k == 0 && 2 * st.b(q) <= -st.n(q)) {
+            if ((mapped & 1) == 1) (mapped - 1) / 2 else -(mapped / 2) - 1
+          } else {
+            if ((mapped & 1) == 0) mapped / 2 else -((mapped + 1) / 2)
+          }
+        st.updateRegular(q, errval)
+        val rx = st.reconstruct(px, if (sign < 0) -errval else errval, path)
+        out(y * w + x) = rx
+        cur(x + 1) = rx
+        x += 1
+      }
+    }
+    lb.endLine()
+  }
+
   /** Encode one P-bit single-component frame as a complete JPEG-LS
     * interchange stream (SOI, SOF55, SOS, entropy data, EOI). Values
     * must lie in [0, 2^precision). `near` = 0 is lossless (bit-exact
@@ -250,266 +438,210 @@ private[graft] object JpegLsCodec {
     * propagates RECONSTRUCTED values through its own contexts, so it
     * sees exactly what the decoder will. */
   private[graft] def encode(vals: Array[Int], w: Int, h: Int, precision: Int,
-                            near: Int = 0): Array[Byte] = {
+                            near: Int = 0): Array[Byte] =
+    encodeMulti(Array(vals), w, h, precision, near, ilv = 0)
+
+  /** Encode a multi-component frame (1..4 equal-sized planes).
+    * `ilv` = 0 writes one scan per component (plane order, each scan
+    * with fresh modeling state, per T.87); `ilv` = 1 writes a single
+    * line-interleaved scan (lines round-robin across components,
+    * one SHARED set of context counters — A.2.1). Sample interleave
+    * (ILV=2) is not implemented. Lossless at `near` = 0 either way;
+    * the near-lossless bound holds per sample per component. */
+  private[graft] def encodeMulti(comps: Array[Array[Int]], w: Int, h: Int,
+                                 precision: Int, near: Int = 0,
+                                 ilv: Int = 1): Array[Byte] = {
     require(precision >= 2 && precision <= 16, s"bad JPEG-LS precision $precision")
-    require(vals.length == w * h, "sample count mismatch")
-    val st = new State(precision, near)
+    require(comps.length >= 1 && comps.length <= 4,
+      s"1..4 components, got ${comps.length}")
+    require(comps.forall(_.length == w * h), "sample count mismatch")
+    require(ilv == 0 || (ilv == 1 && comps.length > 1),
+      s"ILV $ilv unsupported (0 = plane scans, 1 = line interleave with >1 component)")
+    val nc = comps.length
     val bos = new ByteArrayOutputStream()
     def marker(m: Int): Unit = { bos.write(0xff); bos.write(m) }
     def u16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
     marker(0xd8) // SOI
     marker(0xf7) // SOF55
-    u16(11); bos.write(precision); u16(h); u16(w); bos.write(1)
-    bos.write(1); bos.write(0x11); bos.write(0)
-    marker(0xda) // SOS: 1 component, NEAR, ILV=0 (plane), Al=0
-    u16(8); bos.write(1); bos.write(1); bos.write(0)
-    bos.write(near); bos.write(0); bos.write(0)
-
-    val bw = new BitWriter(bos)
-    // prev/cur with 2 phantom cells: [0] = x-1 edge, [w+1] = x=w edge
-    var prev = new Array[Int](w + 2)
-    var cur = new Array[Int](w + 2)
-    var y = 0
-    while (y < h) {
-      prev(w + 1) = prev(w)     // Rd at x = w-1 falls back to Rb
-      cur(0) = prev(1)          // Ra at x = 0 is Rb
-      var x = 0
-      while (x < w) {
-        val ra = cur(x); val rb = prev(x + 1); val rc = prev(x); val rd = prev(x + 2)
-        val ix = vals(y * w + x)
-        val q1 = st.quantize(rd - rb); val q2 = st.quantize(rb - rc); val q3 = st.quantize(rc - ra)
-        if (q1 == 0 && q2 == 0 && q3 == 0) {
-          // ---- run mode (A.7): at NEAR > 0 a sample continues the
-          // run when it is within NEAR of the run value, and the
-          // RECONSTRUCTION is the run value itself (the error bound) --
-          var runLen = 0
-          while (x + runLen < w &&
-              math.abs(vals(y * w + x + runLen) - ra) <= st.near) runLen += 1
-          var i = 0
-          while (i < runLen) { cur(x + 1 + i) = ra; i += 1 }
-          val eol = x + runLen == w
-          var rem = runLen
-          while (rem >= (1 << J(st.runIndex))) {
-            bw.put(1, 1)
-            rem -= 1 << J(st.runIndex)
-            if (st.runIndex < 31) st.runIndex += 1
-          }
-          if (eol) {
-            if (rem > 0) bw.put(1, 1)
-            x += runLen
-          } else {
-            bw.put(rem, J(st.runIndex) + 1) // leading 0 + J bits
-            // run-interruption sample (A.7.2)
-            val xi = x + runLen
-            val rbI = prev(xi + 1)
-            val ixI = vals(y * w + xi)
-            val riType = if (math.abs(ra - rbI) <= st.near) 1 else 0
-            val px = if (riType == 1) ra else rbI
-            var errval = ixI - px
-            val flip = riType == 0 && ra > rbI
-            if (flip) errval = -errval
-            errval = st.quantizeErr(errval)
-            // the decoder's view of this sample — context propagation
-            // must see it too
-            val rx = st.reconstruct(px, if (flip) -errval else errval, "encode")
-            // modulo reduction (A.4.5)
-            if (errval < 0) errval += st.range
-            if (errval >= (st.range + 1) / 2) errval -= st.range
-            val k = st.golombKRun(riType)
-            val q = 365 + riType
-            val map =
-              (k == 0 && errval > 0 && 2 * st.nn(q) < st.n(q)) ||
-              (errval < 0 && 2 * st.nn(q) >= st.n(q)) ||
-              (errval < 0 && k != 0)
-            val eMapped = 2 * math.abs(errval) - riType - (if (map) 1 else 0)
-            encodeMapped(bw, eMapped, k, st.limit - J(st.runIndex) - 1, st.qbpp)
-            st.updateRun(riType, errval, eMapped)
-            if (st.runIndex > 0) st.runIndex -= 1
-            cur(xi + 1) = rx
-            x = xi + 1
-          }
-        } else {
-          // ---- regular mode (A.4-A.6) ----
-          var sign = 1
-          var q = 81 * q1 + 9 * q2 + q3
-          if (q < 0) { sign = -1; q = -q }
-          var px = st.predict(ra, rb, rc) + sign * st.c(q)
-          if (px < 0) px = 0 else if (px > st.maxval) px = st.maxval
-          var errval = ix - px
-          if (sign < 0) errval = -errval
-          errval = st.quantizeErr(errval)
-          // propagate the decoder's reconstruction through the contexts
-          val rx = st.reconstruct(px, if (sign < 0) -errval else errval, "encode")
-          if (errval < 0) errval += st.range
-          if (errval >= (st.range + 1) / 2) errval -= st.range
-          val k = st.golombK(q)
-          // T.87 code segment A.11 gates the inverted mapping on
-          // NEAR == 0 — applying it in near-lossless mode is a
-          // bitstream conformance break
-          val mapped =
-            if (st.near == 0 && k == 0 && 2 * st.b(q) <= -st.n(q)) {
-              if (errval >= 0) 2 * errval + 1 else -2 * (errval + 1)
-            } else {
-              if (errval >= 0) 2 * errval else -2 * errval - 1
-            }
-          encodeMapped(bw, mapped, k, st.limit, st.qbpp)
-          st.updateRegular(q, errval)
-          cur(x + 1) = rx
-          x += 1
-        }
-      }
-      val t = prev; prev = cur; cur = t
-      y += 1
+    u16(8 + 3 * nc); bos.write(precision); u16(h); u16(w); bos.write(nc)
+    for (c <- 0 until nc) { bos.write(c + 1); bos.write(0x11); bos.write(0) }
+    def sos(ids: Seq[Int], ilvByte: Int): Unit = {
+      marker(0xda)
+      u16(6 + 2 * ids.length); bos.write(ids.length)
+      ids.foreach { id => bos.write(id); bos.write(0) }
+      bos.write(near); bos.write(ilvByte); bos.write(0)
     }
-    bw.flush()
+    if (ilv == 0) {
+      for (c <- 0 until nc) {
+        sos(Seq(c + 1), 0)
+        val st = new State(precision, near) // fresh per scan
+        val bw = new BitWriter(bos)
+        val lb = new LineBuf(w)
+        var y = 0
+        while (y < h) { encodeLine(bw, st, comps(c), y, w, lb); y += 1 }
+        bw.flush()
+      }
+    } else {
+      sos((1 to nc), 1)
+      val st = new State(precision, near) // ONE state across components
+      val bw = new BitWriter(bos)
+      val lbs = Array.fill(nc)(new LineBuf(w))
+      var y = 0
+      while (y < h) {
+        var c = 0
+        while (c < nc) { encodeLine(bw, st, comps(c), y, w, lbs(c)); c += 1 }
+        y += 1
+      }
+      bw.flush()
+    }
     marker(0xd9) // EOI
     bos.toByteArray
   }
 
-  /** Decode a single-component JPEG-LS stream. Accepts any declared
-    * precision 2..16, both coding modes, and any legal NEAR (0 =
-    * lossless; > 0 = near-lossless with samples |err| ≤ NEAR from
-    * the encoder's originals); rejects loudly what this profile does
-    * not cover (multi-component scans, interleaving, point
-    * transforms, non-default LSE presets, restart intervals).
-    * Returns (width, height, precision, samples). */
+  /** Decode a single-component JPEG-LS stream; a color stream rejects
+    * here — use [[decodeFull]]. Returns (width, height, precision,
+    * samples). */
   private[graft] def decode(frag: Array[Byte], path: String): (Int, Int, Int, Array[Int]) = {
+    val (w, h, precision, planes) = decodeFull(frag, path)
+    require(planes.length == 1,
+      s"expected single-component JPEG-LS, got ${planes.length} components in $path")
+    (w, h, precision, planes(0))
+  }
+
+  /** Decode any stream of this profile: 1..4 components, plane scans
+    * (ILV=0, one scan per component) or a line-interleaved scan
+    * (ILV=1, shared context counters). Accepts any declared precision
+    * 2..16, both coding modes, and any legal NEAR (equal across
+    * scans); rejects loudly what this profile does not cover (sample
+    * interleave, point transforms, non-default LSE presets, restart
+    * intervals, mixed per-scan NEAR). Returns (width, height,
+    * precision, component planes). */
+  private[graft] def decodeFull(frag: Array[Byte], path: String): (Int, Int, Int, Array[Array[Int]]) = {
     require(frag.length >= 4 && (frag(0) & 0xff) == 0xff && (frag(1) & 0xff) == 0xd8,
       s"missing JPEG-LS SOI marker in $path")
     def u16(p: Int): Int = ((frag(p) & 0xff) << 8) | (frag(p + 1) & 0xff)
     var pos = 2
-    var w = 0; var h = 0; var precision = 0
-    var near = 0
-    // LSE may precede SOS (where NEAR lives); validated after SOS
+    var w = 0; var h = 0; var precision = 0; var nc = 0
+    var compIds: Array[Int] = null
+    var near = -1 // first scan sets it; later scans must match
     var declaredLse: Option[(Int, Int, Int, Int, Int)] = None
-    var scanStart = -1
-    while (scanStart < 0) {
-      require(pos + 4 <= frag.length && (frag(pos) & 0xff) == 0xff,
+    var planes: Array[Array[Int]] = null
+    val seen = new Array[Boolean](4)
+    var scansDone = 0
+    var interleavedDone = false
+    var atEnd = false
+    while (!atEnd) {
+      require(pos + 2 <= frag.length && (frag(pos) & 0xff) == 0xff,
         s"malformed JPEG-LS marker stream in $path")
       // T.81 B.1.1.2 (inherited by T.87): markers may be preceded by
       // 0xFF fill bytes — skip them or the marker byte reads as length
-      while (pos + 4 <= frag.length && (frag(pos + 1) & 0xff) == 0xff) pos += 1
+      while (pos + 2 <= frag.length && (frag(pos + 1) & 0xff) == 0xff) pos += 1
       val m = frag(pos + 1) & 0xff
-      val len = u16(pos + 2)
-      require(pos + 2 + len <= frag.length, s"truncated JPEG-LS segment in $path")
-      m match {
-        case 0xf7 => // SOF55
-          precision = frag(pos + 4) & 0xff
-          h = u16(pos + 5); w = u16(pos + 7)
-          require((frag(pos + 9) & 0xff) == 1,
-            s"multi-component JPEG-LS unsupported in $path")
-          require(precision >= 2 && precision <= 16,
-            s"bad JPEG-LS precision $precision in $path")
-        case 0xf8 => // LSE: only the default preset restatement is accepted
-          require((frag(pos + 4) & 0xff) == 1,
-            s"non-preset JPEG-LS LSE segment unsupported in $path")
-          require(precision > 0, s"JPEG-LS LSE before SOF55 in $path")
-          // the default thresholds depend on NEAR, which the SOS has
-          // not declared yet — record and validate after the SOS
-          declaredLse = Some((u16(pos + 5), u16(pos + 7), u16(pos + 9),
-            u16(pos + 11), u16(pos + 13)))
-        case sof if sof >= 0xc0 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
-          throw new IllegalArgumentException(
-            f"non-JPEG-LS frame (SOF marker 0xFF$sof%02X) in $path — SOF55 only")
-        case 0xdd =>
-          require(u16(pos + 4) == 0, s"JPEG-LS restart intervals unsupported in $path")
-        case 0xda => // SOS
-          require((frag(pos + 4) & 0xff) == 1,
-            s"multi-component JPEG-LS scan unsupported in $path")
-          near = frag(pos + 7) & 0xff
-          require(near <= math.min(255, ((1 << precision) - 1) / 2),
-            s"JPEG-LS NEAR $near out of range at precision $precision in $path")
-          require((frag(pos + 8) & 0xff) == 0,
-            s"interleaved JPEG-LS scan unsupported in $path")
-          require((frag(pos + 9) & 0x0f) == 0,
-            s"JPEG-LS point transform unsupported in $path")
-          scanStart = pos + 2 + len
-        case _ => () // APPn / COM: skip
-      }
-      pos += 2 + len
-    }
-    require(w > 0 && h > 0, s"missing JPEG-LS SOF55 frame header in $path")
-
-    val st = new State(precision, near)
-    declaredLse.foreach { d =>
-      require(d == ((st.maxval, st.t1, st.t2, st.t3, Reset)),
-        s"non-default JPEG-LS preset parameters $d unsupported in $path")
-    }
-    val br = new BitReader(frag, scanStart, path)
-    val out = new Array[Int](w * h)
-    var prev = new Array[Int](w + 2)
-    var cur = new Array[Int](w + 2)
-    var y = 0
-    while (y < h) {
-      prev(w + 1) = prev(w)
-      cur(0) = prev(1)
-      var x = 0
-      while (x < w) {
-        val ra = cur(x); val rb = prev(x + 1); val rc = prev(x); val rd = prev(x + 2)
-        val q1 = st.quantize(rd - rb); val q2 = st.quantize(rb - rc); val q3 = st.quantize(rc - ra)
-        if (q1 == 0 && q2 == 0 && q3 == 0) {
-          // ---- run mode ----
-          var runLen = 0
-          var broken = false
-          while (!broken && br.bit() == 1) {
-            val step = math.min(1 << J(st.runIndex), w - x - runLen)
-            runLen += step
-            if (step == (1 << J(st.runIndex)) && st.runIndex < 31) st.runIndex += 1
-            if (x + runLen == w) broken = true
-          }
-          if (x + runLen < w) { // interrupted run: remainder then sample
-            if (J(st.runIndex) > 0) runLen += br.bits(J(st.runIndex))
-            require(x + runLen < w, s"JPEG-LS run overruns line in $path")
-          }
-          var i = 0
-          while (i < runLen) { out(y * w + x + i) = ra; cur(x + 1 + i) = ra; i += 1 }
-          if (x + runLen == w) x += runLen
-          else {
-            val xi = x + runLen
-            val rbI = prev(xi + 1)
-            val riType = if (math.abs(ra - rbI) <= st.near) 1 else 0
-            val q = 365 + riType
-            val k = st.golombKRun(riType)
-            val eMapped = decodeMapped(br, k, st.limit - J(st.runIndex) - 1, st.qbpp, path)
-            val temp = eMapped + riType
-            val map = (temp & 1) == 1
-            val errAbs = (temp + (if (map) 1 else 0)) / 2
-            val errval =
-              if ((k != 0 || 2 * st.nn(q) >= st.n(q)) == map) -errAbs else errAbs
-            st.updateRun(riType, errval, eMapped)
-            if (st.runIndex > 0) st.runIndex -= 1
-            val px = if (riType == 1) ra else rbI
-            val signedErr = if (riType == 0 && ra > rbI) -errval else errval
-            val rx = st.reconstruct(px, signedErr, path)
-            out(y * w + xi) = rx
-            cur(xi + 1) = rx
-            x = xi + 1
-          }
-        } else {
-          // ---- regular mode ----
-          var sign = 1
-          var q = 81 * q1 + 9 * q2 + q3
-          if (q < 0) { sign = -1; q = -q }
-          var px = st.predict(ra, rb, rc) + sign * st.c(q)
-          if (px < 0) px = 0 else if (px > st.maxval) px = st.maxval
-          val k = st.golombK(q)
-          val mapped = decodeMapped(br, k, st.limit, st.qbpp, path)
-          val errval =
-            if (st.near == 0 && k == 0 && 2 * st.b(q) <= -st.n(q)) {
-              if ((mapped & 1) == 1) (mapped - 1) / 2 else -(mapped / 2) - 1
-            } else {
-              if ((mapped & 1) == 0) mapped / 2 else -((mapped + 1) / 2)
+      if (m == 0xd9) { // EOI
+        require(planes != null && (interleavedDone || (nc > 0 && scansDone == nc)),
+          s"JPEG-LS stream ends before all components decoded in $path")
+        atEnd = true
+      } else {
+        require(pos + 4 <= frag.length, s"truncated JPEG-LS segment in $path")
+        val len = u16(pos + 2)
+        require(pos + 2 + len <= frag.length, s"truncated JPEG-LS segment in $path")
+        m match {
+          case 0xf7 => // SOF55
+            precision = frag(pos + 4) & 0xff
+            h = u16(pos + 5); w = u16(pos + 7)
+            nc = frag(pos + 9) & 0xff
+            require(nc >= 1 && nc <= 4,
+              s"unsupported JPEG-LS component count $nc in $path")
+            require(len == 8 + 3 * nc, s"bad SOF55 length in $path")
+            require(precision >= 2 && precision <= 16,
+              s"bad JPEG-LS precision $precision in $path")
+            compIds = Array.tabulate(nc) { c =>
+              val id = frag(pos + 10 + 3 * c) & 0xff
+              require((frag(pos + 11 + 3 * c) & 0xff) == 0x11,
+                s"subsampled JPEG-LS components unsupported in $path")
+              id
             }
-          st.updateRegular(q, errval)
-          val rx = st.reconstruct(px, if (sign < 0) -errval else errval, path)
-          out(y * w + x) = rx
-          cur(x + 1) = rx
-          x += 1
+            require(compIds.distinct.length == nc, s"duplicate component ids in $path")
+            require(w > 0 && h > 0, s"bad JPEG-LS geometry in $path")
+            planes = Array.fill(nc)(new Array[Int](w * h))
+            pos += 2 + len
+          case 0xf8 => // LSE: only the default preset restatement is accepted
+            require((frag(pos + 4) & 0xff) == 1,
+              s"non-preset JPEG-LS LSE segment unsupported in $path")
+            require(precision > 0, s"JPEG-LS LSE before SOF55 in $path")
+            // the default thresholds depend on NEAR, which the SOS has
+            // not declared yet — record and validate at the SOS
+            declaredLse = Some((u16(pos + 5), u16(pos + 7), u16(pos + 9),
+              u16(pos + 11), u16(pos + 13)))
+            pos += 2 + len
+          case sof if sof >= 0xc0 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+            throw new IllegalArgumentException(
+              f"non-JPEG-LS frame (SOF marker 0xFF$sof%02X) in $path — SOF55 only")
+          case 0xdd =>
+            require(u16(pos + 4) == 0, s"JPEG-LS restart intervals unsupported in $path")
+            pos += 2 + len
+          case 0xda => // SOS
+            require(planes != null, s"JPEG-LS SOS before SOF55 in $path")
+            require(!interleavedDone && scansDone < nc,
+              s"unexpected extra JPEG-LS scan in $path")
+            val ns = frag(pos + 4) & 0xff
+            val scanNear = frag(pos + 5 + 2 * ns) & 0xff
+            val ilvByte = frag(pos + 6 + 2 * ns) & 0xff
+            require((frag(pos + 7 + 2 * ns) & 0x0f) == 0,
+              s"JPEG-LS point transform unsupported in $path")
+            require(scanNear <= math.min(255, ((1 << precision) - 1) / 2),
+              s"JPEG-LS NEAR $scanNear out of range at precision $precision in $path")
+            if (near < 0) near = scanNear
+            else require(near == scanNear,
+              s"mixed per-scan NEAR values unsupported in $path")
+            val stProbe = new State(precision, near)
+            declaredLse.foreach { d =>
+              require(d == ((stProbe.maxval, stProbe.t1, stProbe.t2, stProbe.t3, Reset)),
+                s"non-default JPEG-LS preset parameters $d unsupported in $path")
+            }
+            def compIdx(id: Int): Int = {
+              val i = compIds.indexOf(id)
+              require(i >= 0, s"JPEG-LS scan references unknown component $id in $path")
+              i
+            }
+            val scanStart = pos + 2 + len
+            if (ilvByte == 0) {
+              require(ns == 1,
+                s"multi-component plane scan (Ns=$ns, ILV=0) is malformed in $path")
+              val c = compIdx(frag(pos + 5) & 0xff)
+              require(!seen(c), s"component coded twice in $path")
+              seen(c) = true
+              val br = new BitReader(frag, scanStart, path)
+              val lb = new LineBuf(w)
+              var y = 0
+              while (y < h) { decodeLine(br, stProbe, planes(c), y, w, lb, path); y += 1 }
+              scansDone += 1
+              pos = br.bytePos
+            } else if (ilvByte == 1) {
+              require(ns == nc && nc > 1,
+                s"line-interleaved scan must carry all $nc components in $path")
+              val order = Array.tabulate(ns)(i => compIdx(frag(pos + 5 + 2 * i) & 0xff))
+              val br = new BitReader(frag, scanStart, path)
+              val lbs = Array.fill(nc)(new LineBuf(w))
+              var y = 0
+              while (y < h) {
+                var i = 0
+                while (i < ns) {
+                  val c = order(i)
+                  decodeLine(br, stProbe, planes(c), y, w, lbs(c), path)
+                  i += 1
+                }
+                y += 1
+              }
+              interleavedDone = true
+              pos = br.bytePos
+            } else throw new IllegalArgumentException(
+              s"sample-interleaved JPEG-LS (ILV=$ilvByte) unsupported in $path")
+          case _ => pos += 2 + len // APPn / COM: skip
         }
       }
-      val t = prev; prev = cur; cur = t
-      y += 1
     }
-    (w, h, precision, out)
+    require(w > 0 && h > 0, s"missing JPEG-LS SOF55 frame header in $path")
+    (w, h, precision, planes)
   }
 }

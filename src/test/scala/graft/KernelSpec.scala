@@ -341,10 +341,48 @@ class KernelSpec extends AnyFunSuite with Matchers {
       back.toDoubles("RED").head shouldBe (data(0) & 0xff).toDouble
       back.toDoubles("BLUE").head shouldBe (data(2) & 0xff).toDouble
     }
-    // RGB is a native/RLE profile: the single-component JPEG-family
-    // syntaxes must reject, not mis-encode
+    // the still-single-component JPEG syntaxes (lossless DCT-family)
+    // must reject color, not mis-encode
     an[IllegalArgumentException] should be thrownBy
-      ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpegLs)
+      ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpegLossless)
+  }
+
+  test("DICOM JPEG-LS color: lossless RGB/YBR_FULL in both scan layouts; near-lossless bound") {
+    import graft.sources.ImageCodecIO
+    val w = 19; val h = 11; val nf = 2
+    val data = Array.tabulate(nf * w * h * 3)(i => ((i * 31 + 5) % 256).toByte)
+    val rgb = SparkImage(ImageMeta(), "[]", w, h, nf, PixelCodec.Rgb, data)
+    for (pi <- Seq("RGB", "YBR_FULL"); ilv <- Seq(0, 1)) withClue(s"$pi ilv=$ilv: ") {
+      val bytes = ImageCodecIO.encodeDicom(rgb, instance = 3,
+        transferSyntax = ImageCodecIO.TsJpegLs, frames = nf, photometric = pi,
+        jlsIlv = ilv)
+      val (back, inst) = ImageCodecIO.decodeDicomWithInstance("jlsc.dcm", bytes)
+      inst shouldBe 3
+      back.pixelType shouldBe PixelCodec.Rgb
+      back.slices shouldBe nf
+      if (pi == "RGB") back.data shouldBe data
+      else {
+        // YBR_FULL: lossless on the CONVERTED bytes, so the read-back
+        // equals the native-syntax YBR_FULL round trip of the same
+        // image — compare against that reference path
+        val native = ImageCodecIO.decodeDicomWithInstance("ref.dcm",
+          ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsExplicitLE,
+            frames = nf, photometric = "YBR_FULL"))._1
+        back.data shouldBe native.data
+      }
+    }
+    // near-lossless color (.81): per-sample bound on the coded
+    // components (RGB photometric keeps it in RGB space)
+    val near = ImageCodecIO.decodeDicomWithInstance("jlsn.dcm",
+      ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpegLsNear,
+        frames = nf, photometric = "RGB"))._1
+    val maxErr = near.data.zip(data).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 2, s"JPEG-LS near color: max error $maxErr > NEAR 2")
+    // 422 has no component-plane form: loud reject
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpegLs,
+        photometric = "YBR_FULL_422")
   }
 
   test("DICOM JPEG 2000 color (YBR_RCT + RGB) and tile grids round-trip losslessly") {

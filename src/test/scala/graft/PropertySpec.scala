@@ -635,6 +635,55 @@ class PropertySpec extends AnyFunSuite with Matchers {
     assert(out0.sameElements(px0))
   }
 
+  test("JPEG-LS multi-component: plane and line-interleaved scans round-trip; ILV=2 rejects") {
+    import graft.sources.JpegLsCodec
+    val genCase = for {
+      w <- Gen.choose(1, 60)
+      h <- Gen.choose(1, 40)
+      ilv <- Gen.oneOf(0, 1)
+      bits <- Gen.oneOf(8, 12)
+      px <- Gen.listOfN(3 * w * h, Gen.choose(0, (1 << 8) - 1)) // 8-bit values fit both precisions
+    } yield (w, h, ilv, bits, px.toArray)
+    check("jpegls-color-roundtrip", Prop.forAll(genCase) { case (w, h, ilv, bits, px) =>
+      val n = w * h
+      val comps = Array(px.slice(0, n), px.slice(n, 2 * n), px.slice(2 * n, 3 * n))
+      val enc = JpegLsCodec.encodeMulti(comps, w, h, bits, ilv = ilv)
+      val (gw, gh, gp, planes) = JpegLsCodec.decodeFull(enc, s"c$ilv.jls")
+      gw == w && gh == h && gp == bits && planes.length == 3 &&
+        (0 to 2).forall(c => planes(c).sameElements(comps(c)))
+    })
+    // the two layouts produce different streams of the same pixels,
+    // and near-lossless color keeps the per-sample bound per component
+    val rnd = new scala.util.Random(59)
+    val w = 40; val h = 25; val n = w * h
+    val comps = Array.fill(3)(Array.tabulate(n)(i =>
+      if ((i / w) % 2 == 0) (i % w) * 6 else rnd.nextInt(256)))
+    val plane0 = JpegLsCodec.encodeMulti(comps, w, h, 8, ilv = 0)
+    val line1 = JpegLsCodec.encodeMulti(comps, w, h, 8, ilv = 1)
+    assert(!plane0.sameElements(line1))
+    assert(JpegLsCodec.decodeFull(plane0, "p.jls")._4.flatMap(_.toSeq)
+      .sameElements(JpegLsCodec.decodeFull(line1, "l.jls")._4.flatMap(_.toSeq)))
+    for (ilv <- Seq(0, 1)) {
+      val nearEnc = JpegLsCodec.encodeMulti(comps, w, h, 8, near = 2, ilv = ilv)
+      val (_, _, _, np) = JpegLsCodec.decodeFull(nearEnc, "nc.jls")
+      val maxErr = (0 to 2).map(c =>
+        comps(c).zip(np(c)).map { case (a, b) => math.abs(a - b) }.max).max
+      assert(maxErr <= 2, s"ilv=$ilv color NEAR=2: max error $maxErr")
+    }
+    // sample interleave (ILV=2): patch the SOS interleave byte of a
+    // line-interleaved stream — the decoder must reject, not misread
+    val bad = line1.clone()
+    val sos = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xda).get
+    val ns = bad(sos + 4) & 0xff
+    val ilvOff = sos + 5 + 2 * ns + 1
+    assert((bad(ilvOff) & 0xff) == 1)
+    bad(ilvOff) = 2
+    an[IllegalArgumentException] should be thrownBy JpegLsCodec.decodeFull(bad, "bad.jls")
+    // single-component decode face rejects color streams loudly
+    an[IllegalArgumentException] should be thrownBy JpegLsCodec.decode(line1, "c.jls")
+  }
+
   test("JPEG DCT codec: bounded-error round trips at 8/12-bit, any geometry") {
     import graft.sources.JpegDctCodec
     val rnd = new scala.util.Random(11)
