@@ -1407,6 +1407,44 @@ object ImageQueries {
         UNION ALL
         SELECT 'jls_rgb' || CAST(ilv AS VARCHAR), CAST(2 AS BIGINT),
           15 * ilv + 49.5, 15 * ilv + 104.5, 15 * ilv + 154.5
-        FROM range(2) t(ilv) ORDER BY name"""))
+        FROM range(2) t(ilv) ORDER BY name""")),
+
+    // ---- LOSSY JPEG 2000 (.91, irreversible 9/7) census: like
+    // img22's lossy-census family, the GATE rides the metadata
+    // (syntax/series/instances/geometry — deterministic regardless of
+    // quantization noise) while the census's full decode exercises
+    // the float-wavelet path end to end: a bad QCD-style parse, a
+    // mis-scaled lifting step, or a broken dequantization throws and
+    // flips a row. Instances rotate .91 / .90 so the irreversible and
+    // reversible decoders co-exist within one series. ---------------
+    ("img31_dicom_j2k_lossy_census",
+      (s, _) => {
+        import s.implicits._
+        import graft.ops.ImageOps
+        import graft.sources.ImageCodecIO
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dicom_j97"
+        val basePath = new org.apache.hadoop.fs.Path(dir)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        val stacks = s.range(2L).map { iL =>
+          val i = iL.toInt
+          val slices = (0 until 6).map(k =>
+            Kernels.constantImage(32, 16, 1, i * 900.0 + k * 110.0 + 400.0,
+              PixelCodec.Short16))
+          (s"/j97/$i", slices.reduce(Kernels.appendStack))
+        }.toDF("sample", "image")
+        ImageOps.saveDicomSeriesWith(stacks, dir, Array(
+          ImageCodecIO.TsJpeg2000, ImageCodecIO.TsJpeg2000Lossless))
+        ImageOps.dicomCensus(s, s"$dir/*.dcm").orderBy(col("ts"))
+      },
+      // instance s+1 takes syntaxes[s % 2]: odd instances .91, even
+      // .90 — 2 series × 3 files per syntax of 32x16 frames
+      Some("""WITH m AS (SELECT * FROM (VALUES
+          ('1.2.840.10008.1.2.4.90', 2, 6),
+          ('1.2.840.10008.1.2.4.91', 1, 5)) AS t(ts, mn, mx))
+        SELECT ts, CAST(6 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_series,
+          CAST(mn AS BIGINT) AS min_inst, CAST(mx AS BIGINT) AS max_inst,
+          CAST(192 AS BIGINT) AS sum_w, CAST(96 AS BIGINT) AS sum_h
+        FROM m ORDER BY ts"""))
   )
 }

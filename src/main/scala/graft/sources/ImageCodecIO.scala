@@ -92,6 +92,19 @@ object ImageCodecIO {
     * codestream as DICOM requires) and bit-exact on round-trip. */
   private[graft] val TsJpeg2000Lossless = "1.2.840.10008.1.2.4.90"
 
+  /** JPEG 2000 Image Compression — the lossy-capable .91 syntax. The
+    * writer emits the irreversible 9/7 path of [[Jpeg2000Codec]]
+    * (float lifting, scalar-expounded quantization at a documented
+    * fixed step — a quantizer-bounded lossy codec like Baseline's
+    * Byte8 clamp is a documented range clamp); the reader decodes
+    * whatever transform the codestream declares, since .91 legally
+    * carries reversible streams too. */
+  private[graft] val TsJpeg2000 = "1.2.840.10008.1.2.4.91"
+
+  /** The .91 writer's quantization step (sample units at 16-bit).
+    * Fixed and documented, like the .81 writer's NEAR = 2. */
+  private[graft] val J2kLossyStep = 8.0
+
   /** PackBits decode of one RLE segment into exactly `expected`
     * bytes. Control byte n (signed): 0..127 → copy the next n+1
     * bytes; −1..−127 → repeat the next byte 1−n times; −128 → no-op.
@@ -687,7 +700,7 @@ object ImageCodecIO {
       case TsExplicitLE => (true, false, false)
       case TsExplicitBE => (true, true, false)
       case TsRle | TsJpegLossless | TsJpegLossless14 | TsJpegBaseline | TsJpegExtended |
-           TsJpegLs | TsJpegLsNear | TsJpeg2000Lossless =>
+           TsJpegLs | TsJpegLsNear | TsJpeg2000Lossless | TsJpeg2000 =>
         (true, false, true)
       case other => throw new IllegalArgumentException(
         s"unsupported DICOM transfer syntax $other in $path " +
@@ -774,13 +787,15 @@ object ImageCodecIO {
     }
     if (isRgb) {
       require(photometric == "RGB" || photometric == "YBR_FULL" || is422 ||
-          (photometric == "YBR_RCT" && ts == TsJpeg2000Lossless),
+          (photometric == "YBR_RCT" &&
+            (ts == TsJpeg2000Lossless || ts == TsJpeg2000)),
         s"SamplesPerPixel 3 with PhotometricInterpretation '$photometric' unsupported " +
           s"(RGB / YBR_FULL / YBR_FULL_422 / YBR_RCT-with-JPEG-2000 only): $path")
       require(bits == 8, s"color DICOM with BitsAllocated $bits unsupported (8 only): $path")
       require(!hasRescale, s"Rescale on color pixel data unsupported: $path")
       require(!encapsulated || ts == TsRle || ts == TsJpegBaseline ||
-          ts == TsJpeg2000Lossless || ts == TsJpegLs || ts == TsJpegLsNear,
+          ts == TsJpeg2000Lossless || ts == TsJpeg2000 || ts == TsJpegLs ||
+          ts == TsJpegLsNear,
         s"color pixel data in transfer syntax $ts unsupported (native syntaxes + " +
           s"RLE Lossless + JPEG Baseline + JPEG 2000 Lossless + JPEG-LS only): $path")
       require(planar == 0 || planar == 1, s"bad PlanarConfiguration $planar: $path")
@@ -813,7 +828,8 @@ object ImageCodecIO {
         // LUT indices are categorical: a lossy codec's ±1 index error
         // maps to an arbitrary unrelated color (PS3.5 8.2.1 prohibits
         // lossy JPEG with PALETTE COLOR) — reject, never mis-decode
-        require(ts != TsJpegBaseline && ts != TsJpegExtended && ts != TsJpegLsNear,
+        require(ts != TsJpegBaseline && ts != TsJpegExtended && ts != TsJpegLsNear &&
+            ts != TsJpeg2000,
           s"PALETTE COLOR with the lossy transfer syntax $ts is non-conformant " +
             s"(PS3.5 8.2.1 — index errors become arbitrary colors): $path")
       }
@@ -854,14 +870,14 @@ object ImageCodecIO {
           while (j < n) { out(j) = raster.getSample(j % cols, j / cols, 0).toByte; j += 1 }
           out
         }
-      } else if ((ts == TsJpeg2000Lossless || ts == TsJpegLs || ts == TsJpegLsNear)
-          && samples == 3) {
+      } else if ((ts == TsJpeg2000Lossless || ts == TsJpeg2000 || ts == TsJpegLs ||
+          ts == TsJpegLsNear) && samples == 3) {
         // color J2K / JPEG-LS: the codestream carries all three
         // components (J2K also inverts its in-stream RCT when the COD
         // flags it) — emit interleaved RGB/YBR bytes like every other
         // color path here; a YBR_FULL photometric converts downstream
         val (jw, jh, prec, planes) =
-          if (ts == TsJpeg2000Lossless) Jpeg2000Codec.decodeFull(frag, path)
+          if (ts == TsJpeg2000Lossless || ts == TsJpeg2000) Jpeg2000Codec.decodeFull(frag, path)
           else JpegLsCodec.decodeFull(frag, path)
         require(jw == cols && jh == rows,
           s"compressed frame ${jw}x$jh does not match DICOM Rows/Columns ${cols}x$rows in $path")
@@ -882,7 +898,7 @@ object ImageCodecIO {
         // samples) contract; JPEG lossless reports no precision
         val (jw, jh, prec, vals) =
           if (ts == TsJpegExtended) JpegDctCodec.decode(frag, path)
-          else if (ts == TsJpeg2000Lossless) Jpeg2000Codec.decode(frag, path)
+          else if (ts == TsJpeg2000Lossless || ts == TsJpeg2000) Jpeg2000Codec.decode(frag, path)
           else if (ts == TsJpegLs || ts == TsJpegLsNear) JpegLsCodec.decode(frag, path)
           else {
             val (w0, h0, v0) = jpegLosslessDecode(frag, path)
@@ -1166,7 +1182,7 @@ object ImageCodecIO {
         transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
         transferSyntax == TsJpegBaseline || transferSyntax == TsJpegExtended ||
         transferSyntax == TsJpegLs || transferSyntax == TsJpegLsNear ||
-        transferSyntax == TsJpeg2000Lossless,
+        transferSyntax == TsJpeg2000Lossless || transferSyntax == TsJpeg2000,
       s"unsupported DICOM transfer syntax $transferSyntax")
     val explicitVr = transferSyntax != TsImplicitLE
     val bigEndian = transferSyntax == TsExplicitBE
@@ -1174,7 +1190,7 @@ object ImageCodecIO {
       transferSyntax == TsJpegLossless || transferSyntax == TsJpegLossless14 ||
       transferSyntax == TsJpegBaseline || transferSyntax == TsJpegExtended ||
       transferSyntax == TsJpegLs || transferSyntax == TsJpegLsNear ||
-      transferSyntax == TsJpeg2000Lossless
+      transferSyntax == TsJpeg2000Lossless || transferSyntax == TsJpeg2000
     // Baseline is the one 8-bit (and lossy) profile; Extended (.51)
     // is the 12-bit lossy profile (BitsAllocated 16 / BitsStored 12,
     // values clamp to the 12-bit range — a documented lossy clamp
@@ -1473,6 +1489,8 @@ object ImageCodecIO {
           if (j2kTile > 0) Jpeg2000Codec.encode(vals(f), w, h, 16, 2, 4, 4, j2kTile, j2kTile)
           else Jpeg2000Codec.encode(vals(f), w, h, 16)
         }
+        else if (transferSyntax == TsJpeg2000)
+          Jpeg2000Codec.encode97(vals(f), w, h, 16, J2kLossyStep)
         else jpegLosslessEncode(vals(f), w, h)
       def evenPad(a: Array[Byte]): Array[Byte] =
         if (a.length % 2 == 0) a else a :+ 0.toByte

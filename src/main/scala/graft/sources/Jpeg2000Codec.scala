@@ -34,13 +34,20 @@ import scala.collection.mutable.ArrayBuffer
   *     declares, writer defaults to 64x64), so multi-code-block
   *     subbands and third-party stream shapes decode.
   *
+  * The IRREVERSIBLE 9/7 path (Annex F float lifting, scalar-
+  * expounded deadzone quantization per E.1.1, midpoint
+  * reconstruction) is also implemented — the lossy stream shape of
+  * DICOM's JPEG 2000 syntax (.91) — with a hard quantizer-bounded
+  * error instead of bit-exactness.
+  *
   * Not implemented (rejected loudly at parse time, never
   * mis-decoded): unaligned tile grids, multiple tile-parts per
   * tile, >4 components, subsampled/mixed-precision components,
-  * precinct partitions, SOP/EPH, selective arithmetic bypass /
-  * vertically-causal / termination cblk styles, the 9/7
-  * irreversible filter, ROI shifts, multiple layers, non-LRCP
-  * progressions, and per-tile COD/COC/QCD/QCC/POC/PPT overrides.
+  * the irreversible color transform (ICT), derived-style
+  * quantization, precinct partitions, SOP/EPH, selective arithmetic
+  * bypass / vertically-causal / termination cblk styles, ROI
+  * shifts, multiple layers, non-LRCP progressions, and per-tile
+  * COD/COC/QCD/QCC/POC/PPT overrides.
   */
 object Jpeg2000Codec {
 
@@ -437,6 +444,94 @@ object Jpeg2000Codec {
   }
 
   // ----------------------------------------------------------------
+  // Irreversible 9/7 DWT (Annex F, Table F.4 lifting constants) with
+  // whole-sample symmetric extension. Normalized so a constant signal
+  // maps to an identical LL band and exactly-zero detail bands (the
+  // scaling below yields DC gain (1+2β)(1+2δ+…)/K = 1 per level),
+  // matching the interchange convention conformant codecs use.
+  // ----------------------------------------------------------------
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val G97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+  private val K97 = 1.230174104914001
+
+  /** One lifting pass: y(i) += f·(y(i−1) + y(i+1)) for i of the given
+    * parity, with whole-sample symmetric mirroring at both ends. */
+  private def lift97(y: Array[Double], n: Int, parity: Int, f: Double): Unit = {
+    var i = parity
+    while (i < n) {
+      val l = if (i - 1 >= 0) y(i - 1) else y(1)
+      val r = if (i + 1 < n) y(i + 1) else y(n - 2)
+      y(i) += f * (l + r)
+      i += 2
+    }
+  }
+
+  private def fwd97(x: Array[Double], n: Int, stride: Int, base: Int, tmp: Array[Double]): Unit = {
+    if (n <= 1) return
+    var i = 0
+    while (i < n) { tmp(i) = x(base + i * stride); i += 1 }
+    lift97(tmp, n, 1, A97)
+    lift97(tmp, n, 0, B97)
+    lift97(tmp, n, 1, G97)
+    lift97(tmp, n, 0, D97)
+    val nl = (n + 1) / 2
+    i = 0
+    while (i < n) {
+      val v = if (i % 2 == 0) tmp(i) / K97 else tmp(i) * (K97 / 2)
+      val d = if (i % 2 == 0) i / 2 else nl + i / 2
+      x(base + d * stride) = v
+      i += 1
+    }
+  }
+
+  private def inv97(x: Array[Double], n: Int, stride: Int, base: Int, tmp: Array[Double]): Unit = {
+    if (n <= 1) return
+    val nl = (n + 1) / 2
+    var i = 0
+    while (i < n) {
+      val s = if (i % 2 == 0) i / 2 else nl + i / 2
+      val v = x(base + s * stride)
+      tmp(i) = if (i % 2 == 0) v * K97 else v * (2.0 / K97)
+      i += 1
+    }
+    lift97(tmp, n, 0, -D97)
+    lift97(tmp, n, 1, -G97)
+    lift97(tmp, n, 0, -B97)
+    lift97(tmp, n, 1, -A97)
+    i = 0
+    while (i < n) { x(base + i * stride) = tmp(i); i += 1 }
+  }
+
+  private def fdwt97(img: Array[Double], w: Int, h: Int, levels: Int): Unit = {
+    val tmp = new Array[Double](math.max(w, h))
+    var lw = w; var lh = h
+    var l = 0
+    while (l < levels) {
+      var y = 0
+      while (y < lh) { fwd97(img, lw, 1, y * w, tmp); y += 1 }
+      var x = 0
+      while (x < lw) { fwd97(img, lh, w, x, tmp); x += 1 }
+      lw = (lw + 1) / 2; lh = (lh + 1) / 2
+      l += 1
+    }
+  }
+
+  private def idwt97(img: Array[Double], w: Int, h: Int, levels: Int): Unit = {
+    val tmp = new Array[Double](math.max(w, h))
+    var l = levels - 1
+    while (l >= 0) {
+      val lw = sizeAt(w, l); val lh = sizeAt(h, l)
+      var x = 0
+      while (x < lw) { inv97(img, lh, w, x, tmp); x += 1 }
+      var y = 0
+      while (y < lh) { inv97(img, lw, 1, y * w, tmp); y += 1 }
+      l -= 1
+    }
+  }
+
+  // ----------------------------------------------------------------
   // Tier-1 (Annex D): one engine drives both directions so encoder
   // and decoder are symmetric by construction.
   // ----------------------------------------------------------------
@@ -765,16 +860,17 @@ object Jpeg2000Codec {
   // ----------------------------------------------------------------
   /** Encode one LRCP packet: the `bands` of one resolution of a
     * tile-component whose DWT coefficient plane is `plane`
-    * (`pw`-stride, canonical subband layout). `qBase` is the
-    * effective sample precision the QCD exponents were written for
-    * (original bits, +1 under RCT for the chroma head-room). */
+    * (`pw`-stride, canonical subband layout). `mbOf` gives each
+    * band's bit-plane count Mb (derived from the QCD the caller
+    * writes: bits+gain for the reversible path, the quantizer
+    * exponent for the irreversible one). */
   private def encodePacket(plane: Array[Int], pw: Int, bands: Array[Band],
-                           cbw: Int, cbh: Int, qBase: Int): Array[Byte] = {
+                           cbw: Int, cbh: Int, mbOf: Band => Int): Array[Byte] = {
     val bw = new BitWriter
     bw.bit(1) // non-empty packet
     val bodies = new ArrayBuffer[Array[Byte]]
     for (band <- bands; if band.w > 0 && band.h > 0) {
-      val mb = mbFor(qBase, band.gain)
+      val mb = mbOf(band)
       val blocks = cblksFor(band, cbw, cbh)
       val nx = (band.w + cbw - 1) / cbw; val ny = (band.h + cbh - 1) / cbh
       val incl = new TagTree(nx, ny); val zbp = new TagTree(nx, ny)
@@ -981,7 +1077,8 @@ object Jpeg2000Codec {
       // position (1 precinct) — B.12.1.1
       val pk = new ByteArrayOutputStream()
       for (r <- 0 to levels; c <- planes.indices) {
-        val bytes = encodePacket(perComp(c), tw, allBands(r), cbw, cbh, qBase)
+        val bytes = encodePacket(perComp(c), tw, allBands(r), cbw, cbh,
+          b => mbFor(qBase, b.gain))
         pk.write(bytes, 0, bytes.length)
       }
       tileBytes(t) = pk.toByteArray
@@ -1022,6 +1119,95 @@ object Jpeg2000Codec {
     out.toByteArray
   }
 
+  /** Encode unsigned `bits`-deep samples through the IRREVERSIBLE
+    * 9/7 path (the lossy stream shape DICOM's JPEG 2000 syntax .91
+    * carries): float DWT, uniform scalar deadzone quantization with
+    * step `step` (in sample units — larger is coarser) signalled
+    * scalar-expounded in the QCD, midpoint reconstruction at the
+    * decoder. NOT bit-exact by construction; the per-coefficient
+    * error is bounded by the quantizer step. Single component, one
+    * whole-image tile. */
+  def encode97(vals: Array[Int], w: Int, h: Int, bits: Int, step: Double,
+               levels: Int = 2, cbxExp: Int = 6, cbyExp: Int = 6): Array[Byte] = {
+    require(w > 0 && h > 0 && vals.length == w * h, "bad image geometry")
+    require(bits >= 1 && bits <= 16, s"unsupported precision $bits")
+    require(levels >= 0 && levels <= 32, s"bad decomposition levels $levels")
+    require(cbxExp >= 2 && cbyExp >= 2 && cbxExp + cbyExp <= 12,
+      s"bad code-block size 2^$cbxExp x 2^$cbyExp")
+    require(step > 0 && !step.isInfinite, s"bad quantization step $step")
+    // signal the stepsize (E.1.1): Δ = 2^(Rb−eps)·(1 + mu/2^11) with
+    // Rb = bits (Table E.1: log2 gain 0 for every irreversible band);
+    // the encoder then QUANTIZES WITH THE SIGNALLED value so both
+    // sides use the identical Δ
+    val rb = bits
+    val e = math.floor(math.log(step) / math.log(2)).toInt
+    val eps = rb - e
+    require(eps >= 0 && eps <= 31, s"step $step unsignallable at $bits bits")
+    val mu = math.min(2047, math.max(0,
+      math.round((step / math.pow(2, e) - 1) * 2048).toInt))
+    val delta = math.pow(2, e) * (1 + mu / 2048.0)
+
+    val img = new Array[Double](w * h)
+    val shift = 1 << (bits - 1) // DC level shift (E.3)
+    var i = 0
+    while (i < img.length) {
+      require(vals(i) >= 0 && vals(i) < (1 << bits), s"sample out of $bits-bit range: ${vals(i)}")
+      img(i) = (vals(i) - shift).toDouble; i += 1
+    }
+    fdwt97(img, w, h, levels)
+    // deadzone quantization to sign-magnitude on the canonical layout
+    val qp = new Array[Int](w * h)
+    var maxMag = 0
+    i = 0
+    while (i < img.length) {
+      val m = (math.abs(img(i)) / delta).toInt
+      qp(i) = if (img(i) < 0) -m else m
+      if (m > maxMag) maxMag = m
+      i += 1
+    }
+    // guard bits sized so Mb = G + eps − 1 covers the max magnitude
+    val planesNeeded = if (maxMag == 0) 1 else log2floor(maxMag) + 1
+    val guard = math.max(2, planesNeeded - eps + 2)
+    require(guard <= 7, s"step $step too fine for $bits-bit data (guard $guard > 7)")
+    val mb = guard + eps - 1
+
+    val cbw = 1 << cbxExp; val cbh = 1 << cbyExp
+    val allBands = bandsFor(w, h, levels)
+    val pk = new ByteArrayOutputStream()
+    for (r <- 0 to levels) {
+      val bytes = encodePacket(qp, w, allBands(r), cbw, cbh, _ => mb)
+      pk.write(bytes, 0, bytes.length)
+    }
+    val body = pk.toByteArray
+
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
+    u16(0xff4f) // SOC
+    u16(0xff51); u16(38 + 3) // SIZ
+    u16(0)
+    u32(w); u32(h); u32(0); u32(0)
+    u32(w); u32(h); u32(0); u32(0)
+    u16(1)
+    u8(bits - 1); u8(1); u8(1)
+    u16(0xff52); u16(12) // COD
+    u8(0)
+    u8(0); u16(1); u8(0)
+    u8(levels); u8(cbxExp - 2); u8(cbyExp - 2); u8(0); u8(0) // SPcod: 9/7 irreversible
+    u16(0xff5c); u16(3 + 2 * (3 * levels + 1)) // QCD: scalar expounded
+    u8((guard << 5) | 2)
+    for (_ <- 0 until 3 * levels + 1) u16((eps << 11) | mu)
+    u16(0xff90); u16(10) // SOT
+    u16(0)
+    u32(12 + 2 + body.length)
+    u8(0); u8(1)
+    u16(0xff93) // SOD
+    out.write(body, 0, body.length)
+    u16(0xffd9) // EOC
+    out.toByteArray
+  }
+
   // ----------------------------------------------------------------
   // Decoder
   // ----------------------------------------------------------------
@@ -1053,8 +1239,8 @@ object Jpeg2000Codec {
 
     var w = 0; var h = 0; var bits = 0; var ncomp = 0
     var tileW = 0; var tileH = 0; var useRct = false
-    var levels = -1; var cbxExp = 0; var cbyExp = 0
-    var guard = GuardBits; var expBytes: Array[Int] = null
+    var levels = -1; var cbxExp = 0; var cbyExp = 0; var irreversible = false
+    var guard = GuardBits; var qcdStyle = 0; var qcdRaw: Array[Byte] = null
     var sawSiz = false; var sawCod = false; var sawQcd = false
     var done = false
     while (!done) {
@@ -1107,14 +1293,17 @@ object Jpeg2000Codec {
           val cstyle = u8()
           require(cstyle == 0, s"code-block style options unsupported in $path")
           val transform = u8()
-          require(transform == 1, s"only the reversible 5/3 transform supported in $path")
+          require(transform == 0 || transform == 1, s"bad transform byte $transform in $path")
+          irreversible = transform == 0
           sawCod = true; p = end
-        case 0xff5c => // QCD: no-quantization style; keep guard bits + exponents for Mb
+        case 0xff5c => // QCD: style + guard bits + per-band exponents
           val len = u16(); val end = p + len - 2
           val sqcd = u8()
-          require((sqcd & 0x1f) == 0, s"quantized (irreversible) stream unsupported in $path")
+          qcdStyle = sqcd & 0x1f
+          require(qcdStyle == 0 || qcdStyle == 2,
+            s"QCD style $qcdStyle unsupported (no-quantization or scalar-expounded) in $path")
           guard = (sqcd >>> 5) & 0x7
-          expBytes = Array.fill(end - p)(u8() >>> 3)
+          qcdRaw = java.util.Arrays.copyOfRange(data, p, end)
           sawQcd = true; p = end
         case 0xff90 => done = true // SOT: the tile loop takes over
         case 0xff64 | 0xff63 => // COM / CRG: informational, skip
@@ -1129,15 +1318,36 @@ object Jpeg2000Codec {
     }
     require(sawSiz && sawCod && sawQcd, s"missing SIZ/COD/QCD in $path")
     require(!useRct || ncomp == 3, s"MCT flag with $ncomp components in $path")
+    require(!(useRct && irreversible),
+      s"irreversible color (ICT) unsupported in $path")
+    // the QCD style must match the transform: style 0 (no quantization)
+    // pairs with the reversible 5/3, style 2 (scalar expounded) with
+    // the irreversible 9/7 — a cross pairing cannot decode correctly
+    require(qcdStyle == (if (irreversible) 2 else 0),
+      s"QCD style $qcdStyle inconsistent with the COD transform in $path")
+    val (expBytes, muArr) =
+      if (qcdStyle == 0) (qcdRaw.map(b => (b & 0xff) >>> 3), Array.empty[Int])
+      else {
+        require(qcdRaw.length % 2 == 0, s"odd scalar-expounded QCD length in $path")
+        val v = Array.tabulate(qcdRaw.length / 2)(i =>
+          ((qcdRaw(2 * i) & 0xff) << 8) | (qcdRaw(2 * i + 1) & 0xff))
+        (v.map(_ >>> 11), v.map(_ & 0x7ff))
+      }
     require(expBytes.length >= 3 * levels + 1,
       s"QCD carries ${expBytes.length} exponents for $levels levels in $path")
+    def qcdIdx(r: Int, bandIdx: Int): Int = if (r == 0) 0 else 1 + (r - 1) * 3 + bandIdx
     // Mb per subband from the stream's own QCD (E.1): Mb = G + eps - 1,
     // exponents in subband order LL, then (HL, LH, HH) per resolution
     def mbAt(r: Int, bandIdx: Int): Int = {
-      val eps = if (r == 0) expBytes(0) else expBytes(1 + (r - 1) * 3 + bandIdx)
-      val mb = guard + eps - 1
+      val mb = guard + expBytes(qcdIdx(r, bandIdx)) - 1
       require(mb >= 1 && mb <= 30, s"bad bit-plane count $mb from QCD in $path")
       mb
+    }
+    // E.1.1: Δb = 2^(Rb − eps)·(1 + mu/2^11), Rb = bits (log2 gain 0
+    // for every irreversible band, Table E.1)
+    def deltaAt(r: Int, bandIdx: Int): Double = {
+      val i = qcdIdx(r, bandIdx)
+      math.pow(2, bits - expBytes(i)) * (1 + muArr(i) / 2048.0)
     }
 
     val cbw = 1 << cbxExp; val cbh = 1 << cbyExp
@@ -1181,7 +1391,34 @@ object Jpeg2000Codec {
         s"tile $isot data length does not match Psot $psot in $path")
       var c = 0
       while (c < ncomp) {
-        idwt(tilePlanes(c), tw, th, levels)
+        if (irreversible) {
+          // dequantize with midpoint reconstruction, float inverse
+          // transform, round back to the integer assembly plane
+          val dp = new Array[Double](tw * th)
+          for (r <- 0 to levels; (band, bi) <- allBands(r).zipWithIndex
+               if band.w > 0 && band.h > 0) {
+            val d = deltaAt(r, bi)
+            var yy = 0
+            while (yy < band.h) {
+              var xx = 0
+              while (xx < band.w) {
+                val idx = (band.y0 + yy) * tw + (band.x0 + xx)
+                val q = tilePlanes(c)(idx)
+                dp(idx) =
+                  if (q == 0) 0.0
+                  else if (q > 0) (q + 0.5) * d
+                  else -((-q + 0.5) * d)
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          idwt97(dp, tw, th, levels)
+          var i2 = 0
+          while (i2 < dp.length) {
+            tilePlanes(c)(i2) = math.floor(dp(i2) + 0.5).toInt; i2 += 1
+          }
+        } else idwt(tilePlanes(c), tw, th, levels)
         var y = 0
         while (y < th) {
           System.arraycopy(tilePlanes(c), y * tw,
@@ -1202,8 +1439,15 @@ object Jpeg2000Codec {
       var i = 0
       while (i < pl.length) {
         val v = pl(i) + shift
-        require(v >= 0 && v <= maxV, s"decoded sample $v outside $bits-bit range in $path")
-        pl(i) = v; i += 1
+        // lossless decoding out of range means corruption — reject;
+        // the lossy path's quantization noise legally overshoots the
+        // range at sharp edges, so it clamps (E.3's decoder clamp)
+        if (irreversible) pl(i) = math.max(0, math.min(maxV, v))
+        else {
+          require(v >= 0 && v <= maxV, s"decoded sample $v outside $bits-bit range in $path")
+          pl(i) = v
+        }
+        i += 1
       }
     }
     (w, h, bits, compPlanes)

@@ -347,6 +347,32 @@ class KernelSpec extends AnyFunSuite with Matchers {
       ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpegLossless)
   }
 
+  test("DICOM JPEG 2000 lossy (.91): bounded error, color rejects, sniffs") {
+    import graft.sources.ImageCodecIO
+    val w = 48; val h = 32
+    val vals = Array.tabulate(w * h)(i => ((i % w) * 80 + (i / w) * 40 + 500).toDouble)
+    val img = SparkImage(ImageMeta(), "[]", w, h, 1, PixelCodec.Short16,
+      PixelCodec.encode(vals, PixelCodec.Short16))
+    val bytes = ImageCodecIO.encodeDicom(img, instance = 8,
+      transferSyntax = ImageCodecIO.TsJpeg2000)
+    ImageCodecIO.dicomTransferSyntax("l.dcm", bytes) shouldBe ImageCodecIO.TsJpeg2000
+    val (back, inst) = ImageCodecIO.decodeDicomWithInstance("l.dcm", bytes)
+    inst shouldBe 8
+    val errs = back.toDoubles("").zip(vals).map { case (a, b) => math.abs(a - b) }
+    assert(errs.max <= 6 * ImageCodecIO.J2kLossyStep + 1,
+      s".91 max error ${errs.max} exceeds the quantizer envelope")
+    assert(errs.max > 0, ".91 is a lossy profile — an exact result means the 9/7 path did not run")
+    // .91 carries reversible streams legally: a .90-shape codestream
+    // under the .91 UID decodes bit-exactly
+    val revBytes = ImageCodecIO.encodeDicom(img, transferSyntax = ImageCodecIO.TsJpeg2000Lossless)
+    ImageCodecIO.decodeDicomWithInstance("r.dcm", revBytes)._1.toDoubles("") shouldBe vals
+    // color .91 writes reject (the irreversible color transform is
+    // not implemented); palette + lossy rejects per PS3.5 8.2.1
+    val rgb = SparkImage(ImageMeta(), "[]", 4, 4, 1, PixelCodec.Rgb, new Array[Byte](48))
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpeg2000)
+  }
+
   test("DICOM JPEG-LS color: lossless RGB/YBR_FULL in both scan layouts; near-lossless bound") {
     import graft.sources.ImageCodecIO
     val w = 19; val h = 11; val nf = 2

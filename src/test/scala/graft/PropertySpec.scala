@@ -572,6 +572,49 @@ class PropertySpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Jpeg2000Codec.decodeFull(bad, "bad.j2k")
   }
 
+  test("JPEG 2000 irreversible 9/7: quantizer-bounded error, finer steps tighter, real compression") {
+    import graft.sources.Jpeg2000Codec
+    val rnd = new scala.util.Random(77)
+    for ((w, h, bits) <- Seq((96, 64, 16), (50, 30, 8), (129, 65, 12))) {
+      val maxV = (1 << bits) - 1
+      // smooth ramps + mild texture: the shape wavelets compress well
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        math.min(maxV, (maxV / 4) + x * math.max(1, maxV / (4 * w)) +
+          y * math.max(1, maxV / (8 * h)) + rnd.nextInt(3))
+      }
+      var prevRmse = Double.MaxValue
+      for (step <- Seq(8.0, 2.0, 0.5)) {
+        val enc = Jpeg2000Codec.encode97(px, w, h, bits, step)
+        val (gw, gh, gb, out) = Jpeg2000Codec.decode(enc, s"q$step.j2k")
+        assert(gw == w && gh == h && gb == bits)
+        val errs = px.indices.map(i => (out(i) - px(i)).toDouble)
+        val maxErr = errs.map(math.abs).max
+        val rmse = math.sqrt(errs.map(e => e * e).sum / errs.length)
+        // the error is governed by the signalled quantizer: a loose
+        // but HARD envelope (midpoint recon ≤ Δ/2 per coefficient,
+        // synthesis gains accumulate across 2 levels)
+        assert(maxErr <= 6 * step + 1, s"${w}x$h b$bits step $step: max |err| $maxErr")
+        assert(rmse <= 1.5 * step + 0.5, s"${w}x$h b$bits step $step: RMSE $rmse")
+        assert(rmse <= prevRmse + 1e-9, "finer steps must not increase RMSE")
+        prevRmse = rmse
+      }
+      // coarse quantization buys real compression vs the lossless path
+      val lossless = Jpeg2000Codec.encode(px, w, h, bits)
+      val lossy = Jpeg2000Codec.encode97(px, w, h, bits, 8.0)
+      assert(lossy.length < lossless.length,
+        s"9/7 at step 8 (${lossy.length}B) should beat lossless (${lossless.length}B)")
+    }
+    // constant image: every detail coefficient is exactly zero, LL is
+    // the constant — the normalization check — so even lossy decode
+    // returns the constant exactly when the step divides cleanly
+    val const = Array.fill(40 * 24)(1000)
+    val (_, _, _, cOut) = Jpeg2000Codec.decode(
+      Jpeg2000Codec.encode97(const, 40, 24, 16, 2.0), "c97.j2k")
+    val cErr = cOut.map(v => math.abs(v - 1000)).max
+    assert(cErr <= 2, s"constant image error $cErr under 9/7")
+  }
+
   test("JPEG 2000 codec: 3-component color round trip, with and without RCT, tiled and not") {
     import graft.sources.Jpeg2000Codec
     val genCase = for {
