@@ -1267,10 +1267,11 @@ object ImageCodecIO {
         "Rescale applies to plain grayscale only")
       require(rescale.get._1 != 0.0, "RescaleSlope must be nonzero")
     }
+    val lossySyntax = bits8 || bits12 || transferSyntax == TsJpegLsNear ||
+      transferSyntax == TsJpeg2000
     if (mono1)
-      require(!bits8 && !bits12 && transferSyntax != TsJpegLsNear,
-        "MONOCHROME1 writes the lossless syntaxes only")
-    require(rescale.isEmpty || (!bits8 && !bits12 && transferSyntax != TsJpegLsNear),
+      require(!lossySyntax, "MONOCHROME1 writes the lossless syntaxes only")
+    require(rescale.isEmpty || !lossySyntax,
       "Rescale writes the lossless syntaxes only")
     val w = img.width; val h = img.height
     require(frames >= 1 && slice + frames <= img.slices,
@@ -1321,7 +1322,8 @@ object ImageCodecIO {
     require(palette.isEmpty || !isRgb,
       "palette applies to single-sample index images, not RGB data")
     require(palette.isEmpty || (transferSyntax != TsJpegBaseline &&
-        transferSyntax != TsJpegExtended && transferSyntax != TsJpegLsNear),
+        transferSyntax != TsJpegExtended && transferSyntax != TsJpegLsNear &&
+        transferSyntax != TsJpeg2000),
       s"PALETTE COLOR may not ride the lossy syntax $transferSyntax " +
         "(PS3.5 8.2.1 — LUT indices are categorical)")
     str(0x0028, 0x0004, "CS",
@@ -1418,10 +1420,8 @@ object ImageCodecIO {
     val cOff = if (ybrConvert) 0 else slice
     def rgbPlane(f: Int, c: Int): Array[Byte] =
       Array.tabulate(n)(i => cdata(((cOff + f) * n + i) * 3 + c))
-    def rgbPlaneInts(f: Int, c: Int): Array[Int] = {
-      val p = rgbPlane(f, c)
-      Array.tabulate(n)(i => p(i) & 0xff)
-    }
+    def rgbPlaneInts(f: Int, c: Int): Array[Int] =
+      Array.tabulate(n)(i => cdata(((cOff + f) * n + i) * 3 + c) & 0xff)
     def rgbInterleaved(f: Int): Array[Byte] =
       java.util.Arrays.copyOfRange(cdata, (cOff + f) * n * 3, (cOff + f + 1) * n * 3)
     // 422: per-ROW Y1 Y2 Cb Cr groups, chroma from the pair's first

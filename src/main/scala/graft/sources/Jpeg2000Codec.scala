@@ -1038,11 +1038,14 @@ object Jpeg2000Codec {
     require(tw0 > 0 && th0 > 0, s"bad tile size ${tw0}x$th0")
     val cbw = 1 << cbxExp; val cbh = 1 << cbyExp
     val tilesX = (w + tw0 - 1) / tw0; val tilesY = (h + th0 - 1) / th0
-    if (tilesX > 1) require(tw0 % (cbw << levels) == 0,
-      s"tile width $tw0 must be a multiple of ${cbw << levels} " +
+    // Long shift: an Int `cbw << levels` wraps at levels >= 28 (shift
+    // counts mask mod 32), which would let an unalignable grid pass
+    val unitX = cbw.toLong << levels; val unitY = cbh.toLong << levels
+    if (tilesX > 1) require(tw0 % unitX == 0,
+      s"tile width $tw0 must be a multiple of $unitX " +
         "(tile origins must stay even at every lifting level and code-block-aligned)")
-    if (tilesY > 1) require(th0 % (cbh << levels) == 0,
-      s"tile height $th0 must be a multiple of ${cbh << levels} " +
+    if (tilesY > 1) require(th0 % unitY == 0,
+      s"tile height $th0 must be a multiple of $unitY " +
         "(tile origins must stay even at every lifting level and code-block-aligned)")
     val shift = 1 << (bits - 1) // DC level shift (E.3), before any MCT
     val planes = comps.map { c =>
@@ -1085,27 +1088,42 @@ object Jpeg2000Codec {
       t += 1
     }
 
-    // ---- codestream markers (Annex A) ----
+    val qcd = new ByteArrayOutputStream()
+    qcd.write(GuardBits << 5) // Sqcd: style 0 (no quantization)
+    qcd.write((qBase << 3) & 0xff) // epsilon for LL
+    for (_ <- 1 to levels) {
+      qcd.write(((qBase + 1) << 3) & 0xff); qcd.write(((qBase + 1) << 3) & 0xff)
+      qcd.write(((qBase + 2) << 3) & 0xff)
+    }
+    writeCodestream(w, h, tw0, th0, bits, comps.length, if (rct) 1 else 0,
+      levels, cbxExp, cbyExp, transform = 1, qcd.toByteArray, tileBytes)
+  }
+
+  /** Assemble a complete codestream (Annex A): SOC + main header
+    * (SIZ/COD/QCD) + one SOT/SOD tile-part per tile + EOC. `qcd` is
+    * the QCD payload starting at the Sqcd byte. */
+  private def writeCodestream(w: Int, h: Int, tw0: Int, th0: Int, bits: Int,
+                              ncomp: Int, mct: Int, levels: Int, cbxExp: Int,
+                              cbyExp: Int, transform: Int, qcd: Array[Byte],
+                              tileBytes: Array[Array[Byte]]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
     def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
     u16(0xff4f) // SOC
-    u16(0xff51); u16(38 + 3 * comps.length) // SIZ
+    u16(0xff51); u16(38 + 3 * ncomp) // SIZ
     u16(0) // Rsiz
     u32(w); u32(h); u32(0); u32(0) // Xsiz Ysiz XOsiz YOsiz
     u32(tw0); u32(th0); u32(0); u32(0) // XTsiz YTsiz XTOsiz YTOsiz
-    u16(comps.length) // Csiz
-    for (_ <- comps.indices) { u8(bits - 1); u8(1); u8(1) } // Ssiz (unsigned), XRsiz, YRsiz
+    u16(ncomp) // Csiz
+    for (_ <- 0 until ncomp) { u8(bits - 1); u8(1); u8(1) } // Ssiz (unsigned), XRsiz, YRsiz
     u16(0xff52); u16(12) // COD, Lcod
     u8(0) // Scod: default precincts, no SOP/EPH
-    u8(0); u16(1); u8(if (rct) 1 else 0) // SGcod: LRCP, 1 layer, MCT flag
-    u8(levels); u8(cbxExp - 2); u8(cbyExp - 2); u8(0); u8(1) // SPcod: 5/3 reversible
-    u16(0xff5c); u16(3 + (3 * levels + 1)) // QCD, Lqcd
-    u8(GuardBits << 5) // Sqcd: style 0 (no quantization)
-    u8(qBase << 3) // epsilon for LL
-    for (_ <- 1 to levels) { u8((qBase + 1) << 3); u8((qBase + 1) << 3); u8((qBase + 2) << 3) }
-    t = 0
+    u8(0); u16(1); u8(mct) // SGcod: LRCP, 1 layer, MCT flag
+    u8(levels); u8(cbxExp - 2); u8(cbyExp - 2); u8(0); u8(transform) // SPcod
+    u16(0xff5c); u16(2 + qcd.length) // QCD, Lqcd
+    out.write(qcd, 0, qcd.length)
+    var t = 0
     while (t < tileBytes.length) {
       u16(0xff90); u16(10) // SOT, Lsot
       u16(t) // Isot (row-major tile order)
@@ -1178,34 +1196,14 @@ object Jpeg2000Codec {
       val bytes = encodePacket(qp, w, allBands(r), cbw, cbh, _ => mb)
       pk.write(bytes, 0, bytes.length)
     }
-    val body = pk.toByteArray
-
-    val out = new ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
-    def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
-    u16(0xff4f) // SOC
-    u16(0xff51); u16(38 + 3) // SIZ
-    u16(0)
-    u32(w); u32(h); u32(0); u32(0)
-    u32(w); u32(h); u32(0); u32(0)
-    u16(1)
-    u8(bits - 1); u8(1); u8(1)
-    u16(0xff52); u16(12) // COD
-    u8(0)
-    u8(0); u16(1); u8(0)
-    u8(levels); u8(cbxExp - 2); u8(cbyExp - 2); u8(0); u8(0) // SPcod: 9/7 irreversible
-    u16(0xff5c); u16(3 + 2 * (3 * levels + 1)) // QCD: scalar expounded
-    u8((guard << 5) | 2)
-    for (_ <- 0 until 3 * levels + 1) u16((eps << 11) | mu)
-    u16(0xff90); u16(10) // SOT
-    u16(0)
-    u32(12 + 2 + body.length)
-    u8(0); u8(1)
-    u16(0xff93) // SOD
-    out.write(body, 0, body.length)
-    u16(0xffd9) // EOC
-    out.toByteArray
+    val qcd = new ByteArrayOutputStream()
+    qcd.write((guard << 5) | 2) // Sqcd: scalar expounded
+    for (_ <- 0 until 3 * levels + 1) {
+      val v = (eps << 11) | mu
+      qcd.write((v >>> 8) & 0xff); qcd.write(v & 0xff)
+    }
+    writeCodestream(w, h, w, h, bits, ncomp = 1, mct = 0, levels, cbxExp,
+      cbyExp, transform = 0, qcd.toByteArray, Array(pk.toByteArray))
   }
 
   // ----------------------------------------------------------------
@@ -1352,11 +1350,14 @@ object Jpeg2000Codec {
 
     val cbw = 1 << cbxExp; val cbh = 1 << cbyExp
     val tilesX = (w + tileW - 1) / tileW; val tilesY = (h + tileH - 1) / tileH
-    if (tilesX > 1) require(tileW % (cbw << levels) == 0,
-      s"tile width $tileW not a multiple of ${cbw << levels} in $path " +
+    // Long shift: an Int `cbw << levels` wraps at levels >= 28, which
+    // would turn this loud reject into a silent mis-decode
+    val unitX = cbw.toLong << levels; val unitY = cbh.toLong << levels
+    if (tilesX > 1) require(tileW % unitX == 0,
+      s"tile width $tileW not a multiple of $unitX in $path " +
         "(unaligned tiles change lifting parity and code-block anchoring)")
-    if (tilesY > 1) require(tileH % (cbh << levels) == 0,
-      s"tile height $tileH not a multiple of ${cbh << levels} in $path " +
+    if (tilesY > 1) require(tileH % unitY == 0,
+      s"tile height $tileH not a multiple of $unitY in $path " +
         "(unaligned tiles change lifting parity and code-block anchoring)")
     val nTiles = tilesX * tilesY
     val seen = new Array[Boolean](nTiles)

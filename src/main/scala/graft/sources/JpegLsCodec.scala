@@ -585,6 +585,12 @@ private[graft] object JpegLsCodec {
             require(!interleavedDone && scansDone < nc,
               s"unexpected extra JPEG-LS scan in $path")
             val ns = frag(pos + 4) & 0xff
+            // the NEAR/ILV/Al bytes are read at pos + 5 + 2*ns — a
+            // segment length inconsistent with Ns would put them in
+            // entropy data (or out of bounds); the generic
+            // truncated-segment require above only bounds `len`
+            require(ns >= 1 && ns <= nc && len == 6 + 2 * ns,
+              s"malformed JPEG-LS SOS (Ns=$ns, length $len) in $path")
             val scanNear = frag(pos + 5 + 2 * ns) & 0xff
             val ilvByte = frag(pos + 6 + 2 * ns) & 0xff
             require((frag(pos + 7 + 2 * ns) & 0x0f) == 0,

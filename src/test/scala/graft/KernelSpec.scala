@@ -371,6 +371,20 @@ class KernelSpec extends AnyFunSuite with Matchers {
     val rgb = SparkImage(ImageMeta(), "[]", 4, 4, 1, PixelCodec.Rgb, new Array[Byte](48))
     an[IllegalArgumentException] should be thrownBy
       ImageCodecIO.encodeDicom(rgb, transferSyntax = ImageCodecIO.TsJpeg2000)
+    // .91 is LOSSY: the same guard set that fences the other lossy
+    // syntaxes (palette indices, inverted MONOCHROME1, Rescale'd CT)
+    // must fence it too
+    val lut = Some((Array.tabulate(256)(_ * 257), Array.tabulate(256)(_ * 257),
+      Array.tabulate(256)(_ * 257), 8))
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(img, transferSyntax = ImageCodecIO.TsJpeg2000,
+        palette = lut)
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(img, transferSyntax = ImageCodecIO.TsJpeg2000,
+        photometric = "MONOCHROME1")
+    an[IllegalArgumentException] should be thrownBy
+      ImageCodecIO.encodeDicom(img, transferSyntax = ImageCodecIO.TsJpeg2000,
+        rescale = Some((2.0, -1024.0)))
   }
 
   test("DICOM JPEG-LS color: lossless RGB/YBR_FULL in both scan layouts; near-lossless bound") {
