@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc phase-level wall-clock profiling for the round-16
+  * optimization pass (not part of the driver contract; Bench is the
+  * official probe). Times the expensive queries' internal phases so
+  * optimization targets the measured cost, not the guessed one.
+  * Usage: `sbt "runMain graft.ProfileR16 [sfDir] [section ...]"`. */
+object ProfileR16 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sections = args.drop(1).toSet
+    def want(s: String): Boolean = sections.isEmpty || sections(s)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    def force(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    import graft.pipeline.{Graph, Similarity}
+    import graft.queries.QueryDsl.t
+
+    if (want("graph")) {
+      val li = t(spark, dir, "lineitem")
+      // warm the scan
+      force(li.select(col("l_orderkey"), col("l_suppkey")))
+      val co = Graph.supplierCooccurrence(li)
+      time("cooccurrence-build")(force(co))
+      time("cooccurrence-build-warm")(force(co))
+      val edges = co.localCheckpoint()
+      println(s"PROFILE edges=${edges.count()} verts=" +
+        edges.select(col("src")).distinct().count())
+      time("pagerank-10it-total")(force(Graph.pagerank(co, iters = 10)))
+      time("pagerank-10it-warm")(force(Graph.pagerank(co, iters = 10)))
+      time("pagerank-prepart")(force(
+        Graph.pagerank(co, iters = 10, prePartitionEdges = true)))
+      time("trustrank-10it")(force(Graph.personalizedPagerank(
+        co, isSeed = v => pmod(v, lit(10)) === 0, iters = 10)))
+      val strong = co.filter(col("w") >= 8)
+      time("neighborhood-r3")(force(
+        Graph.neighborhoodFunction(strong, radius = 3, k = 32)))
+      time("harmonic-r3")(force(Graph.harmonicCentrality(strong, radius = 3)))
+      time("lpa-5it")(force(Graph.labelPropagation(strong, iters = 5)))
+    }
+
+    if (sections.exists(_.startsWith("q")) || sections.exists(_.startsWith("img"))) {
+      // mini-bench: warm-up + 2 timed passes, min per query — the
+      // Bench methodology on a subset, for optimization iteration
+      val subset = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => sections(n) }
+      subset.foreach { case (_, fn) =>
+        try force(fn(spark, dir)) catch { case _: Throwable => () } }
+      def pass(): Map[String, Double] = subset.map { case (n, fn) =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, dir)) catch { case _: Throwable => () }
+        n -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      val p1 = pass(); val p2 = pass()
+      subset.foreach { case (n, _) =>
+        println(f"PROFILE bench $n: ${math.min(p1(n), p2(n))}%.3f s") }
+    }
+
+    if (want("prx")) {
+      // pagerank variants: parts x broadcast-rank, on the real q119
+      // graph — replicates Graph.pagerank's fast path with knobs
+      val li = t(spark, dir, "lineitem")
+      val co = Graph.supplierCooccurrence(li)
+      def pagerankX(parts: Int, bcastRank: Boolean, label: String): Unit = {
+        val e0 = co.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+        val ew0 = e0.join(outw, Seq("src"))
+          .select(col("src"), col("dst"), col("w"), col("ow")).localCheckpoint()
+        val n = ew0.select(col("src")).distinct().count()
+        val ew = ew0.coalesce(parts)
+        val base = (3L * Graph.Scale) / (20L * n)
+        var rank = ew.select(col("src").as("v")).distinct()
+          .select(col("v"), lit(Graph.Scale / n).as("rank"))
+        time(label) {
+          for (k <- 1 to 10) {
+            val r = if (bcastRank) broadcast(rank) else rank
+            val contrib = ew
+              .join(r.select(col("v").as("src"), col("rank")), Seq("src"))
+              .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
+              .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+            val stepped = contrib.select(col("v"),
+              (lit(base) + expr("(17 * sc) div 20")).as("rank"))
+            rank = if (k % 5 == 0 || k == 10) stepped.localCheckpoint() else stepped
+          }
+          force(rank)
+        }
+      }
+      pagerankX(1, bcastRank = false, "prx-p1-smj")
+      pagerankX(1, bcastRank = false, "prx-p1-smj-warm")
+      pagerankX(4, bcastRank = false, "prx-p4-smj")
+      pagerankX(8, bcastRank = false, "prx-p8-smj")
+      pagerankX(1, bcastRank = true, "prx-p1-bc")
+      pagerankX(8, bcastRank = true, "prx-p8-bc")
+      pagerankX(32, bcastRank = true, "prx-p32-bc")
+      pagerankX(8, bcastRank = true, "prx-p8-bc-warm")
+    }
+
+    if (want("ivf")) {
+      val emb = t(spark, dir, "embeddings")
+      force(emb)
+      val centers = time("ivf-fit")(Similarity.ivfFitCenters(emb))
+      val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_prof_ivf"
+      time("ivf-encode-write-partitioned")(
+        Similarity.ivfEncode(emb, centers)
+          .write.partitionBy("cluster").mode("overwrite").parquet(ixDir))
+      time("ivf-read-serve")(force(Similarity.ivfServe(
+        spark.read.parquet(ixDir), centers,
+        emb.filter(col("vec_id") < 20), k = 5)))
+      val n = java.nio.file.Files.walk(java.nio.file.Paths.get(ixDir))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      println(s"PROFILE ivf store files=$n")
+      time("ivf-encode-write-clustered")(
+        Similarity.ivfEncode(emb, centers).repartition(col("cluster"))
+          .write.partitionBy("cluster").mode("overwrite").parquet(ixDir))
+      time("ivf-read-serve-clustered")(force(Similarity.ivfServe(
+        spark.read.parquet(ixDir), centers,
+        emb.filter(col("vec_id") < 20), k = 5)))
+      val n2 = java.nio.file.Files.walk(java.nio.file.Paths.get(ixDir))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      println(s"PROFILE ivf clustered store files=$n2")
+    }
+
+    if (want("bpe")) {
+      val docs = t(spark, dir, "documents")
+      force(docs.select(col("doc_id"), col("text")))
+      time("bpe-train-10")(force(graft.pipeline.Bpe.bpeTrain(docs, 10)))
+      time("bpe-segment-10")(force(graft.pipeline.Bpe.bpeSegment(docs, 10)))
+    }
+
+    spark.stop()
+  }
+}

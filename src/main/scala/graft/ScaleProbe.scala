@@ -235,9 +235,9 @@ object ScaleProbe {
       val cN = Similarity.ivfFitCenters(embN)
       // the q167 production layout: partitionBy(cluster), so the serve
       // timer includes the PartitionFilters file skipping it buys
-      Similarity.ivfEncode(emb, c1)
+      Similarity.clusterLayout(Similarity.ivfEncode(emb, c1))
         .write.partitionBy("cluster").mode("overwrite").parquet(s"$tmp/ivfix1")
-      Similarity.ivfEncode(embN, cN)
+      Similarity.clusterLayout(Similarity.ivfEncode(embN, cN))
         .write.partitionBy("cluster").mode("overwrite").parquet(s"$tmp/ivfixN")
       probe("ann_ivf_serve",
         Similarity.ivfServe(spark.read.parquet(s"$tmp/ivfix1"),

@@ -136,13 +136,7 @@ object Graph {
     // reference-free so lineage can accumulate safely between the
     // every-5th-iteration checkpoints (measured 2.6x faster at
     // |E| ~ 10^4; at large |E| the join+agg dominates either way).
-    val hasZeroIndegree = nodes
-      .join(ew.select(col("dst")), col("v") === col("dst"), "left_anti")
-      .limit(1).count() > 0
-    val hasSink = ew.select(col("dst"))
-      .join(nodes, col("dst") === col("v"), "left_anti")
-      .limit(1).count() > 0
-    val needNodeJoin = hasZeroIndegree || hasSink
+    val needNodeJoin = srcDstMismatch(nodes, ew)
     var rank = nodes.select(col("v"), lit(Scale / n).as("rank"))
     for (k <- 1 to iters) {
       val stepped = pagerankStep(ew, rank, base,
@@ -209,10 +203,23 @@ object Graph {
     val nSeeds = seeded.filter(col("s")).count()
     require(nSeeds > 0, "personalizedPagerank: seed predicate matched no node")
     val base = (3L * Scale) / (20L * nSeeds)
+    // fast path (the pagerank pattern, measured on the q130 graph):
+    // when src and dst sets coincide the per-round seeded left join
+    // drops out — the seed flag is a pure function of the node id, so
+    // it evaluates dst-side ON the edge relation with no join and no
+    // extra shuffle (preserving a prePartitionEdges layout), and each
+    // round is ONE join + ONE agg ([[pprFastStep]]). One fused probe
+    // job decides ([[srcDstMismatch]]); asymmetric graphs keep the
+    // seeded-join path.
+    val fast = !srcDstMismatch(seeded.select(col("v")), ew)
+    val ewS = if (fast)
+      ew.withColumn("sd", isSeed(col("dst")).cast("boolean")) else ew
     var rank = seeded.select(col("v"),
       when(col("s"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("rank"))
     for (k <- 1 to iters) {
-      val stepped = pprStep(ew, seeded, rank, base)
+      val stepped =
+        if (fast) pprFastStep(ewS, rank, base)
+        else pprStep(ew, seeded, rank, base)
       // seeded and the contrib chain both bottom out in materialized
       // relations, so lineage accumulates safely between every-5th
       // checkpoints — the pagerank fast-path pattern
@@ -259,6 +266,42 @@ object Graph {
     * join+agg, then the seed-conditional restart riding the `seeded`
     * node relation's boolean — still exactly two joins, no extra
     * seed join anywhere. */
+  /** Does the node (distinct-src) set differ from the dst set — i.e.
+    * does some source have no in-edges, or some destination no
+    * out-edges? ONE fused job for what used to be two limit(1)
+    * anti-join probes (guide §1.2: fewer passes): a full outer join
+    * of the two distinct sets, a null on either side flagging its
+    * mismatch class. Both distincts are map-side-combined O(|V|)
+    * aggregations; the join is |V|-sized. */
+  private[graft] def srcDstMismatch(nodes: DataFrame, ew: DataFrame): Boolean = {
+    val r = nodes
+      .join(ew.select(col("dst")).distinct(), col("v") === col("dst"), "full")
+      .agg(max(when(col("dst").isNull, 1).otherwise(0)).as("zero_indeg"),
+           max(when(col("v").isNull, 1).otherwise(0)).as("sink")).head()
+    r.getInt(0) == 1 || r.getInt(1) == 1
+  }
+
+  /** ONE personalized-PageRank round on the FAST path — valid exactly
+    * when the node (src) set equals the dst set (no zero-indegree
+    * source, no pure sink; any symmetric graph qualifies), so the
+    * contribution aggregate's key set IS the node set and the
+    * seed-conditional restart can ride a dst-side seed flag evaluated
+    * on the edge relation itself: ONE join + ONE agg per round, the
+    * [[pagerankStep]] fast shape, with the per-round seeded left join
+    * gone. The flag is constant per dst, so max() over the group
+    * recovers it exactly; sc is never null here (every node has an
+    * in-edge), so `(17 * sc) div 20` equals the slow path's
+    * coalesce'd term row for row. */
+  private[graft] def pprFastStep(ewS: DataFrame, rank: DataFrame,
+                                 base: Long): DataFrame =
+    ewS.join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
+      .select(col("dst").as("v"), col("sd"), expr("(rank * w) div ow").as("c"))
+      .groupBy(col("v"))
+      .agg(max(col("sd")).as("s"), sum(col("c")).as("sc"))
+      .select(col("v"),
+        (when(col("s"), lit(base)).otherwise(lit(0L))
+          + expr("(17 * sc) div 20")).as("rank"))
+
   private[graft] def pprStep(ew: DataFrame, seeded: DataFrame,
                              rank: DataFrame, base: Long): DataFrame = {
     val contrib = ew

@@ -804,6 +804,31 @@ object Similarity {
         assignUdf(col("v")).as("cluster"), normalizeUdf(col("v")).as("nv"))
   }
 
+  /** Cluster-align an encoded index before a `partitionBy("cluster")`
+    * write: ONE exchange keyed on the partition column so each write
+    * task holds whole clusters and emits ONE file per cluster it owns
+    * — without it every input task writes a sliver of every cluster
+    * it sees (tasks x clusters files: measured 505 files vs 16 at
+    * sf0.1, 2.8x slower to write and 2.2x slower to list+read back).
+    * This is the standard cluster-by-partition-key-before-write move
+    * (file sizing, optimization guide §6): small files hurt twice, at
+    * listing/planning and at per-file open.
+    *
+    * `filesPerCluster` is the 100 TB knob: when one posting list
+    * outgrows a good parquet file (~1 GB), a second deterministic
+    * split key (hash of the row id, NEVER rand() — retried tasks must
+    * reproduce their assignment) fans each cluster over that many
+    * write tasks/files. Local default 1: at bench scale a cluster is
+    * KBs. Results are layout-invariant either way — only file
+    * boundaries move, never rows. */
+  def clusterLayout(index: DataFrame, filesPerCluster: Int = 1): DataFrame = {
+    require(filesPerCluster >= 1,
+      s"clusterLayout: filesPerCluster must be >= 1, got $filesPerCluster")
+    if (filesPerCluster == 1) index.repartition(col("cluster"))
+    else index.repartition(col("cluster"),
+      pmod(xxhash64(col("nid")), lit(filesPerCluster.toLong)))
+  }
+
   /** Collect the query vectors and assign their probes DRIVER-side —
     * one scan of the (|Q|-sized) query relation, nearestClusters
     * against the already-driver-side centroids. The result feeds BOTH

@@ -266,7 +266,7 @@ object TextPipeline {
         val centers = Similarity.ivfFitCenters(emb)
         val ixDir = scratchDir("ivf_index", dir)
         Similarity.writeCenters(s, centers, ixDir + "_centroids")
-        Similarity.ivfEncode(emb, centers)
+        Similarity.clusterLayout(Similarity.ivfEncode(emb, centers))
           .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
         Similarity.ivfServe(s.read.parquet(ixDir),
           Similarity.readCenters(s, ixDir + "_centroids"),
@@ -289,7 +289,7 @@ object TextPipeline {
         val ixDir = scratchDir("ivfpq_index", dir)
         Similarity.writeCenters(s, centers, ixDir + "_centroids")
         Similarity.writeCodebooks(s, books, ixDir + "_codebooks")
-        Similarity.ivfPqEncode(emb, centers, books)
+        Similarity.clusterLayout(Similarity.ivfPqEncode(emb, centers, books))
           .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
         Similarity.ivfPqServe(s.read.parquet(ixDir),
           Similarity.readCenters(s, ixDir + "_centroids"),
@@ -312,7 +312,7 @@ object TextPipeline {
         val ixDir = scratchDir("ivfsq8_index", dir)
         Similarity.writeCenters(s, centers, ixDir + "_centroids")
         Similarity.writeRanges(s, mns, mxs, ixDir + "_ranges")
-        Similarity.ivfSq8Encode(emb, centers, mns, mxs)
+        Similarity.clusterLayout(Similarity.ivfSq8Encode(emb, centers, mns, mxs))
           .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
         val (lmns, lmxs) = Similarity.readRanges(s, ixDir + "_ranges")
         Similarity.ivfSq8Serve(s.read.parquet(ixDir),
@@ -335,9 +335,11 @@ object TextPipeline {
         val emb = t(s, dir, "embeddings")
         val centers = Similarity.ivfFitCenters(emb)
         val ixDir = scratchDir("ivf_append", dir)
-        Similarity.ivfEncode(emb.filter(col("vec_id") % 2 === 0), centers)
+        Similarity.clusterLayout(
+            Similarity.ivfEncode(emb.filter(col("vec_id") % 2 === 0), centers))
           .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
-        Similarity.ivfEncode(emb.filter(col("vec_id") % 2 =!= 0), centers)
+        Similarity.clusterLayout(
+            Similarity.ivfEncode(emb.filter(col("vec_id") % 2 =!= 0), centers))
           .write.partitionBy("cluster").mode("append").parquet(ixDir)
         Similarity.ivfServe(s.read.parquet(ixDir), centers,
           emb.filter(col("vec_id") < 20), k = 5)
@@ -365,9 +367,9 @@ object TextPipeline {
         Similarity.writeCenters(s, Similarity.ivfFitCenters(inc1),
           ixDir + "_centroids")
         val frozen = Similarity.readCenters(s, ixDir + "_centroids")
-        Similarity.ivfEncode(inc1, frozen)
+        Similarity.clusterLayout(Similarity.ivfEncode(inc1, frozen))
           .write.partitionBy("cluster").mode("overwrite").parquet(ixDir)
-        Similarity.ivfEncode(inc2, frozen)
+        Similarity.clusterLayout(Similarity.ivfEncode(inc2, frozen))
           .write.partitionBy("cluster").mode("append").parquet(ixDir)
         Similarity.ivfServe(s.read.parquet(ixDir), frozen,
           emb.filter(col("vec_id") < 20), k = 5)

@@ -99,6 +99,43 @@ class GraphSpec extends AnyFunSuite with Matchers {
     got.keySet shouldBe Set(1L, 2L, 3L, 4L, 7L, 8L)
   }
 
+  test("personalizedPagerank: sink-forced seeded-join path matches the reference " +
+      "(fast/slow agreement)") {
+    import spark.implicits._
+    // the symmetric cases above take the FAST path (src set == dst
+    // set: seed flag rides the edge relation, no per-round seeded
+    // join); adding a pure sink (9 is never a src) forces the
+    // seeded-join path. Both must match the reference recurrence —
+    // this pins that the round-16 fast-path rewrite computes the same
+    // seed-conditional fixed point as the guarded slow path.
+    def ref(edges: Seq[(Long, Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+      val ow = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val nodes = edges.map(_._1).distinct.sorted
+      val nS = nodes.count(seeds)
+      val base = (3L * Graph.Scale) / (20L * nS)
+      var rank = nodes.map(v => v -> (if (seeds(v)) Graph.Scale / nS else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val contrib = edges.groupBy(_._2).view.mapValues { es =>
+          es.map { case (u, _, w) => (rank(u) * w) / ow(u) }.sum
+        }.toMap
+        rank = nodes.map(v => v ->
+          ((if (seeds(v)) base else 0L) + (17L * contrib.getOrElse(v, 0L)) / 20L)).toMap
+      }
+      rank
+    }
+    val sym = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 2L, 2L),
+      (3L, 1L, 5L), (1L, 3L, 2L))
+    val withSink = sym ++ Seq((1L, 9L, 4L))
+    for ((g, label) <- Seq((sym, "fast"), (withSink, "slow"))) {
+      val got = Graph.personalizedPagerank(g.toDF("src", "dst", "w"),
+          isSeed = v => v % 2 === 1, iters = 7)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"$label path: ") {
+        got shouldBe ref(g, Set(1L, 3L, 9L), 7)
+      }
+    }
+  }
+
   test("pagerank is uniform on a vertex-transitive graph and conserves rank mass") {
     // 6-cycle, symmetric unit weights: all nodes equivalent
     val cyc = (0L until 6L).flatMap(i =>
