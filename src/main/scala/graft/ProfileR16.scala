@@ -113,6 +113,85 @@ object ProfileR16 {
       pagerankX(8, bcastRank = true, "prx-p8-bc-warm")
     }
 
+    if (want("prx2")) {
+      // loop fixed-cost dissection: AQE on/off x checkpoint cadence
+      val li = t(spark, dir, "lineitem")
+      val co = Graph.supplierCooccurrence(li)
+      def loopX(cadence: Int, aqe: Boolean, label: String): Unit = {
+        val e0 = co.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+        val ew = e0.join(outw, Seq("src"))
+          .select(col("src"), col("dst"), col("w"), col("ow"))
+          .localCheckpoint().coalesce(1)
+        val n = ew.select(col("src")).distinct().count()
+        val base = (3L * Graph.Scale) / (20L * n)
+        var rank = ew.select(col("src").as("v")).distinct()
+          .select(col("v"), lit(Graph.Scale / n).as("rank")).localCheckpoint()
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        time(label) {
+          for (k <- 1 to 10) {
+            val contrib = ew
+              .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
+              .select(col("dst").as("v"), expr("(rank * w) div ow").as("c"))
+              .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+            val stepped = contrib.select(col("v"),
+              (lit(base) + expr("(17 * sc) div 20")).as("rank"))
+            rank = if (k % cadence == 0 || k == 10) stepped.localCheckpoint() else stepped
+          }
+          force(rank)
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      loopX(5, aqe = true, "prx2-c5-aqe")
+      loopX(5, aqe = true, "prx2-c5-aqe-warm")
+      loopX(5, aqe = false, "prx2-c5-noaqe")
+      loopX(5, aqe = false, "prx2-c5-noaqe-warm")
+      loopX(10, aqe = false, "prx2-c10-noaqe")
+      loopX(2, aqe = false, "prx2-c2-noaqe")
+      loopX(1, aqe = false, "prx2-c1-noaqe")
+      loopX(5, aqe = true, "prx2-c5-aqe-again")
+    }
+
+    if (want("prx3")) {
+      // co-occurrence build dissection (the shared cost of all 11
+      // graph queries): scan / group / expand / count sub-steps, each
+      // measured twice (JIT)
+      val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      for (round <- 1 to 2) {
+        time(s"prx3-scan-$round")(force(li))
+        val grouped = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_suppkey")).as("ss"))
+        time(s"prx3-group-$round")(force(grouped))
+        val pairs = grouped.select(explode(expr(
+          "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+            "y -> named_struct('src', x, 'dst', y))))")).as("p"))
+          .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        time(s"prx3-expand-$round")(force(pairs))
+        time(s"prx3-full-$round")(force(
+          pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))))
+        // variant: sort_array once, ordered-pair expansion via index
+        // loops (same result set)
+        val grouped2 = li.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+        val pairs2 = grouped2.select(explode(expr(
+          "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+            "y -> struct(x AS src, y AS dst))))")).as("p"))
+          .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        time(s"prx3-variant2-full-$round")(force(
+          pairs2.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))))
+        // variant3: pack the pair into ONE long key for the count
+        // shuffle (narrower exchange + single-word grouping key)
+        val packed = grouped.select(explode(expr(
+          "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+            "y -> x * 4294967296L + y)))")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("w"))
+          .select(shiftrightunsigned(col("k"), 32).as("src"),
+            col("k").bitwiseAND(lit(4294967295L)).as("dst"), col("w"))
+        time(s"prx3-variant3-full-$round")(force(packed))
+      }
+    }
+
     if (want("ivf")) {
       val emb = t(spark, dir, "embeddings")
       force(emb)

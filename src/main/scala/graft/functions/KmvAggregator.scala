@@ -27,24 +27,38 @@ import org.apache.spark.sql.expressions.Aggregator
 class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   require(k > 0)
 
-  private def insert(buf: Seq[Long], h: Long): Seq[Long] = {
-    val i = buf.indexWhere(_ >= h)
-    if (i < 0) buf :+ h
-    else if (buf(i) == h) buf
-    else (buf.take(i) :+ h) ++ buf.drop(i)
+  // hot path (round 16): binary-search + arraycopy insert instead of
+  // indexWhere + take/:+/drop over an immutable Vector — identical
+  // contents (sorted ascending, distinct, bottom-k), a fraction of
+  // the allocations per element. Wrapped arrays compare element-wise
+  // like any Seq, so buffers and outputs are value-identical.
+  private def insertCapped(buf: Seq[Long], h: Long): Seq[Long] = {
+    val n = buf.length
+    // binary search for the insertion point (first index with >= h)
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) >= h) hi = mid else lo = mid + 1
+    }
+    if (lo < n && buf(lo) == h) return buf // duplicate hash: KMV is a set
+    val outLen = math.min(n + 1, k)
+    val out = new Array[Long](outLen)
+    var i = 0
+    while (i < lo && i < outLen) { out(i) = buf(i); i += 1 }
+    if (lo < outLen) out(lo) = h
+    i = lo
+    while (i + 1 < outLen) { out(i + 1) = buf(i); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   override def zero: Seq[Long] = Vector.empty
 
   override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-    if (buf.length < k) insert(buf, h)
-    else if (h < buf.last) {
-      val nb = insert(buf, h)
-      if (nb.length > k) nb.dropRight(1) else nb
-    } else buf
+    if (buf.length < k || h < buf.last) insertCapped(buf, h)
+    else buf
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-    b.foldLeft(a)(reduce)
+    KmvAggregator.mergeSortedCapped(a, b, k)
 
   override def finish(buf: Seq[Long]): Seq[Long] = buf
 
@@ -52,6 +66,40 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     ExpressionEncoder[Seq[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     ExpressionEncoder[Seq[Long]]()
+}
+
+object KmvAggregator {
+  /** Two-pointer union of two SORTED-DISTINCT sequences, truncated at
+    * the k smallest — the bottom-k-of-union property that makes KMV
+    * sketches mergeable, computed in one linear pass instead of
+    * repeated element inserts. Value-identical to folding every
+    * element of `b` through [[KmvAggregator.reduce]]. */
+  private[functions] def mergeSortedCapped(a: Seq[Long], b: Seq[Long],
+                                           k: Int): Seq[Long] = {
+    if (b.isEmpty) return a
+    if (a.isEmpty && b.length <= k) return b
+    val na = a.length; val nb = b.length
+    val out = new Array[Long](math.min(k, na + nb))
+    var i = 0; var j = 0; var m = 0
+    while (m < out.length && (i < na || j < nb)) {
+      val v =
+        if (j >= nb) { val x = a(i); i += 1; x }
+        else if (i >= na) { val x = b(j); j += 1; x }
+        else {
+          val av = a(i); val bv = b(j)
+          if (av < bv) { i += 1; av }
+          else if (bv < av) { j += 1; bv }
+          else { i += 1; j += 1; av } // equal: one element of the union
+        }
+      out(m) = v
+      m += 1
+    }
+    if (m == out.length)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    else
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        java.util.Arrays.copyOf(out, m))
+  }
 }
 
 /** Merge aggregator over KMV SKETCHES (each input row is already a
@@ -64,10 +112,13 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 class KmvMergeAggregator(k: Int)
     extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
   require(k > 0)
-  private val one = new KmvAggregator(k)
   override def zero: Seq[Long] = Vector.empty
+  // each input row IS a sorted-distinct bottom-k sketch, so the union
+  // is one linear two-pointer merge (round 16: was an O(k) immutable
+  // insert per element — the q134 HyperBall hot loop)
   override def reduce(buf: Seq[Long], sketch: Seq[Long]): Seq[Long] =
-    if (sketch == null) buf else sketch.foldLeft(buf)(one.reduce)
+    if (sketch == null) buf
+    else KmvAggregator.mergeSortedCapped(buf, sketch, k)
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = reduce(a, b)
   override def finish(buf: Seq[Long]): Seq[Long] = buf
   override def bufferEncoder: Encoder[Seq[Long]] =

@@ -95,6 +95,29 @@ class RelationalSmokeSpec extends AnyFunSuite with Matchers {
     run(32)._1 shouldBe sk8
   }
 
+  test("KMV sketch merge: the linear two-pointer union equals element-wise " +
+      "inserts (round-16 internals)") {
+    // the round-16 rewrite replaced fold-of-inserts with a sorted
+    // two-pointer merge in both aggregators' hot paths; pin exact
+    // buffer equality against the element-wise reference on seeded
+    // random inputs, including duplicates across and within sketches
+    val rnd = new scala.util.Random(4242)
+    for (k <- Seq(1, 2, 5, 32); trial <- 1 to 20) {
+      val agg = new graft.functions.KmvAggregator(k)
+      val mrg = new graft.functions.KmvMergeAggregator(k)
+      val xs = Seq.fill(rnd.nextInt(80))(rnd.nextInt(40).toLong)
+      val ys = Seq.fill(rnd.nextInt(80))(rnd.nextInt(40).toLong)
+      val a = xs.foldLeft(agg.zero)(agg.reduce)
+      val b = ys.foldLeft(agg.zero)(agg.reduce)
+      val ref = (xs ++ ys).distinct.sorted.take(k)
+      withClue(s"k=$k trial=$trial: ") {
+        agg.merge(a, b).toList shouldBe ref
+        mrg.reduce(a, b).toList shouldBe ref
+        mrg.reduce(mrg.zero, a).toList shouldBe a.toList
+      }
+    }
+  }
+
   test("HDR quantile sketch brackets the exact percentile_disc value") {
     // the q147 contract: for every (group, p) the reported bucket
     // [est_lo, est_hi] CONTAINS the true percentile — the bounded-
