@@ -75,7 +75,14 @@ object KmvAggregator {
     * repeated element inserts. Value-identical to folding every
     * element of `b` through [[KmvAggregator.reduce]]. */
   private[functions] def mergeSortedCapped(a: Seq[Long], b: Seq[Long],
-                                           k: Int): Seq[Long] = {
+                                           k: Int): Seq[Long] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      mergeSortedCappedArr(a.toArray, b.toArray, k))
+
+  /** Primitive-array form of the capped sorted union — the
+    * [[KmvMergeAggregator]] hot path (no boxing anywhere). */
+  private[functions] def mergeSortedCappedArr(a: Array[Long], b: Array[Long],
+                                              k: Int): Array[Long] = {
     if (b.isEmpty) return a
     if (a.isEmpty && b.length <= k) return b
     val na = a.length; val nb = b.length
@@ -94,11 +101,7 @@ object KmvAggregator {
       out(m) = v
       m += 1
     }
-    if (m == out.length)
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
-    else
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        java.util.Arrays.copyOf(out, m))
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 }
 
@@ -110,19 +113,23 @@ object KmvAggregator {
   * run as one groupBy per round. Same deterministic semantics as
   * feeding every element through [[KmvAggregator]]. */
 class KmvMergeAggregator(k: Int)
-    extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] {
   require(k > 0)
-  override def zero: Seq[Long] = Vector.empty
+  private val empty = Array.emptyLongArray
+  override def zero: Array[Long] = empty
   // each input row IS a sorted-distinct bottom-k sketch, so the union
-  // is one linear two-pointer merge (round 16: was an O(k) immutable
-  // insert per element — the q134 HyperBall hot loop)
-  override def reduce(buf: Seq[Long], sketch: Seq[Long]): Seq[Long] =
+  // is one linear two-pointer merge over PRIMITIVE arrays (round 16:
+  // was an O(k) immutable insert per element over boxed Seqs — the
+  // q134 HyperBall hot loop pays one of these per edge per round).
+  // Array[Long] encoders move array<bigint> columns without
+  // per-element boxing; the column type is unchanged.
+  override def reduce(buf: Array[Long], sketch: Array[Long]): Array[Long] =
     if (sketch == null) buf
-    else KmvAggregator.mergeSortedCapped(buf, sketch, k)
-  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = reduce(a, b)
-  override def finish(buf: Seq[Long]): Seq[Long] = buf
-  override def bufferEncoder: Encoder[Seq[Long]] =
-    ExpressionEncoder[Seq[Long]]()
-  override def outputEncoder: Encoder[Seq[Long]] =
-    ExpressionEncoder[Seq[Long]]()
+    else KmvAggregator.mergeSortedCappedArr(buf, sketch, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = reduce(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
 }

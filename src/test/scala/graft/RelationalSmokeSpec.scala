@@ -112,8 +112,8 @@ class RelationalSmokeSpec extends AnyFunSuite with Matchers {
       val ref = (xs ++ ys).distinct.sorted.take(k)
       withClue(s"k=$k trial=$trial: ") {
         agg.merge(a, b).toList shouldBe ref
-        mrg.reduce(a, b).toList shouldBe ref
-        mrg.reduce(mrg.zero, a).toList shouldBe a.toList
+        mrg.reduce(a.toArray, b.toArray).toList shouldBe ref
+        mrg.reduce(mrg.zero, a.toArray).toList shouldBe a.toList
       }
     }
   }
