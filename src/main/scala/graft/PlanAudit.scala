@@ -1044,19 +1044,36 @@ object PlanAudit {
           .append("\n```\n")
       }
 
-      // q130 trustrank: contribution join+agg, then the seed-conditional
-      // restart riding the node relation's boolean — exactly two joins
+      // q130 trustrank FAST round (the q130 shape since round 16: the
+      // co-occurrence graph's src and dst sets coincide, so the seed
+      // flag rides the edge relation and the round is ONE join + ONE
+      // agg — the pagerank fast shape)
       val seeded0 = ewPlain.select(col("src").as("v")).distinct()
         .select(col("v"), (col("v") % 5 === 0).as("s")).localCheckpoint()
       val rank0p = seeded0.select(col("v"),
         when(col("s"), lit(1000L)).otherwise(lit(0L)).as("rank"))
         .localCheckpoint()
+      val ewSeeded = ewPlain.withColumn("sd", (col("dst") % 5 === 0).cast("boolean"))
       auditRound("q130_trustrank",
+        graft.pipeline.Graph.pprFastStep(ewSeeded, rank0p, 7L), 1, Nil,
+        "Per round (fast path — src and dst sets coincide on the\n" +
+          "co-occurrence graph, probed once before the loop): ONE\n" +
+          "contribution equi-join on src + its sum agg; the restart mass\n" +
+          "rides a dst-side seed flag evaluated ON the edge relation, so\n" +
+          "the per-round seeded left join of the guarded slow path\n" +
+          "(pprStep, below) is gone and the round costs exactly what\n" +
+          "plain pagerank costs.")
+
+      // q130 trustrank SLOW round (asymmetric graphs — zero-indegree
+      // source or pure sink): the seeded left join re-attaches the
+      // node relation, exactly two joins
+      auditRound("q130_trustrank_seeded_path",
         graft.pipeline.Graph.pprStep(ewPlain, seeded0, rank0p, 7L), 2, Nil,
         "Per round: ONE contribution equi-join on src + its sum agg, then\n" +
           "ONE left join re-attaching the seeded node relation whose boolean\n" +
-          "carries the restart mass — the seed set never joins separately,\n" +
-          "so the round costs exactly what plain pagerank costs.")
+          "carries the restart mass — the seed set never joins separately.\n" +
+          "Taken only when the src/dst sets differ (the one fused probe\n" +
+          "job decides).")
 
       // q133 harmonic centrality hop: frontier×edges equi-join, dedup,
       // first-distance-wins anti join against the reached union

@@ -780,7 +780,8 @@ object Similarity {
 
   /** The IVF serving INDEX: (nid, cluster, nv) — coarse assignment +
     * the normalized vector, built in ONE corpus scan against broadcast
-    * centroids. Persist `partitionBy("cluster")` (doubles round-trip
+    * centroids. Persist via [[clusterLayout]] + `partitionBy("cluster")`
+    * so each write task holds whole clusters (doubles round-trip
     * exactly — q167 gates this; the cluster layout is what lets
     * [[ivfServe]]'s probed-cluster filter skip non-probed posting
     * lists at the FILE level) and serve later with [[ivfServe]]
