@@ -217,6 +217,173 @@ object ProfileR16 {
       println(s"PROFILE ivf clustered store files=$n2")
     }
 
+    if (want("dedup")) {
+      // dedup-family dissection (q31/q32/q153's shared phases): where
+      // do the ~3s of the exact side and ~1s of the LSH side go?
+      import graft.pipeline.{Dedup, PartitionUtil}
+      val docs = t(spark, dir, "documents")
+      force(docs.select(col("doc_id"), col("text")))
+      for (round <- 1 to 2) {
+        val sh = PartitionUtil.spread(docs)
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        time(s"dedup-shingles-$round")(force(sh))
+        val posting = sh
+          .withColumn("sz", size(col("sh")).cast("long"))
+          .select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+        time(s"dedup-posting-$round")(force(posting))
+        val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        time(s"dedup-dfreq-$round")(force(dfreq))
+        val prefix = posting.join(dfreq, Seq("s"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+          .filter(col("rn") <= expr("sz - (sz * 8000 + 9999) DIV 10000 + 1"))
+          .select(xxhash64(col("s")).as("h"), col("doc_id"), col("sz"))
+        time(s"dedup-prefix-$round")(force(prefix))
+        time(s"dedup-q31-full-$round")(force(
+          Dedup.ngramJaccardPairs(docs, 3, 0.8)))
+        time(s"dedup-lsh-full-$round")(force(
+          Dedup.minhashLshPairs(docs, 3, 64, 16)))
+      }
+    }
+
+    if (want("dedup2")) {
+      // q31 candidate-stage variants: the before-plan shows the whole
+      // posting->dfreq->window prefix pipeline computed TWICE (one
+      // copy per side of the candidate self-join; the broadcast side
+      // can't reuse the probe side's exchange). Variants that compute
+      // it once, measured on the real corpus.
+      import graft.pipeline.{Dedup, PartitionUtil}
+      import org.apache.spark.storage.StorageLevel
+      val docs = t(spark, dir, "documents")
+      force(docs.select(col("doc_id"), col("text")))
+      val den = 10000L; val num = 8000L
+      def mkPrefix(sh: DataFrame): DataFrame = {
+        val posting = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+        val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        posting.join(dfreq, Seq("s"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+          .filter(col("rn") <= expr(s"sz - (sz * $num + ${den - 1}) DIV $den + 1"))
+          .select(xxhash64(col("s")).as("h"), col("doc_id"), col("sz"))
+      }
+      def rescore(cand: DataFrame, sh: DataFrame): DataFrame =
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      def sizeFilt(c: DataFrame): DataFrame =
+        c.filter(least(col("sz_a"), col("sz_b")) * den >=
+          greatest(col("sz_a"), col("sz_b")) * num)
+          .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b")).distinct()
+      for (round <- 1 to 2) {
+        val sh = PartitionUtil.spread(docs)
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .withColumn("sz", size(col("sh")).cast("long"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // (a) current: plain self-join (BHJ picks one side to broadcast)
+        val prefix = mkPrefix(sh)
+        val candA = sizeFilt(
+          prefix.select(col("h"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+            .join(prefix.select(col("h"), col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+            .filter(col("id_a") < col("id_b")))
+        time(s"dedup2-join-current-$round")(force(rescore(candA, sh)))
+        // (b) SMJ-hinted self-join: identical shuffle exchanges on h
+        // should collapse via ReuseExchange -> prefix computed once
+        val pa = prefix.select(col("h"), col("doc_id").as("id_a"), col("sz").as("sz_a")).hint("merge")
+        val pb = prefix.select(col("h"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
+        val candB = sizeFilt(pa.join(pb, Seq("h")).filter(col("id_a") < col("id_b")))
+        time(s"dedup2-join-smj-$round")(force(rescore(candB, sh)))
+        // (c) bucket expand: groupBy(h) + ordered-pair expansion
+        val candC = sizeFilt(prefix.groupBy(col("h"))
+          .agg(collect_list(struct(col("doc_id").as("d"), col("sz").as("z"))).as("ds"))
+          .select(explode(expr(
+            "filter(flatten(transform(ds, a -> transform(ds, " +
+              "b -> struct(a.d AS id_a, a.z AS sz_a, b.d AS id_b, b.z AS sz_b)))), " +
+              "p -> p.id_a < p.id_b)")).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.sz_a").as("sz_a"),
+            col("p.id_b").as("id_b"), col("p.sz_b").as("sz_b")))
+        time(s"dedup2-bucket-expand-$round")(force(rescore(candC, sh)))
+        // (d) eager localCheckpoint of prefix
+        val pchk = mkPrefix(sh).localCheckpoint()
+        val candD = sizeFilt(
+          pchk.select(col("h"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+            .join(pchk.select(col("h"), col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+            .filter(col("id_a") < col("id_b")))
+        time(s"dedup2-checkpoint-$round")(force(rescore(candD, sh)))
+        sh.unpersist(true)
+      }
+    }
+
+    if (want("semdedup")) {
+      // q97: the (fit + cross-join score + normalize) assignment
+      // subtree feeds THREE consumers (pair sides a/b + the final
+      // left join) and recomputes per consumer (3 BNLJ in the before
+      // plan). Variant: one eager localCheckpoint of the assignment.
+      import graft.pipeline.{Dedup, Similarity}
+      val emb = t(spark, dir, "embeddings")
+      force(emb)
+      val tq = 3000L
+      def semDedupChk(): DataFrame = {
+        val av = Similarity.gridCentroidAssignment(emb)
+          .select(col("vec_id"), col("cluster"),
+            Similarity.normalizeUdf(col("v")).as("nv"))
+          .localCheckpoint()
+        val a = av.select(col("cluster"), col("vec_id").as("id_a"), col("nv").as("va"))
+        val b = av.select(col("cluster"), col("vec_id").as("id_b"), col("nv").as("vb"))
+        val dropped = a.join(b, Seq("cluster"))
+          .filter(col("id_b") < col("id_a"))
+          .filter(floor(Similarity.nativeDot(spark)(col("va"), col("vb"))
+            * lit(10000.0)).cast("long") >= lit(tq))
+          .select(col("id_a").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(1L))
+        av.join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+          .orderBy(col("vec_id"))
+      }
+      for (round <- 1 to 2) {
+        time(s"semdedup-current-$round")(force(Dedup.semDedup(emb, 0.3, 64)))
+        time(s"semdedup-checkpointed-$round")(force(semDedupChk()))
+      }
+    }
+
+    if (want("neardup")) {
+      // q36: bandedSignatures' (banded, nv) each feed two consumers.
+      // Variant: checkpoint the shared stage once. Also times q59's
+      // pair input reuse.
+      import graft.pipeline.Dedup
+      val emb = t(spark, dir, "embeddings")
+      force(emb)
+      for (round <- 1 to 2) {
+        time(s"neardup-q36-current-$round")(force(
+          Dedup.embeddingNearDupLsh(emb, threshold = 0.9)))
+        time(s"neardup-q59-current-$round")(force(
+          Dedup.dedupGroups(Dedup.embeddingNearDupLsh(emb, threshold = 0.9))))
+        // checkpointed variant of q36's shape
+        val (banded0, nv0) = Dedup.bandedSignatures(emb, 8, 4, 64, 42L)
+        val banded = banded0.localCheckpoint(); val nv = nv0.localCheckpoint()
+        val a = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_a"))
+        val b = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_b"))
+        val cand = a.join(b, Seq("band_idx", "band_hash"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val chk = cand
+          .join(nv.select(col("vec_id").as("id_a"), col("nv").as("va")), Seq("id_a"))
+          .join(nv.select(col("vec_id").as("id_b"), col("nv").as("vb")), Seq("id_b"))
+          .filter(graft.pipeline.Similarity.nativeDot(spark)(col("va"), col("vb")) > 0.9)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+        time(s"neardup-q36-checkpointed-$round")(force(chk))
+      }
+    }
+
     if (want("bpe")) {
       val docs = t(spark, dir, "documents")
       force(docs.select(col("doc_id"), col("text")))

@@ -290,8 +290,11 @@ object Dedup {
     val spark = embeddings.sparkSession
     validateAnchorFraction(anchorFraction)
     val anchored = anchorFraction < 1.0
+    // normalize feeds both sides of the exact a<b join — once, not
+    // twice (same reused-intermediate materialization as the LSH side)
     val nv = embeddings.select(col("vec_id"),
       Similarity.normalizeUdf(Similarity.asDouble(col("embedding"))).as("nv"))
+      .localCheckpoint()
     val aAll = nv.select(col("vec_id").as("id_a"), col("nv").as("va"))
     val a = if (anchored)
       aAll.filter(anchorPred(col("id_a"), anchorSeed, anchorFraction)) else aAll
@@ -394,11 +397,17 @@ object Dedup {
     val r = numHashes / bands
     val sigUdf = udf { sh: Seq[String] => minhashSignature(sh, numHashes) }
     val bandUdf = udf { sig: Seq[Long] => bandHashes(sig, r) }
+    // the tokenize + shingle + 64-slot MinHash signature pipeline
+    // feeds BOTH sides of the banding self-join — materialize it once
+    // instead of running the signature UDF twice over the corpus
+    // (the reused-intermediate move, optimization guide §3.3/§5;
+    // O(N·bands) narrow rows)
     val banded = PartitionUtil.spread(docs)
       .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
       .withColumn("sig", sigUdf(col("sh")))
       .select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
       .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("band_hash"))
+      .localCheckpoint()
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
     a.join(b, Seq("band_idx", "band_hash")).filter(col("id_a") < col("id_b"))
@@ -717,7 +726,15 @@ object Dedup {
                           bands: Int = 8, rowsPerBand: Int = 4,
                           dim: Int = 64, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
-    val (banded, nv) = bandedSignatures(embeddings, bands, rowsPerBand, dim, seed)
+    // both stages feed TWO consumers each (banded: the candidate
+    // self-join's sides; nv: both re-score joins) — materialize each
+    // ONCE instead of re-running the 32-plane banding and the
+    // normalize per consumer (measured 1.25s -> 0.71s warm at sf0.1;
+    // the reused-intermediate move, optimization guide §3.3/§5).
+    // O(N·bands) / O(N) narrow rows.
+    val (banded0, nv0) = bandedSignatures(embeddings, bands, rowsPerBand, dim, seed)
+    val banded = banded0.localCheckpoint()
+    val nv = nv0.localCheckpoint()
     val a = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_b"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
@@ -734,8 +751,8 @@ object Dedup {
   /** Shared banding stage: per vector, `bands` (band_idx, band_hash)
     * keys from seeded ±1 hyperplane sign bits, plus the normalized
     * vector table for exact re-scoring. */
-  private def bandedSignatures(embeddings: DataFrame, bands: Int, rowsPerBand: Int,
-                               dim: Int, seed: Long): (DataFrame, DataFrame) = {
+  private[graft] def bandedSignatures(embeddings: DataFrame, bands: Int, rowsPerBand: Int,
+                                      dim: Int, seed: Long): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     def dot(a: Column, b: Column): Column = Similarity.nativeDot(spark)(a, b)
     val planes = rademacherPlanes(bands * rowsPerBand, dim, seed)
@@ -772,7 +789,12 @@ object Dedup {
                           bands: Int = 8, rowsPerBand: Int = 4,
                           dim: Int = 64, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
-    val (banded, nv) = bandedSignatures(embeddings, bands, rowsPerBand, dim, seed)
+    // same reused-intermediate materialization as
+    // [[embeddingNearDupLsh]]: banded feeds the old AND new sides,
+    // nv both re-score joins — compute each once
+    val (banded0, nv0) = bandedSignatures(embeddings, bands, rowsPerBand, dim, seed)
+    val banded = banded0.localCheckpoint()
+    val nv = nv0.localCheckpoint()
     val old = banded.filter(col("vec_id") < splitId)
       .select(col("band_idx"), col("band_hash"), col("vec_id").as("id_old"))
     val fresh = banded.filter(col("vec_id") >= splitId)
@@ -845,9 +867,18 @@ object Dedup {
   def semDedup(embeddings: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     val tq = math.floor(threshold * 10000.0).toLong
+    // the assignment subtree (grid-centroid fit + broadcast-NL score +
+    // normalize) feeds THREE consumers (both pair sides + the final
+    // keep join); materialize it ONCE instead of per consumer — the
+    // round-16 before-plan showed 3 copies of the fit/score pipeline
+    // (3 BroadcastNestedLoopJoins), and the checkpointed shape
+    // measured 1.91s -> 1.12s warm at sf0.1. O(N) narrow rows
+    // (vec_id, cluster, nv), the standard reused-intermediate
+    // materialization (optimization guide §3.3/§5).
     val av = Similarity.gridCentroidAssignment(embeddings)
       .select(col("vec_id"), col("cluster"),
         Similarity.normalizeUdf(col("v")).as("nv"))
+      .localCheckpoint()
     val a = av.select(col("cluster"), col("vec_id").as("id_a"), col("nv").as("va"))
     val b = av.select(col("cluster"), col("vec_id").as("id_b"), col("nv").as("vb"))
     val dropped = a.join(b, Seq("cluster"))
