@@ -101,11 +101,20 @@ object Graph {
       e0.join(outw, Seq("src"))
         .select(col("src"), col("dst"), col("w"), col("ow")),
       checkpointDir)
-    val stats = ew0.agg(max(col("w")).as("mw"), countDistinct(col("src")).as("n"),
-      count(lit(1)).as("m")).head()
-    val maxW = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
-    val n = stats.getLong(1)
-    val m = stats.getLong(2)
+    // ONE materialized |V|-sized vertex-stats relation + ONE tiny
+    // aggregate over it replace the preamble's three separate
+    // edge-scan jobs (stats agg, node materialization, src/dst
+    // mismatch probe) — guide §1.2, fewer passes; every preamble fact
+    // (|V|, |E|, max w, zero-indegree / sink flags, the node set
+    // itself) reads off the same pass
+    val vstats = vertexStats(ew0, checkpointDir)
+    val g = vstats.agg(max(col("mw")).as("mw"), count(col("src")).as("n"),
+      sum(col("cnt")).as("m"),
+      max(when(col("dst").isNull, 1).otherwise(0)).as("zi"),
+      max(when(col("src").isNull, 1).otherwise(0)).as("sk")).head()
+    val maxW = Option(g.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val n = g.getLong(1)
+    val m = Option(g.get(2)).fold(0L)(_.asInstanceOf[Long])
     require(n > 0, "pagerank: empty edge set")
     require(maxW <= Long.MaxValue / Scale,
       s"pagerank: edge weight $maxW would overflow rank*w at scale $Scale")
@@ -132,8 +141,9 @@ object Graph {
         p
       } else ew0.coalesce(parts)
     val base = (3L * Scale) / (20L * n) // 0.15/N in fixed point
-    val nodes = PartitionUtil.materialize(
-      ew.select(col("src").as("v")).distinct(), checkpointDir)
+    // node set = the non-null-src rows of the already-materialized
+    // vertex stats — no separate distinct+materialize job
+    val nodes = vstats.filter(col("src").isNotNull).select(col("src").as("v"))
     // Both iteration paths must return the SAME row set: `nodes`
     // (distinct src). The fast path keys each step's rank vector off
     // the contribution aggregate (grouped by dst), which equals
@@ -147,7 +157,7 @@ object Graph {
     // reference-free so lineage can accumulate safely between the
     // every-5th-iteration checkpoints (measured 2.6x faster at
     // |E| ~ 10^4; at large |E| the join+agg dominates either way).
-    val needNodeJoin = srcDstMismatch(nodes, ew)
+    val needNodeJoin = g.getInt(3) == 1 || g.getInt(4) == 1
     var rank = nodes.select(col("v"), lit(Scale / n).as("rank"))
     for (k <- 1 to iters) {
       val stepped = pagerankStep(ew, rank, base,
@@ -191,9 +201,20 @@ object Graph {
       e0.join(outw, Seq("src"))
         .select(col("src"), col("dst"), col("w"), col("ow")),
       checkpointDir)
-    val stats = ew0.agg(max(col("w")).as("mw"), count(lit(1)).as("m")).head()
-    val maxW = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
-    val m = stats.getLong(1)
+    // the same fused preamble as [[pagerank]]: one materialized
+    // vertex-stats pass + one tiny aggregate replace the separate
+    // stats scan, seeded-node materialization, seed count and
+    // src/dst-mismatch probe (4 sequential jobs -> 2); the seed flag
+    // is a pure function of the node id, so |seeds| rides the same
+    // aggregate
+    val vstats = vertexStats(ew0, checkpointDir)
+    val g = vstats.agg(max(col("mw")).as("mw"), sum(col("cnt")).as("m"),
+      max(when(col("dst").isNull, 1).otherwise(0)).as("zi"),
+      max(when(col("src").isNull, 1).otherwise(0)).as("sk"),
+      sum(when(col("src").isNotNull && isSeed(col("src")).cast("boolean"), 1L)
+        .otherwise(0L)).as("nseeds")).head()
+    val maxW = Option(g.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val m = Option(g.get(1)).fold(0L)(_.asInstanceOf[Long])
     require(m > 0, "personalizedPagerank: empty edge set")
     require(maxW <= Long.MaxValue / Scale,
       s"personalizedPagerank: edge weight $maxW would overflow rank*w at scale $Scale")
@@ -205,13 +226,12 @@ object Graph {
         p.count()
         p
       } else ew0.coalesce(parts)
-    // seed flag rides on the node relation — ONE boolean column, no
-    // separate seed join anywhere in the loop
-    val seeded = PartitionUtil.materialize(
-      ew.select(col("src").as("v")).distinct()
-        .select(col("v"), isSeed(col("v")).cast("boolean").as("s")),
-      checkpointDir)
-    val nSeeds = seeded.filter(col("s")).count()
+    // seed flag rides on the node relation — ONE boolean column
+    // projected off the materialized vertex stats, no separate seed
+    // join anywhere in the loop and no extra materialization job
+    val seeded = vstats.filter(col("src").isNotNull)
+      .select(col("src").as("v"), isSeed(col("src")).cast("boolean").as("s"))
+    val nSeeds = Option(g.get(4)).fold(0L)(_.asInstanceOf[Long])
     require(nSeeds > 0, "personalizedPagerank: seed predicate matched no node")
     val base = (3L * Scale) / (20L * nSeeds)
     // fast path (the pagerank pattern, measured on the q130 graph):
@@ -222,7 +242,7 @@ object Graph {
     // round is ONE join + ONE agg ([[pprFastStep]]). One fused probe
     // job decides ([[srcDstMismatch]]); asymmetric graphs keep the
     // seeded-join path.
-    val fast = !srcDstMismatch(seeded.select(col("v")), ew)
+    val fast = !(g.getInt(2) == 1 || g.getInt(3) == 1)
     val ewS = if (fast)
       ew.withColumn("sd", isSeed(col("dst")).cast("boolean")) else ew
     var rank = seeded.select(col("v"),
@@ -284,6 +304,25 @@ object Graph {
     * of the two distinct sets, a null on either side flagging its
     * mismatch class. Both distincts are map-side-combined O(|V|)
     * aggregations; the join is |V|-sized. */
+  /** ONE materialized |V|-sized per-vertex stats relation for the
+    * pagerank-family preambles: the distinct-src rows carry their
+    * per-src edge count and max weight, full-outer-joined against the
+    * distinct dst set — so the node set (src non-null), |E| (sum of
+    * counts), max w, the zero-indegree flag (dst-side null) and the
+    * sink flag (src-side null) all read off the SAME single pass over
+    * the edge relation instead of three separate preamble jobs
+    * (guide §1.2: fewer passes). Cost: two map-side-combined O(|E|)
+    * aggregations + one |V|-sized join, the same volume the old
+    * mismatch probe alone paid. */
+  private[graft] def vertexStats(ew0: DataFrame,
+                                 checkpointDir: Option[String]): DataFrame =
+    PartitionUtil.materialize(
+      ew0.groupBy(col("src"))
+        .agg(count(lit(1)).as("cnt"), max(col("w")).as("mw"))
+        .join(ew0.select(col("dst")).distinct(), col("src") === col("dst"), "full")
+        .select(col("src"), col("cnt"), col("mw"), col("dst")),
+      checkpointDir)
+
   private[graft] def srcDstMismatch(nodes: DataFrame, ew: DataFrame): Boolean = {
     val r = nodes
       .join(ew.select(col("dst")).distinct(), col("v") === col("dst"), "full")
