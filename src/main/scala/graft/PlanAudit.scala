@@ -99,7 +99,9 @@ object PlanAudit {
           "EQUI-join on (band_idx, band_hash) — plus an exact cosine " +
           "re-score of the candidates joined back by id. The corpus is " +
           "never crossed with itself: shuffle volume is O(N·bands) narrow " +
-          "rows plus the candidate set",
+          "rows plus the candidate set. The banding and normalize " +
+          "stages are materialized once (round-16: each fed two " +
+          "consumers and re-ran per consumer; 1.25s -> 0.71s warm)",
         Seq.empty,
         Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
       ("img11_ddl_source",
@@ -304,11 +306,14 @@ object PlanAudit {
         Seq("Window", "CartesianProduct")),
       ("q97_semdedup",
         "semantic dedup: cluster assignment reuses the q79 broadcast-" +
-          "centroid shape; the cosine-pruning candidate join is an " +
-          "EQUI-join on cluster id (quadratic work bounded per cluster " +
-          "by construction — SemDeDup's contract), and the survivor " +
-          "flag is a left outer join against the distinct dropped set " +
-          "— the corpus never cross-joins itself",
+          "centroid shape and is MATERIALIZED ONCE (round-16: it fed " +
+          "three consumers and re-ran per consumer — 3 BNLJ copies in " +
+          "the old plan; 1.91s -> 1.12s warm); the cosine-pruning " +
+          "candidate join is an EQUI-join on cluster id (quadratic " +
+          "work bounded per cluster by construction — SemDeDup's " +
+          "contract), and the survivor flag is a left outer join " +
+          "against the distinct dropped set — the corpus never " +
+          "cross-joins itself",
         Seq("vec_dot"),
         Seq("CartesianProduct")),
       ("q108_bigram_lm",
