@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ContentHash, SaltedHash64, VectorDot, VectorNorm}
+import graft.functions.{ContentHash, MinhashBands, MinhashExpressions, SaltedHash64, VectorDot, VectorNorm, WordShingles}
 
 /** Session-extension entry point:
   *
@@ -41,6 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SaltedHash64].getName, "salted_hash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SaltedHash64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs.head,
+          MinhashExpressions.litInt(exprs(1), "word_shingles n"))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashBands(exprs.head,
+          MinhashExpressions.litInt(exprs(1), "minhash_bands numHashes"),
+          MinhashExpressions.litInt(exprs(2), "minhash_bands r"))))
     // band-join rewrite (opt-in via spark.graft.rangeJoin.bucketWidth):
     // turns inequality-only joins into bucketized equi-joins instead of
     // Catalyst's BroadcastNestedLoopJoin fallback

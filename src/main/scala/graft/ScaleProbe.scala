@@ -21,9 +21,12 @@ object ScaleProbe {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val only = args.drop(1).toSet
     val copies = 10
+    // honor the same core-count env as Bench so the probe can produce
+    // low-vs-high-core scaling evidence on the 10x replicas
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -20,13 +20,36 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(text, " "), x => x =!= "")
 
-  private def shingleUdf(n: Int) = udf { toks: Seq[String] =>
+  /** The retired Scala-closure shingle UDF, kept ONLY as the reference
+    * implementation PropertySpec pins the native expression against. */
+  private[graft] def shingleUdf(n: Int) = udf { toks: Seq[String] =>
     if (toks == null || toks.length < n) Seq.empty[String]
     else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
   }
 
-  /** Distinct word n-gram shingles per document. */
-  def shingles(text: Column, n: Int): Column = shingleUdf(n)(tokens(text))
+  /** Distinct word n-gram shingles per document — a NATIVE codegen'd
+    * expression ([[graft.functions.WordShingles]]): no catalyst→Seq
+    * deserialization, no closure call per document (optimization
+    * guide §1.2 per-task work / "functions, not UDFs"). Bit-identical
+    * to the retired [[shingleUdf]], pinned in PropertySpec. */
+  def shingles(text: Column, n: Int): Column = {
+    graft.functions.MinhashExpressions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.MinhashExpressions.wordShingles(tokens(text), n)
+  }
+
+  /** Materialize-or-inline for the embedding-family shared stages
+    * (bandedSignatures / normalize / semdedup assignment), knob
+    * `graft.dedup.sharedStageMaterialize` (checkpoint | plain). Unlike
+    * the minhash banding, these stages carry BroadcastNestedLoopJoin
+    * fits or feed 3 consumers, where the round-16/17 A/Bs measured the
+    * one-time materialization clearly ahead (q97 1.87->1.12-class wins)
+    * — so `checkpoint` stays the default; the knob exists to re-measure
+    * per consumer without a rebuild. */
+  private def materializeShared(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.dedup.sharedStageMaterialize",
+        "checkpoint") == "plain") df
+    else PartitionUtil.materializeConf(df)
 
   // ---- anchor sampling (shared by the quality audits) -----------------
 
@@ -292,9 +315,8 @@ object Dedup {
     val anchored = anchorFraction < 1.0
     // normalize feeds both sides of the exact a<b join — once, not
     // twice (same reused-intermediate materialization as the LSH side)
-    val nv = embeddings.select(col("vec_id"),
-      Similarity.normalizeUdf(Similarity.asDouble(col("embedding"))).as("nv"))
-      .localCheckpoint()
+    val nv = materializeShared(embeddings.select(col("vec_id"),
+      Similarity.normalizeUdf(Similarity.asDouble(col("embedding"))).as("nv")))
     val aAll = nv.select(col("vec_id").as("id_a"), col("nv").as("va"))
     val a = if (anchored)
       aAll.filter(anchorPred(col("id_a"), anchorSeed, anchorFraction)) else aAll
@@ -395,19 +417,37 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigUdf = udf { sh: Seq[String] => minhashSignature(sh, numHashes) }
-    val bandUdf = udf { sig: Seq[Long] => bandHashes(sig, r) }
+    graft.functions.MinhashExpressions.register(docs.sparkSession)
     // the tokenize + shingle + 64-slot MinHash signature pipeline
-    // feeds BOTH sides of the banding self-join — materialize it once
-    // instead of running the signature UDF twice over the corpus
-    // (the reused-intermediate move, optimization guide §3.3/§5;
-    // O(N·bands) narrow rows)
-    val banded = PartitionUtil.spread(docs)
+    // (all NATIVE codegen'd expressions — no UDF boundary; signature
+    // and band fold fused into graft.functions.MinhashBands) feeds
+    // BOTH sides of the banding self-join. How to share it is a
+    // measured, consumer-dependent choice (optimization guide §3.3/§5
+    // vs §5's "materialize only where recompute > materialization"):
+    //   checkpoint — eager localCheckpoint, computes the banding once
+    //     as its own job; plain — no materialization, the banding runs
+    //     per join side (twice under a broadcast-hash self-join).
+    // Round-16 applied `checkpoint` blanket-wide and q96 regressed
+    // (driver: 1.23 -> 1.63 s); the round-17 per-consumer A/B (quiet
+    // box, interleaved passes — OPTIMIZATION_r17.md) measured `plain`
+    // faster or tied on ALL six consumers once the banding became a
+    // native expression (q96 1.56->1.30, q153 3.26->3.10, q160
+    // 0.74->0.65; q32/q112/q157 within noise), so `plain` is the
+    // default. Scale note: at corpus scale the self-join is SMJ/SHJ
+    // (both sides exceed the broadcast threshold), whose two identical
+    // band-key exchanges collapse via ReuseExchange — the banding still
+    // computes once; only the local broadcast-join regime ever ran it
+    // twice, and there recompute beats the checkpoint write+read.
+    val mode = docs.sparkSession.conf.get("graft.dedup.lshPairsMaterialize", "plain")
+    val banded0 = PartitionUtil.spread(docs)
       .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
-      .withColumn("sig", sigUdf(col("sh")))
-      .select(col("doc_id"), explode(bandUdf(col("sig"))).as("band"))
-      .select(col("doc_id"), col("band._1").as("band_idx"), col("band._2").as("band_hash"))
-      .localCheckpoint()
+      .select(col("doc_id"), posexplode(
+        graft.functions.MinhashExpressions.minhashBands(col("sh"), numHashes, r)))
+      .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("band_hash"))
+    val banded = mode match {
+      case "plain" => banded0
+      case _ => PartitionUtil.materializeConf(banded0)
+    }
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
     a.join(b, Seq("band_idx", "band_hash")).filter(col("id_a") < col("id_b"))
@@ -733,8 +773,8 @@ object Dedup {
     // the reused-intermediate move, optimization guide §3.3/§5).
     // O(N·bands) / O(N) narrow rows.
     val (banded0, nv0) = bandedSignatures(embeddings, bands, rowsPerBand, dim, seed)
-    val banded = banded0.localCheckpoint()
-    val nv = nv0.localCheckpoint()
+    val banded = materializeShared(banded0)
+    val nv = materializeShared(nv0)
     val a = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("id_b"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
@@ -793,8 +833,8 @@ object Dedup {
     // [[embeddingNearDupLsh]]: banded feeds the old AND new sides,
     // nv both re-score joins — compute each once
     val (banded0, nv0) = bandedSignatures(embeddings, bands, rowsPerBand, dim, seed)
-    val banded = banded0.localCheckpoint()
-    val nv = nv0.localCheckpoint()
+    val banded = materializeShared(banded0)
+    val nv = materializeShared(nv0)
     val old = banded.filter(col("vec_id") < splitId)
       .select(col("band_idx"), col("band_hash"), col("vec_id").as("id_old"))
     val fresh = banded.filter(col("vec_id") >= splitId)
@@ -875,10 +915,10 @@ object Dedup {
     // measured 1.91s -> 1.12s warm at sf0.1. O(N) narrow rows
     // (vec_id, cluster, nv), the standard reused-intermediate
     // materialization (optimization guide §3.3/§5).
-    val av = Similarity.gridCentroidAssignment(embeddings)
-      .select(col("vec_id"), col("cluster"),
-        Similarity.normalizeUdf(col("v")).as("nv"))
-      .localCheckpoint()
+    val av = materializeShared(
+      Similarity.gridCentroidAssignment(embeddings)
+        .select(col("vec_id"), col("cluster"),
+          Similarity.normalizeUdf(col("v")).as("nv")))
     val a = av.select(col("cluster"), col("vec_id").as("id_a"), col("nv").as("va"))
     val b = av.select(col("cluster"), col("vec_id").as("id_b"), col("nv").as("vb"))
     val dropped = a.join(b, Seq("cluster"))

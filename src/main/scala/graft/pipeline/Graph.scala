@@ -56,20 +56,40 @@ object Graph {
     // two-field struct (guide §2.3 — narrower types on the exchange;
     // measured 15% off the build, which every graph query pays).
     // Ids outside [0, 2³¹) would break the packing's injectivity, so
-    // they fail loudly instead of mis-counting.
-    val pack = "IF(x >= 0 AND x < 2147483648 AND y >= 0 AND y < 2147483648, " +
-      "x * 4294967296L + y, " +
-      "CAST(raise_error('supplierCooccurrence: supplier id exceeds 31 bits " +
-      "- packed pair key would overflow') AS BIGINT))"
-    lineitem.groupBy(col("l_orderkey"))
+    // under the default they fail loudly instead of mis-counting —
+    // and `graft.graph.packPairKey=false` selects the two-column
+    // struct-key grouping instead (same rows, wider exchange), the
+    // documented escape hatch for id domains the pack cannot carry
+    // (synthetic/hashed 64-bit ids at 100 TB). The branch is a conf,
+    // not a data probe: auto-detecting the bound would cost an extra
+    // full aggregation pass per query on the common path.
+    val packed = lineitem.sparkSession.conf
+      .get("graft.graph.packPairKey", "true").toBoolean
+    val grouped = lineitem.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_suppkey").cast("long")).as("ss"))
-      .select(explode(expr(
-        s"flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
-          s"y -> $pack)))")).as("k"))
-      .groupBy(col("k"))
-      .agg(count(lit(1)).as("w"))
-      .select(shiftrightunsigned(col("k"), 32).as("src"),
-        col("k").bitwiseAND(lit(4294967295L)).as("dst"), col("w"))
+    if (packed) {
+      val pack = "IF(x >= 0 AND x < 2147483648 AND y >= 0 AND y < 2147483648, " +
+        "x * 4294967296L + y, " +
+        "CAST(raise_error('supplierCooccurrence: supplier id exceeds 31 bits " +
+        "- packed pair key would overflow; set graft.graph.packPairKey=false' " +
+        ") AS BIGINT))"
+      grouped
+        .select(explode(expr(
+          s"flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+            s"y -> $pack)))")).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("w"))
+        .select(shiftrightunsigned(col("k"), 32).as("src"),
+          col("k").bitwiseAND(lit(4294967295L)).as("dst"), col("w"))
+    } else {
+      grouped
+        .select(explode(expr(
+          "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+            "y -> struct(x AS src, y AS dst))))")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+    }
   }
 
   /** Weighted PageRank over (src, dst, w) edges, damping 0.85, a fixed

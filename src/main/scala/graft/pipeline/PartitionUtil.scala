@@ -108,6 +108,18 @@ object PartitionUtil {
       case None => df.localCheckpoint(eager)
     }
 
+  /** [[materialize]] with the checkpoint dir read from the session
+    * conf `graft.checkpointDir` (empty/unset = localCheckpoint) — for
+    * the operators whose signatures don't thread an explicit dir (the
+    * dedup-family shared-stage materializations). At 100 TB set the
+    * conf to an HDFS/S3A path so an executor loss re-reads one
+    * materialized stage instead of truncating localCheckpoint lineage
+    * and failing the query. */
+  def materializeConf(df: DataFrame, eager: Boolean = true): DataFrame =
+    materialize(df,
+      Option(df.sparkSession.conf.get("graft.checkpointDir", "")).filter(_.nonEmpty),
+      eager)
+
   /** Skew-resistant ORDER-SENSITIVE top-k per key — the rank case
     * [[saltedWindow]] deliberately excludes: row-for-row equivalent to
     * `ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord, id) <= k`, but

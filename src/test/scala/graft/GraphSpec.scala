@@ -167,6 +167,39 @@ class GraphSpec extends AnyFunSuite with Matchers {
       (2L, 3L, 1L), (3L, 2L, 1L))
   }
 
+  test("supplierCooccurrence: wide (>31-bit) ids — packed key raises loudly, struct-key fallback counts correctly") {
+    import spark.implicits._
+    val wide = 1L << 40 // a synthetic/hashed id domain the pack can't carry
+    val li = Seq(
+      (10L, wide + 1L), (10L, wide + 2L),
+      (20L, wide + 1L), (20L, wide + 2L), (20L, wide + 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    // default (packed): fail fast, never mis-count
+    val e = intercept[Exception] {
+      Graph.supplierCooccurrence(li).collect()
+    }
+    e.getMessage should include("packed pair key would overflow")
+    // conf-selected struct-key branch: same operator, wide ids carried
+    spark.conf.set("graft.graph.packPairKey", "false")
+    try {
+      val edges = Graph.supplierCooccurrence(li)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      edges shouldBe Set(
+        (wide + 1L, wide + 2L, 2L), (wide + 2L, wide + 1L, 2L),
+        (wide + 1L, wide + 3L, 1L), (wide + 3L, wide + 1L, 1L),
+        (wide + 2L, wide + 3L, 1L), (wide + 3L, wide + 2L, 1L))
+      // and on narrow ids the two branches agree exactly
+      val liN = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (20L, 3L))
+        .toDF("l_orderkey", "l_suppkey")
+      val structEdges = Graph.supplierCooccurrence(liN)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.conf.set("graft.graph.packPairKey", "true")
+      val packedEdges = Graph.supplierCooccurrence(liN)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      packedEdges shouldBe structEdges
+    } finally spark.conf.set("graft.graph.packPairKey", "true")
+  }
+
   test("conversionFunnel finds strictly-ordered stage times and stops at the first gap") {
     import spark.implicits._
     def t(ms: Long) = new Timestamp(ms)

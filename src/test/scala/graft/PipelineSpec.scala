@@ -1426,6 +1426,83 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     plan.contains("ScalaUDF") shouldBe false
   }
 
+  test("word_shingles + minhash_bands: native expressions equal the Scala-closure reference, codegen'd") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.MinhashExpressions.register(spark)
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox the quick brown fox"), // duplicate shingles
+      (3L, "κλμ ünïcode tokens κλμ ünïcode tokens κλμ"), // non-ASCII
+      (4L, "one two"), // fewer tokens than n
+      (5L, ""), // empty text
+      (6L, "   a   b   c   d   "), // extra whitespace (empty tokens filtered)
+      (7L, null.asInstanceOf[String])) // null text
+    val df = texts.toDF("doc_id", "text")
+    val n = 3; val numHashes = 64; val bands = 16; val r = numHashes / bands
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text"), n).as("sh"))
+      .withColumn("bh", graft.functions.MinhashExpressions
+        .minhashBands(col("sh"), numHashes, r))
+      .as[(Long, Seq[String], Seq[Long])].collect().sortBy(_._1).toList
+    // reference: the retired Scala closures, computed driver-side
+    got.foreach { case (id, sh, bh) =>
+      val text = texts.find(_._1 == id).get._2
+      val toks = Option(text).map(_.split(" ").filter(_.nonEmpty).toSeq).orNull
+      val refSh =
+        if (toks == null || toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      withClue(s"doc $id shingles:") { sh shouldBe refSh }
+      val refBands = Dedup.bandHashes(
+        Dedup.minhashSignature(refSh, numHashes).toSeq, r).map(_._2)
+      withClue(s"doc $id bands:") { bh shouldBe refBands }
+    }
+    // the whole projection stays inside generated code — no closure UDF
+    val plan = df.select(graft.functions.MinhashExpressions.minhashBands(
+      Dedup.shingles(col("text"), n), numHashes, r))
+      .queryExecution.executedPlan.toString
+    plan.contains("ScalaUDF") shouldBe false
+    // the full pair operator agrees with itself across partitionings
+    // (the partition-invariance contract the oracle gate relies on)
+    val p1 = Dedup.minhashLshPairs(df, n, numHashes, bands)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    val p2 = Dedup.minhashLshPairs(df.repartition(5), n, numHashes, bands)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    p2 shouldBe p1
+  }
+
+  test("graft.checkpointDir: dedup shared-stage materializations take the reliable-checkpoint path bit-identically") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 7} tok${i % 5} common text tail"))
+      .toDF("doc_id", "text").withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val emb = (1L to 60L).map(i =>
+      (i, (0 until 8).map(k => ((i % 5) + k * 0.25 + (i % 3) * 0.5).toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    def pairRows() = Dedup.minhashLshPairs(docs, 3, 16, 4)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    def semRows() = Dedup.semDedup(emb, 0.3, 8)
+      .as[(Long, Long, Long)].collect().toList
+    val basePairs = pairRows(); val baseSem = semRows()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec").toString
+    spark.conf.set("graft.checkpointDir", dir)
+    try {
+      pairRows() shouldBe basePairs
+      semRows() shouldBe baseSem
+      // the reliable path actually wrote state under the dir
+      def count(f: java.io.File): Int =
+        if (f.isFile) 1
+        else Option(f.listFiles()).getOrElse(Array.empty).map(count).sum
+      count(new java.io.File(dir)) should be > 0
+    } finally {
+      spark.conf.set("graft.checkpointDir", "")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("temperature mixture: isqrt weights, integer quotas, deterministic lowest-hash fill") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -37,6 +37,45 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("native shingle/minhash kernels equal the Scala folds on generated token arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val genTok = Gen.oneOf(
+      Gen.choose(0, 6).map(i => s"w$i"),            // collisions across docs
+      Gen.const("κλμ"), Gen.const("ünïcode"),        // non-ASCII (UTF-8 multibyte)
+      Gen.const("😀"),                     // surrogate pair
+      Gen.alphaNumStr.map(_.take(8)))
+    val genToks = Gen.listOf(genTok)
+    val genN = Gen.choose(1, 4)
+    check("shingle-kernel", Prop.forAll(genToks, genN) { (toks, n) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val got = graft.functions.MinhashUtil.shingles(arr, n)
+        .toArray[UTF8String](StringType).map(_.toString).toSeq
+      val ref =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      got == ref
+    })
+    check("minhash-band-kernel", Prop.forAll(genToks, Gen.oneOf(4, 16, 64),
+        Gen.oneOf(1, 2, 4)) { (sh, numHashes, r) =>
+      val arr = new GenericArrayData(
+        sh.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val got = graft.functions.MinhashUtil.minhashBands(arr, numHashes, r)
+        .toArray[Long](LongType).toSeq
+      val ref = graft.pipeline.Dedup.bandHashes(
+        graft.pipeline.Dedup.minhashSignature(sh, numHashes).toSeq, r).map(_._2)
+      got == ref
+    })
+    // null token array == empty shingle set (the UDF guard's contract)
+    graft.functions.MinhashUtil.shingles(null, 3).numElements() shouldBe 0
+    graft.functions.MinhashUtil.minhashBands(null, 16, 4)
+      .toArray[Long](LongType).toSeq shouldBe
+      graft.pipeline.Dedup.bandHashes(
+        graft.pipeline.Dedup.minhashSignature(Seq.empty, 16).toSeq, 4).map(_._2)
+  }
+
   test("Misra–Gries guarantee holds under any reduce/merge split tree") {
     val genStream = Gen.listOf(Gen.choose(0, 9).map(i => s"t$i"))
     val genK = Gen.choose(2, 8)
