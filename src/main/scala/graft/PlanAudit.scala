@@ -24,6 +24,14 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // plan audits assert the AT-SCALE (distributed) shapes, so the
+    // small-graph driver fast path is disabled here: at sf0.01 every
+    // graph operator would otherwise return a LocalTableScan of the
+    // driver kernel's result and there would be no plan to audit.
+    // The driver path's correctness is pinned by GraphSpec's
+    // driver-vs-distributed agreement test instead.
+    spark.conf.set("graft.graph.maxDriverEdges", "0")
+    spark.conf.set("graft.graph.maxDriverEdgesQuadratic", "0")
 
     // (query, description, required substrings, forbidden substrings)
     val audits: Seq[(String, String, Seq[String], Seq[String])] = Seq(

@@ -40,6 +40,86 @@ object Graph {
     * in [[pagerank]]. */
   val Scale: Long = 1000000000L
 
+  // ---- driver fast path for small graphs -------------------------------
+  //
+  // The round-16/17 dissections (ProfileR16 prx/prx2, ProfileR17 grloop)
+  // measured ~210–250 ms PER ITERATION of the distributed loops at
+  // sf0.1 regardless of AQE, shuffle-partition count, edge partitioning,
+  // checkpoint cadence or rank broadcasting — the cost is Spark's
+  // per-stage machinery (scheduling, codegen, exchange setup), not the
+  // integer arithmetic, which on a graph this size is sub-millisecond.
+  // First-principles (guide §1.1/§1.2): the cheapest execution of a
+  // 10-round integer recurrence over a megabyte-scale edge set is a
+  // tight in-memory loop — so, exactly like the BPE driver-side merge
+  // rounds (`graft.bpe.maxDriverVocab`, round 16) and the k-means fits,
+  // the iteration loops run DRIVER-SIDE when the already-materialized
+  // edge relation is small enough to collect under a conf-bounded cap,
+  // with bit-identical integer arithmetic (Long sums are
+  // reduction-order-free) and the distributed loop untouched as the
+  // 100 TB fallback. The gate reads the edge count the preamble already
+  // computes — no extra pass on either path. GraphSpec pins
+  // driver == distributed on seeded random graphs for every operator.
+  //
+  // Two caps because per-round work differs in shape:
+  //  - maxDriverEdges (default 2M): the O(|E|)-per-round loops
+  //    (pagerank, personalized pagerank, label propagation, min-plus
+  //    relaxation, k-core peeling). 2M edges ≈ 64 MB collected.
+  //  - maxDriverEdgesQuadratic (default 256k): the ball/wedge operators
+  //    (bounded-radius BFS, HyperBall sketches, triangles, link
+  //    prediction) whose work is Σ|ball| / Σdeg², super-linear in |E|.
+  private[graft] def maxDriverEdges(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.graph.maxDriverEdges", "2000000").toLong
+  private[graft] def maxDriverEdgesQuad(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.graph.maxDriverEdgesQuadratic", "262144").toLong
+
+  /** Small all-BIGINT result relation for the driver fast paths —
+    * schema (names, LongType, nullable) matches what the distributed
+    * aggregates produce, so the two paths are indistinguishable to
+    * consumers and to the oracle gate. */
+  private def longDf(spark: org.apache.spark.sql.SparkSession,
+                     names: Seq[String], rows: Seq[Array[Long]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq)).asJava,
+      org.apache.spark.sql.types.StructType(names.map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  /** Driver kernel: the exact [[pagerank]] / [[personalizedPagerank]]
+    * recurrence over collected (src, dst, w) edges with the
+    * out-weights derived in place. `baseOf` gives each node's restart
+    * term (constant for pagerank, seed-conditional for trustrank);
+    * `rank0` the initial rank. Long sums are order-free, so this is
+    * bit-identical to the distributed rounds. */
+  private[graft] def driverRankLoop(ew: Array[(Long, Long, Long)],
+                                    iters: Int,
+                                    rank0: Long => Long,
+                                    baseOf: Long => Long): Seq[Array[Long]] = {
+    val ow = new java.util.HashMap[Long, Long]()
+    ew.foreach { case (src, _, w) => ow.merge(src, w, (a, b) => a + b) }
+    val nodes = ew.map(_._1).distinct
+    val nodeSet = nodes.toSet
+    var rank = new java.util.HashMap[Long, Long](nodes.length * 2)
+    nodes.foreach(v => rank.put(v, rank0(v)))
+    for (_ <- 1 to iters) {
+      val contrib = new java.util.HashMap[Long, Long](nodes.length * 2)
+      ew.foreach { case (src, dst, w) =>
+        val r = rank.get(src) // every src is a node by construction
+        val c = (r * w) / ow.get(src)
+        if (nodeSet.contains(dst))
+          contrib.merge(dst, c, (a, b) => a + b)
+      }
+      val next = new java.util.HashMap[Long, Long](nodes.length * 2)
+      nodes.foreach { v =>
+        val sc = contrib.getOrDefault(v, 0L)
+        next.put(v, baseOf(v) + (17L * sc) / 20L)
+      }
+      rank = next
+    }
+    nodes.toSeq.map(v => Array(v, rank.get(v)))
+  }
+
   /** Supplier co-occurrence edges from lineitem: (src, dst, w) with
     * w = number of orders where both suppliers appear; symmetric by
     * construction, no self-loops. Distinct (order, supplier) first so
@@ -113,12 +193,35 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int = 10,
                checkpointDir: Option[String] = None,
                prePartitionEdges: Boolean = false): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // ONE materialization of the (possibly expensive) edge
+    // construction — the narrow (src, dst, w) relation everything else
+    // derives from. Its row count gates the driver fast path; on the
+    // distributed path the out-weight join then reads materialized
+    // blocks, so the edge build is guaranteed to run exactly once.
+    val e0m = PartitionUtil.materialize(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")),
+      checkpointDir)
+    val mEdges = e0m.count()
+    // driver fast path (see the header note): the 10 integer rounds —
+    // and the whole preamble (out-weights, |V|, max-w guard) — run on
+    // the collected edges; no vertex-stats pass, no out-weight join
+    if (mEdges <= maxDriverEdges(edges)) {
+      import edges.sparkSession.implicits._
+      val ewArr = e0m.as[(Long, Long, Long)].collect()
+      val n = ewArr.iterator.map(_._1).toSet.size.toLong
+      require(n > 0, "pagerank: empty edge set")
+      val maxW = if (ewArr.isEmpty) 0L else ewArr.iterator.map(_._3).max
+      require(maxW <= Long.MaxValue / Scale,
+        s"pagerank: edge weight $maxW would overflow rank*w at scale $Scale")
+      val base0 = (3L * Scale) / (20L * n)
+      return longDf(edges.sparkSession, Seq("v", "rank"),
+        driverRankLoop(ewArr, iters, _ => Scale / n, _ => base0))
+    }
+    val outw = e0m.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // loop-invariant edge relation with out-weights attached once;
     // eagerly materialized so no iteration re-runs edge construction
     val ew0 = PartitionUtil.materialize(
-      e0.join(outw, Seq("src"))
+      e0m.join(outw, Seq("src"))
         .select(col("src"), col("dst"), col("w"), col("ow")),
       checkpointDir)
     // ONE materialized |V|-sized vertex-stats relation + ONE tiny
@@ -215,10 +318,35 @@ object Graph {
                            iters: Int = 10,
                            checkpointDir: Option[String] = None,
                            prePartitionEdges: Boolean = false): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // same single-materialization preamble as [[pagerank]]
+    val e0m = PartitionUtil.materialize(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")),
+      checkpointDir)
+    val mEdges = e0m.count()
+    // driver fast path (see the header note). The seed predicate is a
+    // Column, so it evaluates over a LOCAL relation of the node ids —
+    // one LocalTableScan job, no cluster pass.
+    if (mEdges <= maxDriverEdges(edges)) {
+      import edges.sparkSession.implicits._
+      val ewArr = e0m.as[(Long, Long, Long)].collect()
+      require(ewArr.nonEmpty, "personalizedPagerank: empty edge set")
+      val maxWd = ewArr.iterator.map(_._3).max
+      require(maxWd <= Long.MaxValue / Scale,
+        s"personalizedPagerank: edge weight $maxWd would overflow rank*w at scale $Scale")
+      val nodes = ewArr.map(_._1).distinct
+      val seedSet = longDf(edges.sparkSession, Seq("v"), nodes.toSeq.map(Array(_)))
+        .filter(isSeed(col("v")).cast("boolean")).as[Long].collect().toSet
+      require(seedSet.nonEmpty,
+        "personalizedPagerank: seed predicate matched no node")
+      val baseD = (3L * Scale) / (20L * seedSet.size)
+      return longDf(edges.sparkSession, Seq("v", "rank"),
+        driverRankLoop(ewArr, iters,
+          v => if (seedSet.contains(v)) Scale / seedSet.size else 0L,
+          v => if (seedSet.contains(v)) baseD else 0L))
+    }
+    val outw = e0m.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val ew0 = PartitionUtil.materialize(
-      e0.join(outw, Seq("src"))
+      e0m.join(outw, Seq("src"))
         .select(col("src"), col("dst"), col("w"), col("ow")),
       checkpointDir)
     // the same fused preamble as [[pagerank]]: one materialized
@@ -431,6 +559,30 @@ object Graph {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    // driver fast path (see the header note; quadratic cap — wedge
+    // work): per edge, every common neighbour is one triangle corner
+    // credit, so each corner collects exactly one credit per triangle
+    if (e.count() <= maxDriverEdgesQuad(edges)) {
+      import edges.sparkSession.implicits._
+      val ewArr = e.as[(Long, Long)].collect()
+      val nbr = new java.util.HashMap[Long, java.util.HashSet[java.lang.Long]]()
+      def ns(v: Long) = {
+        var s = nbr.get(v)
+        if (s == null) { s = new java.util.HashSet[java.lang.Long](); nbr.put(v, s) }
+        s
+      }
+      ewArr.foreach { case (a, b) => ns(a).add(b); ns(b).add(a) }
+      val tri = new java.util.HashMap[Long, Long]()
+      ewArr.foreach { case (a, b) =>
+        val (small, large) =
+          if (ns(a).size <= ns(b).size) (ns(a), ns(b)) else (ns(b), ns(a))
+        small.forEach { c => if (large.contains(c))
+          tri.merge(c.longValue(), 1L, (x, y) => x + y) }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      tri.forEach { (v, n) => out += Array(v, n) }
+      return longDf(edges.sparkSession, Seq("v", "n_triangles"), out.toSeq)
+    }
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // orient each edge low→high by (degree, id); keep the head's
@@ -514,10 +666,38 @@ object Graph {
       edges.select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst")).distinct(),
       checkpointDir)
+    val m = e0.count()
+    // driver fast path (see the header note; the quadratic cap — this
+    // is Σ|ball| work): multi-source BFS, first distance wins
+    if (m <= maxDriverEdgesQuad(edges)) {
+      import edges.sparkSession.implicits._
+      val ewArr = e0.as[(Long, Long)].collect()
+      val adj = ewArr.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val hsum = new java.util.HashMap[Long, Long]()
+      val nreach = new java.util.HashMap[Long, Long]()
+      adj.keys.foreach { s =>
+        val seen = scala.collection.mutable.Set[Long](s)
+        var frontier: Seq[Long] = Seq(s)
+        for (d <- 1 to radius; if frontier.nonEmpty) {
+          val next = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+            .distinct.filterNot(seen)
+          next.foreach { v =>
+            seen += v
+            hsum.merge(v, 1000000L / d, (a, b) => a + b)
+            nreach.merge(v, 1L, (a, b) => a + b)
+          }
+          frontier = next
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      hsum.forEach { (v, h) => out += Array(v, h, nreach.get(v)) }
+      return longDf(edges.sparkSession, Seq("v", "harmonic_q6", "n_reached"),
+        out.toSeq)
+    }
     // size per-hop jobs to the graph (the pagerank pattern): a small
     // graph otherwise pays `radius` rounds of full-width task launches
     val e = e0.coalesce(math.max(1L, math.min(
-      e0.rdd.getNumPartitions.toLong, e0.count() / 2000000L + 1L)).toInt)
+      e0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt)
     // d(v, v) = 0 seeds; excluded from the sum but needed so round 1
     // doesn't re-reach the source itself. Only each round's FRONTIER
     // materializes — the accumulated reached set stays a lazy union of
@@ -618,9 +798,41 @@ object Graph {
     val eM = PartitionUtil.materialize(
       e0.union(nodes.select(col("v").as("src"), col("v").as("dst"))),
       checkpointDir)
+    val m = eM.count()
+    // driver fast path (see the header note; quadratic cap — per-round
+    // work is O(|E|·k) sketch merges): the identical bottom-k sketch
+    // recurrence with the identical content hash and integer estimator
+    if (m <= maxDriverEdgesQuad(edges)) {
+      import edges.sparkSession.implicits._
+      val ewArr = eM.as[(Long, Long)].collect() // includes the self-loops
+      val adj = ewArr.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var hb = adj.keysIterator.map { v =>
+        v -> Array(graft.functions.ContentHashUtil.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)) >>> 2)
+      }.toMap
+      def bottomK(xs: Array[Long]): Array[Long] = {
+        val d = xs.distinct
+        java.util.Arrays.sort(d)
+        d.take(k)
+      }
+      def est(sk: Array[Long]): Long =
+        if (sk.length < k) sk.length.toLong
+        else (BigInt(k - 1) * BigInt(4611686018427387904L) / BigInt(sk.last)).toLong
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      for (r <- 1 to radius) {
+        hb = adj.map { case (v, ds) =>
+          v -> bottomK(ds.flatMap(d => hb.getOrElse(d, Array.empty[Long])))
+        }
+        hb.foreach { case (v, sk) =>
+          out += Array(v, r.toLong, sk.length.toLong, sk.last, est(sk))
+        }
+      }
+      return longDf(edges.sparkSession,
+        Seq("v", "r", "k_used", "kth", "nb_est"), out.toSeq)
+    }
     // size per-round jobs to the graph (the pagerank pattern)
     val e = eM.coalesce(math.max(1L, math.min(
-      eM.rdd.getNumPartitions.toLong, eM.count() / 2000000L + 1L)).toInt)
+      eM.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt)
     var hb = PartitionUtil.materialize(
       nodes.select(col("v"), array(h62).as("sk")), checkpointDir)
     val est =
@@ -713,9 +925,33 @@ object Graph {
       edges.select(col("src"), col("dst"), col("cost").cast("long").as("cost"))
         .filter(col("src") =!= col("dst")),
       checkpointDir)
+    val m = e0.count()
+    // driver fast path (see the header note): min-plus relaxation over
+    // the collected edges — integer min is reduction-order-free
+    if (m <= maxDriverEdges(edges)) {
+      import edges.sparkSession.implicits._
+      val ewArr = e0.as[(Long, Long, Long)].collect()
+      val seeds = e0.select(col("src")).distinct()
+        .filter(isSeed(col("src"))).as[Long].collect()
+      require(seeds.nonEmpty, "cheapestPaths: seed predicate matched no node")
+      var dist = new java.util.HashMap[Long, Long](seeds.length * 2)
+      seeds.foreach(v => dist.put(v, 0L))
+      for (_ <- 1 to hops) {
+        val next = new java.util.HashMap[Long, Long](dist.size() * 2)
+        dist.forEach { (v, c) => next.put(v, c) }
+        ewArr.foreach { case (src, dst, cost) =>
+          if (dist.containsKey(src))
+            next.merge(dst, dist.get(src) + cost, (a, b) => math.min(a, b))
+        }
+        dist = next
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      dist.forEach { (v, c) => out += Array(v, c) }
+      return longDf(edges.sparkSession, Seq("v", "cost"), out.toSeq)
+    }
     // size per-round jobs to the graph (the pagerank pattern)
     val e = e0.coalesce(math.max(1L, math.min(
-      e0.rdd.getNumPartitions.toLong, e0.count() / 2000000L + 1L)).toInt)
+      e0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt)
     val seeds = e.select(col("src").as("v")).distinct().filter(isSeed(col("v")))
     var dist = PartitionUtil.materialize(
       seeds.select(col("v"), lit(0L).as("cost")), checkpointDir)
@@ -796,6 +1032,31 @@ object Graph {
     // peel round suffices — the previous round's count is a variable,
     // not a second job
     var mPrev = e.count()
+    // driver fast path (see the header note): iterative peeling over
+    // the collected canonical edge set — peeling is confluent and the
+    // round/convergence accounting mirrors the distributed loop exactly
+    if (mPrev <= maxDriverEdges(edges)) {
+      import edges.sparkSession.implicits._
+      var es = e.as[(Long, Long)].collect().toSeq
+      var prev = es.length
+      var conv = false
+      var rounds = 0
+      while (!conv && rounds < maxRounds) {
+        val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+          .view.mapValues(_.length.toLong).toMap
+        val keep = deg.collect { case (v, d) if d >= k => v }.toSet
+        es = es.filter { case (a, b) => keep(a) && keep(b) }
+        conv = es.length == prev
+        prev = es.length
+        rounds += 1
+      }
+      require(conv,
+        s"kCore: did not converge within $maxRounds peel rounds — raise maxRounds")
+      val coreDeg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      return longDf(edges.sparkSession, Seq("v", "core_deg"),
+        coreDeg.toSeq.map { case (v, d) => Array(v, d) })
+    }
     while (!converged && r < maxRounds) {
       val pruned = PartitionUtil.materialize(peelRound(e, k), checkpointDir)
       val m = pruned.count()
@@ -898,6 +1159,40 @@ object Graph {
     // size per-round jobs to the graph (the pagerank pattern): narrow
     // coalesce to ~2M edges/partition, capped at inherited parallelism
     val m = e0.count()
+    // driver fast path (see the header note): synchronous LPA rounds
+    // over the collected edges — argmax by (weight desc, label asc),
+    // the same total order as the distributed struct-min
+    if (m <= maxDriverEdges(edges)) {
+      import edges.sparkSession.implicits._
+      val ewArr = e0.as[(Long, Long, Long)].collect()
+      val nodes = ewArr.map(_._1).distinct
+      var labels = new java.util.HashMap[Long, Long](nodes.length * 2)
+      nodes.foreach(v => labels.put(v, v))
+      for (_ <- 1 to iters) {
+        // wt(src, label) = Σ w over edges whose dst currently holds label
+        val wt = new java.util.HashMap[(Long, Long), Long](ewArr.length / 2)
+        ewArr.foreach { case (src, dst, w) =>
+          if (labels.containsKey(dst))
+            wt.merge((src, labels.get(dst)), w, (a, b) => a + b)
+        }
+        val next = new java.util.HashMap[Long, Long](nodes.length * 2)
+        wt.forEach { (k, sum) =>
+          val (src, label) = k
+          if (next.containsKey(src)) {
+            val cur = next.get(src)
+            val curW = wt.get((src, cur))
+            if (sum > curW || (sum == curW && label < cur)) next.put(src, label)
+          } else next.put(src, label)
+        }
+        labels = next
+      }
+      // the distributed round is an INNER join on dst, so a node whose
+      // neighbors all lost their labels drops out — emit exactly the
+      // final relation's keys, not the initial node set
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      labels.forEach { (v, l) => out += Array(v, l) }
+      return longDf(edges.sparkSession, Seq("v", "label"), out.toSeq)
+    }
     val parts = math.max(1L,
       math.min(e0.rdd.getNumPartitions.toLong, m / 2000000L + 1L)).toInt
     // persist (not checkpoint): InMemoryRelation keeps the hash
@@ -1132,6 +1427,48 @@ object Graph {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    // driver fast path (see the header note; quadratic cap — wedge
+    // work): same capped wedge generation, integer indices, and
+    // (cn desc, ra desc, a, b) total order
+    if (e.count() <= maxDriverEdgesQuad(edges)) {
+      import edges.sparkSession.implicits._
+      val ewArr = e.as[(Long, Long)].collect()
+      val edgeSet = ewArr.map { case (a, b) => (a, b) }.toSet
+      val adjM = (ewArr.map { case (a, b) => (a, b) } ++
+        ewArr.map { case (a, b) => (b, a) })
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val deg = adjM.view.mapValues(_.length.toLong).toMap
+      val cn = new java.util.HashMap[(Long, Long), Long]()
+      val ra = new java.util.HashMap[(Long, Long), Long]()
+      adjM.foreach { case (mid, ns) =>
+        val dm = deg(mid)
+        if (dm <= maxMiddleDegree) {
+          val contrib = 1000000L / dm
+          val sorted = ns.sorted
+          var i = 0
+          while (i < sorted.length) {
+            var j = i + 1
+            while (j < sorted.length) {
+              val key = (sorted(i), sorted(j))
+              cn.merge(key, 1L, (x, y) => x + y)
+              ra.merge(key, contrib, (x, y) => x + y)
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      cn.forEach { (key, c) =>
+        val (a, b) = key
+        if (!edgeSet.contains(key))
+          rows += Array(a, b, c,
+            1000000L * c / (deg(a) + deg(b) - c), ra.get(key))
+      }
+      val top = rows.sortBy(r => (-r(2), -r(4), r(0), r(1))).take(topK)
+      return longDf(edges.sparkSession,
+        Seq("a", "b", "cn", "jaccard_q6", "ra_q6"), top.toSeq)
+    }
     val adj = e.select(col("a").as("u"), col("b").as("z"))
       .union(e.select(col("b").as("u"), col("a").as("z")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))

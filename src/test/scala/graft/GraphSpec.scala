@@ -200,6 +200,45 @@ class GraphSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set("graft.graph.packPairKey", "true")
   }
 
+  test("driver fast path == distributed loops (caps forced to 0) for every graph operator") {
+    import spark.implicits._
+    // seeded random weighted digraph, big enough to exercise every
+    // operator's interesting cases (sinks, zero-indegree, ties)
+    val rng = new scala.util.Random(20260819L)
+    val edges = (1 to 400).map { _ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong, (rng.nextInt(9) + 1).toLong)
+    }.distinct.filter(e => e._1 != e._2).toDF("src", "dst", "w")
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame): List[Seq[Any]] =
+      df.collect().map(_.toSeq).toList.sortBy(_.mkString(","))
+    def all(): Map[String, List[Seq[Any]]] = Map(
+      "pagerank" -> rows(Graph.pagerank(edges, iters = 4)),
+      "ppr" -> rows(Graph.personalizedPagerank(edges,
+        v => pmod(v, lit(5)) === 0, iters = 4)),
+      "lpa" -> rows(Graph.labelPropagation(edges, iters = 3)),
+      "harmonic" -> rows(Graph.harmonicCentrality(edges, radius = 2)),
+      "neighborhood" -> rows(Graph.neighborhoodFunction(edges, radius = 2, k = 8)),
+      "cheapest" -> rows(Graph.cheapestPaths(
+        edges.withColumn("cost", expr("1000000 div w")),
+        v => pmod(v, lit(5)) === 0, hops = 3)),
+      "kcore" -> rows(Graph.kCore(edges, k = 3, maxRounds = 20)),
+      "triangles" -> rows(Graph.triangleCounts(edges)),
+      "linkpred" -> rows(Graph.linkPrediction(edges, maxMiddleDegree = 1000L, topK = 50)),
+      "modularity" -> rows(Graph.communityModularity(edges, iters = 3)))
+    val driver = all() // caps at defaults: every operator takes the driver path
+    spark.conf.set("graft.graph.maxDriverEdges", "0")
+    spark.conf.set("graft.graph.maxDriverEdgesQuadratic", "0")
+    try {
+      val dist = all() // caps 0: every operator runs the distributed loop
+      driver.keys.foreach { op =>
+        withClue(s"$op driver-vs-distributed:") { dist(op) shouldBe driver(op) }
+      }
+    } finally {
+      spark.conf.unset("graft.graph.maxDriverEdges")
+      spark.conf.unset("graft.graph.maxDriverEdgesQuadratic")
+    }
+  }
+
   test("conversionFunnel finds strictly-ordered stage times and stops at the first gap") {
     import spark.implicits._
     def t(ms: Long) = new Timestamp(ms)
