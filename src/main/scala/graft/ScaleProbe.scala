@@ -32,6 +32,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint exercise: with SPARK_GRAFT_CHECKPOINT_DIR set,
+    // the dedup shared-stage materializations write through the Hadoop
+    // FS path instead of localCheckpoint (PartitionUtil.materializeConf)
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set("graft.checkpointDir", d))
     import graft.pipeline.{Dedup, Similarity, TextFunctions}
 
     val docs = graft.queries.QueryDsl.t(spark, dir, "documents")

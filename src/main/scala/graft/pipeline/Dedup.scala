@@ -1024,6 +1024,50 @@ object Dedup {
     // upstream near-dup computation
     val p0 = PartitionUtil.materialize(
       pairs.select(col("id_a"), col("id_b")), checkpointDir)
+    // driver fast path — the graph-family bounded-collect pattern
+    // (Graph.scala header note): near-dup pair sets are output-bounded
+    // and tiny next to the corpus, while each distributed CC round
+    // costs 2 joins + 1 agg + a convergence count of pure stage
+    // latency. Below the cap the SAME min-label + pointer-jumping
+    // iteration (same rounds, same maxIters accounting, same loud
+    // non-convergence failure) runs on the collected pairs. The
+    // distributed loop is the fallback for pair sets that outgrow the
+    // cap (a pathological corpus where near-everything collides).
+    if (p0.count() <=
+        pairs.sparkSession.conf.get("graft.dedup.maxDriverPairs", "2000000").toLong) {
+      import pairs.sparkSession.implicits._
+      val pArr = p0.as[(Long, Long)].collect()
+      val nbrs = (pArr.map { case (a, b) => (a, b) } ++
+        pArr.map { case (a, b) => (b, a) })
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // fused round 0, as distributed: rep = min(id, min neighbor id)
+      var labels = nbrs.map { case (v, ns) => v -> math.min(v, ns.min) }
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val stepped = labels.map { case (id, rep) =>
+          val nbrMin = nbrs(id).iterator.map(labels).min
+          id -> math.min(rep, nbrMin)
+        }
+        // pointer jump reads the PREVIOUS round's labels, exactly like
+        // the distributed `jumped` join
+        val prev = labels
+        val jumped = stepped.map { case (id, mid) =>
+          id -> math.min(mid, prev.getOrElse(mid, mid))
+        }
+        changed = jumped.count { case (id, rep) => rep != labels(id) }
+        labels = jumped
+        iter += 1
+      }
+      require(changed == 0L,
+        s"dedupGroups did not converge after $maxIters rounds ($changed labels still moving)")
+      import scala.jdk.CollectionConverters._
+      return pairs.sparkSession.createDataFrame(
+        labels.toSeq.map { case (id, rep) => org.apache.spark.sql.Row(id, rep) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq("id", "rep").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = true))))
+    }
     // lazy checkpoint: materialized by the first round's convergence
     // count — p0 above is eager so the union's two branches read the
     // stored pair partitions instead of re-running the upstream plan

@@ -1503,6 +1503,48 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("dedupGroups: driver fast path == distributed CC loop (cap forced to 0)") {
+    import spark.implicits._
+    // chains, stars, singleton pairs and a long path — the shapes where
+    // min-label + pointer-jumping round counts actually differ
+    val rng = new scala.util.Random(17L)
+    val pairs = ((1 to 120).map { _ =>
+      val a = rng.nextInt(60).toLong; val b = rng.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2) ++ (100L to 140L).map(i => (i, i + 1)))
+      .distinct.toDF("id_a", "id_b").localCheckpoint()
+    def rows() = Dedup.dedupGroups(pairs).as[(Long, Long)].collect().sorted.toList
+    val driver = rows()
+    // every rep must be its component's minimum (fixpoint property)
+    driver.foreach { case (_, rep) =>
+      driver.find(_._1 == rep).map(_._2) shouldBe Some(rep) }
+    spark.conf.set("graft.dedup.maxDriverPairs", "0")
+    try rows() shouldBe driver
+    finally spark.conf.unset("graft.dedup.maxDriverPairs")
+  }
+
+  test("BPE: distributed merge rounds == driver rounds (maxDriverVocab forced to 0), ties + non-ASCII") {
+    import spark.implicits._
+    // engineered count ties (ab/ba both appear equally often) and
+    // multibyte symbols, where tie-break order divergence would show
+    val docs = Seq(
+      (1L, "abab abab κλκλ baba"),
+      (2L, "baba abab κλκλ κλκλ"),
+      (3L, "ab ba κλ ab ba"),
+      (4L, "aaa aaa aaa bbb"),
+      (5L, "😀😀 😀😀 ab")).toDF("doc_id", "text")
+    def train() = graft.pipeline.Bpe.bpeTrain(docs, 6)
+      .collect().map(_.toSeq).toList.sortBy(_.mkString(","))
+    def seg() = graft.pipeline.Bpe.bpeSegment(docs, 6)
+      .collect().map(_.toSeq).toList.sortBy(_.mkString(","))
+    val (tD, sD) = (train(), seg()) // driver path (vocab far below cap)
+    spark.conf.set("graft.bpe.maxDriverVocab", "0")
+    try {
+      train() shouldBe tD
+      seg() shouldBe sD
+    } finally spark.conf.unset("graft.bpe.maxDriverVocab")
+  }
+
   test("temperature mixture: isqrt weights, integer quotas, deterministic lowest-hash fill") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
